@@ -1,0 +1,80 @@
+"""Schema registry / catalog — the Spark-native replacement for the
+reference's external "data dictionary" JSON.
+
+The reference ships table schemas out-of-band (``--dd_path``; pizza default
+at ra2spark/ra2spark.py:122-125, TPC-H dd at tpc-h.json:1-10) and uses them
+*only* for optimizer attribute-provenance — execution never enforces types
+(SURVEY.md §1.2). Here the catalog is strict: every table is registered as a
+temp view with the schema the parquet files actually carry, so Catalyst's
+analyzer owns name resolution and typing end-to-end.
+
+Design notes for scale:
+
+* Registration is by *path*, not by materialized data — ``spark.read
+  .parquet`` is lazy; partition discovery / predicate pushdown / column
+  pruning all happen at the scan.
+* ``events`` carries TIMESTAMP(NANOS) which PySpark reads as ``bigint``
+  under ``spark.sql.legacy.parquet.nanosAsLong`` (see session.py). The
+  catalog keeps the raw ``ts`` nanos column (cheap, exact, great for range
+  pruning) and derives ``ts_utc TIMESTAMP`` from it for windowing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "load_table", "register_all", "table_path"]
+
+# All driver-provided tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one table; normalizes the events timestamp.
+
+    ``events.ts`` is bigint *nanoseconds* under the legacy flag; we expose
+    both the raw nanos (exact arithmetic, used by the window bucketers so
+    Spark and the DuckDB oracle agree bit-for-bit) and a derived
+    ``ts_utc`` timestamp for Structured-Streaming-style operators.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view; returns name → DataFrame.
+
+    This is the dd-equivalent entry point: after this, both the DataFrame
+    API and ``spark.sql`` see the full star schema.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

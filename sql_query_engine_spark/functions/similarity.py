@@ -1,0 +1,211 @@
+"""Similarity search over the ``embeddings`` table.
+
+Capability extension (the reference has no vector support at all — its
+only types are string/int/float scalars, SURVEY.md §1.3).
+
+Two tiers:
+
+* brute-force cosine top-k — the exactness baseline. The query set is tiny
+  and broadcast; the corpus streams through a single map + per-query top-k
+  (window row_number). No all-corpus shuffle of vectors.
+* LSH-bucketed ANN (random hyperplanes) — the 100 TB path: each vector
+  maps to a small bucket id; candidate generation is an equi-join on the
+  bucket (hash shuffle on a high-cardinality int key), and the exact
+  scoring runs only within buckets.
+
+All scoring is a fixed-order double fold over float32 elements so the
+DuckDB oracle reproduces scores bit-for-bit (see functions/dedup.py for the
+same trick). Hyperplanes are pinned literals generated from a seeded RNG at
+import time — identical constants are embedded in the Spark expressions and
+in the oracle SQL, so the two engines cannot disagree.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "HYPERPLANES",
+    "cosine_topk",
+    "cosine_topk_oracle",
+    "lsh_bucket_topk",
+    "lsh_bucket_topk_oracle",
+]
+
+DIM = 64
+N_PLANES = 8
+
+_rng = random.Random(0x5EED)
+# 8 hyperplanes × 64 dims, rounded literals so the SQL text stays compact;
+# both engines parse the same decimal literal to the same double.
+HYPERPLANES: tuple[tuple[float, ...], ...] = tuple(
+    tuple(round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)) for _ in range(N_PLANES)
+)
+
+_SPARK_NORM2 = (
+    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+_DUCK_NORM2 = (
+    "list_reduce(list_prepend(cast(0 as double),"
+    " list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)"
+)
+_SPARK_DOT_QC = (
+    "aggregate(zip_with(q.embedding, c.embedding,"
+    " (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _duck_dot(av: str, bv: str) -> str:
+    return (
+        f"list_reduce(list_prepend(cast(0 as double),"
+        f" list_transform(generate_series(1, {DIM}),"
+        f" i -> {av}[i]::DOUBLE * {bv}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _plane_dot(dialect: str, plane: tuple[float, ...]) -> str:
+    """Literal-weighted sum  Σ v[i]·h_i  as a left-associated + chain."""
+    terms = []
+    for i, h in enumerate(plane):
+        elem = (
+            f"cast(element_at(embedding, {i + 1}) as double)"
+            if dialect == "spark"
+            else f"embedding[{i + 1}]::DOUBLE"
+        )
+        terms.append(f"{elem} * ({h!r})")
+    return " + ".join(terms)
+
+
+def _bucket_expr(dialect: str) -> str:
+    """LSH bucket id: sign bit of each hyperplane projection, packed."""
+    bits = []
+    for p, plane in enumerate(HYPERPLANES):
+        bits.append(
+            f"(CASE WHEN {_plane_dot(dialect, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 10, n_queries: int = 8
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id <
+    n_queries), self excluded.
+
+    Plan shape: the query set is a broadcast nested-loop against the
+    corpus scan (tiny × huge — correct at any corpus size), then a
+    per-query top-k. At 100 TB the ranking shuffle is only
+    n_queries × corpus-partition partial top-k rows once Catalyst applies
+    the window's rank-limit pushdown (WindowGroupLimit).
+    """
+    n = emb.select("vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2"))
+    q = n.filter(F.col("vec_id") < n_queries).alias("q")
+    c = n.alias("c")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_SPARK_DOT_QC) / (F.sqrt(F.col("q.n2")) * F.sqrt(F.col("c.n2")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def cosine_topk_oracle(k: int = 10, n_queries: int = 8) -> str:
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, {_DUCK_NORM2} AS n2 FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_duck_dot('q.embedding', 'c.embedding')}
+             / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+    FROM n q JOIN n c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, cast(rank as int) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_bucket_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket id is computed scan-side (pure expression, no shuffle);
+    candidate generation is an equi-join on the bucket int — at 100 TB this
+    is a hash shuffle whose key count (2^N_PLANES … more planes at larger
+    corpora) controls the recall/cost trade-off. Ranking work is confined
+    to buckets.
+    """
+    withb = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_SPARK_NORM2).alias("n2"),
+        F.expr(_bucket_expr("spark")).alias("bucket"),
+    )
+    q = withb.filter(F.col("vec_id") < n_queries).alias("q")
+    c = withb.alias("c")
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_SPARK_DOT_QC) / (F.sqrt(F.col("q.n2")) * F.sqrt(F.col("c.n2")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def lsh_bucket_topk_oracle(k: int = 5, n_queries: int = 8) -> str:
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, {_DUCK_NORM2} AS n2,
+           {_bucket_expr('duck')} AS bucket
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_duck_dot('q.embedding', 'c.embedding')}
+             / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+    FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, cast(rank as int) AS rank
+FROM ranked WHERE rank <= {k}
+"""

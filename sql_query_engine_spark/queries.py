@@ -1,0 +1,1056 @@
+"""Query registry: every implemented operator as a (Spark builder, DuckDB
+oracle SQL) pair.
+
+This is the engine's public inventory, mirroring SURVEY.md §2:
+
+* ``ref_*``     — reference-parity operators (the reference's own surface,
+                  ra2spark/ra2spark.py:48-104, test_commands.txt:1-11)
+* ``agg_*``, ``topk_*``, ``setop_*``, ``join_*``, ``scalar_*``, ``window_*``
+                — batch capability extensions (SURVEY.md §2.3 — everything
+                  the reference lacks that Spark provides built-in)
+* ``dedup_*``, ``sim_*``, ``text_*``, ``mm_*``, ``stream_*``
+                — LLM-data-pipeline extensions (BASELINE.json north star)
+
+Determinism contract with the oracle (the driver hash-compares values):
+
+* Sums over doubles always go through DECIMAL (exact, order-independent
+  under parallel aggregation) and surface as double.
+* Every approximate operator (minhash/simhash/LSH) uses engine-neutral
+  md5-based modular arithmetic with constants shared between the Spark
+  expression and the oracle SQL (functions/hashing.py).
+* Dot products are fixed-order left folds — bit-identical across engines.
+* Timestamps never appear raw in outputs: date strings or int64 epoch-ns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import dedup, multimodal, similarity, text
+from .operators import relational as R
+from .streaming import events as EV
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Q:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: list[Q] = []
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _REGISTRY.append(Q(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Reference parity (SURVEY.md §2.2; test_commands.txt:1-11)
+# =========================================================================
+
+@_q(
+    "ref_q1_point_select",
+    "SELECT DISTINCT c_name, c_mktsegment FROM customer WHERE c_custkey = 42",
+    "test_commands.txt:2 — point lookup; pushed filter reaches the scan",
+)
+def ref_q1_point_select(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return R.project_distinct(
+        R.filter_rows(c, F.col("c_custkey") == 42), ["c_name", "c_mktsegment"]
+    )
+
+
+@_q(
+    "ref_q2_cnr_join",
+    """SELECT DISTINCT c_custkey FROM customer, nation, region
+       WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey""",
+    "test_commands.txt:7 — 3-way dim join; both dims broadcast",
+)
+def ref_q2_cnr_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = R.equi_join(
+        R.equi_join(c, n, [("c_nationkey", "n_nationkey")]),
+        r,
+        [("n_regionkey", "r_regionkey")],
+    )
+    return R.project_distinct(joined, ["c_custkey"])
+
+
+_Q3_ORACLE = """
+SELECT DISTINCT c_custkey, c_name, c_mktsegment, o_orderkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       l_linenumber, l_quantity, l_extendedprice
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND l_returnflag = 'R' AND c_mktsegment = 'HOUSEHOLD'
+"""
+
+
+def _q3_select(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    ).distinct()
+
+
+@_q(
+    "ref_q3_col_join_filters",
+    _Q3_ORACLE,
+    "test_commands.txt:9 — fact-fact join + 2 constant filters",
+)
+def ref_q3_col_join_filters(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "HOUSEHOLD")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = R.equi_join(
+        R.equi_join(c, o, [("c_custkey", "o_custkey")]),
+        li,
+        [("o_orderkey", "l_orderkey")],
+    )
+    return _q3_select(joined)
+
+
+@_q(
+    "ref_q4_join_order_reversed",
+    _Q3_ORACLE,
+    "test_commands.txt:11 — same result with reversed join order "
+    "(join-order invariance, cf. tests/test_ra2mr.py:238-251)",
+)
+def ref_q4_join_order_reversed(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "HOUSEHOLD")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = R.equi_join(
+        R.equi_join(li, o, [("l_orderkey", "o_orderkey")]),
+        c,
+        [("o_custkey", "c_custkey")],
+    )
+    return _q3_select(joined)
+
+
+@_q(
+    "ref_filter_conjunction",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+       FROM lineitem
+       WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag = 'N'""",
+    "reference F1/F3 predicate language (conjunctions of comparisons) — "
+    "extended past EQ-only (sql2ra/functionality.py:76 coerces all ops to EQ)",
+)
+def ref_filter_conjunction(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.project(
+        R.filter_rows(
+            li,
+            (F.col("l_quantity") > 30)
+            & (F.col("l_discount") < 0.05)
+            & (F.col("l_returnflag") == "N"),
+        ),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"],
+    )
+
+
+@_q(
+    "ref_filter_range_in_like",
+    """SELECT p_partkey, p_name, p_brand, p_size FROM part
+       WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('PROMO', 'ECONOMY')
+         AND p_name LIKE '%bolt%'""",
+    "BETWEEN / IN / LIKE — full predicate surface (absent in reference)",
+)
+def ref_filter_range_in_like(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return R.project(
+        R.filter_rows(
+            p,
+            F.col("p_size").between(10, 20)
+            & F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_name").like("%bolt%"),
+        ),
+        ["p_partkey", "p_name", "p_brand", "p_size"],
+    )
+
+
+@_q(
+    "ref_project_distinct",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    "reference P1 — π + dedup (ra2spark/ra2spark.py:79-93)",
+)
+def ref_project_distinct(spark, sf_dir):
+    return R.project_distinct(_t(spark, sf_dir, "customer"), ["c_mktsegment"])
+
+
+@_q(
+    "ref_rename_selfjoin",
+    """SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey AS nationkey
+       FROM supplier a JOIN supplier b
+         ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey""",
+    "reference R1 rename/self-join pattern (tests/test_ra2mr.py:265-268)",
+)
+def ref_rename_selfjoin(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    a, b = R.rename(s, "a"), R.rename(s, "b")
+    return R.theta_join(
+        a,
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.col("a.s_nationkey").alias("nationkey"),
+    )
+
+
+@_q(
+    "ref_cross_product",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "reference J4 — explicit cartesian (sql2ra/functionality.py:100-102); "
+    "the MR backend rejects this outright (ra2mr/ra2mr.py:127-129)",
+)
+def ref_cross_product(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return R.project(R.cross_product(r, n), ["r_name", "n_name"])
+
+
+@_q(
+    "ref_theta_join",
+    """SELECT c_custkey, s_suppkey FROM customer c JOIN supplier s
+       ON c.c_nationkey = s.s_nationkey AND c.c_acctbal < s.s_acctbal""",
+    "J5 done right: equi part keeps the hash join, theta residual filters — "
+    "the reference silently cross-products (spark) or returns empty (MR)",
+)
+def ref_theta_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").alias("c")
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    return R.theta_join(
+        c,
+        s,
+        (F.col("c.c_nationkey") == F.col("s.s_nationkey"))
+        & (F.col("c.c_acctbal") < F.col("s.s_acctbal")),
+    ).select("c_custkey", "s_suppkey")
+
+
+@_q(
+    "ref_theta_join_pure",
+    """SELECT n_nationkey, r_regionkey FROM nation JOIN region
+       ON n_nationkey < r_regionkey""",
+    "pure non-equi join → BroadcastNestedLoopJoin (small side broadcast)",
+)
+def ref_theta_join_pure(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return R.theta_join(n, r, F.col("n_nationkey") < F.col("r_regionkey")).select(
+        "n_nationkey", "r_regionkey"
+    )
+
+
+@_q(
+    "ref_multikey_join",
+    """SELECT a.l_partkey AS partkey, a.l_suppkey AS suppkey, count(*) AS n_pairs
+       FROM lineitem a JOIN lineitem b
+         ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+        AND (a.l_orderkey < b.l_orderkey
+             OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+       GROUP BY 1, 2""",
+    "reference J3 — composite-key equi-join (ra2spark/ra2spark.py:74-75) "
+    "with a theta residual; fact-fact self-join shuffles on the key pair",
+)
+def ref_multikey_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pair_lt = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & pair_lt,
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("partkey"), F.col("a.l_suppkey").alias("suppkey")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# =========================================================================
+# Aggregations (SURVEY.md §2.3 — absent in reference, Spark built-in)
+# =========================================================================
+
+_DEC = "decimal(18,2)"
+
+
+@_q(
+    "agg_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+        cast(sum(cast(l_quantity as {_DEC})) as double) AS sum_qty,
+        cast(sum(cast(l_extendedprice as {_DEC})) as double) AS sum_base_price,
+        cast(sum(cast(l_extendedprice as {_DEC}) * cast(1 - l_discount as {_DEC}))
+             as double) AS sum_disc_price,
+        cast(sum(cast(l_quantity as {_DEC})) as double) / count(*) AS avg_qty,
+        cast(sum(cast(l_discount as {_DEC})) as double) / count(*) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    "TPC-H Q1 shape — partial (map-side) aggregation then one shuffle on a "
+    "tiny group key; DECIMAL sums for order-independent exactness",
+)
+def agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(_DEC))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "agg_having",
+    """SELECT c_nationkey, count(*) AS n_cust,
+              cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_bal
+       FROM customer GROUP BY c_nationkey HAVING count(*) > 40""",
+    "GROUP BY + HAVING",
+)
+def agg_having(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("sum_bal"),
+        )
+        .filter(F.col("n_cust") > 40)
+    )
+
+
+@_q(
+    "agg_rollup",
+    """SELECT coalesce(r_name, '(all)') AS region_name,
+              coalesce(n_name, '(all)') AS nation_name,
+              count(*) AS n_cust
+       FROM customer, nation, region
+       WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)""",
+    "hierarchical ROLLUP over the dim join",
+)
+def agg_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = c.join(n, c["c_nationkey"] == n["n_nationkey"]).join(
+        r, n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "n_cust",
+        )
+    )
+
+
+@_q(
+    "agg_cube",
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+              coalesce(l_linestatus, '(all)') AS linestatus,
+              count(*) AS n_rows,
+              cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "CUBE over the fact table",
+)
+def agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@_q(
+    "agg_count_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+              count(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag""",
+    "exact distinct aggregate (expand + two-phase aggregate in Spark)",
+)
+def agg_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"), F.count("*").alias("n_rows")
+    )
+
+
+@_q(
+    "agg_approx_count_distinct",
+    None,  # HLL sketches are engine-specific — rows-only check by design
+    "approx_count_distinct (HyperLogLog++) — the 100 TB substitute for "
+    "exact distinct counts; no oracle because sketch estimates are "
+    "engine-specific",
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+# =========================================================================
+# Sort / limit / top-k
+# =========================================================================
+
+@_q(
+    "topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "global top-k: Spark plans TakeOrderedAndProject — per-partition heap, "
+    "no full sort at any scale",
+)
+def topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_q(
+    "topk_per_group",
+    """SELECT * FROM (
+         SELECT c_mktsegment, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM customer JOIN orders ON c_custkey = o_custkey
+       ) WHERE rn <= 3""",
+    "top-k per group via ranking window; Spark inserts WindowGroupLimit "
+    "(partial per-partition top-k before the shuffle)",
+)
+def topk_per_group(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        j.select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# =========================================================================
+# Set operations
+# =========================================================================
+
+@_q(
+    "setop_union_all",
+    """SELECT c_custkey AS id, 'customer' AS src FROM customer
+       UNION ALL SELECT s_suppkey AS id, 'supplier' AS src FROM supplier""",
+    "bag union — no shuffle, pure concatenation of scans",
+)
+def setop_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.lit("supplier").alias("src")
+    )
+    return c.unionAll(s)
+
+
+@_q(
+    "setop_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+       INTERSECT SELECT o_custkey FROM orders""",
+    "set intersect → planned as left-semi hash join",
+)
+def setop_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "HOUSEHOLD")
+        .select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@_q(
+    "setop_except",
+    """SELECT c_custkey FROM customer
+       EXCEPT SELECT o_custkey FROM orders""",
+    "set difference → left-anti hash join (customers who never ordered)",
+)
+def setop_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.select("c_custkey").subtract(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+# =========================================================================
+# Outer / semi / anti joins
+# =========================================================================
+
+@_q(
+    "join_left_outer",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey""",
+    "left outer + grouped count (zeros preserved)",
+)
+def join_left_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_q(
+    "join_full_outer",
+    """SELECT coalesce(n_nationkey, s_nationkey) AS nationkey, n_name, s_suppkey
+       FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey""",
+    "full outer join",
+)
+def join_full_outer(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(s, n["n_nationkey"] == s["s_nationkey"], "full").select(
+        F.coalesce("n_nationkey", "s_nationkey").alias("nationkey"),
+        "n_name",
+        "s_suppkey",
+    )
+
+
+@_q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "left-semi join (EXISTS) — probe side never widens",
+)
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "left-anti join (NOT EXISTS)",
+)
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# =========================================================================
+# Scalar function surface
+# =========================================================================
+
+@_q(
+    "scalar_string",
+    """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name_pfx,
+              length(p_name) AS name_len, concat(p_brand, ':', p_type) AS brand_type
+       FROM part""",
+    "string functions (zero exist in the reference — "
+    "ra2spark/ra2spark.py:26-45 is attr/literal/EQ/AND only)",
+)
+def scalar_string(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@_q(
+    "scalar_math",
+    """SELECT l_orderkey, l_linenumber,
+              cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as double)
+                  / 100 AS disc_price,
+              cast(floor(l_quantity) as bigint) AS qty_floor,
+              cast(ceil(l_tax * 100) as bigint) AS tax_pct,
+              l_partkey % 7 AS pk_mod
+       FROM lineitem WHERE l_orderkey % 1000 = 0""",
+    "arithmetic / rounding scalars (rounding spelled as floor(x·100+½)/100 — "
+    "engines disagree on round()'s half-tie direction for binary doubles)",
+)
+def scalar_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 1000 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100 + 0.5)
+            .cast("double")
+            / 100
+        ).alias("disc_price"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct"),
+        (F.col("l_partkey") % 7).alias("pk_mod"),
+    )
+
+
+@_q(
+    "scalar_date",
+    """SELECT o_orderkey, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+              day(o_orderdate) AS o_day, strftime(o_orderdate, '%Y-%m') AS o_ym
+       FROM orders WHERE year(o_orderdate) = 1997""",
+    "date/time extraction scalars",
+)
+def scalar_date(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+    )
+
+
+@_q(
+    "scalar_conditional",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 300000 THEN 'big'
+                   WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+              (o_orderstatus IN ('F', 'P')) AS is_done,
+              (o_orderpriority LIKE '1-%') AS is_urgent
+       FROM orders""",
+    "CASE / IN / LIKE expression surface",
+)
+def scalar_conditional(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.col("o_orderstatus").isin("F", "P").alias("is_done"),
+        F.col("o_orderpriority").like("1-%").alias("is_urgent"),
+    )
+
+
+@_q(
+    "scalar_json",
+    """SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k
+       FROM events WHERE cast(json_extract_string(props, '$.k') as int) > 90""",
+    "JSON extraction over the events props column",
+)
+def scalar_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("k")).filter(k > 90)
+
+
+# =========================================================================
+# Window functions
+# =========================================================================
+
+@_q(
+    "window_running_sum",
+    """SELECT o_custkey, o_orderkey,
+              cast(sum(cast(o_totalprice as decimal(18,2)))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   as double) AS run_total,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS order_seq
+       FROM orders""",
+    "running aggregate + row numbering; DECIMAL keeps the cumulative sum "
+    "exact under any execution order",
+)
+def window_running_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(wr).cast("double").alias("run_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@_q(
+    "window_lag_lead",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+              lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_price,
+              lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS next_price
+       FROM orders""",
+    "lag/lead analytics",
+)
+def window_lag_lead(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@_q(
+    "window_rank_dense",
+    """SELECT c_nationkey, c_custkey,
+              cast(rank() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) as int) AS bal_rank,
+              cast(dense_rank() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) as int)
+                  AS bal_dense_rank
+       FROM customer""",
+    "ranking windows",
+)
+def window_rank_dense(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@_q(
+    "window_ntile",
+    """SELECT quartile, count(*) AS n,
+              cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_bal
+       FROM (SELECT cast(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) as int)
+                    AS quartile, c_acctbal
+             FROM customer)
+       GROUP BY quartile""",
+    "ntile bucketing + re-aggregation",
+)
+def window_ntile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(F.ntile(4).over(w).alias("quartile"), "c_acctbal")
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+# =========================================================================
+# Deduplication (north-star extensions)
+# =========================================================================
+
+@_q(
+    "dedup_exact",
+    """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents GROUP BY text""",
+    "exact dedup: hash-groupBy on content, canonical = min id",
+)
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("canonical_id", "n_copies")
+
+
+@_q(
+    "dedup_exact_hash",
+    """SELECT md5(text) AS h, min(doc_id) AS canonical_id FROM documents
+       GROUP BY md5(text)""",
+    "exact dedup on md5(content) — fixed-width shuffle key for 100 TB",
+)
+def dedup_exact_hash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    dedup.minhash_lsh_pairs_oracle(),
+    "MinHash(16) + LSH(4×4 bands) near-dup pairs, exact-Jaccard verified",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    dedup.ngram_jaccard_pairs_oracle(),
+    "exact word-trigram Jaccard pairs via inverted shingle index",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_simhash_fp",
+    dedup.simhash_fingerprints_oracle(),
+    "48-bit SimHash fingerprints (relational bit-vote formulation)",
+)
+def dedup_simhash_fp(spark, sf_dir):
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_simhash_pairs",
+    dedup.simhash_pairs_oracle(),
+    "SimHash near-dup pairs by Hamming distance",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_embedding_cosine",
+    dedup.embedding_neardup_pairs_oracle(),
+    "embedding near-dup pairs by cosine (brute-force exactness baseline)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+# =========================================================================
+# Similarity search
+# =========================================================================
+
+@_q(
+    "sim_cosine_topk",
+    similarity.cosine_topk_oracle(),
+    "exact cosine top-k for 8 query vectors (broadcast NLJ + rank-limit)",
+)
+def sim_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "sim_lsh_ann_topk",
+    similarity.lsh_bucket_topk_oracle(),
+    "ANN via random-hyperplane LSH buckets — the 100 TB scale path",
+)
+def sim_lsh_ann_topk(spark, sf_dir):
+    return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+@_q(
+    "text_lang_id",
+    f"SELECT doc_id, {text.ORACLE_EXPRS['lang_id'][1]} AS lang_id FROM documents",
+    "n-gram stopword language-ID heuristic (pure JVM expression)",
+)
+def text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang_id")
+
+
+@_q(
+    "text_quality",
+    f"SELECT doc_id, {text.ORACLE_EXPRS['quality'][1]} AS quality FROM documents",
+    "quality score: alpha density × capped mean token length",
+)
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_quality(docs).select("doc_id", "quality")
+
+
+@_q(
+    "text_token_stats",
+    f"""SELECT doc_id, {text.ORACLE_EXPRS['n_tokens'][1]} AS n_tokens,
+               {text.ORACLE_EXPRS['n_ws_tokens'][1]} AS n_ws_tokens
+        FROM documents""",
+    "token counting: regex tokens + whitespace tokens",
+)
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_token_counts(docs).select("doc_id", "n_tokens", "n_ws_tokens")
+
+
+@_q(
+    "text_fingerprint",
+    f"SELECT doc_id, {text.ORACLE_EXPRS['fp'][1]} AS fp FROM documents",
+    "polynomial rolling-hash document fingerprint (mod 1e9+7)",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fp")
+
+
+@_q(
+    "text_word_freq",
+    """SELECT w AS word, count(*) AS cnt
+       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents)
+       GROUP BY w HAVING count(*) >= 100""",
+    "corpus word frequencies (explode → count); HAVING keeps the result "
+    "set deterministic without ORDER/LIMIT",
+)
+def text_word_freq(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.hashing import spark_tokens
+
+    return (
+        docs.select(F.explode(F.expr(spark_tokens("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 100)
+    )
+
+
+# =========================================================================
+# Multimodal (binary payload plumbing)
+# =========================================================================
+
+@_q(
+    "mm_binary_features",
+    """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes,
+              ascii(substr(text, 1, 1)) AS first_byte
+       FROM documents""",
+    "binary payload + Arrow mapInPandas feature extraction (decode stubbed; "
+    "Spark plumbing — schema, batching, UDF signature — is real)",
+)
+def mm_binary_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_binary_payload(docs))
+
+
+# =========================================================================
+# Streaming-shaped operators over events (batch-checkable)
+# =========================================================================
+
+@_q(
+    "stream_tumbling_counts",
+    """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS window_start_ns,
+              event_type, count(*) AS n_events,
+              cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+       FROM events GROUP BY 1, 2""",
+    "tumbling 1h windows (int64-ns bucketing; same op runs under "
+    "readStream — tests/test_streaming.py)",
+)
+def stream_tumbling_counts(spark, sf_dir):
+    return EV.tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "stream_sliding_counts",
+    """SELECT (halfslot - k) * 1800000000000 AS window_start_ns, event_type,
+              count(*) AS n_events
+       FROM (SELECT epoch_ns(ts) // 1800000000000 AS halfslot, event_type
+             FROM events)
+       CROSS JOIN (SELECT unnest([0, 1]) AS k)
+       GROUP BY 1, 2""",
+    "sliding 1h/30min windows via the real window() operator",
+)
+def stream_sliding_counts(spark, sf_dir):
+    return EV.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "stream_session_windows",
+    EV.session_stats_oracle(),
+    "per-user 30-min-gap session windows (lag→cumsum sessionization)",
+)
+def stream_session_windows(spark, sf_dir):
+    return EV.session_stats(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "stream_first_event_dedup",
+    """SELECT user_id, event_type, min(epoch_us(ts)) AS first_ts_us
+       FROM events GROUP BY user_id, event_type""",
+    "keyed dedup (keep-first) — the batch twin of streaming "
+    "dropDuplicates state (µs resolution: ns truncate identically in the "
+    "oracle's TIMESTAMP)",
+)
+def stream_first_event_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min(F.expr("ts DIV 1000")).alias("first_ts_us")
+    )
+
+
+# =========================================================================
+# public API
+# =========================================================================
+
+def registry() -> list[Q]:
+    return list(_REGISTRY)
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {q.name: q.spark for q in _REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in _REGISTRY if q.oracle is not None}

@@ -1,0 +1,73 @@
+"""SparkSession factory for the engine.
+
+The reference engine builds its Spark context ad-hoc inside
+``run_sql_query_in_spark`` (reference: ra2spark/ra2spark.py:121-136) with no
+tuning at all — default partitioning, RDD API, Python closures. Here the
+session is the single tuned entry point for everything:
+
+* **AQE on** — runtime re-planning (partition coalescing, skew-join
+  splitting, dynamic broadcast) is the scale story for 100 TB inputs where
+  static stats lie.
+* **shuffle.partitions** sized from the available cores for local runs;
+  on a real cluster this (and AQE advisory sizes) should be raised so that
+  post-shuffle partitions land in the 64-256 MiB range.
+* **Arrow enabled** — every Python-touching operator in this engine uses
+  pandas UDFs / mapInPandas (Arrow-batched), never row-at-a-time UDFs.
+* **nanosAsLong** — the driver's ``events.parquet`` carries
+  TIMESTAMP(NANOS) which PySpark 4.x refuses to read natively; with the
+  legacy flag the column surfaces as ``bigint`` nanoseconds and the catalog
+  derives a proper timestamp column from it (see catalog.py).
+* **UTC session timezone** — keeps timestamp arithmetic reproducible and
+  aligned with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "default_parallelism"]
+
+
+def default_parallelism() -> int:
+    """Worker-thread count for local mode; honours SPARK_GRAFT_CPUS."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "sql-query-engine-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local-mode defaults; on a cluster, pass ``master`` / rely on
+    spark-submit conf and these settings remain sensible (AQE, Arrow,
+    broadcast threshold) or are overridden by the submitter.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        # --- planner / runtime adaptivity -------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.default.parallelism", str(max(cores, 8)))
+        # dims like region/nation/supplier must broadcast, never shuffle
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Python boundary: always Arrow ------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- driver-data compatibility ----------------------------------
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # local-mode niceties
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

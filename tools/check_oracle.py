@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, sorted column
+names, and an order-insensitive value multiset. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from sql_query_engine_spark import get_spark  # noqa: E402
+from sql_query_engine_spark.catalog import TABLES, table_path  # noqa: E402
+from sql_query_engine_spark.queries import registry  # noqa: E402
+
+
+def normalize(v):
+    if isinstance(v, float):
+        return f"{v!r}"
+    return str(v)
+
+
+def row_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = {}
+    for r in rows:
+        key = "\x1f".join(normalize(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    for q in registry():
+        if only and q.name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = q.spark(spark, sf_dir)
+            srows = df.collect()
+            scols = df.columns
+        except Exception:
+            print(f"FAIL {q.name}: spark error")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"ROWS {q.name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            ocols = [c for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {q.name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            print(f"FAIL {q.name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
+            ok = False
+        elif len(srows) != len(orows):
+            print(f"FAIL {q.name}: rowcount spark={len(srows)} duck={len(orows)}")
+            ok = False
+        else:
+            sidx = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            didx = sorted(range(len(ocols)), key=lambda i: ocols[i].lower())
+            sm = {}
+            for r in srows:
+                key = "\x1f".join(normalize(r[i]) for i in sidx)
+                sm[key] = sm.get(key, 0) + 1
+            dm = {}
+            for r in orows:
+                key = "\x1f".join(normalize(r[i]) for i in didx)
+                dm[key] = dm.get(key, 0) + 1
+            if sm != dm:
+                diff_s = {k: v for k, v in sm.items() if dm.get(k) != v}
+                diff_d = {k: v for k, v in dm.items() if sm.get(k) != v}
+                print(f"FAIL {q.name}: value mismatch ({len(diff_s)} spark-only keys)")
+                for k in list(diff_s)[:3]:
+                    print(f"   spark: {k!r}")
+                for k in list(diff_d)[:3]:
+                    print(f"   duck : {k!r}")
+                ok = False
+        if ok:
+            print(f"PASS {q.name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
