@@ -1,0 +1,82 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+The headline set spans every operator family so a regression anywhere
+shows up here: reference-parity joins, heavy aggregation, window ranking,
+text dedup (LSH + inverted index), vector similarity, event windowing.
+Each timing covers logical plan construction + full execution (count),
+i.e. the end-to-end cost the driver cares about.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql_query_engine_spark import get_spark  # noqa: E402
+from sql_query_engine_spark.queries import queries  # noqa: E402
+
+HEADLINE = [
+    "ref_q2_cnr_join",
+    "ref_q3_col_join_filters",
+    "ref_multikey_join",
+    "agg_pricing_summary",
+    "agg_cube",
+    "topk_per_group",
+    "window_running_sum",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fp",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "text_quality",
+    "text_fingerprint",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # warm the JVM/codegen path once so timings measure the engine, not JIT
+    qs["ref_q1_point_select"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (17 queries, all operator families)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

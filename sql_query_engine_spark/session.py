@@ -63,6 +63,17 @@ def get_spark(app_name: str = "sql-query-engine-spark", master: str | None = Non
         # --- Python boundary: always Arrow ------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # InferFiltersFromGenerate inserts `size(arr)>0` under every
+        # explode(); when the generator input is an aliased *expression*
+        # (our shingle arrays), predicate pushdown substitutes the whole
+        # expression into the filter and re-evaluates it per row on the
+        # interpreted (non-codegen) path — measured 30× slowdown on the
+        # dedup pipelines. Our generators are pre-filtered to non-empty
+        # upstream, so the inferred filter only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # --- driver-data compatibility ----------------------------------
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
