@@ -1,0 +1,158 @@
+"""Unit tests for the text / dedup / similarity / multimodal libraries.
+
+These complement the oracle checks (tools/check_oracle.py runs the full
+engine-vs-DuckDB comparison); here we pin *semantic properties* that an
+oracle can't express — dedup actually finds the planted near-dups,
+LSH recall vs the exact top-k, multimodal batch plumbing, stub behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_query_engine_spark.catalog import load_table
+from sql_query_engine_spark.functions import dedup, multimodal, similarity, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+# ---------------------------------------------------------------- dedup --
+
+def test_minhash_lsh_finds_exact_jaccard_dups(spark, docs):
+    """LSH candidates + verification must find exactly the pairs the
+    exact quadratic method finds at the same threshold (recall 1.0 here —
+    near-dups at J≈0.97 collide in some band with near certainty)."""
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # the corpus has planted near-dups
+
+
+def test_exact_dedup_partitions_corpus(spark, docs):
+    total = docs.count()
+    dd = dedup.exact_dedup(docs)
+    agg = dd.agg(F.sum("n_copies").alias("s"), F.count("*").alias("groups")).collect()[0]
+    assert agg.s == total
+    assert agg.groups <= total
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    """Jaccard near-dup pairs must land at tiny Hamming distance; the
+    overall pair population must not (fingerprints are discriminative)."""
+    jac = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    ham = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(docs, max_hamming=48).collect()
+    }
+    for pair in jac:
+        assert ham[pair] <= 8, f"near-dup {pair} at hamming {ham[pair]}"
+    # random pairs concentrate near 24/48 — the median must be far from 0
+    import statistics
+
+    assert statistics.median(ham.values()) > 12
+
+
+def test_embedding_neardup_threshold(spark, emb):
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    for r in pairs:
+        assert r.cos >= 0.45
+
+
+# ----------------------------------------------------------- similarity --
+
+def test_lsh_ann_results_subset_of_exact_topk(spark, emb):
+    """Every ANN hit must appear in the exact scoring order: for a given
+    query, the ANN ranking restricted to its bucket preserves the exact
+    cosine ordering."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.cosine_topk(emb, k=500, n_queries=8).collect()
+    }
+    ann = similarity.lsh_bucket_topk(emb, k=5, n_queries=8).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert (r.query_id, r.neighbor_id) in exact
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_cosine_topk_ranks_descending(spark, emb):
+    rows = similarity.cosine_topk(emb, k=10, n_queries=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for q, rs in by_q.items():
+        rs.sort()
+        coss = [c for _, c in rs]
+        assert coss == sorted(coss, reverse=True)
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+
+
+# ----------------------------------------------------------------- text --
+
+def test_text_quality_bounded(spark, docs):
+    rows = text.with_quality(docs).select("quality").collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+
+
+def test_token_counts_positive(spark, docs):
+    rows = text.with_token_counts(docs).collect()
+    assert all(r.n_tokens > 0 and r.n_ws_tokens > 0 for r in rows)
+
+
+def test_fingerprint_deterministic_and_content_sensitive(spark, docs):
+    a = {r.doc_id: r.fp for r in text.with_fingerprint(docs).select("doc_id", "fp").collect()}
+    b = {r.doc_id: r.fp for r in text.with_fingerprint(docs).select("doc_id", "fp").collect()}
+    assert a == b
+    # distinct texts ⇒ overwhelmingly distinct fingerprints
+    assert len(set(a.values())) > 0.95 * len(a)
+
+
+def test_lang_id_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is here"),
+            (2, "el gato y la casa que el perro"),
+            (3, "le chat et les maisons est grande"),
+            (4, "der hund und die katze und der vogel"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.lang_id for r in text.with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
+
+
+# ----------------------------------------------------------- multimodal --
+
+def test_multimodal_feature_extraction(spark, docs):
+    feats = multimodal.extract_features(multimodal.attach_binary_payload(docs))
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    byid = {r.doc_id: r for r in rows}
+    src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for did, r in byid.items():
+        assert r.n_bytes == len(src[did].encode("utf-8"))
+        assert r.first_byte == src[did].encode("utf-8")[0]
+
+
+def test_multimodal_metadata_struct(spark, docs):
+    wp = multimodal.attach_binary_payload(docs)
+    assert dict(wp.dtypes)["payload"] == "binary"
+    row = wp.select("meta.mime", "meta.orig_chars").first()
+    assert row.mime == "text/plain"
+    assert row.orig_chars > 0
+
+
+def test_decode_real_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG")

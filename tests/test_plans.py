@@ -1,0 +1,140 @@
+"""Optimizer-parity tests: assert Catalyst does what the reference's
+hand-written raopt rules did (SURVEY.md §4.1), by inspecting physical
+plans — the honest Spark-native replacement for the reference's RA
+string-equality tests (tests/test_raopt.py there).
+
+| reference rule (raopt/raopt.py)     | asserted Catalyst behavior        |
+|-------------------------------------|-----------------------------------|
+| rule_push_down_selections (:97-173) | PushedFilters reach parquet scan  |
+| rule_break_up/merge_selections      | single Filter node, conjunctive   |
+| rule_introduce_joins (:274-306)     | σ(A×B) plans as a join, no        |
+|                                     | CartesianProduct                  |
+| (absent) column pruning             | ReadSchema pruned to used columns |
+| (absent) join strategy selection    | small dims broadcast              |
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from sql_query_engine_spark.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    c = load_table(spark, SF_DIR, "customer")
+    df = c.filter(F.col("c_custkey") == 42).select("c_name")
+    p = plan_of(df)
+    assert "PushedFilters" in p
+    assert "EqualTo(c_custkey,42)" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    # ReadSchema contains only the two projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_conjunction_stays_one_filter(spark):
+    """raopt breaks conjunctions apart, pushes, then re-merges
+    (rules 1+3). Catalyst's plan should show one Filter with the whole
+    conjunction pushed to the scan."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05))
+    p = plan_of(df)
+    import re
+
+    filter_nodes = re.findall(r"\(\d+\) Filter", p)
+    assert len(filter_nodes) == 1  # one physical Filter node, merged conjunction
+    assert "GreaterThan(l_quantity,30" in p
+    assert "LessThan(l_discount,0.05" in p
+
+
+def test_cross_becomes_join(spark):
+    """reference rule_introduce_joins: σ_{a=b}(A × B) → A ⋈ B. In Spark,
+    an equality predicate over a crossJoin must plan as a hash join, not
+    CartesianProduct / BroadcastNestedLoop."""
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+    df = c.crossJoin(n).filter(F.col("c_nationkey") == F.col("n_nationkey"))
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+    assert "Join" in p
+
+
+def test_small_dims_broadcast(spark):
+    """nation/region must broadcast under the session's threshold — no
+    shuffle of the fact side's join keys."""
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+    r = load_table(spark, SF_DIR, "region")
+    df = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_theta_residual_keeps_hash_join(spark):
+    """Mixed equi+theta condition: the equi part must still plan a hash
+    join with the theta residual as a post-condition — not degrade to a
+    nested loop over the full cross space."""
+    c = load_table(spark, SF_DIR, "customer").alias("c")
+    s = load_table(spark, SF_DIR, "supplier").alias("s")
+    df = c.join(
+        s,
+        (F.col("c.c_nationkey") == F.col("s.s_nationkey"))
+        & (F.col("c.c_acctbal") < F.col("s.s_acctbal")),
+    )
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    heap), not a global Sort."""
+    o = load_table(spark, SF_DIR, "orders")
+    df = o.orderBy(F.col("o_totalprice").desc()).limit(10)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_whole_stage_codegen_on_agg_path(spark):
+    """The TPC-H Q1 aggregation path must stay inside whole-stage codegen
+    (scan → filter → partial agg)."""
+    from sql_query_engine_spark.queries import queries
+
+    df = queries()["agg_pricing_summary"](spark, SF_DIR)
+    # AQE: codegen annotations only appear once THIS df's plan is finalized
+    # (count() would execute a different, derived plan)
+    df.collect()
+    p = plan_of(df)
+    # formatted explain marks codegen stages with "[codegen id : N]"
+    assert "codegen id :" in p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy on a low-cardinality key must do map-side partial
+    aggregation (HashAggregate appears both below and above the
+    exchange)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    p = plan_of(df)
+    assert p.count("HashAggregate") >= 2

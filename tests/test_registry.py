@@ -1,0 +1,46 @@
+"""Contract sanity for the query registry / driver entry points."""
+
+from __future__ import annotations
+
+import re
+
+from sql_query_engine_spark.queries import oracle_sql, queries, registry
+from tests.conftest import SF_DIR
+
+
+def test_registry_names_unique():
+    names = [q.name for q in registry()]
+    assert len(names) == len(set(names))
+
+
+def test_every_oracle_key_has_query():
+    qs, os_ = queries(), oracle_sql()
+    assert set(os_) <= set(qs)
+    # all but the explicitly sketch-based queries carry an oracle
+    missing = set(qs) - set(os_)
+    assert missing == {"agg_approx_count_distinct"}
+
+
+def test_all_queries_run_and_columns_match_oracle_names(spark):
+    """Every query builds a plan, returns ≥0 rows at sf0.001, and its
+    column names appear verbatim in the oracle SQL (the driver sorts
+    columns by name before hashing — a name mismatch breaks the gate)."""
+    qs, os_ = queries(), oracle_sql()
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        cols = df.columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate columns"
+        if name in os_:
+            sql_text = os_[name].lower()
+            for c in cols:
+                assert re.search(rf"\b{re.escape(c.lower())}\b", sql_text), (
+                    f"{name}: column {c!r} not present in oracle SQL"
+                )
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.columns == ["c_custkey"]
+    assert df.count() > 0

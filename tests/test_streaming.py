@@ -1,0 +1,79 @@
+"""Structured Streaming equivalence: the windowed operators must produce
+the same results under the real streaming engine as in batch.
+
+Runs ``readStream`` over the events parquet with an availableNow trigger
+into a memory sink and compares against the batch twin — the capability
+the reference entirely lacks (SURVEY.md §2.3 'Streaming: nothing')."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_query_engine_spark.catalog import load_table
+from sql_query_engine_spark.streaming import events as EV
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_stream_tumbling_equals_batch(spark, batch_events, tmp_path):
+    # FileStreamSource wants a *directory* of files — stage the single
+    # parquet file into one (symlink; testdata is read-only)
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+
+    stream_df = EV.stream_tumbling_counts(
+        spark, str(stream_dir), batch_events.drop("ts_utc").schema
+    )
+    assert stream_df.isStreaming
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start_ns, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    expected = {
+        (r.window_start_ns, r.event_type): r.n_events
+        for r in EV.tumbling_counts(batch_events).collect()
+    }
+    assert got == expected
+
+
+def test_session_window_operator_batch(spark, batch_events):
+    """session_window() — the native Spark operator — must agree with our
+    lag/cumsum sessionization on session count and event totals."""
+    from pyspark.sql import functions as F
+
+    ours = EV.session_stats(batch_events)
+    native = (
+        batch_events.groupBy(
+            F.session_window(F.col("ts_utc"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert ours.count() == native.count()
+    assert (
+        ours.agg(F.sum("n_events")).collect()[0][0]
+        == native.agg(F.sum("n_events")).collect()[0][0]
+    )
+
+
+def test_sliding_each_event_in_two_windows(spark, batch_events):
+    total_events = batch_events.count()
+    from pyspark.sql import functions as F
+
+    windowed = EV.sliding_counts(batch_events)
+    assert windowed.agg(F.sum("n_events")).collect()[0][0] == 2 * total_events
