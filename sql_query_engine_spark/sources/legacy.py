@@ -1,0 +1,150 @@
+"""Readers/writers for the reference engine's two wire formats.
+
+The reference ingests exactly two formats (SURVEY.md §2.2 S1/S2):
+
+* **Qualified-header CSV** — first line is a header of dot-qualified
+  names (``Person.name,Person.age,...``), produced by its
+  ``utils/tbl_to_csv.py:18`` converter and consumed by the Spark backend's
+  hand-rolled line splitter (ra2spark/ra2spark.py:54-66, which also has to
+  drop the header line *inside every partition*).
+* **Tagged JSON-lines** — ``<RelationTag>\\t{json}`` with dot-qualified
+  keys (ra2mr/ra2mr.py:144-146, converter utils/tbl_to_json.py:8-14).
+
+Here both are thin, schema-enforced Spark readers: the dd (data
+dictionary — the reference's external schema JSON, ``--dd_path`` in its
+main.py:13-20) maps to a ``StructType``, qualification maps to
+``df.alias(rel)``, and header handling / JSON parsing are the built-in
+scan machinery (splittable, predicate-pushdown-capable, partition-safe —
+everything the hand-rolled readers were not).
+
+Dots never live inside column names (SURVEY.md §7.4 risk 1): the reader
+strips the ``Rel.`` prefix and qualifies via alias instead.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "dd_to_schema",
+    "load_dd",
+    "read_qualified_csv",
+    "write_qualified_csv",
+    "read_tagged_jsonl",
+    "write_tagged_jsonl",
+]
+
+# dd type names (pizza_set.json / tpc-h.json in the reference) → Spark types
+_DD_TYPES = {
+    "string": StringType(),
+    "str": StringType(),
+    "int": LongType(),
+    "integer": LongType(),
+    "float": DoubleType(),
+    "double": DoubleType(),
+}
+
+
+def load_dd(path: str) -> dict[str, dict[str, str]]:
+    """Load a data-dictionary JSON: {relation: {attr: typename}}."""
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def dd_to_schema(dd_rel: dict[str, str], qualified_prefix: str | None = None) -> StructType:
+    """One relation's dd entry → enforced StructType.
+
+    The reference treats dd types as advisory (never enforced at runtime,
+    SURVEY.md §1.2); here they are the scan schema — a type mismatch
+    surfaces at read time instead of producing stringly comparisons.
+    """
+    fields = []
+    for attr, typename in dd_rel.items():
+        name = f"{qualified_prefix}.{attr}" if qualified_prefix else attr
+        try:
+            dtype = _DD_TYPES[typename.lower()]
+        except KeyError:
+            raise ValueError(f"unknown dd type {typename!r} for attribute {attr!r}")
+        fields.append(StructField(name, dtype, nullable=True))
+    return StructType(fields)
+
+
+def read_qualified_csv(
+    spark: SparkSession,
+    path: str,
+    relation: str,
+    dd_rel: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read the reference's qualified-header CSV as an aliased DataFrame.
+
+    With a dd entry the schema is enforced at the scan (header names are
+    validated against it); without one, types are inferred. Either way the
+    ``Rel.`` prefixes are stripped and the relation is ``alias``-ed, so
+    ``col("Person.age")`` resolves the way reference rows did.
+    """
+    if dd_rel is not None:
+        schema = dd_to_schema(dd_rel, qualified_prefix=relation)
+        df = spark.read.csv(path, header=True, schema=schema)
+    else:
+        df = spark.read.csv(path, header=True, inferSchema=True)
+    renames = {c: c.split(".", 1)[1] for c in df.columns if c.startswith(f"{relation}.")}
+    return df.withColumnsRenamed(renames).alias(relation)
+
+
+def write_qualified_csv(df: DataFrame, path: str, relation: str) -> None:
+    """Write a DataFrame in the reference's qualified-header CSV format."""
+    qualified = df.select(
+        [F.col(c).alias(f"{relation}.{c}") for c in df.columns]
+    )
+    qualified.write.mode("overwrite").csv(path, header=True)
+
+
+def read_tagged_jsonl(
+    spark: SparkSession,
+    path: str,
+    relation: str,
+    dd_rel: dict[str, str],
+) -> DataFrame:
+    """Read ``Rel\\t{json}`` tagged lines for one relation.
+
+    text scan → tag filter (pushable, cheap) → ``from_json`` with the
+    enforced dd schema → strip qualification → alias. Lines for other
+    relations in the same file are filtered out, matching the tag
+    semantics of the reference's mappers (ra2mr/ra2mr.py:148-152).
+    """
+    schema = dd_to_schema(dd_rel, qualified_prefix=relation)
+    lines = spark.read.text(path)
+    tagged = lines.filter(F.split("value", "\t").getItem(0) == relation)
+    payload = tagged.select(
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("payload")
+    )
+    # a tagged line with a broken payload is dropped, not surfaced as an
+    # all-NULL row (from_json's PERMISSIVE mode would null every field)
+    parsed = payload.filter(
+        F.expr("try_parse_json(payload) IS NOT NULL")
+    ).select(F.from_json("payload", schema).alias("r"))
+    out = parsed.select(
+        [F.col(f"r.`{relation}.{attr}`").alias(attr) for attr in dd_rel]
+    )
+    return out.alias(relation)
+
+
+def write_tagged_jsonl(df: DataFrame, path: str, relation: str) -> None:
+    """Write a DataFrame as ``Rel\\t{json}`` tagged lines."""
+    qualified = df.select(
+        [F.col(c).alias(f"{relation}.{c}") for c in df.columns]
+    )
+    tagged = qualified.select(
+        F.concat(F.lit(relation), F.lit("\t"), F.to_json(F.struct("*"))).alias("value")
+    )
+    tagged.write.mode("overwrite").text(path)

@@ -1,0 +1,64 @@
+"""Sinks — the Spark-native replacement for the reference's outputs.
+
+The reference has two terminal behaviors (SURVEY.md §2.2 S3/S4):
+``collect()`` + print-first-10 on the Spark backend
+(ra2spark/ra2spark.py:117-118), and per-operator HDFS/local tmp-file
+materialization on the MR backend (ra2mr/ra2mr.py:96-101). The first maps
+to :func:`show_sample`; the second is an anti-goal (Spark pipelines stages
+in memory) — real persistence is the writer API below.
+
+Scale notes baked into the writers:
+
+* ``partition_by`` → directory-partitioned parquet, the layout that makes
+  *partition pruning* work for downstream readers (a filter on the
+  partition column never opens non-matching directories).
+* ``bucket_by`` (table sink) → pre-shuffled, co-located layout: two tables
+  bucketed on the same key join WITHOUT a shuffle — the 100 TB answer to
+  repeated fact-fact joins.
+* ``max_records_per_file`` guards against the few-huge-files failure mode
+  that serializes downstream scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["show_sample", "write_parquet", "write_bucketed_table"]
+
+
+def show_sample(df: DataFrame, n: int = 10) -> int:
+    """Reference S3 parity: print n rows + return the count."""
+    df.show(n, truncate=False)
+    return df.count()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Columnar sink with optional directory partitioning."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed-table sink: co-located storage for shuffle-free
+    joins/aggregations on the bucket key (requires a warehouse-backed
+    session; used where the same join key is hit repeatedly)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")
