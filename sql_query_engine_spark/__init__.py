@@ -18,6 +18,7 @@ Public surface:
 
 from .catalog import TABLES, load_table, register_all
 from .queries import oracle_sql, queries, registry
+from .ra import run_ra
 from .session import get_spark
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "queries",
     "oracle_sql",
     "registry",
+    "run_ra",
 ]

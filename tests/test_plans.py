@@ -130,6 +130,27 @@ def test_whole_stage_codegen_on_agg_path(spark):
     assert "codegen id :" in p
 
 
+def test_inspect_helpers_api(spark):
+    """plans.inspect — the public plan-inspection API — agrees with the
+    raw explain text used above."""
+    from sql_query_engine_spark.plans.inspect import (
+        join_strategies,
+        pushed_filters,
+        read_schema,
+    )
+
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+    df = (
+        c.filter(F.col("c_custkey") < 100)
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "n_name")
+    )
+    assert any("c_custkey" in f for f in pushed_filters(df))
+    assert set(read_schema(df)) == {"c_custkey", "c_nationkey", "n_nationkey", "n_name"}
+    assert join_strategies(df) == ["BroadcastHashJoin"]
+
+
 def test_partial_aggregation_before_shuffle(spark):
     """groupBy on a low-cardinality key must do map-side partial
     aggregation (HashAggregate appears both below and above the
