@@ -455,3 +455,64 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_duck_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2))
       >= {threshold}
 """
+
+
+def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding near-dup pairs with an LSH bucket prefilter.
+
+    Same scoring as :func:`embedding_neardup_pairs`, but candidate pairs
+    come from an equi-join on the random-hyperplane bucket id
+    (functions/similarity.py) instead of the full cross space — the
+    100 TB shape: one hash shuffle on a bucket int, quadratic work only
+    within buckets. Recall < 1 by construction (cosine-close pairs land in
+    the same bucket with probability (1 - θ/π)^planes); more planes with
+    multi-probe raise it.
+
+    The default threshold is lower than the brute-force verifier's so the
+    query returns a non-trivial pair set on the test corpus (which has no
+    planted embedding near-dups).
+    """
+    from .similarity import _bucket_expr
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n = emb.repartition(par).select(
+        "vec_id",
+        "embedding",
+        F.expr(_SPARK_NORM2).alias("n2"),
+        F.expr(_bucket_expr("spark")).alias("bucket"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.expr(_SPARK_DOT) / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2")))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_neardup_lsh_oracle(threshold: float = 0.3) -> str:
+    from .similarity import _bucket_expr
+
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, {_DUCK_NORM2} AS n2,
+           {_bucket_expr('duck')} AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_duck_dot('a.embedding', 'b.embedding')}
+             / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_duck_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2))
+      >= {threshold}
+"""

@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, register_all
 from .functions import dedup, multimodal, similarity, text
 from .operators import relational as R
 from .streaming import events as EV
@@ -807,6 +807,229 @@ def window_ntile(spark, sf_dir):
 
 
 # =========================================================================
+# SQL entry point (spark.sql over the registered catalog) — subqueries,
+# CTEs, grouping sets: surface the reference's SQL front end never had
+# (sql2ra handles only SELECT DISTINCT-FROM-WHERE, SURVEY.md §2.3)
+# =========================================================================
+
+# exact, order-independent average (decimal sum → double / count)
+_AVG_BAL = (
+    "(SELECT cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*) "
+    "FROM customer)"
+)
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return spark.sql(query)
+
+
+@_q(
+    "sql_scalar_subquery",
+    f"""SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > {_AVG_BAL}""",
+    "scalar subquery (exact decimal average — no float-reduction drift)",
+)
+def sql_scalar_subquery(spark, sf_dir):
+    return _sql(
+        spark,
+        sf_dir,
+        f"SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > {_AVG_BAL}",
+    )
+
+
+@_q(
+    "sql_exists_subquery",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""",
+    "correlated EXISTS → decorrelated to a semi join by Catalyst",
+)
+def sql_exists_subquery(spark, sf_dir):
+    return _sql(
+        spark,
+        sf_dir,
+        """SELECT c_custkey FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)""",
+    )
+
+
+@_q(
+    "sql_in_subquery",
+    """SELECT p_partkey, p_name FROM part
+       WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)""",
+    "IN subquery → semi join",
+)
+def sql_in_subquery(spark, sf_dir):
+    return _sql(
+        spark,
+        sf_dir,
+        """SELECT p_partkey, p_name FROM part
+           WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                               WHERE l_quantity > 49)""",
+    )
+
+
+_CTE_SQL = """
+WITH big_orders AS (
+    SELECT o_custkey, count(*) AS n_big
+    FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+)
+SELECT c_nationkey, count(*) AS n_cust,
+       cast(sum(n_big) as bigint) AS total_big_orders
+FROM customer JOIN big_orders ON c_custkey = o_custkey
+GROUP BY c_nationkey
+"""
+
+
+@_q(
+    "sql_cte",
+    _CTE_SQL,
+    "CTE + join + re-aggregation",
+)
+def sql_cte(spark, sf_dir):
+    return _sql(spark, sf_dir, _CTE_SQL)
+
+
+_GSETS_SQL = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@_q(
+    "sql_grouping_sets",
+    _GSETS_SQL,
+    "explicit GROUPING SETS (beyond rollup/cube)",
+)
+def sql_grouping_sets(spark, sf_dir):
+    return _sql(spark, sf_dir, _GSETS_SQL)
+
+
+# =========================================================================
+# More aggregate / join / window shapes
+# =========================================================================
+
+@_q(
+    "agg_string_agg",
+    """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+       FROM supplier GROUP BY s_nationkey""",
+    "ordered string aggregation (listagg)",
+)
+def agg_string_agg(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names")
+    )
+
+
+@_q(
+    "agg_two_level",
+    """SELECT n_orders, count(*) AS n_customers
+       FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+       GROUP BY n_orders""",
+    "aggregation cascade (distribution of per-customer order counts)",
+)
+def agg_two_level(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@_q(
+    "join_argmax",
+    """SELECT o.o_custkey, min(o.o_orderkey) AS best_order
+       FROM orders o
+       JOIN (SELECT o_custkey, max(o_totalprice) AS m FROM orders GROUP BY o_custkey) t
+         ON o.o_custkey = t.o_custkey AND o.o_totalprice = t.m
+       GROUP BY o.o_custkey""",
+    "arg-max via self-aggregate join (ties broken by min orderkey)",
+)
+def join_argmax(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").alias("o")
+    t = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("m"))
+        .withColumnRenamed("o_custkey", "t_custkey")
+    )
+    return (
+        o.join(
+            t,
+            (F.col("o.o_custkey") == F.col("t_custkey"))
+            & (F.col("o.o_totalprice") == F.col("m")),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("best_order"))
+    )
+
+
+@_q(
+    "join_right_outer",
+    """SELECT c_custkey, o_orderkey FROM orders
+       RIGHT JOIN customer ON o_custkey = c_custkey""",
+    "right outer join (null order keys for order-less customers)",
+)
+def join_right_outer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@_q(
+    "window_range_running",
+    """SELECT o_custkey, o_orderkey,
+              cast(sum(cast(o_totalprice as decimal(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   as double) AS run_total_ties
+       FROM orders""",
+    "RANGE frame (value-based — same-date orders aggregate together, "
+    "deterministic under ties unlike a ROWS frame)",
+)
+def window_range_running(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias(
+            "run_total_ties"
+        ),
+    )
+
+
+@_q(
+    "scalar_regex",
+    """SELECT p_partkey,
+              regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS color,
+              regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+              regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+       FROM part""",
+    "regex extraction/replacement scalars",
+)
+def scalar_regex(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 1).alias("color"),
+        F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("noun"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+# =========================================================================
 # Deduplication (north-star extensions)
 # =========================================================================
 
@@ -877,6 +1100,16 @@ def dedup_simhash_pairs(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "dedup_embedding_lsh",
+    dedup.embedding_neardup_lsh_oracle(),
+    "embedding near-dup pairs via LSH bucket prefilter — the 100 TB scale "
+    "path for cosine dedup (quadratic work confined to buckets)",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    return dedup.embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"))
 
 
 # =========================================================================
