@@ -193,6 +193,69 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_topk_pandas(
+    emb: DataFrame, k: int = 10, n_queries: int = 8
+) -> DataFrame:
+    """Exact cosine top-k scored in a vectorized Arrow/NumPy pandas UDF.
+
+    Alternative implementation of :func:`cosine_topk` for WIDE vectors:
+    the JVM fold costs O(dim) interpreted lambda steps per pair, while
+    this path moves each Arrow batch into one BLAS matmul
+    (batch × dim · dim × n_queries). At dim 64 the JVM fold wins; at
+    dim ≥ ~512 the matmul does — both are kept, same output contract.
+
+    Scores differ from the JVM fold only in final-ULP (BLAS pairwise
+    summation vs sequential fold), so this variant is NOT oracle-checked;
+    tests assert rank-identical results against :func:`cosine_topk`.
+
+    The query matrix is collected driver-side (tiny) and closed over —
+    shipped once per executor via task serialization, the broadcast
+    pattern for small reference data entering Python workers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def _score(batches):
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], n_c, axis=0).ravel(),
+                    "neighbor_id": np.repeat(c_ids, n_q),
+                    "cos": sims.ravel(),
+                }
+            )
+
+    scored = (
+        emb.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInPandas(_score, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_bucket_topk_oracle(k: int = 5, n_queries: int = 8) -> str:
     return f"""
 WITH n AS (

@@ -432,6 +432,27 @@ def agg_count_distinct(spark, sf_dir):
 
 
 @_q(
+    "agg_percentiles",
+    """SELECT c_nationkey,
+              quantile_cont(c_acctbal, 0.5) AS med_bal,
+              quantile_cont(c_acctbal, 0.9) AS p90_bal,
+              min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+       FROM customer GROUP BY c_nationkey""",
+    "exact interpolated percentiles (Spark percentile() and DuckDB "
+    "quantile_cont use the same linear interpolation — verified "
+    "bit-identical); at 100 TB switch to approx_percentile",
+)
+def agg_percentiles(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med_bal"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@_q(
     "agg_approx_count_distinct",
     None,  # HLL sketches are engine-specific — rows-only check by design
     "approx_count_distinct (HyperLogLog++) — the 100 TB substitute for "
@@ -1270,6 +1291,28 @@ def stream_first_event_dedup(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.groupBy("user_id", "event_type").agg(
         F.min(F.expr("ts DIV 1000")).alias("first_ts_us")
+    )
+
+
+@_q(
+    "stream_user_profile",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+d AS (SELECT user_id, ts_us,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+      FROM e)
+SELECT user_id, count(*) AS n_events, max(ts_us) AS last_ts_us,
+       cast(count(*) FILTER (WHERE gap <= 60000000) as bigint) AS n_bursts
+FROM d GROUP BY user_id""",
+    "custom stateful operator (applyInPandasWithState in streaming; this "
+    "is its batch twin via applyInPandas): per-user profile with burst "
+    "detection — state a windowed aggregate cannot carry. Integer outputs "
+    "only (the float running sum is checked batch≡stream in tests).",
+)
+def stream_user_profile(spark, sf_dir):
+    from .streaming import stateful
+
+    return stateful.profile_batch(_t(spark, sf_dir, "events")).select(
+        "user_id", "n_events", "last_ts_us", "n_bursts"
     )
 
 

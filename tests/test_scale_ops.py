@@ -1,0 +1,76 @@
+"""Scale-path operators: salted join, pandas-UDF similarity.
+
+These operators exist purely for 100 TB behavior (skew resilience, wide-
+vector scoring); the tests pin their EQUIVALENCE to the reference
+implementations on small data — same results, different physical shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_query_engine_spark.catalog import load_table
+from sql_query_engine_spark.operators.skew import salted_join
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "o_custkey"
+    )
+    salted = salted_join(
+        li, o, [("l_orderkey", "o_orderkey")], n_salt=8, salt_source="l_linenumber"
+    ).select("l_orderkey", "l_linenumber", "o_custkey")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_on_skewed_key(spark):
+    """A synthetic 90%-one-key fact: salting must split the hot key
+    across salt buckets (the whole point) and still join correctly."""
+    fact = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.range(0, 10_000).select(
+        F.col("id").alias("dk"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    plain_n = fact.join(dim, fact["k"] == dim["dk"]).count()
+    salted = salted_join(fact, dim, [("k", "dk")], n_salt=16, salt_source="row_id")
+    assert salted.count() == plain_n
+
+    # the hot key's rows spread over >1 salt bucket
+    n_buckets = (
+        fact.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(16)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 8
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    fact = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("rid"))
+    dim = spark.range(0, 50).select(F.col("id").alias("dk"), F.lit("x").alias("v"))
+    out = salted_join(fact, dim, [("k", "dk")], n_salt=4, how="left", salt_source="rid")
+    assert out.count() == 100
+    assert out.filter(F.col("v").isNull()).count() == 50
+
+
+def test_pandas_cosine_topk_matches_jvm(spark):
+    """The BLAS pandas-UDF scorer must produce rank-identical top-k to
+    the JVM fold (scores differ only in final ULP; ranks must agree)."""
+    from sql_query_engine_spark.functions import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    jvm = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.cosine_topk(emb, k=10, n_queries=4).collect()
+    }
+    pnd = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.cosine_topk_pandas(emb, k=10, n_queries=4).collect()
+    }
+    assert jvm == pnd

@@ -71,6 +71,45 @@ def test_session_window_operator_batch(spark, batch_events):
     )
 
 
+def test_stateful_profile_stream_equals_batch(spark, batch_events, tmp_path):
+    """applyInPandasWithState (real streaming, availableNow) must produce
+    the same per-user profiles as the batch applyInPandas twin —
+    including the float running sum (identical fold order)."""
+    from sql_query_engine_spark.streaming import stateful
+
+    stream_dir = tmp_path / "events_stateful"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+
+    raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
+        str(stream_dir)
+    )
+    q = (
+        stateful.profile_stream(raw)
+        .writeStream.format("memory")
+        .queryName("profile_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value, r.last_ts_us, r.n_bursts)
+        for r in spark.sql("SELECT * FROM profile_test").collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, r.sum_value, r.last_ts_us, r.n_bursts)
+        for r in stateful.profile_batch(batch_events).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    # bursts must actually occur in this corpus (60s gaps at ~4min mean
+    # inter-arrival per user happen regularly)
+    assert sum(v[3] for v in got.values()) > 0
+
+
 def test_sliding_each_event_in_two_windows(spark, batch_events):
     total_events = batch_events.count()
     from pyspark.sql import functions as F
