@@ -156,11 +156,15 @@ _DUCK_SHINGLED = f"""
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id + 16 minhash columns mh0..mh15 — one aggregate pass."""
+    return _minhash_signatures_from(exploded_shingle_hashes(docs))
+
+
+def _minhash_signatures_from(ex: DataFrame) -> DataFrame:
     aggs = [
         F.min(F.expr(f"({a} * x + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
         for k, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return exploded_shingle_hashes(docs).groupBy("doc_id").agg(*aggs)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -175,8 +179,20 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     cardinality is huge (band signatures), so it partitions evenly, and the
     quadratic blow-up is confined to same-signature buckets (true
     near-dups, plus ~J⁴-rate false positives that verification removes).
+
+    The shingle table is re-shuffled on doc_id first: the signature
+    pipeline and BOTH sides of the verification join then hang off
+    byte-identical Exchange subplans, which Spark's ReuseExchange
+    computes once (measured ~2× at sf0.1 vs recomputing shingles per
+    branch).
     """
-    sigs = minhash_signatures(docs)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = shingled_docs(docs).repartition(par, "doc_id")
+    ex = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.expr(f"{spark_hex48('s')} % {MERSENNE_P}").alias("x"))
+    )
+    sigs = _minhash_signatures_from(ex)
 
     band_structs = []
     for j in range(N_BANDS):
@@ -196,7 +212,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .distinct()
     )
 
-    sh = shingled_docs(docs)
     da, db = sh.alias("da"), sh.alias("db")
     ver = (
         cand.join(da, cand["doc_a"] == da["doc_id"])
@@ -262,7 +277,6 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     evidence.
     """
     sh = shingled_docs(docs)
-    sizes = sh.select("doc_id", F.expr("size(sh)").alias("n"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -271,16 +285,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
-    # per-doc shingle counts are tiny (one row per doc) — broadcast them
-    # into the pair table instead of two more shuffle joins
-    la, lb = F.broadcast(sizes).alias("la"), F.broadcast(sizes).alias("lb")
+    # Per-doc shingle counts derive from the SAME exploded table as the
+    # index (groupBy over ex) — Spark then reuses the one shuffle of ex
+    # for all three consumers. Deriving sizes from the shingle ARRAY
+    # instead re-evaluates the whole shingling pipeline per consumer —
+    # measured 5× slower at sf0.1.
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     return (
-        inter.join(la, inter["doc_a"] == la["doc_id"])
-        .join(lb, inter["doc_b"] == lb["doc_id"])
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.expr("cast(i as double) / (la.n + lb.n - i)").alias("jaccard"),
+            F.expr("cast(i as double) / (na + nb - i)").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

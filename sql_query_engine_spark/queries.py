@@ -828,6 +828,102 @@ def window_ntile(spark, sf_dir):
 
 
 # =========================================================================
+# TPC-H-shaped analytics (adapted to the driver schema — the reference's
+# cloud benchmark set was TPC-H-flavored, test_commands.txt:1-11)
+# =========================================================================
+
+_REVENUE = "sum(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2)))"
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    f"""SELECT l_orderkey,
+        cast({_REVENUE} as double) AS revenue,
+        strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority""",
+    "TPC-H Q3 shape: segment filter + 3-way join + grouped revenue",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(F.expr(_REVENUE).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+    )
+
+
+@_q(
+    "tpch_q5_local_supplier_volume",
+    f"""SELECT n_name, cast({_REVENUE} as double) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name""",
+    "TPC-H Q5 shape: 6-table join (two broadcast dims, customer-supplier "
+    "nation co-location) + per-nation revenue",
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.expr(_REVENUE).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "tpch_q10_returned_items",
+    f"""SELECT c_custkey, c_name, cast({_REVENUE} as double) AS revenue, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name""",
+    "TPC-H Q10 shape: returned-item revenue per customer",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(_REVENUE).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+# =========================================================================
 # SQL entry point (spark.sql over the registered catalog) — subqueries,
 # CTEs, grouping sets: surface the reference's SQL front end never had
 # (sql2ra handles only SELECT DISTINCT-FROM-WHERE, SURVEY.md §2.3)
@@ -1121,6 +1217,170 @@ def dedup_simhash_pairs(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "setop_intersect_all",
+    """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT ALL
+       SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
+    "bag intersect (multiplicity-preserving)",
+)
+def setop_intersect_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@_q(
+    "setop_except_all",
+    """SELECT o_custkey AS k FROM orders
+       EXCEPT ALL
+       SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
+    "bag difference (multiplicity-preserving)",
+)
+def setop_except_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@_q(
+    "setop_union_distinct",
+    """SELECT c_nationkey AS nk FROM customer
+       UNION SELECT s_nationkey FROM supplier""",
+    "set union (dedups across inputs)",
+)
+def setop_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@_q(
+    "window_analytic_values",
+    """SELECT o_custkey, o_orderkey,
+              first_value(o_totalprice) OVER w AS first_price,
+              last_value(o_totalprice)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS last_price,
+              nth_value(o_totalprice, 2) OVER w AS second_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "first/last/nth analytic window values (explicit full frame for "
+    "last_value — the default frame stops at CURRENT ROW)",
+)
+def window_analytic_values(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@_q(
+    "window_distribution",
+    """SELECT c_custkey,
+              percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS bal_pct_rank,
+              cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS bal_cume
+       FROM customer""",
+    "distribution window functions (rank ratios — exact rational "
+    "arithmetic in doubles, engine-stable)",
+)
+def window_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
+
+
+@_q(
+    "scalar_null_semantics",
+    """SELECT c.c_custkey,
+              coalesce(o.o_orderkey, -1) AS order_or_default,
+              nullif(c.c_mktsegment, 'HOUSEHOLD') AS seg_or_null,
+              (o.o_orderkey IS NOT DISTINCT FROM NULL) AS no_order
+       FROM customer c
+       LEFT JOIN (SELECT o_custkey, min(o_orderkey) AS o_orderkey
+                  FROM orders GROUP BY o_custkey) o
+         ON c.c_custkey = o.o_custkey""",
+    "NULL semantics: COALESCE / NULLIF / null-safe comparison — 3VL the "
+    "reference had no notion of (SURVEY.md §1.3)",
+)
+def scalar_null_semantics(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").alias("c")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+        .alias("o")
+    )
+    return c.join(o, F.col("c.c_custkey") == F.col("o.o_custkey"), "left").select(
+        "c_custkey",
+        F.coalesce("o.o_orderkey", F.lit(-1)).alias("order_or_default"),
+        F.nullif("c.c_mktsegment", F.lit("HOUSEHOLD")).alias("seg_or_null"),
+        F.col("o.o_orderkey").eqNullSafe(F.lit(None)).alias("no_order"),
+    )
+
+
+@_q(
+    "scalar_date_arithmetic",
+    """SELECT o_orderkey,
+              strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+              datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                  AS days_since_epoch_start,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+       FROM orders WHERE o_orderkey % 100 = 0""",
+    "date arithmetic: interval add, datediff, truncation",
+)
+def scalar_date_arithmetic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+        ).alias("days_since_epoch_start"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+@_q(
+    "scalar_array_ops",
+    """SELECT vec_id,
+              len(embedding) AS dim,
+              round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_val,
+              round(embedding[1]::DOUBLE, 6) AS first_val
+       FROM embeddings""",
+    "array scalar functions over the embedding column",
+)
+def scalar_array_ops(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.expr("array_max(transform(embedding, x -> cast(x as double)))"), 6
+        ).alias("max_val"),
+        F.round(F.expr("cast(element_at(embedding, 1) as double)"), 6).alias(
+            "first_val"
+        ),
+    )
 
 
 @_q(
