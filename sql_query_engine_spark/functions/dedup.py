@@ -405,6 +405,83 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering (connected components)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Canonicalize near-dup PAIRS into CLUSTERS: (doc_id, cluster_id)
+    where cluster_id = min doc_id of the connected component.
+
+    This is the dedup endgame — pair lists don't dedup a corpus, a
+    doc→canonical map does. Connected components by iterative min-label
+    propagation, all DataFrame ops:
+
+        labels ← doc_id
+        repeat: label(v) ← min(label(v), min over neighbors' labels)
+
+    Convergence in O(diameter) rounds (near-dup clusters are tiny — a
+    handful of rounds). Each round is one join + one aggregate, both keyed
+    on doc ids (shuffle-friendly at any scale); ``localCheckpoint``
+    truncates the growing lineage every round — the standard iterative-
+    algorithm pattern on Spark (GraphFrames does the same under the hood).
+
+    Documents in no pair stay singleton clusters of themselves.
+    """
+    # undirected edges, both directions
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nmin", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "changed"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters_oracle(pairs_cte: str) -> str:
+    """Recursive-CTE twin: min-root reachability over the same pair set.
+
+    ``pairs_cte`` is a complete SQL query returning (doc_a, doc_b) — the
+    oracle of the pair-producing step — inlined so both engines cluster
+    exactly the same graph.
+    """
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_cte}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach (node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

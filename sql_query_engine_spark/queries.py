@@ -1384,6 +1384,19 @@ def scalar_array_ops(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters",
+    dedup.dedup_clusters_oracle(dedup.minhash_lsh_pairs_oracle()),
+    "near-dup canonicalization: MinHash-LSH pairs → connected components "
+    "→ (doc_id, cluster_id) map; iterative min-label propagation on "
+    "Spark, recursive-CTE reachability in the oracle",
+)
+def dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+@_q(
     "dedup_embedding_lsh",
     dedup.embedding_neardup_lsh_oracle(),
     "embedding near-dup pairs via LSH bucket prefilter — the 100 TB scale "
@@ -1552,6 +1565,39 @@ def stream_first_event_dedup(spark, sf_dir):
     return e.groupBy("user_id", "event_type").agg(
         F.min(F.expr("ts DIV 1000")).alias("first_ts_us")
     )
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS t
+    FROM documents
+),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0,
+               greatest(0, cast(ceil((len(t) - 40) / 30.0) as int)))) AS chunk_idx
+    FROM nz
+)
+SELECT doc_id, cast(chunk_idx as int) AS chunk_idx,
+       array_to_string(t[(chunk_idx * 30 + 1):(chunk_idx * 30 + 40)], ' ') AS chunk,
+       cast(len(t[(chunk_idx * 30 + 1):(chunk_idx * 30 + 40)]) as int) AS n_tokens
+FROM idx
+"""
+
+
+@_q(
+    "text_chunking",
+    _CHUNK_ORACLE,
+    "document chunking into overlapping 40-token windows (stride 30) via "
+    "a Python UDTF with LATERAL — the UDTF surface; a JVM-only twin "
+    "exists for bulk use (functions/chunking.py)",
+)
+def text_chunking(spark, sf_dir):
+    from .functions import chunking
+
+    return chunking.chunk_documents_udtf(spark, _t(spark, sf_dir, "documents"))
 
 
 @_q(

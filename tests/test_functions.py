@@ -132,6 +132,64 @@ def test_lang_id_known_values(spark):
     assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
 
 
+# ------------------------------------------------------------- chunking --
+
+def test_chunk_udtf_equals_sql_twin(spark, docs):
+    """The Python UDTF and the JVM sequence/slice formulation must emit
+    identical chunk rows."""
+    from sql_query_engine_spark.functions import chunking
+
+    a = {
+        (r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+        for r in chunking.chunk_documents_udtf(spark, docs).collect()
+    }
+    b = {
+        (r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+        for r in chunking.chunk_documents_sql(docs).collect()
+    }
+    assert a == b
+    assert len(a) > len(docs.collect())  # long docs produce several chunks
+
+
+def test_chunk_overlap_property(spark):
+    from sql_query_engine_spark.functions import chunking
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunking.chunk_documents_udtf(spark, df, size=40, stride=30).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    c0, c1 = rows[0].chunk.split(), rows[1].chunk.split()
+    assert c0[30:] == c1[:10]  # 10-token overlap
+    assert rows[2].n_tokens == 40
+
+
+# ------------------------------------------------------------- clusters --
+
+def test_dedup_clusters_properties(spark, docs):
+    """Cluster map: total cover, pair-connectedness, min-id canonicals."""
+    from pyspark.sql import functions as PF
+
+    pairs = dedup.minhash_lsh_pairs(docs)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    cmap = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert len(cmap) == docs.count()
+    # every pair ends up in one cluster
+    for r in pairs.collect():
+        assert cmap[r.doc_a] == cmap[r.doc_b]
+    # canonical id is the min member id of its cluster
+    members: dict[int, list[int]] = {}
+    for d, c in cmap.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+    # there is at least one non-singleton cluster (planted dups)
+    assert any(len(ds) > 1 for ds in members.values())
+
+
 # ----------------------------------------------------------- multimodal --
 
 def test_multimodal_feature_extraction(spark, docs):

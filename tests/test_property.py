@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) — a testing dimension the reference
+entirely lacked (SURVEY.md §5: "no property-based testing").
+
+Each property pins an *equivalence* between two independent paths through
+the engine, on randomized inputs: the RA front end vs Spark SQL, the
+salted join vs the plain join, chunk reconstruction vs the original
+document. Examples are kept small — every example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+ops = st.sampled_from(["=", "<", ">", "<=", ">="])
+ages = st.integers(min_value=10, max_value=50)
+genders = st.sampled_from(["female", "male"])
+
+
+@settings(**_SETTINGS)
+@given(op=ops, age=ages, gender=genders)
+def test_ra_matches_sql_on_random_predicates(spark, pizza, op, age, gender):
+    """\\select_{age OP n and gender='g'}(Person) ≡ the same WHERE in SQL."""
+    from sql_query_engine_spark.ra import run_ra
+
+    ra = rf"\select_{{age {op} {age} and gender='{gender}'}} Person;"
+    sql = f"SELECT * FROM Person WHERE age {op} {age} AND gender = '{gender}'"
+    assert run_ra(spark, ra).count() == spark.sql(sql).count()
+
+
+@settings(**_SETTINGS)
+@given(
+    n_salt=st.integers(min_value=1, max_value=16),
+    n_keys=st.integers(min_value=1, max_value=20),
+    n_rows=st.integers(min_value=0, max_value=200),
+)
+def test_salted_join_equivalence_random(spark, n_salt, n_keys, n_rows):
+    """salted_join ≡ plain join for arbitrary salt counts and key skew."""
+    from sql_query_engine_spark.operators.skew import salted_join
+
+    fact = spark.range(0, max(n_rows, 0)).select(
+        (F.col("id") % n_keys).alias("k"), F.col("id").alias("rid")
+    )
+    dim = spark.range(0, n_keys).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("v")
+    )
+    plain = fact.join(dim, fact["k"] == dim["dk"]).select("rid", "v")
+    salted = salted_join(fact, dim, [("k", "dk")], n_salt=n_salt, salt_source="rid").select(
+        "rid", "v"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@settings(**_SETTINGS)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=150),
+    size=st.integers(min_value=5, max_value=60),
+    stride_frac=st.floats(min_value=0.3, max_value=1.0),
+)
+def test_chunking_covers_document(spark, n_tokens, size, stride_frac):
+    """Every token appears in some chunk; stride-aligned prefixes of
+    consecutive chunks reconstruct the document exactly."""
+    from sql_query_engine_spark.functions import chunking
+
+    stride = max(1, int(size * stride_frac))
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunking.chunk_documents_udtf(spark, df, size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # reconstruction: first `stride` tokens of every chunk + tail of last
+    rebuilt: list[str] = []
+    for r in rows[:-1]:
+        rebuilt.extend(r.chunk.split()[:stride])
+    rebuilt.extend(rows[-1].chunk.split())
+    assert rebuilt == text.split()
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="abc d", min_size=0, max_size=30), min_size=1, max_size=8))
+def test_fingerprint_injective_on_distinct_nonempty(spark, texts):
+    """Rolling-hash fingerprints are deterministic and (modulo 1e9+7
+    collisions, absent at this scale) distinct for distinct texts."""
+    from sql_query_engine_spark.functions import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp1 = {r.doc_id: r.fp for r in T.with_fingerprint(df).collect()}
+    fp2 = {r.doc_id: r.fp for r in T.with_fingerprint(df).collect()}
+    assert fp1 == fp2
+    by_text: dict[str, set[int]] = {}
+    for i, t in rows:
+        by_text.setdefault(t, set()).add(fp1[i])
+    for t, fps in by_text.items():
+        assert len(fps) == 1  # same text → same fingerprint

@@ -110,6 +110,43 @@ def test_stateful_profile_stream_equals_batch(spark, batch_events, tmp_path):
     assert sum(v[3] for v in got.values()) > 0
 
 
+def test_drop_duplicates_within_watermark(spark, batch_events, tmp_path):
+    """Streaming dedup with bounded state: duplicate event_ids arriving
+    within the watermark are suppressed; state older than the watermark
+    is eligible for eviction (bounded memory at 100 TB/day rates)."""
+    from pyspark.sql import functions as F
+
+    # stage the same file TWICE so every event arrives twice
+    stream_dir = tmp_path / "events_dup"
+    stream_dir.mkdir()
+    (stream_dir / "a.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    (stream_dir / "b.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+
+    raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
+        str(stream_dir)
+    )
+    deduped = (
+        raw.withColumn(
+            "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+        .withWatermark("ts_utc", "90 days")  # bounded corpus: keep all state
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM dedup_wm_test").first()
+    expected = batch_events.count()
+    assert got.c == expected  # doubled input, deduped output
+    assert got.d == expected
+
+
 def test_sliding_each_event_in_two_windows(spark, batch_events):
     total_events = batch_events.count()
     from pyspark.sql import functions as F
