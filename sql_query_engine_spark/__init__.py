@@ -17,11 +17,13 @@ Public surface:
 """
 
 from .catalog import TABLES, load_table, register_all
+from .engine import Engine
 from .queries import oracle_sql, queries, registry
 from .ra import run_ra
 from .session import get_spark
 
 __all__ = [
+    "Engine",
     "TABLES",
     "get_spark",
     "load_table",

@@ -1384,6 +1384,52 @@ def scalar_array_ops(spark, sf_dir):
 
 
 @_q(
+    "dedup_normalized",
+    """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+              min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents
+       GROUP BY 1""",
+    "fuzzy-exact dedup: normalize (casefold + whitespace collapse + trim) "
+    "before hashing — catches trivially-reformatted duplicates exact "
+    "dedup misses",
+)
+def dedup_normalized(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
+    return docs.groupBy(norm.alias("h")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+@_q(
+    "text_scrub",
+    """SELECT doc_id,
+              regexp_replace(
+                  regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS scrubbed,
+              length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS n_digits
+       FROM documents""",
+    "PII-style scrubbing: pattern redaction (numbers, emails) — the "
+    "sanitize step of a training-data pipeline, pure JVM regex",
+)
+def text_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", "[0-9]+", "<NUM>"),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+",
+        "<EMAIL>",
+    )
+    return docs.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias(
+            "n_digits"
+        ),
+    )
+
+
+@_q(
     "dedup_clusters",
     dedup.dedup_clusters_oracle(dedup.minhash_lsh_pairs_oracle()),
     "near-dup canonicalization: MinHash-LSH pairs → connected components "
