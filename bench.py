@@ -63,15 +63,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: report steady-state, not JIT warm-up
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time (20 queries, all operator families)",
+                "metric": "headline-suite wall time (20 queries, min-of-2 runs, all operator families)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

