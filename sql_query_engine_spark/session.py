@@ -79,6 +79,10 @@ def get_spark(app_name: str = "sql-query-engine-spark", master: str | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode niceties
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()

@@ -120,6 +120,37 @@ def test_partitioned_parquet_sink_prunes(spark, pizza, tmp_path):
     assert df.count() == 2
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Two tables bucketed on the same key must join with NO Exchange in
+    the plan — the pre-shuffled co-located layout that makes repeated
+    100 TB fact-fact joins shuffle-free."""
+    from sql_query_engine_spark.catalog import load_table
+    from sql_query_engine_spark.plans.inspect import formatted_plan
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    sinks.write_bucketed_table(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+    sinks.write_bucketed_table(o, "b_orders", ["o_orderkey"], n_buckets=8)
+
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    joined = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "o_custkey"
+    )
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan  # bucket co-location: zero shuffles
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for t in ("b_lineitem", "b_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_show_sample_returns_count(spark, pizza, capsys):
     n = sinks.show_sample(pizza["Person"], 3)
     assert n == 9

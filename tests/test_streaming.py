@@ -110,6 +110,51 @@ def test_stateful_profile_stream_equals_batch(spark, batch_events, tmp_path):
     assert sum(v[3] for v in got.values()) > 0
 
 
+def test_stream_static_join(spark, batch_events, tmp_path):
+    """Stream-static join: the streaming events enrich against the static
+    customer dim (broadcast per micro-batch); result equals the batch
+    join."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.catalog import load_table
+
+    customer = load_table(spark, SF_DIR, "customer")
+
+    stream_dir = tmp_path / "events_ss"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
+        str(stream_dir)
+    )
+    enriched = (
+        raw.join(customer, raw["user_id"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.c_mktsegment: r.n for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    expected = {
+        r.c_mktsegment: r.n
+        for r in (
+            batch_events.join(customer, batch_events["user_id"] == customer["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_drop_duplicates_within_watermark(spark, batch_events, tmp_path):
     """Streaming dedup with bounded state: duplicate event_ids arriving
     within the watermark are suppressed; state older than the watermark
