@@ -1647,6 +1647,53 @@ def text_chunking(spark, sf_dir):
 
 
 @_q(
+    "join_asof",
+    """WITH r1 AS (
+    SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+),
+r2 AS (SELECT o_custkey, t, o_orderkey, o_totalprice FROM r1 WHERE rn = 1),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+SELECT l.event_id, l.user_id, r2.o_orderkey AS last_orderkey,
+       r2.o_totalprice AS last_totalprice
+FROM l ASOF LEFT JOIN r2 ON l.user_id = r2.o_custkey AND l.t >= r2.t""",
+    "as-of (point-in-time) join: each event picks up the user's latest "
+    "order at event time — composed from union + window carry-forward "
+    "(operators/asof.py); oracle is DuckDB's native ASOF JOIN",
+)
+def join_asof(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_t_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="t_us",
+        right_ts="o_t_us",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@_q(
     "stream_user_profile",
     """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 d AS (SELECT user_id, ts_us,

@@ -59,6 +59,45 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert out.filter(F.col("v").isNull()).count() == 50
 
 
+def test_asof_join_semantics(spark):
+    """Hand-built cases: exact-tie inclusion, no-preceding-match NULL,
+    same-timestamp right-side tiebreak, per-key isolation."""
+    from sql_query_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, "e1"),   # after r@50 → picks r2 (tiebreak over r1)
+            (1, 50, "e2"),    # exact tie with right t=50 → included
+            (1, 10, "e3"),    # before all rights → NULL
+            (2, 100, "e4"),   # key 2 has its own rights
+            (3, 100, "e5"),   # key 3 has none → NULL
+        ],
+        "k long, t long, eid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 50, 7, 700.0),
+            (1, 50, 9, 900.0),   # same (key, t): tiebreak max id=9 wins
+            (1, 99, 5, 500.0),
+            (2, 20, 3, 300.0),
+        ],
+        "k long, t long, rid long, val double",
+    )
+    out = {
+        r.eid: (r.rid, r.val)
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ["rid", "val"], tiebreak="rid"
+        ).collect()
+    }
+    assert out == {
+        "e1": (5, 500.0),
+        "e2": (9, 900.0),
+        "e3": (None, None),
+        "e4": (3, 300.0),
+        "e5": (None, None),
+    }
+
+
 def test_pandas_cosine_topk_matches_jvm(spark):
     """The BLAS pandas-UDF scorer must produce rank-identical top-k to
     the JVM fold (scores differ only in final ULP; ranks must agree)."""
