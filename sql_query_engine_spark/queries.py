@@ -1646,6 +1646,183 @@ def text_chunking(spark, sf_dir):
     return chunking.chunk_documents_udtf(spark, _t(spark, sf_dir, "documents"))
 
 
+_BANDS = [
+    ("micro", 0, 1_000),
+    ("small", 1_000, 5_000),
+    ("mid", 5_000, 20_000),
+    ("large", 20_000, 100_000),
+    ("jumbo", 100_000, 1_000_000),
+]
+_BANDS_SQL_ROWS = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@_q(
+    "join_range_bands",
+    f"""WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL_ROWS})
+        SELECT band, count(*) AS n_orders,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band""",
+    "range (interval-containment) join against irregular value bands — "
+    "broadcast the tiny interval table, theta-join the fact side "
+    "(BroadcastNestedLoop over 5 rows ≡ a lookup, the correct plan)",
+)
+def join_range_bands(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bands = F.broadcast(
+        spark.createDataFrame(_BANDS, "band string, lo long, hi long")
+    )
+    return (
+        o.join(
+            bands,
+            (o["o_totalprice"] >= bands["lo"]) & (o["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@_q(
+    "stream_funnel_conversion",
+    """WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+    GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       (p.t_purchase IS NOT NULL) AS converted
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id""",
+    "ordered funnel (view → click → purchase) per user — event-sequence "
+    "analytics over the stream table",
+)
+def stream_funnel_conversion(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("t")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+@_q(
+    "text_quality_filter",
+    f"""SELECT doc_id,
+        CASE
+            WHEN {text.ORACLE_EXPRS['n_tokens'][1]} < 20 THEN 'too_short'
+            WHEN {text.ORACLE_EXPRS['n_tokens'][1]} > 1000 THEN 'too_long'
+            WHEN {text.ORACLE_EXPRS['quality'][1]} <= 0.3 THEN 'low_quality'
+            WHEN {text.ORACLE_EXPRS['lang_id'][1]} = 'und' THEN 'unknown_lang'
+            ELSE 'keep'
+        END AS verdict
+        FROM documents""",
+    "composite keep/drop quality gate with reject reason — the actual "
+    "filter step of a training-data pipeline (pure JVM expression cascade)",
+)
+def text_quality_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.expr(text.ORACLE_EXPRS["n_tokens"][0])
+    qual = F.expr(text.ORACLE_EXPRS["quality"][0])
+    lang = F.expr(text.ORACLE_EXPRS["lang_id"][0])
+    return docs.select(
+        "doc_id",
+        F.when(ntok < 20, "too_short")
+        .when(ntok > 1000, "too_long")
+        .when(qual <= 0.3, "low_quality")
+        .when(lang == "und", "unknown_lang")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+@_q(
+    "dedup_repeated_ngrams",
+    """WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS g
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+)
+SELECT md5(g) AS gram_hash, count(*) AS n_occ,
+       count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2""",
+    "repeated-span detection: 8-gram occurrences appearing in ≥2 docs — "
+    "the exact-substring-duplication signal (training-data memorization "
+    "risk); inverted n-gram index, positions preserved pre-aggregation",
+)
+def dedup_repeated_ngrams(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(t) < 8 then array() else "
+                "transform(sequence(1, size(t) - 7), i -> "
+                "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2),"
+                " element_at(t,i+3), element_at(t,i+4), element_at(t,i+5),"
+                " element_at(t,i+6), element_at(t,i+7))) end"
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("g").alias("gram_hash"), "n_occ", "n_docs")
+    )
+
+
 @_q(
     "join_asof",
     """WITH r1 AS (

@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# One-command local gate: tests, oracle correctness, plan audit, bench.
+# Mirrors what the round driver checks.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "=== pytest ==="
+python -m pytest tests/ -q
+
+echo "=== oracle gate (sf0.01) ==="
+python tools/check_oracle.py /root/testdata/sf0.01
+
+echo "=== plan audit ==="
+python tools/plan_audit.py
+
+echo "=== bench (sf0.1) ==="
+python bench.py
