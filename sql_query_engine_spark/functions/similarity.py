@@ -224,11 +224,15 @@ def cosine_topk_pandas(
     import pandas as pd
 
     par = emb.sparkSession.sparkContext.defaultParallelism
+    out_schema_full = "query_id long, neighbor_id long, cos double, rank int"
     q_rows = (
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
         .collect()
     )
+    if not q_rows:
+        # empty query set: matmul shapes degenerate — return typed empty
+        return emb.sparkSession.createDataFrame([], out_schema_full)
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -237,6 +241,8 @@ def cosine_topk_pandas(
 
     def _score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))

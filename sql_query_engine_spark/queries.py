@@ -1871,6 +1871,83 @@ def join_asof(spark, sf_dir):
 
 
 @_q(
+    "stream_interval_join",
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                 WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, count(c.t) AS n_clicks_before
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id AND c.t > p.t - 3600000000 AND c.t <= p.t
+GROUP BY p.event_id, p.user_id""",
+    "event-time interval join: clicks within the hour before each "
+    "purchase, per user — the batch twin of the stream-stream join "
+    "(tests run the same join under readStream with watermarks)",
+)
+def stream_interval_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("t")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("t").alias("c_t")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("t").alias("p_t")
+    )
+    hour_us = 3_600_000_000
+    return (
+        p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["c_t"] > p["p_t"] - hour_us)
+            & (c["c_t"] <= p["p_t"]),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("c_t").alias("n_clicks_before"))
+    )
+
+
+@_q(
+    "text_pack_sequences",
+    f"""WITH chunks AS ({_CHUNK_ORACLE}),
+ordered AS (
+    SELECT doc_id, chunk_idx, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM chunks
+)
+SELECT cast((cum_tokens - n_tokens) // 512 as bigint) AS pack_id,
+       count(*) AS n_chunks,
+       cast(sum(n_tokens) as bigint) AS pack_tokens
+FROM ordered GROUP BY 1""",
+    "sequence packing: chunks greedily packed into ~512-token training "
+    "sequences via a running-sum window over a global (doc, chunk) order "
+    "— the batch-shaping step between chunking and training",
+)
+def text_pack_sequences(spark, sf_dir):
+    from .functions import chunking
+
+    chunks = chunking.chunk_documents_sql(_t(spark, sf_dir, "documents"))
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = chunks.select(
+        "doc_id", "chunk_idx", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return (
+        ordered.groupBy(
+            F.expr("CAST((cum_tokens - n_tokens) DIV 512 AS BIGINT)").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
+
+
+@_q(
     "stream_user_profile",
     """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 d AS (SELECT user_id, ts_us,

@@ -1,0 +1,59 @@
+"""Empty-input robustness: every pipeline operator must handle a
+zero-row corpus without crashing (empty partitions are routine at scale —
+a filter that matches nothing, a new partition, a cold start)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_query_engine_spark.catalog import load_table
+from sql_query_engine_spark.functions import chunking, dedup, similarity, text
+from sql_query_engine_spark.streaming import events as EV
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 0)
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 0)
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 0)
+
+
+def test_dedup_ops_on_empty(spark, empty_docs):
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+    assert dedup.simhash_fingerprints(empty_docs).count() == 0
+    pairs = dedup.minhash_lsh_pairs(empty_docs)
+    assert dedup.dedup_clusters(empty_docs, pairs).count() == 0
+
+
+def test_similarity_on_empty(spark, empty_emb):
+    assert similarity.cosine_topk(empty_emb).count() == 0
+    assert similarity.lsh_bucket_topk(empty_emb).count() == 0
+    assert similarity.cosine_topk_pandas(empty_emb).count() == 0
+
+
+def test_text_ops_on_empty(spark, empty_docs):
+    assert text.with_lang_id(empty_docs).count() == 0
+    assert text.with_quality(empty_docs).count() == 0
+    assert text.with_fingerprint(empty_docs).count() == 0
+    assert chunking.chunk_documents_sql(empty_docs).count() == 0
+    assert chunking.chunk_documents_udtf(spark, empty_docs).count() == 0
+
+
+def test_streaming_ops_on_empty(spark, empty_events):
+    assert EV.tumbling_counts(empty_events).count() == 0
+    assert EV.session_stats(empty_events).count() == 0
+    from sql_query_engine_spark.streaming import stateful
+
+    assert stateful.profile_batch(empty_events).count() == 0

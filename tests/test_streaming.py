@@ -110,6 +110,80 @@ def test_stateful_profile_stream_equals_batch(spark, batch_events, tmp_path):
     assert sum(v[3] for v in got.values()) > 0
 
 
+def test_stream_stream_interval_join(spark, batch_events, tmp_path):
+    """Stream-stream join with event-time bounds and watermarks: clicks
+    joined to purchases of the same user within the preceding hour. The
+    streaming row set must equal the batch interval join."""
+    from pyspark.sql import functions as F
+
+    stream_dir = tmp_path / "events_ssj"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+
+    def stream_side(event_type, alias_prefix):
+        raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
+            str(stream_dir)
+        )
+        return (
+            raw.filter(F.col("event_type") == event_type)
+            .withColumn(
+                "ts_utc",
+                F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+            )
+            .withWatermark("ts_utc", "2 hours")
+            .select(
+                F.col("event_id").alias(f"{alias_prefix}_id"),
+                F.col("user_id").alias(f"{alias_prefix}_user"),
+                F.col("ts_utc").alias(f"{alias_prefix}_ts"),
+            )
+        )
+
+    clicks = stream_side("click", "c")
+    purchases = stream_side("purchase", "p")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.p_id, r.c_id)
+        for r in spark.sql("SELECT p_id, c_id FROM ssj_test").collect()
+    }
+
+    # batch twin over the same file
+    e = batch_events.select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("t")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("t").alias("c_t")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("t").alias("p_t")
+    )
+    expected = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["c_t"] > p["p_t"] - 3_600_000_000)
+            & (c["c_t"] <= p["p_t"]),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_stream_static_join(spark, batch_events, tmp_path):
     """Stream-static join: the streaming events enrich against the static
     customer dim (broadcast per micro-batch); result equals the batch
