@@ -44,6 +44,8 @@ HEADLINE = [
     "text_fingerprint",
     "stream_tumbling_counts",
     "stream_session_windows",
+    "join_asof",
+    "pipeline_training_data",
 ]
 
 
@@ -74,7 +76,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time (20 queries, min-of-2 runs, all operator families)",
+                "metric": "headline-suite wall time (22 queries, min-of-2 runs, all operator families)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -1970,6 +1970,131 @@ def stream_user_profile(spark, sf_dir):
 
 
 # =========================================================================
+# End-to-end training-data pipeline (composition of checked stages)
+# =========================================================================
+
+def _pipeline_oracle() -> str:
+    """Quality gate → canonical dedup → scrub → chunk → pack, as ONE SQL
+    query composed from the same per-stage oracle fragments the
+    individual queries use — both engines run the identical pipeline."""
+    pairs = dedup.minhash_lsh_pairs_oracle()
+    verdict_keep = (
+        f"({text.ORACLE_EXPRS['n_tokens'][1]} >= 20 "
+        f"AND {text.ORACLE_EXPRS['n_tokens'][1]} <= 1000 "
+        f"AND {text.ORACLE_EXPRS['quality'][1]} > 0.3 "
+        f"AND {text.ORACLE_EXPRS['lang_id'][1]} != 'und')"
+    )
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach (node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+kept AS (
+    SELECT d.doc_id,
+           regexp_replace(
+               regexp_replace(d.text, '[0-9]+', '<NUM>', 'g'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS text
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.cluster_id = d.doc_id AND {verdict_keep}
+),
+ktoks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS t
+    FROM kept
+),
+knz AS (SELECT doc_id, t FROM ktoks WHERE len(t) > 0),
+kidx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0,
+               greatest(0, cast(ceil((len(t) - 40) / 30.0) as int)))) AS chunk_idx
+    FROM knz
+),
+chunks AS (
+    SELECT doc_id, chunk_idx,
+           cast(len(t[(chunk_idx * 30 + 1):(chunk_idx * 30 + 40)]) as int) AS n_tokens
+    FROM kidx
+),
+ordered AS (
+    SELECT doc_id, chunk_idx, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM chunks
+)
+SELECT cast((cum_tokens - n_tokens) // 512 as bigint) AS pack_id,
+       count(*) AS n_chunks,
+       cast(sum(n_tokens) as bigint) AS pack_tokens,
+       cast(count(DISTINCT doc_id) as bigint) AS n_docs
+FROM ordered GROUP BY 1
+"""
+
+
+@_q(
+    "pipeline_training_data",
+    _pipeline_oracle(),
+    "the whole curation pipeline as ONE lazy DataFrame graph: quality "
+    "gate → near-dup canonicalization (MinHash+LSH+connected components) "
+    "→ PII scrub → chunking → sequence packing. Every stage is the same "
+    "checked operator the standalone queries use; Catalyst plans the "
+    "composition end to end.",
+)
+def pipeline_training_data(spark, sf_dir):
+    from .functions import chunking
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # stage 1+2: canonical representatives passing the quality gate
+    clusters = dedup.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+    ntok = F.expr(text.ORACLE_EXPRS["n_tokens"][0])
+    qual = F.expr(text.ORACLE_EXPRS["quality"][0])
+    lang = F.expr(text.ORACLE_EXPRS["lang_id"][0])
+    keep = (ntok >= 20) & (ntok <= 1000) & (qual > 0.3) & (lang != "und")
+    kept = (
+        docs.join(clusters, "doc_id")
+        .filter((F.col("cluster_id") == F.col("doc_id")) & keep)
+        .select("doc_id", "text")
+    )
+
+    # stage 3: scrub
+    scrubbed = kept.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", "[0-9]+", "<NUM>"),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+",
+            "<EMAIL>",
+        ).alias("text"),
+    )
+
+    # stage 4: chunk (JVM bulk path)
+    chunks = chunking.chunk_documents_sql(scrubbed)
+
+    # stage 5: pack
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = chunks.select(
+        "doc_id", "chunk_idx", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return (
+        ordered.groupBy(
+            F.expr("CAST((cum_tokens - n_tokens) DIV 512 AS BIGINT)").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# =========================================================================
 # public API
 # =========================================================================
 
