@@ -1474,6 +1474,21 @@ def sim_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "sim_ivf_topk",
+    None,  # k-means centroids are float reductions — no value-exact
+    # cross-engine twin exists; correctness is recall-vs-brute-force
+    # (tests/test_scale_ops.py::test_ivf_topk_recall)
+    "IVF ANN: k-means coarse quantizer (trained distributedly), queries "
+    "probe the 4 nearest of 16 cells — the learned-partition counterpart "
+    "to the LSH scale path",
+)
+def sim_ivf_topk(spark, sf_dir):
+    from .functions import ivf
+
+    return ivf.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================

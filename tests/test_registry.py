@@ -16,9 +16,10 @@ def test_registry_names_unique():
 def test_every_oracle_key_has_query():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
-    # all but the explicitly sketch-based queries carry an oracle
+    # all but the engine-specific approximations carry an oracle:
+    # HLL sketches and k-means centroids have no exact cross-engine twin
     missing = set(qs) - set(os_)
-    assert missing == {"agg_approx_count_distinct"}
+    assert missing == {"agg_approx_count_distinct", "sim_ivf_topk"}
 
 
 def test_all_queries_run_and_columns_match_oracle_names(spark):

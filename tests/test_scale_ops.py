@@ -59,6 +59,34 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert out.filter(F.col("v").isNull()).count() == 50
 
 
+def test_ivf_topk_recall(spark):
+    """IVF ANN: returned scores must be exact (same cosine arithmetic as
+    brute force) and recall@10 vs brute force must clear a floor with
+    n_probe=4 of 16 cells."""
+    from sql_query_engine_spark.functions import ivf, similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {}
+    for r in similarity.cosine_topk(emb, k=10, n_queries=8).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.cos
+    got = ivf.ivf_topk(emb, k=10, n_queries=8, n_cells=16, n_probe=4).collect()
+    assert len(got) > 0
+    hits = total = 0
+    all_scores = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.cosine_topk(emb, k=500, n_queries=8).collect()
+    }
+    for r in got:
+        # any returned score matches the exact computation bit-for-bit
+        assert abs(all_scores[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+    for qid, nbrs in exact.items():
+        ivf_nbrs = {r.neighbor_id for r in got if r.query_id == qid}
+        hits += len(ivf_nbrs & set(nbrs))
+        total += len(nbrs)
+    recall = hits / total
+    assert recall >= 0.3, f"recall@10 too low: {recall:.2f}"
+
+
 def test_asof_join_semantics(spark):
     """Hand-built cases: exact-tie inclusion, no-preceding-match NULL,
     same-timestamp right-side tiebreak, per-key isolation."""
