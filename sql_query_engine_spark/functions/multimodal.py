@@ -27,11 +27,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["attach_binary_payload", "FEATURE_SCHEMA", "extract_features", "decode_real"]
+__all__ = [
+    "attach_binary_payload",
+    "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
+    "extract_features",
+    "sample_frames",
+    "decode_real",
+]
 
 # Output contract of the feature extractor.
 FEATURE_SCHEMA = StructType(
@@ -72,6 +80,54 @@ def decode_real(payload: bytes):  # pragma: no cover - documented stub
     raise NotImplementedError(
         "media decode requires PIL/soundfile/av; wire the real decoder here"
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_md5", StringType(), False),
+        StructField("frame_bytes", LongType(), False),
+    ]
+)
+
+FRAME_SIZE = 100
+FRAME_STRIDE = 250
+
+
+def sample_frames(
+    with_payload: DataFrame,
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sampling over opaque binary payloads (video-style decode).
+
+    Every ``stride`` bytes, cut a ``frame_size``-byte frame and emit its
+    fingerprint — the plumbing shape of video frame extraction (a real
+    decoder would seek keyframes instead of fixed offsets; the slicing,
+    fan-out schema, and Arrow batching are identical). One input row →
+    many frame rows, Arrow-batched, map-only.
+    """
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = _decode_stub(payload)
+                idx = 0
+                for pos in range(0, len(blob), stride):
+                    frame = blob[pos : pos + frame_size]
+                    if not frame:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_bytes"].append(len(frame))
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(_frames, FRAME_SCHEMA)
 
 
 def extract_features(with_payload: DataFrame) -> DataFrame:

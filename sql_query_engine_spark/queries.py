@@ -1573,6 +1573,29 @@ def mm_binary_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.attach_binary_payload(docs))
 
 
+@_q(
+    "mm_frame_samples",
+    """WITH pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, cast((length(text) - 1) // 250 as int)))
+               AS frame_idx
+    FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, cast(frame_idx as int) AS frame_idx,
+       md5(substr(text, frame_idx * 250 + 1, 100)) AS frame_md5,
+       cast(length(substr(text, frame_idx * 250 + 1, 100)) as bigint)
+           AS frame_bytes
+FROM pos""",
+    "frame sampling over binary payloads (video-style decode plumbing): "
+    "every 250 bytes cut a 100-byte frame, fingerprint it — Arrow "
+    "mapInPandas fan-out; oracle reproduces the frames from the source "
+    "text (payloads are its utf-8 bytes, ASCII ⇒ byte==char offsets)",
+)
+def mm_frame_samples(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_binary_payload(docs))
+
+
 # =========================================================================
 # Streaming-shaped operators over events (batch-checkable)
 # =========================================================================

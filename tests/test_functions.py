@@ -211,6 +211,27 @@ def test_multimodal_metadata_struct(spark, docs):
     assert row.orig_chars > 0
 
 
+def test_frame_sampling(spark, docs):
+    """Frame fan-out: counts follow ceil(len/stride); frames re-hash to
+    the source byte slices."""
+    import hashlib
+
+    frames = multimodal.sample_frames(multimodal.attach_binary_payload(docs))
+    rows = frames.collect()
+    src = {r.doc_id: r.text.encode() for r in docs.select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, blob in src.items():
+        expected_frames = (len(blob) - 1) // 250 + 1 if blob else 0
+        got = sorted(by_doc.get(did, []), key=lambda r: r.frame_idx)
+        assert len(got) == expected_frames
+        for r in got:
+            sl = blob[r.frame_idx * 250 : r.frame_idx * 250 + 100]
+            assert r.frame_md5 == hashlib.md5(sl).hexdigest()
+            assert r.frame_bytes == len(sl)
+
+
 def test_decode_real_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"\x89PNG")
