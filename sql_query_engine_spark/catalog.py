@@ -50,6 +50,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_semantics(spark: SparkSession) -> None:
+    """Engine-owned session semantics, enforced at every catalog access.
+
+    The engine may be handed a session it didn't build (the round driver
+    constructs its own). Two settings are load-bearing and runtime-settable:
+
+    * ``nanosAsLong`` — without it, reading events.parquet
+      (TIMESTAMP(NANOS)) throws PARQUET_TYPE_ILLEGAL outright;
+    * UTC session timezone — ntz→timestamp casts (e.g. the as-of join's
+      epoch derivation) follow the session zone; UTC keeps them equal to
+      the oracle's naive-as-UTC epoch on any host.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf locked down: keep going
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table; normalizes the events timestamp.
 
@@ -58,6 +77,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark and the DuckDB oracle agree bit-for-bit) and a derived
     ``ts_utc`` timestamp for Structured-Streaming-style operators.
     """
+    _ensure_session_semantics(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

@@ -39,6 +39,25 @@ def test_all_queries_run_and_columns_match_oracle_names(spark):
                 )
 
 
+def test_catalog_enforces_session_semantics(spark):
+    """The engine must survive a session it didn't build: if the caller's
+    conf lacks nanosAsLong (events unreadable) or uses a non-UTC zone
+    (ntz epoch derivations shift), catalog access restores engine
+    semantics."""
+    from sql_query_engine_spark.catalog import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, SF_DIR, "events")
+        assert df.count() > 0  # would throw PARQUET_TYPE_ILLEGAL unfixed
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 
