@@ -418,6 +418,36 @@ def agg_cube(spark, sf_dir):
 
 
 @_q(
+    "agg_rollup_gid",
+    """SELECT coalesce(l_returnflag, '?') AS returnflag,
+              coalesce(l_linestatus, '?') AS linestatus,
+              cast(grouping(l_returnflag) as int) AS g_flag,
+              cast(grouping(l_linestatus) as int) AS g_status,
+              count(*) AS n
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "ROLLUP with grouping() indicators — distinguishes subtotal rows "
+    "from genuine NULL data (the correct way to consume rollup output)",
+)
+def agg_rollup_gid(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("?")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("?")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+        )
+    )
+
+
+@_q(
     "agg_count_distinct",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
               count(*) AS n_rows
@@ -1634,6 +1664,61 @@ def stream_sliding_counts(spark, sf_dir):
 )
 def stream_session_windows(spark, sf_dir):
     return EV.session_stats(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "stream_daily_ohlc",
+    """WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, epoch_us(ts) // 86400000000 AS day,
+           event_id, value
+    FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+    SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY t, event_id) AS rn_open,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY t DESC, event_id DESC) AS rn_close
+    FROM e
+)
+SELECT user_id, cast(day as bigint) AS day,
+       cast(sum(CASE WHEN rn_open = 1 THEN value END) as double) AS open,
+       cast(sum(CASE WHEN rn_close = 1 THEN value END) as double) AS close,
+       max(value) AS high, min(value) AS low, count(*) AS n_events
+FROM ranked GROUP BY user_id, day""",
+    "per-user daily OHLC of purchase values — first/last by event time "
+    "(deterministic tiebreaks) + min/max, the time-series summary shape",
+)
+def stream_daily_ohlc(spark, sf_dir):
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("ts DIV 1000").alias("t"),
+            F.expr("(ts DIV 1000) DIV 86400000000").alias("day"),
+            "event_id",
+            "value",
+        )
+    )
+    w_open = Window.partitionBy("user_id", "day").orderBy("t", "event_id")
+    w_close = Window.partitionBy("user_id", "day").orderBy(
+        F.col("t").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ranked.groupBy("user_id", "day").agg(
+        F.sum(F.when(F.col("rn_open") == 1, F.col("value"))).cast("double").alias("open"),
+        F.sum(F.when(F.col("rn_close") == 1, F.col("value"))).cast("double").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count("*").alias("n_events"),
+    )
 
 
 @_q(
