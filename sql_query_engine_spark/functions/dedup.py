@@ -405,6 +405,103 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 # --------------------------------------------------------------------------
+# incremental dedup (new batch vs known corpus)
+# --------------------------------------------------------------------------
+
+def incremental_neardup(
+    new_docs: DataFrame, known_docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against a KNOWN corpus.
+
+    The production ingest flow: the known corpus's band signatures are a
+    persisted index; each arriving batch computes its own signatures and
+    probes the index — candidate generation is a band-signature equi-join
+    of new×known only (never known×known), so ingest cost scales with the
+    batch, not the corpus. Verification = exact Jaccard on candidates.
+
+    Returns (new_doc, known_doc, jaccard) pairs ≥ threshold.
+    """
+    def _bands(docs: DataFrame, par):
+        sh = shingled_docs(docs).repartition(par, "doc_id")
+        ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+            "doc_id", F.expr(f"{spark_hex48('s')} % {MERSENNE_P}").alias("x")
+        )
+        sigs = _minhash_signatures_from(ex)
+        band_structs = []
+        for j in range(N_BANDS):
+            ms = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            band_structs.append(
+                f"struct({j} as band, concat_ws('-', {', '.join(ms)}) as bsig)"
+            )
+        bands = sigs.select(
+            "doc_id", F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb")
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+        return sh, bands
+
+    par = new_docs.sparkSession.sparkContext.defaultParallelism
+    new_sh, new_bands = _bands(new_docs, par)
+    known_sh, known_bands = _bands(known_docs, par)
+
+    cand = (
+        new_bands.alias("a")
+        .join(known_bands.alias("b"), ["band", "bsig"])
+        .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("known_doc"))
+        .distinct()
+    )
+    da, db = new_sh.alias("da"), known_sh.alias("db")
+    return (
+        cand.join(da, cand["new_doc"] == da["doc_id"])
+        .join(db, cand["known_doc"] == db["doc_id"])
+        .select(
+            "new_doc",
+            "known_doc",
+            F.expr(
+                "cast(size(array_intersect(da.sh, db.sh)) as double)"
+                " / (size(da.sh) + size(db.sh) - size(array_intersect(da.sh, db.sh)))"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "known_doc", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def incremental_neardup_oracle(
+    new_filter: str, known_filter: str, threshold: float = 0.5
+) -> str:
+    """DuckDB twin: the same split probed with the same constants."""
+    mh_cols = ", ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_P}) AS mh{k}"
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_selects = []
+    for j in range(N_BANDS):
+        ms = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        concat = " || '-' || ".join(f"cast({m} as varchar)" for m in ms)
+        band_selects.append(f"SELECT doc_id, {j} AS band, {concat} AS bsig FROM sigs")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_DUCK_SHINGLED},
+sigs AS (SELECT doc_id, {mh_cols} FROM ex_hash GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS known_doc
+    FROM bands a JOIN bands b USING (band, bsig)
+    WHERE a.doc_id {new_filter} AND b.doc_id {known_filter}
+)
+SELECT new_doc, known_doc,
+       round(cast(len(list_intersect(da.sh, db.sh)) as double)
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6)
+           AS jaccard
+FROM cand
+JOIN shingled da ON da.doc_id = cand.new_doc
+JOIN shingled db ON db.doc_id = cand.known_doc
+WHERE cast(len(list_intersect(da.sh, db.sh)) as double)
+      / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+      >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
 # near-dup clustering (connected components)
 # --------------------------------------------------------------------------
 

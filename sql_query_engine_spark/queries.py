@@ -1473,6 +1473,50 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_incremental",
+    dedup.incremental_neardup_oracle("% 2 = 1", "% 2 = 0"),
+    "incremental ingest dedup: odd-id docs (the arriving batch) probe the "
+    "even-id docs' band index (the known corpus) — candidate join is "
+    "new×known only, so ingest cost scales with the batch",
+)
+def dedup_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    known_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_neardup(new_docs, known_docs)
+
+
+@_q(
+    "catalog_profile_orders",
+    """SELECT count(*) AS n_rows,
+              count(DISTINCT o_custkey) AS n_customers,
+              cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) as bigint)
+                  AS null_prices,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              count(DISTINCT o_orderstatus) AS n_statuses,
+              strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+              strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+       FROM orders""",
+    "table profiling: row/distinct/null/min-max/date-range summary — the "
+    "data-quality snapshot step of any pipeline",
+)
+def catalog_profile_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "null_prices"
+        ),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+@_q(
     "dedup_embedding_lsh",
     dedup.embedding_neardup_lsh_oracle(),
     "embedding near-dup pairs via LSH bucket prefilter — the 100 TB scale "
