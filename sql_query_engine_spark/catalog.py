@@ -81,7 +81,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
-            "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
     return df
 

@@ -1766,6 +1766,30 @@ def stream_daily_ohlc(spark, sf_dir):
 
 
 @_q(
+    "stream_session_native",
+    EV.session_stats_oracle(),
+    "per-user sessions via the NATIVE session_window operator (the same "
+    "semantics stream_session_windows derives with lag/cumsum — both "
+    "checked against the identical oracle)",
+)
+def stream_session_native(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts_utc"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ns"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            # integer DIV, not /: double division rounds the µs by ±1
+            F.expr("last_ns DIV 1000").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@_q(
     "stream_first_event_dedup",
     """SELECT user_id, event_type, min(epoch_us(ts)) AS first_ts_us
        FROM events GROUP BY user_id, event_type""",

@@ -164,7 +164,7 @@ def stream_tumbling_counts(
     """
     raw = spark.readStream.schema(schema).parquet(events_path)
     withts = raw.withColumn(
-        "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
     return (
         withts.withWatermark("ts_utc", "1 hour")

@@ -128,7 +128,7 @@ def test_stream_stream_interval_join(spark, batch_events, tmp_path):
             raw.filter(F.col("event_type") == event_type)
             .withColumn(
                 "ts_utc",
-                F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+                F.timestamp_micros(F.expr("ts DIV 1000")),
             )
             .withWatermark("ts_utc", "2 hours")
             .select(
@@ -246,7 +246,7 @@ def test_drop_duplicates_within_watermark(spark, batch_events, tmp_path):
     )
     deduped = (
         raw.withColumn(
-            "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
         .withWatermark("ts_utc", "90 days")  # bounded corpus: keep all state
         .dropDuplicatesWithinWatermark(["event_id"])
