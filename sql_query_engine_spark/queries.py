@@ -760,6 +760,58 @@ def scalar_json(spark, sf_dir):
     return e.select("event_id", k.alias("k")).filter(k > 90)
 
 
+@_q(
+    "scalar_map_ops",
+    """SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders
+       WHERE o_orderkey % 500 = 0
+       UNION ALL
+       SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v FROM orders
+       WHERE o_orderkey % 500 = 0""",
+    "MAP column functions: build a map, explode entries back to rows — "
+    "the map surface verified through its row image (DuckDB has no "
+    "comparable MAP literal; the oracle produces the same rows directly)",
+)
+def scalar_map_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    withmap = o.select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("status"),
+            F.col("o_orderstatus"),
+            F.lit("priority"),
+            F.col("o_orderpriority"),
+        ).alias("m"),
+    )
+    return withmap.select("o_orderkey", F.explode("m").alias("k", "v"))
+
+
+@_q(
+    "scalar_higher_order",
+    """SELECT vec_id,
+              len(list_filter(embedding, x -> x > 0)) AS n_pos,
+              round(list_reduce(list_prepend(cast(0 as double),
+                    list_transform(list_filter(embedding, x -> x > 0),
+                                   x -> x::DOUBLE)), (a, b) -> a + b), 6)
+                  AS sum_pos
+       FROM embeddings""",
+    "higher-order array functions (filter / transform / aggregate) as a "
+    "checked query — fixed-order fold keeps the sum bit-identical",
+)
+def scalar_higher_order(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.round(
+            F.expr(
+                "aggregate(transform(filter(embedding, x -> x > 0),"
+                " x -> cast(x as double)), cast(0 as double), (a, b) -> a + b)"
+            ),
+            6,
+        ).alias("sum_pos"),
+    )
+
+
 # =========================================================================
 # Window functions
 # =========================================================================
