@@ -31,6 +31,11 @@ EXPECTED = {
     "dedup_simhash_pairs": "all-pairs Hamming verifier (scale path is banding)",
     "sim_cosine_topk": "broadcast NLJ of tiny query set vs corpus — correct",
     "join_full_outer": "full outer cannot broadcast; SMJ is the right strategy",
+    "join_range_bands": "theta join against a 5-row broadcast band table — "
+    "BNLJ here IS the lookup",
+    "sim_ivf_topk": "corpus-side joins shuffle (SMJ) by design — sizes are "
+    "unknown past the mapInPandas boundary, and at scale the cell join is "
+    "a shuffle anyway",
 }
 
 
