@@ -448,6 +448,23 @@ def agg_rollup_gid(spark, sf_dir):
 
 
 @_q(
+    "agg_udaf_median",
+    """SELECT c_nationkey, median(c_acctbal) AS med_bal
+       FROM customer GROUP BY c_nationkey""",
+    "pandas UDAF surface (GROUPED_AGG pandas_udf): per-group median via "
+    "NumPy — exact cross-engine because median is selection-based (sort + "
+    "pick), not a float reduction; DuckDB median() computes the same "
+    "interpolated middle",
+)
+def agg_udaf_median(spark, sf_dir):
+    from .functions.udafs import np_median
+
+    c = _t(spark, sf_dir, "customer")
+    # GROUPED_AGG pandas UDFs cannot mix with JVM aggregates in one agg
+    return c.groupBy("c_nationkey").agg(np_median("c_acctbal").alias("med_bal"))
+
+
+@_q(
     "agg_count_distinct",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
               count(*) AS n_rows
