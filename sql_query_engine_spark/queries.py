@@ -1859,6 +1859,49 @@ def stream_session_native(spark, sf_dir):
 
 
 @_q(
+    "stream_zscore_anomalies",
+    """WITH stats AS (
+    SELECT user_id,
+           cast(sum(cast(value as decimal(18,6))) as double) / count(*) AS mu,
+           cast(sum(cast(value as decimal(18,6)) * cast(value as decimal(18,6)))
+                as double) AS sumsq,
+           count(*) AS n
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       round((e.value - s.mu)
+             / sqrt((s.sumsq - s.n * s.mu * s.mu) / (s.n - 1)), 6) AS z
+FROM events e JOIN stats s ON e.user_id = s.user_id
+WHERE s.n > 1
+  AND abs((e.value - s.mu)
+          / sqrt((s.sumsq - s.n * s.mu * s.mu) / (s.n - 1))) > 2.5""",
+    "per-user z-score outliers — anomaly detection with EXACT moments "
+    "(decimal sum and sum-of-squares → deterministic mean/stddev, no "
+    "float-reduction drift that stddev_samp() would have)",
+)
+def stream_zscore_anomalies(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = (
+        e.groupBy("user_id")
+        .agg(
+            (F.sum(dec).cast("double") / F.count("*")).alias("mu"),
+            F.sum(dec * dec).cast("double").alias("sumsq"),
+            F.count("*").alias("n"),
+        )
+        .withColumnRenamed("user_id", "s_user")
+    )
+    j = e.join(stats, e["user_id"] == stats["s_user"]).filter(F.col("n") > 1)
+    z = (F.col("value") - F.col("mu")) / F.sqrt(
+        (F.col("sumsq") - F.col("n") * F.col("mu") * F.col("mu")) / (F.col("n") - 1)
+    )
+    return (
+        j.filter(F.abs(z) > 2.5)
+        .select("event_id", "user_id", F.round(z, 6).alias("z"))
+    )
+
+
+@_q(
     "stream_first_event_dedup",
     """SELECT user_id, event_type, min(epoch_us(ts)) AS first_ts_us
        FROM events GROUP BY user_id, event_type""",

@@ -39,8 +39,10 @@ def row_multiset(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--determinism"]
+    determinism = "--determinism" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -57,6 +59,17 @@ def main() -> int:
             df = q.spark(spark, sf_dir)
             srows = df.collect()
             scols = df.columns
+            if determinism:
+                # run-to-run stability: rebuild + re-execute, compare
+                # multisets — catches ordering/partial-agg nondeterminism
+                # that a single oracle pass can miss
+                srows2 = q.spark(spark, sf_dir).collect()
+                m1 = sorted(tuple(normalize(v) for v in r) for r in srows)
+                m2 = sorted(tuple(normalize(v) for v in r) for r in srows2)
+                if m1 != m2:
+                    print(f"FAIL {q.name}: NONDETERMINISTIC across runs")
+                    n_fail += 1
+                    continue
         except Exception:
             print(f"FAIL {q.name}: spark error")
             traceback.print_exc(limit=3)
