@@ -48,6 +48,31 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned + sorted parquet layout for data skipping.
+
+    ``repartitionByRange`` clusters rows by the sort key across files and
+    ``sortWithinPartitions`` orders them inside each file, so parquet
+    row-group min/max statistics become near-disjoint ranges — a reader
+    filtering on the sort column skips whole row groups / files without
+    touching them. This is the (single-column) Z-order story: at 100 TB,
+    laying the table out by its dominant filter column turns selective
+    scans from full reads into a handful of row groups.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

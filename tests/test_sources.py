@@ -151,6 +151,51 @@ def test_bucketed_tables_join_without_shuffle(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_sorted_parquet_layout_enables_skipping(spark, tmp_path):
+    """Row-group min/max stats of the sorted layout must be narrow,
+    near-disjoint ranges (that is what lets readers skip); an unsorted
+    write leaves every row group spanning ~the full value range."""
+    import pyarrow.parquet as pq
+
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lo, hi = orders.agg(
+        {"o_totalprice": "min"}
+    ).first()[0], orders.agg({"o_totalprice": "max"}).first()[0]
+    global_span = hi - lo
+
+    def rowgroup_spans(path):
+        spans = []
+        for f in sorted(path.glob("part-*.parquet")):
+            meta = pq.ParquetFile(str(f)).metadata
+            idx = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == "o_totalprice"
+            )
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+        return spans
+
+    sorted_path = tmp_path / "orders_sorted"
+    sinks.write_sorted_parquet(orders, str(sorted_path), ["o_totalprice"], n_files=8)
+    plain_path = tmp_path / "orders_plain"
+    orders.repartition(8).write.parquet(str(plain_path))
+
+    sorted_spans = rowgroup_spans(sorted_path)
+    plain_spans = rowgroup_spans(plain_path)
+    assert len(sorted_spans) >= 8
+    # sorted layout: each row group covers a narrow slice of the range
+    assert max(sorted_spans) < 0.35 * global_span
+    # unsorted: row groups span nearly everything
+    assert min(plain_spans) > 0.8 * global_span
+    # and the data round-trips
+    assert spark.read.parquet(str(sorted_path)).count() == orders.count()
+
+
 def test_show_sample_returns_count(spark, pizza, capsys):
     n = sinks.show_sample(pizza["Person"], 3)
     assert n == 9
