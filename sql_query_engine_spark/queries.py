@@ -2127,6 +2127,37 @@ def dedup_repeated_ngrams(spark, sf_dir):
 
 
 @_q(
+    "scalar_fuzzy_match",
+    """SELECT p_partkey, p_name, levenshtein(p_name, 'red widget') AS d
+       FROM part WHERE levenshtein(p_name, 'red widget') <= 4""",
+    "fuzzy string matching by edit distance (levenshtein — identical "
+    "definition in both engines)",
+)
+def scalar_fuzzy_match(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    d = F.levenshtein("p_name", F.lit("red widget"))
+    return p.select("p_partkey", "p_name", d.alias("d")).filter(d <= 4)
+
+
+@_q(
+    "sample_systematic",
+    f"""SELECT o_orderkey, o_custkey FROM orders
+        WHERE {{h}} % 100 < 5""".format(
+        h="cast(concat('0x', substr(md5(cast(o_orderkey as varchar)), 1, 12)) as bigint)"
+    ),
+    "deterministic 5% sample via content hashing — reproducible across "
+    "engines, runs, and partitionings (rand()-based sampling is none of "
+    "those); the correct way to carve stable dev subsets from 100 TB",
+)
+def sample_systematic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 12), 16, 10) as bigint)"
+    )
+    return o.filter((h % 100) < 5).select("o_orderkey", "o_custkey")
+
+
+@_q(
     "join_asof",
     """WITH r1 AS (
     SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
