@@ -465,6 +465,48 @@ def agg_udaf_median(spark, sf_dir):
 
 
 @_q(
+    "agg_exact_corr",
+    """WITH m AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+           cast(sum(cast(l_quantity as decimal(18,2))
+                    * cast(l_quantity as decimal(18,2))) as double) AS sxx,
+           cast(sum(cast(l_extendedprice as decimal(18,2))
+                    * cast(l_extendedprice as decimal(18,2))) as double) AS syy,
+           cast(sum(cast(l_quantity as decimal(18,2))
+                    * cast(l_extendedprice as decimal(18,2))) as double) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+FROM m""",
+    "Pearson correlation from EXACT decimal moments — corr() built-ins "
+    "use float reductions that drift between engines; the moment "
+    "formulation is order-independent and bit-reproducible",
+)
+def agg_exact_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast(_DEC)
+    dy = F.col("l_extendedprice").cast(_DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@_q(
     "agg_count_distinct",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
               count(*) AS n_rows
