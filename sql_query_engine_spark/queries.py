@@ -196,6 +196,27 @@ def ref_filter_range_in_like(spark, sf_dir):
 
 
 @_q(
+    "ref_filter_or_not",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+       WHERE (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
+         AND NOT o_orderstatus = 'P'""",
+    "OR / NOT predicate surface — the reference's SQL front end cannot "
+    "express either (WHERE handles only AND-joined comparisons, "
+    "sql2ra/functionality.py:72-78)",
+)
+def ref_filter_or_not(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return R.project(
+        R.filter_rows(
+            o,
+            ((F.col("o_orderstatus") == "F") | (F.col("o_orderpriority") == "1-URGENT"))
+            & ~(F.col("o_orderstatus") == "P"),
+        ),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@_q(
     "ref_project_distinct",
     "SELECT DISTINCT c_mktsegment FROM customer",
     "reference P1 — π + dedup (ra2spark/ra2spark.py:79-93)",
