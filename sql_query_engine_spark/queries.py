@@ -967,6 +967,91 @@ def window_rank_dense(spark, sf_dir):
 
 
 @_q(
+    "window_moving_avg",
+    """SELECT o_custkey, o_orderkey,
+              cast(sum(cast(o_totalprice as decimal(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+                  / least(row_number() OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey), 3)
+                  AS moving_avg3
+       FROM orders""",
+    "trailing 3-order moving average per customer — bounded ROWS frame, "
+    "exact decimal numerator / integer denominator",
+)
+def window_moving_avg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w3).cast("double")
+            / F.least(F.row_number().over(w), F.lit(3))
+        ).alias("moving_avg3"),
+    )
+
+
+@_q(
+    "agg_conditional_pivot",
+    """SELECT c_nationkey,
+              cast(count(*) FILTER (WHERE o_orderstatus = 'F') as bigint) AS n_f,
+              cast(count(*) FILTER (WHERE o_orderstatus = 'O') as bigint) AS n_o,
+              cast(count(*) FILTER (WHERE o_orderstatus = 'P') as bigint) AS n_p
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_nationkey""",
+    "pivot-style conditional aggregation: status counts as columns per "
+    "nation (one pass, no PIVOT operator needed)",
+)
+def agg_conditional_pivot(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"])
+    return j.groupBy("c_nationkey").agg(
+        *[
+            F.count_if(F.col("o_orderstatus") == s).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+
+
+@_q(
+    "text_idf",
+    """WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS tok
+    FROM documents
+),
+df AS (SELECT tok, count(*) AS doc_freq FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tok, doc_freq, round(ln(cast(n_docs as double) / doc_freq), 6) AS idf
+FROM df, n WHERE doc_freq >= 50""",
+    "document-frequency / IDF table over the corpus vocabulary — the "
+    "retrieval-weighting primitive (exact integer dfs; ln on identical "
+    "doubles)",
+)
+def text_idf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        F.explode(
+            F.expr("array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 50)
+        .select(
+            "tok",
+            "doc_freq",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+        )
+    )
+
+
+@_q(
     "window_ntile",
     """SELECT quartile, count(*) AS n,
               cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_bal
