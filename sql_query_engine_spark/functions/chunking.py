@@ -48,7 +48,11 @@ class ChunkText:
         if text is None:
             return
         _check_params(size, stride)
-        tokens = [t for t in text.lower().split() if t]
+        # split(' ') + empty-filter == the SQL twin's split on ' +'
+        # (runs of spaces); str.split() with no arg would diverge on
+        # tabs/newlines, which the SQL/oracle tokenizers treat as
+        # ordinary characters.
+        tokens = [t for t in text.lower().split(" ") if t]
         if not tokens:
             return
         idx = 0

@@ -2409,24 +2409,13 @@ FROM ordered GROUP BY 1""",
     "— the batch-shaping step between chunking and training",
 )
 def text_pack_sequences(spark, sf_dir):
-    from .functions import chunking
+    from .functions import chunking, packing
 
     chunks = chunking.chunk_documents_sql(_t(spark, sf_dir, "documents"))
-    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ordered = chunks.select(
-        "doc_id", "chunk_idx", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
-    )
-    return (
-        ordered.groupBy(
-            F.expr("CAST((cum_tokens - n_tokens) DIV 512 AS BIGINT)").alias("pack_id")
-        )
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("n_tokens").alias("pack_tokens"),
-        )
-    )
+    # Two-phase prefix sum (functions/packing.py): shard-parallel running
+    # sums + broadcast shard offsets — bit-identical to the oracle's
+    # global window because the shard key is monotone in doc_id.
+    return packing.pack_chunks(chunks, seq_len=512)
 
 
 @_q(
@@ -2557,23 +2546,11 @@ def pipeline_training_data(spark, sf_dir):
     # stage 4: chunk (JVM bulk path)
     chunks = chunking.chunk_documents_sql(scrubbed)
 
-    # stage 5: pack
-    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ordered = chunks.select(
-        "doc_id", "chunk_idx", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
-    )
-    return (
-        ordered.groupBy(
-            F.expr("CAST((cum_tokens - n_tokens) DIV 512 AS BIGINT)").alias("pack_id")
-        )
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("n_tokens").alias("pack_tokens"),
-            F.count_distinct("doc_id").alias("n_docs"),
-        )
-    )
+    # stage 5: pack — two-phase shard-parallel prefix sum (packing.py),
+    # replacing the former global single-partition window.
+    from .functions import packing
+
+    return packing.pack_chunks(chunks, seq_len=512, with_doc_count=True)
 
 
 # =========================================================================

@@ -151,6 +151,34 @@ def test_chunk_udtf_equals_sql_twin(spark, docs):
     assert len(a) > len(docs.collect())  # long docs produce several chunks
 
 
+def test_two_phase_packing_equals_global_window(spark, docs):
+    """The shard-parallel two-phase prefix sum (functions/packing.py)
+    must be bit-identical to the naive single-partition global window:
+    the shard key doc_id DIV width is monotone in doc_id, so the
+    composite order is the same total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.functions import chunking, packing
+
+    chunks = chunking.chunk_documents_sql(docs)
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        (r.doc_id, r.chunk_idx): r.cum
+        for r in chunks.select(
+            "doc_id", "chunk_idx", F.sum("n_tokens").over(w).alias("cum")
+        ).collect()
+    }
+    # width=2 forces many shards even on the tiny fixture
+    two_phase = {
+        (r.doc_id, r.chunk_idx): r.cum_tokens
+        for r in packing.cumulative_tokens(chunks, shard_width=2).collect()
+    }
+    assert naive == two_phase and len(naive) > 0
+
+
 def test_chunk_overlap_property(spark):
     from sql_query_engine_spark.functions import chunking
 
