@@ -57,6 +57,8 @@ __all__ = [
     "simhash_fingerprints_oracle",
     "simhash_pairs",
     "simhash_pairs_oracle",
+    "simhash_lsh_pairs",
+    "simhash_lsh_pairs_oracle",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_oracle",
     "embedding_neardup_pairs",
@@ -121,15 +123,21 @@ def shingled_docs(docs: DataFrame) -> DataFrame:
 
 
 def exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, x) — one row per distinct shingle, hashed exactly once.
+    """(doc_id, h, x) — one row per distinct shingle, hashed exactly once.
 
-    This is the shared base table for MinHash and SimHash signatures:
-    signature computation is then a plain aggregate over it.
+    Shared base table for MinHash and SimHash signatures: signature
+    computation is then a plain aggregate over it. ``h`` is the raw
+    48-bit md5 hash — SimHash bit votes consume it at full width;
+    ``x = h % MERSENNE_P`` (< 2^33) is the MinHash permutation input,
+    kept narrow so ``(a*x + b)`` never overflows int64. (Feeding ``x``
+    to the votes too was a round-1 defect: bits 33–47 of the fingerprint
+    were constant 0, throwing away a third of the Hamming signal.)
     """
     return (
         shingled_docs(docs)
         .select("doc_id", F.explode("sh").alias("s"))
-        .select("doc_id", F.expr(f"{spark_hex48('s')} % {MERSENNE_P}").alias("x"))
+        .select("doc_id", F.expr(spark_hex48("s")).alias("h"))
+        .select("doc_id", "h", F.expr(f"h % {MERSENNE_P}").alias("x"))
     )
 
 
@@ -144,8 +152,9 @@ _DUCK_SHINGLED = f"""
         SELECT doc_id, sh FROM __sh WHERE len(sh) > 0
     ),
     ex_hash AS (
-        SELECT doc_id, {duck_hex48('s')} % {MERSENNE_P} AS x
-        FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+        SELECT doc_id, h, h % {MERSENNE_P} AS x
+        FROM (SELECT doc_id, {duck_hex48('s')} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM shingled))
     )
 """
 
@@ -344,7 +353,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     ex = exploded_shingle_hashes(docs)
     votes = ex.groupBy("doc_id").agg(
         *[
-            F.sum(F.expr(f"((x DIV {1 << j}) % 2) * 2 - 1")).alias(f"v{j}")
+            F.sum(F.expr(f"((h DIV {1 << j}) % 2) * 2 - 1")).alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
@@ -356,7 +365,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 def _duck_simhash_cte() -> str:
     vote_cols = ", ".join(
-        f"sum(((x // {1 << j}) % 2) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+        f"sum(((h // {1 << j}) % 2) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
     )
     fp_expr = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
@@ -401,6 +410,86 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SIMHASH_BAND_BITS = 12
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 bands × 12 bits
+
+
+def simhash_lsh_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs via banded SimHash LSH — the scale path.
+
+    The 48-bit fingerprint splits into 4 disjoint 12-bit bands. Two
+    fingerprints with Hamming distance ≤ 3 differ in at most 3 bits, so
+    by pigeonhole at least one band is bit-identical — the band-value
+    equi-join finds EVERY such pair (recall 1.0 at the default
+    threshold), and exact ``bit_count`` verification on the candidates
+    removes every false positive. Result set is identical to the
+    all-pairs :func:`simhash_pairs` at the same threshold; the quadratic
+    work is confined to same-bucket candidates (at 100 TB: one shuffle
+    keyed by (band, value), candidate count bounded by bucket
+    occupancy — no N² join anywhere).
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"banding guarantees recall only for hamming < {SIMHASH_BANDS}"
+        )
+    fp = simhash_fingerprints(docs)
+    band_arr = F.array(
+        *[
+            F.expr(
+                f"(simhash DIV {1 << (SIMHASH_BAND_BITS * b)}) % {1 << SIMHASH_BAND_BITS}"
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", "simhash", F.posexplode(band_arr).alias("b", "v"))
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_lsh_pairs_oracle(max_hamming: int = 3) -> str:
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS b, "
+        f"(simhash // {1 << (SIMHASH_BAND_BITS * b)}) % {1 << SIMHASH_BAND_BITS} AS v FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_duck_simhash_cte()},
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.simhash AS fa, b2.simhash AS fb
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 """
 
 

@@ -1451,10 +1451,22 @@ def dedup_simhash_fp(spark, sf_dir):
 @_q(
     "dedup_simhash_pairs",
     dedup.simhash_pairs_oracle(),
-    "SimHash near-dup pairs by Hamming distance",
+    "SimHash near-dup pairs by Hamming distance (all-pairs exactness "
+    "verifier for the banded LSH scale path, dedup_simhash_lsh)",
 )
 def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_simhash_lsh",
+    dedup.simhash_lsh_pairs_oracle(),
+    "SimHash near-dup pairs via 4×12-bit band LSH: bucket equi-join + "
+    "exact Hamming verify on candidates only — recall 1.0 at hamming≤3 "
+    "by pigeonhole, no all-pairs join (the 100 TB path)",
+)
+def dedup_simhash_lsh(spark, sf_dir):
+    return dedup.simhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -62,6 +62,30 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert statistics.median(ham.values()) > 12
 
 
+def test_simhash_lsh_equals_allpairs(spark, docs):
+    """Banded LSH must reproduce the all-pairs result EXACTLY at the same
+    threshold: hamming ≤ 3 < 4 bands ⇒ pigeonhole guarantees a band
+    collision, verification removes false positives."""
+    lsh = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_lsh_pairs(docs, max_hamming=3).collect()
+    }
+    allp = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert lsh == allp
+    with pytest.raises(ValueError):
+        dedup.simhash_lsh_pairs(docs, max_hamming=4)  # beyond the guarantee
+
+
+def test_simhash_uses_all_48_bits(spark, docs):
+    """Round-1 defect regression: votes fed from x % MERSENNE_P zeroed
+    bits 33-47. The high 15 bits must carry signal now."""
+    fps = [r.simhash for r in dedup.simhash_fingerprints(docs).collect()]
+    assert any(fp >> 33 for fp in fps)
+
+
 def test_embedding_neardup_threshold(spark, emb):
     pairs = dedup.embedding_neardup_pairs(emb, threshold=0.45).collect()
     for r in pairs:
