@@ -276,30 +276,45 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= {thr
 # exact n-gram Jaccard (inverted-index join)
 # --------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+NGRAM_DF_CAP = 100  # shingles in more docs than this are stop-shingles
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
     """Exact pairwise word-5-gram Jaccard via an inverted shingle index.
 
     explode → self-join on shingle → per-pair intersection counts →
-    Jaccard. The join key is the shingle itself: at scale, additionally
-    drop or cap stop-shingles (document frequency above a bound) before
-    the self-join — they contribute O(f²) pairs and near-zero Jaccard
-    evidence.
+    Jaccard. Stop-shingles — document frequency above ``df_cap`` — are
+    dropped BEFORE the self-join: a shingle in f docs contributes O(f²)
+    candidate pairs and near-zero Jaccard evidence, so one hot shingle
+    would otherwise dominate the join at scale. Jaccard is then defined
+    over the capped shingle universe, identically in the oracle (same
+    constant in both dialects). The frequency count is a window over the
+    SAME shingle-keyed shuffle the self-join needs — no extra exchange.
     """
+    from pyspark.sql import Window
+
     sh = shingled_docs(docs)
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
+    kept = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
-    # Per-doc shingle counts derive from the SAME exploded table as the
-    # index (groupBy over ex) — Spark then reuses the one shuffle of ex
-    # for all three consumers. Deriving sizes from the shingle ARRAY
-    # instead re-evaluates the whole shingling pipeline per consumer —
-    # measured 5× slower at sf0.1.
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Per-doc shingle counts derive from the SAME capped exploded table
+    # as the index (groupBy over kept) — Spark then reuses the one
+    # shuffle for all three consumers. Deriving sizes from the shingle
+    # ARRAY instead re-evaluates the whole shingling pipeline per
+    # consumer — measured 5× slower at sf0.1.
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
@@ -313,14 +328,21 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs_oracle(threshold: float = 0.5) -> str:
+def ngram_jaccard_pairs_oracle(
+    threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
+) -> str:
     return f"""
 WITH {_DUCK_SHINGLED},
-sizes AS (SELECT doc_id, len(sh) AS n FROM shingled),
 ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+kept AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex
+    ) WHERE df <= {df_cap}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
