@@ -616,7 +616,12 @@ WHERE cast(len(list_intersect(da.sh, db.sh)) as double)
 # near-dup clustering (connected components)
 # --------------------------------------------------------------------------
 
-def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Canonicalize near-dup PAIRS into CLUSTERS: (doc_id, cluster_id)
     where cluster_id = min doc_id of the connected component.
 
@@ -629,17 +634,31 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 20) -> Dat
 
     Convergence in O(diameter) rounds (near-dup clusters are tiny — a
     handful of rounds). Each round is one join + one aggregate, both keyed
-    on doc ids (shuffle-friendly at any scale); ``localCheckpoint``
-    truncates the growing lineage every round — the standard iterative-
-    algorithm pattern on Spark (GraphFrames does the same under the hood).
+    on doc ids (shuffle-friendly at any scale); checkpointing truncates
+    the growing lineage every round — the standard iterative-algorithm
+    pattern on Spark (GraphFrames does the same under the hood).
+
+    Fault tolerance: the default ``localCheckpoint`` stores blocks on
+    executors — fast, but a lost executor kills a long job because the
+    truncated lineage cannot recompute. On a real cluster pass
+    ``checkpoint_dir`` (an HDFS/S3 path): rounds then use reliable
+    ``checkpoint()`` so recovery reads the checkpoint store instead.
 
     Documents in no pair stay singleton clusters of themselves.
     """
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # undirected edges, both directions
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
+    edges = _ckpt(edges)
 
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     for _ in range(max_iter):
@@ -659,7 +678,8 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 20) -> Dat
                     "changed"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = _ckpt(updated)
         n_changed = updated.filter("changed").count()
         labels = updated.drop("changed")
         if n_changed == 0:

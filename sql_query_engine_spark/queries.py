@@ -1033,7 +1033,11 @@ FROM df, n WHERE doc_freq >= 50""",
 )
 def text_idf(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs as a 1-row aggregate crossJoined in (mirroring the oracle's
+    # `n` CTE) — the whole query stays ONE lazy plan; an eager
+    # docs.count() here would run a Spark job at plan-construction time
+    # and embed a literal that can go stale.
+    n = docs.agg(F.count("*").alias("n_docs"))
     toks = docs.select(
         F.explode(
             F.expr("array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
@@ -1043,10 +1047,13 @@ def text_idf(spark, sf_dir):
         toks.groupBy("tok")
         .agg(F.count("*").alias("doc_freq"))
         .filter(F.col("doc_freq") >= 50)
+        .crossJoin(F.broadcast(n))
         .select(
             "tok",
             "doc_freq",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+            ).alias("idf"),
         )
     )
 

@@ -242,6 +242,53 @@ def test_dedup_clusters_properties(spark, docs):
     assert any(len(ds) > 1 for ds in members.values())
 
 
+def test_dedup_clusters_reliable_checkpoint(spark, docs, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint(): same cluster map, and checkpoint files actually land
+    in the directory (what survives executor loss on a real cluster)."""
+    import os
+
+    pairs = dedup.minhash_lsh_pairs(docs)
+    base = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs).collect()}
+    ckdir = str(tmp_path / "ck")
+    rel = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            docs, pairs, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert rel == base
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+
+def test_text_idf_builds_lazily(spark):
+    """Regression: text_idf used to run docs.count() (a Spark job) at
+    DataFrame-construction time. Tag construction with a job group and
+    assert no job ran in it."""
+    from sql_query_engine_spark.queries import queries
+    from tests.conftest import SF_DIR
+
+    from sql_query_engine_spark.catalog import load_table
+
+    sc = spark.sparkContext
+    # Baseline: a bare parquet load runs Spark's file-listing/schema job.
+    sc.setJobGroup("idf-baseline", "")
+    load_table(spark, SF_DIR, "documents")
+    n_load = len(sc.statusTracker().getJobIdsForGroup("idf-baseline"))
+
+    sc.setJobGroup("idf-construction", "text_idf must not run jobs eagerly")
+    try:
+        df = queries()["text_idf"](spark, SF_DIR)
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("idf-construction")
+        sc.setJobGroup("", "")
+    # The old eager docs.count() added a full compute job on top of the
+    # metadata job(s) a table load always costs.
+    assert len(jobs) <= n_load
+    assert df.count() > 0  # the plan still executes fine
+
+
 # ----------------------------------------------------------- multimodal --
 
 def test_multimodal_feature_extraction(spark, docs):

@@ -28,7 +28,10 @@ EXPECTED = {
     "ref_cross_product": "explicit cartesian is the operator",
     "ref_theta_join_pure": "pure non-equi join → broadcast NLJ by design",
     "dedup_embedding_cosine": "all-pairs exactness baseline (scale path is LSH)",
-    "dedup_simhash_pairs": "all-pairs Hamming verifier (scale path is banding)",
+    "dedup_simhash_pairs": "all-pairs Hamming verifier (scale path is "
+    "dedup_simhash_lsh banding)",
+    "text_idf": "crossJoin of a broadcast 1-row corpus-count aggregate — "
+    "the lazy replacement for an eager driver-side count()",
     "sim_cosine_topk": "broadcast NLJ of tiny query set vs corpus — correct",
     "join_full_outer": "full outer cannot broadcast; SMJ is the right strategy",
     "join_range_bands": "theta join against a 5-row broadcast band table — "
