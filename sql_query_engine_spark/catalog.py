@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLES", "load_table", "register_all", "table_path"]
+__all__ = ["TABLES", "load_table", "register_all", "register_dir", "table_path"]
 
 # All driver-provided tables (TESTDATA.md).
 TABLES = (
@@ -84,6 +84,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
     return df
+
+
+def register_dir(
+    spark: SparkSession,
+    data_dir: str,
+    dd: dict[str, dict[str, str]] | None = None,
+) -> dict[str, DataFrame]:
+    """Register every ``<name>.parquet`` / ``<name>.csv`` under a directory.
+
+    The discovery-based twin of :func:`register_all` for arbitrary corpora
+    (e.g. the reference's pizza CSVs) — the CLI entry point uses this so a
+    reference user can point ``--data-dir`` at any layout, with an optional
+    reference-style data dictionary (``{relation: {attr: type}}``) enforcing
+    CSV scan schemas exactly the way ``--dd_path`` did there.
+    """
+    from .sources.legacy import read_qualified_csv
+
+    _ensure_session_semantics(spark)
+    out: dict[str, DataFrame] = {}
+    for entry in sorted(os.listdir(data_dir)):
+        path = os.path.join(data_dir, entry)
+        if entry.endswith(".parquet"):
+            name = entry[: -len(".parquet")]
+            df = load_table(spark, data_dir, name)
+        elif entry.endswith(".csv"):
+            name = entry[: -len(".csv")]
+            df = read_qualified_csv(
+                spark, path, name, (dd or {}).get(name)
+            )
+        else:
+            continue
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    if not out:
+        raise FileNotFoundError(f"no .parquet/.csv tables under {data_dir}")
+    return out
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1069,6 +1069,13 @@ def text_idf(spark, sf_dir):
     "ntile bucketing + re-aggregation",
 )
 def window_ntile(spark, sf_dir):
+    # Global ntile is inherently a total order (one-task sort) — acceptable
+    # here because the OUTPUT is 4 rows and exactness is the contract.
+    # Scale alternative at 100 TB: compute the 3 quartile edges with
+    # approx_percentile(c_acctbal, array(0.25,0.5,0.75)) (a combinable
+    # aggregate, no global sort), then bucket rows by comparing against the
+    # broadcast edges — same re-aggregation, fully parallel, approximate
+    # only at the bucket boundaries.
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
@@ -1562,6 +1569,12 @@ def window_analytic_values(spark, sf_dir):
     "arithmetic in doubles, engine-stable)",
 )
 def window_distribution(spark, sf_dir):
+    # Global percent_rank/cume_dist is inherently a total order — exact
+    # rank requires one task to see the full order. Scale alternative at
+    # 100 TB: two-pass range rank — range-partition on c_acctbal
+    # (repartitionByRange), compute per-partition local ranks, then add the
+    # broadcast cumulative counts of the preceding partitions; or accept
+    # approximate ranks via approx_percentile-derived CDF buckets.
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(

@@ -18,7 +18,7 @@ sql2ra/functionality.py:74-78, plus the five operators of SURVEY.md §2.1):
     term       :=  '(' expr ')' | unary | RELNAME
     unary      :=  '\select_{' cond '}' term
                 |  '\project_{' attrs '}' term
-                |  '\rename_{' NAME (':' '*')? '}' term
+                |  '\rename_{' (NAME | '*') (':' ('*' | attrs))? '}' term
     cond       :=  comparison ( 'and' comparison )*
     comparison :=  operand ('=' | '<=' | '>=' | '<' | '>') operand
     operand    :=  [REL '.'] ATTR | NUMBER | 'string'
@@ -156,12 +156,30 @@ class _Parser:
             self._expect("}")
             return R.project_distinct(self.term(), attrs)
         if head == "\\rename_":
+            # radb surface: \rename_{R: *} (relation only), \rename_{R: a,b}
+            # (relation + positional attrs, reference ra2mr/ra2mr.py:274-276
+            # zips the child's attr order with the new names), \rename_{*: a,b}
+            # (attrs only).
             new_name = self._next().text
+            attrs: list[str] | None = None
             if self._peek() and self._peek().text == ":":
                 self._next()
-                self._expect("*")
+                if self._peek() and self._peek().text == "*":
+                    self._next()
+                else:
+                    attrs = self.attr_list()
             self._expect("}")
-            return R.rename(self.term(), relname=new_name)
+            child = self.term()
+            attrnames: dict[str, str] | None = None
+            if attrs is not None:
+                if len(attrs) != len(child.columns):
+                    raise ValueError(
+                        f"rename expects {len(child.columns)} attribute names, "
+                        f"got {len(attrs)}"
+                    )
+                attrnames = dict(zip(child.columns, attrs))
+            relname = None if new_name == "*" else new_name
+            return R.rename(child, relname=relname, attrnames=attrnames)
         raise ValueError(f"unknown operator {head!r}")
 
     def attr_list(self) -> list[str]:

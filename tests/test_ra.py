@@ -41,6 +41,13 @@ CASES = [
         9,
     ),
     (r"Person \join_{Person.name = Serves.pizzeria} Serves;", 0),
+    # attr-list rename (reference ra2mr/ra2mr.py:274-276): the count-94
+    # self-join expressed through positional attribute renames
+    (
+        r"\rename_{A: aname, apizza} Eats"
+        r" \join_{apizza = bpizza} \rename_{B: bname, bpizza} Eats;",
+        94,
+    ),
     # theta comparisons — correct semantics (reference J5 was broken)
     (r"\select_{price < 8} Serves;", 3),
     (r"\select_{price >= 12} Serves;", 3),
@@ -51,6 +58,16 @@ CASES = [
 @pytest.mark.parametrize("ra_text,expected", CASES[:-1])
 def test_ra_golden_counts(spark, pizza, ra_text, expected):
     assert run_ra(spark, ra_text).count() == expected
+
+
+def test_ra_attr_rename(spark, pizza):
+    # attrs-only form: \rename_{*: ...} keeps the relation, renames columns
+    df = run_ra(spark, r"\rename_{*: who, pie} Eats;")
+    assert df.columns == ["who", "pie"]
+    assert df.count() == 20
+    # arity mismatch is a parse-time error
+    with pytest.raises(ValueError):
+        run_ra(spark, r"\rename_{A: onlyone} Eats;")
 
 
 def test_ra_theta_join_filters(spark, pizza):

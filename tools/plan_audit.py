@@ -11,6 +11,7 @@ changing operators:
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -41,6 +42,49 @@ EXPECTED = {
     "a shuffle anyway",
 }
 
+# queries whose physical plan legitimately contains a Window with no
+# partition spec (a single-task total order). Anything else with a
+# partitionless window is a scale bug: the whole input funnels through
+# one task for the sort.
+EXPECTED_GLOBAL_WINDOW = {
+    "window_ntile": "global quantile rank IS a total order; scale "
+    "alternative (approx_percentile bucket edges) documented in queries.py",
+    "window_distribution": "global percent_rank/cume_dist IS a total order; "
+    "scale alternative documented in queries.py",
+    "text_pack_sequences": "two-phase prefix sum: the one global window "
+    "runs over shard TOTALS (one row per shard, broadcast-sized by "
+    "construction — functions/packing.py)",
+    "pipeline_training_data": "same shard-totals window via "
+    "packing.pack_chunks — one row per shard",
+}
+
+
+def partitionless_windows(plan: str) -> int:
+    """Count physical Window nodes whose spec has no PARTITION BY.
+
+    In `explain("formatted")` a Window node prints
+    `Arguments: [funcs], [partitionSpec], [orderSpec]`. With three groups
+    it is partitioned; with two, the second group is EITHER a partition
+    spec (no ordering direction) or an order spec (`col ASC NULLS FIRST`)
+    — only the latter is a global sort; with one group there is neither.
+    """
+    count = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Window$", line.strip()):
+            continue
+        for follow in lines[i + 1 : i + 6]:
+            follow = follow.strip()
+            if not follow.startswith("Arguments:"):
+                continue
+            groups = follow[len("Arguments:") :].strip().split("], [")
+            if len(groups) == 1 or (
+                len(groups) == 2 and re.search(r" (ASC|DESC)\b", groups[1])
+            ):
+                count += 1
+            break
+    return count
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -67,6 +111,15 @@ def main() -> int:
             print(f"ok   {q.name}: {problems} — {EXPECTED[q.name]}")
         elif problems:
             print(f"FLAG {q.name}: {problems} joins={js}")
+            flagged += 1
+        n_global = partitionless_windows(plan)
+        if n_global and q.name in EXPECTED_GLOBAL_WINDOW:
+            print(
+                f"ok   {q.name}: global-window×{n_global} — "
+                f"{EXPECTED_GLOBAL_WINDOW[q.name]}"
+            )
+        elif n_global:
+            print(f"FLAG {q.name}: partitionless Window×{n_global} (global sort)")
             flagged += 1
     print(f"\naudited {len(registry())} queries, {flagged} flagged")
     return 1 if flagged else 0
