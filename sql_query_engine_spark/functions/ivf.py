@@ -25,7 +25,10 @@ __all__ = ["train_centroids", "ivf_topk"]
 
 
 def _assign_udf(centroids):
-    """mapInPandas batch assigner: vec → nearest centroid id (L2)."""
+    """mapInPandas batch assigner: vec → nearest centroid id (L2).
+
+    Carries the embedding through so the caller needs NO join back onto
+    the corpus — assignment is a pure map stage."""
     import numpy as np
     import pandas as pd
 
@@ -40,41 +43,95 @@ def _assign_udf(centroids):
             # argmin ||v - c||² = argmin (||c||² - 2 v·c)
             d = c_sq[None, :] - 2.0 * (v @ c_mat.T)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": d.argmin(axis=1).astype("int32")}
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": d.argmin(axis=1).astype("int32"),
+                }
             )
 
     return _assign
 
 
+def _partial_mean_udf(centroids):
+    """mapInPandas: assign AND partially reduce in one Arrow pass.
+
+    Each batch emits per-cell (pos, sum, count) partials — K×dim rows per
+    batch instead of n×dim exploded value rows, so the per-iteration
+    shuffle is bounded by (cells × dim × partitions) regardless of corpus
+    size. At 100 TB this map-side combine is the difference between
+    shuffling gigabytes and shuffling the whole dataset every round.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c_mat * c_mat).sum(axis=1)
+    dim = c_mat.shape[1]
+
+    def _f(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cell = (c_sq[None, :] - 2.0 * (v @ c_mat.T)).argmin(axis=1)
+            out = {"cell": [], "pos": [], "s": [], "cnt": []}
+            for c in np.unique(cell):
+                mask = cell == c
+                out["cell"].extend([int(c)] * dim)
+                out["pos"].extend(range(dim))
+                out["s"].extend(v[mask].sum(axis=0).tolist())
+                out["cnt"].extend([int(mask.sum())] * dim)
+            yield pd.DataFrame(out)
+
+    return _f
+
+
 def train_centroids(
-    emb: DataFrame, n_cells: int = 16, n_iter: int = 5
+    emb: DataFrame, n_cells: int = 16, n_iter: int = 5, tol: float = 1e-9
 ) -> list[list[float]]:
     """Lloyd's k-means over the embedding column; returns K×dim centroids.
 
-    Deterministic init (first ``n_cells`` vectors by vec_id). Each round:
-    one Arrow-batched assignment pass + one explode/groupBy mean — all
-    distributed; only centroids are collected.
+    Deterministic init (first ``n_cells`` vectors by vec_id). Each round is
+    ONE distributed job: an Arrow pass that assigns vectors and emits
+    per-cell partial sums (map-side combine), then a tiny groupBy over
+    cells×dims — only centroids are collected. The input is cached across
+    rounds (Lloyd's re-reads it n_iter times).
     """
     par = emb.sparkSession.sparkContext.defaultParallelism
-    emb = emb.repartition(par).select("vec_id", "embedding")
-    first = emb.orderBy("vec_id").limit(n_cells).collect()
-    centroids = [list(map(float, r.embedding)) for r in first]
+    emb = emb.repartition(par).select("vec_id", "embedding").persist()
+    try:
+        first = emb.orderBy("vec_id").limit(n_cells).collect()
+        centroids = [list(map(float, r.embedding)) for r in first]
 
-    for _ in range(n_iter):
-        assigned = emb.mapInPandas(_assign_udf(centroids), "vec_id long, cell int")
-        means = (
-            emb.join(assigned, "vec_id")
-            .select("cell", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new = {(r.cell, r.pos): r.m for r in means}
-        centroids = [
-            [new.get((c, p), centroids[c][p]) for p in range(len(centroids[0]))]
-            for c in range(n_cells)
-        ]
-    return centroids
+        for _ in range(n_iter):
+            means = (
+                emb.mapInPandas(
+                    _partial_mean_udf(centroids),
+                    "cell int, pos int, s double, cnt long",
+                )
+                .groupBy("cell", "pos")
+                .agg((F.sum("s") / F.sum("cnt")).alias("m"))
+                .collect()
+            )
+            new = {(r.cell, r.pos): r.m for r in means}
+            updated = [
+                [new.get((c, p), centroids[c][p]) for p in range(len(centroids[0]))]
+                for c in range(n_cells)
+            ]
+            # early stop: Lloyd's often converges in 2-3 rounds; each
+            # saved round is a full distributed pass over the corpus
+            moved = max(
+                abs(a - b)
+                for row_new, row_old in zip(updated, centroids)
+                for a, b in zip(row_new, row_old)
+            )
+            centroids = updated
+            if moved < tol:
+                break
+        return centroids
+    finally:
+        emb.unpersist()
 
 
 def ivf_topk(
@@ -101,13 +158,22 @@ def ivf_topk(
     spark = emb.sparkSession
 
     base = emb.repartition(par).select("vec_id", "embedding")
-    assigned = base.mapInPandas(_assign_udf(centroids), "vec_id long, cell int")
-    corpus = base.join(assigned, "vec_id").withColumn(
-        "n2",
-        F.expr(
-            "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
-            " cast(0 as double), (acc, v) -> acc + v)"
-        ),
+    # assignment is a pure map stage (the UDF carries the embedding
+    # through — no join back onto the corpus); persist because the
+    # assigned corpus feeds three consumers (query collect, query branch,
+    # candidate join) and the Arrow pass would re-run per consumer
+    corpus = (
+        base.mapInPandas(
+            _assign_udf(centroids), "vec_id long, embedding array<float>, cell int"
+        )
+        .withColumn(
+            "n2",
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+        .persist()
     )
 
     # query → its n_probe nearest cells (tiny, computed driver-side)

@@ -141,3 +141,55 @@ def test_pandas_cosine_topk_matches_jvm(spark):
         for r in similarity.cosine_topk_pandas(emb, k=10, n_queries=4).collect()
     }
     assert jvm == pnd
+
+
+def test_global_row_number_matches_window(spark):
+    """Two-pass range rank (operators/rank.py) must equal the global
+    window's row_number on a total order — same numbers, no global sort."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_spark.operators import rank
+
+    c = load_table(spark, SF_DIR, "customer")
+    want = {
+        r.c_custkey: r.rn
+        for r in c.select(
+            "c_custkey",
+            F.row_number()
+            .over(Window.orderBy("c_acctbal", "c_custkey"))
+            .alias("rn"),
+        ).collect()
+    }
+    got = {
+        r.c_custkey: r.rn
+        for r in rank.global_row_number(
+            c, "c_acctbal", "c_custkey", num_partitions=7
+        )
+        .select("c_custkey", "rn")
+        .collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_rn_remainder_buckets(spark):
+    """ANSI ntile: with n=10, k=4 the bucket sizes are 3,3,2,2 — the
+    arithmetic recovery must match Spark's ntile exactly."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_spark.operators import rank
+
+    df = spark.range(1, 11).select(F.col("id").alias("v"))
+    want = [
+        (r.v, r.q)
+        for r in df.select(
+            "v", F.ntile(4).over(Window.orderBy("v")).alias("q")
+        ).collect()
+    ]
+    got = [
+        (r.v, r.q)
+        for r in df.select(
+            "v",
+            rank.ntile_from_rn(F.col("v"), F.lit(10), 4).alias("q"),
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)

@@ -33,6 +33,10 @@ EXPECTED = {
     "dedup_simhash_lsh banding)",
     "text_idf": "crossJoin of a broadcast 1-row corpus-count aggregate — "
     "the lazy replacement for an eager driver-side count()",
+    "window_distribution_scale": "crossJoin of a broadcast 1-row total-count "
+    "aggregate (same lazy-count shape as text_idf)",
+    "window_ntile_scale": "crossJoin of a broadcast 1-row total-count "
+    "aggregate (same lazy-count shape as text_idf)",
     "sim_cosine_topk": "broadcast NLJ of tiny query set vs corpus — correct",
     "join_full_outer": "full outer cannot broadcast; SMJ is the right strategy",
     "join_range_bands": "theta join against a 5-row broadcast band table — "
@@ -56,6 +60,11 @@ EXPECTED_GLOBAL_WINDOW = {
     "construction — functions/packing.py)",
     "pipeline_training_data": "same shard-totals window via "
     "packing.pack_chunks — one row per shard",
+    "window_distribution_scale": "two-pass range rank (operators/rank.py): "
+    "the global window runs over per-partition COUNTS (one row per range "
+    "partition), not the data",
+    "window_ntile_scale": "same two-pass rank offsets window — one row "
+    "per range partition",
 }
 
 
