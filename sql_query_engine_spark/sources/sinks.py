@@ -22,8 +22,14 @@ Scale notes baked into the writers:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["show_sample", "write_parquet", "write_bucketed_table"]
+__all__ = [
+    "show_sample",
+    "write_parquet",
+    "write_bucketed_table",
+    "write_training_shards",
+]
 
 
 def show_sample(df: DataFrame, n: int = 10) -> int:
@@ -69,6 +75,34 @@ def write_sorted_parquet(
         df.repartitionByRange(n_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    pack_col: str = "pack_id",
+    mode: str = "overwrite",
+) -> None:
+    """The training-data pipeline's terminal sink: packed sequences →
+    fixed-count shards a data loader can stream round-robin.
+
+    ``shard = pack_id % n_shards`` gives every shard an equal share of
+    packs regardless of corpus size (training loaders want a FIXED shard
+    count with growing shard size, not the reverse), ``partitionBy``
+    writes one directory per shard so loader workers claim shards by
+    directory, and sorting within shards by pack id keeps each file in
+    curriculum order. One shuffle total — the modulo repartition — at any
+    scale; no global sort anywhere.
+    """
+    (
+        packed.repartition(n_shards, F.pmod(F.col(pack_col), F.lit(n_shards)))
+        .withColumn("shard", F.pmod(F.col(pack_col), F.lit(n_shards)).cast("int"))
+        .sortWithinPartitions(pack_col)
+        .write.mode(mode)
+        .partitionBy("shard")
         .parquet(path)
     )
 

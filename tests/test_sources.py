@@ -201,3 +201,24 @@ def test_show_sample_returns_count(spark, pizza, capsys):
     assert n == 9
     out = capsys.readouterr().out
     assert "Amy" in out or "name" in out
+
+
+def test_training_shard_sink_layout(spark, tmp_path):
+    """write_training_shards: fixed shard count, every pack in its
+    pack_id%n shard directory, files internally ordered by pack_id."""
+    from sql_query_engine_spark.functions import chunking, packing
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    chunks = chunking.chunk_documents_sql(load_table(spark, SF_DIR, "documents"))
+    packed = packing.pack_chunks(chunks, seq_len=512)
+    out = tmp_path / "shards"
+    sinks.write_training_shards(packed, str(out), n_shards=4)
+
+    dirs = sorted(p.name for p in out.iterdir() if p.name.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+
+    back = spark.read.parquet(str(out))
+    assert back.count() == packed.count()
+    bad = back.filter(F.pmod(F.col("pack_id"), F.lit(4)) != F.col("shard")).count()
+    assert bad == 0
