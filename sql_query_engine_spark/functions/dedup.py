@@ -61,6 +61,8 @@ __all__ = [
     "simhash_lsh_pairs_oracle",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_oracle",
+    "minhash_bands_stateless",
+    "incremental_neardup_stateless",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_oracle",
 ]
@@ -513,6 +515,97 @@ cand AS (
 SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 """
+
+
+# --------------------------------------------------------------------------
+# stateless MinHash bands (streaming-safe)
+# --------------------------------------------------------------------------
+
+def minhash_bands_stateless(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, bsigs, band, bsig) via PURE per-row expressions.
+
+    The batch path computes MinHash signatures as min-AGGREGATES over the
+    exploded shingle table (one shuffle — right at corpus scale, where a
+    document's shingles may outnumber a task's rows). This variant folds
+    the identical arithmetic into array expressions evaluated per document
+    row: ``mh_k = array_min(transform(xs, x -> (a_k*x + b_k) % P))``.
+    Every operator is STATELESS, so the computation runs unchanged on a
+    Structured Streaming DataFrame (where the aggregate path would demand
+    watermarked state). Same md5 arithmetic, same constants — values are
+    bit-identical to :func:`minhash_signatures`.
+
+    ``bsigs`` (all 4 band signatures as an array) rides along so consumers
+    can dedup multi-band collisions with a per-row predicate instead of a
+    stateful DISTINCT — see :func:`incremental_neardup_stateless`.
+    """
+    sh = shingled_docs(docs)
+    xs = sh.select(
+        "doc_id",
+        "sh",
+        F.expr(
+            f"transform(sh, s -> {spark_hex48('s')} % {MERSENNE_P})"
+        ).alias("xs"),
+    )
+    mh = [
+        f"array_min(transform(xs, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for (a, b) in MINHASH_PERMS
+    ]
+    bsig_exprs = []
+    for j in range(N_BANDS):
+        ms = mh[j * ROWS_PER_BAND : (j + 1) * ROWS_PER_BAND]
+        bsig_exprs.append("concat_ws('-', " + ", ".join(ms) + ")")
+    sigs = xs.select(
+        "doc_id", "sh", F.expr(f"array({', '.join(bsig_exprs)})").alias("bsigs")
+    )
+    return sigs.select(
+        "doc_id", "sh", "bsigs", F.posexplode("bsigs").alias("band", "bsig")
+    )
+
+
+def incremental_neardup_stateless(
+    new_docs: DataFrame, known_docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`incremental_neardup` re-expressed with ONLY stateless
+    operators on the new side — the streaming ingest shape.
+
+    ``new_docs`` may be a STREAMING DataFrame: bands come from per-row
+    expressions (:func:`minhash_bands_stateless`), candidates from a
+    stream-static equi-join on (band, bsig) against the known corpus's
+    band index, and the multi-band duplicate collapse is the first-
+    matching-band predicate (``array_position`` over the zipped signature
+    arrays) instead of a stateful DISTINCT. Verification is the same
+    exact-Jaccard expression on the two shingle arrays carried through
+    the join. Output pairs are identical to the batch path.
+    """
+    new_b = minhash_bands_stateless(new_docs).alias("a")
+    known_b = minhash_bands_stateless(known_docs).alias("b")
+    joined = new_b.join(known_b, ["band", "bsig"]).select(
+        F.col("a.doc_id").alias("new_doc"),
+        F.col("b.doc_id").alias("known_doc"),
+        F.col("band").alias("band"),
+        F.col("a.bsigs").alias("a_bsigs"),
+        F.col("b.bsigs").alias("b_bsigs"),
+        F.col("a.sh").alias("a_sh"),
+        F.col("b.sh").alias("b_sh"),
+    )
+    # keep each (new, known) pair exactly once: only the FIRST band where
+    # the signatures agree survives — a pure per-row predicate, no state
+    first_band = joined.filter(
+        F.expr("array_position(zip_with(a_bsigs, b_bsigs, (x, y) -> x = y), true)")
+        == F.col("band") + 1
+    )
+    return (
+        first_band.select(
+            "new_doc",
+            "known_doc",
+            F.expr(
+                "cast(size(array_intersect(a_sh, b_sh)) as double)"
+                " / (size(a_sh) + size(b_sh) - size(array_intersect(a_sh, b_sh)))"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "known_doc", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1882,6 +1882,23 @@ def dedup_incremental(spark, sf_dir):
 
 
 @_q(
+    "dedup_incremental_stateless",
+    dedup.incremental_neardup_oracle("% 2 = 1", "% 2 = 0"),
+    "streaming-shaped incremental dedup: identical pairs to "
+    "dedup_incremental, but every operator on the arriving side is "
+    "STATELESS (per-row MinHash expressions, stream-static band join, "
+    "first-matching-band dedup predicate) — runs unchanged on a "
+    "readStream of documents (test_streaming.py drives it as a real "
+    "stream); same oracle as the batch twin",
+)
+def dedup_incremental_stateless(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    known_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_neardup_stateless(new_docs, known_docs)
+
+
+@_q(
     "catalog_profile_orders",
     """SELECT count(*) AS n_rows,
               count(DISTINCT o_custkey) AS n_customers,
@@ -2764,6 +2781,7 @@ _GATE_PRIORITY = [
     "dedup_simhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    "dedup_incremental_stateless",
     "dedup_clusters",
     "dedup_embedding_lsh",
     "sim_cosine_topk",

@@ -272,3 +272,48 @@ def test_sliding_each_event_in_two_windows(spark, batch_events):
 
     windowed = EV.sliding_counts(batch_events)
     assert windowed.agg(F.sum("n_events")).collect()[0][0] == 2 * total_events
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """incremental_neardup_stateless on a REAL document stream
+    (readStream → stream-static band join → append memory sink) must emit
+    exactly the batch twin's near-dup pairs — the streaming ingest-dedup
+    story end-to-end: arriving docs probe the known corpus's index with
+    zero stateful operators (no watermark, bounded memory by construction).
+    """
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.functions import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    known = docs.filter(F.col("doc_id") % 2 == 0)
+
+    # stage the arriving batch as a parquet directory for FileStreamSource
+    stream_dir = tmp_path / "docs_stream"
+    new_batch.coalesce(1).write.parquet(str(stream_dir))
+
+    new_stream = spark.readStream.schema(docs.schema).parquet(str(stream_dir))
+    out = dedup.incremental_neardup_stateless(new_stream, known)
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.new_doc, r.known_doc, r.jaccard)
+        for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+    }
+    expected = {
+        (r.new_doc, r.known_doc, r.jaccard)
+        for r in dedup.incremental_neardup(new_batch, known).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
