@@ -29,6 +29,8 @@ __all__ = [
     "write_parquet",
     "write_bucketed_table",
     "write_training_shards",
+    "write_zorder_parquet",
+    "zorder_key",
 ]
 
 
@@ -74,6 +76,70 @@ def write_sorted_parquet(
     (
         df.repartitionByRange(n_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_key(col_a: str, col_b: str, bits: int = 8) -> "F.Column":
+    """Morton (Z-order) key: interleave ``bits`` bits of two columns —
+    one pure expression, no UDF.
+
+    Both columns MUST already be normalized into ``[0, 2^bits)``: with
+    unequal ranges the wider column would own every high interleaved bit
+    and the narrow column would never cluster (the classic z-order
+    pitfall). :func:`write_zorder_parquet` does the normalization.
+    """
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + shiftleft(cast(({col_a} >> i) & 1 as bigint), 2 * i)"
+        f" + shiftleft(cast(({col_b} >> i) & 1 as bigint), 2 * i + 1))"
+    )
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered parquet layout: multi-column data skipping.
+
+    ``write_sorted_parquet`` makes row-group min/max stats near-disjoint
+    for ONE column; sorting by the Morton key does it for two at once —
+    a selective filter on either column (or both) skips most row groups.
+    At 100 TB this is the layout decision that turns point lookups on two
+    access paths into a handful of row-group reads without storing the
+    table twice.
+
+    Each dimension is min-max scaled into the ``bits`` budget first (a
+    broadcast 1-row stats aggregate — lazy, one extra pass at write time)
+    so both columns contribute equally to every z-value bit level.
+    """
+    cap = 1 << bits
+    stats = df.agg(
+        F.min(col_a).alias("__min_a"),
+        F.max(col_a).alias("__max_a"),
+        F.min(col_b).alias("__min_b"),
+        F.max(col_b).alias("__max_b"),
+    )
+    norm_a = (
+        f"cast(({col_a} - __min_a) * {cap} / (__max_a - __min_a + 1) as bigint)"
+    )
+    norm_b = (
+        f"cast(({col_b} - __min_b) * {cap} / (__max_b - __min_b + 1) as bigint)"
+    )
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__na", F.expr(norm_a))
+        .withColumn("__nb", F.expr(norm_b))
+        .withColumn("__z", zorder_key("__na", "__nb", bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__na", "__nb", "__min_a", "__max_a", "__min_b", "__max_b")
         .write.mode(mode)
         .parquet(path)
     )

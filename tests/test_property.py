@@ -98,3 +98,71 @@ def test_fingerprint_injective_on_distinct_nonempty(spark, texts):
         by_text.setdefault(t, set()).add(fp1[i])
     for t, fps in by_text.items():
         assert len(fps) == 1  # same text → same fingerprint
+
+
+@settings(**_SETTINGS)
+@given(
+    n_rows=st.integers(min_value=1, max_value=300),
+    n_tokens_mod=st.integers(min_value=1, max_value=50),
+    shard_width=st.integers(min_value=1, max_value=64),
+)
+def test_two_phase_packing_equals_global_window(
+    spark, n_rows, n_tokens_mod, shard_width
+):
+    """pack_chunks' shard-parallel prefix sum ≡ the global running-sum
+    window, for arbitrary chunk tables and shard widths."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_spark.functions.packing import cumulative_tokens
+
+    chunks = spark.range(0, n_rows).select(
+        (F.col("id") % 37).alias("doc_id"),
+        (F.col("id") % 7).alias("chunk_idx"),
+        (F.col("id") % n_tokens_mod + 1).alias("n_tokens"),
+    ).dropDuplicates(["doc_id", "chunk_idx"])
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.doc_id, r.chunk_idx): r.c
+        for r in chunks.select(
+            "doc_id", "chunk_idx", F.sum("n_tokens").over(w).alias("c")
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.chunk_idx): r.cum_tokens
+        for r in cumulative_tokens(chunks, shard_width=shard_width).collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    n_rows=st.integers(min_value=1, max_value=300),
+    n_part=st.integers(min_value=1, max_value=16),
+    key_mod=st.integers(min_value=1, max_value=40),
+)
+def test_two_pass_rank_equals_global_window(spark, n_rows, n_part, key_mod):
+    """global_row_number ≡ the global window's row_number for arbitrary
+    tables, partition counts, and duplicate-heavy sort prefixes (the
+    unique id tie-breaker keeps the order total)."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_spark.operators.rank import global_row_number
+
+    df = spark.range(0, n_rows).select(
+        (F.col("id") % key_mod).alias("k"), F.col("id").alias("uid")
+    )
+    want = {
+        r.uid: r.rn
+        for r in df.select(
+            "uid", F.row_number().over(Window.orderBy("k", "uid")).alias("rn")
+        ).collect()
+    }
+    got = {
+        r.uid: r.rn
+        for r in global_row_number(df, "k", "uid", num_partitions=n_part)
+        .select("uid", "rn")
+        .collect()
+    }
+    assert got == want

@@ -222,3 +222,45 @@ def test_training_shard_sink_layout(spark, tmp_path):
     assert back.count() == packed.count()
     bad = back.filter(F.pmod(F.col("pack_id"), F.lit(4)) != F.col("shard")).count()
     assert bad == 0
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-ordered lineitem: row-group min/max spans must shrink on BOTH
+    z dimensions relative to an unordered write — the property that lets
+    a filter on either column skip row groups."""
+    import pyarrow.parquet as pq
+
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    def spans(path, col):
+        out = []
+        for f in sorted(path.glob("part-*.parquet")):
+            meta = pq.ParquetFile(str(f)).metadata
+            idx = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == col
+            )
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                out.append(st.max - st.min)
+        return out
+
+    z_path = tmp_path / "li_z"
+    sinks.write_zorder_parquet(li, str(z_path), "l_orderkey", "l_partkey", n_files=8)
+    plain_path = tmp_path / "li_plain"
+    li.repartition(8).write.parquet(str(plain_path))
+
+    for col in ("l_orderkey", "l_partkey"):
+        lo, hi = li.agg(F.min(col), F.max(col)).first()
+        g = hi - lo
+        z_mean = sum(spans(z_path, col)) / len(spans(z_path, col))
+        plain_mean = sum(spans(plain_path, col)) / len(spans(plain_path, col))
+        # every z file covers a strict subrange on average; plain spans ~all
+        assert z_mean < 0.75 * g, col
+        assert z_mean < plain_mean, col
+
+    assert spark.read.parquet(str(z_path)).count() == li.count()
