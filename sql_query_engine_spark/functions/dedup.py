@@ -577,8 +577,42 @@ def incremental_neardup_stateless(
     exact-Jaccard expression on the two shingle arrays carried through
     the join. Output pairs are identical to the batch path.
     """
+    # probe a freshly-built index; production ingest builds/persists the
+    # index once per corpus snapshot (build_band_index) and probes it
+    # per batch (probe_band_index). The multi-band duplicate collapse is
+    # the first-matching-band predicate inside the probe — no state.
+    return probe_band_index(
+        new_docs, build_band_index(known_docs), threshold=threshold
+    )
+
+
+def build_band_index(known_docs: DataFrame) -> DataFrame:
+    """Materializable band index of a known corpus: (doc_id, sh, band, bsig).
+
+    The production ingest loop computes this ONCE per corpus snapshot and
+    persists it (parquet partitioned by band, or just cached); every
+    arriving batch then probes the stored index instead of re-shingling
+    the known side per micro-batch:
+
+        idx = spark.read.parquet(index_path)       # or build_band_index(known)
+        pairs = probe_band_index(new_batch, idx)
+
+    Identical signatures to the stateless path (same per-row arithmetic).
+    """
+    return minhash_bands_stateless(known_docs)
+
+
+def probe_band_index(
+    new_docs: DataFrame, index: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Stateless probe of a prebuilt band index — streaming-safe.
+
+    Same join/verify shape as :func:`incremental_neardup_stateless` but
+    the known side is the stored index, so per-batch cost is only the
+    arriving documents' expressions + one equi-join against the index.
+    """
     new_b = minhash_bands_stateless(new_docs).alias("a")
-    known_b = minhash_bands_stateless(known_docs).alias("b")
+    known_b = index.alias("b")
     joined = new_b.join(known_b, ["band", "bsig"]).select(
         F.col("a.doc_id").alias("new_doc"),
         F.col("b.doc_id").alias("known_doc"),
@@ -588,8 +622,6 @@ def incremental_neardup_stateless(
         F.col("a.sh").alias("a_sh"),
         F.col("b.sh").alias("b_sh"),
     )
-    # keep each (new, known) pair exactly once: only the FIRST band where
-    # the signatures agree survives — a pure per-row predicate, no state
     first_band = joined.filter(
         F.expr("array_position(zip_with(a_bsigs, b_bsigs, (x, y) -> x = y), true)")
         == F.col("band") + 1

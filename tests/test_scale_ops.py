@@ -193,3 +193,27 @@ def test_ntile_from_rn_remainder_buckets(spark):
         ).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_band_index_parquet_roundtrip_probe(spark, tmp_path):
+    """The persisted-index ingest flow: build_band_index → parquet →
+    reload → probe must yield exactly the directly-computed pairs."""
+    from sql_query_engine_spark.functions import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    known = docs.filter(F.col("doc_id") % 2 == 0)
+
+    idx_path = str(tmp_path / "band_index")
+    dedup.build_band_index(known).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    got = {
+        (r.new_doc, r.known_doc, r.jaccard)
+        for r in dedup.probe_band_index(new_batch, idx).collect()
+    }
+    want = {
+        (r.new_doc, r.known_doc, r.jaccard)
+        for r in dedup.incremental_neardup(new_batch, known).collect()
+    }
+    assert got == want and len(want) > 0
