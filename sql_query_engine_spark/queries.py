@@ -1306,6 +1306,23 @@ def sql_scalar_subquery(spark, sf_dir):
     )
 
 
+_CORR_SUBQ = """SELECT p_partkey, p_brand, p_retailprice FROM part p
+       WHERE p_retailprice >
+             (SELECT cast(sum(cast(p2.p_retailprice as decimal(18,2))) as double)
+                     / count(*)
+              FROM part p2 WHERE p2.p_brand = p.p_brand)"""
+
+
+@_q(
+    "sql_correlated_subquery",
+    _CORR_SUBQ,
+    "correlated scalar subquery (per-brand average) — Catalyst decorrelates "
+    "to an aggregate + join; exact decimal average both engines",
+)
+def sql_correlated_subquery(spark, sf_dir):
+    return _sql(spark, sf_dir, _CORR_SUBQ)
+
+
 @_q(
     "sql_exists_subquery",
     """SELECT c_custkey FROM customer c

@@ -31,6 +31,7 @@ __all__ = [
     "write_training_shards",
     "write_zorder_parquet",
     "zorder_key",
+    "compact_parquet",
 ]
 
 
@@ -171,6 +172,36 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files; returns the file count.
+
+    Streaming sinks and fine-grained partitioned writes accumulate many
+    small files; at scale the scan's task-per-file overhead dominates.
+    Sizing from the source's actual bytes (Hadoop FS metadata — works on
+    HDFS/S3/local alike) keeps output files near the target regardless of
+    row width. Uses ``coalesce`` (no shuffle) since compaction only needs
+    fewer files, not a new distribution.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return n_files
 
 
 def write_bucketed_table(

@@ -264,3 +264,21 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
         assert z_mean < plain_mean, col
 
     assert spark.read.parquet(str(z_path)).count() == li.count()
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """64 tiny files → compaction to a byte-budgeted handful, same rows."""
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    src = tmp_path / "small_files"
+    li.repartition(64).write.parquet(str(src))
+    assert len(list(src.glob("part-*.parquet"))) == 64
+
+    dst = tmp_path / "compacted"
+    n = sinks.compact_parquet(spark, str(src), str(dst), target_file_bytes=10 * 1024 * 1024)
+    files = list(dst.glob("part-*.parquet"))
+    assert len(files) == n
+    assert n < 8
+    assert spark.read.parquet(str(dst)).count() == li.count()
