@@ -317,3 +317,54 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_streaming_text_pipeline_equals_batch(spark, tmp_path):
+    """quality-gate → scrub → chunk on a REAL document stream: every
+    stage is a stateless projection/generator, so the training-data prep
+    front half runs as-is under Structured Streaming — the streamed chunk
+    set must equal the batch run exactly."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.functions import chunking, text
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def front_half(df):
+        ntok = F.expr(text.ORACLE_EXPRS["n_tokens"][0])
+        qual = F.expr(text.ORACLE_EXPRS["quality"][0])
+        lang = F.expr(text.ORACLE_EXPRS["lang_id"][0])
+        kept = df.filter(
+            (ntok >= 20) & (ntok <= 1000) & (qual > 0.3) & (lang != "und")
+        )
+        scrubbed = kept.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("text", "[0-9]+", "<NUM>"),
+                "[a-z0-9._%+-]+@[a-z0-9.-]+",
+                "<EMAIL>",
+            ).alias("text"),
+        )
+        return chunking.chunk_documents_sql(scrubbed)
+
+    stream_dir = tmp_path / "docs_pipe_stream"
+    docs.coalesce(1).write.parquet(str(stream_dir))
+    stream = spark.readStream.schema(docs.schema).parquet(str(stream_dir))
+
+    out = front_half(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pipe_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pipe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM pipe_stream_test").collect()
+    }
+    want = {tuple(r) for r in front_half(docs).collect()}
+    assert got == want and len(want) > 0
