@@ -37,6 +37,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 _TOKEN_RE = "[a-z0-9]+"
+# BPE-ish pretokenizer (GPT-2 shape, sans contractions — apostrophes would
+# need dialect-divergent quote escaping): space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace runs. Both Java regex (Spark)
+# and RE2 (DuckDB) use leftmost-first alternation, so the two engines
+# produce the same token stream.
+_BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
 _FP_MOD = 1_000_000_007
 
 
@@ -109,6 +115,10 @@ ORACLE_EXPRS: dict[str, tuple[str, str]] = {
         "size(split(text, ' '))",
         "len(string_split(text, ' '))",
     ),
+    "n_bpe_tokens": (
+        f"size(regexp_extract_all(lower(text), '{_BPE_RE}', 0))",
+        f"len(regexp_extract_all(lower(text), '{_BPE_RE}'))",
+    ),
     "fp": (_fp_rolling("spark", "text"), _fp_rolling("duck", "text")),
 }
 
@@ -122,8 +132,13 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("n_tokens", F.expr(_token_count("spark", text_col))).withColumn(
-        "n_ws_tokens", F.expr(f"size(split({text_col}, ' '))")
+    return (
+        df.withColumn("n_tokens", F.expr(_token_count("spark", text_col)))
+        .withColumn("n_ws_tokens", F.expr(f"size(split({text_col}, ' '))"))
+        .withColumn(
+            "n_bpe_tokens",
+            F.expr(f"size(regexp_extract_all(lower({text_col}), '{_BPE_RE}', 0))"),
+        )
     )
 
 

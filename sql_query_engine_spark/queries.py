@@ -2019,13 +2019,18 @@ def text_quality(spark, sf_dir):
 @_q(
     "text_token_stats",
     f"""SELECT doc_id, {text.ORACLE_EXPRS['n_tokens'][1]} AS n_tokens,
-               {text.ORACLE_EXPRS['n_ws_tokens'][1]} AS n_ws_tokens
+               {text.ORACLE_EXPRS['n_ws_tokens'][1]} AS n_ws_tokens,
+               {text.ORACLE_EXPRS['n_bpe_tokens'][1]} AS n_bpe_tokens
         FROM documents""",
-    "token counting: regex tokens + whitespace tokens",
+    "token counting: word-regex tokens, whitespace tokens, and a BPE-ish "
+    "GPT-2-shaped pretokenizer count (space-prefixed letter/digit/punct "
+    "runs) — same regex, same leftmost-first semantics, both engines",
 )
 def text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return text.with_token_counts(docs).select("doc_id", "n_tokens", "n_ws_tokens")
+    return text.with_token_counts(docs).select(
+        "doc_id", "n_tokens", "n_ws_tokens", "n_bpe_tokens"
+    )
 
 
 @_q(
