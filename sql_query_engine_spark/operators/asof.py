@@ -41,12 +41,17 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tiebreak: str,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join: latest right row (by ``right_ts``, ≤ ``left_ts``) per key.
 
     Returns all left columns plus ``value_cols`` from the matched right
     row (NULL where no right row precedes the left row). ``tiebreak``
     resolves multiple right rows sharing (key, ts): the max wins.
+    ``tolerance`` (same units as the timestamps) voids matches staler
+    than ``left_ts - tolerance`` — the feature-store freshness bound; the
+    matched timestamp rides the same window pass, so tolerance adds no
+    extra shuffle.
     """
     # one right row per (key, ts): keep the max-tiebreak row
     w_dedup = Window.partitionBy(right_key, right_ts).orderBy(F.col(tiebreak).desc())
@@ -84,8 +89,24 @@ def asof_join(
     carried = (
         l_tagged.unionByName(r_tagged)
         .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .withColumn(
+            "__match_t",
+            F.last(
+                F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+            ).over(w),
+        )
         .filter(F.col("__is_left") == 1)
     )
+    if tolerance is not None:
+        # the carried __match/__match_t come from the same (latest) right
+        # row, so one staleness predicate voids both together
+        carried = carried.withColumn(
+            "__match",
+            F.when(
+                F.col("__t") - F.col("__match_t") <= F.lit(tolerance),
+                F.col("__match"),
+            ),
+        )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
         F.col(f"__match.{c}").alias(c) for c in value_cols
     ]

@@ -2569,6 +2569,63 @@ def join_asof(spark, sf_dir):
     )
 
 
+# Freshness bound that SPLITS the corpus (staleness here spans ~8200-8900
+# days — orders are 1990s dates, events are 2020 timestamps), so the
+# oracle check exercises both kept and voided matches.
+_ASOF_TOL_US = 8_400 * 86_400 * 1_000_000
+
+
+@_q(
+    "join_asof_tolerance",
+    f"""WITH r1 AS (
+    SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+),
+r2 AS (SELECT o_custkey, t, o_orderkey, o_totalprice FROM r1 WHERE rn = 1),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+SELECT l.event_id, l.user_id,
+       CASE WHEN l.t - r2.t <= {_ASOF_TOL_US} THEN r2.o_orderkey END
+           AS last_orderkey,
+       CASE WHEN l.t - r2.t <= {_ASOF_TOL_US} THEN r2.o_totalprice END
+           AS last_totalprice
+FROM l ASOF LEFT JOIN r2 ON l.user_id = r2.o_custkey AND l.t >= r2.t""",
+    "as-of join with a freshness tolerance: stale matches are voided "
+    "(the feature-store staleness bound) — the matched timestamp rides "
+    "the same single window pass, no extra shuffle",
+)
+def join_asof_tolerance(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_t_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="t_us",
+        right_ts="o_t_us",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        tolerance=_ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
 @_q(
     "stream_interval_join",
     """WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
@@ -2824,6 +2881,7 @@ _GATE_PRIORITY = [
     "mm_binary_features",
     "mm_frame_samples",
     "join_asof",
+    "join_asof_tolerance",
     "pipeline_training_data",
     # TPC-H + core batch representatives
     "tpch_q3_shipping_priority",
