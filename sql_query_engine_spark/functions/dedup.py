@@ -786,9 +786,17 @@ def dedup_clusters(
     edges = _ckpt(edges)
 
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Frontier (delta) iteration: only labels that IMPROVED last round
+    # send messages. Round 1 everyone sends; afterwards the edges⋈frontier
+    # join carries only the still-active nodes — on a 100 TB graph the
+    # active set collapses within a couple of rounds while the full
+    # labels⋈edges join would stay corpus-sized every round. A label can
+    # only improve via a neighbor whose label improved, so the delta
+    # schedule reaches the same fixpoint as the dense one.
+    frontier = labels
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
+            edges.join(frontier, edges["src"] == frontier["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
@@ -806,6 +814,7 @@ def dedup_clusters(
         )
         updated = _ckpt(updated)
         n_changed = updated.filter("changed").count()
+        frontier = updated.filter("changed").drop("changed")
         labels = updated.drop("changed")
         if n_changed == 0:
             break
