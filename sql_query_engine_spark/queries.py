@@ -2017,6 +2017,61 @@ def text_quality(spark, sf_dir):
 
 
 @_q(
+    "text_char_entropy",
+    """WITH cc AS (
+    SELECT doc_id, c, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
+          FROM documents)
+    WHERE c != '' GROUP BY doc_id, c
+),
+folded AS (
+    SELECT doc_id,
+           list(cnt ORDER BY c) AS cnts,
+           sum(cnt) AS n
+    FROM cc GROUP BY doc_id
+)
+SELECT doc_id,
+       round(list_reduce(
+           list_prepend(cast(0 as double),
+               list_transform(cnts,
+                   k -> -(k / cast(n as double)) * log2(k / cast(n as double)))),
+           (a, b) -> a + b), 6) AS char_entropy
+FROM folded""",
+    "character-entropy quality signal (Shannon bits/char — near-zero for "
+    "repeated-char gibberish, ~4.2 for natural English). Float parity via "
+    "the deterministic-fold trick: per-char counts are collected SORTED BY "
+    "CHARACTER and the -p*log2(p) terms left-folded in that order, so both "
+    "engines accumulate identically — no parallel-sum drift",
+)
+def text_char_entropy(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    folded = cc.groupBy("doc_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(c, cnt))), s -> s.cnt)")
+        .alias("cnts"),
+        F.sum("cnt").alias("n"),
+    )
+    return folded.select(
+        "doc_id",
+        F.round(
+            F.expr(
+                "aggregate(transform(cnts,"
+                " k -> -(k / cast(n as double)) * log2(k / cast(n as double))),"
+                " cast(0 as double), (a, b) -> a + b)"
+            ),
+            6,
+        ).alias("char_entropy"),
+    )
+
+
+@_q(
     "text_token_stats",
     f"""SELECT doc_id, {text.ORACLE_EXPRS['n_tokens'][1]} AS n_tokens,
                {text.ORACLE_EXPRS['n_ws_tokens'][1]} AS n_ws_tokens,
@@ -2867,6 +2922,7 @@ _GATE_PRIORITY = [
     "sim_lsh_ann_topk",
     "text_quality",
     "text_lang_id",
+    "text_char_entropy",
     "text_token_stats",
     "text_fingerprint",
     "text_chunking",
