@@ -69,6 +69,15 @@ def _ensure_session_semantics(spark: SparkSession) -> None:
         pass
 
 
+# (sf_dir, name) → inferred StructType. ``spark.read.parquet`` runs a
+# footer-reading schema-inference job on EVERY invocation (it is not
+# cached per path); the registry builds hundreds of scans per gate run,
+# so caching the schema and passing it back via ``.schema(...)`` removes
+# one Spark job per table reference and makes query CONSTRUCTION
+# genuinely job-free (pinned by test_plans.py::test_query_construction_is_lazy).
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table; normalizes the events timestamp.
 
@@ -78,7 +87,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ts_utc`` timestamp for Structured-Streaming-style operators.
     """
     _ensure_session_semantics(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))

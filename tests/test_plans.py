@@ -159,3 +159,46 @@ def test_partial_aggregation_before_shuffle(spark):
     df = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     p = plan_of(df)
     assert p.count("HashAggregate") >= 2
+
+
+def test_query_construction_is_lazy(spark):
+    """Building a registry query must launch NO Spark job — the registry
+    is a lazy-plan contract (the round-1 text_idf eager count() was the
+    one violation; this pins the fix and guards the rest). Queries with
+    documented driver-side iteration (clustering, k-means training) are
+    exempt."""
+    import uuid
+
+    from sql_query_engine_spark.queries import registry
+
+    LAZY_SAMPLE = {
+        "text_idf",
+        "tpch_q3_shipping_priority",
+        "dedup_minhash_lsh",
+        "dedup_incremental_stateless",
+        "text_pack_sequences",
+        "window_distribution_scale",
+        "window_ntile_scale",
+        "join_asof_tolerance",
+        "text_char_entropy",
+    }
+    sc = spark.sparkContext
+    # warm the table schemas first: the FIRST spark.read.parquet of a file
+    # runs a one-time footer-reading job, which is scan setup, not query
+    # construction
+    from sql_query_engine_spark.catalog import TABLES
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).schema
+
+    for q in registry():
+        if q.name not in LAZY_SAMPLE:
+            continue
+        group = f"lazy-{q.name}-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "lazy construction check")
+        try:
+            q.spark(spark, SF_DIR)  # build only — no action
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"{q.name} ran jobs at construction: {jobs}"
