@@ -1274,6 +1274,13 @@ def tpch_q18_large_volume(spark, sf_dir):
     )
 
 
+# The remaining 15 TPC-H shapes (Q2, Q7-Q9, Q11-Q17, Q19-Q22) live in
+# tpch.py; registering here keeps the suite contiguous in registry order.
+from .tpch import register_tpch  # noqa: E402
+
+register_tpch(_q, _t)
+
+
 # =========================================================================
 # SQL entry point (spark.sql over the registered catalog) — subqueries,
 # CTEs, grouping sets: surface the reference's SQL front end never had
@@ -2946,6 +2953,8 @@ _GATE_PRIORITY = [
     "tpch_q6_forecast_revenue",
     "tpch_q4_order_priority",
     "tpch_q18_large_volume",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q13_customer_distribution",
     "agg_pricing_summary",
     "agg_rollup",
     "agg_cube",

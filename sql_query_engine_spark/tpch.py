@@ -1,0 +1,728 @@
+"""The rest of the TPC-H suite (Q2, Q7-Q9, Q11-Q17, Q19-Q22), adapted to
+the driver schema.
+
+The reference's cloud benchmark set was TPC-H-flavored
+(/root/reference/test_commands.txt:1-11, Dataproc runbook); round 1 shipped
+Q1/Q3/Q4/Q5/Q6/Q10/Q18 shapes. This module completes the 22-query suite on
+the driver's reduced schema:
+
+* no ``partsupp`` table → ``SELECT DISTINCT l_partkey, l_suppkey FROM
+  lineitem`` is the part-supplier relation (Q2/Q16), and supply-cost terms
+  drop out of Q9/Q11 (value = revenue, not margin).
+* no commit/receipt dates or ship modes → "late" is ``l_shipdate >
+  o_orderdate + INTERVAL N DAYS`` (Q12/Q21), preserving the plan shape
+  (the lateness predicate is still a post-join filter on two scan columns).
+* no ``c_phone`` → Q22's country-code grouping becomes ``c_nationkey`` in
+  an IN-list.
+
+Every adaptation keeps the *query shape* that makes the original
+interesting at scale: Q13's outer-join-then-double-aggregate, Q15/Q2's
+argmax-by-group, Q17's correlated per-part average, Q21's
+exists/not-exists over sibling lines, Q22's anti-join against the fact
+table. Determinism follows the queries.py contract: money sums via
+DECIMAL, years as int64, division only between already-exact doubles.
+
+Scale notes (100 TB):
+
+* The partsupp surrogate is one hash-distinct over (partkey, suppkey) —
+  the same shuffle the real table's scan would cost, and Catalyst prunes
+  both columns at the parquet scan.
+* Q21 computes per-order supplier/lateness counts as ONE grouped
+  aggregation over the filtered fact table instead of two correlated
+  EXISTS probes (three scans in the textbook plan), then rejoins — the
+  reduce-side shape survives arbitrary order cardinality.
+* All dimension joins (supplier, nation, region, part-filtered) are
+  explicit ``broadcast()``; only lineitem/orders/customer shuffles remain,
+  each on its natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,2)"
+_REVENUE = (
+    "sum(cast(l_extendedprice as decimal(18,2))"
+    " * cast(1 - l_discount as decimal(18,2)))"
+)
+# DuckDB view of the part-supplier relation (no partsupp table in the
+# driver schema); the Spark twin is _partsupp() below.
+_PARTSUPP = "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+
+
+def _rev(li_prefix: str = "") -> "F.Column":
+    p = li_prefix
+    return F.sum(
+        F.col(p + "l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col(p + "l_discount")).cast(_DEC)
+    )
+
+
+def register_tpch(q, t):
+    """Register the suite against queries.py's decorator + table loader."""
+
+    def _partsupp(spark, sf_dir):
+        return t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+
+    # ---------------------------------------------------------------- Q2
+    @q(
+        "tpch_q2_min_cost_supplier",
+        f"""WITH partsupp AS {_PARTSUPP}
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        FROM part, partsupp, supplier, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 15 AND p_type = 'SMALL'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_acctbal = (SELECT max(s2.s_acctbal)
+                           FROM partsupp ps2, supplier s2, nation n2, region r2
+                           WHERE ps2.l_partkey = p_partkey
+                             AND s2.s_suppkey = ps2.l_suppkey
+                             AND s2.s_nationkey = n2.n_nationkey
+                             AND n2.n_regionkey = r2.r_regionkey
+                             AND r2.r_name = 'EUROPE')""",
+        "TPC-H Q2 shape: per-part argmax supplier in a region (best "
+        "s_acctbal stands in for min ps_supplycost). The correlated "
+        "max-subquery becomes one window over the already-joined relation "
+        "— no second scan, no re-join; ties surface in both engines.",
+    )
+    def tpch_q2_min_cost_supplier(spark, sf_dir):
+        p = F.broadcast(
+            t(spark, sf_dir, "part").filter(
+                (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+            )
+        )
+        s = F.broadcast(t(spark, sf_dir, "supplier"))
+        n = F.broadcast(t(spark, sf_dir, "nation"))
+        r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+        ps = _partsupp(spark, sf_dir)
+        joined = (
+            ps.join(p, ps["l_partkey"] == p["p_partkey"])
+            .join(s, ps["l_suppkey"] == s["s_suppkey"])
+            .join(n, s["s_nationkey"] == n["n_nationkey"])
+            .join(r, n["n_regionkey"] == r["r_regionkey"])
+        )
+        w = Window.partitionBy("p_partkey")
+        return (
+            joined.withColumn("__max_bal", F.max("s_acctbal").over(w))
+            .filter(F.col("s_acctbal") == F.col("__max_bal"))
+            .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        )
+
+    # ---------------------------------------------------------------- Q7
+    @q(
+        "tpch_q7_volume_shipping",
+        f"""SELECT supp_nation, cust_nation, l_year,
+                   cast(sum(volume) as double) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     cast(l_extendedprice as {_DEC})
+                       * cast(1 - l_discount as {_DEC}) AS volume
+              FROM supplier, lineitem, orders, customer,
+                   nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                  OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        GROUP BY supp_nation, cust_nation, l_year""",
+        "TPC-H Q7 shape: bidirectional nation-pair trade volume by year — "
+        "the same dimension table joined twice under two roles; both "
+        "nation sides broadcast, fact tables shuffle once on their keys",
+    )
+    def tpch_q7_volume_shipping(spark, sf_dir):
+        li = t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        o = t(spark, sf_dir, "orders")
+        c = t(spark, sf_dir, "customer")
+        s = F.broadcast(t(spark, sf_dir, "supplier"))
+        n1 = F.broadcast(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+            )
+        )
+        n2 = F.broadcast(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+            )
+        )
+        pair = (
+            (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+        ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(n1, s["s_nationkey"] == F.col("n1_key"))
+            .join(n2, c["c_nationkey"] == F.col("n2_key"))
+            .filter(pair)
+            .groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").cast("long").alias("l_year"),
+            )
+            .agg(_rev().cast("double").alias("revenue"))
+        )
+
+    # ---------------------------------------------------------------- Q8
+    @q(
+        "tpch_q8_market_share",
+        f"""SELECT o_year,
+                   cast(sum(CASE WHEN nation = 'NATION_3' THEN volume END)
+                        as double)
+                   / cast(sum(volume) as double) AS mkt_share
+        FROM (SELECT year(o_orderdate) AS o_year,
+                     cast(l_extendedprice as {_DEC})
+                       * cast(1 - l_discount as {_DEC}) AS volume,
+                     n2.n_name AS nation
+              FROM part, lineitem, supplier, orders, customer,
+                   nation n1, region, nation n2
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND p_type = 'ECONOMY') all_nations
+        GROUP BY o_year""",
+        "TPC-H Q8 shape: one nation's share of a region's market per year "
+        "— conditional aggregate over the 8-way join; the share division "
+        "runs over two exactly-aggregated decimals so it is "
+        "order-independent",
+    )
+    def tpch_q8_market_share(spark, sf_dir):
+        p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"))
+        li = t(spark, sf_dir, "lineitem")
+        s = F.broadcast(t(spark, sf_dir, "supplier"))
+        o = t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        c = t(spark, sf_dir, "customer")
+        n1 = F.broadcast(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+            )
+        )
+        r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+        n2 = F.broadcast(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+            )
+        )
+        vol = (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        )
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(n1, c["c_nationkey"] == F.col("n1_key"))
+            .join(r, F.col("n1_region") == r["r_regionkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(n2, s["s_nationkey"] == F.col("n2_key"))
+            .select(
+                F.year("o_orderdate").cast("long").alias("o_year"),
+                vol.alias("volume"),
+                "nation",
+            )
+            .groupBy("o_year")
+            .agg(
+                (
+                    F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")))
+                    .cast("double")
+                    / F.sum("volume").cast("double")
+                ).alias("mkt_share")
+            )
+        )
+
+    # ---------------------------------------------------------------- Q9
+    @q(
+        "tpch_q9_product_type_profit",
+        f"""SELECT nation, o_year, cast(sum(amount) as double) AS sum_profit
+        FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                     cast(l_extendedprice as {_DEC})
+                       * cast(1 - l_discount as {_DEC}) AS amount
+              FROM part, supplier, lineitem, orders, nation
+              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%widget%') profit
+        GROUP BY nation, o_year""",
+        "TPC-H Q9 shape: per-nation-per-year profit on a part-name pattern "
+        "(no ps_supplycost in the driver schema, so profit = revenue). "
+        "The LIKE filter broadcasts with part; lineitem shuffles once",
+    )
+    def tpch_q9_product_type_profit(spark, sf_dir):
+        p = F.broadcast(
+            t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+        )
+        s = F.broadcast(t(spark, sf_dir, "supplier"))
+        n = F.broadcast(t(spark, sf_dir, "nation"))
+        li = t(spark, sf_dir, "lineitem")
+        o = t(spark, sf_dir, "orders")
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(n, s["s_nationkey"] == n["n_nationkey"])
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").cast("long").alias("o_year"),
+            )
+            .agg(_rev().cast("double").alias("sum_profit"))
+        )
+
+    # --------------------------------------------------------------- Q11
+    @q(
+        "tpch_q11_important_stock",
+        f"""WITH pv AS (
+          SELECT l_partkey,
+                 sum(cast(l_extendedprice as {_DEC})
+                     * cast(1 - l_discount as {_DEC})) AS value_dec
+          FROM lineitem, supplier
+          WHERE l_suppkey = s_suppkey AND s_nationkey = 7
+          GROUP BY l_partkey)
+        SELECT l_partkey AS p_key, cast(value_dec as double) AS part_value
+        FROM pv, (SELECT sum(value_dec) AS total FROM pv) tot
+        WHERE cast(value_dec as double) > cast(total as double) * 0.001""",
+        "TPC-H Q11 shape: parts whose traded value exceeds a fraction of "
+        "one nation's total (lineitem revenue stands in for partsupp "
+        "stock value). The total re-aggregates the SAME grouped result "
+        "(self-referencing CTE → reused exchange), then broadcasts as a "
+        "1-row cross join — no driver-side scalar",
+    )
+    def tpch_q11_important_stock(spark, sf_dir):
+        s = F.broadcast(
+            t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+        )
+        li = t(spark, sf_dir, "lineitem")
+        pv = (
+            li.join(s, li["l_suppkey"] == s["s_suppkey"])
+            .groupBy("l_partkey")
+            .agg(_rev().alias("value_dec"))
+        )
+        total = pv.agg(F.sum("value_dec").alias("total"))
+        return (
+            pv.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("value_dec").cast("double")
+                > F.col("total").cast("double") * F.lit(0.001)
+            )
+            .select(
+                F.col("l_partkey").alias("p_key"),
+                F.col("value_dec").cast("double").alias("part_value"),
+            )
+        )
+
+    # --------------------------------------------------------------- Q12
+    @q(
+        "tpch_q12_late_priority",
+        """SELECT l_returnflag,
+                  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS high_line_count,
+                  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS low_line_count
+           FROM orders, lineitem
+           WHERE o_orderkey = l_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY l_returnflag""",
+        "TPC-H Q12 shape: priority mix of late shipments (shipdate lagging "
+        "orderdate by 60+ days stands in for receipt-vs-commit; no ship "
+        "modes in the driver schema, grouped by return flag). The lateness "
+        "predicate is a post-join filter on two scan columns — the date "
+        "range still pushes to the lineitem scan",
+    )
+    def tpch_q12_late_priority(spark, sf_dir):
+        o = t(spark, sf_dir, "orders")
+        li = t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            )
+        )
+
+    # --------------------------------------------------------------- Q13
+    @q(
+        "tpch_q13_customer_distribution",
+        """SELECT c_count, count(*) AS custdist
+           FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                 FROM customer LEFT OUTER JOIN orders
+                   ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+                 GROUP BY c_custkey) c_orders
+           GROUP BY c_count""",
+        "TPC-H Q13 shape: order-count histogram over an outer join with a "
+        "join-side predicate (priority filter stands in for the comment "
+        "LIKE). Two aggregations: per-customer count (shuffles on "
+        "custkey, the join's own key — exchange reuse), then the tiny "
+        "histogram combine",
+    )
+    def tpch_q13_customer_distribution(spark, sf_dir):
+        c = t(spark, sf_dir, "customer")
+        o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+        return (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+        )
+
+    # --------------------------------------------------------------- Q14
+    @q(
+        "tpch_q14_promo_effect",
+        f"""SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+                       THEN cast(l_extendedprice as {_DEC})
+                            * cast(1 - l_discount as {_DEC}) END) as double)
+                   / cast(sum(cast(l_extendedprice as {_DEC})
+                              * cast(1 - l_discount as {_DEC})) as double)
+                   AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+        "TPC-H Q14 shape: promo revenue share for one month — broadcast "
+        "part join, conditional aggregate, single-row output; the ratio "
+        "divides two exact decimal sums cast to double",
+    )
+    def tpch_q14_promo_effect(spark, sf_dir):
+        li = t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+        )
+        p = F.broadcast(t(spark, sf_dir, "part"))
+        vol = (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        )
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .agg(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double")
+                    / F.sum(vol).cast("double")
+                ).alias("promo_revenue")
+            )
+        )
+
+    # --------------------------------------------------------------- Q15
+    @q(
+        "tpch_q15_top_supplier",
+        f"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no, {_REVENUE} AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, cast(total_rev as double) AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_rev = (SELECT max(total_rev) FROM revenue)""",
+        "TPC-H Q15 shape: supplier(s) with the quarter's max revenue — the "
+        "revenue view aggregates once, its max re-aggregates the same "
+        "result and broadcasts back as a 1-row join (view reuse instead "
+        "of the textbook double evaluation); decimal equality keeps ties "
+        "engine-identical",
+    )
+    def tpch_q15_top_supplier(spark, sf_dir):
+        li = t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            _rev().alias("total_rev")
+        )
+        mx = rev.agg(F.max("total_rev").alias("__mx"))
+        s = F.broadcast(t(spark, sf_dir, "supplier"))
+        return (
+            rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("__mx"))
+            .join(s, F.col("supplier_no") == s["s_suppkey"])
+            .select(
+                "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+            )
+        )
+
+    # --------------------------------------------------------------- Q16
+    @q(
+        "tpch_q16_supplier_part_counts",
+        f"""WITH partsupp AS {_PARTSUPP}
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM partsupp, part
+        WHERE p_partkey = l_partkey AND p_brand <> 'Brand#2'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size""",
+        "TPC-H Q16 shape: distinct-supplier counts per brand/type/size "
+        "with a NOT-IN supplier exclusion (negative balance stands in for "
+        "the complaints LIKE). NOT IN on a non-nullable key → broadcast "
+        "anti-join; count(distinct) re-shuffles the partsupp surrogate "
+        "once on the group key",
+    )
+    def tpch_q16_supplier_part_counts(spark, sf_dir):
+        ps = _partsupp(spark, sf_dir)
+        p = F.broadcast(
+            t(spark, sf_dir, "part").filter(
+                (F.col("p_brand") != "Brand#2")
+                & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+            )
+        )
+        bad = F.broadcast(
+            t(spark, sf_dir, "supplier")
+            .filter(F.col("s_acctbal") < 0)
+            .select("s_suppkey")
+        )
+        return (
+            ps.join(bad, ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+            .join(p, ps["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        )
+
+    # --------------------------------------------------------------- Q17
+    @q(
+        "tpch_q17_small_qty_revenue",
+        f"""SELECT cast(sum(cast(l_extendedprice as {_DEC})) as double) / 7.0
+                   AS avg_yearly
+        FROM lineitem, part,
+             (SELECT l_partkey AS a_pk,
+                     cast(sum(cast(l_quantity as {_DEC})) as double)
+                       / count(*) AS avg_qty
+              FROM lineitem GROUP BY l_partkey) pa
+        WHERE p_partkey = l_partkey AND a_pk = l_partkey
+          AND p_brand = 'Brand#3'
+          AND l_quantity < 0.2 * avg_qty""",
+        "TPC-H Q17 shape: revenue lost to small-quantity orders — the "
+        "correlated per-part average becomes a grouped aggregate joined "
+        "back on partkey (one extra shuffle on a key lineitem already "
+        "hashes for the part join); the 0.2×avg threshold is identical "
+        "IEEE math in both engines",
+    )
+    def tpch_q17_small_qty_revenue(spark, sf_dir):
+        li = t(spark, sf_dir, "lineitem")
+        p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3"))
+        pa = li.groupBy(F.col("l_partkey").alias("a_pk")).agg(
+            (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias(
+                "avg_qty"
+            )
+        )
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .join(pa, li["l_partkey"] == F.col("a_pk"))
+            .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+            .agg(
+                (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)).alias(
+                    "avg_yearly"
+                )
+            )
+        )
+
+    # --------------------------------------------------------------- Q19
+    @q(
+        "tpch_q19_disjunctive_revenue",
+        f"""SELECT cast({_REVENUE} as double) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity >= 1 AND l_quantity <= 11)
+            OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                AND l_quantity >= 10 AND l_quantity <= 20)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 20 AND l_quantity <= 30))""",
+        "TPC-H Q19 shape: disjunctive brand/size/quantity predicates over "
+        "the part join (no ship modes in the driver schema). The OR "
+        "branches mix both sides, so they evaluate post-join; Catalyst "
+        "still derives the common l_quantity range for the scan",
+    )
+    def tpch_q19_disjunctive_revenue(spark, sf_dir):
+        li = t(spark, sf_dir, "lineitem")
+        p = F.broadcast(t(spark, sf_dir, "part"))
+        branch = (
+            (
+                (F.col("p_brand") == "Brand#1")
+                & F.col("p_size").between(1, 5)
+                & F.col("l_quantity").between(1, 11)
+            )
+            | (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 10)
+                & F.col("l_quantity").between(10, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#21")
+                & F.col("p_size").between(1, 15)
+                & F.col("l_quantity").between(20, 30)
+            )
+        )
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .filter(branch)
+            .agg(_rev().cast("double").alias("revenue"))
+        )
+
+    # --------------------------------------------------------------- Q20
+    @q(
+        "tpch_q20_part_promotion",
+        """SELECT s_suppkey, s_name, s_acctbal
+           FROM supplier, nation
+           WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+             AND s_suppkey IN (
+               SELECT l_suppkey
+               FROM lineitem, part
+               WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+                 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+               GROUP BY l_suppkey
+               HAVING sum(cast(l_quantity as decimal(18,2))) > 100)""",
+        "TPC-H Q20 shape: suppliers in one nation that moved real volume "
+        "of a part-name pattern in a year (shipped quantity stands in for "
+        "ps_availqty). The IN becomes aggregate → HAVING → left-semi "
+        "join; nation and the part filter broadcast",
+    )
+    def tpch_q20_part_promotion(spark, sf_dir):
+        li = t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")))
+        movers = (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .groupBy("l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__qty"))
+            .filter(F.col("__qty") > 100)
+            .select("l_suppkey")
+        )
+        s = t(spark, sf_dir, "supplier")
+        n = F.broadcast(
+            t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+        )
+        return (
+            s.join(n, s["s_nationkey"] == n["n_nationkey"])
+            .join(movers, s["s_suppkey"] == movers["l_suppkey"], "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal")
+        )
+
+    # --------------------------------------------------------------- Q21
+    @q(
+        "tpch_q21_suppliers_kept_waiting",
+        """WITH fl AS (
+             SELECT l_orderkey, l_suppkey,
+                    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+             FROM lineitem, orders
+             WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+           stats AS (
+             SELECT l_orderkey AS ok,
+                    count(DISTINCT l_suppkey) AS n_supp,
+                    count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                      AS n_late
+             FROM fl GROUP BY l_orderkey)
+        SELECT s_name, count(*) AS numwait
+        FROM fl, stats, supplier
+        WHERE fl.l_orderkey = stats.ok AND fl.l_suppkey = s_suppkey
+          AND fl.is_late AND stats.n_supp > 1 AND stats.n_late = 1
+        GROUP BY s_name""",
+        "TPC-H Q21 shape: suppliers who were the sole late shipper on "
+        "multi-supplier finished orders (shipdate lag stands in for "
+        "receipt-vs-commit). The textbook EXISTS + NOT-EXISTS pair — two "
+        "extra scans of lineitem — collapses into ONE grouped aggregation "
+        "of per-order supplier/lateness counts, rejoined on orderkey",
+    )
+    def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
+        li = t(spark, sf_dir, "lineitem")
+        o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+        fl = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+                "is_late"
+            ),
+        )
+        stats = fl.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+        )
+        s = F.broadcast(t(spark, sf_dir, "supplier"))
+        return (
+            fl.filter(F.col("is_late"))
+            .join(stats, fl["l_orderkey"] == stats["ok"])
+            .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+            .join(s, fl["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+        )
+
+    # --------------------------------------------------------------- Q22
+    @q(
+        "tpch_q22_global_sales_opportunity",
+        """WITH pool AS (
+             SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+             WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+           avg_bal AS (
+             SELECT cast(sum(cast(c_acctbal as decimal(18,2))) as double)
+                    / count(*) AS ab
+             FROM pool WHERE c_acctbal > 0.0)
+        SELECT c_nationkey AS cntry, count(*) AS numcust,
+               cast(sum(cast(c_acctbal as decimal(18,2))) as double)
+                 AS totacctbal
+        FROM pool, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c_nationkey""",
+        "TPC-H Q22 shape: well-funded customers with no recent orders, by "
+        "country (nationkey IN-list stands in for phone country codes). "
+        "The scalar average broadcasts as a 1-row cross join; NOT EXISTS "
+        "is a shuffle anti-join against the date-pruned o_custkey "
+        "projection",
+    )
+    def tpch_q22_global_sales_opportunity(spark, sf_dir):
+        pool = t(spark, sf_dir, "customer").filter(
+            F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+        )
+        avg_bal = (
+            pool.filter(F.col("c_acctbal") > 0.0)
+            .agg(
+                (
+                    F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")
+                ).alias("ab")
+            )
+        )
+        o = (
+            t(spark, sf_dir, "orders")
+            .filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+            )
+            .select("o_custkey")
+        )
+        return (
+            pool.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(o, pool["c_custkey"] == o["o_custkey"], "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntry"))
+            .agg(
+                F.count("*").alias("numcust"),
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+            )
+        )

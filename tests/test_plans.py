@@ -202,3 +202,26 @@ def test_query_construction_is_lazy(spark):
             sc.setLocalProperty("spark.jobGroup.id", None)
         jobs = sc.statusTracker().getJobIdsForGroup(group)
         assert jobs == [], f"{q.name} ran jobs at construction: {jobs}"
+
+
+def test_tpch_suite_is_complete_and_dimension_joins_broadcast(spark):
+    """All 22 TPC-H shapes are registered (Q1 lives under its round-1 name
+    agg_pricing_summary), and the suite's dimension joins broadcast —
+    lineitem/orders/customer are the only shuffle participants."""
+    from sql_query_engine_spark.plans.inspect import join_strategies
+    from sql_query_engine_spark.queries import queries
+
+    qs = queries()
+    tpch = {n for n in qs if n.startswith("tpch_")}
+    assert len(tpch) == 21
+    assert "agg_pricing_summary" in qs  # the Q1 shape
+
+    # Q9: part (LIKE-filtered), supplier, nation all broadcast; the only
+    # non-broadcast joins are the fact-fact lineitem⋈orders shuffle.
+    strategies = join_strategies(qs["tpch_q9_product_type_profit"](spark, SF_DIR))
+    assert strategies.count("BroadcastHashJoin") >= 3
+    assert strategies.count("SortMergeJoin") + strategies.count("ShuffledHashJoin") <= 1
+
+    # Q2: the per-part argmax is a partitioned window, never a global one.
+    p = plan_of(qs["tpch_q2_min_cost_supplier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p

@@ -44,6 +44,14 @@ EXPECTED = {
     "sim_ivf_topk": "corpus-side joins shuffle (SMJ) by design — sizes are "
     "unknown past the mapInPandas boundary, and at scale the cell join is "
     "a shuffle anyway",
+    "tpch_q11_important_stock": "crossJoin of a broadcast 1-row grand-total "
+    "aggregate (same lazy-count shape as text_idf)",
+    "tpch_q22_global_sales_opportunity": "crossJoin of a broadcast 1-row "
+    "average-balance aggregate (same lazy-count shape as text_idf)",
+    "tpch_q21_suppliers_kept_waiting": "fact-fact rejoin of per-order "
+    "lateness stats on l_orderkey — both sides are lineitem-sized, so a "
+    "shuffle join on the natural key is the correct strategy (neither "
+    "side can broadcast)",
 }
 
 # queries whose physical plan legitimately contains a Window with no
