@@ -13,10 +13,11 @@ Design notes for scale:
 * Registration is by *path*, not by materialized data — ``spark.read
   .parquet`` is lazy; partition discovery / predicate pushdown / column
   pruning all happen at the scan.
-* ``events`` carries TIMESTAMP(NANOS) which PySpark reads as ``bigint``
-  under ``spark.sql.legacy.parquet.nanosAsLong`` (see session.py). The
-  catalog keeps the raw ``ts`` nanos column (cheap, exact, great for range
-  pruning) and derives ``ts_utc TIMESTAMP`` from it for windowing.
+* ``events.ts`` has shipped as both TIMESTAMP(NANOS) (read as ``bigint``
+  under ``spark.sql.legacy.parquet.nanosAsLong``, see session.py) and
+  TIMESTAMP(MICROS); :func:`normalize_events` folds either into the
+  engine contract — raw ``ts`` int64 nanos (cheap, exact, great for range
+  pruning) plus a derived ``ts_utc TIMESTAMP`` for windowing.
 """
 
 from __future__ import annotations
@@ -26,7 +27,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLES", "load_table", "register_all", "register_dir", "table_path"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "normalize_events",
+    "raw_schema",
+    "register_all",
+    "register_dir",
+    "table_path",
+]
 
 # All driver-provided tables (TESTDATA.md).
 TABLES = (
@@ -78,13 +87,54 @@ def _ensure_session_semantics(spark: SparkSession) -> None:
 _SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Enforce the engine's events contract on any physical layout.
+
+    Contract downstream operators rely on: ``ts`` is int64 epoch
+    *nanoseconds* (exact integer window arithmetic, reproducible in DuckDB
+    via ``epoch_ns``) and ``ts_utc`` is a genuine timestamp for the
+    event-time APIs (window / session_window / watermarks).
+
+    The driver's parquet has shipped two generations of ``events.ts``:
+    TIMESTAMP(NANOS), which Spark reads as bigint nanos under the
+    ``nanosAsLong`` legacy flag, and TIMESTAMP(MICROS), which reads as
+    timestamp_ntz. Both normalize to the same two columns, so every
+    query/oracle pair is layout-independent. Works on streaming frames
+    too (pure projections).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt in ("timestamp_ntz", "timestamp"):
+        # session tz is UTC (enforced above), so the ntz→instant cast is
+        # wall-clock identity and unix_micros equals DuckDB's epoch_us.
+        # ts_utc is TIMESTAMP (ltz) — same type timestamp_micros() yields
+        # on the nanos path, so downstream unix_micros() calls resolve.
+        return df.withColumn(
+            "ts_utc", F.col("ts").cast("timestamp")
+        ).withColumn("ts", F.unix_micros(F.col("ts_utc")) * F.lit(1000))
+    return df
+
+
+def raw_schema(spark: SparkSession, sf_dir: str, name: str):
+    """The *physical* (inferred) schema of a table — what ``readStream``
+    must declare before :func:`normalize_events` is applied."""
+    _ensure_session_semantics(spark)
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        cached = spark.read.parquet(table_path(sf_dir, name)).schema
+        _SCHEMA_CACHE[key] = cached
+    return cached
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table; normalizes the events timestamp.
 
-    ``events.ts`` is bigint *nanoseconds* under the legacy flag; we expose
-    both the raw nanos (exact arithmetic, used by the window bucketers so
-    Spark and the DuckDB oracle agree bit-for-bit) and a derived
-    ``ts_utc`` timestamp for Structured-Streaming-style operators.
+    ``events`` is exposed with both raw nanos ``ts`` (exact arithmetic,
+    used by the window bucketers so Spark and the DuckDB oracle agree
+    bit-for-bit) and a derived ``ts_utc`` timestamp for
+    Structured-Streaming-style operators (see :func:`normalize_events`).
     """
     _ensure_session_semantics(spark)
     key = (sf_dir, name)
@@ -94,10 +144,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(cached).parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    if name == "events":
+        df = normalize_events(df)
     return df
 
 

@@ -10,12 +10,12 @@ same DataFrame expressions Structured Streaming executes, so:
   the real streaming engine with an availableNow trigger and asserts
   batch/stream equivalence).
 
-Timestamp discipline: the driver's events.parquet stores TIMESTAMP(NANOS);
-under ``nanosAsLong`` the raw ``ts`` column is bigint *nanoseconds*. Window
-bucketing is done in pure int64 nanosecond arithmetic (exact, and exactly
-reproducible in DuckDB via ``epoch_ns``); the derived ``ts_utc`` microsecond
-timestamp (catalog.py) drives the real event-time APIs (window /
-session_window / watermarks).
+Timestamp discipline: ``catalog.normalize_events`` guarantees ``ts`` is
+int64 epoch *nanoseconds* regardless of the parquet's physical timestamp
+unit. Window bucketing is done in pure int64 nanosecond arithmetic (exact,
+and exactly reproducible in DuckDB via ``epoch_ns``); the derived
+``ts_utc`` microsecond timestamp (catalog.py) drives the real event-time
+APIs (window / session_window / watermarks).
 
 Scale: tumbling/sliding aggregation shuffles on (bucket, key) — a
 high-cardinality composite, skew-safe; session windows shuffle on user_id.
@@ -162,10 +162,10 @@ def stream_tumbling_counts(
     are dropped, which is the documented streaming deviation from the
     batch oracle (none are late in the driver data).
     """
+    from ..catalog import normalize_events
+
     raw = spark.readStream.schema(schema).parquet(events_path)
-    withts = raw.withColumn(
-        "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    withts = normalize_events(raw)
     return (
         withts.withWatermark("ts_utc", "1 hour")
         .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")

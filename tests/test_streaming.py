@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pytest
 
-from sql_query_engine_spark.catalog import load_table
+from sql_query_engine_spark.catalog import load_table, normalize_events, raw_schema
 from sql_query_engine_spark.streaming import events as EV
 from tests.conftest import SF_DIR
 
@@ -17,6 +17,14 @@ from tests.conftest import SF_DIR
 @pytest.fixture(scope="module")
 def batch_events(spark):
     return load_table(spark, SF_DIR, "events")
+
+
+def _event_stream(spark, path):
+    """readStream over staged events parquet: declare the *physical* file
+    schema, then normalize to the engine contract (ts nanos + ts_utc) —
+    exactly what load_table does on the batch side."""
+    raw = spark.readStream.schema(raw_schema(spark, SF_DIR, "events")).parquet(path)
+    return normalize_events(raw)
 
 
 def test_stream_tumbling_equals_batch(spark, batch_events, tmp_path):
@@ -27,7 +35,7 @@ def test_stream_tumbling_equals_batch(spark, batch_events, tmp_path):
     (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
 
     stream_df = EV.stream_tumbling_counts(
-        spark, str(stream_dir), batch_events.drop("ts_utc").schema
+        spark, str(stream_dir), raw_schema(spark, SF_DIR, "events")
     )
     assert stream_df.isStreaming
 
@@ -81,9 +89,7 @@ def test_stateful_profile_stream_equals_batch(spark, batch_events, tmp_path):
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
 
-    raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
-        str(stream_dir)
-    )
+    raw = _event_stream(spark, str(stream_dir))
     q = (
         stateful.profile_stream(raw)
         .writeStream.format("memory")
@@ -121,15 +127,9 @@ def test_stream_stream_interval_join(spark, batch_events, tmp_path):
     (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
 
     def stream_side(event_type, alias_prefix):
-        raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
-            str(stream_dir)
-        )
+        raw = _event_stream(spark, str(stream_dir))
         return (
             raw.filter(F.col("event_type") == event_type)
-            .withColumn(
-                "ts_utc",
-                F.timestamp_micros(F.expr("ts DIV 1000")),
-            )
             .withWatermark("ts_utc", "2 hours")
             .select(
                 F.col("event_id").alias(f"{alias_prefix}_id"),
@@ -197,9 +197,7 @@ def test_stream_static_join(spark, batch_events, tmp_path):
     stream_dir = tmp_path / "events_ss"
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
-    raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
-        str(stream_dir)
-    )
+    raw = _event_stream(spark, str(stream_dir))
     enriched = (
         raw.join(customer, raw["user_id"] == customer["c_custkey"])
         .groupBy("c_mktsegment")
@@ -241,14 +239,9 @@ def test_drop_duplicates_within_watermark(spark, batch_events, tmp_path):
     (stream_dir / "a.parquet").symlink_to(f"{SF_DIR}/events.parquet")
     (stream_dir / "b.parquet").symlink_to(f"{SF_DIR}/events.parquet")
 
-    raw = spark.readStream.schema(batch_events.drop("ts_utc").schema).parquet(
-        str(stream_dir)
-    )
+    raw = _event_stream(spark, str(stream_dir))
     deduped = (
-        raw.withColumn(
-            "ts_utc", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-        .withWatermark("ts_utc", "90 days")  # bounded corpus: keep all state
+        raw.withWatermark("ts_utc", "90 days")  # bounded corpus: keep all state
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     q = (
