@@ -2890,6 +2890,193 @@ def pipeline_training_data(spark, sf_dir):
 
 
 # =========================================================================
+# training-data curation: mixture sampling / splits / shuffle / quantization
+#
+# The post-dedup half of a corpus build: decide how much of each source
+# or language enters the mix, carve held-out splits, fix a reproducible
+# global order, and shrink embeddings for the retrieval index. All of it
+# is deterministic content-hash arithmetic (md5 → int, identical in
+# DuckDB), so every decision is reproducible run-to-run, engine-to-engine,
+# and partition-layout-independent — the property rand()-based sampling
+# cannot give at 100 TB.
+# =========================================================================
+
+# Engine-neutral 48-bit md5 prefix → bigint (same idiom as
+# sample_systematic / functions/dedup.py).
+def _spark_h48(expr: str) -> str:
+    return f"cast(conv(substr(md5({expr}), 1, 12), 16, 10) as bigint)"
+
+
+def _duck_h48(expr: str) -> str:
+    return f"cast(concat('0x', substr(md5({expr}), 1, 12)) as bigint)"
+
+
+# per-language admission rates out of 10000 (an "en-heavy with CJK
+# downsampled" curation mix)
+_MIX_RATE_CASE = (
+    "CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000 WHEN 'es' THEN 5000 "
+    "WHEN 'fr' THEN 5000 WHEN 'zh' THEN 2500 ELSE 0 END"
+)
+
+
+@_q(
+    "pipeline_dataset_mixture",
+    f"""SELECT doc_id, lang, source FROM documents
+        WHERE {_duck_h48("concat(cast(doc_id as varchar), ':mix')")} % 10000
+              < {_MIX_RATE_CASE}""",
+    "weighted dataset mixture: per-language admission rates applied via "
+    "deterministic content hashing — the sampling decision for any doc is "
+    "independent of partitioning and cluster size, so the same corpus "
+    "always yields the same mix. Map-only (no shuffle at all).",
+)
+def pipeline_dataset_mixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = F.expr(_spark_h48("concat(cast(doc_id as string), ':mix')"))
+    return d.filter((h % 10000) < F.expr(_MIX_RATE_CASE)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_q(
+    "pipeline_train_val_split",
+    f"""WITH tagged AS (
+    SELECT lang, n_chars,
+           CASE WHEN {_duck_h48("concat(cast(doc_id as varchar), ':split')")} % 100 < 5
+                THEN 'val'
+                WHEN {_duck_h48("concat(cast(doc_id as varchar), ':split')")} % 100 < 10
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents)
+SELECT split, lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
+FROM tagged GROUP BY split, lang""",
+    "deterministic train/val/test carve (90/5/5) by salted content hash: "
+    "membership is a pure function of doc_id, so the split survives "
+    "recomputation, repartitioning, and incremental corpus growth "
+    "(a new doc never moves an old one between splits). One hash-agg "
+    "shuffle on the tiny (split, lang) key space.",
+)
+def pipeline_train_val_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = F.expr(_spark_h48("concat(cast(doc_id as string), ':split')")) % 100
+    split = (
+        F.when(h < 5, F.lit("val")).when(h < 10, F.lit("test")).otherwise("train")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+_SHUFFLE_SHARDS = 32
+
+
+@_q(
+    "pipeline_global_shuffle",
+    f"""WITH h AS (
+    SELECT doc_id,
+           {_duck_h48("concat(cast(doc_id as varchar), ':shuf')")} AS hkey
+    FROM documents)
+SELECT doc_id, cast(hkey % {_SHUFFLE_SHARDS} as bigint) AS shard,
+       cast(row_number() OVER (PARTITION BY hkey % {_SHUFFLE_SHARDS}
+                               ORDER BY hkey, doc_id) as bigint) AS pos
+FROM h""",
+    "reproducible global shuffle for training order: salted hash → shard, "
+    "rank within shard. Consumers read shards round-robin for an "
+    "epoch-stable pseudo-random order. The window is PARTITIONED by "
+    "shard (no global sort); shard count is a parameter — at 100 TB set "
+    "it ≫ executor count (e.g. 64k) so each per-shard sort fits an "
+    "executor, exactly the two-phase layout sequence packing uses.",
+)
+def pipeline_global_shuffle(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    hkey = F.expr(_spark_h48("concat(cast(doc_id as string), ':shuf')"))
+    t = d.select("doc_id", hkey.alias("hkey"))
+    shard = F.col("hkey") % _SHUFFLE_SHARDS
+    w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
+    return t.select(
+        "doc_id",
+        shard.cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@_q(
+    "emb_quantize_int8",
+    """WITH b AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x))) AS m
+    FROM embeddings),
+q AS (
+    -- CAST(... AS DOUBLE): DuckDB types bare 127.0/0.5 as DECIMAL and
+    -- DECIMAL·FLOAT as FLOAT; Spark computes in DOUBLE — force DOUBLE so
+    -- both engines run the identical IEEE arithmetic.
+    SELECT vec_id, m,
+           list_transform(embedding,
+                          x -> cast(floor(x * (cast(127 as double) / m)
+                                          + cast(0.5 as double)) as int)) AS qv
+    FROM b WHERE m > 0)
+SELECT vec_id, cast(len(qv) as int) AS n_dims,
+       cast(list_min(qv) as int) AS q_min, cast(list_max(qv) as int) AS q_max,
+       cast(list_sum(qv) as bigint) AS q_sum,
+       round(cast(127 as double) / m, 6) AS scale_r6
+FROM q""",
+    "symmetric int8 quantization of the embedding column (the 4× memory "
+    "cut for a retrieval index): per-vector max-abs scale, "
+    "floor(x·scale+0.5) rounding — pure IEEE double arithmetic, "
+    "bit-identical in DuckDB. Map-only; the checked output is the "
+    "quantized vectors' exact integer stats.",
+)
+def emb_quantize_int8(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.expr("transform(embedding, x -> abs(x))")).alias("m"),
+    ).filter(F.col("m") > 0)
+    q = b.select(
+        "vec_id",
+        "m",
+        F.expr(
+            "transform(embedding, x -> cast(floor(x * (127.0d / m) + 0.5d) as int))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.size("qv").cast("int").alias("n_dims"),
+        F.array_min("qv").cast("int").alias("q_min"),
+        F.array_max("qv").cast("int").alias("q_max"),
+        F.expr("aggregate(qv, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.round(F.lit(127.0) / F.col("m"), 6).alias("scale_r6"),
+    )
+
+
+@_q(
+    "pipeline_length_histogram",
+    """WITH t AS (
+    SELECT cast(len(string_split(text, ' ')) // 32 as bigint) AS bucket
+    FROM documents)
+SELECT bucket * 32 AS tokens_lo, count(*) AS n_docs
+FROM t GROUP BY bucket""",
+    "token-length histogram (32-token buckets) — the planning input for "
+    "sequence packing and truncation budgets; one tiny hash-agg",
+)
+def pipeline_length_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr("cast(size(split(text, ' ')) DIV 32 as bigint)")
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select((F.col("bucket") * 32).alias("tokens_lo"), "n_docs")
+    )
+
+
+# =========================================================================
 # public API
 # =========================================================================
 
@@ -2946,6 +3133,10 @@ _GATE_PRIORITY = [
     "join_asof",
     "join_asof_tolerance",
     "pipeline_training_data",
+    "pipeline_dataset_mixture",
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    "emb_quantize_int8",
     # TPC-H + core batch representatives
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
