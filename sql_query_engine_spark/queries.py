@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table, register_all
-from .functions import dedup, multimodal, similarity, text
+from .functions import dedup, hashing, multimodal, similarity, text
 from .operators import relational as R
 from .streaming import events as EV
 
@@ -3076,6 +3076,136 @@ def pipeline_length_histogram(spark, sf_dir):
     )
 
 
+# Decontamination gram width. Real pipelines use 13-gram exact match
+# (vs ~50-token benchmark answers); the driver corpus averages ~54 tokens
+# per doc, so 8 keeps the test meaningful at the same algorithmic shape.
+_DECON_N = 8
+
+_DUCK_SPLIT_H = "cast(concat('0x', substr(md5(concat(cast(doc_id as varchar), ':split')), 1, 12)) as bigint) % 100"
+_SPARK_SPLIT_H = "cast(conv(substr(md5(concat(cast(doc_id as string), ':split')), 1, 12), 16, 10) as bigint) % 100"
+
+
+# gram constructors via slice+join (ONE function call per gram instead of
+# N element_at's — keeps whole-stage codegen compile time flat in N)
+_DUCK_GRAMS = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)), "
+    f"i -> array_to_string(w[i:i+{_DECON_N - 1}], ' ')))"
+)
+_SPARK_GRAMS = (
+    f"array_distinct(case when size(w) < {_DECON_N} then array() else "
+    f"transform(sequence(1, size(w) - {_DECON_N - 1}), "
+    f"i -> array_join(slice(w, i, {_DECON_N}), ' ')) end)"
+)
+
+
+@_q(
+    "pipeline_decontaminate",
+    f"""WITH toks AS (
+    SELECT doc_id, {_DUCK_SPLIT_H} AS hs, {hashing.duck_tokens("text")} AS w
+    FROM documents),
+grams AS (SELECT doc_id, hs, unnest({_DUCK_GRAMS}) AS g FROM toks),
+train AS (SELECT doc_id, g FROM grams WHERE hs >= 10),
+held  AS (SELECT doc_id AS held_doc, g FROM grams WHERE hs < 10)
+SELECT train.doc_id,
+       count(DISTINCT train.g) AS n_shared_grams,
+       count(DISTINCT held.held_doc) AS n_held_docs
+FROM train JOIN held ON train.g = held.g
+GROUP BY train.doc_id""",
+    "benchmark decontamination: flag training docs sharing any exact "
+    f"{_DECON_N}-gram with the held-out split (the same salted-hash split "
+    "pipeline_train_val_split carves). Inverted-index equi-join on the "
+    "gram — work is proportional to actual overlap, never |train|×|held|; "
+    "the gram-keyed shuffle is the same skew-safe shape as the n-gram "
+    "Jaccard dedup. Real pipelines use 13-grams; width is a parameter.",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.expr(_SPARK_SPLIT_H).alias("hs"),
+        F.expr(hashing.spark_tokens("text")).alias("w"),
+    ).select("doc_id", "hs", F.explode(F.expr(_SPARK_GRAMS)).alias("g"))
+    train = grams.filter(F.col("hs") >= 10).select("doc_id", "g")
+    held = grams.filter(F.col("hs") < 10).select(
+        F.col("doc_id").alias("held_doc"), "g"
+    )
+    return (
+        train.join(held, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("held_doc").alias("n_held_docs"),
+        )
+    )
+
+
+@_q(
+    "text_pii_stats",
+    """SELECT doc_id,
+       cast(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+')) as bigint)
+           AS n_emails,
+       cast(len(regexp_extract_all(text, '[0-9]+')) as bigint) AS n_numbers,
+       cast(len(regexp_extract_all(text, '[0-9]{7,}')) as bigint) AS n_long_digit_runs
+FROM documents""",
+    "PII exposure profile per document (emails / digit runs / long "
+    "phone-or-id-like runs) — the detection side of the scrub step "
+    "(text_scrub), so a pipeline can gate or route docs before rewriting "
+    "them. Map-only JVM regexes.",
+)
+def text_pii_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "cast(size(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+', 0)) as bigint)"
+        ).alias("n_emails"),
+        F.expr("cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint)").alias(
+            "n_numbers"
+        ),
+        F.expr(
+            "cast(size(regexp_extract_all(text, '[0-9]{7,}', 0)) as bigint)"
+        ).alias("n_long_digit_runs"),
+    )
+
+
+@_q(
+    "text_repetition",
+    """WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+    FROM documents),
+u AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM toks WHERE len(w) >= 2),
+bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b FROM u WHERE i + 1 <= len(w)),
+c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b)
+SELECT doc_id,
+       round(cast(max(n) as double) / cast(sum(n) as double), 6)
+           AS top_bigram_frac,
+       cast(sum(n) as bigint) AS n_bigrams
+FROM c GROUP BY doc_id""",
+    "Gopher-style repetition signal: fraction of all word bigrams taken "
+    "by the single most frequent bigram — high values mark looping/"
+    "boilerplate text that poisons training. explode → two hash-aggs on "
+    "(doc, bigram) then doc; both keys are high-cardinality and skew-free.",
+)
+def text_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = hashing.spark_tokens("text")
+    bigrams = (
+        f"transform(sequence(1, size({w}) - 1), "
+        f"i -> concat_ws(' ', element_at({w}, i), element_at({w}, i + 1)))"
+    )
+    bg = d.filter(F.expr(f"size({w}) >= 2")).select(
+        "doc_id", F.explode(F.expr(bigrams)).alias("b")
+    )
+    counts = bg.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.max("n").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("top_bigram_frac"),
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -3137,6 +3267,8 @@ _GATE_PRIORITY = [
     "pipeline_train_val_split",
     "pipeline_global_shuffle",
     "emb_quantize_int8",
+    "text_pii_stats",
+    "text_repetition",
     # TPC-H + core batch representatives
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
