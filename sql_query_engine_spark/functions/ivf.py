@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["train_centroids", "ivf_topk"]
+__all__ = ["adaptive_params", "train_centroids", "ivf_topk"]
 
 
 def _assign_udf(centroids):
@@ -137,12 +137,26 @@ def train_centroids(
         emb.unpersist()
 
 
+def adaptive_params(n_vectors: int) -> tuple[int, int]:
+    """(n_cells, n_probe) for a corpus of ``n_vectors``.
+
+    The standard IVF sizing: cells ≈ √N (each cell holds ~√N vectors, so
+    probe cost and cell-scan cost balance), probes ≈ √cells with a floor
+    of 4 (recall ≥ the fixed 16/4 test configuration). Clamped to
+    [4, 65536] cells so tiny corpora still partition and the centroid
+    matrix stays driver-sized (65536 × dim doubles ≈ 34 MB at dim 64).
+    """
+    n_cells = max(4, min(65536, int(n_vectors**0.5)))
+    n_probe = max(4, min(n_cells, int(n_cells**0.5)))
+    return n_cells, n_probe
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
     n_queries: int = 8,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int | None = 16,
+    n_probe: int | None = 4,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k probing the ``n_probe`` nearest cells.
@@ -151,10 +165,18 @@ def ivf_topk(
     expands to its n_probe nearest cells and candidates come from an
     equi-join on the cell id — the same join-on-coarse-key shape as the
     LSH variant, with learned (data-adaptive) cells instead of random
-    hyperplanes.
+    hyperplanes. Pass ``n_cells=None`` to size cells/probes from the
+    corpus count (√N rule, :func:`adaptive_params`) — the setting a
+    100 TB corpus wants; the fixed default keeps the small-corpus gate
+    runs reproducible.
     """
     import numpy as np
 
+    if n_cells is None:
+        n_cells, auto_probe = adaptive_params(emb.count())
+        n_probe = auto_probe if n_probe is None else n_probe
+    elif n_probe is None:
+        n_probe = adaptive_params(n_cells * n_cells)[1]
     if centroids is None:
         centroids = train_centroids(emb, n_cells=n_cells)
     par = emb.sparkSession.sparkContext.defaultParallelism

@@ -87,6 +87,31 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.3, f"recall@10 too low: {recall:.2f}"
 
 
+def test_ivf_adaptive_params(spark):
+    """√N sizing: cells grow with the corpus, probes with √cells, both
+    clamped; the adaptive path (n_cells=None) must still clear the same
+    recall floor as the fixed test configuration."""
+    from sql_query_engine_spark.functions import ivf, similarity
+
+    assert ivf.adaptive_params(100) == (10, 4)
+    assert ivf.adaptive_params(1_000_000) == (1000, 31)
+    assert ivf.adaptive_params(10) == (4, 4)  # floor
+    cells, probes = ivf.adaptive_params(10**13)  # ~100 TB of 1 KB docs
+    assert cells == 65536 and probes == 256  # ceiling holds driver size
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {}
+    for r in similarity.cosine_topk(emb, k=10, n_queries=8).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = ivf.ivf_topk(emb, k=10, n_queries=8, n_cells=None, n_probe=None).collect()
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        ivf_nbrs = {r.neighbor_id for r in got if r.query_id == qid}
+        hits += len(ivf_nbrs & nbrs)
+        total += len(nbrs)
+    assert total and hits / total >= 0.3, f"adaptive recall too low: {hits}/{total}"
+
+
 def test_asof_join_semantics(spark):
     """Hand-built cases: exact-tie inclusion, no-preceding-match NULL,
     same-timestamp right-side tiebreak, per-key isolation."""
