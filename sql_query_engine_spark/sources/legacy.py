@@ -39,6 +39,7 @@ __all__ = [
     "dd_to_schema",
     "load_dd",
     "read_qualified_csv",
+    "read_tbl",
     "write_qualified_csv",
     "read_tagged_jsonl",
     "write_tagged_jsonl",
@@ -99,6 +100,25 @@ def read_qualified_csv(
         df = spark.read.csv(path, header=True, inferSchema=True)
     renames = {c: c.split(".", 1)[1] for c in df.columns if c.startswith(f"{relation}.")}
     return df.withColumnsRenamed(renames).alias(relation)
+
+
+def read_tbl(
+    spark: SparkSession,
+    path: str,
+    relation: str,
+    dd_rel: dict[str, str],
+) -> DataFrame:
+    """Read a TPC-H dbgen ``.tbl`` file (pipe-separated, no header).
+
+    The reference ingests these only via pandas converter scripts run
+    by hand before a job (utils/tbl_to_csv.py:6, utils/tbl_to_json.py:6
+    — a driver-side, single-machine bottleneck at any real SF); here the
+    scan itself is distributed and the dd schema is enforced at read.
+    dbgen lines carry a trailing ``|``; Spark's PERMISSIVE CSV mode drops
+    the resulting empty extra token against a fixed schema.
+    """
+    schema = dd_to_schema(dd_rel)
+    return spark.read.csv(path, sep="|", header=False, schema=schema).alias(relation)
 
 
 def write_qualified_csv(df: DataFrame, path: str, relation: str) -> None:

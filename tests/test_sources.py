@@ -282,3 +282,28 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert len(files) == n
     assert n < 8
     assert spark.read.parquet(str(dst)).count() == li.count()
+
+
+def test_read_tbl_dbgen_format(spark, tmp_path):
+    """TPC-H dbgen .tbl ingestion (reference utils/tbl_to_csv.py:6):
+    pipe-separated, no header, trailing '|' per line — schema enforced at
+    the scan, trailing empty token dropped."""
+    p = tmp_path / "NATION.tbl"
+    p.write_text(
+        "0|ALGERIA|0|haggle. carefully final deposits|\n"
+        "1|ARGENTINA|1|al foxes promise slyly|\n"
+    )
+    dd = {
+        "n_nationkey": "int",
+        "n_name": "string",
+        "n_regionkey": "int",
+        "n_comment": "string",
+    }
+    df = legacy.read_tbl(spark, str(p), "NATION", dd)
+    rows = df.orderBy("n_nationkey").collect()
+    assert len(rows) == 2
+    assert rows[0].n_nationkey == 0 and rows[0].n_name == "ALGERIA"
+    assert rows[1].n_comment == "al foxes promise slyly"
+    assert dict(df.dtypes)["n_regionkey"] == "bigint"  # dd 'int' → LongType
+    # qualified access works like every other legacy reader
+    assert df.select(F.col("NATION.n_name")).count() == 2
