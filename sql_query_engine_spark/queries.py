@@ -3206,6 +3206,69 @@ def text_repetition(spark, sf_dir):
     )
 
 
+@_q(
+    "catalog_profile_documents",
+    """SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       cast(min(n_chars) as bigint) AS min_chars,
+       cast(max(n_chars) as bigint) AS max_chars,
+       round(avg(cast(n_chars as double)), 6) AS avg_chars,
+       round(quantile_cont(cast(n_chars as double), 0.5), 6) AS p50_chars,
+       round(quantile_cont(cast(n_chars as double), 0.9), 6) AS p90_chars
+FROM documents""",
+    "text-corpus profile: language/source cardinalities + exact length "
+    "quantiles (linear interpolation, identical in DuckDB). At 100 TB "
+    "swap the exact percentile for approx_percentile — same plan shape, "
+    "bounded memory.",
+)
+def catalog_profile_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ch = F.col("n_chars").cast("double")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg(ch), 6).alias("avg_chars"),
+        F.round(F.percentile(ch, F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile(ch, F.lit(0.9)), 6).alias("p90_chars"),
+    )
+
+
+_DAY_NS = 86_400_000_000_000
+
+
+@_q(
+    "stream_retention_cohorts",
+    f"""WITH d AS (
+    SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS day
+    FROM events),
+u AS (SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM d)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       count(*) AS n_users
+FROM u GROUP BY cohort_day, day_offset""",
+    "retention cohort matrix: users bucketed by first-seen day, counted "
+    "per active-day offset — the classic product-analytics rollup. Day "
+    "index is exact int64 nanosecond arithmetic; the window partitions "
+    "by user (no global sort) and the final agg keys on the tiny "
+    "(cohort, offset) grid.",
+)
+def stream_retention_cohorts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # integer DIV, not `/`: epoch-ns exceeds double's 2^53 exact range
+    d = e.select("user_id", F.expr(f"ts DIV {_DAY_NS}").alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    u = d.select("user_id", "day", F.min("day").over(w).alias("cohort_day"))
+    return (
+        u.groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
