@@ -3237,6 +3237,73 @@ def catalog_profile_documents(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_native_pivot",
+    """SELECT c_mktsegment,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+            FILTER (WHERE o_orderpriority = '1-URGENT') as double) AS sum_urgent,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+            FILTER (WHERE o_orderpriority = '2-HIGH') as double) AS sum_high,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+            FILTER (WHERE o_orderpriority = '3-MEDIUM') as double) AS sum_medium
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment""",
+    "the native DataFrame pivot() API with an EXPLICIT value list — "
+    "without one Spark runs an extra distinct-scan job to discover pivot "
+    "columns, the thing you never want against 100 TB. Money sums go "
+    "through DECIMAL for order-independent exactness.",
+)
+def agg_native_pivot(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"])
+    p = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+    )
+    return p.select(
+        "c_mktsegment",
+        F.col("`1-URGENT`").cast("double").alias("sum_urgent"),
+        F.col("`2-HIGH`").cast("double").alias("sum_high"),
+        F.col("`3-MEDIUM`").cast("double").alias("sum_medium"),
+    )
+
+
+@_q(
+    "emb_label_centroids",
+    """WITH u AS (
+    SELECT label, generate_subscripts(embedding, 1) AS pos, embedding AS v
+    FROM embeddings),
+x AS (SELECT label, pos,
+             cast(round(cast(v[pos] as double), 7) as decimal(18,7)) AS val
+      FROM u)
+SELECT label, cast(pos as int) AS pos,
+       round(cast(sum(val) as double) / count(*), 6) AS centroid_r6,
+       count(*) AS n_vecs
+FROM x GROUP BY label, pos""",
+    "distributed mean-pooling: per-label centroid of the embedding "
+    "column via posexplode → one hash-agg on (label, dim). Elements are "
+    "rounded then accumulated in DECIMAL fixed-point, so the sum is "
+    "order/partitioning-independent and engine-exact — the same "
+    "money-sum discipline applied to vector math. This is the building "
+    "block of semantic-cluster summaries and class prototypes.",
+)
+def emb_label_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "xval")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.expr("cast(round(cast(xval as double), 7) as decimal(18,7))").alias("val"),
+    )
+    return x.groupBy("label", "pos").agg(
+        F.round(F.sum("val").cast("double") / F.count("*"), 6).alias("centroid_r6"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 _DAY_NS = 86_400_000_000_000
 
 
