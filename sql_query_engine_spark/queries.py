@@ -3271,6 +3271,35 @@ def agg_native_pivot(spark, sf_dir):
 
 
 @_q(
+    "agg_unpivot",
+    """WITH long AS (
+    SELECT 'l_extendedprice' AS component, l_extendedprice AS value FROM lineitem
+    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT component, cast(sum(cast(value as decimal(18,6))) as double) AS total,
+       count(*) AS n
+FROM long GROUP BY component""",
+    "unpivot/melt via the native DataFrame unpivot() API — wide charge "
+    "components to long (component, value) rows, then one hash-agg. "
+    "Spark plans this as a Generate (Expand) projection: no join, no "
+    "extra scan per component, unlike the oracle's 3-scan UNION ALL "
+    "spelling of the same relation.",
+)
+def agg_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "component",
+        "value",
+    )
+    return long.groupBy("component").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
     "emb_label_centroids",
     """WITH u AS (
     SELECT label, generate_subscripts(embedding, 1) AS pos, embedding AS v
