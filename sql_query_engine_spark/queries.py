@@ -3271,6 +3271,32 @@ def agg_native_pivot(spark, sf_dir):
 
 
 @_q(
+    "mm_payload_dedup",
+    """SELECT md5(text) AS content_md5, count(*) AS n_copies,
+       min(doc_id) AS keeper_doc,
+       cast(max(octet_length(encode(text))) as bigint) AS n_bytes
+FROM documents GROUP BY md5(text)""",
+    "exact dedup over the OPAQUE BINARY payload (the image/audio/video "
+    "byte-identical dup story): md5 of the blob is the shuffle key — "
+    "fixed-width, uniformly distributed, and computed without decoding. "
+    "Same hash-agg shape as dedup_exact_hash, lifted to the multimodal "
+    "contract (metadata struct rides along untouched). Emits every "
+    "content group (keeper + copy count); add HAVING n_copies > 1 to "
+    "list only dup groups.",
+)
+def mm_payload_dedup(spark, sf_dir):
+    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy(F.md5("payload").alias("content_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.max(F.length("payload")).cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+@_q(
     "agg_unpivot",
     """WITH long AS (
     SELECT 'l_extendedprice' AS component, l_extendedprice AS value FROM lineitem
@@ -3330,6 +3356,43 @@ def emb_label_centroids(spark, sf_dir):
     return x.groupBy("label", "pos").agg(
         F.round(F.sum("val").cast("double") / F.count("*"), 6).alias("centroid_r6"),
         F.count("*").alias("n_vecs"),
+    )
+
+
+@_q(
+    "stream_window_topk",
+    """WITH c AS (
+    SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS window_start_ns,
+           event_type, count(*) AS n
+    FROM events GROUP BY window_start_ns, event_type)
+SELECT window_start_ns, event_type, n FROM (
+    SELECT window_start_ns, event_type, n,
+           row_number() OVER (PARTITION BY window_start_ns
+                              ORDER BY n DESC, event_type) AS rn
+    FROM c) t
+WHERE rn = 1""",
+    "top event type per tumbling hour: windowed count then rank-1 within "
+    "each window — trending-item analytics. The rank window partitions "
+    "by the hour bucket (high cardinality over time, never global); "
+    "under Structured Streaming the count is the incremental state and "
+    "the rank runs on the emitted window rows.",
+)
+def stream_window_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.groupBy(
+            F.expr("ts - ts % 3600000000000").alias("window_start_ns"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("window_start_ns").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start_ns", "event_type", "n")
     )
 
 
