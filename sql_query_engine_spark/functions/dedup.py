@@ -785,7 +785,15 @@ def dedup_clusters(
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = _ckpt(edges)
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Iterate ONLY over nodes that appear in some pair: propagation can
+    # never change a doc with no edges, so singletons skip the rounds
+    # entirely and rejoin at the end. Near-dup graphs are sparse — the
+    # paired-node set is a small fraction of the corpus, so every
+    # per-round join/agg shrinks from |docs| to |paired docs| (at 100 TB,
+    # the difference between iterating over terabytes and over gigabytes).
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
     # Frontier (delta) iteration: only labels that IMPROVED last round
     # send messages. Round 1 everyone sends; afterwards the edges⋈frontier
     # join carries only the still-active nodes — on a 100 TB graph the
@@ -818,7 +826,10 @@ def dedup_clusters(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
-    return labels
+    # singletons (docs in no pair) map to themselves
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 def dedup_clusters_oracle(pairs_cte: str) -> str:
