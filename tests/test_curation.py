@@ -1,0 +1,85 @@
+"""Curation-operator invariants: the salted-hash decisions must be pure
+functions of doc_id (reproducible anywhere — any engine, any partition
+layout, any corpus growth), and the shuffle must be a true permutation.
+
+These re-derive the md5 arithmetic in plain Python and compare per-row
+against the Spark expressions — the engine-neutrality guarantee the
+oracle hash-compare asserts in aggregate, pinned here at row level."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sql_query_engine_spark.catalog import load_table
+from sql_query_engine_spark.queries import (
+    _SHUFFLE_SHARDS,
+    _SPARK_SPLIT_H,
+    pipeline_dataset_mixture,
+    pipeline_global_shuffle,
+    pipeline_train_val_split,
+)
+from tests.conftest import SF_DIR
+
+_MIX_RATES = {"en": 10000, "de": 5000, "es": 5000, "fr": 5000, "zh": 2500}
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _py_split(doc_id: int) -> str:
+    h = _h48(f"{doc_id}:split") % 100
+    return "val" if h < 5 else ("test" if h < 10 else "train")
+
+
+def test_split_hash_matches_python_rowwise(spark):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.expr(_SPARK_SPLIT_H).alias("h")
+    )
+    for r in df.collect():
+        assert r.h == _h48(f"{r.doc_id}:split") % 100
+
+
+def test_split_partitions_the_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    split = pipeline_train_val_split(spark, SF_DIR)
+    total = split.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+    names = {r.split for r in split.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"}
+
+
+def test_mixture_is_exactly_the_hash_rule(spark):
+    docs = {r.doc_id: r.lang for r in
+            load_table(spark, SF_DIR, "documents").select("doc_id", "lang").collect()}
+    expected = {
+        d for d, lang in docs.items()
+        if _h48(f"{d}:mix") % 10000 < _MIX_RATES.get(lang, 0)
+    }
+    got = {r.doc_id for r in pipeline_dataset_mixture(spark, SF_DIR).collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = pipeline_global_shuffle(spark, SF_DIR).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in docs.select("doc_id").collect()}
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < _SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+def test_split_membership_survives_corpus_growth(spark):
+    """A doc's split never changes when new docs arrive — recompute the
+    split on a half-corpus and on the full corpus; the common docs agree."""
+    docs = load_table(spark, SF_DIR, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    tag = F.expr(_SPARK_SPLIT_H).alias("h")
+    full_map = {r.doc_id: r.h for r in docs.select("doc_id", tag).collect()}
+    half_map = {r.doc_id: r.h for r in half.select("doc_id", tag).collect()}
+    assert all(full_map[d] == h for d, h in half_map.items())
