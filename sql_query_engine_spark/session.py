@@ -13,10 +13,11 @@ session is the single tuned entry point for everything:
   post-shuffle partitions land in the 64-256 MiB range.
 * **Arrow enabled** — every Python-touching operator in this engine uses
   pandas UDFs / mapInPandas (Arrow-batched), never row-at-a-time UDFs.
-* **nanosAsLong** — the driver's ``events.parquet`` carries
-  TIMESTAMP(NANOS) which PySpark 4.x refuses to read natively; with the
-  legacy flag the column surfaces as ``bigint`` nanoseconds and the catalog
-  derives a proper timestamp column from it (see catalog.py).
+* **nanosAsLong** — tolerates the TIMESTAMP(NANOS) generation of the
+  driver's ``events.parquet`` (PySpark 4.x refuses it natively; the flag
+  surfaces the column as ``bigint`` nanoseconds). Either physical
+  generation — NANOS or MICROS — normalizes to the same engine contract
+  in ``catalog.normalize_events``.
 * **UTC session timezone** — keeps timestamp arithmetic reproducible and
   aligned with the DuckDB oracle.
 """

@@ -225,3 +225,35 @@ def test_tpch_suite_is_complete_and_dimension_joins_broadcast(spark):
     # Q2: the per-part argmax is a partitioned window, never a global one.
     p = plan_of(qs["tpch_q2_min_cost_supplier"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
+
+
+def test_curation_plan_shapes(spark):
+    """Plan pins for the curation operators: the mixture filter is
+    map-only (zero exchanges), the global shuffle's window is partitioned
+    (never a one-task global sort), and decontamination's gram join is a
+    real equi-join (no nested-loop / cartesian fallback)."""
+    from sql_query_engine_spark.plans.inspect import formatted_plan, join_strategies
+    from sql_query_engine_spark.queries import queries
+
+    reg = queries()
+
+    mix = formatted_plan(reg["pipeline_dataset_mixture"](spark, SF_DIR))
+    assert "Exchange" not in mix  # pure scan→filter→project
+
+    shuf = formatted_plan(reg["pipeline_global_shuffle"](spark, SF_DIR))
+    assert "Window" in shuf
+    # every Window node must carry a partition spec (shard key)
+    for line in shuf.splitlines():
+        if line.strip().startswith("Arguments") and "windowspecdefinition" in line:
+            assert "hkey" in line  # partitioned by (hkey % shards)
+
+    decon = reg["pipeline_decontaminate"](spark, SF_DIR)
+    strategies = join_strategies(decon)
+    assert strategies, "expected a join in the decontamination plan"
+    assert all(
+        s in {"SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"}
+        for s in strategies
+    ), strategies
+
+    piv = formatted_plan(reg["agg_native_pivot"](spark, SF_DIR))
+    assert "CartesianProduct" not in piv and "BroadcastNestedLoopJoin" not in piv
