@@ -31,6 +31,8 @@ __all__ = [
     "HYPERPLANES",
     "cosine_topk",
     "cosine_topk_oracle",
+    "hybrid_rrf",
+    "hybrid_rrf_oracle",
     "lsh_bucket_topk",
     "lsh_bucket_topk_oracle",
 ]
@@ -301,4 +303,166 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, round(cos, 6) AS cos, cast(rank as int) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: keyword IDF ranking ⊕ vector cosine ranking via RRF
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_CUT = 50  # per-modality candidate depth before fusion
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    tokens: tuple[str, ...],
+    k: int = 10,
+    query_id: int = 0,
+) -> DataFrame:
+    """Hybrid search: fuse a keyword ranking and a vector ranking with
+    reciprocal-rank fusion — score(d) = Σ 1/(RRF_K + rank_m(d)).
+
+    The two-retriever shape of every production RAG stack: the keyword
+    side ranks docs by summed IDF of matched query tokens (exact integer
+    dfs, ln on identical doubles); the vector side ranks by cosine to the
+    query embedding. Each side keeps its top ``_RRF_CUT`` via
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    partial top-k, no global sort); the rank windows then run over only
+    the surviving ≤50-row candidate lists. A full outer join on the doc
+    id fuses them. Ranks are deterministic (score desc, id asc), so the
+    fused list is value-exact cross-engine.
+
+    ``emb.vec_id`` is the embedding id of the same-numbered document
+    (the driver corpus pairs them 1:1).
+    """
+    spark_tokens = ", ".join(f"'{t}'" for t in tokens)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+        ).alias("tok"),
+    )
+    df_tok = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("tok").isin(*tokens))
+    )
+    kw_scored = (
+        toks.filter(F.expr(f"tok IN ({spark_tokens})"))
+        .join(F.broadcast(df_tok), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))).alias(
+                "kw_score"
+            )
+        )
+    )
+    # top-cut via orderBy+limit = TakeOrderedAndProject (per-partition
+    # partial top-k, NO global sort); the rank window then runs over only
+    # the ≤_RRF_CUT surviving rows
+    kw_top = kw_scored.orderBy(F.col("kw_score").desc(), "doc_id").limit(_RRF_CUT)
+    w_kw = Window.orderBy(F.col("kw_score").desc(), "doc_id")
+    kw = kw_top.select(
+        "doc_id", F.row_number().over(w_kw).alias("kw_rank")
+    )
+
+    base = emb.select("vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2"))
+    q = base.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"), F.col("n2").alias("q_n2")
+    )
+    scored = (
+        base.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.expr(
+                    "aggregate(zip_with(q_emb, embedding,"
+                    " (x, y) -> cast(x as double) * cast(y as double)),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                )
+                / (F.sqrt("q_n2") * F.sqrt("n2"))
+            ).alias("cos"),
+        )
+    )
+    vec_top = scored.orderBy(F.col("cos").desc(), "vec_id").limit(_RRF_CUT)
+    w_vec = Window.orderBy(F.col("cos").desc(), "vec_id")
+    vec = vec_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_vec).alias("vec_rank"),
+    )
+
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "kw_rank",
+        "vec_rank",
+    )
+    fused_top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+    w_f = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused_top.withColumn("rank", F.row_number().over(w_f))
+        .select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_r6"),
+            F.col("kw_rank").cast("int").alias("kw_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def hybrid_rrf_oracle(
+    tokens: tuple[str, ...], k: int = 10, query_id: int = 0
+) -> str:
+    duck_tokens = ", ".join(f"'{t}'" for t in tokens)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS tok
+    FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT tok, count(*) AS doc_freq FROM toks
+          WHERE tok IN ({duck_tokens}) GROUP BY tok),
+kw_scored AS (
+    SELECT t.doc_id,
+           sum(ln(cast(n.n_docs as double) / d.doc_freq)) AS kw_score
+    FROM toks t JOIN dfreq d ON t.tok = d.tok CROSS JOIN n
+    WHERE t.tok IN ({duck_tokens})
+    GROUP BY t.doc_id),
+kw AS (
+    SELECT doc_id, kw_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+        FROM kw_scored) WHERE kw_rank <= {_RRF_CUT}),
+nv AS (SELECT vec_id, embedding, {_DUCK_NORM2} AS n2 FROM embeddings),
+vec_scored AS (
+    SELECT c.vec_id,
+           {_duck_dot('q.embedding', 'c.embedding')}
+             / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+    FROM nv q JOIN nv c ON c.vec_id != {query_id}
+    WHERE q.vec_id = {query_id}),
+vec AS (
+    SELECT vec_id AS doc_id, vec_rank FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+        FROM vec_scored) WHERE vec_rank <= {_RRF_CUT}),
+fused AS (
+    SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+           coalesce(1.0 / ({RRF_K} + kw.kw_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + vec.vec_rank), 0.0) AS rrf,
+           kw.kw_rank, vec.vec_rank
+    FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf_r6,
+       cast(kw_rank as int) AS kw_rank, cast(vec_rank as int) AS vec_rank,
+       cast(rank as int) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+WHERE rank <= {k}
 """

@@ -3270,6 +3270,26 @@ def agg_native_pivot(spark, sf_dir):
     )
 
 
+_HYBRID_TOKENS = ("scan", "customer", "stream")
+
+
+@_q(
+    "sim_hybrid_rrf",
+    similarity.hybrid_rrf_oracle(_HYBRID_TOKENS),
+    "hybrid retrieval: keyword IDF ranking fused with vector cosine "
+    "ranking by reciprocal-rank fusion (the two-retriever RAG shape). "
+    "Each modality keeps its top-50 via WindowGroupLimit, then a full "
+    "outer join on the doc id fuses; ranks are deterministic so the "
+    "fused list is value-exact cross-engine.",
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    return similarity.hybrid_rrf(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _HYBRID_TOKENS,
+    )
+
+
 @_q(
     "mm_payload_dedup",
     """SELECT md5(text) AS content_md5, count(*) AS n_copies,
@@ -3466,6 +3486,7 @@ _GATE_PRIORITY = [
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "sim_hybrid_rrf",
     "text_quality",
     "text_lang_id",
     "text_char_entropy",

@@ -73,6 +73,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "partition), not the data",
     "window_ntile_scale": "same two-pass rank offsets window — one row "
     "per range partition",
+    "sim_hybrid_rrf": "rank windows run AFTER TakeOrdered limits — each "
+    "covers at most the 50-row per-modality candidate list / 10-row "
+    "fused list, never corpus-sized input",
 }
 
 
