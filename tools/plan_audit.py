@@ -52,6 +52,17 @@ EXPECTED = {
     "lateness stats on l_orderkey — both sides are lineitem-sized, so a "
     "shuffle join on the natural key is the correct strategy (neither "
     "side can broadcast)",
+    "dedup_clusters": "corpus left-join of the converged paired-node "
+    "label map on doc_id — the label set is data-dependent (up to every "
+    "paired doc), so a shuffle join on the key is the correct general "
+    "strategy; AQE broadcasts it at runtime when the graph is sparse",
+    "pipeline_training_data": "inherits dedup_clusters' singleton-rejoin "
+    "shuffle join; the second SMJ is the same corpus⋈labels key join "
+    "inside the pipeline composition",
+    "sim_hybrid_rrf": "BNLJs are the lazy 1-row corpus-count crossJoin "
+    "(text_idf shape) and the broadcast single query vector vs corpus; "
+    "the SMJ is the full outer fusion of two ≤50-row ranked lists "
+    "(full outer cannot broadcast)",
 }
 
 # queries whose physical plan legitimately contains a Window with no
