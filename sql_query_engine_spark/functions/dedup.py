@@ -65,11 +65,50 @@ __all__ = [
     "incremental_neardup_stateless",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_oracle",
+    "banding_for_threshold",
+    "banding_recall",
 ]
 
 N_BANDS = 4
 ROWS_PER_BAND = 4  # N_BANDS * ROWS_PER_BAND == len(MINHASH_PERMS)
 SIMHASH_BITS = 48
+
+
+def banding_for_threshold(threshold: float, n_perms: int = 16) -> tuple[int, int]:
+    """Choose LSH banding (n_bands, rows_per_band) for a Jaccard threshold.
+
+    Standard S-curve sizing (Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* §3.4.3): a (b bands × r rows) scheme catches a pair with
+    similarity j with probability 1 − (1 − jʳ)ᵇ, whose inflection sits at
+    t ≈ (1/b)^(1/r). Among the factorizations b·r = n_perms, pick the one
+    whose t is log-closest to the requested threshold, breaking ties toward
+    smaller t (more bands ⇒ higher recall at the threshold; the exact
+    Jaccard verification step removes the extra false positives anyway).
+
+    The module defaults (4×4 for 16 perms, t ≈ 0.707) stay the gate
+    configuration; this helper is the 100 TB tuning knob and is exercised
+    by the scale rehearsal (tools/scale_rehearsal.py) and its property
+    test (planted-pair recall at the chosen banding).
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    options = [
+        (b, n_perms // b) for b in range(1, n_perms + 1) if n_perms % b == 0
+    ]
+    def keyfn(br):
+        b, r = br
+        t = (1.0 / b) ** (1.0 / r)
+        # tie-break toward smaller t == larger b (recall-favoring)
+        return (abs(math.log(t) - math.log(threshold)), -b)
+
+    return min(options, key=keyfn)
+
+
+def banding_recall(threshold_j: float, n_bands: int, rows_per_band: int) -> float:
+    """P(candidate) for a pair at Jaccard ``threshold_j`` under (b, r)."""
+    return 1.0 - (1.0 - threshold_j**rows_per_band) ** n_bands
 
 
 # --------------------------------------------------------------------------
@@ -178,13 +217,18 @@ def _minhash_signatures_from(ex: DataFrame) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    banding: tuple[int, int] | None = None,
+) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding + exact verify.
 
     Pipeline: shingle → 48-bit shingle hash (once) → 16 min-aggregates →
-    4 bands of 4 → shuffle by (band, band-signature) → candidate pairs
-    where any band collides → verify exact Jaccard ≥ threshold on the
-    candidate set only.
+    bands (default 4 bands of 4; pass ``banding=banding_for_threshold(t)``
+    to size the S-curve to the target threshold) → shuffle by (band,
+    band-signature) → candidate pairs where any band collides → verify
+    exact Jaccard ≥ threshold on the candidate set only.
 
     At 100 TB the band-join is the only all-data shuffle; its key
     cardinality is huge (band signatures), so it partitions evenly, and the
@@ -197,6 +241,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     computes once (measured ~2× at sf0.1 vs recomputing shingles per
     branch).
     """
+    n_bands, rows_per_band = banding if banding is not None else (
+        N_BANDS, ROWS_PER_BAND,
+    )
+    if n_bands * rows_per_band != len(MINHASH_PERMS):
+        raise ValueError(
+            f"banding {n_bands}x{rows_per_band} != {len(MINHASH_PERMS)} perms"
+        )
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = shingled_docs(docs).repartition(par, "doc_id")
     ex = (
@@ -206,8 +257,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     sigs = _minhash_signatures_from(ex)
 
     band_structs = []
-    for j in range(N_BANDS):
-        ms = [f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    for j in range(n_bands):
+        ms = [f"mh{j * rows_per_band + r}" for r in range(rows_per_band)]
         band_structs.append(
             f"struct({j} as band, concat_ws('-', {', '.join(ms)}) as bsig)"
         )

@@ -156,7 +156,7 @@ def ivf_topk(
     k: int = 10,
     n_queries: int = 8,
     n_cells: int | None = 16,
-    n_probe: int | None = 4,
+    n_probe: int | None = None,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k probing the ``n_probe`` nearest cells.
@@ -165,18 +165,22 @@ def ivf_topk(
     expands to its n_probe nearest cells and candidates come from an
     equi-join on the cell id — the same join-on-coarse-key shape as the
     LSH variant, with learned (data-adaptive) cells instead of random
-    hyperplanes. Pass ``n_cells=None`` to size cells/probes from the
+    hyperplanes. Pass ``n_cells=None`` to size cells AND probes from the
     corpus count (√N rule, :func:`adaptive_params`) — the setting a
-    100 TB corpus wants; the fixed default keeps the small-corpus gate
-    runs reproducible.
+    100 TB corpus wants; the fixed cell default keeps the small-corpus
+    gate runs reproducible. ``n_probe`` defaults to ``None`` = derived
+    from whichever cell count is in effect (√cells, floor 4), so the
+    auto-sized path never probes a fixed-constant fraction of a corpus-
+    scaled cell grid; pass an int only to pin it explicitly.
     """
     import numpy as np
 
     if n_cells is None:
         n_cells, auto_probe = adaptive_params(emb.count())
-        n_probe = auto_probe if n_probe is None else n_probe
-    elif n_probe is None:
-        n_probe = adaptive_params(n_cells * n_cells)[1]
+    else:
+        auto_probe = adaptive_params(n_cells * n_cells)[1]
+    if n_probe is None:
+        n_probe = auto_probe
     if centroids is None:
         centroids = train_centroids(emb, n_cells=n_cells)
     par = emb.sparkSession.sparkContext.defaultParallelism

@@ -164,16 +164,29 @@ FROM ranked WHERE rank <= {k}
 
 
 def lsh_bucket_topk(
-    emb: DataFrame, k: int = 5, n_queries: int = 8
+    emb: DataFrame, k: int = 5, n_queries: int = 8, n_probes: int = 1
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket(s).
 
     The bucket id is computed scan-side (pure expression, no shuffle);
     candidate generation is an equi-join on the bucket int — at 100 TB this
     is a hash shuffle whose key count (2^N_PLANES … more planes at larger
     corpora) controls the recall/cost trade-off. Ranking work is confined
     to buckets.
+
+    ``n_probes > 1`` enables standard multi-probe LSH (Lv et al., VLDB'07):
+    each query also probes the buckets reached by flipping the
+    ``n_probes − 1`` sign bits whose hyperplane projections have the
+    smallest magnitude — the planes the query sits closest to, i.e. the
+    most likely to have cut a true neighbor off. Probing is a QUERY-side
+    fan-out only: the corpus keeps one bucket per vector (buckets
+    partition the corpus, so the probe join yields no duplicate pairs),
+    and recall rises without re-hashing or enlarging the corpus shuffle —
+    the multi-probe trade (q-side work for corpus-side memory) is exactly
+    what a 100 TB index wants.
     """
+    if n_probes < 1 or n_probes > N_PLANES + 1:
+        raise ValueError(f"n_probes must be in [1, {N_PLANES + 1}]")
     par = emb.sparkSession.sparkContext.defaultParallelism
     # second repartition = exchange barrier: the 512-term bucket projection
     # and the norms are computed once and REUSED by both the query and the
@@ -189,7 +202,27 @@ def lsh_bucket_topk(
         )
         .repartition(par, "bucket")
     )
-    q = withb.filter(F.col("vec_id") < n_queries).alias("q")
+    q0 = withb.filter(F.col("vec_id") < n_queries)
+    if n_probes > 1:
+        # per-plane projection magnitudes (query rows only — tiny)
+        proj_arr = "array(" + ", ".join(
+            _plane_dot("spark", plane) for plane in HYPERPLANES
+        ) + ")"
+        qp = q0.withColumn("projs", F.expr(proj_arr)).select(
+            "vec_id", "embedding", "n2", "bucket",
+            F.posexplode("projs").alias("p", "proj"),
+        )
+        w_pl = Window.partitionBy("vec_id").orderBy(F.abs(F.col("proj")).asc(), "p")
+        flips = (
+            qp.withColumn("rnk", F.row_number().over(w_pl))
+            .filter(F.col("rnk") <= n_probes - 1)
+            .select(
+                "vec_id", "embedding", "n2",
+                F.expr("bucket ^ shiftleft(1, p)").alias("bucket"),
+            )
+        )
+        q0 = q0.select("vec_id", "embedding", "n2", "bucket").unionAll(flips)
+    q = q0.alias("q")
     c = withb.alias("c")
     scored = (
         F.broadcast(q)
@@ -281,19 +314,45 @@ def cosine_topk_pandas(
     )
 
 
-def lsh_bucket_topk_oracle(k: int = 5, n_queries: int = 8) -> str:
+def lsh_bucket_topk_oracle(k: int = 5, n_queries: int = 8, n_probes: int = 1) -> str:
+    projs = ", ".join(_plane_dot("duck", plane) for plane in HYPERPLANES)
+    if n_probes > 1:
+        # identical probe set to the Spark side: flip the n_probes-1 sign
+        # bits with the smallest |projection| (ties by plane index)
+        q_cte = f"""
+q0 AS (
+    SELECT vec_id, embedding, n2, bucket, list_value({projs}) AS projs
+    FROM n WHERE vec_id < {n_queries}
+),
+flips AS (
+    SELECT vec_id, embedding, n2, xor(bucket, (1 << (p - 1))) AS bucket
+    FROM (
+        SELECT vec_id, embedding, n2, bucket, p,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY abs(projs[p]) ASC, p) AS rnk
+        FROM (SELECT *, unnest(generate_series(1, {N_PLANES})) AS p FROM q0))
+    WHERE rnk <= {n_probes - 1}
+),
+qs AS (
+    SELECT vec_id, embedding, n2, bucket FROM q0
+    UNION ALL SELECT vec_id, embedding, n2, bucket FROM flips
+),"""
+    else:
+        q_cte = f"""
+qs AS (
+    SELECT vec_id, embedding, n2, bucket FROM n WHERE vec_id < {n_queries}
+),"""
     return f"""
 WITH n AS (
     SELECT vec_id, embedding, {_DUCK_NORM2} AS n2,
            {_bucket_expr('duck')} AS bucket
     FROM embeddings
-),
+),{q_cte}
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            {_duck_dot('q.embedding', 'c.embedding')}
              / (sqrt(q.n2) * sqrt(c.n2)) AS cos
-    FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-    WHERE q.vec_id < {n_queries}
+    FROM qs q JOIN n c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id, cos,
@@ -335,7 +394,13 @@ def hybrid_rrf(
     fused list is value-exact cross-engine.
 
     ``emb.vec_id`` is the embedding id of the same-numbered document
-    (the driver corpus pairs them 1:1).
+    (the driver corpus pairs them 1:1). Both retrievers exclude the query
+    document itself (``doc_id == query_id``) — a result list that returns
+    the query is useless to a RAG caller, and excluding it on only one
+    branch would let the query document sneak back in with a keyword-only
+    score. IDF document frequencies still count the full corpus (the
+    query doc is real evidence of term rarity); only the ranked candidate
+    lists drop it.
     """
     spark_tokens = ", ".join(f"'{t}'" for t in tokens)
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -352,6 +417,7 @@ def hybrid_rrf(
     )
     kw_scored = (
         toks.filter(F.expr(f"tok IN ({spark_tokens})"))
+        .filter(F.col("doc_id") != query_id)
         .join(F.broadcast(df_tok), "tok")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
@@ -435,7 +501,7 @@ kw_scored AS (
     SELECT t.doc_id,
            sum(ln(cast(n.n_docs as double) / d.doc_freq)) AS kw_score
     FROM toks t JOIN dfreq d ON t.tok = d.tok CROSS JOIN n
-    WHERE t.tok IN ({duck_tokens})
+    WHERE t.tok IN ({duck_tokens}) AND t.doc_id != {query_id}
     GROUP BY t.doc_id),
 kw AS (
     SELECT doc_id, kw_rank FROM (

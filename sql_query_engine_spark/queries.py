@@ -1985,6 +1985,19 @@ def sim_lsh_ann_topk(spark, sf_dir):
 
 
 @_q(
+    "sim_lsh_multiprobe_topk",
+    similarity.lsh_bucket_topk_oracle(n_probes=3),
+    "multi-probe hyperplane LSH (Lv et al. VLDB'07): each query also "
+    "probes the buckets across its 2 lowest-|projection| hyperplanes — "
+    "recall recovers toward brute-force at fixed N_PLANES with query-side "
+    "fan-out only (corpus shuffle unchanged); oracle mirrors the exact "
+    "probe set",
+)
+def sim_lsh_multiprobe_topk(spark, sf_dir):
+    return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), n_probes=3)
+
+
+@_q(
     "sim_ivf_topk",
     None,  # k-means centroids are float reductions — no value-exact
     # cross-engine twin exists; correctness is recall-vs-brute-force
@@ -2164,6 +2177,31 @@ FROM pos""",
 def mm_frame_samples(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_binary_payload(docs))
+
+
+@_q(
+    "mm_decode",
+    """SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+           AS format,
+       CAST((doc_id * 7) % 2000 + 16 AS INT) AS width,
+       CAST((doc_id * 13) % 1200 + 16 AS INT) AS height,
+       CAST(CASE
+            WHEN doc_id % 3 = 2 THEN 3
+            WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+            ELSE CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+        END AS INT) AS channels,
+       CAST(8 AS INT) AS bit_depth
+       FROM documents""",
+    "REAL container decode: per-doc payloads are genuine PNG/JPEG/GIF bytes "
+    "(signature + IHDR / JFIF+SOF0 walk / logical screen descriptor) built "
+    "deterministically from doc_id, then parsed back byte-level by "
+    "decode_real in an Arrow mapInPandas stage; the oracle states the "
+    "expected metadata arithmetically, so any parser drift hash-fails",
+)
+def mm_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.synthesize_media(docs))
 
 
 # =========================================================================
@@ -3452,15 +3490,17 @@ def stream_retention_cohorts(spark, sf_dir):
 # public API
 # =========================================================================
 
-# The correctness driver walks queries() in order under a budget (round 1
-# verified exactly the first 50 declared entries), so registry order IS the
-# checked surface. Front-load the load-bearing inventory: reference-parity
-# first, then one representative per family (dedup / similarity / text /
-# streaming / multimodal / TPC-H / core batch ops) so a capped run still
-# certifies every family; the long tail of cheap variants follows in
-# declaration order.
+# The correctness driver walks queries() in order under a budget (rounds 1-2
+# each verified exactly the first 50 declared entries), so registry order IS
+# the checked surface. Union of the r1+r2 driver windows covered 86 of the
+# 151 declared queries; per VERDICT.md round-2 "Next round #1", round 3's
+# window is rotated to the 65 queries absent from BOTH CORRECTNESS_r01.json
+# and CORRECTNESS_r02.json. The 13 ref_* parity rows stay pinned first (they
+# must stay driver-green every round); the 65 never-checked queries follow,
+# cheap ones first so a time-budgeted gate certifies as many as possible.
+# Everything already driver-green in r1/r2 trails in declaration order.
 _GATE_PRIORITY = [
-    # reference parity (SURVEY.md §2.2) — must stay first
+    # reference parity (SURVEY.md §2.2) — must stay first, every round
     "ref_q1_point_select",
     "ref_q2_cnr_join",
     "ref_q3_col_join_filters",
@@ -3474,69 +3514,77 @@ _GATE_PRIORITY = [
     "ref_theta_join",
     "ref_theta_join_pure",
     "ref_multikey_join",
-    # LLM-pipeline families (absent from the round-1 gate window)
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_simhash_fp",
-    "dedup_simhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
-    "dedup_incremental_stateless",
-    "dedup_clusters",
-    "dedup_embedding_lsh",
-    "sim_cosine_topk",
-    "sim_lsh_ann_topk",
-    "sim_hybrid_rrf",
-    "text_quality",
-    "text_lang_id",
-    "text_char_entropy",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_chunking",
-    "text_pack_sequences",
-    "text_scrub",
-    "text_idf",
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_user_profile",
-    "stream_funnel_conversion",
-    "stream_zscore_anomalies",
-    "mm_binary_features",
-    "mm_frame_samples",
-    "join_asof",
-    "join_asof_tolerance",
-    "pipeline_training_data",
-    "pipeline_dataset_mixture",
-    "pipeline_train_val_split",
-    "pipeline_global_shuffle",
-    "emb_quantize_int8",
-    "text_pii_stats",
-    "text_repetition",
-    # TPC-H + core batch representatives
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q18_large_volume",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q13_customer_distribution",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_cube",
-    "agg_udaf_median",
-    "topk_per_group",
-    "window_running_sum",
-    "window_rank_dense",
+    # --- never driver-checked before round 3: scalars / SQL surface ---
+    "scalar_null_semantics",
+    "scalar_date_arithmetic",
+    "scalar_array_ops",
+    "scalar_regex",
+    "scalar_fuzzy_match",
+    "sql_correlated_subquery",
+    "sql_exists_subquery",
+    "sql_in_subquery",
+    "sql_cte",
+    "sql_grouping_sets",
+    # --- set ops / windows / aggregates ---
+    "setop_intersect_all",
+    "setop_except_all",
+    "setop_union_distinct",
+    "window_analytic_values",
+    "window_distribution",
     "window_distribution_scale",
     "window_ntile_scale",
-    "setop_intersect",
-    "join_left_outer",
-    "join_semi",
-    "scalar_string",
-    "scalar_json",
-    "sql_scalar_subquery",
-    "sql_cte",
+    "window_range_running",
+    "agg_string_agg",
+    "agg_two_level",
+    "agg_native_pivot",
+    "agg_unpivot",
+    # --- joins / sampling / dedup variants ---
+    "join_argmax",
+    "join_right_outer",
+    "join_range_bands",
+    "sample_systematic",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_repeated_ngrams",
+    # --- text / catalog / pipeline / embedding ---
+    "text_word_freq",
+    "text_quality_filter",
+    "catalog_profile_orders",
+    "catalog_profile_documents",
+    "pipeline_length_histogram",
+    "pipeline_decontaminate",
+    "mm_payload_dedup",
+    "emb_label_centroids",
+    "sim_ivf_topk",
+    # --- streaming tail ---
+    "stream_sliding_counts",
+    "stream_daily_ohlc",
+    "stream_session_native",
+    "stream_first_event_dedup",
+    "stream_interval_join",
+    "stream_window_topk",
+    "stream_retention_cohorts",
+    # --- TPC-H never-checked tail ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
 ]
 _GATE_RANK = {n: i for i, n in enumerate(_GATE_PRIORITY)}
 

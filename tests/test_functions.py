@@ -331,6 +331,55 @@ def test_frame_sampling(spark, docs):
             assert r.frame_bytes == len(sl)
 
 
-def test_decode_real_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"\x89PNG")
+def test_decode_real_png_hand_built():
+    # hand-assembled: signature + IHDR(13) w=2, h=3, depth=8, color=2 (RGB)
+    import zlib
+
+    ihdr = (2).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+        + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+    )
+    assert multimodal.decode_real(raw) == ("png", 2, 3, 3, 8)
+    # grayscale+alpha, 16-bit
+    assert multimodal.decode_real(multimodal.build_png(640, 480, 4, 16)) == (
+        "png", 640, 480, 2, 16,
+    )
+
+
+def test_decode_real_jpeg_segment_walk():
+    # SOF0 hidden behind APP0 + COM segments; parser must walk, not scan
+    com = b"\xff\xfe\x00\x04ab"
+    sof = b"\xff\xc0\x00\x0b\x08\x01\x00\x02\x80\x01\x01\x11\x00"
+    raw = b"\xff\xd8" + com + sof + b"\xff\xd9"
+    assert multimodal.decode_real(raw) == ("jpeg", 640, 256, 1, 8)
+    # progressive (SOF2) with restart-marker noise before it
+    raw2 = b"\xff\xd8" + b"\xff\x01" + com + sof.replace(b"\xc0", b"\xc2")
+    assert multimodal.decode_real(raw2) == ("jpeg", 640, 256, 1, 8)
+
+
+def test_decode_real_gif_and_rejects():
+    assert multimodal.decode_real(b"GIF89a\x20\x01\xf4\x01\x70\x00\x00\x3b") == (
+        "gif", 288, 500, 3, 8,
+    )
+    assert multimodal.decode_real(b"GIF87a" + multimodal.build_gif(5, 7)[6:]) == (
+        "gif", 5, 7, 3, 8,
+    )
+    # rejects: truncation, wrong magic, scan-before-SOF, bad color type
+    assert multimodal.decode_real(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+    assert multimodal.decode_real(b"not an image") is None
+    assert multimodal.decode_real(None) is None
+    assert multimodal.decode_real(b"\xff\xd8\xff\xda\x00\x02") is None
+    bad = bytearray(multimodal.build_png(4, 4))
+    bad[25] = 9  # invalid color type
+    assert multimodal.decode_real(bytes(bad)) is None
+
+
+def test_decode_media_round_trip(spark, docs):
+    out = multimodal.decode_media(multimodal.synthesize_media(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        w, h = multimodal.media_dims(r.doc_id)
+        assert (r.width, r.height, r.bit_depth) == (w, h, 8)
+        assert r.format == ("png", "jpeg", "gif")[r.doc_id % 3]

@@ -87,6 +87,55 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.3, f"recall@10 too low: {recall:.2f}"
 
 
+def test_multiprobe_lsh_recall_improves(spark):
+    """Multi-probe LSH: probing the flip buckets of the 2 nearest planes
+    must strictly add recall vs single-bucket at fixed N_PLANES.
+
+    The 500-vector driver corpus is too sparse for bucket recall (256
+    buckets ⇒ ~2 vectors each), so plant the structure deterministically:
+    queries 0–7, each with 5 noisy near-copies (ids 8–47) among 2000
+    background vectors. All components derive from Spark's hash() — no
+    RNG, fully deterministic, so the measured recalls are constants."""
+    from sql_query_engine_spark.functions import similarity
+
+    k, nq = 5, 8
+    base = spark.range(2048).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            """
+            transform(sequence(0, 63), j -> cast(
+              (pmod(hash(if(id >= 8 and id < 48, (id - 8) div 5, id), j), 2001)
+                 - 1000) / 1000.0
+              + if(id >= 8 and id < 48,
+                   0.35 * (pmod(hash(id, j + 9999), 2001) - 1000) / 1000.0,
+                   cast(0 as double))
+              as float))
+            """
+        ).alias("embedding"),
+    )
+    base = base.cache()
+    exact = {}
+    for r in similarity.cosine_topk(base, k=k, n_queries=nq).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # sanity: the exact top-5 of each query IS its planted clone set
+    for q in range(nq):
+        assert exact[q] == set(range(8 + q * 5, 8 + (q + 1) * 5))
+
+    def recall(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(by_q.get(q, set()) & n) for q, n in exact.items())
+        return hits / sum(len(n) for n in exact.values())
+
+    single = similarity.lsh_bucket_topk(base, k=k, n_queries=nq).collect()
+    multi = similarity.lsh_bucket_topk(base, k=k, n_queries=nq, n_probes=3).collect()
+    r1, r3 = recall(single), recall(multi)
+    base.unpersist()
+    assert r3 > r1, f"multi-probe did not improve recall: {r1:.2f} -> {r3:.2f}"
+    assert r3 >= 0.6, f"multi-probe recall floor: {r3:.2f}"
+
+
 def test_ivf_adaptive_params(spark):
     """√N sizing: cells grow with the corpus, probes with √cells, both
     clamped; the adaptive path (n_cells=None) must still clear the same
