@@ -797,6 +797,7 @@ def dedup_clusters(
     pairs: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Canonicalize near-dup PAIRS into CLUSTERS: (doc_id, cluster_id)
     where cluster_id = min doc_id of the connected component.
@@ -821,6 +822,10 @@ def dedup_clusters(
     ``checkpoint()`` so recovery reads the checkpoint store instead.
 
     Documents in no pair stay singleton clusters of themselves.
+
+    Pass a ``stats`` dict to receive ``{"rounds": n}`` — the number of
+    propagation rounds actually executed (the scale rehearsal asserts this
+    stays at the tiny near-dup-cluster diameter, not the corpus size).
     """
     if checkpoint_dir is not None:
         docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -853,7 +858,9 @@ def dedup_clusters(
     # only improve via a neighbor whose label improved, so the delta
     # schedule reaches the same fixpoint as the dense one.
     frontier = labels
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(frontier, edges["src"] == frontier["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
@@ -877,6 +884,8 @@ def dedup_clusters(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     # singletons (docs in no pair) map to themselves
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")

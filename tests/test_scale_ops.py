@@ -136,6 +136,42 @@ def test_multiprobe_lsh_recall_improves(spark):
     assert r3 >= 0.6, f"multi-probe recall floor: {r3:.2f}"
 
 
+def test_scale_rehearsal_small(spark):
+    """The 100k-doc rehearsal at pytest scale (20k docs): sub-quadratic
+    candidates, planted MinHash recall ≥ 0.95 at the threshold-chosen
+    banding, CC convergence in O(diameter) rounds, planted ANN recall.
+    run_rehearsal raises AssertionError itself on any violation; the
+    assertions here pin the corpus shape so a generator regression can't
+    silently weaken the rehearsal."""
+    from sql_query_engine_spark.rehearsal import planted_jaccard, run_rehearsal
+
+    assert abs(planted_jaccard() - 95 / 105) < 1e-12
+    report = run_rehearsal(spark, n_docs=20_000, n_queries=128)
+    assert report["planted_pairs"] == 2_000
+    assert report["recall"] >= 0.95
+    assert report["cc_rounds"] <= 3
+    assert report["candidate_pairs"] < 5 * 20_000
+
+
+def test_banding_for_threshold_properties(spark):
+    """S-curve banding: chosen (b, r) factorizes the perm budget, the
+    inflection brackets the threshold sensibly, and recall at a planted
+    Jaccard above the threshold clears the prediction used by the
+    rehearsal assertions."""
+    from sql_query_engine_spark.functions.dedup import (
+        banding_for_threshold,
+        banding_recall,
+    )
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        b, r = banding_for_threshold(t)
+        assert b * r == 16
+        # a pair well above the threshold must be caught with high prob
+        assert banding_recall(min(0.98, t + 0.15), b, r) > 0.8
+    assert banding_for_threshold(0.5) == (8, 2)  # recall-favoring tie-break
+    assert banding_for_threshold(0.8) == (4, 4)
+
+
 def test_ivf_adaptive_params(spark):
     """√N sizing: cells grow with the corpus, probes with √cells, both
     clamped; the adaptive path (n_cells=None) must still clear the same
