@@ -262,6 +262,38 @@ def test_dedup_clusters_reliable_checkpoint(spark, docs, tmp_path):
     assert found, "reliable checkpoint wrote no files"
 
 
+def test_dedup_clusters_sparse_convergence_probe(spark, docs):
+    """check_every=2 halves the per-round count() driver actions (the
+    100 TB knob) and must reach the identical fixpoint; a longer chain
+    (path graph of 6 nodes) exercises multi-round propagation under the
+    sparse probe schedule."""
+    from pyspark.sql import functions as PF
+
+    pairs = dedup.minhash_lsh_pairs(docs)
+    base = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs).collect()}
+    stats: dict = {}
+    sparse = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            docs, pairs, stats=stats, check_every=2
+        ).collect()
+    }
+    assert sparse == base
+    assert stats["rounds"] % 2 == 0  # probes only fire on even rounds
+
+    chain_docs = spark.range(6).select(PF.col("id").alias("doc_id"))
+    chain_pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            chain_docs, chain_pairs, check_every=3
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
+
+
 def test_text_idf_builds_lazily(spark):
     """Regression: text_idf used to run docs.count() (a Spark job) at
     DataFrame-construction time. Tag construction with a job group and

@@ -312,6 +312,97 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     assert len(expected) > 0
 
 
+def test_incremental_sessionization_across_microbatches(spark, batch_events, tmp_path):
+    """Native session_window under REAL incremental execution: events
+    arrive in 3 chronological micro-batches (maxFilesPerTrigger=1) with a
+    30-minute watermark, and the appended (finalized) sessions must equal
+    the batch session_window result.
+
+    Semantics this pins down, incrementally:
+
+    * a session only EMITS once the event-time watermark passes its close
+      (session end + gap) — append mode emits no provisional rows;
+    * a user session that spans a micro-batch boundary is held as state
+      and merged, not split — the cross-batch session counts match batch;
+    * a final sentinel event (user −1, far future) advances the global
+      watermark past every real session so the append sink flushes all of
+      them; the sentinel's own still-open session is the only one absent.
+    """
+    from pyspark.sql import functions as F
+
+    ev = batch_events.select("user_id", "ts", "ts_utc", "value")
+    # 3 chronological thirds by event time (quantiles on the int64-nanos
+    # column; approxQuantile rejects timestamps) — files written in order
+    # so FileStreamSource (latestFirst=false) triggers them as 3 batches
+    q1, q2 = ev.approxQuantile("ts", [0.33, 0.66], 0.001)
+    stream_dir = tmp_path / "events_sessions"
+    stream_dir.mkdir()
+    thirds = [
+        ev.filter(F.col("ts") <= F.lit(q1)),
+        ev.filter((F.col("ts") > F.lit(q1)) & (F.col("ts") <= F.lit(q2))),
+        ev.filter(F.col("ts") > F.lit(q2)),
+    ]
+    parts = [p.select("user_id", "ts_utc", "value") for p in thirds]
+    ev = ev.select("user_id", "ts_utc", "value")
+    sentinel = spark.sql(
+        "SELECT cast(-1 as bigint) AS user_id, "
+        "timestamp'2100-01-01 00:00:00' AS ts_utc, cast(0 as double) AS value"
+    )
+    import time as _time
+
+    for i, part in enumerate(parts + [sentinel]):
+        part.coalesce(1).write.parquet(str(stream_dir / f"b{i}"))
+        _time.sleep(1.1)  # distinct mtimes => deterministic trigger order
+
+    def sessionize(df):
+        return (
+            df.groupBy(
+                F.session_window(F.col("ts_utc"), "30 minutes").alias("w"),
+                "user_id",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "b*"))
+        .withWatermark("ts_utc", "30 minutes")
+    )
+    out = sessionize(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    # 3 data batches + sentinel arrived as separate triggers
+    assert len(q.recentProgress) >= 4
+
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM session_stream_test WHERE user_id >= 0"
+        ).collect()
+    }
+    want = {tuple(r) for r in sessionize(ev).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_streaming_text_pipeline_equals_batch(spark, tmp_path):
     """quality-gate → scrub → chunk on a REAL document stream: every
     stage is a stateless projection/generator, so the training-data prep

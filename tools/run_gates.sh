@@ -13,5 +13,8 @@ python tools/check_oracle.py /root/testdata/sf0.01
 echo "=== plan audit ==="
 python tools/plan_audit.py
 
-echo "=== bench (sf0.1) ==="
-python bench.py
+echo "=== bench (sf0.1) + trend gate ==="
+# n-of-3 confirm: a regression must survive the per-query min across up
+# to three isolated runs before the gate fails — absorbs CPU-contention
+# noise without letting real regressions through
+python tools/bench_trend.py --run --confirm 3
