@@ -67,6 +67,7 @@ __all__ = [
     "embedding_neardup_pairs_oracle",
     "banding_for_threshold",
     "banding_recall",
+    "clusters_cte_oracle",
 ]
 
 N_BANDS = 4
@@ -903,12 +904,15 @@ def dedup_clusters(
     )
 
 
-def dedup_clusters_oracle(pairs_cte: str) -> str:
-    """Recursive-CTE twin: min-root reachability over the same pair set.
+def clusters_cte_oracle(pairs_cte: str) -> str:
+    """Recursive-CTE cluster map as a composable ``WITH`` prefix.
 
-    ``pairs_cte`` is a complete SQL query returning (doc_a, doc_b) — the
-    oracle of the pair-producing step — inlined so both engines cluster
-    exactly the same graph.
+    Yields CTEs ending in ``clusters(doc_id, cluster_id)`` — min-root
+    reachability over the pair set produced by ``pairs_cte`` (a complete
+    SQL query returning (doc_a, doc_b), inlined so both engines cluster
+    exactly the same graph). Callers append their own final SELECT;
+    :func:`dedup_clusters_oracle` and the cluster-safe split oracle both
+    build on this prefix.
     """
     return f"""
 WITH RECURSIVE pairs AS ({pairs_cte}),
@@ -920,9 +924,15 @@ reach (node, root) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
-)
-SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
-"""
+),
+clusters AS (
+    SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+)"""
+
+
+def dedup_clusters_oracle(pairs_cte: str) -> str:
+    """Recursive-CTE twin of :func:`dedup_clusters`."""
+    return clusters_cte_oracle(pairs_cte) + "\nSELECT doc_id, cluster_id FROM clusters"
 
 
 # --------------------------------------------------------------------------

@@ -2204,6 +2204,47 @@ def mm_decode(spark, sf_dir):
     return multimodal.decode_media(multimodal.synthesize_media(docs))
 
 
+@_q(
+    "mm_decode_filter",
+    """WITH meta AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+               AS format,
+           CAST((doc_id * 7) % 2000 + 16 AS INT) AS width,
+           CAST((doc_id * 13) % 1200 + 16 AS INT) AS height
+    FROM documents)
+SELECT format, count(*) AS n_images,
+       cast(sum(cast(width as bigint) * height) as bigint) AS sum_pixels,
+       cast(min(width) as int) AS min_width,
+       cast(max(width) as int) AS max_width,
+       round(avg(cast(width as bigint) * height), 6) AS avg_pixels_r6
+FROM meta
+WHERE least(width, height) >= 64 AND greatest(width, height) <= 3 * least(width, height)
+GROUP BY format""",
+    "decode-driven curation filter — the reason container decode exists: "
+    "drop tiny images (min side < 64) and extreme aspect ratios (> 3:1) "
+    "using ONLY the decoded header metadata, then profile what survives "
+    "per format. At 100 TB the filter runs in the decode's map stage; "
+    "payload bytes never reach the (tiny) aggregate. Oracle re-derives "
+    "the planted dimensions arithmetically.",
+)
+def mm_decode_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    meta = multimodal.decode_media(multimodal.synthesize_media(docs))
+    kept = meta.filter(
+        (F.least("width", "height") >= 64)
+        & (F.greatest("width", "height") <= 3 * F.least("width", "height"))
+    )
+    pixels = F.col("width").cast("bigint") * F.col("height")
+    return kept.groupBy("format").agg(
+        F.count("*").alias("n_images"),
+        F.sum(pixels).cast("bigint").alias("sum_pixels"),
+        F.min("width").cast("int").alias("min_width"),
+        F.max("width").cast("int").alias("max_width"),
+        F.round(F.avg(pixels), 6).alias("avg_pixels_r6"),
+    )
+
+
 # =========================================================================
 # Streaming-shaped operators over events (batch-checkable)
 # =========================================================================
@@ -3004,6 +3045,126 @@ def pipeline_train_val_split(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@_q(
+    "pipeline_cluster_safe_split",
+    dedup.clusters_cte_oracle(dedup.minhash_lsh_pairs_oracle())
+    + f"""
+, tagged AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_duck_h48("concat(cast(cluster_id as varchar), ':csplit')")}
+                     % 100 < 5 THEN 'val'
+                WHEN {_duck_h48("concat(cast(cluster_id as varchar), ':csplit')")}
+                     % 100 < 10 THEN 'test' ELSE 'train' END AS split
+    FROM clusters)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters
+FROM tagged GROUP BY split""",
+    "near-dup-aware train/val/test carve: split membership hashes the "
+    "CLUSTER id (MinHash-LSH pairs → connected components), not the doc "
+    "id, so near-duplicates can never straddle splits — the standard "
+    "leakage hole in naive per-doc splits (a val doc's near-copy in "
+    "train). Deterministic: same corpus ⇒ same carve, independent of "
+    "partitioning. Scale shape = dedup_clusters + one tiny hash-agg.",
+)
+def pipeline_cluster_safe_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d)
+    clusters = dedup.dedup_clusters(d.select("doc_id"), pairs)
+    h = F.expr(_spark_h48("concat(cast(cluster_id as string), ':csplit')")) % 100
+    split = (
+        F.when(h < 5, F.lit("val")).when(h < 10, F.lit("test")).otherwise("train")
+    )
+    return (
+        clusters.select("cluster_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+    )
+
+
+# temperature-rebalanced source mixture: admission rate per source
+# r_s = min(1, T·N·√n_s / (Σ√n · n_s)) — the α=0.5 case of the standard
+# multilingual temperature-sampling weights w_s ∝ n_s^α. √ is IEEE-exact
+# on both engines; the Σ√n denominator folds in sorted source order so
+# the double sum is bit-identical cross-engine.
+_TEMP_TARGET = "cast(0.5 as double)"  # sample half the corpus overall
+
+
+@_q(
+    "pipeline_temperature_mixture",
+    f"""WITH sq AS (
+    SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+tot AS (
+    SELECT cast(sum(n_src) as double) AS nn,
+           list_reduce(list_prepend(cast(0 as double),
+               list_transform(
+                   list_sort(list(struct_pack(source := source,
+                                              s := sqrt(cast(n_src as double))))),
+                   x -> x.s)),
+               (a, b) -> a + b) AS denom
+    FROM sq),
+rates AS (
+    SELECT source, n_src,
+           least(cast(1 as double),
+                 {_TEMP_TARGET} * nn * sqrt(cast(n_src as double))
+                     / denom / n_src) AS rate
+    FROM sq CROSS JOIN tot),
+adm AS (
+    SELECT d.source AS source, count(*) AS n_admitted
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_duck_h48("concat(cast(doc_id as varchar), ':temp')")} % 1000000
+          < floor(r.rate * 1000000)
+    GROUP BY d.source)
+SELECT r.source, r.n_src, coalesce(a.n_admitted, 0) AS n_admitted,
+       round(r.rate, 6) AS rate_r6
+FROM rates r LEFT JOIN adm a USING (source)""",
+    "temperature-rebalanced mixture (α=0.5): per-source admission rates "
+    "∝ √n_s — big sources downsampled toward, small sources kept, the "
+    "standard multilingual rebalancing. Rates derive from one tiny "
+    "per-source aggregate (broadcast back); admission is the usual "
+    "partitioning-independent content hash. The √-weight denominator "
+    "folds in sorted source order so the IEEE double sum is identical "
+    "cross-engine.",
+)
+def pipeline_temperature_mixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sq = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = sq.agg(
+        F.sum("n_src").cast("double").alias("nn"),
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            "'source', source, 's', sqrt(cast(n_src as double))))), "
+            "cast(0 as double), (acc, x) -> acc + x.s)"
+        ).alias("denom"),
+    )
+    rates = sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        F.expr(
+            f"least(cast(1 as double), "
+            f"{_TEMP_TARGET} * nn * sqrt(cast(n_src as double)) / denom / n_src)"
+        ).alias("rate"),
+    )
+    h = F.expr(_spark_h48("concat(cast(doc_id as string), ':temp')"))
+    adm = (
+        d.join(F.broadcast(rates), "source")
+        .filter((h % 1000000) < F.floor(F.col("rate") * 1000000))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_admitted"))
+    )
+    return (
+        rates.join(adm, "source", "left")
+        .select(
+            "source",
+            "n_src",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.round("rate", 6).alias("rate_r6"),
         )
     )
 

@@ -83,3 +83,72 @@ def test_split_membership_survives_corpus_growth(spark):
     full_map = {r.doc_id: r.h for r in docs.select("doc_id", tag).collect()}
     half_map = {r.doc_id: r.h for r in half.select("doc_id", tag).collect()}
     assert all(full_map[d] == h for d, h in half_map.items())
+
+
+def test_cluster_safe_split_no_neardup_leakage(spark):
+    """The property the operator exists for: a near-dup PAIR never
+    straddles splits (its two docs hash the same cluster id), while the
+    naive per-doc split DOES leak on this corpus — proving the operator
+    closes a real hole rather than a hypothetical one. Totals must cover
+    the corpus exactly."""
+    from sql_query_engine_spark.functions import dedup
+    from sql_query_engine_spark.queries import pipeline_cluster_safe_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    assert pairs, "corpus has no planted near-dups?"
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            docs.select("doc_id"), dedup.minhash_lsh_pairs(docs)
+        ).collect()
+    }
+
+    def cluster_split(doc_id: int) -> str:
+        h = _h48(f"{clusters[doc_id]}:csplit") % 100
+        return "val" if h < 5 else ("test" if h < 10 else "train")
+
+    for r in pairs:
+        assert cluster_split(r.doc_a) == cluster_split(r.doc_b)
+
+    # the naive doc-id split leaks at least one near-dup pair across
+    # splits on this corpus (if it never leaked, the operator would be
+    # indistinguishable from the naive one here)
+    leaked = sum(1 for r in pairs if _py_split(r.doc_a) != _py_split(r.doc_b))
+    assert leaked > 0
+
+    agg = {r.split: (r.n_docs, r.n_clusters)
+           for r in pipeline_cluster_safe_split(spark, SF_DIR).collect()}
+    assert sum(n for n, _ in agg.values()) == docs.count()
+    assert all(nc <= nd for nd, nc in agg.values())
+
+
+def test_temperature_mixture_rebalances(spark):
+    """α=0.5 temperature mixture: admission rates fall with source size
+    (monotone non-increasing in n_src up to the min(1,·) cap), every
+    admitted count matches its per-source hash rule, and small sources
+    are admitted at a higher rate than large ones."""
+    from sql_query_engine_spark.queries import pipeline_temperature_mixture
+
+    rows = pipeline_temperature_mixture(spark, SF_DIR).collect()
+    assert rows
+    by_size = sorted(rows, key=lambda r: r.n_src)
+    # rates monotone non-increasing as source size grows
+    for a, b in zip(by_size, by_size[1:]):
+        assert a.rate_r6 >= b.rate_r6 - 1e-9
+    assert all(0.0 < r.rate_r6 <= 1.0 for r in rows)
+    assert all(r.n_admitted <= r.n_src for r in rows)
+    # row-level: admission is exactly the salted-hash rule
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    rate = {r.source: r.rate_r6 for r in rows}
+    import math
+    for r in rows:
+        admitted = sum(
+            1 for d in docs
+            if d.source == r.source
+            and _h48(f"{d.doc_id}:temp") % 1000000 < math.floor(rate[d.source] * 1000000)
+        )
+        # rate_r6 is rounded; tolerate boundary docs whose hash lands
+        # within the rounding slack of the threshold
+        assert abs(admitted - r.n_admitted) <= 2
