@@ -3159,7 +3159,9 @@ def pipeline_temperature_mixture(spark, sf_dir):
         .agg(F.count("*").alias("n_admitted"))
     )
     return (
-        rates.join(adm, "source", "left")
+        # both sides are per-source aggregates (≤ source-cardinality rows);
+        # broadcast the admitted counts so the fuse join never shuffles
+        rates.join(F.broadcast(adm), "source", "left")
         .select(
             "source",
             "n_src",

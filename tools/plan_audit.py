@@ -59,6 +59,13 @@ EXPECTED = {
     "pipeline_training_data": "inherits dedup_clusters' singleton-rejoin "
     "shuffle join; the second SMJ is the same corpus⋈labels key join "
     "inside the pipeline composition",
+    "pipeline_cluster_safe_split": "inherits dedup_clusters' singleton-"
+    "rejoin shuffle join on doc_id (the one SMJ); everything after the "
+    "cluster map is a tiny hash-agg on the 3-value split key",
+    "pipeline_temperature_mixture": "BNLJs are the 1-row aggregate "
+    "(total count + sorted-fold denominator) broadcast against the tiny "
+    "per-source rate table — the text_idf shape; corpus-side admission "
+    "joins broadcast the rates",
     "sim_hybrid_rrf": "BNLJs are the lazy 1-row corpus-count crossJoin "
     "(text_idf shape) and the broadcast single query vector vs corpus; "
     "the SMJ is the full outer fusion of two ≤50-row ranked lists "
