@@ -736,6 +736,37 @@ def join_anti(spark, sf_dir):
     )
 
 
+@_q(
+    "join_salted_skew",
+    """SELECT s_name, count(*) AS n_items,
+              cast(sum(cast(l_quantity as decimal(18,6))) as double) AS sum_qty
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_name""",
+    "skew-resilient salted join as a checked query: the fact side gets a "
+    "row-hash salt in [0,8), the dimension replicates 8x, and the join key "
+    "becomes (suppkey, salt) — splitting any hot key across 8 partitions. "
+    "Values must equal the plain join (the oracle runs one); the salting "
+    "mechanics and hot-key spread are property-tested in "
+    "test_scale_ops.py. The explicit planner-independent fallback for "
+    "power-law keys AQE's skew splitting cannot reach (broadcast-size "
+    "dims, non-SMJ plans).",
+)
+def join_salted_skew(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = salted_join(
+        li, s, [("l_suppkey", "s_suppkey")], n_salt=8, salt_source="l_orderkey"
+    )
+    return j.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 # =========================================================================
 # Scalar function surface
 # =========================================================================
@@ -2088,6 +2119,77 @@ def text_char_entropy(spark, sf_dir):
             ),
             6,
         ).alias("char_entropy"),
+    )
+
+
+@_q(
+    "text_lm_score",
+    """WITH s AS (
+    SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) >= 2),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, length(s) - 1),
+                                 i -> substr(s, i, 2))) AS b
+    FROM s),
+per AS (SELECT doc_id, b, count(*) AS k FROM bg GROUP BY doc_id, b),
+corpus AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+tot AS (SELECT sum(c) AS t FROM corpus),
+folded AS (
+    SELECT doc_id, list(struct_pack(b := b, k := k, c := c) ORDER BY b) AS xs,
+           sum(k) AS n
+    FROM per JOIN corpus USING (b) GROUP BY doc_id)
+SELECT doc_id,
+       round(list_reduce(list_prepend(cast(0 as double),
+                 list_transform(xs, x -> x.k * ln(x.c / cast(t as double)))),
+             (a, b) -> a + b) / n, 6) AS lm_score_r6
+FROM folded CROSS JOIN tot""",
+    "corpus-LM quality score (CCNet-style filtering signal): mean log "
+    "corpus-frequency of the doc's character bigrams — low = gibberish / "
+    "atypical text, high = looks like the corpus. Two aggregates over one "
+    "exploded-bigram table (per-doc and corpus-wide, reused shuffle), "
+    "tiny bigram-vocab count table broadcast back, 1-row total via the "
+    "lazy crossJoin. Float parity by the sorted-fold trick: per-doc terms "
+    "fold in bigram order on both engines.",
+)
+def text_lm_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # lower() in its OWN projection: inlining it into the transform lambda
+    # would re-evaluate it per bigram element (the measured 80× pitfall
+    # documented at functions/dedup.shingled_docs)
+    bg = (
+        docs.filter(F.length("text") >= 2)
+        .select("doc_id", F.lower("text").alias("s"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))")
+            ).alias("b"),
+        )
+    )
+    per = bg.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
+    corpus = bg.groupBy("b").agg(F.count("*").alias("c"))
+    tot = corpus.agg(F.sum("c").alias("t"))
+    folded = (
+        per.join(F.broadcast(corpus), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(b, k, c))),"
+                " x -> named_struct('k', x.k, 'c', x.c))"
+            ).alias("xs"),
+            F.sum("k").alias("n"),
+        )
+    )
+    return folded.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.round(
+            F.expr(
+                "aggregate(transform(xs, x -> x.k * ln(x.c / cast(t as double))),"
+                " cast(0 as double), (a, b) -> a + b)"
+            )
+            / F.col("n"),
+            6,
+        ).alias("lm_score_r6"),
     )
 
 

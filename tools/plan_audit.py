@@ -66,6 +66,9 @@ EXPECTED = {
     "(total count + sorted-fold denominator) broadcast against the tiny "
     "per-source rate table — the text_idf shape; corpus-side admission "
     "joins broadcast the rates",
+    "text_lm_score": "BNLJ is the 1-row bigram-total aggregate crossJoin "
+    "(text_idf shape); the per-doc⋈vocab join broadcasts the tiny "
+    "bigram-count table",
     "sim_hybrid_rrf": "BNLJs are the lazy 1-row corpus-count crossJoin "
     "(text_idf shape) and the broadcast single query vector vs corpus; "
     "the SMJ is the full outer fusion of two ≤50-row ranked lists "
