@@ -1919,7 +1919,7 @@ def text_scrub(spark, sf_dir):
 def dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs)
-    return dedup.dedup_clusters(docs, pairs)
+    return dedup.dedup_clusters(docs, pairs, check_every=2)
 
 
 @_q(
@@ -3039,7 +3039,11 @@ def pipeline_training_data(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
 
     # stage 1+2: canonical representatives passing the quality gate
-    clusters = dedup.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+    # check_every=2: halve the per-round convergence count() jobs —
+    # identical fixpoint, one fewer driver action per two rounds
+    clusters = dedup.dedup_clusters(
+        docs, dedup.minhash_lsh_pairs(docs), check_every=2
+    )
     ntok = F.expr(text.ORACLE_EXPRS["n_tokens"][0])
     qual = F.expr(text.ORACLE_EXPRS["quality"][0])
     lang = F.expr(text.ORACLE_EXPRS["lang_id"][0])
@@ -3175,7 +3179,7 @@ FROM tagged GROUP BY split""",
 def pipeline_cluster_safe_split(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(d)
-    clusters = dedup.dedup_clusters(d.select("doc_id"), pairs)
+    clusters = dedup.dedup_clusters(d.select("doc_id"), pairs, check_every=2)
     h = F.expr(_spark_h48("concat(cast(cluster_id as string), ':csplit')")) % 100
     split = (
         F.when(h < 5, F.lit("val")).when(h < 10, F.lit("test")).otherwise("train")

@@ -225,6 +225,47 @@ def run_rehearsal(
     pairs.unpersist()
     docs.unpersist()
 
+    # -- the other dedup families at the same scale ------------------------
+    docs = synth_documents(spark, n_docs).persist()
+    t0 = time.monotonic()
+    report["exact_dup_groups"] = (
+        dedup.exact_dedup(docs).filter(F.col("n_copies") > 1).count()
+    )
+    report["t_exact_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    sh_pairs = dedup.simhash_lsh_pairs(docs).persist()
+    n_sh = sh_pairs.count()
+    report["t_simhash_lsh_s"] = round(time.monotonic() - t0, 2)
+    sh_recalled = sh_pairs.filter(
+        (F.col("doc_a") % PLANT_EVERY == 0)
+        & (F.col("doc_b") == F.col("doc_a") + 1)
+    ).count()
+    sh_pairs.unpersist()
+    report["simhash_pairs_found"] = n_sh
+    report["simhash_planted_recalled"] = sh_recalled
+    # SimHash is the coarser signal (48-bit fingerprint, banded buckets);
+    # record its curve, and bound the false-positive volume — found pairs
+    # beyond the planted set must stay ~linear, never pairwise
+    assert n_sh < 5 * n_docs, f"simhash pairs {n_sh} not sub-quadratic"
+
+    # incremental ingest: odd ids arrive as the new batch and probe the
+    # even-id corpus's band index — every planted pair is (even, odd), so
+    # full-recall behavior carries over to the ingest path
+    t0 = time.monotonic()
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    known = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = dedup.incremental_neardup(new_batch, known, threshold=threshold)
+    inc_recalled = inc.filter(
+        (F.col("known_doc") % PLANT_EVERY == 0)
+        & (F.col("new_doc") == F.col("known_doc") + 1)
+    ).count()
+    report["t_incremental_s"] = round(time.monotonic() - t0, 2)
+    inc_recall = inc_recalled / n_planted
+    report["incremental_recall"] = round(inc_recall, 6)
+    assert inc_recall >= 0.95, f"incremental recall {inc_recall:.4f} < 0.95"
+    docs.unpersist()
+
     # -- ANN end-to-end on planted embeddings ------------------------------
     emb = synth_embeddings(spark, n_docs).persist()
     t0 = time.monotonic()

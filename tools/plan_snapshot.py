@@ -90,6 +90,34 @@ SHOWCASE = [
         "point-in-time correctness without the |events| x |orders| "
         "blow-up an interval join would risk",
     ),
+    (
+        "sim_lsh_multiprobe_topk",
+        "query-side posexplode fan-out to the probe buckets; corpus side "
+        "unchanged (one bucket per vector, one hash exchange on the "
+        "bucket int)",
+        "multi-probe recall is bought entirely with query-side work — "
+        "the corpus shuffle and index layout are identical to "
+        "single-probe, which is what lets recall scale without re-hashing "
+        "100 TB of vectors",
+    ),
+    (
+        "mm_decode_filter",
+        "synthesize → decode → filter → aggregate as consecutive "
+        "ArrowEvalPython/MapInPandas + Filter stages; no exchange before "
+        "the (format) aggregate's",
+        "payload bytes live only inside the map stage — the decoded "
+        "header columns are all that crosses the shuffle, so curation "
+        "filters never move image bytes across the cluster",
+    ),
+    (
+        "text_lm_score",
+        "ONE exploded-bigram subtree feeding both the per-doc and the "
+        "corpus-wide aggregate (ReuseExchange), vocab table broadcast "
+        "back, 1-row total via BroadcastNestedLoopJoin",
+        "LM scoring reads the corpus once: the bigram explosion — the "
+        "expensive part at 100 TB — is shared by both aggregations "
+        "instead of recomputed",
+    ),
 ]
 
 # formatted mode details block:
