@@ -1,0 +1,267 @@
+"""Product quantization (PQ) for the embedding column.
+
+The third ANN scale path beside random-hyperplane LSH
+(functions/similarity.py) and IVF (functions/ivf.py), and the standard
+companion to IVF in production vector indexes (IVF-PQ): each vector is
+chopped into ``M`` subvectors and every subvector is replaced by the id
+of its nearest per-subspace k-means centroid — ``M`` small codes instead
+of ``dim`` floats (here 8×4-bit codes ≈ 32× compression of a 64-dim
+float32 vector). Queries score compressed vectors by asymmetric distance
+computation (ADC): a per-query lookup table of subspace dot products, so
+scoring a vector is ``M`` table lookups instead of ``dim`` multiplies —
+and, decisively at 100 TB, the scan reads 4-byte codes, not 256-byte
+vectors. (Jégou, Douze, Schmid: "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public literature.)
+
+Training mirrors ivf.train_centroids: Lloyd's rounds where ONE Arrow
+pass assigns all subspaces and emits per-(subspace, cell) partial sums
+(map-side combine), so the per-round shuffle is bounded by
+``M × K × subdim`` regardless of corpus size; only the tiny codebook
+(M×K×subdim floats) ever touches the driver.
+
+Like IVF, centroid means are float reductions with no value-exact
+cross-engine twin — correctness is recall against the exact brute force
+(tests/test_scale_ops.py) plus reconstruction-error bounds; the registry
+entry is rows-only, documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["train_codebooks", "pq_codes", "pq_topk"]
+
+M_SUBSPACES = 8
+K_CELLS = 16  # 4-bit codes
+
+
+def _partials_udf(codebooks):
+    """Arrow pass: assign every subspace and emit per-(sub, cell) partial
+    sums — the map-side combine that keeps the training shuffle at
+    M×K×subdim rows per partition."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (M, K, subdim)
+    m, k, subdim = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)  # (M, K)
+
+    def _f(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sub = v.reshape(len(v), m, subdim)
+            out = {"sub": [], "cell": [], "pos": [], "s": [], "cnt": []}
+            for si in range(m):
+                d = cb_sq[si][None, :] - 2.0 * (sub[:, si, :] @ cb[si].T)
+                cell = d.argmin(axis=1)
+                for c in np.unique(cell):
+                    mask = cell == c
+                    out["sub"].extend([si] * subdim)
+                    out["cell"].extend([int(c)] * subdim)
+                    out["pos"].extend(range(subdim))
+                    out["s"].extend(sub[mask, si, :].sum(axis=0).tolist())
+                    out["cnt"].extend([int(mask.sum())] * subdim)
+            yield pd.DataFrame(out)
+
+    return _f
+
+
+def _codes_udf(codebooks):
+    """Arrow pass: vector → M nearest-centroid codes (embedding carried
+    through so callers need no join back onto the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k, subdim = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)
+
+    def _f(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sub = v.reshape(len(v), m, subdim)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for si in range(m):
+                d = cb_sq[si][None, :] - 2.0 * (sub[:, si, :] @ cb[si].T)
+                codes[:, si] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    return _f
+
+
+def train_codebooks(
+    emb: DataFrame,
+    m: int = M_SUBSPACES,
+    k: int = K_CELLS,
+    n_iter: int = 3,
+    tol: float = 1e-9,
+):
+    """Per-subspace Lloyd's k-means; returns M×K×subdim codebooks.
+
+    Deterministic init (subvectors of the first ``k`` vectors by vec_id);
+    each round is one distributed Arrow pass + a tiny (sub, cell, pos)
+    aggregate. Only the codebook is collected."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    emb = emb.repartition(par).select("vec_id", "embedding").persist()
+    try:
+        first = emb.orderBy("vec_id").limit(k).collect()
+        dim = len(first[0].embedding)
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by {m} subspaces")
+        subdim = dim // m
+        codebooks = [
+            [
+                [float(r.embedding[si * subdim + p]) for p in range(subdim)]
+                for r in first
+            ]
+            for si in range(m)
+        ]
+        for _ in range(n_iter):
+            means = (
+                emb.mapInPandas(
+                    _partials_udf(codebooks),
+                    "sub int, cell int, pos int, s double, cnt long",
+                )
+                .groupBy("sub", "cell", "pos")
+                .agg((F.sum("s") / F.sum("cnt")).alias("v"))
+                .collect()
+            )
+            new = {(r.sub, r.cell, r.pos): r.v for r in means}
+            updated = [
+                [
+                    [
+                        new.get((si, c, p), codebooks[si][c][p])
+                        for p in range(subdim)
+                    ]
+                    for c in range(k)
+                ]
+                for si in range(m)
+            ]
+            moved = max(
+                abs(a - b)
+                for s_new, s_old in zip(updated, codebooks)
+                for c_new, c_old in zip(s_new, s_old)
+                for a, b in zip(c_new, c_old)
+            )
+            codebooks = updated
+            if moved < tol:
+                break
+        return codebooks
+    finally:
+        emb.unpersist()
+
+
+def pq_codes(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, embedding, codes): the compressed representation.
+
+    At 100 TB only (vec_id, codes) persists as the index — 4 bytes per
+    vector at 8×4-bit — while this helper carries the embedding through
+    for in-plan use."""
+    return emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    ).select("vec_id", "embedding").mapInPandas(
+        _codes_udf(codebooks), "vec_id long, embedding array<float>, codes array<int>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    codebooks=None,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation.
+
+    The corpus is scored from CODES ONLY: per query, an M×K lookup table
+    of subspace dot products (q_s · c_{s,j}) and the per-cell norm table
+    (‖c_{s,j}‖²) are embedded as literal arrays, so each corpus row costs
+    M array lookups — approx cos = Σ lut[s][code_s] / (‖q‖·‖x̂‖), with
+    ‖x̂‖² = Σ norms[s][code_s]. No shuffle until the per-query top-k
+    (WindowGroupLimit), same shape as the exact scorer.
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = train_codebooks(emb)
+    cb = np.asarray(codebooks, dtype=np.float64)  # (M, K, subdim)
+    m, kk, subdim = cb.shape
+
+    coded = pq_codes(emb, codebooks)
+
+    # per-query ADC lookup tables, built driver-side from the tiny query
+    # set and shipped as ONE broadcast table — the corpus (codes) streams
+    # through exactly once, scored by M array lookups per (row, query)
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    spark = emb.sparkSession
+    q_data = []
+    for r in sorted(q_rows, key=lambda r: r.vec_id):
+        q = np.asarray(r.embedding, dtype=np.float64)
+        qn = float(np.sqrt((q * q).sum()))
+        lut = np.stack(
+            [cb[si] @ q[si * subdim : (si + 1) * subdim] for si in range(m)]
+        )
+        q_data.append((int(r.vec_id), qn, [[float(x) for x in row] for row in lut]))
+    queries = spark.createDataFrame(
+        q_data, "query_id long, qn double, lut array<array<double>>"
+    )
+    # per-cell reconstruction norms are query-independent: one literal
+    norm_lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                repr(float(x)) + "D" for x in (cb[si] * cb[si]).sum(axis=1)
+            )
+            + ")"
+            for si in range(m)
+        )
+        + ")"
+    )
+    # Spark SQL array subscripts are 0-based (DuckDB's are 1-based)
+    approx = (
+        f"aggregate(sequence(0, {m - 1}), cast(0 as double),"
+        f" (acc, s) -> acc + lut[s][codes[s]])"
+    )
+    recon = (
+        f"aggregate(sequence(0, {m - 1}), cast(0 as double),"
+        f" (acc, s) -> acc + {norm_lit}[s][codes[s]])"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.expr(approx) / (F.col("qn") * F.sqrt(F.expr(recon)))).alias(
+                "approx_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_cos", 6).alias("approx_cos"),
+            "rank",
+        )
+    )

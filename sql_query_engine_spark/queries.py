@@ -2029,6 +2029,23 @@ def sim_lsh_multiprobe_topk(spark, sf_dir):
 
 
 @_q(
+    "sim_pq_topk",
+    None,  # k-means codebooks are float reductions — no value-exact
+    # cross-engine twin; correctness is recall-vs-brute-force plus
+    # reconstruction-error bounds (tests/test_scale_ops.py::test_pq_topk)
+    "product-quantization ANN (Jégou et al. 2011): vectors compressed to "
+    "8×4-bit codes (≈32× smaller than float32), queries score codes via "
+    "per-query ADC lookup tables — at 100 TB the index scan reads 4-byte "
+    "codes, never raw vectors; the IVF companion in production IVF-PQ "
+    "layouts",
+)
+def sim_pq_topk(spark, sf_dir):
+    from .functions import pq
+
+    return pq.pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "sim_ivf_topk",
     None,  # k-means centroids are float reductions — no value-exact
     # cross-engine twin exists; correctness is recall-vs-brute-force

@@ -19,7 +19,11 @@ def test_every_oracle_key_has_query():
     # all but the engine-specific approximations carry an oracle:
     # HLL sketches and k-means centroids have no exact cross-engine twin
     missing = set(qs) - set(os_)
-    assert missing == {"agg_approx_count_distinct", "sim_ivf_topk"}
+    assert missing == {
+        "agg_approx_count_distinct",
+        "sim_ivf_topk",
+        "sim_pq_topk",
+    }
 
 
 def test_all_queries_run_and_columns_match_oracle_names(spark):

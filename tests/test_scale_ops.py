@@ -172,6 +172,47 @@ def test_banding_for_threshold_properties(spark):
     assert banding_for_threshold(0.8) == (4, 4)
 
 
+def test_pq_topk(spark):
+    """PQ ANN: 8×4-bit codes (32× compression) must still rank the exact
+    top-k acceptably — recall@10 vs brute force clears a floor — and the
+    reconstruction error stays bounded. The driver corpus is ~uniform
+    random, the known worst case for PQ (no cluster structure for the
+    codebooks to exploit), so these are deliberately loose-but-honest
+    floors; everything is deterministic (seedless k-means from sorted
+    init), so the measured values are constants, not flake sources."""
+    from sql_query_engine_spark.functions import pq, similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_sets: dict[int, set] = {}
+    exact_cos: dict[tuple, float] = {}
+    for r in similarity.cosine_topk(emb, k=500, n_queries=8).collect():
+        exact_cos[(r.query_id, r.neighbor_id)] = r.cos
+        if len(exact_sets.setdefault(r.query_id, set())) < 10:
+            exact_sets[r.query_id].add(r.neighbor_id)
+
+    got = pq.pq_topk(emb, k=10, n_queries=8).collect()
+    assert len(got) == 8 * 10
+    hits = total = 0
+    for qid, nbrs in exact_sets.items():
+        pq_nbrs = {r.neighbor_id for r in got if r.query_id == qid}
+        hits += len(pq_nbrs & nbrs)
+        total += len(nbrs)
+    recall = hits / total
+    assert recall >= 0.3, f"PQ recall@10 too low: {recall:.2f}"
+    errs = [
+        abs(r.approx_cos - exact_cos[(r.query_id, r.neighbor_id)]) for r in got
+    ]
+    assert sum(errs) / len(errs) < 0.25, f"mean ADC error {sum(errs)/len(errs):.3f}"
+    assert max(errs) < 0.5, f"max ADC error {max(errs):.3f}"
+
+    # codes really are M small ints in [0, K)
+    cb = pq.train_codebooks(emb)
+    codes = pq.pq_codes(emb, cb).select("codes").limit(50).collect()
+    for row in codes:
+        assert len(row.codes) == pq.M_SUBSPACES
+        assert all(0 <= c < pq.K_CELLS for c in row.codes)
+
+
 def test_ivf_adaptive_params(spark):
     """√N sizing: cells grow with the corpus, probes with √cells, both
     clamped; the adaptive path (n_cells=None) must still clear the same

@@ -69,6 +69,9 @@ EXPECTED = {
     "text_lm_score": "BNLJ is the 1-row bigram-total aggregate crossJoin "
     "(text_idf shape); the per-doc⋈vocab join broadcasts the tiny "
     "bigram-count table",
+    "sim_pq_topk": "BNLJ is the broadcast ≤8-row query-LUT table against "
+    "the coded corpus scan — the same broadcast-query-set shape as "
+    "cosine_topk; corpus codes stream through exactly once",
     "sim_hybrid_rrf": "BNLJs are the lazy 1-row corpus-count crossJoin "
     "(text_idf shape) and the broadcast single query vector vs corpus; "
     "the SMJ is the full outer fusion of two ≤50-row ranked lists "
