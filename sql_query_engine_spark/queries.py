@@ -2046,6 +2046,21 @@ def sim_pq_topk(spark, sf_dir):
 
 
 @_q(
+    "sim_ivfpq_topk",
+    None,  # two stacked k-means quantizers — rows-only; correctness is
+    # recall-vs-brute-force (tests/test_scale_ops.py::test_ivfpq_topk)
+    "IVF-PQ: coarse Voronoi cells + PQ-encoded RESIDUALS (~5 bytes per "
+    "vector) — the production billion-scale vector-index layout. Probes "
+    "n_probe cells via an equi-join on the cell id; within cells, ADC "
+    "over residual codes plus the exact query·centroid term",
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    from .functions import pq
+
+    return pq.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "sim_ivf_topk",
     None,  # k-means centroids are float reductions — no value-exact
     # cross-engine twin exists; correctness is recall-vs-brute-force

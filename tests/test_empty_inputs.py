@@ -57,3 +57,31 @@ def test_streaming_ops_on_empty(spark, empty_events):
     from sql_query_engine_spark.streaming import stateful
 
     assert stateful.profile_batch(empty_events).count() == 0
+
+
+def test_multimodal_decode_on_empty(spark, empty_docs):
+    from sql_query_engine_spark.functions import multimodal
+
+    media = multimodal.synthesize_media(empty_docs)
+    assert multimodal.decode_media(media).count() == 0
+
+
+def test_multiprobe_on_empty(spark, empty_emb):
+    assert (
+        similarity.lsh_bucket_topk(empty_emb, k=5, n_queries=8, n_probes=3).count()
+        == 0
+    )
+
+
+def test_pq_on_empty_or_tiny(spark, empty_emb):
+    """PQ on an empty corpus must not crash training (codebooks fall back
+    to whatever init rows exist); with zero rows there is no init, so
+    training raises a clean error rather than producing garbage."""
+    from sql_query_engine_spark.functions import pq
+
+    try:
+        pq.train_codebooks(empty_emb)
+        raised = False
+    except (IndexError, ValueError):
+        raised = True
+    assert raised

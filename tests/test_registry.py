@@ -23,6 +23,7 @@ def test_every_oracle_key_has_query():
         "agg_approx_count_distinct",
         "sim_ivf_topk",
         "sim_pq_topk",
+        "sim_ivfpq_topk",
     }
 
 

@@ -213,6 +213,29 @@ def test_pq_topk(spark):
         assert all(0 <= c < pq.K_CELLS for c in row.codes)
 
 
+def test_ivfpq_topk(spark):
+    """IVF-PQ (residual encoding): cell pruning stacked on PQ distortion
+    must still clear a recall floor vs brute force, and returned scores
+    must be finite approximate cosines in [-1.5, 1.5] (ADC error can
+    push slightly past ±1). Deterministic — both quantizers train from
+    sorted-init Lloyd's."""
+    from sql_query_engine_spark.functions import pq, similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {}
+    for r in similarity.cosine_topk(emb, k=10, n_queries=8).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = pq.ivfpq_topk(emb, k=10, n_queries=8).collect()
+    assert got and all(abs(r.approx_cos) < 1.5 for r in got)
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        found = {r.neighbor_id for r in got if r.query_id == qid}
+        hits += len(found & nbrs)
+        total += len(nbrs)
+    recall = hits / total
+    assert recall >= 0.2, f"IVF-PQ recall@10 too low: {recall:.2f}"
+
+
 def test_ivf_adaptive_params(spark):
     """√N sizing: cells grow with the corpus, probes with √cells, both
     clamped; the adaptive path (n_cells=None) must still clear the same
