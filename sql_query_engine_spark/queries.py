@@ -3546,6 +3546,46 @@ def text_repetition(spark, sf_dir):
 
 
 @_q(
+    "emb_norm_histogram",
+    """WITH n AS (
+    SELECT vec_id, label,
+           sqrt(list_reduce(list_prepend(cast(0 as double),
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+               (a, b) -> a + b)) AS nrm,
+           len(embedding) AS dim
+    FROM embeddings)
+SELECT cast(floor(nrm) as bigint) AS norm_bucket,
+       count(*) AS n_vecs,
+       cast(min(dim) as int) AS min_dim, cast(max(dim) as int) AS max_dim,
+       count(DISTINCT label) AS n_labels
+FROM n GROUP BY 1""",
+    "embedding-column profiling: L2-norm histogram (integer buckets — "
+    "counts are exact, so no parallel-sum drift), dimension bounds, and "
+    "label cardinality per bucket. The sanity scan a vector corpus needs "
+    "before indexing (zero/degenerate norms break cosine; mixed dims "
+    "break everything). One map + one tiny hash-agg; norm arithmetic is "
+    "the same fixed-order fold every similarity op uses.",
+)
+def emb_norm_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    from .functions.similarity import _SPARK_NORM2
+
+    n = e.select(
+        "label",
+        F.sqrt(F.expr(_SPARK_NORM2)).alias("nrm"),
+        F.size("embedding").alias("dim"),
+    )
+    return n.groupBy(
+        F.floor("nrm").cast("bigint").alias("norm_bucket")
+    ).agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").cast("int").alias("min_dim"),
+        F.max("dim").cast("int").alias("max_dim"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@_q(
     "catalog_profile_documents",
     """SELECT count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
