@@ -285,7 +285,24 @@ def run_rehearsal(
     report["ann_planted_queries"] = len(ann_queries)
     report["ann_planted_found"] = found
     report["ann_recall"] = round(ann_recall, 6)
-    emb.unpersist()
     assert ann_recall >= 0.9, f"ANN planted recall {ann_recall:.4f} < 0.9"
+
+    # -- PQ at scale: train + encode + ADC-score the full corpus ----------
+    from .functions import pq as pq_mod
+
+    t0 = time.monotonic()
+    pq_hits = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_mod.pq_topk(emb, k=ann_k, n_queries=n_queries).collect()
+    }
+    report["t_pq_s"] = round(time.monotonic() - t0, 2)
+    pq_found = sum(1 for q in ann_queries if (q, q + 1) in pq_hits)
+    pq_recall = pq_found / len(ann_queries)
+    report["pq_recall"] = round(pq_recall, 6)
+    emb.unpersist()
+    # PQ quantizes to 8×4-bit; the planted neighbor differs from its
+    # query by noise far below the quantization error, so it should code
+    # identically and rank at/near the top — loose floor, recorded curve
+    assert pq_recall >= 0.5, f"PQ planted recall {pq_recall:.4f} < 0.5"
 
     return report
