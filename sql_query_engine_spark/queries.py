@@ -767,6 +767,40 @@ def join_salted_skew(spark, sf_dir):
     )
 
 
+@_q(
+    "join_bloom_semijoin",
+    """SELECT l_returnflag, count(*) AS n_items,
+              cast(sum(cast(l_extendedprice as decimal(18,6))) as double)
+                  AS sum_price
+       FROM lineitem
+       WHERE EXISTS (SELECT 1 FROM part
+                     WHERE p_partkey = l_partkey AND p_size <= 3)
+       GROUP BY l_returnflag""",
+    "sketch-prefiltered semi-join: a Bloom bitmap over the selective "
+    "dimension's keys (distributed bit_or aggregate, m/64 longs) probes "
+    "the fact scan as a codegen predicate BEFORE the shuffle, then the "
+    "exact left-semi join removes false positives — bit-identical to the "
+    "plain semi-join the oracle runs, but at 100 TB the shuffle sees "
+    "~fpp of the non-matching rows instead of all of them. The explicit "
+    "always-on form of Spark's runtime bloomFilter rewrite, whose "
+    "multi-GB activation thresholds local scale can't reach "
+    "(operators/bloom.py; false-positive/zero-false-negative bounds "
+    "property-tested in test_scale_ops.py).",
+)
+def join_bloom_semijoin(spark, sf_dir):
+    from .operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    j = bloom_semi_join(li, p, "l_partkey", "p_partkey")
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 # =========================================================================
 # Scalar function surface
 # =========================================================================
@@ -2795,6 +2829,37 @@ def sample_systematic(spark, sf_dir):
         "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 12), 16, 10) as bigint)"
     )
     return o.filter((h % 100) < 5).select("o_orderkey", "o_custkey")
+
+
+@_q(
+    "sample_stratified",
+    """WITH rates AS (
+           SELECT * FROM (VALUES ('en', 60), ('zh', 30), ('es', 30),
+                                 ('de', 30), ('fr', 30)) AS t(lang, pct))
+       SELECT d.doc_id, d.lang, d.source
+       FROM documents d JOIN rates r ON d.lang = r.lang
+       WHERE cast(concat('0x', substr(md5(cast(d.doc_id as varchar)), 1, 12))
+                  as bigint) % 100 < r.pct""",
+    "stratified sampling with per-stratum rates (the language-rebalancing "
+    "step of a corpus mix: keep 60% of en, 30% of the rest) — the rate "
+    "table broadcasts, the keep/drop decision is content-hash arithmetic "
+    "on doc_id, so the sample is reproducible across engines, runs, and "
+    "partition layouts, and each stratum's realized rate concentrates at "
+    "its target (checked in test_curation.py). rand()-stratified "
+    "sampleBy() has none of those guarantees at 100 TB.",
+)
+def sample_stratified(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 60), ("zh", 30), ("es", 30), ("de", 30), ("fr", 30)],
+        "lang string, pct int",
+    )
+    h = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter((h % 100) < F.col("pct"))
+        .select("doc_id", "lang", "source")
+    )
 
 
 @_q(

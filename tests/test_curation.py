@@ -152,3 +152,36 @@ def test_temperature_mixture_rebalances(spark):
         # rate_r6 is rounded; tolerate boundary docs whose hash lands
         # within the rounding slack of the threshold
         assert abs(admitted - r.n_admitted) <= 2
+
+
+def test_sample_stratified_rates_and_layout_independence(spark):
+    """Realized per-stratum rates sit near their targets, and the keep
+    set is a pure function of doc_id — identical after an arbitrary
+    repartition (the property rand()-based sampleBy cannot give)."""
+    from sql_query_engine_spark.queries import sample_stratified
+
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = sample_stratified(spark, SF_DIR)
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    targets = {"en": 0.60, "zh": 0.30, "es": 0.30, "de": 0.30, "fr": 0.30}
+    for lang, target in targets.items():
+        realized = by_lang.get(lang, 0) / totals[lang]
+        assert abs(realized - target) < 0.12, (lang, realized, target)
+
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # same decision after a hostile repartition of the input
+    redocs = docs.repartition(17, "source")
+    redocs.createOrReplaceTempView("_strat_docs_reparted")
+    rates = spark.createDataFrame(
+        [("en", 60), ("zh", 30), ("es", 30), ("de", 30), ("fr", 30)],
+        "lang string, pct int",
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+    )
+    kept2 = redocs.join(F.broadcast(rates), "lang").filter((h % 100) < F.col("pct"))
+    ids2 = sorted(r["doc_id"] for r in kept2.select("doc_id").collect())
+    assert ids1 == ids2

@@ -391,3 +391,49 @@ def test_band_index_parquet_roundtrip_probe(spark, tmp_path):
         for r in dedup.incremental_neardup(new_batch, known).collect()
     }
     assert got == want and len(want) > 0
+
+
+# -------------------------------------------------------------------------
+# Bloom-filter semi-join (operators/bloom.py)
+# -------------------------------------------------------------------------
+
+def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
+    """Every bloomed key must pass the probe (zero false negatives —
+    Bloom's hard guarantee); disjoint keys pass at ≈ the design fpp."""
+    from sql_query_engine_spark.operators.bloom import bloom_bitmap, bloom_probe
+
+    dim = spark.range(0, 2_000).select((F.col("id") * 2).alias("k"))  # evens
+    bm = bloom_bitmap(dim, "k")
+    members = spark.range(0, 2_000).select((F.col("id") * 2).alias("k"))
+    assert bloom_probe(members, "k", bm).count() == 2_000
+
+    non_members = spark.range(0, 20_000).select((F.col("id") * 2 + 1).alias("k"))
+    fp = bloom_probe(non_members, "k", bm).count()
+    # m=2^17, k=5, n=2000 → theoretical fpp ≈ 2e-6; allow generous slack
+    assert fp <= 20, f"false-positive count {fp} far above design rate"
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from sql_query_engine_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part").filter(F.col("p_size") <= 3)
+    plain = li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi")
+    bloomed = bloom_semi_join(li, p, "l_partkey", "p_partkey")
+    assert plain.count() == bloomed.count()
+    assert plain.exceptAll(bloomed).count() == 0
+    assert bloomed.exceptAll(plain).count() == 0
+
+
+def test_bloom_probe_prefilters_before_exact_join(spark):
+    """The probe must genuinely shrink the fact stream: with a selective
+    dim, survivors ≪ fact rows (this is the shuffle the sketch saves)."""
+    from sql_query_engine_spark.operators.bloom import bloom_bitmap, bloom_probe
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part").filter(F.col("p_size") <= 3)
+    bm = bloom_bitmap(p.select("p_partkey"), "p_partkey")
+    survivors = bloom_probe(li, "l_partkey", bm).count()
+    total = li.count()
+    exact = li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi").count()
+    assert exact <= survivors < total * 0.5
