@@ -3460,6 +3460,29 @@ def emb_quantize_int8(spark, sf_dir):
 
 
 @_q(
+    "pipeline_source_quota",
+    """WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS admit_rank
+    FROM documents)
+SELECT source, doc_id, n_chars, cast(admit_rank as bigint) AS admit_rank
+FROM ranked WHERE admit_rank <= 10""",
+    "per-source admission quota (cap each source at its first 10 docs) — "
+    "the batch twin of the transformWithState streaming quota operator "
+    "(streaming/quota.py: Spark 4 arbitrary-state API, one counter per "
+    "source in the state store, admits in arrival order); the live form "
+    "of corpus mixture budget enforcement. Streaming ≡ batch is pinned "
+    "across real micro-batches in test_streaming.py. Here: one "
+    "hash-partitioned window per source, no global sort.",
+)
+def pipeline_source_quota(spark, sf_dir):
+    from .streaming.quota import quota_batch
+
+    return quota_batch(_t(spark, sf_dir, "documents"), cap=10)
+
+
+@_q(
     "pipeline_length_histogram",
     """WITH t AS (
     SELECT cast(len(string_split(text, ' ')) // 32 as bigint) AS bucket
