@@ -307,3 +307,29 @@ def test_read_tbl_dbgen_format(spark, tmp_path):
     assert dict(df.dtypes)["n_regionkey"] == "bigint"  # dd 'int' → LongType
     # qualified access works like every other legacy reader
     assert df.select(F.col("NATION.n_name")).count() == 2
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    """ORC sink/scan parity with the parquet path: values round-trip
+    exactly, a data-column filter reaches the ORC scan as PushedFilters,
+    and a partition-column filter prunes directories."""
+    from sql_query_engine_spark.catalog import load_table
+    from sql_query_engine_spark.plans.inspect import formatted_plan
+    from tests.conftest import SF_DIR
+
+    n = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    sinks.write_orc(n, path, partition_by=["n_regionkey"])
+    back = spark.read.orc(path)
+    orig = sorted(tuple(r) for r in n.select("n_nationkey", "n_name").collect())
+    got = sorted(tuple(r) for r in back.select("n_nationkey", "n_name").collect())
+    assert got == orig
+
+    pruned = back.filter(F.col("n_regionkey") == 1)
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "n_regionkey" in plan
+
+    pushed = back.filter(F.col("n_nationkey") < 5)
+    plan2 = formatted_plan(pushed)
+    assert "PushedFilters" in plan2 and "n_nationkey" in plan2
+    assert pushed.count() == n.filter("n_nationkey < 5").count()
