@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -52,6 +53,14 @@ __all__ = [
     "build_png",
     "build_jpeg",
     "build_gif",
+    "AUDIO_SCHEMA",
+    "AUDIO_RATES",
+    "audio_params",
+    "build_wav",
+    "build_flac",
+    "decode_audio_real",
+    "synthesize_audio",
+    "decode_audio",
 ]
 
 # Output contract of the feature extractor.
@@ -330,6 +339,203 @@ def decode_media(with_media: DataFrame) -> DataFrame:
             yield pdf_out
 
     return with_media.mapInPandas(_dec, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio container decode (WAV/RIFF and FLAC STREAMINFO — public byte layouts:
+# the Microsoft/IBM RIFF WAVE format and the FLAC format specification
+# (xiph.org, RFC 9639). Same design as the image path: parse the container
+# header into the typed metadata a curation pipeline filters on — sample
+# rate, channel count, bit depth, sample count/duration — without ever
+# decoding samples (PCM inflate / FLAC subframe decode needs a codec lib).
+# ---------------------------------------------------------------------------
+
+AUDIO_RATES = [8000, 16000, 22050, 44100, 48000]
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", DoubleType(), True),
+    ]
+)
+
+
+def _decode_wav(b: bytes):
+    # "RIFF" | 4B size LE | "WAVE", then even-padded chunks: id | 4B size LE
+    # | body. fmt chunk: format 2B | channels 2B | rate 4B | byte-rate 4B |
+    # block-align 2B | bits 2B (all LE).
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data_size = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            fmt = (channels, rate, block_align, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunk bodies pad to even offsets
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, block_align, bits = fmt
+    if block_align == 0 or rate == 0:
+        return None
+    n_samples = data_size // block_align
+    return ("wav", rate, channels, bits, n_samples)
+
+
+def _decode_flac(b: bytes):
+    # "fLaC", then metadata blocks (1B last-flag<<7|type, 3B length BE);
+    # the first block MUST be STREAMINFO (type 0, ≥34 bytes). Its bytes
+    # 10..17 bit-pack: 20b sample rate | 3b channels-1 | 5b bits-1 |
+    # 36b total samples.
+    if len(b) < 8 + 34 or b[:4] != b"fLaC":
+        return None
+    if b[4] & 0x7F != 0:
+        return None
+    size = int.from_bytes(b[5:8], "big")
+    if size < 34:
+        return None
+    v = int.from_bytes(b[18:26], "big")  # STREAMINFO bytes 10..17
+    rate = v >> 44
+    channels = ((v >> 41) & 0x7) + 1
+    bits = ((v >> 36) & 0x1F) + 1
+    n_samples = v & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return ("flac", rate, channels, bits, n_samples)
+
+
+def decode_audio_real(payload: bytes):
+    """Audio container header → (format, rate, channels, bits, n_samples).
+
+    Returns None for unrecognized, truncated, or corrupt payloads — the
+    reject path a 100 TB crawl hits constantly and must not crash on.
+    """
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:4] == b"RIFF":
+        return _decode_wav(b)
+    if b[:4] == b"fLaC":
+        return _decode_flac(b)
+    return None
+
+
+def build_wav(rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    """Assemble a structurally valid PCM WAV header + silent data chunk.
+
+    The data chunk is a zero run of header-consistent length, so byte
+    parsers (and real audio tools) agree on every derived field.
+    """
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    fmt_body = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    # cap the silent payload: header consistency only needs the declared
+    # size, not the bytes (decoders that trust the header never read past
+    # what exists); keep synthetic corpora small
+    data = b"\x00" * min(data_size, 64)
+    return (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+        + b"data" + data_size.to_bytes(4, "little")
+        + data
+    )
+
+
+def build_flac(rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    """Assemble a FLAC signature + STREAMINFO metadata block."""
+    v = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | n_samples
+    streaminfo = (
+        (1024).to_bytes(2, "big")  # min block size
+        + (4096).to_bytes(2, "big")  # max block size
+        + (0).to_bytes(3, "big")  # min frame size (unknown)
+        + (0).to_bytes(3, "big")  # max frame size (unknown)
+        + v.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of raw samples (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def audio_params(doc_id: int) -> tuple[str, int, int, int, int]:
+    """Deterministic synthetic audio parameters — mirrored by the SQL
+    oracle arithmetically (same scheme as :func:`media_dims`)."""
+    fmt = "wav" if doc_id % 2 == 0 else "flac"
+    rate = AUDIO_RATES[doc_id % 5]
+    channels = 1 + (doc_id % 2)
+    bits = 16 + 8 * ((doc_id // 2) % 2)
+    n_samples = (doc_id * 997) % 100_000 + 1_000
+    return fmt, rate, channels, bits, n_samples
+
+
+def synthesize_audio(docs: DataFrame) -> DataFrame:
+    """Build real audio container bytes per document, deterministically."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                fmt, rate, ch, bits, n = audio_params(int(doc_id))
+                builder = build_wav if fmt == "wav" else build_flac
+                payloads.append(builder(rate, ch, bits, n))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def decode_audio(with_media: DataFrame) -> DataFrame:
+    """Arrow-batched audio container decode → typed metadata row.
+
+    Map-only; duration_ms = n_samples * 1000 / rate as one IEEE double
+    division on integer inputs — bit-identical in any engine, so the SQL
+    oracle matches without rounding.
+    """
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "format", "sample_rate", "channels", "bit_depth",
+                "n_samples", "duration_ms")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_audio_real(payload)
+                rows["doc_id"].append(doc_id)
+                if meta is None:
+                    for k in cols[1:]:
+                        rows[k].append(None)
+                else:
+                    fmt, rate, ch, bits, n = meta
+                    rows["format"].append(fmt)
+                    rows["sample_rate"].append(rate)
+                    rows["channels"].append(ch)
+                    rows["bit_depth"].append(bits)
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(n * 1000.0 / rate)
+            out = pd.DataFrame(rows)
+            for c in ("sample_rate", "channels", "bit_depth"):
+                out[c] = out[c].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

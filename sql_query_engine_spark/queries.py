@@ -2413,6 +2413,71 @@ def mm_decode_filter(spark, sf_dir):
     )
 
 
+_AUDIO_RATE_SQL = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+    "WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END"
+)
+
+
+@_q(
+    "mm_audio_decode",
+    f"""SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+       CAST({_AUDIO_RATE_SQL} AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(16 + 8 * ((doc_id // 2) % 2) AS INT) AS bit_depth,
+       CAST((doc_id * 997) % 100000 + 1000 AS BIGINT) AS n_samples,
+       (((doc_id * 997) % 100000 + 1000) * 1000.0) / ({_AUDIO_RATE_SQL})
+           AS duration_ms
+       FROM documents""",
+    "REAL audio container decode: per-doc payloads are genuine WAV (RIFF "
+    "chunk walk) or FLAC (STREAMINFO bit-unpack) bytes built "
+    "deterministically from doc_id, parsed back byte-level by "
+    "decode_audio_real in an Arrow mapInPandas stage — sample rate, "
+    "channels, bit depth, sample count, duration. The image-decode "
+    "design extended to the audio modality (functions/multimodal.py; "
+    "truncation/corruption rejects unit-tested); duration is one IEEE "
+    "double division so the arithmetic oracle matches bit-for-bit.",
+)
+def mm_audio_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_audio(multimodal.synthesize_audio(docs))
+
+
+@_q(
+    "mm_audio_filter",
+    f"""WITH meta AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+           {_AUDIO_RATE_SQL} AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           (doc_id * 997) % 100000 + 1000 AS n_samples
+    FROM documents)
+SELECT format, count(*) AS n_clips,
+       cast(sum(n_samples) as bigint) AS sum_samples,
+       round(sum((n_samples * 1000.0) / sample_rate), 6) AS total_ms_r6
+FROM meta
+WHERE sample_rate >= 16000 AND (n_samples * 1000.0) / sample_rate >= 50
+GROUP BY format""",
+    "decode-driven audio curation: keep clips a speech pipeline can use "
+    "(≥16 kHz, ≥50 ms) using only decoded header metadata, then total "
+    "the per-format durations. Same shape as mm_decode_filter — the "
+    "filter runs in the decode's map stage; payload bytes never reach "
+    "the aggregate.",
+)
+def mm_audio_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    meta = multimodal.decode_audio(multimodal.synthesize_audio(docs))
+    kept = meta.filter(
+        (F.col("sample_rate") >= 16000) & (F.col("duration_ms") >= 50)
+    )
+    return kept.groupBy("format").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_samples").cast("bigint").alias("sum_samples"),
+        F.round(F.sum("duration_ms"), 6).alias("total_ms_r6"),
+    )
+
+
 # =========================================================================
 # Streaming-shaped operators over events (batch-checkable)
 # =========================================================================

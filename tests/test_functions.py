@@ -415,3 +415,62 @@ def test_decode_media_round_trip(spark, docs):
         w, h = multimodal.media_dims(r.doc_id)
         assert (r.width, r.height, r.bit_depth) == (w, h, 8)
         assert r.format == ("png", "jpeg", "gif")[r.doc_id % 3]
+
+
+def test_decode_audio_real_wav_hand_built():
+    # RIFF/WAVE, fmt: PCM stereo 16-bit 8 kHz, data: 4 frames (16 bytes)
+    fmt_body = (
+        b"\x01\x00"  # PCM
+        + b"\x02\x00"  # 2 channels
+        + (8000).to_bytes(4, "little")
+        + (32000).to_bytes(4, "little")  # byte rate
+        + b"\x04\x00"  # block align
+        + b"\x10\x00"  # 16 bits
+    )
+    wav = (
+        b"RIFF" + (52).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+        + b"data" + (16).to_bytes(4, "little") + b"\x00" * 16
+    )
+    assert multimodal.decode_audio_real(wav) == ("wav", 8000, 2, 16, 4)
+    # an unknown chunk before fmt must be skipped by the chunk walk
+    wav2 = (
+        b"RIFF" + (60).to_bytes(4, "little") + b"WAVE"
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        + wav[12:]
+    )
+    assert multimodal.decode_audio_real(wav2) == ("wav", 8000, 2, 16, 4)
+
+
+def test_decode_audio_real_flac_bit_unpack():
+    got = multimodal.decode_audio_real(multimodal.build_flac(44100, 2, 24, 123456))
+    assert got == ("flac", 44100, 2, 24, 123456)
+    # 36-bit sample-count ceiling
+    big = multimodal.build_flac(48000, 1, 16, (1 << 36) - 1)
+    assert multimodal.decode_audio_real(big)[4] == (1 << 36) - 1
+
+
+def test_decode_audio_real_rejects():
+    assert multimodal.decode_audio_real(None) is None
+    assert multimodal.decode_audio_real(b"not audio") is None
+    assert multimodal.decode_audio_real(b"RIFF\x00\x00\x00\x00AVI ") is None
+    # truncated WAV (header only, no chunks)
+    assert multimodal.decode_audio_real(b"RIFF\x24\x00\x00\x00WAVE") is None
+    # FLAC whose first metadata block is not STREAMINFO (type 4 = VORBIS_COMMENT)
+    bad = bytearray(multimodal.build_flac(8000, 1, 16, 10))
+    bad[4] = 0x04
+    assert multimodal.decode_audio_real(bytes(bad)) is None
+    # zero sample rate is not a decodable clip
+    zero = multimodal.build_flac(0, 1, 16, 10)
+    assert multimodal.decode_audio_real(zero) is None
+
+
+def test_decode_audio_round_trip(spark, docs):
+    out = multimodal.decode_audio(multimodal.synthesize_audio(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        fmt, rate, ch, bits, n = multimodal.audio_params(r.doc_id)
+        assert (r.format, r.sample_rate, r.channels, r.bit_depth, r.n_samples) == (
+            fmt, rate, ch, bits, n,
+        )
+        assert r.duration_ms == n * 1000.0 / rate
