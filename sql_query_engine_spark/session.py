@@ -63,6 +63,9 @@ def get_spark(app_name: str = "sql-query-engine-spark", master: str | None = Non
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- Python boundary: always Arrow ------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let registered Python data sources (sources/pyds.py) receive
+        # scan filters through DataSourceReader.pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # InferFiltersFromGenerate inserts `size(arr)>0` under every
         # explode(); when the generator input is an aliased *expression*

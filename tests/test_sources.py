@@ -333,3 +333,96 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
     plan2 = formatted_plan(pushed)
     assert "PushedFilters" in plan2 and "n_nationkey" in plan2
     assert pushed.count() == n.filter("n_nationkey < 5").count()
+
+
+# -------------------------------------------------------------------------
+# Python DataSource API: registered tagged_jsonl format (sources/pyds.py)
+# -------------------------------------------------------------------------
+
+def _registered_read(spark, path, relation):
+    import json as _json
+
+    from sql_query_engine_spark.sources.pyds import register_tagged_jsonl
+
+    register_tagged_jsonl(spark)
+    return (
+        spark.read.format("tagged_jsonl")
+        .option("relation", relation)
+        .option("dd", _json.dumps(PIZZA_DD[relation]))
+        .load(path)
+    )
+
+
+def test_pyds_tagged_jsonl_equals_legacy_reader(spark, pizza, tmp_path):
+    path = str(tmp_path / "serves_pyds")
+    legacy.write_tagged_jsonl(pizza["Serves"], path, "Serves")
+    via_ds = _registered_read(spark, path, "Serves")
+    via_legacy = legacy.read_tagged_jsonl(spark, path, "Serves", PIZZA_DD["Serves"])
+    assert via_ds.schema == via_legacy.schema
+    a = sorted(tuple(r) for r in via_ds.collect())
+    b = sorted(tuple(r) for r in via_legacy.collect())
+    assert a == b and len(a) == 18
+
+
+def test_pyds_partitions_one_per_file(spark, pizza, tmp_path):
+    """A sharded directory must scan with file-level parallelism."""
+    path = tmp_path / "serves_shards"
+    path.mkdir()
+    rows = pizza["Serves"].collect()
+    import json as _json
+
+    for i in range(3):
+        with open(path / f"shard{i}.jsonl", "w") as fh:
+            for r in rows[i::3]:
+                payload = {f"Serves.{k}": r[k] for k in ("pizzeria", "pizza", "price")}
+                fh.write("Serves\t" + _json.dumps(payload) + "\n")
+    df = _registered_read(spark, str(path), "Serves")
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 18
+
+
+def test_pyds_filter_pushdown_matches_post_filter(spark, pizza, tmp_path):
+    """Pushed predicates are evaluated INSIDE the source — results must
+    equal the unpushed scan + DataFrame filter for every supported shape,
+    including the null-rejecting Not semantics."""
+    path = str(tmp_path / "serves_push")
+    legacy.write_tagged_jsonl(pizza["Serves"], path, "Serves")
+    full = _registered_read(spark, path, "Serves")
+    baseline = sorted(tuple(r) for r in full.collect())
+
+    cases = [
+        F.col("pizzeria") == "Dominos",
+        F.col("price") > 8.0,
+        F.col("price") <= 6.5,
+        F.col("pizza").isin("cheese", "sausage"),
+        F.col("pizzeria").startswith("Pizza"),
+        F.col("pizzeria").contains("o"),
+        F.col("pizzeria") != "Dominos",
+        F.col("price").isNotNull(),
+    ]
+    for cond in cases:
+        pushed = sorted(
+            tuple(r) for r in _registered_read(spark, path, "Serves").filter(cond).collect()
+        )
+        # reference semantics: filter applied AFTER a plain full scan
+        expect = sorted(
+            tuple(r)
+            for r in spark.createDataFrame(
+                [list(t) for t in baseline], full.schema
+            ).filter(cond).collect()
+        )
+        assert pushed == expect, str(cond)
+
+
+def test_pyds_malformed_lines_dropped(spark, tmp_path):
+    p = tmp_path / "broken.jsonl"
+    p.write_text(
+        'Person\t{"Person.name": "amy", "Person.age": 16, "Person.gender": "f"}\n'
+        "Person\tnot json at all\n"
+        'Other\t{"Other.x": 1}\n'
+        'Person\t{"Person.name": "ben", "Person.age": "NaNish", "Person.gender": "m"}\n'
+    )
+    df = _registered_read(spark, str(p), "Person")
+    rows = {r["name"]: (r["age"], r["gender"]) for r in df.collect()}
+    # malformed JSON dropped; uncastable field nulled; other tags skipped
+    assert rows == {"amy": (16, "f"), "ben": (None, "m")}
