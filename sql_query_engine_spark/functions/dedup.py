@@ -793,6 +793,41 @@ WHERE cast(len(list_intersect(da.sh, db.sh)) as double)
 # near-dup clustering (connected components)
 # --------------------------------------------------------------------------
 
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Min-label components of a DRIVER-SIZED edge list via union-find.
+
+    Union-by-min-root: each tree's root is the minimum doc_id of its
+    merged set (induction: merging two trees keeps the smaller root), so
+    find(v) after all unions is exactly the min-label fixpoint the
+    distributed propagation converges to.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    # one collect of the deduplicated half (src<dst) — a single job, like
+    # a broadcast-join build pulling the small side
+    for row in edges.filter(F.col("src") < F.col("dst")).collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra < rb:
+            parent[rb] = ra
+        elif rb < ra:
+            parent[ra] = rb
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -800,6 +835,7 @@ def dedup_clusters(
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
     check_every: int = 1,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Canonicalize near-dup PAIRS into CLUSTERS: (doc_id, cluster_id)
     where cluster_id = min doc_id of the connected component.
@@ -835,6 +871,18 @@ def dedup_clusters(
     ``check_every=2`` halves the probe jobs at the cost of at most one
     extra (empty-frontier, cheap) propagation round past the fixpoint.
     Default 1 = probe every round, the exact prior behavior.
+
+    ``driver_threshold``: hybrid execution. The edge list is the LSH+
+    verify SURVIVOR set — orders of magnitude smaller than the corpus
+    (rehearsal: ~0.27 pairs/doc at 100k and 1M docs). When it has at most
+    this many rows (counted off the already-materialized checkpoint, one
+    cheap job), the component labels come from a driver-side union-find —
+    O(E α(E)) in one pass, no per-round shuffles — exactly like a
+    broadcast-join build collecting the small side. Larger edge lists
+    (≈>10⁷ pairs; a 10B-doc crawl) take the distributed propagation path
+    unchanged. Both paths emit bit-identical min-label clusters
+    (property-tested); ``stats["path"]`` records which one ran. Pass 0 to
+    force the distributed path (the scale rehearsal does).
     """
     if checkpoint_dir is not None:
         docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -849,6 +897,17 @@ def dedup_clusters(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = _ckpt(edges)
+
+    if driver_threshold and edges.count() <= 2 * driver_threshold:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["path"] = "driver-union-find"
+        labels = _driver_union_find(docs.sparkSession, edges)
+        return docs.join(labels, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    if stats is not None:
+        stats["path"] = "distributed-propagation"
 
     # Iterate ONLY over nodes that appear in some pair: propagation can
     # never change a doc with no edges, so singletons skip the rounds

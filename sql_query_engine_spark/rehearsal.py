@@ -206,10 +206,13 @@ def run_rehearsal(
     )
 
     # -- connected components: rounds bounded by cluster diameter ----------
+    # driver_threshold=0 pins the DISTRIBUTED propagation path — the one
+    # that must hold at 100 TB; the driver union-find fast path is
+    # equivalence-tested separately (test_functions.py)
     t0 = time.monotonic()
     stats: dict = {}
     clusters = dedup.dedup_clusters(
-        docs.select("doc_id"), pairs, stats=stats
+        docs.select("doc_id"), pairs, stats=stats, driver_threshold=0
     ).persist()
     n_clustered = clusters.filter(F.col("cluster_id") != F.col("doc_id")).count()
     report["t_clusters_s"] = round(time.monotonic() - t0, 2)

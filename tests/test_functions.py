@@ -254,7 +254,7 @@ def test_dedup_clusters_reliable_checkpoint(spark, docs, tmp_path):
     rel = {
         r.doc_id: r.cluster_id
         for r in dedup.dedup_clusters(
-            docs, pairs, checkpoint_dir=ckdir
+            docs, pairs, checkpoint_dir=ckdir, driver_threshold=0
         ).collect()
     }
     assert rel == base
@@ -275,7 +275,7 @@ def test_dedup_clusters_sparse_convergence_probe(spark, docs):
     sparse = {
         r.doc_id: r.cluster_id
         for r in dedup.dedup_clusters(
-            docs, pairs, stats=stats, check_every=2
+            docs, pairs, stats=stats, check_every=2, driver_threshold=0
         ).collect()
     }
     assert sparse == base
@@ -288,10 +288,66 @@ def test_dedup_clusters_sparse_convergence_probe(spark, docs):
     got = {
         r.doc_id: r.cluster_id
         for r in dedup.dedup_clusters(
-            chain_docs, chain_pairs, check_every=3
+            chain_docs, chain_pairs, check_every=3, driver_threshold=0
         ).collect()
     }
     assert got == {i: 0 for i in range(6)}
+
+
+def test_dedup_clusters_driver_path_equals_distributed(spark, docs):
+    """Hybrid execution: the driver union-find fast path (edge list below
+    driver_threshold) must produce the bit-identical cluster map to the
+    distributed propagation — on the real LSH pair graph AND on a random
+    multi-component graph with longer chains."""
+    import random
+
+    from pyspark.sql import functions as PF
+
+    pairs = dedup.minhash_lsh_pairs(docs)
+    st_d, st_p = {}, {}
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(docs, pairs, stats=st_d).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            docs, pairs, stats=st_p, driver_threshold=0
+        ).collect()
+    }
+    assert st_d["path"] == "driver-union-find"
+    assert st_p["path"] == "distributed-propagation"
+    assert fast == dist
+
+    rng = random.Random(7)
+    n = 400
+    redges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(300)
+    ]
+    rdocs = spark.range(n).select(PF.col("id").alias("doc_id"))
+    rpairs = spark.createDataFrame(
+        [(a, b) for a, b in redges if a != b], "doc_a long, doc_b long"
+    )
+    fast_r = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(rdocs, rpairs).collect()
+    }
+    dist_r = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            rdocs, rpairs, driver_threshold=0, max_iter=50
+        ).collect()
+    }
+    assert fast_r == dist_r
+
+
+def test_dedup_clusters_empty_pairs_both_paths(spark, docs):
+    """No pairs → everyone is their own cluster, on both paths."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    for thr in (5_000_000, 0):
+        got = dedup.dedup_clusters(docs, empty, driver_threshold=thr)
+        assert got.filter(F.col("cluster_id") != F.col("doc_id")).count() == 0
+        assert got.count() == docs.count()
 
 
 def test_text_idf_builds_lazily(spark):
