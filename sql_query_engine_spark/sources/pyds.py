@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    SimpleDataSourceStreamReader,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -175,6 +176,106 @@ class _TaggedJsonlReader(DataSourceReader):
                     yield tuple(rec[name] for name in self.fields)
 
 
+def _parse_tagged_line(line: str, relation: str, fields, qualified, casts):
+    """One wire line → output tuple, or None (other tag / malformed)."""
+    prefix = relation + "\t"
+    if not line.startswith(prefix):
+        return None
+    try:
+        raw = json.loads(line[len(prefix):])
+    except json.JSONDecodeError:
+        return None
+    out = []
+    for name, qname, cast in zip(fields, qualified, casts):
+        v = raw.get(qname, raw.get(name))
+        if v is not None and cast is not None:
+            try:
+                v = cast(v)
+            except (TypeError, ValueError):
+                v = None
+        out.append(v)
+    return tuple(out)
+
+
+class _TaggedJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Tail a directory of tagged files as a STREAMING source.
+
+    Offsets are ``{"files": {basename: lines_consumed}}`` — a restart (or
+    exactly-once retry via ``readBetweenOffsets``) re-reads precisely the
+    line ranges a batch covered, so replays are deterministic. New files
+    and appended lines both advance the offset. The Simple reader runs on
+    the driver by design (Spark plans partitions from its offsets) —
+    right for control-plane-rate ingest like the reference's tagged
+    dumps; bulk firehoses belong on the partitioned batch reader or a
+    full DataSourceStreamReader.
+    """
+
+    def __init__(self, path: str, relation: str, schema: StructType):
+        self.root = path
+        self.relation = relation
+        self.fields = [f.name for f in schema.fields]
+        self.qualified = [f"{relation}.{name}" for name in self.fields]
+        self.casts = [
+            (int if f.dataType.typeName() == "long" else
+             float if f.dataType.typeName() == "double" else None)
+            for f in schema.fields
+        ]
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.root):
+            return sorted(
+                n for n in os.listdir(self.root) if not n.startswith(("_", "."))
+            )
+        return [os.path.basename(self.root)]
+
+    def _file_path(self, name: str) -> str:
+        return os.path.join(self.root, name) if os.path.isdir(self.root) else self.root
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _read_range(self, name: str, start_line: int, end_line: int | None):
+        with open(self._file_path(name), encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                if i < start_line:
+                    continue
+                if end_line is not None and i >= end_line:
+                    break
+                rec = _parse_tagged_line(
+                    line, self.relation, self.fields, self.qualified, self.casts
+                )
+                if rec is not None:
+                    yield rec
+
+    def read(self, start: dict):
+        consumed = dict(start.get("files", {}))
+        rows: list[tuple] = []
+        end = {}
+        for name in self._files():
+            from_line = int(consumed.get(name, 0))
+            n = from_line
+            with open(self._file_path(name), encoding="utf-8") as fh:
+                for i, line in enumerate(fh):
+                    if i < from_line:
+                        continue
+                    n = i + 1
+                    rec = _parse_tagged_line(
+                        line, self.relation, self.fields, self.qualified, self.casts
+                    )
+                    if rec is not None:
+                        rows.append(rec)
+            end[name] = n
+        return iter(rows), {"files": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s, e = start.get("files", {}), end.get("files", {})
+        for name in sorted(e):
+            yield from self._read_range(name, int(s.get(name, 0)), int(e[name]))
+
+    def commit(self, end: dict) -> None:
+        pass  # files are the source of truth; nothing to clean up
+
+
 class TaggedJsonlDataSource(DataSource):
     """``spark.read.format("tagged_jsonl")`` — options:
 
@@ -195,6 +296,11 @@ class TaggedJsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _TaggedJsonlReader:
         return _TaggedJsonlReader(
+            self.options["path"], self.options["relation"], schema
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> _TaggedJsonlStreamReader:
+        return _TaggedJsonlStreamReader(
             self.options["path"], self.options["relation"], schema
         )
 

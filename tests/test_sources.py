@@ -426,3 +426,55 @@ def test_pyds_malformed_lines_dropped(spark, tmp_path):
     rows = {r["name"]: (r["age"], r["gender"]) for r in df.collect()}
     # malformed JSON dropped; uncastable field nulled; other tags skipped
     assert rows == {"amy": (16, "f"), "ben": (None, "m")}
+
+
+def test_pyds_stream_reader_incremental_tail(spark, tmp_path):
+    """The registered format is also a STREAMING source: two availableNow
+    runs against one checkpoint must consume each line exactly once —
+    batch 2 sees only the lines (and files) appended after batch 1."""
+    import json as _json
+
+    from sql_query_engine_spark.sources.pyds import register_tagged_jsonl
+
+    register_tagged_jsonl(spark)
+    src = tmp_path / "person_stream"
+    src.mkdir()
+
+    def person_line(name, age):
+        return "Person\t" + _json.dumps(
+            {"Person.name": name, "Person.age": age, "Person.gender": "x"}
+        ) + "\n"
+
+    (src / "a.jsonl").write_text(person_line("amy", 16) + person_line("ben", 21))
+
+    out_dir = str(tmp_path / "pyds_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("tagged_jsonl")
+            .option("relation", "Person")
+            .option("dd", _json.dumps(PIZZA_DD["Person"]))
+            .load(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt_pyds"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["name"], r["age"]) for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got1 = run_once()
+    assert got1 == {("amy", 16), ("ben", 21)}
+
+    # append to an existing file AND add a new file — both must be tailed
+    with open(src / "a.jsonl", "a") as fh:
+        fh.write(person_line("cal", 33))
+    (src / "b.jsonl").write_text(person_line("dot", 40))
+    got2 = run_once()
+    assert got2 == {("amy", 16), ("ben", 21), ("cal", 33), ("dot", 40)}
