@@ -3633,6 +3633,55 @@ def pipeline_decontaminate(spark, sf_dir):
 
 
 @_q(
+    "pipeline_semantic_decontaminate",
+    """WITH n AS (
+    SELECT vec_id, embedding,
+           list_reduce(list_prepend(cast(0 as double),
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+               (a, b) -> a + b) AS n2
+    FROM embeddings),
+scored AS (
+    SELECT t.vec_id, h.vec_id AS held_id,
+           list_reduce(list_prepend(cast(0 as double),
+               list_transform(list_zip(t.embedding, h.embedding),
+                   p -> p[1]::DOUBLE * p[2]::DOUBLE)), (a, b) -> a + b)
+             / (sqrt(t.n2) * sqrt(h.n2)) AS cos
+    FROM n t JOIN n h ON t.vec_id % 10 != 0 AND h.vec_id % 10 = 0)
+SELECT vec_id, count(*) AS n_held_hits, round(max(cos), 6) AS max_cos_r6
+FROM scored WHERE cos >= 0.45 GROUP BY vec_id""",
+    "SEMANTIC decontamination: flag training vectors whose embedding is "
+    "near-duplicate (cos ≥ 0.45, the corpus near-dup threshold) of any "
+    "held-out benchmark vector — catches paraphrased leakage the exact "
+    "n-gram path (pipeline_decontaminate) cannot see. Plan: the held "
+    "split is tiny by construction (benchmarks vs a 100 TB corpus), so "
+    "it BROADCASTS against the train scan — one map-side pass, no "
+    "shuffle of the corpus; the cosine is the same left-fold expression "
+    "both engines evaluate bit-identically. For held sets too big to "
+    "broadcast, dedup_embedding_lsh's bucketed join is the drop-in.",
+)
+def pipeline_semantic_decontaminate(spark, sf_dir):
+    from .functions.similarity import _SPARK_DOT_QC, _SPARK_NORM2
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2")
+    )
+    train = e.filter(F.col("vec_id") % 10 != 0).alias("q")
+    held = e.filter(F.col("vec_id") % 10 == 0).alias("c")
+    cos = F.expr(_SPARK_DOT_QC) / (F.sqrt(F.col("q.n2")) * F.sqrt(F.col("c.n2")))
+    scored = train.join(F.broadcast(held), how="cross").select(
+        F.col("q.vec_id").alias("vec_id"), cos.alias("cos")
+    )
+    return (
+        scored.filter(F.col("cos") >= 0.45)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_held_hits"),
+            F.round(F.max("cos"), 6).alias("max_cos_r6"),
+        )
+    )
+
+
+@_q(
     "text_pii_stats",
     """SELECT doc_id,
        cast(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+')) as bigint)
