@@ -3632,6 +3632,55 @@ def pipeline_decontaminate(spark, sf_dir):
     )
 
 
+# fastText-style linear domain classifier: token weights in milli-units
+# (integers ⇒ order-independent exact sums in any engine; the sigmoid and
+# its rounding are the only float steps)
+_DOMAIN_W = [
+    ("vector", 240), ("hash", 180), ("merge", 150), ("batch", 120),
+    ("stream", 110), ("window", 90), ("fast", 60),
+    ("slow", -170), ("small", -90), ("line", -60), ("the", -40), ("a", -30),
+]
+_DOMAIN_W_SQL = ", ".join(f"('{w}', {v})" for w, v in _DOMAIN_W)
+_DOMAIN_W_MAP = ", ".join(f"'{w}', {v}L" for w, v in _DOMAIN_W)
+
+
+@_q(
+    "text_domain_score",
+    f"""WITH t AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents),
+wt AS (SELECT * FROM (VALUES {_DOMAIN_W_SQL}) AS v(w, milli))
+SELECT t.doc_id, cast(coalesce(sum(wt.milli), 0) as bigint) AS score_milli,
+       round(1.0 / (1.0 + exp(-coalesce(sum(wt.milli), 0) / 1000.0)), 6)
+           AS prob_r6
+FROM t LEFT JOIN wt ON t.w = wt.w
+GROUP BY t.doc_id""",
+    "linear domain/quality classifier applied corpus-wide (the fastText-"
+    "classifier pattern every corpus pipeline runs): per-token integer "
+    "milli-weights fold over the token array INSIDE the row — a map "
+    "literal + aggregate() lambda, pure whole-stage codegen, zero "
+    "shuffle, zero Python — then a sigmoid. The oracle computes the same "
+    "model relationally (unnest + weight join); integer weights make the "
+    "sum order-independent, so both engines agree exactly. Swapping the "
+    "hand votes for trained weights changes one literal, not the plan.",
+)
+def text_domain_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    score = F.expr(
+        f"aggregate(transform(split(lower(text), ' '), "
+        f"w -> coalesce(element_at(map({_DOMAIN_W_MAP}), w), 0L)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    scored = d.select("doc_id", score.alias("score_milli"))
+    return scored.withColumn(
+        "prob_r6",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score_milli") / F.lit(1000.0))),
+            6,
+        ),
+    )
+
+
 @_q(
     "pipeline_semantic_decontaminate",
     """WITH n AS (
