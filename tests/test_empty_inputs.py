@@ -85,3 +85,45 @@ def test_pq_on_empty_or_tiny(spark, empty_emb):
     except (IndexError, ValueError):
         raised = True
     assert raised
+
+
+def test_bloom_on_empty_sides(spark, empty_docs):
+    """Empty dim → empty bitmap rejects everything; empty fact → empty
+    result; both without crashing."""
+    from sql_query_engine_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_probe,
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    empty_part = load_table(spark, SF_DIR, "part").filter(F.col("p_partkey") < 0)
+    bm = bloom_bitmap(empty_part.select("p_partkey"), "p_partkey")
+    assert all(w == 0 for w in bm)
+    assert bloom_probe(li, "l_partkey", bm).count() == 0
+    assert bloom_semi_join(li, empty_part, "l_partkey", "p_partkey").count() == 0
+    empty_li = li.filter(F.col("l_orderkey") < 0)
+    part = load_table(spark, SF_DIR, "part")
+    assert bloom_semi_join(empty_li, part, "l_partkey", "p_partkey").count() == 0
+
+
+def test_quota_batch_on_empty(spark, empty_docs):
+    from sql_query_engine_spark.streaming import quota
+
+    assert quota.quota_batch(empty_docs, cap=10).count() == 0
+
+
+def test_audio_decode_on_empty(spark, empty_docs):
+    from sql_query_engine_spark.functions import multimodal
+
+    audio = multimodal.synthesize_audio(empty_docs)
+    assert multimodal.decode_audio(audio).count() == 0
+
+
+def test_union_find_on_empty_edges(spark, empty_docs):
+    """The driver fast path with zero edges must return an empty label
+    frame (createDataFrame([], ddl) path)."""
+    from sql_query_engine_spark.functions.dedup import _driver_union_find
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert _driver_union_find(spark, empty_edges).count() == 0
