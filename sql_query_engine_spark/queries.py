@@ -1849,6 +1849,48 @@ def scalar_null_semantics(spark, sf_dir):
 
 
 @_q(
+    "scalar_try_arithmetic",
+    """SELECT l_orderkey, l_linenumber,
+              round(cast(cast(l_extendedprice as decimal(18,6))
+                   / nullif(cast(l_quantity as decimal(18,6)) - 25, 0)
+                   as double), 6) AS unit_or_null,
+              TRY_CAST(substr(concat(cast(l_orderkey as varchar), l_returnflag),
+                              2, 2) AS BIGINT) AS lead_digits,
+              CASE WHEN l_quantity <= 7
+                   THEN cast(l_quantity as bigint) + 9223372036854775800
+                   ELSE NULL END AS sum_or_null
+       FROM lineitem WHERE l_orderkey % 500 = 0""",
+    "error-safe arithmetic under ANSI mode: try_divide (NULL where the "
+    "decimal division would raise DIVIDE_BY_ZERO), try_to_number on "
+    "strings that may not be numeric, try_add past int64 range — the "
+    "fault-tolerance surface a 100 TB job needs so one poison row "
+    "cannot kill a stage. The oracle states the identical semantics "
+    "with nullif / TRY_CAST / a range-guarded CASE.",
+)
+def scalar_try_arithmetic(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    dec = "decimal(18,6)"
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(
+                F.col("l_extendedprice").cast(dec),
+                F.col("l_quantity").cast(dec) - 25,
+            ).cast("double"),
+            6,
+        ).alias("unit_or_null"),
+        F.expr(
+            "cast(try_to_number(substring(concat(cast(l_orderkey as string), "
+            "l_returnflag), 2, 2), '99') as bigint)"
+        ).alias("lead_digits"),
+        F.try_add(
+            F.col("l_quantity").cast("bigint"), F.lit(9223372036854775800)
+        ).alias("sum_or_null"),
+    )
+
+
+@_q(
     "scalar_date_arithmetic",
     """SELECT o_orderkey,
               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
@@ -1985,6 +2027,45 @@ def dedup_incremental_stateless(spark, sf_dir):
     new_docs = docs.filter(F.col("doc_id") % 2 == 1)
     known_docs = docs.filter(F.col("doc_id") % 2 == 0)
     return dedup.incremental_neardup_stateless(new_docs, known_docs)
+
+
+@_q(
+    "catalog_table_checksum",
+    """WITH h AS (
+    SELECT cast(concat('0x', substr(md5(concat_ws('|',
+               cast(o_orderkey as varchar), cast(o_custkey as varchar),
+               o_orderstatus,
+               cast(cast(o_totalprice as decimal(18,2)) as varchar))),
+           1, 12)) as bigint) AS rh
+    FROM orders)
+SELECT count(*) AS n_rows,
+       cast(sum(cast(rh as decimal(38,0))) as varchar) AS checksum_sum,
+       bit_xor(rh) AS checksum_xor
+FROM h""",
+    "order-insensitive table content checksum: canonical row string → "
+    "md5 → 48-bit chunk, combined with an exact decimal(38) SUM and a "
+    "bit XOR — both commutative, so the fingerprint is identical for "
+    "any row order, partitioning, or engine. This is how you verify a "
+    "100 TB copy/migration without sorting anything: one map-side hash "
+    "+ one tiny aggregate per table; any single-row difference moves "
+    "both digests. Doubles ride as decimal(18,2) strings so the "
+    "canonical rendering is engine-neutral.",
+)
+def catalog_table_checksum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    canon = (
+        "concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string), "
+        "o_orderstatus, cast(cast(o_totalprice as decimal(18,2)) as string))"
+    )
+    rh = F.expr(
+        f"cast(conv(substr(md5({canon}), 1, 12), 16, 10) as bigint)"
+    )
+    h = o.select(rh.alias("rh"))
+    return h.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("rh").cast("decimal(38,0)")).cast("string").alias("checksum_sum"),
+        F.expr("bit_xor(rh)").alias("checksum_xor"),
+    )
 
 
 @_q(
