@@ -224,6 +224,22 @@ def run_rehearsal(
     assert n_clustered == recalled, (
         f"relabelled {n_clustered} != recalled pairs {recalled}"
     )
+
+    # hybrid fast path on the SAME pair graph: the driver union-find must
+    # produce the identical relabel count, and its wall time quantifies
+    # what skipping per-round shuffles buys when the survivor edge list
+    # is driver-sized (the common case after LSH+verify)
+    t0 = time.monotonic()
+    hstats: dict = {}
+    hclusters = dedup.dedup_clusters(docs.select("doc_id"), pairs, stats=hstats)
+    h_relabelled = hclusters.filter(
+        F.col("cluster_id") != F.col("doc_id")
+    ).count()
+    report["t_clusters_hybrid_s"] = round(time.monotonic() - t0, 2)
+    report["cc_hybrid_path"] = hstats.get("path")
+    assert h_relabelled == n_clustered, (
+        f"hybrid relabelled {h_relabelled} != distributed {n_clustered}"
+    )
     clusters.unpersist()
     pairs.unpersist()
     docs.unpersist()

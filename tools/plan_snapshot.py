@@ -118,6 +118,31 @@ SHOWCASE = [
         "expensive part at 100 TB — is shared by both aggregations "
         "instead of recomputed",
     ),
+    (
+        "join_bloom_semijoin",
+        "the Bloom probe rides the fact scan's Filter/Project (xxhash64 "
+        "+ element_at over the bitmap literal, whole-stage codegen) "
+        "BEFORE the semi-join's exchange; the final join stays exact",
+        "the shuffle feeding a selective semi-join sees ~fpp of the "
+        "non-matching fact rows instead of all of them — the sketch "
+        "does at the scan what the join would do terabytes later",
+    ),
+    (
+        "pipeline_semantic_decontaminate",
+        "held-out vectors enter via BroadcastNestedLoopJoin against the "
+        "train scan; the only exchange is the final per-vector aggregate",
+        "benchmark sets are tiny by construction, so semantic "
+        "decontamination of a 100 TB corpus is one broadcast map pass — "
+        "the corpus embedding column never shuffles",
+    ),
+    (
+        "text_domain_score",
+        "NO exchange anywhere: the weight map is a literal folded over "
+        "each row's token array inside one WholeStageCodegen span",
+        "classifier scoring at corpus scale is embarrassingly parallel "
+        "only if it stays map-only — this plan has zero shuffles, zero "
+        "Python, zero joins",
+    ),
 ]
 
 # formatted mode details block:
