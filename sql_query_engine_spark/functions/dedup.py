@@ -801,6 +801,8 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     find(v) after all unions is exactly the min-label fixpoint the
     distributed propagation converges to.
     """
+    import pandas as pd
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -811,10 +813,11 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    # one collect of the deduplicated half (src<dst) — a single job, like
-    # a broadcast-join build pulling the small side
-    for row in edges.filter(F.col("src") < F.col("dst")).collect():
-        a, b = row[0], row[1]
+    # one Arrow transfer of the deduplicated half (src<dst) — a single
+    # job, like a broadcast-join build pulling the small side
+    pdf = edges.filter(F.col("src") < F.col("dst")).toPandas()
+    for a, b in zip(pdf["src"].astype("int64"), pdf["dst"].astype("int64")):
+        a, b = int(a), int(b)
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -824,8 +827,13 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             parent[rb] = ra
         elif rb < ra:
             parent[ra] = rb
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(list(parent), dtype="int64"),
+            "cluster_id": pd.Series([find(n) for n in parent], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(out, "doc_id bigint, cluster_id bigint")
 
 
 def dedup_clusters(
