@@ -3878,6 +3878,25 @@ def text_repetition(spark, sf_dir):
 
 
 @_q(
+    "emb_pca_project",
+    None,  # eigensolve has no SQL twin — numpy-pinned in test_scale_ops.py
+    "distributed PCA (functions/pca.py): per-partition BLAS Gram/mean "
+    "partials (one corpus pass, map-side only), driver-ordered partial "
+    "sums (bit-deterministic under any task scheduling), d×d eigensolve "
+    "on the driver, then a pure-JVM zip_with projection of every vector "
+    "onto the top-2 components. The tall-skinny PCA decomposition — at "
+    "100 TB the only things that cross the wire are n_partitions×(d²+d+1) "
+    "partial rows and two d-length literals. Rows-only by necessity; "
+    "component correctness is pinned against numpy's full PCA (cosine "
+    "≈1 per component, projections equal up to the fixed sign).",
+)
+def emb_pca_project(spark, sf_dir):
+    from .functions.pca import pca_project
+
+    return pca_project(_t(spark, sf_dir, "embeddings"), dim=64, k=2)
+
+
+@_q(
     "emb_norm_histogram",
     """WITH n AS (
     SELECT vec_id, label,

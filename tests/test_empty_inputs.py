@@ -127,3 +127,12 @@ def test_union_find_on_empty_edges(spark, empty_docs):
 
     empty_edges = spark.createDataFrame([], "src long, dst long")
     assert _driver_union_find(spark, empty_edges).count() == 0
+
+
+def test_pca_on_empty_raises_cleanly(spark, empty_emb):
+    import pytest as _pytest
+
+    from sql_query_engine_spark.functions.pca import principal_components
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        principal_components(empty_emb, dim=64)

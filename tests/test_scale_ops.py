@@ -437,3 +437,61 @@ def test_bloom_probe_prefilters_before_exact_join(spark):
     total = li.count()
     exact = li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi").count()
     assert exact <= survivors < total * 0.5
+
+
+# -------------------------------------------------------------------------
+# Distributed PCA (functions/pca.py)
+# -------------------------------------------------------------------------
+
+def test_pca_matches_numpy_full_solution(spark):
+    """The distributed Gram/eigh pipeline must reproduce numpy's full
+    PCA on the collected corpus: per-component |cosine| ≈ 1 and the
+    projections equal up to the deterministic sign convention."""
+    import numpy as np
+
+    from sql_query_engine_spark.functions.pca import (
+        pca_project,
+        principal_components,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    comps, mean = principal_components(emb, dim=64, k=2)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.asarray([r["vec_id"] for r in rows])
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    _, vecs = np.linalg.eigh(cov)
+    for j in range(2):
+        cos = abs(float(np.dot(comps[j], vecs[:, -(j + 1)])))
+        assert cos > 0.9999, f"component {j}: |cos|={cos}"
+    assert abs(np.linalg.norm(comps[0]) - 1) < 1e-9
+
+    got = {
+        r["vec_id"]: (r["pc1_r6"], r["pc2_r6"])
+        for r in pca_project(emb, dim=64, k=2).collect()
+    }
+    order = np.argsort(ids)
+    proj1 = xc[order] @ comps[0]
+    proj2 = xc[order] @ comps[1]
+    for vid, p1, p2 in zip(ids[order], proj1, proj2):
+        g1, g2 = got[int(vid)]
+        assert abs(g1 - p1) < 1e-4, (vid, g1, p1)
+        assert abs(g2 - p2) < 1e-4, (vid, g2, p2)
+
+
+def test_pca_deterministic_across_partitionings(spark):
+    """Partial sums are combined in fixed (idx, pid) order, so a hostile
+    repartition must not move a single rounded projection."""
+    from pyspark.sql import functions as PF
+
+    from sql_query_engine_spark.functions.pca import pca_project
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sorted(tuple(r) for r in pca_project(emb, dim=64).collect())
+    b = sorted(
+        tuple(r)
+        for r in pca_project(emb.repartition(13, "label"), dim=64).collect()
+    )
+    assert a == b
