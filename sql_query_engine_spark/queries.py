@@ -3878,6 +3878,82 @@ def text_repetition(spark, sf_dir):
 
 
 @_q(
+    "emb_knn_label_transfer",
+    """WITH n AS (
+    SELECT vec_id, label, embedding,
+           list_reduce(list_prepend(cast(0 as double),
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+               (a, b) -> a + b) AS n2
+    FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS query_id, c.label AS neighbor_label,
+           list_reduce(list_prepend(cast(0 as double),
+               list_transform(list_zip(q.embedding, c.embedding),
+                   p -> p[1]::DOUBLE * p[2]::DOUBLE)), (a, b) -> a + b)
+             / (sqrt(q.n2) * sqrt(c.n2)) AS cos,
+           c.vec_id AS neighbor_id
+    FROM n q JOIN n c ON q.vec_id % 10 = 0 AND c.vec_id % 10 != 0),
+top5 AS (
+    SELECT query_id, neighbor_label FROM (
+        SELECT query_id, neighbor_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+votes AS (
+    SELECT query_id, neighbor_label, count(*) AS n_votes
+    FROM top5 GROUP BY query_id, neighbor_label)
+SELECT query_id, neighbor_label AS predicted_label,
+       cast(n_votes as bigint) AS n_votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY n_votes DESC, neighbor_label) AS vr
+      FROM votes) WHERE vr = 1""",
+    "exact kNN label transfer: every 'unlabeled' vector (vec_id%10=0 — "
+    "a fresh batch to auto-label) takes the majority label of its 5 "
+    "nearest labeled neighbors by cosine, ties broken toward the "
+    "smaller label. Plan: the small unlabeled batch BROADCASTS against "
+    "the labeled corpus scan (the label-transfer direction at 100 TB), "
+    "per-query rank via WindowGroupLimit, majority vote as a second "
+    "tiny window. Deterministic and value-exact vs the oracle.",
+)
+def emb_knn_label_transfer(spark, sf_dir):
+    from .functions.similarity import _SPARK_DOT_QC, _SPARK_NORM2
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", F.expr(_SPARK_NORM2).alias("n2")
+    )
+    q = e.filter(F.col("vec_id") % 10 == 0).alias("q")
+    c = e.filter(F.col("vec_id") % 10 != 0).alias("c")
+    cos = F.expr(_SPARK_DOT_QC) / (F.sqrt(F.col("q.n2")) * F.sqrt(F.col("c.n2")))
+    scored = F.broadcast(q).join(c, how="cross").select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.label").alias("neighbor_label"),
+        cos.alias("cos"),
+        F.col("c.vec_id").alias("neighbor_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    top5 = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_label")
+    )
+    votes = top5.groupBy("query_id", "neighbor_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "neighbor_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+@_q(
     "emb_pca_project",
     None,  # eigensolve has no SQL twin — numpy-pinned in test_scale_ops.py
     "distributed PCA (functions/pca.py): per-partition BLAS Gram/mean "
