@@ -2809,6 +2809,71 @@ def join_range_bands(spark, sf_dir):
 
 
 @_q(
+    "join_interval_overlap",
+    """WITH iv AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st,
+           datediff('day', DATE '1990-01-01', cast(o_orderdate as date)) AS lo,
+           datediff('day', DATE '1990-01-01', cast(o_orderdate as date))
+               + o_orderkey % 14 + 1 AS hi
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus IN ('F', 'O'))
+SELECT count(*) AS n_pairs,
+       cast(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) as bigint)
+           AS sum_overlap_days
+FROM iv a JOIN iv b
+  ON a.st = 'F' AND b.st = 'O' AND a.lo <= b.hi AND b.lo <= a.hi""",
+    "keyless interval-OVERLAP join (two interval sets, no equi-key — "
+    "the telemetry/genomics shape a naive theta join turns into "
+    "|A|×|B|): each interval explodes across the 7-day bands it spans, "
+    "candidates come from the band EQUI-join, pair duplicates from "
+    "multi-band spans collapse with a distinct, and the exact overlap "
+    "predicate + overlap-length arithmetic run on candidates only. "
+    "Work scales with band co-occupancy, not |A|×|B|; band width is "
+    "the knob (≈ median interval span). The oracle runs the plain "
+    "theta join — identical pairs is the checked claim.",
+)
+def join_interval_overlap(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 5 == 0)
+        & F.col("o_orderstatus").isin("F", "O")
+    )
+    day = F.expr("datediff(cast(o_orderdate as date), date'1990-01-01')")
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        day.cast("bigint").alias("lo"),
+        (day + F.col("o_orderkey") % 14 + 1).cast("bigint").alias("hi"),
+    )
+    banded = iv.select(
+        "k", "st", "lo", "hi",
+        F.explode(
+            F.sequence(F.expr("lo DIV 7"), F.expr("hi DIV 7"))
+        ).alias("band"),
+    )
+    a = banded.filter(F.col("st") == "F").alias("a")
+    b = banded.filter(F.col("st") == "O").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .select(
+            F.col("a.k").alias("ak"), F.col("b.k").alias("bk"),
+            F.col("a.lo").alias("alo"), F.col("a.hi").alias("ahi"),
+            F.col("b.lo").alias("blo"), F.col("b.hi").alias("bhi"),
+        )
+        .distinct()  # one row per pair, however many bands both span
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.least("ahi", "bhi") - F.greatest("alo", "blo")
+        ).cast("bigint").alias("sum_overlap_days"),
+    )
+
+
+@_q(
     "stream_funnel_conversion",
     """WITH v AS (
     SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
