@@ -154,7 +154,8 @@ def register_dir(
     data_dir: str,
     dd: dict[str, dict[str, str]] | None = None,
 ) -> dict[str, DataFrame]:
-    """Register every ``<name>.parquet`` / ``<name>.csv`` under a directory.
+    """Register every ``<name>.parquet`` / ``<name>.csv`` / ``<name>.jsonl``
+    (tagged wire format, dd required) under a directory.
 
     The discovery-based twin of :func:`register_all` for arbitrary corpora
     (e.g. the reference's pizza CSVs) — the CLI entry point uses this so a
@@ -162,7 +163,7 @@ def register_dir(
     reference-style data dictionary (``{relation: {attr: type}}``) enforcing
     CSV scan schemas exactly the way ``--dd_path`` did there.
     """
-    from .sources.legacy import read_qualified_csv
+    from .sources.legacy import read_qualified_csv, read_tagged_jsonl
 
     _ensure_session_semantics(spark)
     out: dict[str, DataFrame] = {}
@@ -176,6 +177,15 @@ def register_dir(
             df = read_qualified_csv(
                 spark, path, name, (dd or {}).get(name)
             )
+        elif entry.endswith(".jsonl"):
+            # the reference's tagged wire format; needs the dd for its
+            # enforced schema (tag filtering means one file may carry
+            # several relations — the file stem names the one to load)
+            name = entry[: -len(".jsonl")]
+            dd_rel = (dd or {}).get(name)
+            if dd_rel is None:
+                continue
+            df = read_tagged_jsonl(spark, path, name, dd_rel)
         else:
             continue
         df.createOrReplaceTempView(name)

@@ -478,3 +478,26 @@ def test_pyds_stream_reader_incremental_tail(spark, tmp_path):
     (src / "b.jsonl").write_text(person_line("dot", 40))
     got2 = run_once()
     assert got2 == {("amy", 16), ("ben", 21), ("cal", 33), ("dot", 40)}
+
+
+def test_register_dir_discovers_tagged_jsonl(spark, pizza, tmp_path):
+    """--data-dir discovery extends to the tagged wire format: a
+    <name>.jsonl file with a dd entry registers as a queryable view."""
+    from sql_query_engine_spark.catalog import register_dir
+
+    legacy.write_tagged_jsonl(pizza["Serves"], str(tmp_path / "Serves.jsonl"), "Serves")
+    pizza["Person"].write.mode("overwrite").parquet(str(tmp_path / "Person.parquet"))
+    out = register_dir(spark, str(tmp_path), PIZZA_DD)
+    assert set(out) >= {"Serves", "Person"}
+    got = spark.sql(
+        "SELECT count(*) AS n, round(sum(price), 2) AS total FROM Serves"
+    ).collect()[0]
+    assert got["n"] == 18
+    exp = pizza["Serves"].agg(
+        F.round(F.sum("price"), 2).alias("t")
+    ).collect()[0]["t"]
+    assert got["total"] == exp
+    # a jsonl with NO dd entry is skipped, not crashed on
+    (tmp_path / "Mystery.jsonl").write_text("Mystery\t{}\n")
+    out2 = register_dir(spark, str(tmp_path), PIZZA_DD)
+    assert "Mystery" not in out2
