@@ -24,6 +24,7 @@ def test_every_oracle_key_has_query():
         "sim_ivf_topk",
         "sim_pq_topk",
         "sim_ivfpq_topk",
+        "emb_pca_project",  # eigensolve — numpy-pinned instead
     }
 
 
