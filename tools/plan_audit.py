@@ -76,6 +76,13 @@ EXPECTED = {
     "(text_idf shape) and the broadcast single query vector vs corpus; "
     "the SMJ is the full outer fusion of two ≤50-row ranked lists "
     "(full outer cannot broadcast)",
+    "pipeline_semantic_decontaminate": "BNLJ is the broadcast held-out "
+    "vector set (tiny by construction — benchmarks vs corpus) scored "
+    "against the train scan — the cosine_topk broadcast-query shape; "
+    "the corpus embedding column never shuffles",
+    "emb_knn_label_transfer": "BNLJ is the broadcast unlabeled batch "
+    "(the small side in label transfer) scored against the labeled "
+    "corpus scan — same broadcast-query-set shape as cosine_topk",
 }
 
 # queries whose physical plan legitimately contains a Window with no
