@@ -2809,6 +2809,65 @@ def join_range_bands(spark, sf_dir):
 
 
 @_q(
+    "window_time_range_trailing",
+    """SELECT event_id, user_id,
+       cast(count(*) OVER w as bigint) AS n_trailing_1h,
+       cast(sum(cast(value as decimal(18,6))) OVER w as double) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "event-time RANGE frame: at every event, the user's trailing-1-hour "
+    "count and value sum — the time-decayed-feature shape (fraud "
+    "velocity, rate limiting, session heat) that needs NO self-join: "
+    "one partitioned window whose frame is an event-time interval. "
+    "Spark side uses the INTERVAL frame on the timestamp; the oracle "
+    "states the identical frame numerically in epoch-µs. The sum runs "
+    "in decimal so peer-order inside the frame cannot drift floats.",
+)
+def window_time_range_trailing(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_evt_trailing")
+    return spark.sql(
+        """SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing_1h,
+           cast(sum(cast(value as decimal(18,6))) OVER w as double)
+               AS sum_trailing_1h
+        FROM _evt_trailing
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_utc
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+    )
+
+
+@_q(
+    "sql_lateral_topn",
+    """SELECT c.c_custkey, c.c_name, t.o_orderkey AS top_orderkey,
+              t.o_totalprice AS top_price
+       FROM customer c JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t ON true
+       WHERE c.c_custkey < 200""",
+    "correlated LATERAL subquery (SQL:1999 lateral derived table, Spark "
+    "3.2+/DuckDB): each customer joins its own top-priced order — the "
+    "per-row-subquery surface; Catalyst decorrelates it into the same "
+    "window/aggregate shape as join_argmax rather than running |C| "
+    "subqueries.",
+)
+def sql_lateral_topn(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """SELECT c.c_custkey, c.c_name, t.o_orderkey AS top_orderkey,
+                  t.o_totalprice AS top_price
+           FROM _lat_customer c JOIN LATERAL (
+               SELECT o_orderkey, o_totalprice FROM _lat_orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+           WHERE c.c_custkey < 200"""
+    )
+
+
+@_q(
     "join_interval_overlap",
     """WITH iv AS (
     SELECT o_orderkey AS k, o_orderstatus AS st,
