@@ -501,3 +501,33 @@ def test_register_dir_discovers_tagged_jsonl(spark, pizza, tmp_path):
     (tmp_path / "Mystery.jsonl").write_text("Mystery\t{}\n")
     out2 = register_dir(spark, str(tmp_path), PIZZA_DD)
     assert "Mystery" not in out2
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A dataset whose later shards added a column must read as the
+    unified schema under mergeSchema, with NULLs where the old shards
+    have no value — the 100 TB reality of append-only corpora whose
+    schema grows over time."""
+    base = str(tmp_path / "evolving")
+    spark.sql(
+        "SELECT id AS doc_id, concat('t', id) AS text FROM range(5)"
+    ).write.parquet(base + "/gen=1")
+    spark.sql(
+        "SELECT id + 10 AS doc_id, concat('t', id + 10) AS text, "
+        "cast(id as double) / 10 AS quality FROM range(5)"
+    ).write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    assert set(merged.columns) == {"doc_id", "text", "quality"}
+    assert merged.count() == 10
+    old = merged.filter(F.col("doc_id") < 10)
+    assert old.filter(F.col("quality").isNull()).count() == 5
+    new = merged.filter(F.col("doc_id") >= 10)
+    assert new.filter(F.col("quality").isNotNull()).count() == 5
+    # filters on the evolved column still push down to the scan
+    from sql_query_engine_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(merged.filter(F.col("quality") > 0.2))
+    assert "PushedFilters" in plan and "quality" in plan
