@@ -530,3 +530,34 @@ def test_decode_audio_round_trip(spark, docs):
             fmt, rate, ch, bits, n,
         )
         assert r.duration_ms == n * 1000.0 / rate
+
+
+def test_observed_quality_gate_metrics_ride_the_job(spark, docs):
+    """observe() metrics must be exact and cost no extra pass: one action
+    on the gated frame yields both the admitted rows and the admission
+    accounting, and the numbers must reconcile with explicit recounts."""
+    from sql_query_engine_spark.functions.observe import (
+        observed_quality_gate,
+        quality_keep_predicate,
+    )
+
+    gated, obs = observed_quality_gate(docs)
+    admitted_rows = gated.count()  # the ONE job; metrics piggyback on it
+    m = obs.get
+    assert m["n_seen"] == docs.count()
+    assert m["n_admitted"] == admitted_rows
+    assert m["n_admitted"] == docs.filter(quality_keep_predicate()).count()
+    assert 0 <= m["n_low_quality"] <= m["n_seen"]
+    assert m["n_too_short"] + m["n_too_long"] <= m["n_seen"]
+    expected_chars = (
+        docs.filter(quality_keep_predicate())
+        .agg(F.sum(F.length("text")))
+        .collect()[0][0]
+    )
+    assert m["sum_admitted_chars"] == expected_chars
+    # rejection accounting covers every rejected doc (reasons may overlap,
+    # so the sum is an upper bound cross-check, not an equality)
+    assert m["n_seen"] - m["n_admitted"] <= (
+        m["n_too_short"] + m["n_too_long"] + m["n_low_quality"]
+        + m["n_lang_unknown"]
+    )
