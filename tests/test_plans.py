@@ -257,3 +257,26 @@ def test_curation_plan_shapes(spark):
 
     piv = formatted_plan(reg["agg_native_pivot"](spark, SF_DIR))
     assert "CartesianProduct" not in piv and "BroadcastNestedLoopJoin" not in piv
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """Planner control: strategy hints must override the size heuristics —
+    the manual override lever when Catalyst's stats mislead at scale
+    (stale statistics, exploding intermediate results)."""
+    from sql_query_engine_spark.plans.inspect import join_strategies
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    n = load_table(spark, SF_DIR, "nation")
+    o = load_table(spark, SF_DIR, "orders")
+
+    # nation is broadcast-sized; the merge hint must force SMJ anyway
+    merged = li.join(
+        n.hint("merge"), li["l_suppkey"] % 25 == n["n_nationkey"]
+    )
+    assert "SortMergeJoin" in join_strategies(merged)
+
+    hashed = li.join(o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"])
+    assert "ShuffledHashJoin" in join_strategies(hashed)
+
+    bcast = li.join(o.hint("broadcast"), li["l_orderkey"] == o["o_orderkey"])
+    assert "BroadcastHashJoin" in join_strategies(bcast)
