@@ -61,6 +61,13 @@ __all__ = [
     "decode_audio_real",
     "synthesize_audio",
     "decode_audio",
+    "VIDEO_SCHEMA",
+    "VIDEO_TIMESCALES",
+    "video_params",
+    "build_mp4",
+    "decode_video_real",
+    "synthesize_video",
+    "decode_video",
 ]
 
 # Output contract of the feature extractor.
@@ -536,6 +543,165 @@ def decode_audio(with_media: DataFrame) -> DataFrame:
             yield out
 
     return with_media.mapInPandas(_dec, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video container decode (MP4 / ISO base media file format, ISO/IEC 14496-12
+# — public byte layout). Box walk: [4B size BE | 4B fourcc | payload]*;
+# moov/mvhd carries timescale + duration, moov/trak/tkhd the presentation
+# dimensions as 16.16 fixed point. Header-level truth a curation pipeline
+# filters on (drop sub-second clips, bucket by resolution) without ever
+# touching sample data — frame extraction stays with sample_frames.
+# ---------------------------------------------------------------------------
+
+VIDEO_TIMESCALES = [600, 1000, 90000]
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("timescale", IntegerType(), True),
+        StructField("duration_units", LongType(), True),
+        StructField("duration_ms", DoubleType(), True),
+    ]
+)
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for sibling boxes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        fourcc = b[i + 4 : i + 8]
+        if size < 8 or i + size > end:
+            return  # malformed/truncated box — stop cleanly
+        yield fourcc, i + 8, i + size
+        i += size
+
+
+def decode_video_real(payload: bytes):
+    """MP4 header → (timescale, duration_units, width, height), else None.
+
+    Requires an ftyp box first (the brand gate real sniffers use), then
+    moov/mvhd for the timebase and the first moov/trak/tkhd for
+    dimensions. Truncated or non-MP4 bytes reject with None.
+    """
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    timescale = duration = width = height = None
+    for fourcc, s, e in _walk_boxes(b, 0, len(b)):
+        if fourcc != b"moov":
+            continue
+        for f2, s2, e2 in _walk_boxes(b, s, e):
+            if f2 == b"mvhd" and e2 - s2 >= 100 and b[s2] == 0:
+                timescale = int.from_bytes(b[s2 + 12 : s2 + 16], "big")
+                duration = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
+            elif f2 == b"trak" and width is None:
+                for f3, s3, e3 in _walk_boxes(b, s2, e2):
+                    if f3 == b"tkhd" and e3 - s3 >= 84 and b[s3] == 0:
+                        width = int.from_bytes(b[e3 - 8 : e3 - 4], "big") >> 16
+                        height = int.from_bytes(b[e3 - 4 : e3], "big") >> 16
+    if not timescale or duration is None or width is None:
+        return None
+    return timescale, duration, width, height
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + fourcc + payload
+
+
+def build_mp4(timescale: int, duration_units: int, width: int, height: int) -> bytes:
+    """Assemble a structurally valid MP4 header: ftyp + moov(mvhd, trak(tkhd))."""
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # ctime/mtime
+        + timescale.to_bytes(4, "big")
+        + duration_units.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")  # volume 1.0
+        + bytes(2 + 8)  # reserved
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))  # matrix
+        + bytes(24)  # pre_defined
+        + (2).to_bytes(4, "big"),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        bytes(1) + b"\x00\x00\x07"  # version 0, flags: enabled|in-movie|in-preview
+        + bytes(8)  # ctime/mtime
+        + (1).to_bytes(4, "big")  # track id
+        + bytes(4)  # reserved
+        + duration_units.to_bytes(4, "big")
+        + bytes(8)  # reserved
+        + bytes(2 + 2 + 2 + 2)  # layer, alt group, volume, reserved
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def video_params(doc_id: int) -> tuple[int, int, int, int]:
+    """Deterministic (timescale, duration_units, width, height) — the SQL
+    oracle restates this arithmetic (same scheme as media_dims)."""
+    timescale = VIDEO_TIMESCALES[doc_id % 3]
+    duration_units = (doc_id * 31) % 100_000 + timescale  # ≥ 1 second
+    width = (doc_id * 11) % 1920 + 128
+    height = (doc_id * 17) % 1080 + 128
+    return timescale, duration_units, width, height
+
+
+def synthesize_video(docs: DataFrame) -> DataFrame:
+    """Build real MP4 header bytes per document, deterministically."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_mp4(*video_params(int(doc_id))) for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def decode_video(with_media: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 box-walk decode → typed metadata row."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "format", "width", "height", "timescale",
+                "duration_units", "duration_ms")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_video_real(payload)
+                rows["doc_id"].append(doc_id)
+                if meta is None:
+                    for k in cols[1:]:
+                        rows[k].append(None)
+                else:
+                    ts, dur, w, h = meta
+                    rows["format"].append("mp4")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["timescale"].append(ts)
+                    rows["duration_units"].append(dur)
+                    rows["duration_ms"].append(dur * 1000.0 / ts)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "timescale"):
+                out[c] = out[c].astype("Int32")
+            out["duration_units"] = out["duration_units"].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, VIDEO_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -2559,6 +2559,38 @@ def mm_audio_filter(spark, sf_dir):
     )
 
 
+_VIDEO_TS_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600 WHEN 1 THEN 1000 "
+    "ELSE 90000 END"
+)
+
+
+@_q(
+    "mm_video_decode",
+    f"""SELECT doc_id, 'mp4' AS format,
+       CAST((doc_id * 11) % 1920 + 128 AS INT) AS width,
+       CAST((doc_id * 17) % 1080 + 128 AS INT) AS height,
+       CAST({_VIDEO_TS_SQL} AS INT) AS timescale,
+       CAST((doc_id * 31) % 100000 + ({_VIDEO_TS_SQL}) AS BIGINT)
+           AS duration_units,
+       (((doc_id * 31) % 100000 + ({_VIDEO_TS_SQL})) * 1000.0)
+           / ({_VIDEO_TS_SQL}) AS duration_ms
+       FROM documents""",
+    "REAL video container decode: per-doc payloads are genuine MP4 "
+    "(ISO/IEC 14496-12) header bytes — ftyp brand gate, then a box walk "
+    "to moov/mvhd (timescale + duration) and moov/trak/tkhd (16.16 "
+    "fixed-point presentation dimensions) — built deterministically "
+    "from doc_id and parsed back byte-level by decode_video_real in an "
+    "Arrow mapInPandas stage. Completes the image/audio/video decode "
+    "triad (functions/multimodal.py); truncated-box and wrong-brand "
+    "rejects unit-tested; duration is one IEEE double division so the "
+    "arithmetic oracle matches bit-for-bit.",
+)
+def mm_video_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_video(multimodal.synthesize_video(docs))
+
+
 # =========================================================================
 # Streaming-shaped operators over events (batch-checkable)
 # =========================================================================

@@ -561,3 +561,33 @@ def test_observed_quality_gate_metrics_ride_the_job(spark, docs):
         m["n_too_short"] + m["n_too_long"] + m["n_low_quality"]
         + m["n_lang_unknown"]
     )
+
+
+def test_decode_video_real_box_walk_and_rejects():
+    got = multimodal.decode_video_real(multimodal.build_mp4(90000, 450000, 1920, 1080))
+    assert got == (90000, 450000, 1920, 1080)
+    # unknown sibling boxes before moov must be skipped by the walk
+    b = multimodal.build_mp4(600, 1200, 640, 360)
+    ftyp_end = int.from_bytes(b[:4], "big")
+    junk = (16).to_bytes(4, "big") + b"free" + b"\x00" * 8
+    assert multimodal.decode_video_real(
+        b[:ftyp_end] + junk + b[ftyp_end:]
+    ) == (600, 1200, 640, 360)
+    # rejects: no ftyp brand, truncated box, corrupt size
+    assert multimodal.decode_video_real(b"nope") is None
+    assert multimodal.decode_video_real(b[:20]) is None
+    bad = bytearray(b)
+    bad[ftyp_end] = 0xFF  # moov size explodes past the buffer
+    assert multimodal.decode_video_real(bytes(bad)) is None
+    assert multimodal.decode_video_real(None) is None
+
+
+def test_decode_video_round_trip(spark, docs):
+    out = multimodal.decode_video(multimodal.synthesize_video(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        ts, dur, w, h = multimodal.video_params(r.doc_id)
+        assert (r.format, r.timescale, r.duration_units, r.width, r.height) == (
+            "mp4", ts, dur, w, h,
+        )
+        assert r.duration_ms == dur * 1000.0 / ts
