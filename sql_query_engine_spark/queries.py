@@ -4110,6 +4110,38 @@ def emb_knn_label_transfer(spark, sf_dir):
 
 
 @_q(
+    "dedup_embedding_clusters",
+    f"""WITH RECURSIVE pairs AS ({dedup.embedding_neardup_pairs_oracle()}),
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach (node, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, min(root) AS cluster_id FROM reach GROUP BY node""",
+    "embedding near-dup CANONICALIZATION: cosine pair graph → connected "
+    "components → vec_id→cluster_id map (min member id), the same "
+    "endgame the text dedup path has (dedup_clusters) applied to the "
+    "vector modality — semantic duplicate groups collapse to one "
+    "representative. Same hybrid CC engine (driver union-find under the "
+    "threshold, distributed propagation above); oracle is the "
+    "recursive-CTE reachability fixpoint.",
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(e).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    ids = e.select(F.col("vec_id").alias("doc_id"))
+    return dedup.dedup_clusters(ids, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+@_q(
     "emb_pca_project",
     None,  # eigensolve has no SQL twin — numpy-pinned in test_scale_ops.py
     "distributed PCA (functions/pca.py): per-partition BLAS Gram/mean "
