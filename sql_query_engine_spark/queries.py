@@ -2900,6 +2900,74 @@ def sql_lateral_topn(spark, sf_dir):
 
 
 @_q(
+    "window_running_distinct",
+    """WITH flagged AS (
+    SELECT user_id, epoch_us(ts) AS t, event_id,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY epoch_us(ts), event_id) = 1
+                THEN 1 ELSE 0 END AS first_seen
+    FROM events)
+SELECT event_id, user_id,
+       cast(sum(first_seen) OVER (PARTITION BY user_id ORDER BY t, event_id)
+            as bigint) AS distinct_types_so_far
+FROM flagged""",
+    "running DISTINCT count per user (how many distinct event types has "
+    "this user produced up to each event) — COUNT(DISTINCT) OVER is "
+    "unsupported in Spark, so this is the standard two-window rewrite: "
+    "flag each (user, type)'s FIRST occurrence with one partitioned "
+    "row_number, then a running sum of the flags. Both windows partition "
+    "on user keys — no global sort, scales as any windowed aggregate. "
+    "The oracle states the identical rewrite so the semantics (ties "
+    "broken by event_id) match exactly.",
+)
+def window_running_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("t")
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    flagged = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias(
+            "distinct_types_so_far"
+        ),
+    )
+
+
+@_q(
+    "agg_twophase_distinct",
+    """WITH dedup AS (
+    SELECT DISTINCT o_custkey, o_orderstatus FROM orders)
+SELECT o_orderstatus, count(*) AS n_customers
+FROM dedup GROUP BY o_orderstatus""",
+    "two-phase distinct aggregation: pre-dedupe (key, value) pairs, then "
+    "a plain count — the rewrite for COUNT(DISTINCT) on skewed groups at "
+    "100 TB: the first phase shuffles on the HIGH-cardinality composite "
+    "key (no hot partition), the second is a tiny count per group, "
+    "whereas a direct count(distinct) must gather each group's values "
+    "under its (possibly hot) group key. Same result as "
+    "agg_count_distinct's direct form, by construction.",
+)
+def agg_twophase_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderstatus")
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_q(
     "join_interval_overlap",
     """WITH iv AS (
     SELECT o_orderkey AS k, o_orderstatus AS st,
