@@ -3184,6 +3184,45 @@ def scalar_fuzzy_match(spark, sf_dir):
 
 
 @_q(
+    "scalar_url_functions",
+    """WITH u AS (
+    SELECT doc_id, lang,
+           concat('https://', source, '.example.com/docs/',
+                  cast(doc_id as varchar), '?lang=', lang) AS url
+    FROM documents)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       split_part(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.', 1)
+           AS subdomain
+FROM u""",
+    "URL parsing — the provenance-tracking step every crawl corpus "
+    "needs (host-level dedup rates, per-domain mixing, robots "
+    "compliance): Spark's parse_url extracts HOST/PATH/QUERY natively; "
+    "DuckDB has no parse_url, so the oracle states the identical "
+    "extraction as anchored regexes — both engines agree value-exact "
+    "on the same synthesized URLs.",
+)
+def scalar_url_functions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.split_part(
+            F.parse_url("url", F.lit("HOST")), F.lit("."), F.lit(1)
+        ).alias("subdomain"),
+    )
+
+
+@_q(
     "sample_systematic",
     f"""SELECT o_orderkey, o_custkey FROM orders
         WHERE {{h}} % 100 < 5""".format(
