@@ -166,3 +166,43 @@ def test_two_pass_rank_equals_global_window(spark, n_rows, n_part, key_mod):
         .collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    member_keys=st.sets(st.integers(min_value=-(2**40), max_value=2**40),
+                        min_size=1, max_size=60),
+    probe_extra=st.sets(st.integers(min_value=-(2**40), max_value=2**40),
+                        min_size=0, max_size=60),
+    n_bits_pow=st.integers(min_value=10, max_value=17),
+)
+def test_bloom_never_false_negative(spark, member_keys, probe_extra, n_bits_pow):
+    """For ANY key set and ANY bitmap size, every bloomed key must pass
+    its own probe (the Bloom guarantee the exact semi-join composition
+    depends on) — and bloom_semi_join must equal the plain semi-join."""
+    from sql_query_engine_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_probe,
+        bloom_semi_join,
+    )
+
+    n_bits = 1 << n_bits_pow
+    dim = spark.createDataFrame([(k,) for k in member_keys], "k long")
+    fact_keys = sorted(member_keys | probe_extra)
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "fk long")
+
+    bm = bloom_bitmap(dim, "k", n_bits=n_bits)
+    passed = {
+        r["fk"] for r in bloom_probe(fact, "fk", bm, n_bits=n_bits).collect()
+    }
+    assert member_keys <= passed  # zero false negatives, always
+
+    exact = {
+        r["fk"]
+        for r in fact.join(dim, fact["fk"] == dim["k"], "left_semi").collect()
+    }
+    got = {
+        r["fk"]
+        for r in bloom_semi_join(fact, dim, "fk", "k", n_bits=n_bits).collect()
+    }
+    assert got == exact
