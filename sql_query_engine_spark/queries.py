@@ -2030,6 +2030,41 @@ def dedup_incremental_stateless(spark, sf_dir):
 
 
 @_q(
+    "pipeline_dedup_rate_by_source",
+    dedup.clusters_cte_oracle(dedup.minhash_lsh_pairs_oracle())
+    + """
+SELECT d.source, count(*) AS n_docs,
+       cast(sum(CASE WHEN c.cluster_id != d.doc_id THEN 1 ELSE 0 END)
+            as bigint) AS n_duplicates,
+       round(sum(CASE WHEN c.cluster_id != d.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS dup_rate_r6
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+GROUP BY d.source""",
+    "corpus-health monitoring: per-source duplication rate (fraction of "
+    "docs that are NON-canonical in their near-dup cluster) — the "
+    "number a crawl operator watches to find feeds that re-serve the "
+    "same content. Composition: the shared CC cluster map joined back "
+    "to source metadata, one tiny aggregate on the source key; oracle "
+    "is the same recursive-CTE reachability the cluster queries use.",
+)
+def pipeline_dedup_rate_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(
+        d.select("doc_id"), dedup.minhash_lsh_pairs(d), check_every=2
+    )
+    dup = (F.col("cluster_id") != F.col("doc_id")).cast("long")
+    return (
+        d.join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_duplicates"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_rate_r6"),
+        )
+    )
+
+
+@_q(
     "catalog_table_checksum",
     """WITH h AS (
     SELECT cast(concat('0x', substr(md5(concat_ws('|',
