@@ -68,6 +68,9 @@ __all__ = [
     "decode_video_real",
     "synthesize_video",
     "decode_video",
+    "ROUTED_SCHEMA",
+    "synthesize_mixed_media",
+    "route_and_decode",
 ]
 
 # Output contract of the feature extractor.
@@ -702,6 +705,98 @@ def decode_video(with_media: DataFrame) -> DataFrame:
             yield out
 
     return with_media.mapInPandas(_dec, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-modality routing: ONE opaque binary column carrying images, audio,
+# and video interleaved — the shape a real multimodal corpus lands in. The
+# router sniffs container magic bytes and dispatches to the matching
+# byte-level decoder, emitting a unified typed row per payload. Unknown or
+# corrupt payloads route to modality NULL instead of failing the stage.
+# ---------------------------------------------------------------------------
+
+ROUTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("modality", StringType(), True),
+        StructField("format", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("dim_a", LongType(), True),   # image/video: width; audio: rate
+        StructField("dim_b", LongType(), True),   # image/video: height; audio: channels
+        StructField("duration_ms", DoubleType(), True),  # audio/video only
+    ]
+)
+
+
+def synthesize_mixed_media(docs: DataFrame) -> DataFrame:
+    """One binary column, three modalities interleaved by doc_id % 3."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 == 0:
+                    w, h = media_dims(d)
+                    payloads.append(build_png(w, h))
+                elif d % 3 == 1:
+                    _, rate, ch, bits, n = audio_params(d)
+                    payloads.append(build_wav(rate, ch, bits, n))
+                else:
+                    payloads.append(build_mp4(*video_params(d)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def route_and_decode(with_media: DataFrame) -> DataFrame:
+    """Magic-byte sniff → modality dispatch → unified typed metadata."""
+
+    def _route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "modality", "format", "n_bytes", "dim_a", "dim_b",
+                "duration_ms")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(b))
+                img = decode_real(b)
+                if img is not None:
+                    fmt, w, h, _, _ = img
+                    rows["modality"].append("image")
+                    rows["format"].append(fmt)
+                    rows["dim_a"].append(w)
+                    rows["dim_b"].append(h)
+                    rows["duration_ms"].append(None)
+                    continue
+                aud = decode_audio_real(b)
+                if aud is not None:
+                    fmt, rate, ch, _, n = aud
+                    rows["modality"].append("audio")
+                    rows["format"].append(fmt)
+                    rows["dim_a"].append(rate)
+                    rows["dim_b"].append(ch)
+                    rows["duration_ms"].append(n * 1000.0 / rate)
+                    continue
+                vid = decode_video_real(b)
+                if vid is not None:
+                    ts, dur, w, h = vid
+                    rows["modality"].append("video")
+                    rows["format"].append("mp4")
+                    rows["dim_a"].append(w)
+                    rows["dim_b"].append(h)
+                    rows["duration_ms"].append(dur * 1000.0 / ts)
+                    continue
+                for k in ("modality", "format", "dim_a", "dim_b", "duration_ms"):
+                    rows[k].append(None)
+            out = pd.DataFrame(rows)
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            for c in ("dim_a", "dim_b"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_route, ROUTED_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

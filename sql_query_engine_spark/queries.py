@@ -2626,6 +2626,55 @@ def mm_video_decode(spark, sf_dir):
     return multimodal.decode_video(multimodal.synthesize_video(docs))
 
 
+@_q(
+    "mm_modality_router",
+    f"""WITH meta AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS modality,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN (doc_id * 7) % 2000 + 16
+                WHEN 1 THEN {_AUDIO_RATE_SQL}
+                ELSE (doc_id * 11) % 1920 + 128 END AS dim_a,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN (doc_id * 13) % 1200 + 16
+                WHEN 1 THEN 1 + doc_id % 2
+                ELSE (doc_id * 17) % 1080 + 128 END AS dim_b,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN NULL
+                WHEN 1 THEN ((doc_id * 997) % 100000 + 1000) * 1000.0
+                            / ({_AUDIO_RATE_SQL})
+                ELSE ((doc_id * 31) % 100000 + 90000) * 1000.0 / 90000
+           END AS duration_ms
+    FROM documents)
+SELECT modality, count(*) AS n_payloads,
+       cast(sum(dim_a) as bigint) AS sum_dim_a,
+       cast(sum(dim_b) as bigint) AS sum_dim_b,
+       round(sum(duration_ms), 6) AS total_ms_r6
+FROM meta GROUP BY modality""",
+    "mixed-modality routing: ONE opaque binary column carries PNG, WAV, "
+    "and MP4 payloads interleaved; the router sniffs container magic "
+    "bytes per payload and dispatches to the matching byte-level "
+    "decoder, emitting a unified typed row (corrupt/unknown → modality "
+    "NULL, never a stage failure). The shape a real multimodal crawl "
+    "lands in — the profile aggregate shows what the corpus actually "
+    "holds. Map-only Arrow stage; oracle re-derives every routed field "
+    "arithmetically.",
+)
+def mm_modality_router(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    routed = multimodal.route_and_decode(
+        multimodal.synthesize_mixed_media(docs)
+    )
+    return routed.groupBy("modality").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("dim_a").cast("bigint").alias("sum_dim_a"),
+        F.sum("dim_b").cast("bigint").alias("sum_dim_b"),
+        F.round(F.sum("duration_ms"), 6).alias("total_ms_r6"),
+    )
+
+
 # =========================================================================
 # Streaming-shaped operators over events (batch-checkable)
 # =========================================================================

@@ -591,3 +591,37 @@ def test_decode_video_round_trip(spark, docs):
             "mp4", ts, dur, w, h,
         )
         assert r.duration_ms == dur * 1000.0 / ts
+
+
+def test_route_and_decode_dispatch_and_rejects(spark, docs):
+    """The router must classify every synthesized payload by magic bytes
+    alone, and corrupt payloads must land as modality NULL rows."""
+    routed = multimodal.route_and_decode(
+        multimodal.synthesize_mixed_media(docs)
+    ).collect()
+    assert len(routed) == docs.count()
+    for r in routed:
+        expected = ("image", "audio", "video")[r.doc_id % 3]
+        assert r.modality == expected, (r.doc_id, r.modality)
+        assert r.n_bytes > 0
+        if r.modality == "image":
+            w, h = multimodal.media_dims(r.doc_id)
+            assert (r.dim_a, r.dim_b, r.duration_ms) == (w, h, None)
+        elif r.modality == "audio":
+            _, rate, ch, _, n = multimodal.audio_params(r.doc_id)
+            assert (r.dim_a, r.dim_b) == (rate, ch)
+            assert r.duration_ms == n * 1000.0 / rate
+        else:
+            ts, dur, w, h = multimodal.video_params(r.doc_id)
+            assert (r.dim_a, r.dim_b) == (w, h)
+            assert r.duration_ms == dur * 1000.0 / ts
+
+    import pandas as pd
+
+    garbage = spark.createDataFrame(
+        [(1, bytearray(b"certainly not media")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.modality for r in
+           multimodal.route_and_decode(garbage).collect()}
+    assert got == {1: None, 2: None}
