@@ -154,8 +154,8 @@ def register_dir(
     data_dir: str,
     dd: dict[str, dict[str, str]] | None = None,
 ) -> dict[str, DataFrame]:
-    """Register every ``<name>.parquet`` / ``<name>.csv`` / ``<name>.jsonl``
-    (tagged wire format, dd required) under a directory.
+    """Register every ``<name>.parquet`` / ``<name>.csv`` / ``<name>.orc``
+    / ``<name>.jsonl`` (tagged wire format, dd required) under a directory.
 
     The discovery-based twin of :func:`register_all` for arbitrary corpora
     (e.g. the reference's pizza CSVs) — the CLI entry point uses this so a
@@ -177,6 +177,9 @@ def register_dir(
             df = read_qualified_csv(
                 spark, path, name, (dd or {}).get(name)
             )
+        elif entry.endswith(".orc"):
+            name = entry[: -len(".orc")]
+            df = spark.read.orc(path)
         elif entry.endswith(".jsonl"):
             # the reference's tagged wire format; needs the dd for its
             # enforced schema (tag filtering means one file may carry

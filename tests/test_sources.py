@@ -501,6 +501,11 @@ def test_register_dir_discovers_tagged_jsonl(spark, pizza, tmp_path):
     (tmp_path / "Mystery.jsonl").write_text("Mystery\t{}\n")
     out2 = register_dir(spark, str(tmp_path), PIZZA_DD)
     assert "Mystery" not in out2
+    # ORC directories register too
+    sinks.write_orc(pizza["Serves"], str(tmp_path / "ServesOrc.orc"))
+    out3 = register_dir(spark, str(tmp_path), PIZZA_DD)
+    assert spark.sql("SELECT count(*) FROM ServesOrc").collect()[0][0] == 18
+    assert "ServesOrc" in out3
 
 
 def test_schema_evolution_merge_read(spark, tmp_path):
