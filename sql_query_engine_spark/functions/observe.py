@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from . import text
 
-__all__ = ["quality_keep_predicate", "observed_quality_gate"]
+__all__ = [
+    "quality_keep_predicate",
+    "observed_quality_gate",
+    "observed_quality_gate_stream",
+]
 
 
 def quality_keep_predicate():
@@ -71,3 +75,31 @@ def observed_quality_gate(
         ),
     )
     return observed.filter(keep), obs
+
+
+def observed_quality_gate_stream(docs_stream: DataFrame, name: str = "quality_gate") -> DataFrame:
+    """Streaming form: string-named ``observe`` on the stream itself.
+
+    ``Observation.get`` blocks on batch-action completion and is not the
+    streaming surface; for streams the metrics arrive per micro-batch in
+    each progress event (``query.recentProgress[i]["observedMetrics"]
+    [name]``) — the supported monitoring channel. Same metric set as the
+    batch gate, same zero extra passes.
+    """
+    ntok = F.expr(text.ORACLE_EXPRS["n_tokens"][0])
+    qual = F.expr(text.ORACLE_EXPRS["quality"][0])
+    lang = F.expr(text.ORACLE_EXPRS["lang_id"][0])
+    keep = quality_keep_predicate()
+    observed = docs_stream.observe(
+        name,
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(keep.cast("long")).alias("n_admitted"),
+        F.sum((ntok < 20).cast("long")).alias("n_too_short"),
+        F.sum((ntok > 1000).cast("long")).alias("n_too_long"),
+        F.sum((qual <= 0.3).cast("long")).alias("n_low_quality"),
+        F.sum((lang == "und").cast("long")).alias("n_lang_unknown"),
+        F.sum(F.when(keep, F.length("text")).otherwise(0)).alias(
+            "sum_admitted_chars"
+        ),
+    )
+    return observed.filter(keep)

@@ -526,3 +526,64 @@ def test_quota_tws_gates_on_protobuf(spark):
         pytest.skip("protobuf available: covered by the streaming run")
     with pytest.raises(NotImplementedError, match="protobuf"):
         quota.quota_stream_tws(docs, cap=10)
+
+
+def test_observed_gate_metrics_under_streaming(spark, tmp_path):
+    """The quality gate's observe() accounting must keep working when the
+    corpus arrives as a stream: per-micro-batch observed metrics from the
+    progress events must total exactly the batch run's metrics."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.catalog import load_table
+    from sql_query_engine_spark.functions.observe import (
+        observed_quality_gate,
+        observed_quality_gate_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    stream_dir = tmp_path / "docs_observe"
+    stream_dir.mkdir()
+    import time as _time
+
+    halves = [
+        docs.filter(F.col("doc_id") < n // 2),
+        docs.filter(F.col("doc_id") >= n // 2),
+    ]
+    for i, part in enumerate(halves):
+        part.coalesce(1).write.parquet(str(stream_dir / f"b{i}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "b*"))
+    )
+    gated = observed_quality_gate_stream(stream, name="gate_stream")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", str(tmp_path / "obs_out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    totals: dict[str, int] = {}
+    n_batches = 0
+    for prog in q.recentProgress:
+        om = (prog.get("observedMetrics") or {}).get("gate_stream")
+        if om is None:
+            continue
+        n_batches += 1
+        for k, v in om.asDict().items():
+            totals[k] = totals.get(k, 0) + (v or 0)
+    assert n_batches >= 2, "expected metrics from both micro-batches"
+
+    gated_batch, obs = observed_quality_gate(docs)
+    admitted = gated_batch.count()
+    m = obs.get
+    assert totals["n_seen"] == m["n_seen"] == n
+    assert totals["n_admitted"] == m["n_admitted"] == admitted
+    assert totals["sum_admitted_chars"] == m["sum_admitted_chars"]
+    assert spark.read.parquet(str(tmp_path / "obs_out")).count() == admitted
