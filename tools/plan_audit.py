@@ -83,6 +83,13 @@ EXPECTED = {
     "emb_knn_label_transfer": "BNLJ is the broadcast unlabeled batch "
     "(the small side in label transfer) scored against the labeled "
     "corpus scan — same broadcast-query-set shape as cosine_topk",
+    "dedup_embedding_clusters": "BNLJ is the all-pairs exactness "
+    "baseline pair generator (dedup_embedding_cosine's documented "
+    "shape; the LSH-bucketed variant is the scale path); the SMJ is "
+    "dedup_clusters' singleton-rejoin key join",
+    "pipeline_dedup_rate_by_source": "inherits dedup_clusters' "
+    "singleton-rejoin shuffle join on doc_id; the per-source aggregate "
+    "after the cluster map is a tiny hash-agg",
 }
 
 # queries whose physical plan legitimately contains a Window with no
