@@ -2925,6 +2925,32 @@ def join_range_bands(spark, sf_dir):
 
 
 @_q(
+    "stream_hourly_active_users",
+    """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS window_start_ns,
+              count(DISTINCT user_id) AS n_active_users,
+              count(*) AS n_events
+       FROM events GROUP BY 1""",
+    "hourly active users — the canonical engagement metric: tumbling 1h "
+    "windows × exact distinct users. Exact COUNT(DISTINCT) gathers each "
+    "window's user set under the window key; at 100 TB swap in "
+    "approx_count_distinct (HLL partials merge map-side, same plan "
+    "shape, ~2% error) or the two-phase pre-dedupe rewrite "
+    "(agg_twophase_distinct). Same int64-ns bucketing as the other "
+    "window queries so the oracle matches bit-for-bit.",
+)
+def stream_hourly_active_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    bucket = F.expr(f"ts - ts % {3600 * 10**9}")
+    return (
+        e.groupBy(bucket.alias("window_start_ns"))
+        .agg(
+            F.count_distinct("user_id").alias("n_active_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_q(
     "window_time_range_trailing",
     """SELECT event_id, user_id,
        cast(count(*) OVER w as bigint) AS n_trailing_1h,
