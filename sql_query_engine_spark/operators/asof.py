@@ -42,6 +42,7 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: latest right row (by ``right_ts``, ≤ ``left_ts``) per key.
 
@@ -52,7 +53,14 @@ def asof_join(
     than ``left_ts - tolerance`` — the feature-store freshness bound; the
     matched timestamp rides the same window pass, so tolerance adds no
     extra shuffle.
+
+    ``direction="forward"`` flips the lookup: the EARLIEST right row at
+    or after ``left_ts`` — the lookahead-labeling join ("did this event
+    lead to an order, and when"), same single window pass with the frame
+    mirrored; ``tolerance`` then bounds how far ahead a match may be.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     # one right row per (key, ts): keep the max-tiebreak row
     w_dedup = Window.partitionBy(right_key, right_ts).orderBy(F.col(tiebreak).desc())
     right_1 = (
@@ -80,32 +88,45 @@ def asof_join(
         F.struct(*value_cols).alias("__r"),
     )
 
-    # rights sort before lefts at equal t → "at or before" includes ties
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # rights sort before lefts at equal t → "at or before" includes ties
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last
+    else:
+        # mirrored: lefts sort before rights at equal t, frame looks ahead
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first
     carried = (
         l_tagged.unionByName(r_tagged)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .withColumn("__match", carry("__r", ignorenulls=True).over(w))
         .withColumn(
             "__match_t",
-            F.last(
+            carry(
                 F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
             ).over(w),
         )
         .filter(F.col("__is_left") == 1)
     )
     if tolerance is not None:
-        # the carried __match/__match_t come from the same (latest) right
-        # row, so one staleness predicate voids both together
+        # the carried __match/__match_t come from the same matched right
+        # row, so one staleness predicate voids both together; gap is
+        # (left - match) looking back, (match - left) looking ahead
+        gap = (
+            F.col("__t") - F.col("__match_t")
+            if direction == "backward"
+            else F.col("__match_t") - F.col("__t")
+        )
         carried = carried.withColumn(
             "__match",
-            F.when(
-                F.col("__t") - F.col("__match_t") <= F.lit(tolerance),
-                F.col("__match"),
-            ),
+            F.when(gap <= F.lit(tolerance), F.col("__match")),
         )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
         F.col(f"__match.{c}").alias(c) for c in value_cols

@@ -2925,6 +2925,58 @@ def join_range_bands(spark, sf_dir):
 
 
 @_q(
+    "join_asof_forward",
+    """WITH r1 AS (
+    SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+),
+r2 AS (SELECT o_custkey, -t AS nt, o_orderkey, o_totalprice FROM r1 WHERE rn = 1),
+l AS (SELECT event_id, user_id, -epoch_us(ts) AS nt FROM events)
+SELECT l.event_id, l.user_id, r2.o_orderkey AS next_orderkey,
+       r2.o_totalprice AS next_totalprice
+FROM l ASOF LEFT JOIN r2 ON l.user_id = r2.o_custkey AND l.nt >= r2.nt""",
+    "FORWARD as-of join: each event picks up the user's NEXT order at or "
+    "after event time — the lookahead-labeling join that turns raw events "
+    "into supervised training pairs ('did this session convert, and to "
+    "what'). Same one-window-pass composition as join_asof with the "
+    "frame mirrored (operators/asof.py direction='forward'); DuckDB's "
+    "ASOF only looks backward, so the oracle runs it on NEGATED "
+    "timestamps — an exact reduction of forward to backward.",
+)
+def join_asof_forward(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_t_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="t_us",
+        right_ts="o_t_us",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )
+
+
+@_q(
     "stream_hourly_active_users",
     """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS window_start_ns,
               count(DISTINCT user_id) AS n_active_users,

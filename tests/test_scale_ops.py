@@ -495,3 +495,35 @@ def test_pca_deterministic_across_partitionings(spark):
         for r in pca_project(emb.repartition(13, "label"), dim=64).collect()
     )
     assert a == b
+
+
+def test_asof_forward_on_hand_built_rows(spark):
+    """Forward as-of semantics on a tiny explicit fixture: earliest right
+    row at-or-after each left timestamp, per key; tolerance bounds the
+    lookahead; ties at equal t match (inclusive)."""
+    from sql_query_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, "a"), (1, 25, "b"), (1, 30, "c"), (2, 50, "d")],
+        "rk long, rt long, v string",
+    )
+    out = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["v"], tiebreak="v",
+            direction="forward",
+        ).collect()
+    }
+    assert out == {(1, 10): "b", (1, 25): "b", (1, 40): None, (2, 5): "d"}
+
+    bounded = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["v"], tiebreak="v",
+            direction="forward", tolerance=10,
+        ).collect()
+    }
+    assert bounded == {(1, 10): None, (1, 25): "b", (1, 40): None, (2, 5): None}
