@@ -4711,6 +4711,155 @@ def stream_retention_cohorts(spark, sf_dir):
     )
 
 
+# 15 < the 25 docs/source in the sf0.01 gate data, so the cap
+# genuinely drops rows in every checked run
+_CAP_PER_SOURCE = 15
+
+
+@_q(
+    "pipeline_domain_cap",
+    f"""WITH ranked AS (
+    SELECT doc_id, source, lang,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_duck_h48("concat(cast(doc_id as varchar), ':cap')")},
+                        doc_id) AS rk
+    FROM documents)
+SELECT doc_id, source, lang, cast(rk as int) AS rk
+FROM ranked WHERE rk <= {_CAP_PER_SOURCE}""",
+    "per-source contribution cap (C4/RefinedWeb-style curation): keep at "
+    "most K docs per source, chosen by deterministic salted-hash rank so "
+    "the retained subset is a pure function of content — the same corpus "
+    "always keeps the same docs regardless of partitioning. One shuffle "
+    "on the source key; row_number<=K triggers Catalyst's WindowGroupLimit "
+    "so each map task forwards only its partial top-K per source, never "
+    "the full per-source row set — a dominant crawl domain costs K rows "
+    "on the reduce side, not its full cardinality.",
+)
+def pipeline_domain_cap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = F.expr(_spark_h48("concat(cast(doc_id as string), ':cap')"))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _CAP_PER_SOURCE)
+    )
+
+
+# Two synthetic snapshots carved from `documents` so the diff exercises
+# all four classes: OLD drops doc_id%11==0, NEW drops doc_id%13==0, and
+# NEW perturbs n_chars on doc_id%17==0 (a simulated in-place edit).
+_DIFF_OLD = "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 11 <> 0"
+_DIFF_NEW = (
+    "SELECT doc_id, lang, source, "
+    "n_chars + (CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS n_chars "
+    "FROM documents WHERE doc_id % 13 <> 0"
+)
+_DIFF_ROWHASH = (
+    "md5(concat_ws('|', cast(doc_id as varchar), lang, source, "
+    "cast(n_chars as varchar)))"
+)
+
+
+@_q(
+    "catalog_table_diff",
+    f"""WITH old_snap AS ({_DIFF_OLD}),
+new_snap AS ({_DIFF_NEW}),
+o AS (SELECT doc_id, {_DIFF_ROWHASH} AS rh FROM old_snap),
+n AS (SELECT doc_id, {_DIFF_ROWHASH} AS rh FROM new_snap),
+classified AS (
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.rh <> n.rh THEN 'changed'
+                ELSE 'unchanged' END AS change_class
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT change_class, count(*) AS n_rows
+FROM classified GROUP BY change_class""",
+    "snapshot diff: classify every key as added / removed / changed / "
+    "unchanged by full-outer-joining two table versions on the primary "
+    "key and comparing a canonical row hash (same md5 row rendering as "
+    "catalog_table_checksum). This is the drill-down companion to the "
+    "order-insensitive checksum: the checksum says WHETHER a 100 TB copy "
+    "drifted, the diff says WHERE. Row hashes are computed map-side, so "
+    "the shuffle carries (key, 32-byte hash) — never the row payload — "
+    "and the join is a plain co-partitioned equi-join on the key.",
+)
+def catalog_table_diff(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    spark_rowhash = F.expr(
+        "md5(concat_ws('|', cast(doc_id as string), lang, source, "
+        "cast(n_chars as string)))"
+    )
+    old_snap = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", spark_rowhash.alias("rh")
+    )
+    new_snap = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "n_chars",
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 17 == 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select("doc_id", spark_rowhash.alias("rh"))
+    )
+    j = old_snap.alias("o").join(
+        new_snap.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    cls = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.rh") != F.col("n.rh"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(cls.alias("change_class")).groupBy("change_class").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+# heavy-hitter threshold: tokens carrying >= 1/500 of all token mass
+_HH_DENOM = 500
+
+
+@_q(
+    "agg_heavy_hitters",
+    f"""WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents),
+counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+total AS (SELECT sum(cnt) AS n FROM counts)
+SELECT w AS word, cnt,
+       round(cnt / cast(n as double), 6) AS frac
+FROM counts, total
+WHERE cnt * {_HH_DENOM} >= n""",
+    "exact heavy hitters: every token holding >= 1/500 of total token "
+    "mass. Two hash-aggregates (word counts with map-side combine, then "
+    "one single-row total that broadcasts back over the counts) — no "
+    "global sort, no sketch. This is the exact-answer shape that replaces "
+    "count-min/Misra-Gries when the phi threshold bounds the output to "
+    "at most 500 rows: the per-word count table is the only shuffle, "
+    "and it is already the minimum information any exact answer needs.",
+)
+def agg_heavy_hitters(spark, sf_dir):
+    from .functions.hashing import spark_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.expr(spark_tokens("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_DENOM >= F.col("n"))
+        .select(
+            "word",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n").cast("double"), 6).alias("frac"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

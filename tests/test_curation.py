@@ -185,3 +185,73 @@ def test_sample_stratified_rates_and_layout_independence(spark):
     kept2 = redocs.join(F.broadcast(rates), "lang").filter((h % 100) < F.col("pct"))
     ids2 = sorted(r["doc_id"] for r in kept2.select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_domain_cap_keeps_hash_minimal_docs_per_source(spark):
+    """The cap keeps exactly the K lowest (salted-hash, doc_id) ranks per
+    source — re-derived row-by-row in plain Python."""
+    from sql_query_engine_spark.queries import _CAP_PER_SOURCE, pipeline_domain_cap
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        by_source.setdefault(r.source, []).append((_h48(f"{r.doc_id}:cap"), r.doc_id))
+    expected = {
+        d
+        for _, rows in by_source.items()
+        for _, d in sorted(rows)[:_CAP_PER_SOURCE]
+    }
+
+    kept = pipeline_domain_cap(spark, SF_DIR)
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert got == expected
+    per_source = kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= _CAP_PER_SOURCE for r in per_source)
+
+
+def test_domain_cap_plan_has_window_group_limit(spark):
+    """row_number<=K must trigger WindowGroupLimit: map tasks forward only
+    partial top-K per source instead of the full per-source row set."""
+    from sql_query_engine_spark.queries import pipeline_domain_cap
+
+    plan = pipeline_domain_cap(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_table_diff_counts_match_modular_rule(spark):
+    """added/removed/changed/unchanged counts re-derived from the carve
+    arithmetic over the actual doc_id set."""
+    from sql_query_engine_spark.queries import catalog_table_diff
+
+    ids = [r.doc_id for r in
+           load_table(spark, SF_DIR, "documents").select("doc_id").collect()]
+    old = {d for d in ids if d % 11 != 0}
+    new = {d for d in ids if d % 13 != 0}
+    expected = {
+        "added": len(new - old),
+        "removed": len(old - new),
+        "changed": len({d for d in old & new if d % 17 == 0}),
+        "unchanged": len({d for d in old & new if d % 17 != 0}),
+    }
+    got = {r.change_class: r.n_rows for r in catalog_table_diff(spark, SF_DIR).collect()}
+    assert got == {k: v for k, v in expected.items() if v > 0}
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """Every reported word is exactly its brute-force count, the frac
+    threshold is honored, and no qualifying word is missing."""
+    import re
+
+    from sql_query_engine_spark.queries import _HH_DENOM, agg_heavy_hitters
+
+    texts = [r.text for r in
+             load_table(spark, SF_DIR, "documents").select("text").collect()]
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    expected = {w: c for w, c in counts.items() if c * _HH_DENOM >= total}
+
+    got = {r.word: r.cnt for r in agg_heavy_hitters(spark, SF_DIR).collect()}
+    assert got == expected

@@ -90,6 +90,12 @@ EXPECTED = {
     "pipeline_dedup_rate_by_source": "inherits dedup_clusters' "
     "singleton-rejoin shuffle join on doc_id; the per-source aggregate "
     "after the cluster map is a tiny hash-agg",
+    "catalog_table_diff": "full outer join of two table SNAPSHOTS on the "
+    "primary key — both sides are table-sized, neither can broadcast, "
+    "and full outer requires a shuffle join; the shuffle carries only "
+    "(key, 32-byte row hash), never row payloads",
+    "agg_heavy_hitters": "BNLJ is the lazy 1-row total-token-count "
+    "aggregate crossJoin (text_idf shape) against the word-count table",
 }
 
 # queries whose physical plan legitimately contains a Window with no
