@@ -532,3 +532,52 @@ SELECT doc_id, round(rrf, 6) AS rrf_r6,
 FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
 WHERE rank <= {k}
 """
+
+
+# =========================================================================
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# =========================================================================
+
+RP_OUT_DIM = 8
+
+_rp_rng = random.Random(0xD1CE)
+# ±1 Rademacher sign matrix (Achlioptas 2003: database-friendly random
+# projections — signs suffice for the JL guarantee). Literal constants
+# baked into BOTH engines' SQL, so the projection is engine-neutral.
+RP_SIGNS: tuple[tuple[float, ...], ...] = tuple(
+    tuple(1.0 if _rp_rng.random() < 0.5 else -1.0 for _ in range(DIM))
+    for _ in range(RP_OUT_DIM)
+)
+
+_RP_SCALE = "sqrt(cast(8 as double))"  # 1/sqrt(out_dim) normalization
+
+
+def random_projection(emb) -> "DataFrame":
+    """Project 64-d embeddings to 8-d via a fixed Rademacher sign matrix.
+
+    The JL complement to PCA (functions/pca.py): no training pass, no
+    corpus statistics — the projection matrix is a compile-time literal,
+    so the whole operator is one map-only ``Project`` in whole-stage
+    codegen. Zero shuffles, zero Python; at 100 TB it runs at scan speed
+    and composes with any downstream ANN index on the reduced vectors.
+
+    Unlike PCA (rows-only: iterative eigensolve floats), this IS
+    oracle-exact: each output coordinate is a fixed-order left fold of
+    literal ±1 products, bit-identical across engines.
+    """
+    cols = [F.col("vec_id")]
+    for j, signs in enumerate(RP_SIGNS):
+        cols.append(
+            F.round(
+                F.expr(f"({_plane_dot('spark', signs)}) / {_RP_SCALE}"), 6
+            ).alias(f"p{j}")
+        )
+    return emb.select(*cols)
+
+
+def random_projection_oracle() -> str:
+    outs = ",\n       ".join(
+        f"round(({_plane_dot('duck', signs)}) / {_RP_SCALE}, 6) AS p{j}"
+        for j, signs in enumerate(RP_SIGNS)
+    )
+    return f"SELECT vec_id,\n       {outs}\nFROM embeddings"

@@ -4860,6 +4860,152 @@ def agg_heavy_hitters(spark, sf_dir):
     )
 
 
+@_q(
+    "emb_random_projection",
+    similarity.random_projection_oracle(),
+    "Johnson-Lindenstrauss random projection 64d → 8d via a literal "
+    "Rademacher ±1 sign matrix (Achlioptas 2003): the training-free "
+    "complement to emb_pca_project. One map-only Project in whole-stage "
+    "codegen — zero shuffles, zero Python, no corpus statistics — so at "
+    "100 TB it runs at scan speed and the reduced vectors feed any "
+    "downstream ANN index. Unlike PCA this is oracle-exact: each output "
+    "coordinate is a fixed-order left fold of literal products.",
+)
+def emb_random_projection(spark, sf_dir):
+    return similarity.random_projection(_t(spark, sf_dir, "embeddings"))
+
+
+_NEAREST_ORACLE = """
+WITH c1 AS (
+    SELECT user_id AS cu, epoch_us(ts) AS ct, event_id AS click_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'),
+c AS (SELECT cu, ct, click_id FROM c1 WHERE rn = 1),
+p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'),
+b AS (SELECT p.event_id, c.click_id AS b_click, c.ct AS b_ct
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.t >= c.ct),
+cneg AS (SELECT cu, -ct AS nct, ct, click_id FROM c),
+f AS (SELECT p.event_id, cneg.click_id AS f_click, cneg.ct AS f_ct
+      FROM p ASOF LEFT JOIN cneg ON p.user_id = cneg.cu AND -p.t >= cneg.nct)
+SELECT p.event_id, p.user_id,
+       CASE WHEN b_ct IS NOT NULL
+                 AND (f_ct IS NULL OR p.t - b_ct <= f_ct - p.t)
+            THEN b_click ELSE f_click END AS nearest_click_id,
+       CASE WHEN b_ct IS NOT NULL
+                 AND (f_ct IS NULL OR p.t - b_ct <= f_ct - p.t)
+            THEN b_ct - p.t ELSE f_ct - p.t END AS delta_us
+FROM p JOIN b ON p.event_id = b.event_id
+       JOIN f ON p.event_id = f.event_id
+"""
+
+
+@_q(
+    "join_nearest_event",
+    _NEAREST_ORACLE,
+    "nearest-event join: each purchase finds the user's click closest in "
+    "time in EITHER direction (ties → the earlier click), with the signed "
+    "time delta. Composed as backward as-of ∘ forward as-of over the same "
+    "user partitioning — both passes shuffle on the same key, so the "
+    "second window sorts already-co-partitioned data; no theta join, no "
+    "per-row subquery. DuckDB's ASOF only looks backward, so the oracle "
+    "runs the forward leg on negated timestamps.",
+)
+def join_nearest_event(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.expr("ts DIV 1000").alias("ct"),
+    )
+    back = asof_join(
+        purch, clicks,
+        left_key="user_id", right_key="cu",
+        left_ts="t_us", right_ts="ct",
+        value_cols=["click_id", "ct"],
+        tiebreak="click_id",
+    ).withColumnsRenamed({"click_id": "b_click", "ct": "b_ct"})
+    both = asof_join(
+        back, clicks,
+        left_key="user_id", right_key="cu",
+        left_ts="t_us", right_ts="ct",
+        value_cols=["click_id", "ct"],
+        tiebreak="click_id",
+        direction="forward",
+    ).withColumnsRenamed({"click_id": "f_click", "ct": "f_ct"})
+    pick_back = F.col("b_ct").isNotNull() & (
+        F.col("f_ct").isNull()
+        | ((F.col("t_us") - F.col("b_ct")) <= (F.col("f_ct") - F.col("t_us")))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.when(pick_back, F.col("b_click")).otherwise(F.col("f_click")).alias(
+            "nearest_click_id"
+        ),
+        F.when(pick_back, F.col("b_ct") - F.col("t_us"))
+        .otherwise(F.col("f_ct") - F.col("t_us"))
+        .alias("delta_us"),
+    )
+
+
+@_q(
+    "pipeline_scd2",
+    """WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events),
+ordered AS (
+    SELECT user_id, t, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS prev
+    FROM e),
+changes AS (
+    SELECT user_id, t, event_type FROM ordered
+    WHERE prev IS NULL OR prev <> event_type),
+versions AS (
+    SELECT user_id, event_type AS state, t AS valid_from_us,
+           lead(t) OVER (PARTITION BY user_id
+                         ORDER BY t, event_type) AS valid_to_us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY t, event_type) AS version
+    FROM changes)
+SELECT user_id, state, valid_from_us, valid_to_us,
+       cast(version as int) AS version
+FROM versions""",
+    "SCD Type-2 history build: collapse each user's event stream into "
+    "versioned state intervals (valid_from / valid_to, open-ended "
+    "current row) by keeping only change points (event_type <> its lag) "
+    "and closing each interval with the next change's timestamp. The "
+    "warehouse dimension-history primitive, as one pass: all three "
+    "window functions share the user_id partitioning, so Spark sorts "
+    "each user's slice once and reuses it — one shuffle total, no "
+    "self-join against 'the next row'.",
+)
+def pipeline_scd2(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("t"), "event_type", "event_id"
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("t", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w_lag))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "t", "event_type")
+    )
+    w_v = Window.partitionBy("user_id").orderBy("t", "event_type")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("t").alias("valid_from_us"),
+        F.lead("t").over(w_v).alias("valid_to_us"),
+        F.row_number().over(w_v).alias("version"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -527,3 +527,104 @@ def test_asof_forward_on_hand_built_rows(spark):
         ).collect()
     }
     assert bounded == {(1, 10): None, (1, 25): "b", (1, 40): None, (2, 5): None}
+
+
+def test_random_projection_is_map_only_and_preserves_distance(spark):
+    """JL projection: zero exchanges in the plan (scan-speed at 100 TB),
+    and pairwise distances are preserved within JL distortion on a
+    sample — the property the reduced vectors are useful FOR."""
+    import math
+
+    from sql_query_engine_spark.functions.similarity import RP_OUT_DIM, random_projection
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    proj = random_projection(emb)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    sample = emb.filter(F.col("vec_id") < 12).collect()
+    prows = {r.vec_id: [r[f"p{j}"] for j in range(RP_OUT_DIM)]
+             for r in proj.filter(F.col("vec_id") < 12).collect()}
+    embs = {r.vec_id: list(r.embedding) for r in sample}
+    ids = sorted(embs)
+    distortions = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d_hi = math.dist(embs[a], embs[b])
+            d_lo = math.dist(prows[a], prows[b])
+            if d_hi > 1e-9:
+                distortions.append(d_lo / d_hi)
+    # with out_dim=8 the JL distortion is loose; the MEAN ratio must sit
+    # near 1 (unbiasedness) even though individual pairs wobble
+    mean = sum(distortions) / len(distortions)
+    assert 0.7 < mean < 1.3, mean
+
+
+def test_nearest_event_join_vs_bruteforce(spark):
+    """Every purchase's nearest click (either direction, ties → earlier)
+    re-derived by brute force in Python."""
+    from sql_query_engine_spark.queries import join_nearest_event
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t"), "event_type"
+    ).collect()
+    clicks_by_user: dict[int, list] = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks_by_user.setdefault(r.user_id, []).append((r.t, r.event_id))
+    # dedup per (user, t): max event_id wins, mirroring the operator
+    for u, cs in clicks_by_user.items():
+        best: dict[int, int] = {}
+        for t, eid in cs:
+            best[t] = max(best.get(t, -1), eid)
+        clicks_by_user[u] = sorted(best.items())
+
+    expected = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cs = clicks_by_user.get(r.user_id, [])
+        back = max(((t, e) for t, e in cs if t <= r.t), default=None)
+        fwd = min(((t, e) for t, e in cs if t >= r.t), default=None)
+        if back is None and fwd is None:
+            expected[r.event_id] = (None, None)
+        elif back is not None and (fwd is None or r.t - back[0] <= fwd[0] - r.t):
+            expected[r.event_id] = (back[1], back[0] - r.t)
+        else:
+            expected[r.event_id] = (fwd[1], fwd[0] - r.t)
+
+    got = {r.event_id: (r.nearest_click_id, r.delta_us)
+           for r in join_nearest_event(spark, SF_DIR).collect()}
+    assert got == expected
+
+
+def test_scd2_intervals_are_contiguous_and_complete(spark):
+    """Per-user SCD2 intervals: versions are 1..n, each interval closes
+    exactly at the next one's open, and the state sequence equals the
+    run-length-collapsed event stream."""
+    from sql_query_engine_spark.queries import pipeline_scd2
+
+    out = pipeline_scd2(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("t"), "event_type", "event_id"
+    ).collect()
+    stream: dict[int, list] = {}
+    for r in ev:
+        stream.setdefault(r.user_id, []).append((r.t, r.event_id, r.event_type))
+
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_us == b.valid_from_us
+        assert rows[-1].valid_to_us is None
+        # run-length collapse of the true stream
+        states = []
+        for _, _, et in sorted(stream[u]):
+            if not states or states[-1] != et:
+                states.append(et)
+        assert [r.state for r in rows] == states
