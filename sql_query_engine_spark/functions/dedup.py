@@ -61,6 +61,8 @@ __all__ = [
     "simhash_lsh_pairs_oracle",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_oracle",
+    "ngram_containment_pairs",
+    "ngram_containment_pairs_oracle",
     "minhash_bands_stateless",
     "incremental_neardup_stateless",
     "embedding_neardup_pairs",
@@ -405,6 +407,95 @@ FROM inter
 JOIN sizes la ON la.doc_id = doc_a
 JOIN sizes lb ON lb.doc_id = doc_b
 WHERE cast(i as double) / (la.n + lb.n - i) >= {threshold}
+"""
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """Directed shingle CONTAINMENT |A∩B| / |A| — the asymmetric near-dup
+    measure Jaccard misses: a short doc quoted wholesale inside a long one
+    scores containment ≈ 1 while its Jaccard stays tiny (union is
+    long-doc-sized). This is the boilerplate / quote / doc-inside-doc
+    detector.
+
+    Same inverted-index candidate generation as :func:`ngram_jaccard_pairs`
+    (one shingle-keyed shuffle, df-capped so no hot shingle goes O(f²));
+    each undirected candidate pair then emits up to two directed rows
+    (sub ⊂ super). Work is identical to the Jaccard pass — only the final
+    per-pair arithmetic differs.
+    """
+    from pyspark.sql import Window
+
+    sh = shingled_docs(docs)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    kept = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    paired = inter.join(
+        sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a"
+    ).join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+    # two directed views of the same joined frame; Catalyst reuses the
+    # exchange under both union branches
+    ab = paired.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        F.expr("cast(i as double) / na").alias("containment"),
+    )
+    ba = paired.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        F.expr("cast(i as double) / nb").alias("containment"),
+    )
+    return (
+        ab.unionByName(ba)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_sub", "doc_super", F.round("containment", 6).alias("containment"))
+    )
+
+
+def ngram_containment_pairs_oracle(
+    threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
+) -> str:
+    return f"""
+WITH {_DUCK_SHINGLED},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+kept AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex
+    ) WHERE df <= {df_cap}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+paired AS (
+    SELECT doc_a, doc_b, i, la.n AS na, lb.n AS nb
+    FROM inter
+    JOIN sizes la ON la.doc_id = doc_a
+    JOIN sizes lb ON lb.doc_id = doc_b
+),
+directed AS (
+    SELECT doc_a AS doc_sub, doc_b AS doc_super,
+           cast(i as double) / na AS containment FROM paired
+    UNION ALL
+    SELECT doc_b AS doc_sub, doc_a AS doc_super,
+           cast(i as double) / nb AS containment FROM paired
+)
+SELECT doc_sub, doc_super, round(containment, 6) AS containment
+FROM directed WHERE containment >= {threshold}
 """
 
 

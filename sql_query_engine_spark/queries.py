@@ -5006,6 +5006,149 @@ def pipeline_scd2(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_containment",
+    dedup.ngram_containment_pairs_oracle(),
+    "directed shingle containment |A∩B|/|A|: the asymmetric near-dup "
+    "measure that catches a short doc quoted wholesale inside a long one "
+    "(containment ≈ 1 where Jaccard stays tiny because the union is "
+    "long-doc-sized) — the boilerplate / doc-inside-doc detector. Same "
+    "df-capped inverted-index candidate generation as "
+    "dedup_ngram_jaccard: one shingle-keyed shuffle, never all-pairs; "
+    "both directed views reuse the same joined frame.",
+)
+def dedup_containment(spark, sf_dir):
+    return dedup.ngram_containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SKEW_TOP = 20
+
+
+@_q(
+    "catalog_key_skew_profile",
+    f"""WITH counts AS (
+    SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+total AS (SELECT sum(cnt) AS n FROM counts)
+SELECT key, cnt, round(cnt / cast(n as double), 6) AS share
+FROM counts, total
+ORDER BY cnt DESC, key LIMIT {_SKEW_TOP}""",
+    "join-key skew profile: the hottest N keys of a prospective join key "
+    "with their row share — the diagnostic you run BEFORE choosing plain "
+    "vs salted vs broadcast join (join_salted_skew is the remedy this "
+    "query prescribes). One hash-aggregate on the key (the same shuffle "
+    "the join itself would do) + a broadcast 1-row total; top-N plans as "
+    "TakeOrderedAndProject, so no global window and no full sort — map "
+    "tasks forward only their local top-N. At 100 TB you run it on a "
+    "content-hash sample first; the shape is identical.",
+)
+def catalog_key_skew_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n").cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(_SKEW_TOP)
+    )
+
+
+_NEG_BUCKETS = 64
+_NEG_PER_ANCHOR = 4
+
+
+@_q(
+    "pipeline_contrastive_pairs",
+    f"""WITH bucketed AS (
+    SELECT doc_id,
+           {_duck_h48("concat(cast(doc_id as varchar), ':neg')")} % {_NEG_BUCKETS}
+               AS bucket,
+           {_duck_h48("concat(cast(doc_id as varchar), ':rep')")} AS hrep
+    FROM documents),
+reps AS (
+    SELECT bucket, doc_id AS neg_id FROM (
+        SELECT bucket, doc_id,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY hrep, doc_id) AS rn
+        FROM bucketed) WHERE rn = 1),
+anchors AS (
+    SELECT doc_id AS anchor_id, k,
+           {_duck_h48("concat(cast(doc_id as varchar), ':', cast(k as varchar))")}
+               % {_NEG_BUCKETS} AS bucket
+    FROM documents, (SELECT unnest(generate_series(0, {_NEG_PER_ANCHOR - 1})) AS k)
+    WHERE doc_id % 25 = 0)
+SELECT anchor_id, cast(k as int) AS k, neg_id
+FROM anchors JOIN reps USING (bucket)
+WHERE neg_id <> anchor_id""",
+    "deterministic negative sampling for contrastive training: each "
+    "anchor doc draws K pseudo-random negatives by hashing (anchor, k) "
+    "into one of B corpus buckets and taking that bucket's hash-minimal "
+    "representative. Every choice is content-hash arithmetic — the pair "
+    "set is reproducible across engines, runs, and partitionings (what "
+    "rand()-based sampling cannot give). Scale shape: one corpus pass "
+    "aggregates the B-row representative table (WindowGroupLimit keeps "
+    "it partial-top-1 per bucket map-side), which then BROADCASTS "
+    "against the exploded anchors — no corpus-sized shuffle at all.",
+)
+def pipeline_contrastive_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr(_spark_h48("concat(cast(doc_id as string), ':neg')")) % _NEG_BUCKETS
+    hrep = F.expr(_spark_h48("concat(cast(doc_id as string), ':rep')"))
+    w = Window.partitionBy("bucket").orderBy("hrep", "doc_id")
+    reps = (
+        d.select("doc_id", bucket.alias("bucket"), hrep.alias("hrep"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", F.col("doc_id").alias("neg_id"))
+    )
+    anchors = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_PER_ANCHOR - 1))
+            ).alias("k"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                _spark_h48("concat(cast(anchor_id as string), ':', cast(k as string))")
+            )
+            % _NEG_BUCKETS,
+        )
+    )
+    return (
+        anchors.join(F.broadcast(reps), "bucket")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "k", "neg_id")
+    )
+
+
+@_q(
+    "text_bpe_encode",
+    None,  # iterative data-dependent merge loop — no relational rewrite
+    # exists; pinned row-level vs an independent pure-Python reference
+    # in tests/test_functions.py instead (the honest rows-only boundary)
+    "real greedy BPE tokenization (functions/bpe.py): fixed literal merge "
+    "table applied per word through an Arrow-batched mapInPandas stage — "
+    "the same plumbing a production HF tokenizer drops into, one Python "
+    "worker per partition, zero shuffles, zero driver involvement. "
+    "Complements the JVM-side BPE-ish regex pretokenizer counts "
+    "(text_token_stats) with actual merge semantics; per-doc word / "
+    "kept-char / BPE-token counts feed packing and cost estimation.",
+)
+def text_bpe_encode(spark, sf_dir):
+    from .functions import bpe
+
+    return bpe.encode_counts(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -625,3 +625,73 @@ def test_route_and_decode_dispatch_and_rejects(spark, docs):
     got = {r.doc_id: r.modality for r in
            multimodal.route_and_decode(garbage).collect()}
     assert got == {1: None, 2: None}
+
+
+def test_containment_catches_doc_inside_doc_where_jaccard_misses(spark):
+    """The motivating asymmetry: a short doc quoted wholesale inside a
+    much longer one must score containment ~1 while the same pair's
+    Jaccard sits far below the 0.5 dedup threshold."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(60))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"tail{i} end{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_sub, r.doc_super): r.containment
+        for r in dedup.ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] > 0.9
+    assert (2, 1) not in cont  # the long doc is NOT contained in the short
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # Jaccard misses the pair entirely at the same bar
+
+
+def test_containment_directed_rows_share_intersection(spark, docs):
+    """For every directed row, containment == i/|sub| re-derived from the
+    shingle sets in Python, and the reverse direction exists iff it also
+    clears the threshold."""
+    sh = {r.doc_id: set(r.sh) for r in dedup.shingled_docs(docs).collect()}
+    got = {
+        (r.doc_sub, r.doc_super): r.containment
+        for r in dedup.ngram_containment_pairs(docs).collect()
+    }
+    # df-cap: drop shingles in > NGRAM_DF_CAP docs, as the operator does
+    from collections import Counter
+
+    df_counts = Counter(s for shset in sh.values() for s in shset)
+    capped = {
+        d: {s for s in shset if df_counts[s] <= dedup.NGRAM_DF_CAP}
+        for d, shset in sh.items()
+    }
+    for (sub, sup), c in got.items():
+        inter = len(capped[sub] & capped[sup])
+        assert abs(c - inter / len(capped[sub])) < 1e-6
+
+
+def test_contrastive_pairs_deterministic_and_well_formed(spark):
+    """Anchor set and negatives are pure hash arithmetic: two independent
+    runs yield the identical pair set; no anchor draws itself; each
+    anchor draws at most K negatives."""
+    from sql_query_engine_spark.queries import (
+        _NEG_PER_ANCHOR,
+        pipeline_contrastive_pairs,
+    )
+    from tests.conftest import SF_DIR as _SF
+
+    p1 = sorted(
+        (r.anchor_id, r.k, r.neg_id)
+        for r in pipeline_contrastive_pairs(spark, _SF).collect()
+    )
+    p2 = sorted(
+        (r.anchor_id, r.k, r.neg_id)
+        for r in pipeline_contrastive_pairs(spark, _SF).collect()
+    )
+    assert p1 == p2 and len(p1) > 0
+    from collections import Counter
+
+    per_anchor = Counter(a for a, _, _ in p1)
+    assert all(n <= _NEG_PER_ANCHOR for n in per_anchor.values())
+    assert all(a != n for a, _, n in p1)

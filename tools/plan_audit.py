@@ -96,6 +96,8 @@ EXPECTED = {
     "(key, 32-byte row hash), never row payloads",
     "agg_heavy_hitters": "BNLJ is the lazy 1-row total-token-count "
     "aggregate crossJoin (text_idf shape) against the word-count table",
+    "catalog_key_skew_profile": "BNLJ is the lazy 1-row total-count "
+    "aggregate crossJoin (text_idf shape) against the per-key counts",
 }
 
 # queries whose physical plan legitimately contains a Window with no
