@@ -695,3 +695,39 @@ def test_contrastive_pairs_deterministic_and_well_formed(spark):
     per_anchor = Counter(a for a, _, _ in p1)
     assert all(n <= _NEG_PER_ANCHOR for n in per_anchor.values())
     assert all(a != n for a, _, n in p1)
+
+
+def test_bpe_word_merges_follow_rank_order():
+    """Hand-checked merge traces: 'the' collapses via t+h → th+e; a word
+    with no applicable merges stays fully split."""
+    from sql_query_engine_spark.functions.bpe import bpe_word
+
+    assert bpe_word("the") == ["the"]
+    assert bpe_word("thin") == ["th", "in"]
+    assert bpe_word("xyz") == ["x", "y", "z"]
+    assert bpe_word("a") == ["a"]
+    assert bpe_word("ing") == ["ing"]  # i+n first (rank 2), then in+g
+
+
+def test_bpe_encode_counts_match_pure_python(spark, docs):
+    """The mapInPandas stage must agree row-for-row with an independent
+    pure-Python pass over the same corpus (tokenizer + merge table)."""
+    import re
+
+    from sql_query_engine_spark.functions import bpe
+
+    got = {r.doc_id: (r.n_words, r.n_chars_tok, r.n_bpe_tokens)
+           for r in bpe.encode_counts(docs).collect()}
+    tok = re.compile(r"[a-z0-9]+")
+    for r in docs.select("doc_id", "text").collect():
+        words = tok.findall((r.text or "").lower())
+        exp = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(bpe.bpe_word(w)) for w in words),
+        )
+        assert got[r.doc_id] == exp
+    # merges must actually compress: fewer BPE tokens than characters
+    total_chars = sum(v[1] for v in got.values())
+    total_bpe = sum(v[2] for v in got.values())
+    assert total_bpe < 0.85 * total_chars

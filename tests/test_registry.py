@@ -25,6 +25,7 @@ def test_every_oracle_key_has_query():
         "sim_pq_topk",
         "sim_ivfpq_topk",
         "emb_pca_project",  # eigensolve — numpy-pinned instead
+        "text_bpe_encode",  # iterative merge loop — pure-Python-pinned
     }
 
 
