@@ -43,6 +43,7 @@ __all__ = [
     "write_qualified_csv",
     "read_tagged_jsonl",
     "write_tagged_jsonl",
+    "read_csv_with_quarantine",
 ]
 
 # dd type names (pizza_set.json / tpc-h.json in the reference) → Spark types
@@ -168,3 +169,43 @@ def write_tagged_jsonl(df: DataFrame, path: str, relation: str) -> None:
         F.concat(F.lit(relation), F.lit("\t"), F.to_json(F.struct("*"))).alias("value")
     )
     tagged.write.mode("overwrite").text(path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced CSV scan that QUARANTINES malformed lines instead
+    of killing the job or silently dropping them.
+
+    Returns ``(good, quarantined)``: ``good`` carries the declared
+    columns for every line that parsed clean; ``quarantined`` carries the
+    raw text of every line that did not (wrong arity, unparseable type),
+    ready to be written to a reject sink for audit/replay. At 100 TB one
+    poison line per billion is a certainty — FAILFAST turns it into a
+    dead job, plain PERMISSIVE nulls it into the aggregate silently;
+    routing the raw line to a side output is the operational answer.
+
+    Mechanics: PERMISSIVE mode + ``columnNameOfCorruptRecord`` appends
+    the raw line of each failed parse to a side column. Spark refuses a
+    filter that references ONLY the corrupt column on the raw scan
+    (SPARK-21610: the pruned scan would never populate it), so the scan
+    is cached once and both splits filter the cached frame — one pass
+    over the files, two in-memory filters.
+    """
+    corrupt = "_corrupt_record"
+    aug = StructType(schema.fields + [StructField(corrupt, StringType(), True)])
+    df = spark.read.csv(
+        path,
+        schema=aug,
+        header=header,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt,
+    ).cache()
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    quarantined = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, quarantined

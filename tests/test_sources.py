@@ -536,3 +536,33 @@ def test_schema_evolution_merge_read(spark, tmp_path):
 
     plan = formatted_plan(merged.filter(F.col("quality") > 0.2))
     assert "PushedFilters" in plan and "quality" in plan
+
+
+def test_csv_quarantine_routes_bad_lines(spark, tmp_path):
+    """Malformed lines (wrong arity, bad types) land in the quarantine
+    split as raw text; clean lines parse fully; nothing is lost."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sql_query_engine_spark.sources.legacy import read_csv_with_quarantine
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alice,10\n"
+        "2,bob,notanumber\n"      # type failure
+        "3,carol,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", LongType()),
+        ]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    good_rows = {(r.id, r.name, r.score) for r in good.collect()}
+    assert good_rows == {(1, "alice", 10), (3, "carol", 30)}
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert bad_lines == ["2,bob,notanumber"]
+    # conservation: every data line is in exactly one split
+    assert good.count() + bad.count() == 3
