@@ -5149,6 +5149,37 @@ def text_bpe_encode(spark, sf_dir):
     return bpe.encode_counts(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "agg_hll_partial_merge",
+    None,  # Apache DataSketches HLL bytes have no DuckDB twin — the
+    # partial-merge associativity and estimate accuracy are pinned in
+    # tests/test_scale_ops.py instead
+    "mergeable sketch partials — the pre-aggregated-cube pattern: each "
+    "(lang, source) cell keeps an HLL sketch of its user population as "
+    "BYTES (hll_sketch_agg), and any rollup level is answered by "
+    "hll_union_agg over the stored partials WITHOUT rescanning rows. "
+    "This is how a 100 TB corpus serves distinct-count dashboards: the "
+    "sketch table is thousands of rows, re-aggregable along any "
+    "dimension, and partials from new partitions merge in O(sketch "
+    "bytes). Output: per-lang distinct-doc estimates from merged "
+    "per-source partials.",
+)
+def agg_hll_partial_merge(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    partials = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        partials.groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select("lang", "approx_docs", "n_rows")
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -26,6 +26,7 @@ def test_every_oracle_key_has_query():
         "sim_ivfpq_topk",
         "emb_pca_project",  # eigensolve — numpy-pinned instead
         "text_bpe_encode",  # iterative merge loop — pure-Python-pinned
+        "agg_hll_partial_merge",  # DataSketches bytes — property-pinned
     }
 
 

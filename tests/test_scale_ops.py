@@ -628,3 +628,34 @@ def test_scd2_intervals_are_contiguous_and_complete(spark):
             if not states or states[-1] != et:
                 states.append(et)
         assert [r.state for r in rows] == states
+
+
+def test_hll_partials_merge_associatively_and_estimate_accurately(spark):
+    """The sketch-partials contract: merging per-source partials must
+    estimate the same cardinality as sketching the rows directly (the
+    associativity that makes stored sketch tables re-aggregable), and
+    both must sit within HLL error of the exact count."""
+    from sql_query_engine_spark.queries import agg_hll_partial_merge
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        r.lang: r.n
+        for r in docs.groupBy("lang")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .collect()
+    }
+    direct = {
+        r.lang: r.est
+        for r in docs.groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("est")
+        )
+        .collect()
+    }
+    merged = {
+        r.lang: r.approx_docs for r in agg_hll_partial_merge(spark, SF_DIR).collect()
+    }
+    assert set(merged) == set(exact)
+    for lang, n in exact.items():
+        assert merged[lang] == direct[lang], lang  # partial-merge ≡ direct
+        assert abs(merged[lang] - n) <= max(2, 0.05 * n), (lang, merged[lang], n)

@@ -587,3 +587,50 @@ def test_observed_gate_metrics_under_streaming(spark, tmp_path):
     assert totals["n_admitted"] == m["n_admitted"] == admitted
     assert totals["sum_admitted_chars"] == m["sum_admitted_chars"]
     assert spark.read.parquet(str(tmp_path / "obs_out")).count() == admitted
+
+
+def test_idempotent_sink_replay_and_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once by idempotence: (a) a manually REPLAYED micro-batch
+    (same batch_id — the engine's at-least-once replay contract)
+    overwrites instead of appending; (b) restarting the query from the
+    same checkpoint over the same input adds nothing; (c) the delivered
+    rows equal the input exactly."""
+    from sql_query_engine_spark.streaming.sinks import idempotent_parquet_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").write.parquet(
+        str(src / "p1")
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    stream = spark.readStream.schema("id long, v long").parquet(str(src / "p1"))
+    sink = idempotent_parquet_sink(str(out))
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    delivered = spark.read.parquet(str(out))
+    assert delivered.count() == 100
+
+    # (a) simulate the crash-replay: same batch contents, same batch_id
+    replay_df = spark.read.parquet(str(src / "p1"))
+    sink(replay_df, 0)
+    assert spark.read.parquet(str(out)).count() == 100
+
+    # (b) restart from the same checkpoint: no new batches, no new rows
+    run()
+    after = spark.read.parquet(str(out))
+    assert after.count() == 100
+    # (c) content equality with the input
+    assert after.select("id", "v").exceptAll(
+        spark.read.parquet(str(src / "p1"))
+    ).count() == 0
