@@ -143,6 +143,37 @@ SHOWCASE = [
         "only if it stays map-only — this plan has zero shuffles, zero "
         "Python, zero joins",
     ),
+    (
+        "emb_random_projection",
+        "NO exchange, NO Python: the ±1 sign matrix is a literal folded "
+        "per output dim inside one WholeStageCodegen span over the scan",
+        "dimensionality reduction at scan speed — the JL projection adds "
+        "zero cluster coordination, so reducing 100 TB of vectors costs "
+        "exactly one read pass",
+    ),
+    (
+        "pipeline_domain_cap",
+        "WindowGroupLimit above the source-keyed exchange: map tasks "
+        "forward only their local top-K rows per source",
+        "a dominant crawl domain costs K reduce-side rows instead of its "
+        "full cardinality — the per-key window never sees the skew",
+    ),
+    (
+        "catalog_table_diff",
+        "row hashes computed in the map stage under each scan; the full "
+        "outer SortMergeJoin's exchanges carry only (key, 32-byte hash)",
+        "diffing two 100 TB snapshots shuffles ~40 bytes/row regardless "
+        "of row width — payload never crosses the cluster",
+    ),
+    (
+        "pipeline_contrastive_pairs",
+        "the B-row bucket-representative aggregate (WindowGroupLimit, "
+        "partial per bucket) BROADCASTS against the exploded anchors; "
+        "no corpus-sized exchange",
+        "negative sampling touches the corpus once to build a "
+        "broadcast-sized representative table — anchors never shuffle "
+        "the corpus",
+    ),
 ]
 
 # formatted mode details block:
