@@ -5180,6 +5180,242 @@ def agg_hll_partial_merge(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_cdc_upsert",
+    """WITH log AS (
+    SELECT user_id, epoch_us(ts) AS t, event_id,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           event_type, value
+    FROM events),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t DESC, event_id DESC) AS rn
+    FROM log)
+SELECT user_id, event_type AS last_event_type, value AS last_value,
+       t AS last_t_us
+FROM ranked WHERE rn = 1 AND op <> 'D'""",
+    "CDC changelog compaction (MERGE INTO semantics, Spark-first): the "
+    "event stream is an upsert log keyed by user — 'error' rows are "
+    "DELETE tombstones, everything else upserts the user's record. The "
+    "next snapshot is row_number()=1 per key by (ts, event_id) DESC with "
+    "tombstoned keys dropped. One shuffle on the key; rn=1 triggers "
+    "WindowGroupLimit, so map tasks forward one candidate row per key "
+    "they hold — compacting a 100 TB changelog moves ~|keys| rows, not "
+    "|log| rows, through the reduce side.",
+)
+def pipeline_cdc_upsert(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("t"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("t").alias("last_t_us"),
+        )
+    )
+
+
+# cutoff splitting "already-rolled-up history" from "newly arrived delta"
+_ROLLUP_CUTOFF_DAY = 25
+
+
+@_q(
+    "pipeline_incremental_rollup",
+    """SELECT user_id, count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+FROM events GROUP BY user_id""",
+    "incremental rollup maintenance: the stored per-user aggregate over "
+    "history (days < 25) is UPDATED with the new partition's partial "
+    "aggregate (days >= 25) by unioning the two partial-state tables and "
+    "re-aggregating — history rows are never rescanned. The oracle "
+    "deliberately computes the FULL aggregate from raw rows, so the "
+    "value-exact gate IS the proof that incremental maintenance equals "
+    "full recomputation (counts add; sums ride exact DECIMAL, so "
+    "partial-merge order cannot drift them). This is the daily-ETL "
+    "pattern that turns a 100 TB rescan into a delta-sized job.",
+)
+def pipeline_incremental_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts DIV 86400000000000").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    hist = e.filter(F.col("day") % 31 < _ROLLUP_CUTOFF_DAY)
+    delta = e.filter(F.col("day") % 31 >= _ROLLUP_CUTOFF_DAY)
+    # the "stored" rollup: what yesterday's job persisted
+    stored = hist.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("v").alias("sum_v")
+    )
+    # today's delta partial
+    fresh = delta.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("v").alias("sum_v")
+    )
+    merged = (
+        stored.unionByName(fresh)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_v").alias("sum_v"))
+    )
+    return merged.select(
+        "user_id", "n_events", F.col("sum_v").cast("double").alias("sum_value")
+    )
+
+
+_PR_ITERS = 5
+_PR_DAMP = "cast(0.85 as double)"
+_PR_BASE = "cast(0.15 as double)"
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank: because the iteration count is
+    a compile-time constant, the 'iterative' algorithm IS SQL — five
+    chained CTE rounds, value-exact (per-edge contributions in double,
+    per-node sums through exact DECIMAL so aggregation order can't drift
+    floats)."""
+    rounds = []
+    for i in range(1, _PR_ITERS + 1):
+        p = f"pr{i - 1}"
+        rounds.append(f"""
+contrib{i} AS MATERIALIZED (
+    SELECT e.s_to AS source,
+           sum(cast(p.pr * e.w / o.ow as decimal(30,15))) AS c
+    FROM edges e
+    JOIN {p} p ON p.source = e.s_from
+    JOIN outw o ON o.s_from = e.s_from
+    GROUP BY e.s_to),
+dang{i} AS MATERIALIZED (
+    SELECT coalesce(sum(cast(p.pr as decimal(30,15))),
+                    cast(0 as decimal(30,15))) AS dm
+    FROM {p} p LEFT JOIN outw o ON o.s_from = p.source
+    WHERE o.s_from IS NULL),
+pr{i} AS MATERIALIZED (
+    SELECT n.source,
+           {_PR_BASE} / nn.n
+             + {_PR_DAMP} * (cast(coalesce(c.c, 0) as double)
+                             + cast(d.dm as double) / nn.n) AS pr
+    FROM nodes n
+    CROSS JOIN nn
+    CROSS JOIN dang{i} d
+    LEFT JOIN contrib{i} c ON c.source = n.source)""")
+    return f"""
+WITH pairs AS MATERIALIZED ({dedup.minhash_lsh_pairs_oracle()}),
+src AS (SELECT doc_id, source FROM documents),
+und AS (
+    SELECT sa.source AS s_from, sb.source AS s_to
+    FROM pairs p
+    JOIN src sa ON sa.doc_id = p.doc_a
+    JOIN src sb ON sb.doc_id = p.doc_b
+    WHERE sa.source <> sb.source),
+edges AS MATERIALIZED (
+    SELECT s_from, s_to, count(*) AS w FROM (
+        SELECT s_from, s_to FROM und
+        UNION ALL
+        SELECT s_to AS s_from, s_from AS s_to FROM und)
+    GROUP BY s_from, s_to),
+nodes AS (SELECT DISTINCT source FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT s_from, sum(w) AS ow FROM edges GROUP BY s_from),
+pr0 AS MATERIALIZED (SELECT source, cast(1 as double) / nn.n AS pr
+                     FROM nodes CROSS JOIN nn),
+{",".join(rounds)}
+SELECT source, round(pr, 9) AS authority FROM pr{_PR_ITERS}
+"""
+
+
+@_q(
+    "pipeline_source_authority",
+    _pagerank_oracle(),
+    "source-authority PageRank over the content-syndication graph: "
+    "edges are cross-source near-dup pairs (MinHash LSH), so a source "
+    "sharing content with many others — a syndication hub — earns "
+    "authority, which informs crawl priority and dedup-keeper policy. "
+    "Scale split: the EXPENSIVE part (edge construction) is one "
+    "distributed LSH pass whose output aggregates to the source×source "
+    "level — small by construction (sources number thousands, not "
+    "billions) and persisted once; the 5 fixed power-iteration rounds "
+    "then run as joins over that compact graph with dangling-mass "
+    "redistribution. Value-exact oracle: fixed iteration count unrolls "
+    "to 5 chained SQL rounds; per-node sums ride exact DECIMAL.",
+)
+def pipeline_source_authority(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    und = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "doc_a", "source": "s_from"}), "doc_a"
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "doc_b", "source": "s_to"}), "doc_b"
+        )
+        .filter(F.col("s_from") != F.col("s_to"))
+        .select("s_from", "s_to")
+    )
+    edges = (
+        und.unionByName(
+            und.select(
+                F.col("s_to").alias("s_from"), F.col("s_from").alias("s_to")
+            )
+        )
+        .groupBy("s_from", "s_to")
+        .agg(F.count("*").alias("w"))
+        .persist()  # referenced every iteration; the LSH pass runs once
+    )
+    nodes = docs.select("source").distinct().persist()
+    nn = nodes.agg(F.count("*").alias("n"))
+    outw = edges.groupBy("s_from").agg(F.sum("w").alias("ow"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "source", F.expr("cast(1 as double) / n").alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                pr.withColumnsRenamed({"source": "s_from", "pr": "p"}), "s_from"
+            )
+            .join(outw, "s_from")
+            .groupBy(F.col("s_to").alias("source"))
+            .agg(F.sum(F.expr("cast(p * w / ow as decimal(30,15))")).alias("c"))
+        )
+        dang = (
+            pr.join(outw, pr["source"] == outw["s_from"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("cast(pr as decimal(30,15))")),
+                    F.lit(0).cast("decimal(30,15)"),
+                ).alias("dm")
+            )
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, "source", "left")
+            .select(
+                "source",
+                F.expr(
+                    f"{_PR_BASE} / n + {_PR_DAMP} * "
+                    "(cast(coalesce(c, 0) as double) + cast(dm as double) / n)"
+                ).alias("pr"),
+            )
+            # truncate lineage every round (the dedup_clusters pattern):
+            # pr feeds BOTH contrib and dang next round, so without the
+            # checkpoint the logical plan doubles per iteration and
+            # Catalyst optimization time grows 2^k
+            .localCheckpoint()
+        )
+    return pr.select("source", F.round("pr", 9).alias("authority"))
+
+
 # =========================================================================
 # public API
 # =========================================================================

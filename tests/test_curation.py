@@ -255,3 +255,42 @@ def test_heavy_hitters_exact_vs_bruteforce(spark):
 
     got = {r.word: r.cnt for r in agg_heavy_hitters(spark, SF_DIR).collect()}
     assert got == expected
+
+
+def test_cdc_upsert_matches_python_compaction(spark):
+    """Snapshot = last-writer-wins with tombstones, re-derived in Python."""
+    from sql_query_engine_spark.queries import pipeline_cdc_upsert
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("t"), "event_id", "event_type", "value"
+    ).collect()
+    last = {}
+    for r in ev:
+        key = (r.t, r.event_id)
+        if r.user_id not in last or key > last[r.user_id][0]:
+            last[r.user_id] = (key, r.event_type, r.value)
+    expected = {
+        u: (et, v, key[0])
+        for u, (key, et, v) in last.items()
+        if et != "error"  # tombstone: user absent from the snapshot
+    }
+    got = {
+        r.user_id: (r.last_event_type, r.last_value, r.last_t_us)
+        for r in pipeline_cdc_upsert(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # tombstoned users must actually exist in the fixture (delete path hit)
+    assert len(expected) < len(last)
+
+
+def test_incremental_rollup_split_is_nontrivial(spark):
+    """The history/delta carve must put rows on BOTH sides — otherwise
+    the incremental-equals-full claim the oracle checks is vacuous."""
+    from sql_query_engine_spark.queries import _ROLLUP_CUTOFF_DAY
+
+    e = load_table(spark, SF_DIR, "events").select(
+        F.expr("ts DIV 86400000000000").alias("day")
+    )
+    hist_n = e.filter(F.col("day") % 31 < _ROLLUP_CUTOFF_DAY).count()
+    delta_n = e.filter(F.col("day") % 31 >= _ROLLUP_CUTOFF_DAY).count()
+    assert hist_n > 0 and delta_n > 0

@@ -659,3 +659,48 @@ def test_hll_partials_merge_associatively_and_estimate_accurately(spark):
     for lang, n in exact.items():
         assert merged[lang] == direct[lang], lang  # partial-merge ≡ direct
         assert abs(merged[lang] - n) <= max(2, 0.05 * n), (lang, merged[lang], n)
+
+
+def test_source_authority_pagerank_vs_python(spark):
+    """PageRank re-derived in pure Python from the same edge weights:
+    per-node scores match to 1e-9, mass is conserved, and a syndication
+    hub out-ranks an isolated source."""
+    from sql_query_engine_spark.functions import dedup
+    from sql_query_engine_spark.queries import (
+        _PR_ITERS,
+        pipeline_source_authority,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    w: dict[tuple[str, str], int] = {}
+    for r in pairs.collect():
+        a, b = src[r.doc_a], src[r.doc_b]
+        if a != b:
+            w[(a, b)] = w.get((a, b), 0) + 1
+            w[(b, a)] = w.get((b, a), 0) + 1
+    nodes = sorted({r.source for r in docs.select("source").distinct().collect()})
+    n = len(nodes)
+    outw = {}
+    for (a, _), wt in w.items():
+        outw[a] = outw.get(a, 0) + wt
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        contrib = {v: 0.0 for v in nodes}
+        for (a, b), wt in w.items():
+            contrib[b] += pr[a] * wt / outw[a]
+        dm = sum(p for v, p in pr.items() if v not in outw)
+        pr = {v: 0.15 / n + 0.85 * (contrib[v] + dm / n) for v in nodes}
+
+    got = {r.source: r.authority
+           for r in pipeline_source_authority(spark, SF_DIR).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 1e-6, (v, got[v], pr[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conservation
+    # structure: any connected source out-ranks every isolated one
+    isolated = [v for v in nodes if v not in outw]
+    connected = [v for v in nodes if v in outw]
+    if isolated and connected:
+        assert max(got[v] for v in connected) > max(got[v] for v in isolated)
