@@ -5416,6 +5416,46 @@ def pipeline_source_authority(spark, sf_dir):
     return pr.select("source", F.round("pr", 9).alias("authority"))
 
 
+_MRL_DIM = 16
+
+_MRL_SPARK_N2 = (
+    f"aggregate(transform(slice(embedding, 1, {_MRL_DIM}),"
+    " x -> cast(x as double) * cast(x as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+_MRL_DUCK_N2 = (
+    f"list_reduce(list_prepend(cast(0 as double),"
+    f" list_transform(embedding[1:{_MRL_DIM}],"
+    " x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)"
+)
+
+
+@_q(
+    "emb_matryoshka_truncate",
+    f"""SELECT vec_id,
+       {", ".join(f"round(embedding[{j + 1}]::DOUBLE / sqrt({_MRL_DUCK_N2}), 6) AS m{j}" for j in range(_MRL_DIM))}
+FROM embeddings
+WHERE {_MRL_DUCK_N2} > 0""",
+    "Matryoshka-style embedding truncation: keep the first 16 of 64 "
+    "dims and L2-renormalize — the MRL serving pattern (train once, "
+    "serve any prefix length; the short prefix drives cheap ANN "
+    "candidate generation, the full vector reranks). Map-only like "
+    "emb_random_projection: one codegen Project over the scan, zero "
+    "shuffles, 4× index shrink before any quantization. Norm is the "
+    "same fixed-order fold both engines run — value-exact.",
+)
+def emb_matryoshka_truncate(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.expr(_MRL_SPARK_N2))
+    cols = [F.col("vec_id")] + [
+        F.round(
+            F.expr(f"cast(embedding[{j}] as double)") / norm, 6
+        ).alias(f"m{j}")
+        for j in range(_MRL_DIM)
+    ]
+    return emb.filter(F.expr(_MRL_SPARK_N2) > 0).select(*cols)
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -704,3 +704,47 @@ def test_source_authority_pagerank_vs_python(spark):
     connected = [v for v in nodes if v in outw]
     if isolated and connected:
         assert max(got[v] for v in connected) > max(got[v] for v in isolated)
+
+
+def test_matryoshka_truncate_map_only_and_unit_norm(spark):
+    """MRL truncation: zero exchanges (scan-speed map), output prefixes
+    are unit-L2, and prefix cosine correlates with full-vector cosine on
+    the planted near-dup pairs (the property that makes the prefix a
+    valid ANN candidate filter)."""
+    import math
+
+    from sql_query_engine_spark.queries import _MRL_DIM, emb_matryoshka_truncate
+
+    out = emb_matryoshka_truncate(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        n = math.sqrt(sum(r[f"m{j}"] ** 2 for j in range(_MRL_DIM)))
+        assert abs(n - 1.0) < 1e-4, (r.vec_id, n)
+
+    # prefix preserves the near-dup signal IN EXPECTATION: the mean
+    # prefix cosine over full-vector near-dup pairs must sit well above
+    # the ~0 background mean of unrelated pairs. (Per-pair guarantees
+    # need MRL *training* to front-load information; on raw vectors the
+    # prefix is an unbiased 1/4 subsample, so only the mean is pinned.)
+    from sql_query_engine_spark.functions import dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    pref = {r.vec_id: [r[f"m{j}"] for j in range(_MRL_DIM)] for r in rows}
+    if pairs:
+        sims = [
+            sum(a * b for a, b in zip(pref[p.vec_a], pref[p.vec_b]))
+            for p in pairs
+            if p.vec_a in pref and p.vec_b in pref
+        ]
+        background = [
+            sum(a * b for a, b in zip(pref[i], pref[i + 250]))
+            for i in range(0, 100)
+        ]
+        mean_s = sum(sims) / len(sims)
+        mean_b = sum(background) / len(background)
+        assert mean_s > mean_b + 0.2, (mean_s, mean_b)

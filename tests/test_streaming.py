@@ -634,3 +634,76 @@ def test_idempotent_sink_replay_and_restart_no_duplicates(spark, tmp_path):
     assert after.select("id", "v").exceptAll(
         spark.read.parquet(str(src / "p1"))
     ).count() == 0
+
+
+def test_streaming_cdc_across_microbatches_equals_batch(spark, batch_events, tmp_path):
+    """Last-writer-wins CDC view maintenance under real incremental
+    execution: the changelog arrives as 3 chronological micro-batches;
+    the latest update per key (the maintained view) must equal the batch
+    compaction AND queries.pipeline_cdc_upsert's relational form."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.streaming.cdc import cdc_batch, cdc_stream
+
+    ev = batch_events.select("event_id", "user_id", "ts", "event_type", "value")
+    q1, q2 = ev.approxQuantile("ts", [0.33, 0.66], 0.001)
+    stream_dir = tmp_path / "cdc_stream"
+    stream_dir.mkdir()
+    thirds = [
+        ev.filter(F.col("ts") <= F.lit(q1)),
+        ev.filter((F.col("ts") > F.lit(q1)) & (F.col("ts") <= F.lit(q2))),
+        ev.filter(F.col("ts") > F.lit(q2)),
+    ]
+    import time as _time
+
+    for i, part in enumerate(thirds):
+        part.coalesce(1).write.parquet(str(stream_dir / f"b{i}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "b*"))
+    )
+    out = cdc_stream(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert len(q.recentProgress) >= 3  # three real triggers
+
+    # the view = each key's LATEST update across triggers; the memory
+    # sink appends updates in trigger order, so dedupe by max last_t_us
+    # with deleted rows (last_t_us NULL) ranked by arrival via a
+    # monotonically increasing row id
+    updates = spark.sql(
+        "SELECT *, monotonically_increasing_id() AS seq FROM cdc_stream_test"
+    ).collect()
+    view = {}
+    for r in sorted(updates, key=lambda r: r.seq):
+        view[r.user_id] = (r.last_event_type, r.last_value, r.last_t_us, r.deleted)
+
+    want = {
+        r.user_id: (r.last_event_type, r.last_value, r.last_t_us, r.deleted)
+        for r in cdc_batch(ev).collect()
+    }
+    assert view == want
+
+    # and the surviving (non-deleted) keys equal the relational batch query
+    from sql_query_engine_spark.queries import pipeline_cdc_upsert
+    from tests.conftest import SF_DIR
+
+    rel = {
+        r.user_id: (r.last_event_type, r.last_value, r.last_t_us)
+        for r in pipeline_cdc_upsert(spark, SF_DIR).collect()
+    }
+    stream_alive = {
+        u: (et, v, t) for u, (et, v, t, d) in view.items() if not d
+    }
+    assert stream_alive == rel
