@@ -5456,6 +5456,115 @@ def emb_matryoshka_truncate(spark, sf_dir):
     return emb.filter(F.expr(_MRL_SPARK_N2) > 0).select(*cols)
 
 
+@_q(
+    "catalog_feed_freshness",
+    """WITH per_feed AS (
+    SELECT event_type AS feed, max(epoch_us(ts)) // 86400000000 AS last_day,
+           count(*) AS n_events
+    FROM events GROUP BY event_type),
+corpus AS (SELECT max(last_day) AS max_day FROM per_feed)
+SELECT feed, last_day, n_events,
+       cast(max_day - last_day as bigint) AS days_behind
+FROM per_feed, corpus""",
+    "ingest-feed freshness monitoring: per feed, the last event day and "
+    "its lag behind the freshest feed — the SLA dashboard that catches a "
+    "stalled upstream before it starves the corpus. Deliberately "
+    "anchored to the corpus max (data-derived), never wall-clock now(), "
+    "so the result is deterministic and replay-safe. One hash-agg on the "
+    "tiny feed key + a broadcast 1-row corpus max.",
+)
+def catalog_feed_freshness(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_feed = e.groupBy(F.col("event_type").alias("feed")).agg(
+        F.expr("max(ts DIV 1000) DIV 86400000000").alias("last_day"),
+        F.count("*").alias("n_events"),
+    )
+    corpus = per_feed.agg(F.max("last_day").alias("max_day"))
+    return per_feed.join(F.broadcast(corpus)).select(
+        "feed",
+        "last_day",
+        "n_events",
+        (F.col("max_day") - F.col("last_day")).cast("bigint").alias("days_behind"),
+    )
+
+
+@_q(
+    "join_null_safe",
+    """WITH a AS (
+    SELECT nullif(event_type, 'error') AS k, count(*) AS n_a,
+           cast(sum(cast(value as decimal(18,6))) as double) AS sum_a
+    FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+b AS (
+    SELECT nullif(event_type, 'error') AS k, count(*) AS n_b
+    FROM events WHERE user_id % 2 = 1 GROUP BY 1)
+SELECT a.k, n_a, sum_a, n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+    "null-safe equi-join (Spark <=> / SQL IS NOT DISTINCT FROM): the "
+    "NULL key row MATCHES across sides instead of silently vanishing — "
+    "the semantic that plain equality gets wrong when a join key carries "
+    "sentinel NULLs (here the 'error' feed). Null-safe equality is still "
+    "a hash-join key in Spark (NULL hashes to a bucket like any value), "
+    "so the plan is an ordinary shuffled equi-join, not a theta join.",
+)
+def join_null_safe(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("nullif(event_type, 'error')")
+    a = (
+        e.filter(F.col("user_id") % 2 == 0)
+        .groupBy(k.alias("k"))
+        .agg(
+            F.count("*").alias("n_a"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_a"),
+        )
+    )
+    b = (
+        e.filter(F.col("user_id") % 2 == 1)
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return a.alias("a").join(
+        b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k"))
+    ).select(F.col("a.k").alias("k"), "n_a", "sum_a", "n_b")
+
+
+_Z_BITS = 8
+
+
+def _duck_zorder(a: str, b: str, bits: int = _Z_BITS) -> str:
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint),"
+        f" list_transform(generate_series(0, {bits - 1}), i ->"
+        f" ((({a} >> i) & 1) << (2 * i)) + ((({b} >> i) & 1) << (2 * i + 1)))),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+@_q(
+    "scalar_zorder_key",
+    f"""SELECT o_orderkey,
+       o_orderkey % 256 AS na, o_custkey % 256 AS nb,
+       {_duck_zorder("(o_orderkey % 256)", "(o_custkey % 256)")} AS z
+FROM orders""",
+    "Morton / Z-order key arithmetic exposed as a checked query: the "
+    "same bit-interleave expression sinks.write_zorder_parquet sorts by "
+    "(sources/sinks.py zorder_key), verified value-exact against the "
+    "oracle's re-derivation — the engine-neutrality proof for the "
+    "multi-column data-skipping layout. Pure codegen fold over bit ops, "
+    "map-only, zero shuffles.",
+)
+def scalar_zorder_key(spark, sf_dir):
+    from .sources.sinks import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 256).alias("na"),
+        (F.col("o_custkey") % 256).alias("nb"),
+    )
+    return o.withColumn("z", zorder_key("na", "nb", _Z_BITS))
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -294,3 +294,44 @@ def test_incremental_rollup_split_is_nontrivial(spark):
     hist_n = e.filter(F.col("day") % 31 < _ROLLUP_CUTOFF_DAY).count()
     delta_n = e.filter(F.col("day") % 31 >= _ROLLUP_CUTOFF_DAY).count()
     assert hist_n > 0 and delta_n > 0
+
+
+def test_null_safe_join_matches_null_key(spark):
+    """The NULL ('error'-sentinel) key row must appear in the join output
+    — the exact row plain equality would drop."""
+    from sql_query_engine_spark.queries import join_null_safe
+
+    rows = join_null_safe(spark, SF_DIR).collect()
+    keys = {r.k for r in rows}
+    assert None in keys          # NULL <=> NULL matched
+    assert len(keys) == 5        # 4 real feeds + the NULL sentinel
+
+
+def test_zorder_key_is_bijective_and_matches_python(spark):
+    """The Morton key re-derived bit-by-bit in Python; distinct (na, nb)
+    pairs map to distinct z (interleave is a bijection)."""
+    from sql_query_engine_spark.queries import scalar_zorder_key
+
+    def z_py(a: int, b: int, bits: int = 8) -> int:
+        out = 0
+        for i in range(bits):
+            out += ((a >> i) & 1) << (2 * i)
+            out += ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = scalar_zorder_key(spark, SF_DIR).collect()
+    seen = {}
+    for r in rows:
+        assert r.z == z_py(r.na, r.nb), (r.na, r.nb, r.z)
+        if (r.na, r.nb) in seen:
+            assert seen[(r.na, r.nb)] == r.z
+        seen[(r.na, r.nb)] = r.z
+    assert len({(na, nb) for na, nb in seen}) == len(set(seen.values()))
+
+
+def test_feed_freshness_anchored_to_corpus_max(spark):
+    from sql_query_engine_spark.queries import catalog_feed_freshness
+
+    rows = catalog_feed_freshness(spark, SF_DIR).collect()
+    assert all(r.days_behind >= 0 for r in rows)
+    assert any(r.days_behind == 0 for r in rows)  # the freshest feed

@@ -98,6 +98,8 @@ EXPECTED = {
     "aggregate crossJoin (text_idf shape) against the word-count table",
     "catalog_key_skew_profile": "BNLJ is the lazy 1-row total-count "
     "aggregate crossJoin (text_idf shape) against the per-key counts",
+    "catalog_feed_freshness": "BNLJ is the broadcast 1-row corpus-max "
+    "aggregate against the tiny per-feed table (text_idf shape)",
 }
 
 # queries whose physical plan legitimately contains a Window with no
