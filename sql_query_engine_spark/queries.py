@@ -5565,6 +5565,46 @@ def scalar_zorder_key(spark, sf_dir):
     return o.withColumn("z", zorder_key("na", "nb", _Z_BITS))
 
 
+@_q(
+    "mm_pixel_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+    FROM d,
+         unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y)),
+s AS (
+    SELECT doc_id, w, h,
+           sum((doc_id*7 + x*3 + y*5) % 256) AS sr,
+           sum((doc_id*11 + x + 2*y) % 256) AS sg,
+           sum((doc_id*3 + 5*x + y) % 256) AS sb,
+           count(*) AS n
+    FROM px GROUP BY doc_id, w, h)
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       round(sr / cast(n as double), 6) AS mean_r,
+       round(sg / cast(n as double), 6) AS mean_g,
+       round(sb / cast(n as double), 6) AS mean_b
+FROM s""",
+    "REAL pixel decode, end to end: each doc gets a genuine truecolor "
+    "PNG (actual filtered scanlines — all five PNG filter types in "
+    "rotation — zlib-compressed IDAT), and the decode path walks chunks, "
+    "inflates, UNFILTERS, and reduces pixels to per-channel means — "
+    "stdlib-only, no codec dependency (functions/multimodal.py "
+    "decode_png_pixels). Pixel values are a pure function of (doc_id, "
+    "x, y), so the oracle states the expected means ARITHMETICALLY over "
+    "a generate_series pixel grid while Spark earns them through real "
+    "format bytes. Map-only: payloads live inside the Arrow stage, only "
+    "(doc_id, dims, 3 doubles) survive — pixel statistics at 100 TB "
+    "without moving pixels. JPEG pixel decode (IDCT) remains the "
+    "documented codec-library boundary.",
+)
+def mm_pixel_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.pixel_stats(multimodal.synthesize_png_pixels(d))
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -731,3 +731,56 @@ def test_bpe_encode_counts_match_pure_python(spark, docs):
     total_chars = sum(v[1] for v in got.values())
     total_bpe = sum(v[2] for v in got.values())
     assert total_bpe < 0.85 * total_chars
+
+
+def test_png_pixel_roundtrip_all_filter_types():
+    """Encoder writes rows filtered with types 0-4 in rotation; the
+    decoder must unfilter every type back to the exact pixel sums."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+        pixel_dims,
+        pixel_value,
+    )
+
+    for d in (0, 3, 17, 123, 499):
+        w, h, sr, sg, sb = decode_png_pixels(build_png_pixels(d))
+        assert (w, h) == pixel_dims(d)
+        assert h >= 5  # every filter type actually occurs
+        exp = [0, 0, 0]
+        for x in range(w):
+            for y in range(h):
+                for c, v in enumerate(pixel_value(d, x, y)):
+                    exp[c] += v
+        assert [sr, sg, sb] == exp
+
+
+def test_png_pixel_decode_rejects_corruption():
+    """Truncation, bad magic, wrong color type, and mangled IDAT must all
+    yield None (NULL rows downstream), never exceptions."""
+    import zlib
+
+    from sql_query_engine_spark.functions.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    good = build_png_pixels(7)
+    assert decode_png_pixels(good) is not None
+    assert decode_png_pixels(good[:40]) is None              # truncated
+    assert decode_png_pixels(b"JUNK" + good[4:]) is None     # bad magic
+    # flip a byte inside the compressed IDAT: zlib inflate fails
+    bad = bytearray(good)
+    bad[60] ^= 0xFF
+    assert decode_png_pixels(bytes(bad)) is None
+    # grayscale (color type 0) is outside the truecolor contract
+    from sql_query_engine_spark.functions.multimodal import _png_chunk
+
+    ihdr = (8).to_bytes(4, "big") + (8).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(9 * 8)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(gray) is None
