@@ -106,6 +106,28 @@ def _fp_rolling(dialect: str, text: str) -> str:
     )
 
 
+def _count_re(dialect: str, text: str, pattern: str, lower: bool = False) -> str:
+    src = f"lower({text})" if lower else text
+    if dialect == "spark":
+        return f"size(regexp_extract_all({src}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({src}, '{pattern}'))"
+
+
+def _readability(dialect: str, text: str) -> str:
+    """Flesch-Kincaid grade from three regexp counts (words, sentence
+    terminators, vowel groups as the standard syllable proxy) — integer
+    ingredients, double divisions with literal coefficients, identical
+    in both engines."""
+    words = f"greatest({_token_count(dialect, text)}, 1)"
+    sents = f"greatest({_count_re(dialect, text, '[.!?]+')}, 1)"
+    sylls = f"greatest({_count_re(dialect, text, '[aeiouy]+', lower=True)}, 1)"
+    return (
+        f"round(cast(0.39 as double) * {words} / {sents} "
+        f"+ cast(11.8 as double) * {sylls} / {words} "
+        f"- cast(15.59 as double), 6)"
+    )
+
+
 # name → (spark_sql_expr, duckdb_sql_expr); input column is always `text`.
 ORACLE_EXPRS: dict[str, tuple[str, str]] = {
     "lang_id": (_lang_case("spark", "text"), _lang_case("duck", "text")),
@@ -120,6 +142,15 @@ ORACLE_EXPRS: dict[str, tuple[str, str]] = {
         f"len(regexp_extract_all(lower(text), '{_BPE_RE}'))",
     ),
     "fp": (_fp_rolling("spark", "text"), _fp_rolling("duck", "text")),
+    "fk_grade": (_readability("spark", "text"), _readability("duck", "text")),
+    "n_sentences": (
+        _count_re("spark", "text", "[.!?]+"),
+        _count_re("duck", "text", "[.!?]+"),
+    ),
+    "n_syllables": (
+        _count_re("spark", "text", "[aeiouy]+", lower=True),
+        _count_re("duck", "text", "[aeiouy]+", lower=True),
+    ),
 }
 
 

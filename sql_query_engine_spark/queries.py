@@ -5605,6 +5605,32 @@ def mm_pixel_stats(spark, sf_dir):
     return multimodal.pixel_stats(multimodal.synthesize_png_pixels(d))
 
 
+@_q(
+    "text_readability",
+    f"""SELECT doc_id,
+       {text.ORACLE_EXPRS["n_tokens"][1]} AS n_words,
+       {text.ORACLE_EXPRS["n_sentences"][1]} AS n_sentences,
+       {text.ORACLE_EXPRS["n_syllables"][1]} AS n_syllables,
+       {text.ORACLE_EXPRS["fk_grade"][1]} AS fk_grade
+FROM documents""",
+    "Flesch-Kincaid readability grade as a curation signal (filter "
+    "too-simple or unreadably dense text; mix by difficulty for "
+    "curriculum ordering): words, sentence terminators, and vowel-group "
+    "syllable proxies are three regexp counts over the scan — integer "
+    "ingredients, double divisions with literal coefficients, all "
+    "whole-stage codegen, zero shuffles, zero Python.",
+)
+def text_readability(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(text.ORACLE_EXPRS["n_tokens"][0]).alias("n_words"),
+        F.expr(text.ORACLE_EXPRS["n_sentences"][0]).alias("n_sentences"),
+        F.expr(text.ORACLE_EXPRS["n_syllables"][0]).alias("n_syllables"),
+        F.expr(text.ORACLE_EXPRS["fk_grade"][0]).alias("fk_grade"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

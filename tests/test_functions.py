@@ -784,3 +784,31 @@ def test_png_pixel_decode_rejects_corruption():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png_pixels(gray) is None
+
+
+def test_readability_known_values(spark):
+    """FK grade on hand-computed sentences: simple short text scores low,
+    polysyllabic run-ons score high."""
+    from sql_query_engine_spark.functions.text import ORACLE_EXPRS
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran. It was fun."),
+            (2, "Extraordinarily sophisticated considerations necessitate "
+                "unambiguously comprehensive organizational accountability "
+                "notwithstanding internationalization"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in df.selectExpr(
+        "doc_id",
+        f"{ORACLE_EXPRS['n_tokens'][0]} AS w",
+        f"{ORACLE_EXPRS['n_sentences'][0]} AS s",
+        f"{ORACLE_EXPRS['n_syllables'][0]} AS y",
+        f"{ORACLE_EXPRS['fk_grade'][0]} AS fk",
+    ).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1.w == 9 and r1.s == 3
+    # 0.39*9/3 + 11.8*y/9 - 15.59, y = vowel groups; verify arithmetic
+    assert abs(r1.fk - round(0.39 * 9 / 3 + 11.8 * r1.y / 9 - 15.59, 6)) < 1e-9
+    assert r2.fk > 15 > r1.fk  # dense text far above simple text
