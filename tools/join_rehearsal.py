@@ -125,6 +125,55 @@ def run(spark, n_fact: int) -> dict:
     assert survivors >= exact, "bloom dropped a matching row"
     # m=2^17/k=5 over 1k keys → fpp ~1e-5; survivors ≈ matches
     assert survivors < exact + n_fact * 0.001, "false-positive rate blown"
+
+    # --- CDC changelog compaction (the pipeline_cdc_upsert shape) ---------
+    # n_fact-row changelog over 10k keys: rn=1 plans as WindowGroupLimit,
+    # so each map partition forwards at most one candidate row per key it
+    # holds. The structural claim: reduce-side input is bounded by
+    # (partitions × keys), not log length — measured directly below.
+    from pyspark.sql import Window
+
+    n_keys = 10_000
+    log = spark.range(n_fact).select(
+        F.pmod(F.xxhash64("id"), n_keys).alias("key"),
+        F.pmod(F.xxhash64("id", F.lit(1)), 1_000_000_000).alias("seq"),
+        F.col("id").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc(), F.col("payload").desc())
+    t0 = time.monotonic()
+    compacted = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "seq", "payload")
+    )
+    got = compacted.agg(
+        F.count("*").alias("n"), F.sum("payload").alias("chk")
+    ).collect()[0]
+    report["t_cdc_compact_s"] = round(time.monotonic() - t0, 2)
+
+    # independent reduction: max_by over the same (seq, payload) order
+    want = (
+        log.groupBy("key")
+        .agg(F.max(F.struct("seq", "payload")).alias("m"))
+        .agg(F.count("*").alias("n"), F.sum("m.payload").alias("chk"))
+        .collect()[0]
+    )
+    assert (got["n"], got["chk"]) == (want["n"], want["chk"]), (
+        "window compaction != max_by reduction"
+    )
+    report["cdc_log_rows"] = n_fact
+    report["cdc_keys"] = got["n"]
+    # what WindowGroupLimit forwards: ≤1 row per (map partition, key)
+    forwarded = (
+        log.select(F.spark_partition_id().alias("pid"), "key")
+        .distinct()
+        .count()
+    )
+    report["cdc_forwarded_upper"] = forwarded
+    report["cdc_shuffle_cut_factor"] = round(n_fact / forwarded, 1)
+    assert forwarded < n_fact / 5, "compaction forwards too much"
+    plan = compacted._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "rn=1 did not plan as WindowGroupLimit"
     return report
 
 
