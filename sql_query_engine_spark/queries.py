@@ -5631,6 +5631,41 @@ def text_readability(spark, sf_dir):
     )
 
 
+@_q(
+    "text_tokenizer_fertility",
+    f"""SELECT lang,
+       cast(sum({text.ORACLE_EXPRS["n_tokens"][1]}) as bigint) AS n_words,
+       cast(sum({text.ORACLE_EXPRS["n_bpe_tokens"][1]}) as bigint)
+           AS n_subwords,
+       round(sum({text.ORACLE_EXPRS["n_bpe_tokens"][1]})
+             / cast(sum({text.ORACLE_EXPRS["n_tokens"][1]}) as double), 6)
+           AS fertility
+FROM documents GROUP BY lang""",
+    "tokenizer fertility by language — subword tokens per word, the "
+    "standard multilingual tokenizer-equity metric (a language with 2× "
+    "fertility pays 2× the context budget per sentence; curation mixes "
+    "and per-language packing budgets should see this number). Uses the "
+    "JVM BPE-ish pretokenizer counts so the aggregate stays whole-stage "
+    "codegen (zero Python) and oracle-exact; one hash-agg on the tiny "
+    "lang key.",
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nt = F.expr(text.ORACLE_EXPRS["n_tokens"][0])
+    nb = F.expr(text.ORACLE_EXPRS["n_bpe_tokens"][0])
+    return (
+        d.select("lang", nt.alias("nt"), nb.alias("nb"))
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").cast("bigint").alias("n_words"),
+            F.sum("nb").cast("bigint").alias("n_subwords"),
+            F.round(
+                F.sum("nb") / F.sum("nt").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -812,3 +812,20 @@ def test_readability_known_values(spark):
     # 0.39*9/3 + 11.8*y/9 - 15.59, y = vowel groups; verify arithmetic
     assert abs(r1.fk - round(0.39 * 9 / 3 + 11.8 * r1.y / 9 - 15.59, 6)) < 1e-9
     assert r2.fk > 15 > r1.fk  # dense text far above simple text
+
+
+def test_tokenizer_fertility_bounds_and_totals(spark, docs):
+    """Fertility ≥ 1 (a word is at least one subword under the BPE-ish
+    pretokenizer), and per-language word totals add up to the corpus."""
+    from sql_query_engine_spark.queries import text_tokenizer_fertility
+
+    rows = text_tokenizer_fertility(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r.fertility >= 1.0, (r.lang, r.fertility)
+        assert r.n_subwords >= r.n_words
+    total = sum(r.n_words for r in rows)
+    direct = docs.selectExpr(
+        "sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS n"
+    ).collect()[0].n
+    assert total == direct
