@@ -1087,3 +1087,254 @@ def pixel_stats(with_media: DataFrame) -> DataFrame:
             yield out
 
     return with_media.mapInPandas(_dec, PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode, part 2: GIF (LZW) — also stdlib-only.
+#
+# GIF's image data is LZW with variable-width codes (9→12 bits, LSB-first
+# bit packing, CLEAR/END control codes, dictionary reset at 4096) — the
+# public GIF89a specification. A real encoder AND decoder below: the
+# encoder grows the dictionary exactly as the spec says, so the decoder's
+# growth path (including the deferred "code == next expected entry" case)
+# is genuinely exercised. Palette entry i is (i, (i*2)%256, (i*3)%256)
+# and pixel indices are a pure function of (doc_id, x, y), so channel
+# means are oracle-expressible arithmetically, like the PNG path.
+# ---------------------------------------------------------------------------
+
+_GIF_MIN_CODE = 8  # 256-entry palette
+_GIF_CLEAR = 1 << _GIF_MIN_CODE          # 256
+_GIF_END = _GIF_CLEAR + 1                # 257
+
+
+def gif_pixel_index(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 5 + x * 7 + y * 11) % 256
+
+
+def gif_palette_rgb(idx: int) -> tuple[int, int, int]:
+    return idx, (idx * 2) % 256, (idx * 3) % 256
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: bytes) -> bytes:
+    """GIF-variant LZW: variable width, CLEAR first, reset at 4096."""
+    bw = _BitWriter()
+    width = _GIF_MIN_CODE + 1
+    bw.write(_GIF_CLEAR, width)
+    table = {bytes([i]): i for i in range(256)}
+    next_code = _GIF_END + 1
+    w = b""
+    for ch in indices:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            # GIF encoders bump the width when the NEXT emitted code
+            # could be next_code-1 (the new largest); the +1 offset
+            # matches the decoder's "first code at the new width" view
+            width += 1
+        if next_code >= 4096:
+            bw.write(_GIF_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _GIF_END + 1
+            width = _GIF_MIN_CODE + 1
+        w = bytes([ch])
+    if w:
+        bw.write(table[w], width)
+    bw.write(_GIF_END, width)
+    return bw.flush()
+
+
+def _lzw_decode(data: bytes, n_expected: int):
+    """Inverse: returns the index stream or None on structural damage."""
+    width = _GIF_MIN_CODE + 1
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out before END
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == _GIF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = _GIF_MIN_CODE + 1
+            prev = None
+            continue
+        if code == _GIF_END:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            return None
+    if len(out) != n_expected:
+        return None
+    return bytes(out)
+
+
+def build_gif_pixels(doc_id: int) -> bytes:
+    """A REAL GIF89a: 256-color global palette + LZW-compressed indices."""
+    w, h = pixel_dims(doc_id)
+    palette = b"".join(bytes(gif_palette_rgb(i)) for i in range(256))
+    indices = bytes(
+        gif_pixel_index(doc_id, x, y) for y in range(h) for x in range(w)
+    )
+    lzw = _lzw_encode(indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+        + palette
+        + b"\x2c"
+        + bytes(4)  # image at (0,0)
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"  # no local table, not interlaced
+        + bytes([_GIF_MIN_CODE])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif_pixels(payload: bytes):
+    """Full GIF pixel decode: header walk → palette → LZW inflate →
+    per-channel sums through the palette. None on any structural damage."""
+    b = payload
+    if len(b) < 13 or b[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    if not flags & 0x80:
+        return None  # need a global color table
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    palette = b[pos : pos + 3 * gct_n]
+    if len(palette) < 3 * gct_n:
+        return None
+    pos += 3 * gct_n
+    if pos >= len(b) or b[pos] != 0x2C:
+        return None
+    iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+    if (iw, ih) != (w, h) or b[pos + 9] & 0x80:
+        return None
+    pos += 10
+    if pos >= len(b) or b[pos] != _GIF_MIN_CODE:
+        return None
+    pos += 1
+    lzw = bytearray()
+    while pos < len(b):
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += b[pos : pos + n]
+        if len(b[pos : pos + n]) < n:
+            return None
+        pos += n
+    indices = _lzw_decode(bytes(lzw), w * h)
+    if indices is None:
+        return None
+    sums = [0, 0, 0]
+    for idx in indices:
+        sums[0] += palette[3 * idx]
+        sums[1] += palette[3 * idx + 1]
+        sums[2] += palette[3 * idx + 2]
+    return w, h, sums[0], sums[1], sums[2]
+
+
+def synthesize_gif_pixels(docs: DataFrame) -> DataFrame:
+    """One real LZW-compressed GIF per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_gif_pixels(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def gif_pixel_stats(with_media: DataFrame) -> DataFrame:
+    """payload → per-channel pixel means via the full LZW decode path
+    (same map-only shape and NULL-on-corruption contract as
+    :func:`pixel_stats`)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_gif_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                else:
+                    w, h, sr, sg, sb = dec
+                    n = w * h
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(round(sr / n, 6))
+                    rows["mean_g"].append(round(sg / n, 6))
+                    rows["mean_b"].append(round(sb / n, 6))
+            out = pd.DataFrame(rows)
+            for c in ("width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, PIXEL_SCHEMA)

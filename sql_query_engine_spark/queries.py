@@ -5666,6 +5666,45 @@ def text_tokenizer_fertility(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_gif_pixel_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h,
+           (doc_id*5 + tx.x*7 + ty.y*11) % 256 AS idx
+    FROM d,
+         unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y)),
+s AS (
+    SELECT doc_id, w, h,
+           sum(idx) AS sr,
+           sum((idx*2) % 256) AS sg,
+           sum((idx*3) % 256) AS sb,
+           count(*) AS n
+    FROM px GROUP BY doc_id, w, h)
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       round(sr / cast(n as double), 6) AS mean_r,
+       round(sg / cast(n as double), 6) AS mean_g,
+       round(sb / cast(n as double), 6) AS mean_b
+FROM s""",
+    "REAL pixel decode #2 — GIF/LZW: each doc gets a genuine GIF89a "
+    "(256-entry palette + variable-width LZW with CLEAR/END codes and "
+    "dictionary growth, encoded by a real LZW compressor), and the "
+    "decode path walks the container, inflates the LZW stream, and "
+    "reduces palette-mapped pixels to channel means — stdlib-only "
+    "(functions/multimodal.py _lzw_encode/_lzw_decode). With the PNG "
+    "path this makes two of the three image container formats "
+    "pixel-real; JPEG (IDCT) remains the codec-library boundary. Oracle "
+    "re-derives the means arithmetically from the palette formula over "
+    "a generate_series grid. Map-only, NULL on corruption.",
+)
+def mm_gif_pixel_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.gif_pixel_stats(multimodal.synthesize_gif_pixels(d))
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -829,3 +829,47 @@ def test_tokenizer_fertility_bounds_and_totals(spark, docs):
         "sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS n"
     ).collect()[0].n
     assert total == direct
+
+
+def test_gif_lzw_roundtrip_including_dictionary_reset():
+    """The raw LZW codec round-trips a stream long enough to cross the
+    9→10→11→12-bit widths AND the 4096-entry dictionary reset."""
+    from sql_query_engine_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    stream = bytes((i * 37 + (i >> 3) * 11) % 256 for i in range(30_000))
+    enc = _lzw_encode(stream)
+    assert _lzw_decode(enc, len(stream)) == stream
+    assert len(enc) < len(stream)  # it actually compresses
+
+
+def test_gif_pixel_roundtrip_and_corruption():
+    """Full-container GIF round-trip matches the palette arithmetic;
+    damaged payloads yield None, never exceptions."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_gif_pixels,
+        decode_gif_pixels,
+        gif_palette_rgb,
+        gif_pixel_index,
+        pixel_dims,
+    )
+
+    for d in (0, 9, 250):
+        w, h, sr, sg, sb = decode_gif_pixels(build_gif_pixels(d))
+        assert (w, h) == pixel_dims(d)
+        exp = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                for c, v in enumerate(gif_palette_rgb(gif_pixel_index(d, x, y))):
+                    exp[c] += v
+        assert [sr, sg, sb] == exp
+
+    good = build_gif_pixels(11)
+    assert decode_gif_pixels(good[:20]) is None          # truncated
+    assert decode_gif_pixels(b"NOPE" + good[4:]) is None  # bad magic
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF  # damage inside the LZW blocks
+    res = decode_gif_pixels(bytes(bad))  # must not raise
+    assert res is None or len(res) == 5
