@@ -5705,6 +5705,66 @@ def mm_gif_pixel_stats(spark, sf_dir):
     return multimodal.gif_pixel_stats(multimodal.synthesize_gif_pixels(d))
 
 
+_TOKEN_BUDGET = 3_000  # per-language token budget for the gate corpus
+
+
+@_q(
+    "pipeline_token_budget_mixture",
+    f"""WITH toks AS (
+    SELECT doc_id, lang,
+           {text.ORACLE_EXPRS["n_tokens"][1]} AS n_tok,
+           {_duck_h48("concat(cast(doc_id as varchar), ':budget')")} AS hsel
+    FROM documents),
+ordered AS (
+    SELECT doc_id, lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang
+                            ORDER BY hsel, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_tok
+    FROM toks)
+SELECT lang, count(*) AS n_docs,
+       cast(max(cum_tok) as bigint) AS tokens_admitted
+FROM ordered
+WHERE cum_tok <= {_TOKEN_BUDGET}
+GROUP BY lang""",
+    "exact per-language TOKEN budget admission (not a rate): docs enter "
+    "in deterministic salted-hash order and are admitted while the "
+    "language's running token sum stays under budget — 'exactly ≤1M "
+    "tokens of each language', the mixture spec training recipes "
+    "actually state (rate-based mixtures like "
+    "pipeline_temperature_mixture only hit budgets in expectation). "
+    "One per-lang partitioned window over integer token counts — "
+    "deterministic, partition-layout-independent, reproducible; a new "
+    "corpus drop changes admissions only after the hash positions it.",
+)
+def pipeline_token_budget_mixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr(text.ORACLE_EXPRS["n_tokens"][0]).alias("n_tok"),
+        F.expr(_spark_h48("concat(cast(doc_id as string), ':budget')")).alias(
+            "hsel"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hsel", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = toks.select(
+        "lang", "n_tok", F.sum("n_tok").over(w).alias("cum_tok")
+    )
+    return (
+        ordered.filter(F.col("cum_tok") <= _TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("cum_tok").cast("bigint").alias("tokens_admitted"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -335,3 +335,42 @@ def test_feed_freshness_anchored_to_corpus_max(spark):
     rows = catalog_feed_freshness(spark, SF_DIR).collect()
     assert all(r.days_behind >= 0 for r in rows)
     assert any(r.days_behind == 0 for r in rows)  # the freshest feed
+
+
+def test_token_budget_mixture_exact_and_deterministic(spark):
+    """Admissions re-derived in Python: per language, docs in salted-hash
+    order admitted while the running token sum stays under budget —
+    exact, and the budget is never exceeded."""
+    import re
+
+    from sql_query_engine_spark.queries import (
+        _TOKEN_BUDGET,
+        pipeline_token_budget_mixture,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        n_tok = len(re.findall(r"[a-z0-9]+", r.text.lower()))
+        by_lang.setdefault(r.lang, []).append(
+            (_h48(f"{r.doc_id}:budget"), r.doc_id, n_tok)
+        )
+    expected = {}
+    for lang, rows in by_lang.items():
+        cum = n = 0
+        last = 0
+        for _, _, t in sorted(rows):
+            if cum + t > _TOKEN_BUDGET:
+                break
+            cum += t
+            n += 1
+            last = cum
+        if n:
+            expected[lang] = (n, last)
+
+    got = {r.lang: (r.n_docs, r.tokens_admitted)
+           for r in pipeline_token_budget_mixture(spark, SF_DIR).collect()}
+    assert got == expected
+    assert all(t <= _TOKEN_BUDGET for _, t in got.values())
