@@ -1,0 +1,79 @@
+"""Compute the next round's `_GATE_PRIORITY` rotation from the driver's
+CORRECTNESS_r*.json artifacts.
+
+The correctness driver walks ``queries()`` in order under a time budget,
+so only the first ~50 registry entries earn a driver-green row per
+round. This tool makes the rotation mechanical:
+
+    python tools/rotate_gate.py            # report coverage + plan
+    python tools/rotate_gate.py --emit     # print the Python list body
+
+Policy (COVERAGE.md "rotation notes"): the 13 ``ref_*`` parity rows stay
+pinned first every round (they must stay driver-green); then every query
+that has NEVER been green in any archived CORRECTNESS_r*.json, ordered
+cheapest-first so a time-budgeted gate certifies as many as possible
+(cost proxy: previous bench/oracle wall time is unavailable here, so the
+order falls back to declaration order — cheap scalar/agg families were
+declared early); already-green queries trail in declaration order.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sql_query_engine_spark.queries import registry  # noqa: E402
+
+
+def driver_green() -> dict[str, list[str]]:
+    """query name → rounds in which the driver recorded it green."""
+    green: dict[str, list[str]] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = os.path.basename(path)
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in data.items():
+            ok = row.get("rows_match") and (
+                row.get("hash_match") is not False
+            ) and not row.get("err")
+            if ok:
+                green.setdefault(name, []).append(rnd)
+    return green
+
+
+def main() -> int:
+    emit = "--emit" in sys.argv
+    green = driver_green()
+    names = [q.name for q in registry()]
+    refs = [n for n in names if n.startswith("ref_")]
+    never = [n for n in names if n not in green and not n.startswith("ref_")]
+    checked = [n for n in names if n in green and not n.startswith("ref_")]
+
+    print(f"declared: {len(names)}")
+    print(f"driver-green somewhere: {len(green)}")
+    print(f"never driver-checked (non-ref): {len(never)}")
+    rotation = refs + never + checked
+    if emit:
+        print("\n_GATE_PRIORITY = [")
+        for n in rotation:
+            print(f'    "{n}",')
+        print("]")
+    else:
+        window = rotation[:50]
+        certified = sum(1 for n in window if n not in green)
+        print(f"\nnext-round ~50-query window would newly certify "
+              f"{certified} queries:")
+        for n in window:
+            tag = "NEW" if n not in green else "re"
+            print(f"  {tag:3} {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
