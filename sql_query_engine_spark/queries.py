@@ -5765,6 +5765,74 @@ def pipeline_token_budget_mixture(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_gapfill_locf",
+    """WITH daily AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           cast(sum(cast(value as decimal(18,6))) as double) AS v,
+           count(*) AS n
+    FROM events WHERE user_id < 30 GROUP BY 1, 2),
+bounds AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+days AS (
+    SELECT user_id, td.day AS day
+    FROM bounds, unnest(generate_series(d0, d1)) AS td(day)),
+filled AS (
+    SELECT days.user_id, days.day, daily.v, daily.n
+    FROM days LEFT JOIN daily
+      ON days.user_id = daily.user_id AND days.day = daily.day)
+SELECT user_id, day,
+       coalesce(v, last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled,
+       (n IS NULL) AS is_gap
+FROM filled""",
+    "calendar gap-fill + LOCF (last observation carried forward): each "
+    "user's daily series is densified over their [first, last] activity "
+    "range via sequence+explode, missing days marked and filled by the "
+    "running last non-NULL value — the standard time-series "
+    "regularization step before feature windows or charting. Scale "
+    "shape: per-user day ranges bound the explosion (never a global "
+    "calendar cross join), the join and the LOCF window share the "
+    "user_id partitioning, and the fill is one pass — no per-gap "
+    "self-join.",
+)
+def stream_gapfill_locf(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    daily = (
+        e.select(
+            "user_id",
+            F.expr("ts DIV 86400000000000").alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("dv"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("dv").cast("double").alias("v"),
+            F.count("*").alias("n"),
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = days.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("v"), F.last("v", ignorenulls=True).over(w)).alias(
+            "v_filled"
+        ),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -374,3 +374,28 @@ def test_token_budget_mixture_exact_and_deterministic(spark):
            for r in pipeline_token_budget_mixture(spark, SF_DIR).collect()}
     assert got == expected
     assert all(t <= _TOKEN_BUDGET for _, t in got.values())
+
+
+def test_gapfill_locf_dense_and_carried(spark):
+    """Each user's series is dense over [first, last] day; gap rows carry
+    the most recent real value; non-gap rows carry their own."""
+    from sql_query_engine_spark.queries import stream_gapfill_locf
+
+    rows = sorted(
+        ((r.user_id, r.day, r.v_filled, r.is_gap)
+         for r in stream_gapfill_locf(spark, SF_DIR).collect()),
+    )
+    by_user: dict[int, list] = {}
+    for u, d, v, g in rows:
+        by_user.setdefault(u, []).append((d, v, g))
+    assert by_user
+    for u, series in by_user.items():
+        days = [d for d, _, _ in series]
+        assert days == list(range(days[0], days[-1] + 1))  # dense
+        last_real = None
+        for d, v, g in series:
+            if g:
+                assert v == last_real  # carried forward
+            else:
+                last_real = v
+        assert not series[0][2]  # range starts at a REAL observation
