@@ -5833,6 +5833,77 @@ def stream_gapfill_locf(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_mode_and_argmax",
+    """WITH vc AS (
+    SELECT event_type, user_id, count(*) AS c
+    FROM events GROUP BY event_type, user_id),
+m AS (
+    SELECT event_type, user_id AS mode_user, c AS mode_count,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c DESC, user_id) AS rn
+    FROM vc),
+ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id DESC) AS rt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value ASC, event_id DESC) AS rb
+    FROM events),
+am AS (
+    SELECT t.event_type, t.event_id AS top_event_id, t.value AS top_value,
+           b.event_id AS bottom_event_id, b.value AS bottom_value
+    FROM (SELECT * FROM ranked WHERE rt = 1) t
+    JOIN (SELECT * FROM ranked WHERE rb = 1) b
+      ON t.event_type = b.event_type)
+SELECT m.event_type, mode_user, mode_count,
+       top_event_id, round(top_value, 6) AS top_value,
+       bottom_event_id, round(bottom_value, 6) AS bottom_value
+FROM m JOIN am ON m.event_type = am.event_type
+WHERE rn = 1""",
+    "statistical mode + argmax/argmin per group: the most active user "
+    "per feed (mode over a count-then-rank rewrite with a DETERMINISTIC "
+    "tie-break — the builtin mode() leaves ties engine-defined, so the "
+    "rewrite is the reproducible form) joined with native max_by/min_by "
+    "picking the extreme-value event ids (composite orderings make the "
+    "ties deterministic there too). Two hash-aggregates on the tiny "
+    "feed key; the rank window runs over per-(feed,user) counts, never "
+    "raw events.",
+)
+def agg_mode_and_argmax(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    vc = e.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("user_id")
+    )
+    m = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    am = e.groupBy("event_type").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias("top_event_id"),
+        F.max("value").alias("top_value"),
+        F.expr("min_by(event_id, struct(value, -event_id))").alias(
+            "bottom_event_id"
+        ),
+        F.min("value").alias("bottom_value"),
+    )
+    return m.join(am, "event_type").select(
+        "event_type",
+        "mode_user",
+        "mode_count",
+        "top_event_id",
+        F.round("top_value", 6).alias("top_value"),
+        "bottom_event_id",
+        F.round("bottom_value", 6).alias("bottom_value"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================

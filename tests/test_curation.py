@@ -399,3 +399,32 @@ def test_gapfill_locf_dense_and_carried(spark):
             else:
                 last_real = v
         assert not series[0][2]  # range starts at a REAL observation
+
+
+def test_mode_and_argmax_vs_python(spark):
+    """Mode user (deterministic tie-break) and extreme-value event ids
+    re-derived in Python."""
+    from sql_query_engine_spark.queries import agg_mode_and_argmax
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id", "event_id", "value"
+    ).collect()
+    from collections import Counter
+
+    by_feed: dict[str, list] = {}
+    counts: dict[str, Counter] = {}
+    for r in ev:
+        by_feed.setdefault(r.event_type, []).append(r)
+        counts.setdefault(r.event_type, Counter())[r.user_id] += 1
+    expected = {}
+    for feed, rows in by_feed.items():
+        c = counts[feed]
+        mode_user = min(c, key=lambda u: (-c[u], u))
+        top = max(rows, key=lambda r: (r.value, r.event_id))
+        bot = min(rows, key=lambda r: (r.value, -r.event_id))
+        expected[feed] = (mode_user, c[mode_user], top.event_id, bot.event_id)
+
+    got = {r.event_type: (r.mode_user, r.mode_count, r.top_event_id,
+                          r.bottom_event_id)
+           for r in agg_mode_and_argmax(spark, SF_DIR).collect()}
+    assert got == expected
