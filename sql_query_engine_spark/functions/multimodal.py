@@ -1338,3 +1338,146 @@ def gif_pixel_stats(with_media: DataFrame) -> DataFrame:
             yield out
 
     return with_media.mapInPandas(_dec, PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio sample decode (WAV/PCM) — the audio counterpart of the PNG
+# and GIF pixel paths. PCM needs no codec: the data chunk IS the samples
+# (int16 little-endian, RIFF WAVE spec). Deterministic synthetic signals
+# make the sample statistics oracle-expressible arithmetically.
+# FLAC subframe decode stays header-only (documented codec boundary).
+# ---------------------------------------------------------------------------
+
+
+def wav_sample_value(doc_id: int, i: int) -> int:
+    """Deterministic int16 sample — mirrored by the SQL oracle."""
+    return ((doc_id * 13 + i * i * 7) % 4096) - 2048
+
+
+def wav_sample_count(doc_id: int) -> int:
+    return (doc_id % 200) + 50
+
+
+def build_wav_samples(doc_id: int) -> bytes:
+    """A REAL mono 16-bit PCM WAV: genuine sample bytes, not silence."""
+    rate = AUDIO_RATES[doc_id % len(AUDIO_RATES)]
+    n = wav_sample_count(doc_id)
+    data = b"".join(
+        (wav_sample_value(doc_id, i) & 0xFFFF).to_bytes(2, "little")
+        for i in range(n)
+    )
+    fmt_body = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+        + b"data" + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav_samples(payload: bytes):
+    """Full PCM decode: RIFF chunk walk → int16 samples → stats.
+
+    Returns (rate, n_samples, sum, sum_abs, peak) or None on structural
+    damage / non-PCM / non-16-bit (NULL rows downstream, never failures).
+    """
+    b = payload
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = bits = channels = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            if len(body) < 16 or int.from_bytes(body[0:2], "little") != 1:
+                return None  # non-PCM
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            if len(body) < ln:
+                return None  # truncated
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if rate is None or data is None or bits != 16 or channels != 1:
+        return None
+    if len(data) % 2:
+        return None
+    total = abs_total = 0
+    peak = 0
+    for i in range(0, len(data), 2):
+        v = int.from_bytes(data[i : i + 2], "little", signed=True)
+        total += v
+        abs_total += abs(v)
+        peak = max(peak, abs(v))
+    return rate, len(data) // 2, total, abs_total, peak
+
+
+AUDIO_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("mean_amp", DoubleType(), True),
+        StructField("mean_abs", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_wav_samples(docs: DataFrame) -> DataFrame:
+    """One real PCM WAV per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_wav_samples(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def wav_sample_stats(with_media: DataFrame) -> DataFrame:
+    """payload → sample statistics via the full PCM decode path (same
+    map-only shape and NULL-on-corruption contract as pixel_stats)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                    "mean_amp", "mean_abs", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_wav_samples(payload)
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "mean_amp",
+                              "mean_abs", "peak"):
+                        rows[k].append(None)
+                else:
+                    rate, n, total, abs_total, peak = dec
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+                    rows["mean_amp"].append(round(total / n, 6))
+                    rows["mean_abs"].append(round(abs_total / n, 6))
+                    rows["peak"].append(peak)
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
+            out["peak"] = out["peak"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, AUDIO_SAMPLE_SCHEMA)

@@ -5904,6 +5904,40 @@ def agg_mode_and_argmax(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_audio_sample_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id % 200) + 50 AS n FROM documents),
+s AS (
+    SELECT doc_id, n, ((doc_id*13 + ti.i*ti.i*7) % 4096) - 2048 AS v
+    FROM d, unnest(generate_series(0, n-1)) AS ti(i)),
+agg AS (
+    SELECT doc_id, n,
+           sum(v) AS total, sum(abs(v)) AS abs_total, max(abs(v)) AS peak
+    FROM s GROUP BY doc_id, n)
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+       cast(n as bigint) AS n_samples,
+       round(total / cast(n as double), 6) AS mean_amp,
+       round(abs_total / cast(n as double), 6) AS mean_abs,
+       cast(peak as int) AS peak
+FROM agg""",
+    "REAL audio sample decode — WAV/PCM: each doc gets a genuine mono "
+    "16-bit PCM WAV (actual sample bytes, not silence) and the decode "
+    "path walks RIFF chunks and reduces int16 samples to amplitude "
+    "statistics (mean/mean-abs/peak — the clipping/silence screens "
+    "audio curation filters on). PCM needs no codec, so with PNG and "
+    "GIF this makes three formats content-real; FLAC subframes and "
+    "JPEG IDCT remain the codec-library boundary. Samples are a pure "
+    "function of (doc_id, i) — the oracle re-derives the stats over a "
+    "generate_series index in exact integer arithmetic. Map-only.",
+)
+def mm_audio_sample_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.wav_sample_stats(multimodal.synthesize_wav_samples(d))
+
+
 # =========================================================================
 # public API
 # =========================================================================

@@ -873,3 +873,34 @@ def test_gif_pixel_roundtrip_and_corruption():
     bad[-20] ^= 0xFF  # damage inside the LZW blocks
     res = decode_gif_pixels(bytes(bad))  # must not raise
     assert res is None or len(res) == 5
+
+
+def test_wav_pcm_roundtrip_and_corruption():
+    """Full PCM decode matches the sample formula; damaged containers
+    yield None, never exceptions."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_wav_samples,
+        decode_wav_samples,
+        wav_sample_count,
+        wav_sample_value,
+    )
+
+    for d in (0, 7, 123):
+        rate, n, total, abst, peak = decode_wav_samples(build_wav_samples(d))
+        vs = [wav_sample_value(d, i) for i in range(wav_sample_count(d))]
+        assert n == len(vs)
+        assert (total, abst, peak) == (
+            sum(vs), sum(abs(v) for v in vs), max(abs(v) for v in vs)
+        )
+
+    good = build_wav_samples(3)
+    assert decode_wav_samples(good[:30]) is None          # truncated header
+    assert decode_wav_samples(b"JUNK" + good[4:]) is None  # bad magic
+    # declared data length beyond the actual bytes → truncated reject
+    bad = bytearray(good)
+    bad[40:44] = (2**20).to_bytes(4, "little")
+    assert decode_wav_samples(bytes(bad)) is None
+    # stereo/8-bit variants are outside the mono-16 contract
+    from sql_query_engine_spark.functions.multimodal import build_wav
+
+    assert decode_wav_samples(build_wav(8000, 2, 16, 10)) is None
