@@ -6,8 +6,12 @@ accounting. This module is the remaining 1%: an actual byte-pair-merge
 tokenizer with a fixed merge table, exercised through the same plumbing a
 production tokenizer (e.g. a HuggingFace fast tokenizer) would use —
 ``mapInPandas`` over Arrow record batches, one Python worker per input
-partition, zero driver involvement, zero shuffles. Swapping ``_bpe_word``
-for a real tokenizer library changes nothing about the Spark plan.
+partition, zero driver involvement. The only possible exchange is a
+single round-robin rebalance, taken only when the scan yields fewer
+partitions than cores (a one-file local fixture would otherwise run the
+Python stage serially); on a real cluster with a many-file table the
+stage is shuffle-free. Swapping ``_bpe_word`` for a real tokenizer
+library changes nothing about the Spark plan.
 
 Why not SQL: greedy BPE is an iterative, data-dependent merge loop
 (apply the highest-priority applicable merge, rescan, repeat) — there is
@@ -90,7 +94,11 @@ def encode_counts(docs: "DataFrame") -> "DataFrame":
                 out["n_bpe_tokens"].append(n_bpe)
             yield pd.DataFrame(out)
 
+    src = docs.select("doc_id", "text")
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select("doc_id", "text").repartition(par).mapInPandas(
-        _encode, _OUT_SCHEMA
-    )
+    if src.rdd.getNumPartitions() < par:
+        # One-file local fixtures scan as a single partition, which would
+        # serialize the Python stage; rebalance once. Many-file cluster
+        # tables skip this branch — the stage is then shuffle-free.
+        src = src.repartition(par)
+    return src.mapInPandas(_encode, _OUT_SCHEMA)

@@ -1286,6 +1286,8 @@ def decode_gif_pixels(payload: bytes):
     indices = _lzw_decode(bytes(lzw), w * h)
     if indices is None:
         return None
+    if indices and max(indices) >= gct_n:
+        return None  # index stream references beyond the declared palette
     sums = [0, 0, 0]
     for idx in indices:
         sums[0] += palette[3 * idx]

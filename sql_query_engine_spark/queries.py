@@ -5952,7 +5952,9 @@ def mm_audio_sample_stats(spark, sf_dir):
 # cheap ones first so a time-budgeted gate certifies as many as possible.
 # Everything already driver-green in r1/r2 trails in declaration order.
 _GATE_PRIORITY = [
-    # reference parity (SURVEY.md §2.2) — must stay first, every round
+    # reference parity (SURVEY.md §2.2) — pinned first, every round;
+    # remainder rotated by tools/rotate_gate.py (round 4: TPC-H tail,
+    # streaming family, sim_* variants — never driver-checked before).
     "ref_q1_point_select",
     "ref_q2_cnr_join",
     "ref_q3_col_join_filters",
@@ -5966,51 +5968,9 @@ _GATE_PRIORITY = [
     "ref_theta_join",
     "ref_theta_join_pure",
     "ref_multikey_join",
-    # --- never driver-checked before round 3: scalars / SQL surface ---
-    "scalar_null_semantics",
-    "scalar_date_arithmetic",
-    "scalar_array_ops",
-    "scalar_regex",
-    "scalar_fuzzy_match",
-    "sql_correlated_subquery",
-    "sql_exists_subquery",
-    "sql_in_subquery",
-    "sql_cte",
-    "sql_grouping_sets",
-    # --- set ops / windows / aggregates ---
-    "setop_intersect_all",
-    "setop_except_all",
-    "setop_union_distinct",
-    "window_analytic_values",
-    "window_distribution",
-    "window_distribution_scale",
-    "window_ntile_scale",
-    "window_range_running",
-    "agg_string_agg",
-    "agg_two_level",
-    "agg_native_pivot",
-    "agg_unpivot",
-    # --- joins / sampling / dedup variants ---
-    "join_argmax",
-    "join_right_outer",
-    "join_range_bands",
-    "sample_systematic",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_repeated_ngrams",
-    # --- text / catalog / pipeline / embedding ---
-    "text_word_freq",
-    "text_quality_filter",
-    "catalog_profile_orders",
-    "catalog_profile_documents",
-    "pipeline_length_histogram",
-    "pipeline_decontaminate",
     "mm_payload_dedup",
     "emb_label_centroids",
     "sim_ivf_topk",
-    # --- streaming tail ---
     "stream_sliding_counts",
     "stream_daily_ohlc",
     "stream_session_native",
@@ -6018,7 +5978,6 @@ _GATE_PRIORITY = [
     "stream_interval_join",
     "stream_window_topk",
     "stream_retention_cohorts",
-    # --- TPC-H never-checked tail ---
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
@@ -6037,6 +5996,175 @@ _GATE_PRIORITY = [
     "tpch_q20_part_promotion",
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_global_sales_opportunity",
+    "agg_approx_count_distinct",
+    "join_salted_skew",
+    "join_bloom_semijoin",
+    "scalar_try_arithmetic",
+    "pipeline_dedup_rate_by_source",
+    "catalog_table_checksum",
+    "sim_lsh_multiprobe_topk",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "text_lm_score",
+    "mm_decode",
+    "mm_decode_filter",
+    "mm_audio_decode",
+    "mm_audio_filter",
+    "mm_video_decode",
+    "mm_modality_router",
+    "join_asof_forward",
+    "stream_hourly_active_users",
+    "window_time_range_trailing",
+    "sql_lateral_topn",
+    "window_running_distinct",
+    "agg_twophase_distinct",
+    "join_interval_overlap",
+    "scalar_url_functions",
+    "sample_stratified",
+    "pipeline_cluster_safe_split",
+    "pipeline_temperature_mixture",
+    "pipeline_source_quota",
+    "text_domain_score",
+    "pipeline_semantic_decontaminate",
+    "emb_knn_label_transfer",
+    "dedup_embedding_clusters",
+    "emb_pca_project",
+    "emb_norm_histogram",
+    "pipeline_domain_cap",
+    "catalog_table_diff",
+    "agg_heavy_hitters",
+    "emb_random_projection",
+    "join_nearest_event",
+    "pipeline_scd2",
+    "dedup_containment",
+    "catalog_key_skew_profile",
+    "pipeline_contrastive_pairs",
+    "text_bpe_encode",
+    "agg_hll_partial_merge",
+    "pipeline_cdc_upsert",
+    "pipeline_incremental_rollup",
+    "pipeline_source_authority",
+    "emb_matryoshka_truncate",
+    "catalog_feed_freshness",
+    "join_null_safe",
+    "scalar_zorder_key",
+    "mm_pixel_stats",
+    "text_readability",
+    "text_tokenizer_fertility",
+    "mm_gif_pixel_stats",
+    "pipeline_token_budget_mixture",
+    "stream_gapfill_locf",
+    "agg_mode_and_argmax",
+    "mm_audio_sample_stats",
+    "scalar_null_semantics",
+    "scalar_date_arithmetic",
+    "scalar_array_ops",
+    "scalar_regex",
+    "scalar_fuzzy_match",
+    "sql_correlated_subquery",
+    "sql_exists_subquery",
+    "sql_in_subquery",
+    "sql_cte",
+    "sql_grouping_sets",
+    "setop_intersect_all",
+    "setop_except_all",
+    "setop_union_distinct",
+    "window_analytic_values",
+    "window_distribution",
+    "window_distribution_scale",
+    "window_ntile_scale",
+    "window_range_running",
+    "agg_string_agg",
+    "agg_two_level",
+    "agg_native_pivot",
+    "agg_unpivot",
+    "join_argmax",
+    "join_right_outer",
+    "join_range_bands",
+    "sample_systematic",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_repeated_ngrams",
+    "text_word_freq",
+    "text_quality_filter",
+    "catalog_profile_orders",
+    "catalog_profile_documents",
+    "pipeline_length_histogram",
+    "pipeline_decontaminate",
+    "agg_pricing_summary",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_rollup_gid",
+    "agg_udaf_median",
+    "agg_exact_corr",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "topk_orders",
+    "topk_per_group",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "scalar_string",
+    "scalar_math",
+    "scalar_date",
+    "scalar_conditional",
+    "scalar_json",
+    "scalar_map_ops",
+    "scalar_higher_order",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_moving_avg",
+    "agg_conditional_pivot",
+    "text_idf",
+    "window_ntile",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "sql_scalar_subquery",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fp",
+    "dedup_simhash_lsh",
+    "text_scrub",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_incremental_stateless",
+    "dedup_embedding_lsh",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "text_lang_id",
+    "text_quality",
+    "text_char_entropy",
+    "text_token_stats",
+    "text_fingerprint",
+    "mm_binary_features",
+    "mm_frame_samples",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_zscore_anomalies",
+    "text_chunking",
+    "stream_funnel_conversion",
+    "join_asof",
+    "join_asof_tolerance",
+    "text_pack_sequences",
+    "stream_user_profile",
+    "pipeline_training_data",
+    "pipeline_dataset_mixture",
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    "emb_quantize_int8",
+    "text_pii_stats",
+    "text_repetition",
+    "sim_hybrid_rrf",
 ]
 _GATE_RANK = {n: i for i, n in enumerate(_GATE_PRIORITY)}
 

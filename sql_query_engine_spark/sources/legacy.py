@@ -176,11 +176,11 @@ def read_csv_with_quarantine(
     path: str,
     schema: StructType,
     header: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Schema-enforced CSV scan that QUARANTINES malformed lines instead
     of killing the job or silently dropping them.
 
-    Returns ``(good, quarantined)``: ``good`` carries the declared
+    Returns ``(good, quarantined, cached)``: ``good`` carries the declared
     columns for every line that parsed clean; ``quarantined`` carries the
     raw text of every line that did not (wrong arity, unparseable type),
     ready to be written to a reject sink for audit/replay. At 100 TB one
@@ -193,7 +193,10 @@ def read_csv_with_quarantine(
     filter that references ONLY the corrupt column on the raw scan
     (SPARK-21610: the pruned scan would never populate it), so the scan
     is cached once and both splits filter the cached frame — one pass
-    over the files, two in-memory filters.
+    over the files, two in-memory filters. The cached frame is returned
+    as the third element so a long-lived session can release it
+    (``cached.unpersist()``) once both splits are materialized;
+    otherwise repeated calls accumulate cached relations.
     """
     corrupt = "_corrupt_record"
     aug = StructType(schema.fields + [StructField(corrupt, StringType(), True)])
@@ -208,4 +211,4 @@ def read_csv_with_quarantine(
     quarantined = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_line")
     )
-    return good, quarantined
+    return good, quarantined, df

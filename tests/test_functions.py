@@ -874,6 +874,31 @@ def test_gif_pixel_roundtrip_and_corruption():
     res = decode_gif_pixels(bytes(bad))  # must not raise
     assert res is None or len(res) == 5
 
+    # flags declare a 4-entry palette but the 8-bit LZW stream references
+    # index 200: must return None, not IndexError (ADVICE r3)
+    from sql_query_engine_spark.functions.multimodal import (
+        _GIF_MIN_CODE,
+        _lzw_encode,
+    )
+
+    lzw = _lzw_encode(bytes([200, 1, 0, 1]))
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    overrun = (
+        b"GIF89a"
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])  # GCT present, size field 1 → 4 entries
+        + bytes(12)            # 4-entry palette
+        + b"\x2c" + bytes(4)
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + b"\x00" + bytes([_GIF_MIN_CODE]) + bytes(blocks) + b"\x3b"
+    )
+    assert decode_gif_pixels(overrun) is None
+
 
 def test_wav_pcm_roundtrip_and_corruption():
     """Full PCM decode matches the sample formula; damaged containers

@@ -559,10 +559,14 @@ def test_csv_quarantine_routes_bad_lines(spark, tmp_path):
             StructField("score", LongType()),
         ]
     )
-    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    good, bad, cached = read_csv_with_quarantine(spark, str(p), schema)
     good_rows = {(r.id, r.name, r.score) for r in good.collect()}
     assert good_rows == {(1, "alice", 10), (3, "carol", 30)}
     bad_lines = sorted(r.raw_line for r in bad.collect())
     assert bad_lines == ["2,bob,notanumber"]
     # conservation: every data line is in exactly one split
     assert good.count() + bad.count() == 3
+    # the cache handle lets a long-lived session release the scan
+    assert cached.is_cached
+    cached.unpersist()
+    assert not cached.is_cached

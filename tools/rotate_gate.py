@@ -29,19 +29,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sql_query_engine_spark.queries import registry  # noqa: E402
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def driver_green() -> dict[str, list[str]]:
-    """query name → rounds in which the driver recorded it green."""
+    """query name → rounds in which the driver recorded it green.
+
+    A row counts as green only when rows AND schema matched, the value
+    hash did not mismatch (``None`` = rows-only check, still counts),
+    and no error was recorded.
+    """
     green: dict[str, list[str]] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    paths = sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
+    if not paths:
+        print(f"WARNING: no CORRECTNESS_r*.json artifacts under {REPO_ROOT}; "
+              "every query will look never-green", file=sys.stderr)
+    for path in paths:
         rnd = os.path.basename(path)
         try:
             data = json.load(open(path))
         except Exception:
             continue
         for name, row in data.items():
-            ok = row.get("rows_match") and (
-                row.get("hash_match") is not False
-            ) and not row.get("err")
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
             if ok:
                 green.setdefault(name, []).append(rnd)
     return green
