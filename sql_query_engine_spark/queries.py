@@ -323,6 +323,68 @@ def ref_multikey_join(spark, sf_dir):
     )
 
 
+_NATION_DD = {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"}
+_REGION_DD = {"r_regionkey": "int", "r_name": "string"}
+
+
+def _legacy_fixture_dir(sf_dir: str, leaf: str) -> str:
+    """Deterministic per-sf scratch dir for legacy-format round-trips."""
+    import os
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), "sqes_legacy_fixtures", sf, leaf)
+
+
+@_q(
+    "ref_csv_scan",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       WHERE n_regionkey <= 2""",
+    "reference S1 — qualified-header CSV (utils/tbl_to_csv.py:18, "
+    "ra2spark/ra2spark.py:54-66): nation is written in the reference's "
+    "wire format and scanned back through the dd-enforced reader; the "
+    "oracle states the same filter on the parquet source, so a value-hash "
+    "match proves the CSV round-trip is lossless",
+)
+def ref_csv_scan(spark, sf_dir):
+    from .sources import legacy
+
+    out = _legacy_fixture_dir(sf_dir, "nation_csv")
+    legacy.write_qualified_csv(_t(spark, sf_dir, "nation"), out, "Nation")
+    back = legacy.read_qualified_csv(spark, out, "Nation", _NATION_DD)
+    return R.project(
+        R.filter_rows(back, F.col("n_regionkey") <= 2),
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+
+
+@_q(
+    "ref_jsonl_scan",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       WHERE n_regionkey >= 3""",
+    "reference S2 — tagged JSON-lines (utils/tbl_to_json.py:8-14, "
+    "ra2mr/ra2mr.py:144-152): nation AND region are written as tagged "
+    "lines into sibling dirs, then one glob scan reads both and the tag "
+    "filter must keep only Nation rows; oracle = the same filter on the "
+    "parquet source (lossless round-trip + correct tag routing)",
+)
+def ref_jsonl_scan(spark, sf_dir):
+    from .sources import legacy
+
+    parent = _legacy_fixture_dir(sf_dir, "tagged_jsonl")
+    legacy.write_tagged_jsonl(
+        _t(spark, sf_dir, "nation"), f"{parent}/nation", "Nation"
+    )
+    legacy.write_tagged_jsonl(
+        _t(spark, sf_dir, "region"), f"{parent}/region", "Region"
+    )
+    back = legacy.read_tagged_jsonl(spark, f"{parent}/*", "Nation", _NATION_DD)
+    return R.project(
+        R.filter_rows(back, F.col("n_regionkey") >= 3),
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+
+
 # =========================================================================
 # Aggregations (SURVEY.md §2.3 — absent in reference, Spark built-in)
 # =========================================================================
@@ -5968,6 +6030,8 @@ _GATE_PRIORITY = [
     "ref_theta_join",
     "ref_theta_join_pure",
     "ref_multikey_join",
+    "ref_csv_scan",
+    "ref_jsonl_scan",
     "mm_payload_dedup",
     "emb_label_centroids",
     "sim_ivf_topk",

@@ -570,3 +570,35 @@ def test_csv_quarantine_routes_bad_lines(spark, tmp_path):
     assert cached.is_cached
     cached.unpersist()
     assert not cached.is_cached
+
+
+def test_ref_scan_registry_entries_roundtrip(spark):
+    """The driver-checkable S1/S2 rows (ref_csv_scan / ref_jsonl_scan)
+    reproduce the parquet source exactly through the legacy wire formats."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401 — populate sys.modules
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    sf_dir = "/root/testdata/sf0.001"
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    got_csv = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in q.ref_csv_scan(spark, sf_dir).collect()
+    }
+    exp_csv = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in nation.filter("n_regionkey <= 2").collect()
+    }
+    assert got_csv == exp_csv and got_csv
+
+    got_jsonl = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in q.ref_jsonl_scan(spark, sf_dir).collect()
+    }
+    exp_jsonl = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in nation.filter("n_regionkey >= 3").collect()
+    }
+    assert got_jsonl == exp_jsonl and got_jsonl
