@@ -29,7 +29,10 @@ HEADLINE = [
     "ref_multikey_join",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "tpch_q21_suppliers_kept_waiting",
     "agg_pricing_summary",
     "agg_cube",
     "topk_per_group",
@@ -76,7 +79,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time (22 queries, min-of-2 runs, all operator families)",
+                "metric": "headline-suite wall time (25 queries, min-of-2 runs, all operator families)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -6015,8 +6015,9 @@ def mm_audio_sample_stats(spark, sf_dir):
 # Everything already driver-green in r1/r2 trails in declaration order.
 _GATE_PRIORITY = [
     # reference parity (SURVEY.md §2.2) — pinned first, every round;
-    # remainder rotated by tools/rotate_gate.py (round 4: TPC-H tail,
-    # streaming family, sim_* variants — never driver-checked before).
+    # remainder rotated by tools/rotate_gate.py --timings (round 4:
+    # never-driver-checked queries, cheapest-first by measured
+    # sf0.01 wall so the driver budget certifies the maximum count).
     "ref_q1_point_select",
     "ref_q2_cnr_join",
     "ref_q3_col_join_filters",
@@ -6032,94 +6033,94 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
-    "mm_payload_dedup",
-    "emb_label_centroids",
-    "sim_ivf_topk",
-    "stream_sliding_counts",
-    "stream_daily_ohlc",
-    "stream_session_native",
-    "stream_first_event_dedup",
-    "stream_interval_join",
-    "stream_window_topk",
-    "stream_retention_cohorts",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
+    "text_readability",
+    "text_domain_score",
+    "pipeline_source_quota",
+    "pipeline_domain_cap",
+    "scalar_zorder_key",
+    "text_tokenizer_fertility",
     "tpch_q6_forecast_revenue",
+    "pipeline_cdc_upsert",
+    "emb_matryoshka_truncate",
+    "catalog_feed_freshness",
+    "stream_first_event_dedup",
+    "scalar_try_arithmetic",
+    "pipeline_token_budget_mixture",
+    "catalog_table_checksum",
+    "join_null_safe",
+    "agg_hll_partial_merge",
+    "scalar_url_functions",
+    "mm_audio_sample_stats",
+    "tpch_q4_order_priority",
+    "emb_norm_histogram",
+    "stream_window_topk",
+    "stream_hourly_active_users",
+    "pipeline_contrastive_pairs",
+    "agg_heavy_hitters",
+    "pipeline_incremental_rollup",
+    "tpch_q19_disjunctive_revenue",
+    "pipeline_scd2",
+    "catalog_key_skew_profile",
+    "stream_retention_cohorts",
+    "mm_decode",
+    "mm_audio_decode",
+    "mm_video_decode",
+    "catalog_table_diff",
+    "emb_random_projection",
+    "stream_gapfill_locf",
+    "stream_daily_ohlc",
+    "tpch_q14_promo_effect",
+    "join_salted_skew",
+    "stream_session_native",
+    "tpch_q22_global_sales_opportunity",
+    "agg_mode_and_argmax",
+    "stream_sliding_counts",
+    "tpch_q12_late_priority",
+    "window_time_range_trailing",
+    "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
+    "tpch_q20_part_promotion",
+    "stream_interval_join",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_qty_revenue",
+    "mm_modality_router",
+    "mm_audio_filter",
+    "agg_twophase_distinct",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "mm_decode_filter",
+    "mm_payload_dedup",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
-    "tpch_q12_late_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_global_sales_opportunity",
-    "agg_approx_count_distinct",
-    "join_salted_skew",
-    "join_bloom_semijoin",
-    "scalar_try_arithmetic",
-    "pipeline_dedup_rate_by_source",
-    "catalog_table_checksum",
-    "sim_lsh_multiprobe_topk",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "text_lm_score",
-    "mm_decode",
-    "mm_decode_filter",
-    "mm_audio_decode",
-    "mm_audio_filter",
-    "mm_video_decode",
-    "mm_modality_router",
-    "join_asof_forward",
-    "stream_hourly_active_users",
-    "window_time_range_trailing",
-    "sql_lateral_topn",
-    "window_running_distinct",
-    "agg_twophase_distinct",
-    "join_interval_overlap",
-    "scalar_url_functions",
-    "sample_stratified",
-    "pipeline_cluster_safe_split",
-    "pipeline_temperature_mixture",
-    "pipeline_source_quota",
-    "text_domain_score",
-    "pipeline_semantic_decontaminate",
     "emb_knn_label_transfer",
-    "dedup_embedding_clusters",
-    "emb_pca_project",
-    "emb_norm_histogram",
-    "pipeline_domain_cap",
-    "catalog_table_diff",
-    "agg_heavy_hitters",
-    "emb_random_projection",
-    "join_nearest_event",
-    "pipeline_scd2",
-    "dedup_containment",
-    "catalog_key_skew_profile",
-    "pipeline_contrastive_pairs",
-    "text_bpe_encode",
-    "agg_hll_partial_merge",
-    "pipeline_cdc_upsert",
-    "pipeline_incremental_rollup",
-    "pipeline_source_authority",
-    "emb_matryoshka_truncate",
-    "catalog_feed_freshness",
-    "join_null_safe",
-    "scalar_zorder_key",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q16_supplier_part_counts",
+    "pipeline_semantic_decontaminate",
     "mm_pixel_stats",
-    "text_readability",
-    "text_tokenizer_fertility",
     "mm_gif_pixel_stats",
-    "pipeline_token_budget_mixture",
-    "stream_gapfill_locf",
-    "agg_mode_and_argmax",
-    "mm_audio_sample_stats",
+    "pipeline_temperature_mixture",
+    "text_bpe_encode",
+    "emb_label_centroids",
+    "join_asof_forward",
+    "join_nearest_event",
+    "window_running_distinct",
+    "join_interval_overlap",
+    "text_lm_score",
+    "sql_lateral_topn",
+    "agg_approx_count_distinct",
+    "dedup_embedding_clusters",
+    "dedup_containment",
+    "sample_stratified",
+    "sim_lsh_multiprobe_topk",
+    "emb_pca_project",
+    "join_bloom_semijoin",
+    "sim_pq_topk",
+    "pipeline_dedup_rate_by_source",
+    "sim_ivfpq_topk",
+    "pipeline_cluster_safe_split",
+    "pipeline_source_authority",
+    "sim_ivf_topk",
     "scalar_null_semantics",
     "scalar_date_arithmetic",
     "scalar_array_ops",

@@ -64,11 +64,21 @@ def driver_green() -> dict[str, list[str]]:
 
 def main() -> int:
     emit = "--emit" in sys.argv
+    timings: dict[str, float] = {}
+    if "--timings" in sys.argv:
+        # JSON {query: seconds} from a local profile run; the
+        # never-checked block is then ordered cheapest-first by MEASURED
+        # cost, so the driver's time budget certifies the maximum count.
+        tpath = sys.argv[sys.argv.index("--timings") + 1]
+        timings = json.load(open(tpath))
     green = driver_green()
     names = [q.name for q in registry()]
     refs = [n for n in names if n.startswith("ref_")]
     never = [n for n in names if n not in green and not n.startswith("ref_")]
     checked = [n for n in names if n in green and not n.startswith("ref_")]
+    if timings:
+        pos = {n: i for i, n in enumerate(never)}
+        never.sort(key=lambda n: (timings.get(n, 999.0), pos[n]))
 
     print(f"declared: {len(names)}")
     print(f"driver-green somewhere: {len(green)}")
