@@ -71,6 +71,17 @@ __all__ = [
     "ROUTED_SCHEMA",
     "synthesize_mixed_media",
     "route_and_decode",
+    "JPEG_PIXEL_SCHEMA",
+    "jpeg_dims",
+    "jpeg_block_level",
+    "build_jpeg_pixels",
+    "decode_jpeg_pixels",
+    "synthesize_jpeg_pixels",
+    "jpeg_pixel_stats",
+    "build_flac_samples",
+    "decode_flac_samples",
+    "synthesize_flac_samples",
+    "flac_sample_stats",
 ]
 
 # Output contract of the feature extractor.
@@ -1465,6 +1476,753 @@ def wav_sample_stats(with_media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rows["doc_id"].append(doc_id)
                 dec = decode_wav_samples(payload)
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "mean_amp",
+                              "mean_abs", "peak"):
+                        rows[k].append(None)
+                else:
+                    rate, n, total, abs_total, peak = dec
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+                    rows["mean_amp"].append(round(total / n, 6))
+                    rows["mean_abs"].append(round(abs_total / n, 6))
+                    rows["peak"].append(peak)
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
+            out["peak"] = out["peak"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, AUDIO_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode #3 (baseline JPEG) — stdlib + numpy, no codec lib.
+#
+# Closes the boundary the earlier rounds documented at _decode_jpeg
+# (header-only). This is a from-spec baseline decoder over the public
+# ITU-T T.81 layout: segment walk (DQT/SOF0/DHT/SOS), canonical Huffman
+# table construction (Annex C), entropy-coded scan with byte stuffing
+# and restart markers (F.2), DC prediction + EXTEND (F.2.2.1), AC
+# run/size with ZRL and EOB (F.2.2.2), zigzag dequantization, and a full
+# 2-D IDCT (A.3.3) done as an 8x8 basis-matrix product in numpy.
+#
+# The synthetic corpus is grayscale (1 component, no subsampling — the
+# chroma upsampling/YCbCr path is the remaining documented boundary).
+# The ORACLE corpus is DC-only blocks: the IDCT of a DC-only block is
+# exactly flat (AC basis functions are zero-mean), pixel = dc*q0/8 + 128
+# with q0 = 8, so the expected channel mean is integer arithmetic a SQL
+# oracle can state. Blocks with AC coefficients are exercised in tests,
+# pinned against an independent numpy float IDCT.
+# ---------------------------------------------------------------------------
+
+# zigzag index -> (row, col), T.81 Figure A.6
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Custom canonical Huffman tables (valid per Annex C; the encoder and
+# decoder both derive codes from these (BITS, HUFFVAL) pairs, exactly as
+# a DHT segment carries them). DC: 12 category symbols, all 4 bits.
+# AC: EOB, ZRL and every (run<=15, size<=10) pair, all 8 bits.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_QTABLE = [8] + [16] * 63  # zigzag order; q0=8 makes DC-only exact
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} (T.81 Annex C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic block-grid dims (w, h), multiples of 8 — mirrored by
+    the SQL oracle."""
+    bw = (doc_id * 7) % 6 + 2
+    bh = (doc_id * 13) % 4 + 2
+    return bw * 8, bh * 8
+
+
+def jpeg_block_level(doc_id: int, k: int) -> int:
+    """Deterministic per-block flat level in [-112, 112] — mirrored by
+    the SQL oracle. Decoded pixel value of block k is level + 128."""
+    return ((doc_id * 3 + k * 5) % 225) - 112
+
+
+def _jpeg_cat(v: int) -> int:
+    """DC/AC magnitude category (bit length of |v|)."""
+    return abs(v).bit_length()
+
+
+def build_jpeg_pixels(doc_id: int, ac_blocks=None) -> bytes:
+    """A REAL baseline JPEG: grayscale, custom canonical Huffman tables,
+    entropy-coded DC-per-block scan (DC-only unless ``ac_blocks`` maps
+    block index -> list of (zigzag_index, value) for the test corpus)."""
+    w, h = jpeg_dims(doc_id)
+    bw, bh = w // 8, h // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bwr = _JpegBitWriter()
+    pred = 0
+    for k in range(bw * bh):
+        # DC: quantized coefficient equals the flat level (q0 = 8)
+        dc = jpeg_block_level(doc_id, k)
+        diff = dc - pred
+        pred = dc
+        s = _jpeg_cat(diff)
+        code, ln = dc_codes[s]
+        bwr.put(code, ln)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            bwr.put(amp, s)
+        # AC coefficients (test corpus only): zigzag run/size coding
+        acs = sorted((ac_blocks or {}).get(k, []))
+        last = 0
+        for zz, val in acs:
+            assert 1 <= zz <= 63 and val != 0
+            run = zz - last - 1
+            while run > 15:
+                zcode, zln = ac_codes[0xF0]
+                bwr.put(zcode, zln)
+                run -= 16
+            s = _jpeg_cat(val)
+            code, ln = ac_codes[(run << 4) | s]
+            bwr.put(code, ln)
+            amp = val if val >= 0 else val + (1 << s) - 1
+            bwr.put(amp, s)
+            last = zz
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bwr.put(code, ln)
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    sof = seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with byte unstuffing;
+    surfaces restart markers and EOI to the caller."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        b = self.buf
+        while self.nbits < 25:
+            if self.pos >= len(b):
+                return self.nbits > 0
+            v = b[self.pos]
+            if v == 0xFF:
+                if self.pos + 1 >= len(b):
+                    return self.nbits > 0
+                nxt = b[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed literal 0xFF
+                else:
+                    self.marker = nxt  # RSTn / EOI / next segment
+                    return self.nbits > 0
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | v
+            self.nbits += 8
+        return True
+
+    def bits(self, n: int):
+        if n == 0:
+            return 0
+        if self.nbits < n and not self._fill():
+            return None
+        if self.nbits < n:
+            return None
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def align_and_consume_marker(self) -> int | None:
+        """Drop partial-byte bits, consume the pending marker (RSTn)."""
+        self.nbits -= self.nbits % 8
+        m = self.marker
+        if m is not None:
+            self.marker = None
+            self.pos += 2
+            self.acc = 0
+            self.nbits = 0
+        return m
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]):
+    code = 0
+    for ln in range(1, 17):
+        b = reader.bits(1)
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: amplitude bits -> signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_IDCT_BASIS = None
+
+
+def _idct_basis():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math
+
+        import numpy as np
+
+        a = np.zeros((8, 8))
+        for u in range(8):
+            c = (1 / math.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = (c / 2) * math.cos((2 * x + 1) * u * math.pi / 16)
+        _IDCT_BASIS = a
+    return _IDCT_BASIS
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Full baseline JPEG decode: segment walk → Huffman scan decode →
+    dequantize → IDCT → level shift → gray sum.
+
+    Returns (width, height, sum_gray) or None for anything that is not a
+    single-component baseline JPEG or fails structural validation —
+    corrupt payloads become NULL rows, never stage failures. Progressive
+    (SOF2), multi-component color, and 16-bit quant tables are rejected
+    (documented boundaries).
+    """
+    import numpy as np
+
+    b = payload
+    if b is None or len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    dc_id = ac_id = 0
+    pos = 2
+    scan_start = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            return None
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit table: boundary
+                if i + 65 > len(body):
+                    return None
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    return None
+                dec: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for L in range(1, 17):
+                    for _ in range(bits[L - 1]):
+                        dec[(L, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = dec
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                return None  # color: documented boundary
+            if body[7] != 0x11:
+                return None  # subsampling: boundary
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF: boundary
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start is None or w is None or w == 0 or h == 0:
+        return None
+    q = qtables.get(comp_q)
+    dct = htables.get((0, dc_id))
+    act = htables.get((1, ac_id))
+    if q is None or dct is None or act is None:
+        return None
+
+    A = _idct_basis()
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    reader = _JpegBitReader(b, scan_start)
+    pred = 0
+    total = 0
+    qa = np.array(q, dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
+                reader.align_and_consume_marker()
+                pred = 0
+            s = _huff_decode(reader, dct)
+            if s is None or s > 11:
+                return None
+            if s:
+                amp = reader.bits(s)
+                if amp is None:
+                    return None
+                pred += _extend(amp, s)
+            zz = np.zeros(64)
+            zz[0] = pred
+            idx = 0
+            while idx < 63:
+                rs = _huff_decode(reader, act)
+                if rs is None:
+                    return None
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    idx += 16
+                    continue
+                run, sz = rs >> 4, rs & 0x0F
+                idx += run + 1
+                if idx > 63 or sz == 0:
+                    return None
+                amp = reader.bits(sz)
+                if amp is None:
+                    return None
+                zz[idx] = _extend(amp, sz)
+            coef = np.zeros((8, 8))
+            for i, (r, c) in enumerate(_ZIGZAG):
+                coef[r, c] = zz[i] * qa[i]
+            block = A.T @ coef @ A
+            px = np.clip(np.round(block) + 128, 0, 255)
+            # crop edge blocks to the declared image bounds
+            x0, y0 = bx * 8, by * 8
+            px = px[: min(8, h - y0), : min(8, w - x0)]
+            total += int(px.sum())
+    return w, h, total
+
+
+JPEG_PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_gray", DoubleType(), True),
+    ]
+)
+
+
+def synthesize_jpeg_pixels(docs: DataFrame) -> DataFrame:
+    """One real baseline JPEG per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_jpeg_pixels(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def jpeg_pixel_stats(with_media: DataFrame) -> DataFrame:
+    """payload → gray-channel mean via the full baseline decode path
+    (same map-only shape and NULL-on-corruption contract as pixel_stats)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "mean_gray")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_jpeg_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "mean_gray"):
+                        rows[k].append(None)
+                else:
+                    w, h, total = dec
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_gray"].append(round(total / (w * h), 6))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, JPEG_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio sample decode #2 (FLAC, CONSTANT/VERBATIM subframes) — the
+# FLAC counterpart of the WAV/PCM path, from the public FLAC format
+# specification (RFC 9639). Everything is real: frame-header sync and
+# field parsing, UTF-8-coded frame number, CRC-8 header check, bit-packed
+# subframe decode, CRC-16 frame check. CONSTANT and VERBATIM subframes
+# carry samples losslessly without prediction, so the sample statistics
+# stay oracle-expressible arithmetically; FIXED and LPC prediction remain
+# the documented codec boundary (reject to None).
+# ---------------------------------------------------------------------------
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x^1+1 (0x07), init 0 — FLAC frame header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def flac_sample_count(doc_id: int) -> int:
+    return (doc_id % 100) + 20
+
+
+def flac_constant_value(doc_id: int) -> int:
+    return ((doc_id * 13) % 4096) - 2048
+
+
+def flac_verbatim_value(doc_id: int, i: int) -> int:
+    return ((doc_id * 13 + i * i * 7) % 4096) - 2048
+
+
+def build_flac_samples(doc_id: int) -> bytes:
+    """A REAL playable-layout FLAC: STREAMINFO + one frame holding a
+    CONSTANT (even doc_id) or VERBATIM (odd) mono 16-bit subframe, with
+    genuine CRC-8 and CRC-16 checksums."""
+    rate = AUDIO_RATES[doc_id % len(AUDIO_RATES)]
+    n = flac_sample_count(doc_id)
+
+    header = bytearray()
+    # sync(14)=0b11111111111110, reserved(1)=0, blocking(1)=0 fixed
+    header += b"\xff\xf8"
+    # blocksize code 0b0111 (16-bit n-1 follows), rate code 0b0000 (from
+    # STREAMINFO)
+    header.append(0x70)
+    # channel assignment 0b0000 (mono), sample size 0b100 (16 bit),
+    # reserved 0
+    header.append(0x08)
+    header.append(0x00)  # UTF-8 coded frame number 0
+    header += (n - 1).to_bytes(2, "big")
+    header.append(_crc8(bytes(header)))
+
+    bwr = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(value: int, length: int) -> None:
+        nonlocal acc, nbits
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                bwr.append(acc)
+                acc = 0
+                nbits = 0
+
+    if doc_id % 2 == 0:
+        put(0, 1)          # zero pad bit
+        put(0b000000, 6)   # CONSTANT
+        put(0, 1)          # no wasted bits
+        put(flac_constant_value(doc_id) & 0xFFFF, 16)
+    else:
+        put(0, 1)
+        put(0b000001, 6)   # VERBATIM
+        put(0, 1)
+        for i in range(n):
+            put(flac_verbatim_value(doc_id, i) & 0xFFFF, 16)
+    if nbits:
+        put(0, 8 - nbits)  # zero-pad to byte alignment
+
+    frame = bytes(header) + bytes(bwr)
+    frame += _crc16(frame).to_bytes(2, "big")
+    return build_flac(rate, 1, 16, n) + frame
+
+
+def decode_flac_samples(payload: bytes):
+    """Full FLAC frame decode for CONSTANT/VERBATIM subframes: STREAMINFO
+    walk → frame-header parse (sync, codes, UTF-8 frame number, CRC-8) →
+    bit-packed subframe decode → CRC-16 verify → sample statistics.
+
+    Returns (rate, n_samples, sum, sum_abs, peak) or None on structural
+    damage, failed CRC, non-mono/non-16-bit streams, or FIXED/LPC
+    prediction (the documented codec boundary).
+    """
+    b = payload
+    if b is None or len(b) < 8 + 34 or b[:4] != b"fLaC":
+        return None
+    # metadata block walk to the first audio frame
+    pos = 4
+    rate = channels = bits = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + size]
+        if len(body) < size:
+            return None
+        if btype == 0:  # STREAMINFO
+            if size < 34:
+                return None
+            v = int.from_bytes(body[10:18], "big")
+            rate = v >> 44
+            channels = ((v >> 41) & 0x7) + 1
+            bits = ((v >> 36) & 0x1F) + 1
+        pos += 4 + size
+        if last:
+            break
+    if rate is None or rate == 0 or channels != 1 or bits != 16:
+        return None
+    frame_start = pos
+    if pos + 5 > len(b):
+        return None
+    # frame header: sync + reserved + blocking strategy
+    if b[pos] != 0xFF or (b[pos + 1] & 0xFC) != 0xF8:
+        return None
+    variable_blocking = b[pos + 1] & 0x01
+    bs_code = b[pos + 2] >> 4
+    rate_code = b[pos + 2] & 0x0F
+    chan_code = b[pos + 3] >> 4
+    size_code = (b[pos + 3] >> 1) & 0x07
+    if chan_code != 0:  # mono only (matches STREAMINFO check above)
+        return None
+    if size_code not in (0b100,):  # 16-bit only
+        return None
+    pos += 4
+    # UTF-8 coded frame/sample number (1-7 bytes)
+    first = b[pos]
+    if first < 0x80:
+        nfollow = 0
+    elif first >> 5 == 0b110:
+        nfollow = 1
+    elif first >> 4 == 0b1110:
+        nfollow = 2
+    elif first >> 3 == 0b11110:
+        nfollow = 3
+    elif first >> 2 == 0b111110:
+        nfollow = 4
+    elif first >> 1 == 0b1111110:
+        nfollow = 5
+    elif first == 0xFE and variable_blocking:
+        nfollow = 6
+    else:
+        return None
+    pos += 1 + nfollow
+    # blocksize follow-up
+    if bs_code in (0b0110, 0b0111):
+        nbytes = 1 if bs_code == 0b0110 else 2
+        if pos + nbytes > len(b):
+            return None
+        n = int.from_bytes(b[pos : pos + nbytes], "big") + 1
+        pos += nbytes
+    elif bs_code == 0b0001:
+        n = 192
+    elif 0b0010 <= bs_code <= 0b0101:
+        n = 576 << (bs_code - 2)
+    elif bs_code >= 0b1000:
+        n = 256 << (bs_code - 8)
+    else:
+        return None  # 0000 reserved
+    # sample-rate follow-up bytes (codes 12-14); rate itself comes from
+    # STREAMINFO for code 0
+    if rate_code in (0b1100,):
+        pos += 1
+    elif rate_code in (0b1101, 0b1110):
+        pos += 2
+    elif rate_code == 0b1111:
+        return None  # invalid
+    if pos >= len(b):
+        return None
+    if _crc8(b[frame_start:pos]) != b[pos]:
+        return None
+    pos += 1
+
+    # bit-packed subframe
+    class _Bits:
+        def __init__(self, buf: bytes, p: int) -> None:
+            self.buf, self.p, self.acc, self.n = buf, p, 0, 0
+
+        def get(self, k: int):
+            while self.n < k:
+                if self.p >= len(self.buf):
+                    return None
+                self.acc = (self.acc << 8) | self.buf[self.p]
+                self.p += 1
+                self.n += 8
+            v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+            self.n -= k
+            return v
+
+    br = _Bits(b, pos)
+    pad = br.get(1)
+    stype = br.get(6)
+    wasted = br.get(1)
+    if pad != 0 or wasted != 0 or stype is None:
+        return None
+    if stype == 0b000000:  # CONSTANT
+        v = br.get(16)
+        if v is None:
+            return None
+        val = v - 65536 if v >= 32768 else v
+        samples = [val] * n
+    elif stype == 0b000001:  # VERBATIM
+        samples = []
+        for _ in range(n):
+            v = br.get(16)
+            if v is None:
+                return None
+            samples.append(v - 65536 if v >= 32768 else v)
+    else:
+        return None  # FIXED/LPC prediction: documented boundary
+    # frame CRC-16 over everything from sync through subframe padding
+    end = br.p  # subframe consumed bytes; padding bits already in acc
+    if end + 2 > len(b):
+        return None
+    if _crc16(b[frame_start:end]) != int.from_bytes(b[end : end + 2], "big"):
+        return None
+    total = sum(samples)
+    abs_total = sum(abs(s) for s in samples)
+    peak = max(abs(s) for s in samples)
+    return rate, n, total, abs_total, peak
+
+
+def synthesize_flac_samples(docs: DataFrame) -> DataFrame:
+    """One real FLAC per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_flac_samples(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def flac_sample_stats(with_media: DataFrame) -> DataFrame:
+    """payload → sample statistics via the full FLAC decode path (same
+    map-only shape and NULL-on-corruption contract as wav_sample_stats)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                    "mean_amp", "mean_abs", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_flac_samples(payload)
                 if dec is None:
                     for k in ("sample_rate", "n_samples", "mean_amp",
                               "mean_abs", "peak"):

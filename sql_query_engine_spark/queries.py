@@ -5767,6 +5767,82 @@ def mm_gif_pixel_stats(spark, sf_dir):
     return multimodal.gif_pixel_stats(multimodal.synthesize_gif_pixels(d))
 
 
+@_q(
+    "mm_jpeg_pixel_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh
+    FROM documents),
+blk AS (
+    SELECT doc_id, bw, bh,
+           ((doc_id*3 + tk.k*5) % 225) - 112 AS lev
+    FROM d, unnest(generate_series(0, bw*bh - 1)) AS tk(k)),
+s AS (
+    SELECT doc_id, bw, bh, sum(lev) AS slev, count(*) AS nb
+    FROM blk GROUP BY doc_id, bw, bh)
+SELECT doc_id, cast(bw*8 as int) AS width, cast(bh*8 as int) AS height,
+       round((64*(slev + 128*nb)) / cast(bw*8*bh*8 as double), 6)
+           AS mean_gray
+FROM s""",
+    "REAL pixel decode #3 — baseline JPEG (ITU-T T.81, from spec, no "
+    "codec lib): each doc gets a genuine grayscale JPEG — DQT, SOF0, "
+    "canonical Huffman DHT, entropy-coded scan with byte stuffing — and "
+    "the decode path walks segments, Huffman-decodes the scan (DC "
+    "prediction + EXTEND, AC run/size with ZRL/EOB), dequantizes "
+    "through zigzag, applies a full 2-D IDCT (numpy 8x8 basis product), "
+    "level-shifts, and reduces to the gray mean. The oracle corpus is "
+    "DC-only blocks — the IDCT of a DC-only block is EXACTLY flat "
+    "(level*q0/8 + 128 with q0=8), so the oracle states the mean with "
+    "integer arithmetic; blocks with AC coefficients are pinned against "
+    "an independent float IDCT in tests. Map-only; the remaining "
+    "boundaries (color/YCbCr, progressive, 16-bit DQT) reject to NULL. "
+    "This closes the JPEG boundary documented since round 2 "
+    "(multimodal.py _decode_jpeg was header-only).",
+)
+def mm_jpeg_pixel_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_pixel_stats(multimodal.synthesize_jpeg_pixels(d))
+
+
+@_q(
+    "mm_flac_sample_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id % 100) + 20 AS n FROM documents),
+s AS (
+    SELECT doc_id, n,
+           CASE WHEN doc_id % 2 = 0
+                THEN ((doc_id*13) % 4096) - 2048
+                ELSE ((doc_id*13 + ti.i*ti.i*7) % 4096) - 2048
+           END AS v
+    FROM d, unnest(generate_series(0, n-1)) AS ti(i)),
+agg AS (
+    SELECT doc_id, n,
+           sum(v) AS total, sum(abs(v)) AS abs_total, max(abs(v)) AS peak
+    FROM s GROUP BY doc_id, n)
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+       cast(n as bigint) AS n_samples,
+       round(total / cast(n as double), 6) AS mean_amp,
+       round(abs_total / cast(n as double), 6) AS mean_abs,
+       cast(peak as int) AS peak
+FROM agg""",
+    "REAL audio sample decode #2 — FLAC (RFC 9639, from spec, no codec "
+    "lib): each doc gets a genuine FLAC — STREAMINFO plus one frame "
+    "whose header carries real sync/blocksize/rate codes, a UTF-8-coded "
+    "frame number and a passing CRC-8, and whose mono 16-bit subframe "
+    "is CONSTANT (even doc_id) or VERBATIM (odd) with a passing frame "
+    "CRC-16. The decode path re-parses all of it, verifies both CRCs, "
+    "bit-unpacks the samples, and reduces to amplitude statistics. "
+    "CONSTANT/VERBATIM carry samples losslessly so the oracle states "
+    "the stats in exact integer arithmetic; FIXED/LPC prediction "
+    "rejects to NULL (the remaining documented boundary). This closes "
+    "the FLAC-subframe boundary documented since round 2. Map-only.",
+)
+def mm_flac_sample_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.flac_sample_stats(multimodal.synthesize_flac_samples(d))
+
+
 _TOKEN_BUDGET = 3_000  # per-language token budget for the gate corpus
 
 
@@ -6033,6 +6109,8 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "mm_jpeg_pixel_stats",
+    "mm_flac_sample_stats",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

@@ -929,3 +929,109 @@ def test_wav_pcm_roundtrip_and_corruption():
     from sql_query_engine_spark.functions.multimodal import build_wav
 
     assert decode_wav_samples(build_wav(8000, 2, 16, 10)) is None
+
+
+def test_jpeg_pixel_roundtrip_and_corruption():
+    """Full baseline JPEG decode: DC-only corpus matches the flat-block
+    arithmetic exactly; AC-coefficient blocks match an INDEPENDENT float
+    IDCT; damaged/out-of-scope payloads yield None, never exceptions."""
+    import math
+
+    from sql_query_engine_spark.functions.multimodal import (
+        _JPEG_QTABLE,
+        _ZIGZAG,
+        build_jpeg,
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+        jpeg_block_level,
+        jpeg_dims,
+    )
+
+    # DC-only: decoded mean is exact integer arithmetic
+    for d in (0, 9, 250):
+        w, h, total = decode_jpeg_pixels(build_jpeg_pixels(d))
+        assert (w, h) == jpeg_dims(d)
+        nb = (w // 8) * (h // 8)
+        exp = sum(64 * (jpeg_block_level(d, k) + 128) for k in range(nb))
+        assert total == exp
+
+    # AC coefficients: pin against an independent direct-cosine IDCT
+    def ref_sum(doc_id, acb):
+        w, h = jpeg_dims(doc_id)
+        total = 0
+        for k in range((w // 8) * (h // 8)):
+            zz = [0.0] * 64
+            zz[0] = jpeg_block_level(doc_id, k) * _JPEG_QTABLE[0]
+            for zzi, val in acb.get(k, []):
+                zz[zzi] = val * _JPEG_QTABLE[zzi]
+            coef = {}
+            for i, (r, c) in enumerate(_ZIGZAG):
+                coef[(r, c)] = zz[i]
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                            s += (cu * cv / 4 * coef[(u, v)]
+                                  * math.cos((2 * x + 1) * u * math.pi / 16)
+                                  * math.cos((2 * y + 1) * v * math.pi / 16))
+                    total += max(0, min(255, round(s) + 128))
+        return (w, h, total)
+
+    acb = {0: [(1, 5), (3, -7), (20, 12)], 1: [(63, 2)],
+           2: [(17, -100), (35, 400)]}
+    for d in (3, 8):
+        assert decode_jpeg_pixels(build_jpeg_pixels(d, ac_blocks=acb)) \
+            == ref_sum(d, acb)
+
+    # corruption / boundaries: None, never exceptions
+    good = build_jpeg_pixels(5)
+    assert decode_jpeg_pixels(good[:10]) is None          # truncated
+    assert decode_jpeg_pixels(b"XX" + good[2:]) is None   # bad magic
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # damage inside the entropy-coded scan
+    res = decode_jpeg_pixels(bytes(bad))
+    assert res is None or len(res) == 3
+    assert decode_jpeg_pixels(build_jpeg(64, 64, 3)) is None  # color JPEG
+    assert decode_jpeg_pixels(None) is None
+
+
+def test_flac_sample_roundtrip_and_corruption():
+    """Full FLAC CONSTANT/VERBATIM decode (frame header parse, CRC-8 and
+    CRC-16 verification, bit-packed samples) matches the sample formulas;
+    damaged containers and unsupported subframes yield None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        AUDIO_RATES,
+        build_flac,
+        build_flac_samples,
+        decode_flac_samples,
+        flac_constant_value,
+        flac_sample_count,
+        flac_verbatim_value,
+    )
+
+    for d in (0, 1, 2, 99, 250):
+        got = decode_flac_samples(build_flac_samples(d))
+        n = flac_sample_count(d)
+        if d % 2 == 0:
+            vals = [flac_constant_value(d)] * n
+        else:
+            vals = [flac_verbatim_value(d, i) for i in range(n)]
+        exp = (AUDIO_RATES[d % 5], n, sum(vals),
+               sum(abs(v) for v in vals), max(abs(v) for v in vals))
+        assert got == exp
+
+    good = build_flac_samples(3)
+    assert decode_flac_samples(good[:20]) is None          # truncated
+    assert decode_flac_samples(b"XXXX" + good[4:]) is None  # bad magic
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF  # break the frame CRC-16
+    assert decode_flac_samples(bytes(bad)) is None
+    hdr = bytearray(good)
+    hdr[4 + 38 + 2] ^= 0x04  # flip a frame-header bit → CRC-8 must fail
+    assert decode_flac_samples(bytes(hdr)) is None
+    # STREAMINFO-only stream (the round-2 header corpus): no frame → None
+    assert decode_flac_samples(build_flac(44100, 1, 16, 100)) is None
+    assert decode_flac_samples(None) is None
