@@ -6076,6 +6076,198 @@ def mm_audio_sample_stats(spark, sf_dir):
     return multimodal.wav_sample_stats(multimodal.synthesize_wav_samples(d))
 
 
+_DUPG_N = 3  # intra-doc duplicate-n-gram width (Gopher repetition family)
+
+_SPARK_DUPG = (
+    f"transform(sequence(1, size(w) - {_DUPG_N - 1}), "
+    f"i -> array_join(slice(w, i, {_DUPG_N}), ' '))"
+)
+_DUCK_DUPG = (
+    f"list_transform(generate_series(1, len(w) - {_DUPG_N - 1}), "
+    f"i -> array_to_string(w[i:i+{_DUPG_N - 1}], ' '))"
+)
+
+
+@_q(
+    "text_dup_ngrams",
+    f"""WITH toks AS (
+    SELECT doc_id, {hashing.duck_tokens("text")} AS w FROM documents),
+grams AS (
+    SELECT doc_id, unnest({_DUCK_DUPG}) AS g
+    FROM toks WHERE len(w) >= {_DUPG_N}),
+per_gram AS (
+    SELECT doc_id, g, count(*) AS cnt, len(g) AS chars
+    FROM grams GROUP BY doc_id, g),
+per_doc AS (
+    SELECT doc_id,
+           sum(cnt) AS n_grams,
+           count(*) AS n_distinct,
+           sum(cnt * chars) AS total_chars,
+           sum((cnt - 1) * chars) AS dup_chars
+    FROM per_gram GROUP BY doc_id)
+SELECT doc_id,
+       cast(n_grams as bigint) AS n_grams,
+       round((n_grams - n_distinct) / cast(n_grams as double), 6)
+           AS dup_gram_frac,
+       round(dup_chars / cast(total_chars as double), 6) AS dup_char_frac
+FROM per_doc""",
+    "Gopher-style repetition screen #2 — duplicate-n-gram fractions "
+    "(Rae et al. 2021 table A1: 'fraction of duplicate n-grams' and "
+    "'fraction of characters in duplicate n-grams'): docs that loop or "
+    "repeat boilerplate show high duplicate-trigram mass long before "
+    "exact dedup sees them. Complements text_repetition (top-bigram "
+    "share). Plan: positioned trigrams explode from one codegen "
+    "projection, partial-aggregate on (doc_id, gram) then (doc_id) — "
+    "both keys are high-cardinality and co-partitioned after the first "
+    "shuffle, so the second agg is shuffle-free; integer counts and "
+    "char sums keep the two ratios oracle-exact.",
+)
+def text_dup_ngrams(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.expr(hashing.spark_tokens("text")).alias("w"))
+        .filter(F.expr(f"size(w) >= {_DUPG_N}"))
+        .select("doc_id", F.explode(F.expr(_SPARK_DUPG)).alias("g"))
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(
+        F.count("*").alias("cnt"), F.length("g").alias("chars")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("chars")).alias("total_chars"),
+            F.sum((F.col("cnt") - 1) * F.col("chars")).alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct"))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_gram_frac"),
+            F.round(
+                F.col("dup_chars") / F.col("total_chars").cast("double"), 6
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
+_SPAN_N = 8    # shingle width for span detection (tokens)
+_SPAN_MIN = 12  # report pairs sharing a span of at least this many tokens
+_SPAN_DF_CAP = 100  # drop grams present in more docs (boilerplate guard)
+
+_SPARK_POSG = (
+    f"transform(sequence(1, size(w) - {_SPAN_N - 1}), "
+    f"i -> array_join(slice(w, i, {_SPAN_N}), ' '))"
+)
+_DUCK_POSG = (
+    f"list_transform(generate_series(1, len(w) - {_SPAN_N - 1}), "
+    f"i -> array_to_string(w[i:i+{_SPAN_N - 1}], ' '))"
+)
+
+
+@_q(
+    "dedup_substring_span",
+    f"""WITH toks AS (
+    SELECT doc_id, {hashing.duck_tokens("text")} AS w FROM documents),
+grams AS (
+    SELECT doc_id, ti.i AS pos,
+           array_to_string((SELECT w FROM toks t2
+                            WHERE t2.doc_id = toks.doc_id)[ti.i:ti.i+{_SPAN_N - 1}], ' ') AS g
+    FROM toks, unnest(generate_series(1, len(w) - {_SPAN_N - 1})) AS ti(i)
+    WHERE len(w) >= {_SPAN_N}),
+keep AS (
+    SELECT g FROM grams GROUP BY g
+    HAVING count(DISTINCT doc_id) <= {_SPAN_DF_CAP}),
+kept AS (SELECT grams.* FROM grams JOIN keep USING (g)),
+hits AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, a.pos - b.pos AS diag
+    FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+runs AS (
+    SELECT doc_a, doc_b, diag,
+           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY pos_a) AS island
+    FROM hits),
+spans AS (
+    SELECT doc_a, doc_b, count(*) + {_SPAN_N - 1} AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, island)
+SELECT doc_a, doc_b,
+       cast(max(span_tokens) as bigint) AS max_span_tokens,
+       cast(count(*) as bigint) AS n_spans
+FROM spans
+WHERE span_tokens >= {_SPAN_MIN}
+GROUP BY doc_a, doc_b""",
+    "exact substring-span dedup (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better'): find cross-doc "
+    f"duplicated token runs ≥ {_SPAN_MIN} tokens. Positioned "
+    f"{_SPAN_N}-gram inverted index (join work proportional to true "
+    "overlap, never all-pairs), document-frequency cap on boilerplate "
+    "grams, then gaps-and-islands per (pair, diagonal): consecutive "
+    "matching positions collapse to one island whose length + N-1 is "
+    "the shared span in tokens. The row_number window partitions on "
+    "(doc_a, doc_b, diag) — high-cardinality keys, never a global "
+    "window. Spark joins on the 48-bit gram hash (narrow shuffle keys) "
+    "with the gram string verified post-join, so hash collisions "
+    "cannot fabricate pairs; the oracle joins on the string directly.",
+)
+def dedup_substring_span(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.expr(hashing.spark_tokens("text")).alias("w"))
+        .filter(F.expr(f"size(w) >= {_SPAN_N}"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_SPARK_POSG)).alias("pos0", "g"),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"),
+            F.expr(hashing.spark_hex48("g")).alias("h"), "g",
+        )
+    )
+    keep = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _SPAN_DF_CAP)
+        .select("h")
+    )
+    kept = grams.join(keep, "h")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"),
+        F.col("h"), F.col("g").alias("g_a"),
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
+        F.col("h"), F.col("g").alias("g_b"),
+    )
+    hits = (
+        a.join(b, "h")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("g_a") == F.col("g_b")))
+        .select(
+            "doc_a", "doc_b", "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = hits.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.count("*") + F.lit(_SPAN_N - 1)).alias("span_tokens")
+    )
+    return (
+        spans.filter(F.col("span_tokens") >= _SPAN_MIN)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6111,6 +6303,8 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "mm_jpeg_pixel_stats",
     "mm_flac_sample_stats",
+    "dedup_substring_span",
+    "text_dup_ngrams",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",
