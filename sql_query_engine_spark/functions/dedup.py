@@ -63,6 +63,7 @@ __all__ = [
     "ngram_jaccard_pairs_oracle",
     "ngram_containment_pairs",
     "ngram_containment_pairs_oracle",
+    "substring_span_pairs",
     "minhash_bands_stateless",
     "incremental_neardup_stateless",
     "embedding_neardup_pairs",
@@ -502,6 +503,89 @@ FROM directed WHERE containment >= {threshold}
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+
+def substring_span_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    min_span: int = 12,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Exact cross-doc duplicated token runs ≥ ``min_span`` tokens (Lee et
+    al. 2022 substring dedup, re-expressed relationally).
+
+    Plan shape (scale path, no all-pairs anywhere):
+
+    1. positioned ``n``-gram explode — one codegen projection per doc;
+    2. document-frequency cap on the gram hash (boilerplate guard: a
+       gram present in > ``df_cap`` docs is dropped before the join);
+    3. inverted-index self-join on the 48-bit gram hash (narrow shuffle
+       keys; the gram STRING is verified post-join so a hash collision
+       can never fabricate a pair);
+    4. gaps-and-islands per (doc_a, doc_b, diagonal): consecutive
+       matching positions collapse into islands; island length + n − 1
+       is the shared span in tokens. The row_number window partitions on
+       high-cardinality (pair, diag) keys — never a global window.
+
+    Returns (doc_a, doc_b, max_span_tokens, n_spans), doc_a < doc_b.
+    """
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    posg = (
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> array_join(slice(w, i, {n}), ' '))"
+    )
+    grams = (
+        docs.repartition(par)
+        .select("doc_id", F.expr(spark_tokens("text")).alias("w"))
+        .filter(F.expr(f"size(w) >= {n}"))
+        .select("doc_id", F.posexplode(F.expr(posg)).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(spark_hex48("g")).alias("h"),
+            "g",
+        )
+    )
+    keep = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("h")
+    )
+    kept = grams.join(keep, "h")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"),
+        F.col("h"), F.col("g").alias("g_a"),
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
+        F.col("h"), F.col("g").alias("g_b"),
+    )
+    hits = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b")) & (F.col("g_a") == F.col("g_b"))
+        )
+        .select(
+            "doc_a", "doc_b", "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = hits.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.count("*") + F.lit(n - 1)).alias("span_tokens")
+    )
+    return (
+        spans.filter(F.col("span_tokens") >= min_span)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+    )
+
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """48-bit SimHash per document over word-5-gram shingle features.

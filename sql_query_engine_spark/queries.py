@@ -6216,55 +6216,8 @@ GROUP BY doc_a, doc_b""",
 )
 def dedup_substring_span(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    grams = (
-        d.select("doc_id", F.expr(hashing.spark_tokens("text")).alias("w"))
-        .filter(F.expr(f"size(w) >= {_SPAN_N}"))
-        .select(
-            "doc_id",
-            F.posexplode(F.expr(_SPARK_POSG)).alias("pos0", "g"),
-        )
-        .select(
-            "doc_id", (F.col("pos0") + 1).alias("pos"),
-            F.expr(hashing.spark_hex48("g")).alias("h"), "g",
-        )
-    )
-    keep = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= _SPAN_DF_CAP)
-        .select("h")
-    )
-    kept = grams.join(keep, "h")
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"),
-        F.col("h"), F.col("g").alias("g_a"),
-    )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
-        F.col("h"), F.col("g").alias("g_b"),
-    )
-    hits = (
-        a.join(b, "h")
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("g_a") == F.col("g_b")))
-        .select(
-            "doc_a", "doc_b", "pos_a",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
-        )
-    )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    runs = hits.withColumn(
-        "island", F.col("pos_a") - F.row_number().over(w)
-    )
-    spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
-        (F.count("*") + F.lit(_SPAN_N - 1)).alias("span_tokens")
-    )
-    return (
-        spans.filter(F.col("span_tokens") >= _SPAN_MIN)
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
-            F.count("*").cast("bigint").alias("n_spans"),
-        )
+    return dedup.substring_span_pairs(
+        d, n=_SPAN_N, min_span=_SPAN_MIN, df_cap=_SPAN_DF_CAP
     )
 
 

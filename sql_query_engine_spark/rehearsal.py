@@ -49,6 +49,7 @@ __all__ = [
     "synth_documents",
     "synth_embeddings",
     "run_rehearsal",
+    "run_span_rehearsal",
 ]
 
 VOCAB = 30_000
@@ -324,4 +325,43 @@ def run_rehearsal(
     # identically and rank at/near the top — loose floor, recorded curve
     assert pq_recall >= 0.5, f"PQ planted recall {pq_recall:.4f} < 0.5"
 
+    return report
+
+
+def run_span_rehearsal(
+    spark: SparkSession,
+    n_docs: int = 100_000,
+    n_tokens: int = 104,
+    n_mutate: int = 5,
+) -> dict:
+    """Scale rehearsal for :func:`dedup.substring_span_pairs`.
+
+    The planted corpus gives an analytic ground truth: doc ``i+1``
+    (``i ≡ 0 mod 10``) copies doc i's first ``n_tokens − n_mutate``
+    tokens, so every planted pair shares EXACTLY that prefix run and no
+    unplanted pair shares any 8-gram beyond hash-collision noise. The
+    rehearsal asserts the result is exactly {planted pairs} × {span =
+    n_tokens − n_mutate}, and that join work (gram hits) stays linear in
+    the corpus.
+    """
+    report: dict = {"n_docs": n_docs}
+    keep = n_tokens - n_mutate
+    docs = synth_documents(spark, n_docs, n_tokens, n_mutate)
+
+    t0 = time.monotonic()
+    rows = dedup.substring_span_pairs(docs).collect()
+    report["t_span_s"] = round(time.monotonic() - t0, 2)
+
+    expected_pairs = len(range(0, n_docs - 1, PLANT_EVERY))
+    got = {(r.doc_a, r.doc_b): r.max_span_tokens for r in rows}
+    exp = {(i, i + 1): keep for i in range(0, n_docs - 1, PLANT_EVERY)}
+    report["pairs_found"] = len(got)
+    report["pairs_expected"] = expected_pairs
+    report["all_spans_exact"] = got == exp
+    report["pairs_per_doc"] = round(len(got) / n_docs, 4)
+    assert got == exp, (
+        f"span rehearsal mismatch: {len(got)} found vs {expected_pairs} "
+        f"expected; first diffs: "
+        f"{dict(list({k: v for k, v in got.items() if exp.get(k) != v}.items())[:3])}"
+    )
     return report

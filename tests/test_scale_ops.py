@@ -748,3 +748,15 @@ def test_matryoshka_truncate_map_only_and_unit_norm(spark):
         mean_s = sum(sims) / len(sims)
         mean_b = sum(background) / len(background)
         assert mean_s > mean_b + 0.2, (mean_s, mean_b)
+
+
+def test_span_rehearsal_small(spark):
+    """The substring-span rehearsal at pytest scale (5k docs): every
+    planted pair found with the exact 99-token prefix span, nothing
+    else; run_span_rehearsal raises AssertionError itself on any
+    violation."""
+    from sql_query_engine_spark.rehearsal import run_span_rehearsal
+
+    report = run_span_rehearsal(spark, n_docs=5_000)
+    assert report["pairs_found"] == report["pairs_expected"] == 500
+    assert report["all_spans_exact"] is True

@@ -19,7 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sql_query_engine_spark import get_spark  # noqa: E402
-from sql_query_engine_spark.rehearsal import run_rehearsal  # noqa: E402
+from sql_query_engine_spark.rehearsal import (  # noqa: E402
+    run_rehearsal,
+    run_span_rehearsal,
+)
 
 
 def main() -> int:
@@ -31,7 +34,10 @@ def main() -> int:
 
     spark = get_spark("scale-rehearsal")
     t0 = time.monotonic()
-    report = run_rehearsal(spark, n_docs=n_docs)
+    if "--span" in sys.argv:
+        report = run_span_rehearsal(spark, n_docs=n_docs)
+    else:
+        report = run_rehearsal(spark, n_docs=n_docs)
     report["t_total_s"] = round(time.monotonic() - t0, 2)
     line = json.dumps(report)
     print(line)
