@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import sized_for_python_stage
+
 __all__ = ["adaptive_params", "train_centroids", "ivf_topk"]
 
 
@@ -101,8 +103,9 @@ def train_centroids(
     test corpus is identical at 3 and 5 rounds (0.875), and every extra
     round is a full corpus pass.
     """
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    emb = emb.repartition(par).select("vec_id", "embedding").persist()
+    base = emb.select("vec_id", "embedding").persist()
+    n_rows = base.count()  # materializes the cache; sizes the passes
+    emb = sized_for_python_stage(base, n_rows)
     try:
         first = emb.orderBy("vec_id").limit(n_cells).collect()
         centroids = [list(map(float, r.embedding)) for r in first]
@@ -134,7 +137,7 @@ def train_centroids(
                 break
         return centroids
     finally:
-        emb.unpersist()
+        base.unpersist()
 
 
 def adaptive_params(n_vectors: int) -> tuple[int, int]:
@@ -183,10 +186,10 @@ def ivf_topk(
         n_probe = auto_probe
     if centroids is None:
         centroids = train_centroids(emb, n_cells=n_cells)
-    par = emb.sparkSession.sparkContext.defaultParallelism
     spark = emb.sparkSession
 
-    base = emb.repartition(par).select("vec_id", "embedding")
+    sel = emb.select("vec_id", "embedding")
+    base = sized_for_python_stage(sel, sel.count())
     # assignment is a pure map stage (the UDF carries the embedding
     # through — no join back onto the corpus); persist because the
     # assigned corpus feeds three consumers (query collect, query branch,

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import sized_for_python_stage
+
 __all__ = ["train_codebooks", "pq_codes", "pq_topk", "ivfpq_topk"]
 
 M_SUBSPACES = 8
@@ -112,8 +114,9 @@ def train_codebooks(
     Deterministic init (subvectors of the first ``k`` vectors by vec_id);
     each round is one distributed Arrow pass + a tiny (sub, cell, pos)
     aggregate. Only the codebook is collected."""
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    emb = emb.repartition(par).select("vec_id", "embedding").persist()
+    base = emb.select("vec_id", "embedding").persist()
+    n_rows = base.count()  # materializes the cache; sizes the passes
+    emb = sized_for_python_stage(base, n_rows)
     try:
         first = emb.orderBy("vec_id").limit(k).collect()
         if not first:
@@ -161,7 +164,7 @@ def train_codebooks(
                 break
         return codebooks
     finally:
-        emb.unpersist()
+        base.unpersist()
 
 
 def pq_codes(emb: DataFrame, codebooks) -> DataFrame:
@@ -170,9 +173,8 @@ def pq_codes(emb: DataFrame, codebooks) -> DataFrame:
     At 100 TB only (vec_id, codes) persists as the index — 4 bytes per
     vector at 8×4-bit — while this helper carries the embedding through
     for in-plan use."""
-    return emb.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism
-    ).select("vec_id", "embedding").mapInPandas(
+    sel = emb.select("vec_id", "embedding")
+    return sized_for_python_stage(sel, sel.count()).mapInPandas(
         _codes_udf(codebooks), "vec_id long, embedding array<float>, codes array<int>"
     )
 
@@ -362,14 +364,10 @@ def ivfpq_topk(
     cb = np.asarray(codebooks, dtype=np.float64)
     m, kk, subdim = cb.shape
 
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    coded = (
-        emb.repartition(par)
-        .select("vec_id", "embedding")
-        .mapInPandas(
-            _residual_codes_udf(centroids, codebooks),
-            "vec_id long, cell int, codes array<int>",
-        )
+    sel = emb.select("vec_id", "embedding")
+    coded = sized_for_python_stage(sel, sel.count()).mapInPandas(
+        _residual_codes_udf(centroids, codebooks),
+        "vec_id long, cell int, codes array<int>",
     )
 
     # query-side tables (all tiny, driver-built): one row per

@@ -6117,9 +6117,10 @@ FROM per_doc""",
     "repeat boilerplate show high duplicate-trigram mass long before "
     "exact dedup sees them. Complements text_repetition (top-bigram "
     "share). Plan: positioned trigrams explode from one codegen "
-    "projection, partial-aggregate on (doc_id, gram) then (doc_id) — "
-    "both keys are high-cardinality and co-partitioned after the first "
-    "shuffle, so the second agg is shuffle-free; integer counts and "
+    "projection, then two hash aggregates — (doc_id, gram) with map-side "
+    "partial combine (the explode fan-out collapses before its shuffle), "
+    "then (doc_id), whose exchange carries one compact row per distinct "
+    "gram. Both keys are high-cardinality (no skew); integer counts and "
     "char sums keep the two ratios oracle-exact.",
 )
 def text_dup_ngrams(spark, sf_dir):
