@@ -206,3 +206,74 @@ def test_bloom_never_false_negative(spark, member_keys, probe_extra, n_bits_pow)
         for r in bloom_semi_join(fact, dim, "fk", "k", n_bits=n_bits).collect()
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------- codecs --
+#
+# The byte-level decoders' operational contract at 100 TB: ANY payload —
+# arbitrary garbage or a valid container with bytes flipped, truncated,
+# or spliced — yields None or a well-formed tuple, NEVER an exception
+# (an uncaught raise inside mapInPandas kills the whole stage). These
+# run no Spark jobs, so examples are cheap and plentiful.
+
+from sql_query_engine_spark.functions import multimodal as _mm
+
+_DECODERS = [
+    _mm.decode_png_pixels,
+    _mm.decode_gif_pixels,
+    _mm.decode_jpeg_pixels,
+    _mm.decode_wav_samples,
+    _mm.decode_flac_samples,
+    _mm.decode_real,
+    _mm.decode_audio_real,
+    _mm.decode_video_real,
+]
+
+
+def _valid_payloads():
+    outs = []
+    for d in (0, 3, 7):
+        outs += [
+            _mm.build_png_pixels(d),
+            _mm.build_gif_pixels(d),
+            _mm.build_jpeg_pixels(d),
+            _mm.build_wav_samples(d),
+            _mm.build_flac_samples(d),
+            _mm.build_mp4(*_mm.video_params(d)),
+        ]
+    return [p for p in outs if p]
+
+
+_VALID = _valid_payloads()
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=400))
+def test_decoders_never_raise_on_garbage(payload):
+    for dec in _DECODERS:
+        out = dec(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.sampled_from(range(len(_VALID))),
+    cut=st.integers(min_value=0, max_value=400),
+    flips=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),
+                  st.integers(min_value=1, max_value=255)),
+        min_size=0, max_size=4,
+    ),
+)
+def test_decoders_never_raise_on_mutations(base, cut, flips):
+    """Valid container + truncation + byte flips: the adversarial corpus
+    that actually occurs in a crawl. Decoders must reject or decode —
+    never raise."""
+    buf = bytearray(_VALID[base][:cut] if cut else _VALID[base])
+    for pos, xor in flips:
+        if buf:
+            buf[pos % len(buf)] ^= xor
+    payload = bytes(buf)
+    for dec in _DECODERS:
+        out = dec(payload)
+        assert out is None or isinstance(out, tuple)
