@@ -6222,6 +6222,81 @@ def dedup_substring_span(spark, sf_dir):
     )
 
 
+_HQ_W = 5_000  # histogram bin width for the quantile sketch (price units)
+
+
+@_q(
+    "agg_histogram_quantiles",
+    f"""WITH b AS (
+    SELECT o_orderpriority,
+           cast(floor(o_totalprice / {_HQ_W}) as bigint) AS bin
+    FROM orders),
+c AS (
+    SELECT o_orderpriority, bin, count(*) AS cnt
+    FROM b GROUP BY o_orderpriority, bin),
+cum AS (
+    SELECT o_orderpriority, bin, cnt,
+           sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+           sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+    FROM c)
+SELECT o_orderpriority,
+       cast(max(total) as bigint) AS n_orders,
+       cast((min(CASE WHEN cum*100 >= 50*total THEN bin END) + 1)
+            * {_HQ_W} as double) AS p50_upper,
+       cast((min(CASE WHEN cum*100 >= 95*total THEN bin END) + 1)
+            * {_HQ_W} as double) AS p95_upper,
+       cast((min(CASE WHEN cum*100 >= 99*total THEN bin END) + 1)
+            * {_HQ_W} as double) AS p99_upper
+FROM cum GROUP BY o_orderpriority""",
+    "mergeable histogram-quantile sketch: per-priority p50/p95/p99 of "
+    "order value from fixed-width bin counts. The 100 TB story: exact "
+    "percentiles need a per-group global sort of the raw column, while "
+    "the bin sketch is ONE map-side-combinable hash aggregate whose "
+    "state is a few hundred (bin, count) pairs per group — mergeable "
+    "across partitions/days exactly like the HLL partials "
+    "(agg_hll_partial_merge); the cumulative pick then runs over bins, "
+    "not rows. Quantile selection uses integer cross-multiplication "
+    "(cum*100 >= q*total) — no float thresholds, so the bin choice and "
+    "the reported upper edge are oracle-exact; accuracy is the bin "
+    "width, the classic sketch trade.",
+)
+def agg_histogram_quantiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderpriority",
+        F.expr(f"cast(floor(o_totalprice / {_HQ_W}) as bigint)").alias("bin"),
+    )
+    c = b.groupBy("o_orderpriority", "bin").agg(F.count("*").alias("cnt"))
+    wcum = Window.partitionBy("o_orderpriority").orderBy("bin")
+    wtot = Window.partitionBy("o_orderpriority")
+    cum = c.select(
+        "o_orderpriority",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+
+    def pick(q100: int, name: str):
+        return (
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= q100 * F.col("total"), F.col("bin")
+                    )
+                )
+                + 1
+            )
+            * _HQ_W
+        ).cast("double").alias(name)
+
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("total").cast("bigint").alias("n_orders"),
+        pick(50, "p50_upper"),
+        pick(95, "p95_upper"),
+        pick(99, "p99_upper"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6259,6 +6334,7 @@ _GATE_PRIORITY = [
     "mm_flac_sample_stats",
     "dedup_substring_span",
     "text_dup_ngrams",
+    "agg_histogram_quantiles",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

@@ -428,3 +428,39 @@ def test_mode_and_argmax_vs_python(spark):
                           r.bottom_event_id)
            for r in agg_mode_and_argmax(spark, SF_DIR).collect()}
     assert got == expected
+
+
+def test_histogram_quantiles_bracket_exact(spark):
+    """The binned sketch's quantile upper edges must bracket the exact
+    DISCRETE per-group percentiles (smallest value whose CDF >= q — the
+    same ceiling-rank semantics the sketch uses) within one bin width."""
+    import math
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r.o_orderpriority: r for r in
+           q.agg_histogram_quantiles(spark, SF_DIR).collect()}
+    rows = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_grp: dict[str, list[float]] = {}
+    for r in rows:
+        by_grp.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+
+    W = 5_000
+    for k, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        g = got[k]
+        assert g.n_orders == n
+        for q100, est in ((50, g.p50_upper), (95, g.p95_upper),
+                          (99, g.p99_upper)):
+            true = vals[math.ceil(q100 * n / 100) - 1]  # discrete quantile
+            # true lives in the bin whose upper edge the sketch reports
+            assert est - W <= true < est, (k, q100, est, true)
