@@ -6297,6 +6297,45 @@ def agg_histogram_quantiles(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_bitmap_distinct",
+    """WITH chunks AS (
+    SELECT o_orderpriority,
+           o_custkey // 63 AS chunk,
+           bit_or(1::BIGINT << (o_custkey % 63)) AS bits
+    FROM orders GROUP BY o_orderpriority, o_custkey // 63)
+SELECT o_orderpriority,
+       cast(sum(bit_count(bits)) as bigint) AS n_distinct_custs
+FROM chunks GROUP BY o_orderpriority""",
+    "EXACT distinct counting via bitmap chunks — the dense-integer-key "
+    "scale technique between count(DISTINCT) and HLL: each (group, "
+    "key DIV 63) chunk folds into one int64 bitmap with bit_or (fully "
+    "map-side-combinable, commutative, mergeable across partitions and "
+    "incremental refreshes), and popcount-summing the chunks gives the "
+    "exact distinct count. Versus count(DISTINCT): no per-key rows "
+    "survive the shuffle — 63 keys travel as 8 bytes. Versus HLL "
+    "(agg_approx_count_distinct): exact, at the cost of key-space/63 "
+    "bytes per group. Pure codegen (shiftleft, bit_or, bit_count); "
+    "63-bit chunks keep every literal positive in both engines.",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    chunks = (
+        o.select(
+            "o_orderpriority",
+            F.expr("o_custkey DIV 63").alias("chunk"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(o_custkey % 63 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("o_orderpriority", "chunk")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    return chunks.groupBy("o_orderpriority").agg(
+        F.expr("cast(sum(bit_count(bits)) as bigint)").alias("n_distinct_custs")
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6335,6 +6374,7 @@ _GATE_PRIORITY = [
     "dedup_substring_span",
     "text_dup_ngrams",
     "agg_histogram_quantiles",
+    "agg_bitmap_distinct",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

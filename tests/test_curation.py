@@ -464,3 +464,24 @@ def test_histogram_quantiles_bracket_exact(spark):
             true = vals[math.ceil(q100 * n / 100) - 1]  # discrete quantile
             # true lives in the bin whose upper edge the sketch reports
             assert est - W <= true < est, (k, q100, est, true)
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    """The bitmap-chunk popcount must equal count(DISTINCT) exactly."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r.o_orderpriority: r.n_distinct_custs
+           for r in q.agg_bitmap_distinct(spark, SF_DIR).collect()}
+    exact = {
+        r.o_orderpriority: r.n
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == exact and len(got) == 5

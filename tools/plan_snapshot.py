@@ -174,6 +174,37 @@ SHOWCASE = [
         "broadcast-sized representative table — anchors never shuffle "
         "the corpus",
     ),
+    (
+        "dedup_substring_span",
+        "positioned grams from one Generate; DF-cap aggregate then "
+        "hash join on the 48-bit gram hash; the row_number window "
+        "partitions on (doc_a, doc_b, diag) — never a global window",
+        "substring dedup at corpus scale: join work proportional to "
+        "true overlap, islands computed inside high-cardinality "
+        "partitions — no all-pairs stage anywhere",
+    ),
+    (
+        "agg_histogram_quantiles",
+        "one hash aggregate on (priority, bin) with partial combine; "
+        "the quantile pick windows over bins, not rows",
+        "quantiles without a per-group global sort: sketch state is "
+        "(bin, count) pairs, mergeable across partitions and days",
+    ),
+    (
+        "agg_bitmap_distinct",
+        "bit_or aggregate with map-side partial combine on "
+        "(priority, chunk); popcount sum over chunks",
+        "exact distinct counts where no per-key rows cross the "
+        "shuffle — 63 keys travel as one int64",
+    ),
+    (
+        "mm_jpeg_pixel_stats",
+        "two chained mapInPandas stages (synthesize, decode), no "
+        "exchange anywhere",
+        "pixel statistics at 100 TB without moving pixels: payloads "
+        "live inside the Arrow stage, only (doc_id, dims, mean) "
+        "survive",
+    ),
 ]
 
 # formatted mode details block:
