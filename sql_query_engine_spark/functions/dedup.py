@@ -553,7 +553,15 @@ def substring_span_pairs(
         .filter(F.col("df") <= df_cap)
         .select("h")
     )
-    kept = grams.join(keep, "h")
+    # Both join sides below are corpus-sized. Catalyst's size estimate
+    # descends from the leaf (a spark.range-built corpus estimates tiny),
+    # so without a hint it BROADCASTS the aggregated side — proven fatal
+    # at the 1M-doc rehearsal (OOM building a ~100M-row broadcast), and a
+    # shuffle-hash hint just moves the OOM into the per-partition build
+    # maps (32 concurrent ~3M-row maps in one local JVM). Sort-merge is
+    # the honest strategy for corpus × corpus at any scale: both sides
+    # spill, no in-memory build side. EXPECTED SMJ in plan_audit.
+    kept = grams.join(keep.hint("merge"), "h")
     a = kept.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"),
         F.col("h"), F.col("g").alias("g_a"),
@@ -563,7 +571,7 @@ def substring_span_pairs(
         F.col("h"), F.col("g").alias("g_b"),
     )
     hits = (
-        a.join(b, "h")
+        a.join(b.hint("merge"), "h")
         .filter(
             (F.col("doc_a") < F.col("doc_b")) & (F.col("g_a") == F.col("g_b"))
         )

@@ -6336,6 +6336,86 @@ def agg_bitmap_distinct(spark, sf_dir):
     )
 
 
+@_q(
+    "catalog_constraint_check",
+    """SELECT 'customer_pk_unique' AS constraint_name,
+       (SELECT count(*) FROM customer) AS n_checked,
+       (SELECT count(*) FROM (
+            SELECT c_custkey FROM customer
+            GROUP BY c_custkey HAVING count(*) > 1)) AS n_violations
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+UNION ALL
+SELECT 'documents_text_nonempty',
+       (SELECT count(*) FROM documents),
+       (SELECT count(*) FROM documents
+        WHERE text IS NULL OR length(text) = 0)""",
+    "data-quality constraint gate (the deequ/dbt-test pattern a "
+    "production table publish runs before promotion): PK uniqueness, "
+    "two FK referential-integrity checks, a domain check, and a "
+    "completeness check, each reported as (constraint, n_checked, "
+    "n_violations). Plan: uniqueness is a hash-agg HAVING; FK checks "
+    "are left-anti joins (broadcast when the parent fits, shuffle "
+    "hash otherwise — never a NOT IN nested loop: Spark rewrites the "
+    "anti-join, and the builder states it directly); domain and "
+    "completeness are pushed-filter counts. All five run as one "
+    "unioned job over independent subtrees.",
+)
+def catalog_constraint_check(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+
+    def row(name, n_checked_df, viol_df):
+        n = n_checked_df.agg(F.count("*").alias("n"))
+        v = viol_df.agg(F.count("*").alias("v"))
+        return (
+            n.crossJoin(F.broadcast(v))
+            .select(
+                F.lit(name).alias("constraint_name"),
+                F.col("n").alias("n_checked"),
+                F.col("v").alias("n_violations"),
+            )
+        )
+
+    pk_dups = (
+        c.groupBy("c_custkey").agg(F.count("*").alias("k")).filter("k > 1")
+    )
+    fk_orders = o.join(
+        c.select("c_custkey"),
+        o["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk_line = li.join(
+        o.select("o_orderkey").alias("po"),
+        li["l_orderkey"] == F.col("po.o_orderkey"),
+        "left_anti",
+    )
+    bad_price = o.filter("o_totalprice <= 0")
+    empty_text = d.filter("text IS NULL OR length(text) = 0")
+
+    return (
+        row("customer_pk_unique", c, pk_dups)
+        .unionByName(row("orders_custkey_fk", o, fk_orders))
+        .unionByName(row("lineitem_orderkey_fk", li, fk_line))
+        .unionByName(row("orders_totalprice_positive", o, bad_price))
+        .unionByName(row("documents_text_nonempty", d, empty_text))
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6375,6 +6455,7 @@ _GATE_PRIORITY = [
     "text_dup_ngrams",
     "agg_histogram_quantiles",
     "agg_bitmap_distinct",
+    "catalog_constraint_check",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

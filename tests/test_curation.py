@@ -485,3 +485,41 @@ def test_bitmap_distinct_equals_exact(spark):
         .collect()
     }
     assert got == exact and len(got) == 5
+
+
+def test_constraint_check_clean_on_driver_data(spark):
+    """The driver's star schema satisfies all five constraints; a planted
+    orphan FK row must surface as a violation."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from tests.conftest import SF_DIR
+
+    got = {r.constraint_name: (r.n_checked, r.n_violations)
+           for r in q.catalog_constraint_check(spark, SF_DIR).collect()}
+    assert set(got) == {
+        "customer_pk_unique", "orders_custkey_fk", "lineitem_orderkey_fk",
+        "orders_totalprice_positive", "documents_text_nonempty",
+    }
+    for name, (n, v) in got.items():
+        assert n > 0 and v == 0, (name, n, v)
+
+    # planted violation: copy the tables, orphan one orders row
+    import tempfile
+
+    from sql_query_engine_spark.catalog import TABLES, load_table
+
+    with tempfile.TemporaryDirectory() as td:
+        for t in TABLES:
+            df = load_table(spark, SF_DIR, t)
+            if t == "orders":
+                orphan = df.limit(1).withColumn(
+                    "o_custkey", F.lit(999_999_999)
+                )
+                df = df.unionByName(orphan)
+            df.write.mode("overwrite").parquet(f"{td}/{t}.parquet")
+        got2 = {r.constraint_name: r.n_violations
+                for r in q.catalog_constraint_check(spark, td).collect()}
+    assert got2["orders_custkey_fk"] == 1
+    assert got2["customer_pk_unique"] == 0

@@ -26,7 +26,13 @@ from sql_query_engine_spark.queries import registry  # noqa: E402
 # queries whose plans legitimately contain a nested-loop / cartesian /
 # sort-merge join, with the reason
 EXPECTED = {
+    "dedup_substring_span": "corpus x corpus gram self-join pinned to "
+    "sort-merge by hint: both sides spill, no in-memory build side — the "
+    "broadcast/shuffle-hash alternatives OOM'd the 1M-doc rehearsal",
     "ref_cross_product": "explicit cartesian is the operator",
+    "catalog_constraint_check": "five crossJoins of broadcast 1-row "
+    "count aggregates (one per constraint row) — the lazy-count shape "
+    "of text_idf, never data-sized",
     "ref_theta_join_pure": "pure non-equi join → broadcast NLJ by design",
     "dedup_embedding_cosine": "all-pairs exactness baseline (scale path is LSH)",
     "dedup_simhash_pairs": "all-pairs Hamming verifier (scale path is "
