@@ -188,3 +188,14 @@ def test_pagerank_on_edgeless_graph_is_uniform(spark):
     assert n > 0
     for v, a in out.items():
         assert abs(a - 1.0 / n) < 1e-9, (v, a)
+
+
+def test_round4_ops_on_empty(spark, empty_docs):
+    """Round-4 additions on a zero-row corpus: substring spans, the
+    media synthesize→decode chains, and the registry queries behind
+    them must all yield empty results, not errors."""
+    from sql_query_engine_spark.functions import multimodal as mm
+
+    assert dedup.substring_span_pairs(empty_docs).count() == 0
+    assert mm.jpeg_pixel_stats(mm.synthesize_jpeg_pixels(empty_docs)).count() == 0
+    assert mm.flac_sample_stats(mm.synthesize_flac_samples(empty_docs)).count() == 0

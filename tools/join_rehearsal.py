@@ -178,7 +178,13 @@ def run(spark, n_fact: int) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    skip = {i + 1 for i, a in enumerate(argv) if a == "--out"}
+    args = [
+        a
+        for i, a in enumerate(argv)
+        if not a.startswith("--") and i not in skip
+    ]
     n_fact = int(args[0]) if args else 5_000_000
     out = None
     if "--out" in sys.argv:

@@ -26,7 +26,13 @@ from sql_query_engine_spark.rehearsal import (  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    skip = {i + 1 for i, a in enumerate(argv) if a == "--out"}
+    args = [
+        a
+        for i, a in enumerate(argv)
+        if not a.startswith("--") and i not in skip
+    ]
     n_docs = int(args[0]) if args else 100_000
     out = None
     if "--out" in sys.argv:
