@@ -6416,6 +6416,104 @@ def catalog_constraint_check(spark, sf_dir):
     )
 
 
+_AUC_POS_LABEL = 5  # the "positive class" for the binary AUC demo
+
+
+@_q(
+    "pipeline_classifier_auc",
+    f"""WITH u AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+           embedding AS v
+    FROM embeddings),
+x AS (
+    SELECT vec_id, label, pos,
+           cast(round(cast(v[pos] as double), 7) as decimal(8,7)) AS val
+    FROM u),
+cent AS (
+    SELECT pos, cast(sum(val) as decimal(12,7)) AS centsum
+    FROM x WHERE label = {_AUC_POS_LABEL} GROUP BY pos),
+scored AS (
+    SELECT x.vec_id,
+           max(CASE WHEN x.label = {_AUC_POS_LABEL} THEN 1 ELSE 0 END) AS y,
+           sum(x.val * cent.centsum) AS score
+    FROM x JOIN cent USING (pos) GROUP BY x.vec_id),
+ranked AS (
+    SELECT y, score,
+           row_number() OVER (ORDER BY score, vec_id) AS rn
+    FROM scored),
+avgr AS (
+    SELECT y, avg(cast(rn as double))
+               OVER (PARTITION BY score) AS r
+    FROM ranked)
+SELECT cast(sum(y) as bigint) AS n_pos,
+       cast(count(*) - sum(y) as bigint) AS n_neg,
+       round((sum(CASE WHEN y = 1 THEN r ELSE 0 END)
+              - sum(y) * (sum(y) + 1) / 2.0)
+             / (sum(y) * (count(*) - sum(y))), 6) AS auc
+FROM avgr""",
+    "exact ROC-AUC of a prototype classifier over the full corpus — the "
+    "eval loop every learned quality/domain filter needs before it "
+    "gates a 100 TB corpus. Score = decimal fixed-point dot product "
+    "with the positive-class centroid NUMERATOR (scaling by 1/n never "
+    "changes ranks, so the division — the one inexact step — is "
+    "skipped); AUC = Mann-Whitney from rank sums with average-rank tie "
+    "handling. Ranking uses the two-pass range-partitioned row_number "
+    "(operators/rank.py): no global sort — the only global window runs "
+    "over one row per range partition; tie groups then average ranks "
+    "inside a high-cardinality (score) window. Every arithmetic step "
+    "before the final division is exact decimal/integer, so the oracle "
+    "hash-matches.",
+)
+def pipeline_classifier_auc(spark, sf_dir):
+    from .operators.rank import global_row_number
+
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(round(cast(v as double), 7) as decimal(8,7))").alias("val"),
+    )
+    cent = (
+        x.filter(F.col("label") == _AUC_POS_LABEL)
+        .groupBy("pos")
+        .agg(F.expr("cast(sum(val) as decimal(12,7))").alias("centsum"))
+    )
+    scored = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.when(F.col("label") == _AUC_POS_LABEL, 1).otherwise(0)
+            ).alias("y"),
+            F.sum(F.col("val") * F.col("centsum")).alias("score"),
+        )
+    )
+    ranked = global_row_number(scored, "score", "vec_id")
+    avgr = ranked.select(
+        "y",
+        F.avg(F.col("rn").cast("double"))
+        .over(Window.partitionBy("score"))
+        .alias("r"),
+    )
+    return avgr.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0.0))
+                - F.sum("y") * (F.sum("y") + 1) / 2.0
+            )
+            / (F.sum("y") * (F.count("*") - F.sum("y"))),
+            6,
+        ).alias("auc"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6456,6 +6554,7 @@ _GATE_PRIORITY = [
     "agg_histogram_quantiles",
     "agg_bitmap_distinct",
     "catalog_constraint_check",
+    "pipeline_classifier_auc",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

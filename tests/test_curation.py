@@ -523,3 +523,53 @@ def test_constraint_check_clean_on_driver_data(spark):
                 for r in q.catalog_constraint_check(spark, td).collect()}
     assert got2["orders_custkey_fk"] == 1
     assert got2["customer_pk_unique"] == 0
+
+
+def test_classifier_auc_matches_reference(spark):
+    """The distributed two-pass-rank AUC must equal an independent
+    pure-Python Mann-Whitney computation on the same score definition."""
+    import sys
+    from decimal import Decimal
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    POS = 5
+    vecs = {
+        r.vec_id: ([Decimal(str(round(float(v), 7))) for v in r.embedding],
+                   1 if r.label == POS else 0)
+        for r in rows
+    }
+    dim = len(next(iter(vecs.values()))[0])
+    centsum = [
+        sum(v[p] for v, y in vecs.values() if y == 1) for p in range(dim)
+    ]
+    scored = sorted(
+        (sum(v[p] * centsum[p] for p in range(dim)), vid, y)
+        for vid, (v, y) in vecs.items()
+    )
+    # average ranks per tied score group
+    ranks = {}
+    i = 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        r = (i + 1 + j) / 2  # avg of ranks i+1..j
+        for k in range(i, j):
+            ranks[scored[k][1]] = r
+        i = j
+    n_pos = sum(y for _, _, y in scored)
+    n_neg = len(scored) - n_pos
+    rank_sum = sum(ranks[vid] for _, vid, y in scored if y == 1)
+    expected = round(
+        (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6
+    )
+
+    got = q.pipeline_classifier_auc(spark, SF_DIR).collect()[0]
+    assert (got.n_pos, got.n_neg) == (n_pos, n_neg)
+    assert got.auc == expected
+    assert got.auc > 0.6  # the centroid prototype has real signal

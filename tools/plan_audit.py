@@ -127,6 +127,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "partition), not the data",
     "window_ntile_scale": "same two-pass rank offsets window — one row "
     "per range partition",
+    "pipeline_classifier_auc": "two-pass rank offsets window (one row "
+    "per range partition); tie-averaging windows on the high-cardinality "
+    "score key",
     "sim_hybrid_rrf": "rank windows run AFTER TakeOrdered limits — each "
     "covers at most the 50-row per-modality candidate list / 10-row "
     "fused list, never corpus-sized input",
