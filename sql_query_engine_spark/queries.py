@@ -6514,6 +6514,96 @@ def pipeline_classifier_auc(spark, sf_dir):
     )
 
 
+_CAL_BINS = 10  # calibration deciles
+
+
+@_q(
+    "pipeline_classifier_calibration",
+    f"""WITH u AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+           embedding AS v
+    FROM embeddings),
+x AS (
+    SELECT vec_id, label, pos,
+           cast(round(cast(v[pos] as double), 7) as decimal(8,7)) AS val
+    FROM u),
+cent AS (
+    SELECT pos, cast(sum(val) as decimal(12,7)) AS centsum
+    FROM x WHERE label = {_AUC_POS_LABEL} GROUP BY pos),
+scored AS (
+    SELECT x.vec_id,
+           max(CASE WHEN x.label = {_AUC_POS_LABEL} THEN 1 ELSE 0 END) AS y,
+           sum(x.val * cent.centsum) AS score
+    FROM x JOIN cent USING (pos) GROUP BY x.vec_id),
+ranked AS (
+    SELECT y, score,
+           row_number() OVER (ORDER BY score, vec_id) AS rn,
+           count(*) OVER () AS n
+    FROM scored),
+binned AS (
+    SELECT ((rn - 1) * {_CAL_BINS}) // n AS bin, y, score FROM ranked)
+SELECT cast(bin as int) AS bin,
+       count(*) AS n_vecs,
+       cast(sum(y) as bigint) AS n_pos,
+       round(sum(y) / cast(count(*) as double), 6) AS pos_rate,
+       round(cast(min(score) as double), 6) AS score_lo,
+       round(cast(max(score) as double), 6) AS score_hi
+FROM binned GROUP BY bin""",
+    "classifier calibration / reliability table — the second half of "
+    "the eval loop (pipeline_classifier_auc ranks; this shows WHERE the "
+    "score is trustworthy): rank-decile bins of the prototype score "
+    "with per-bin positive rate and score range. A monotone pos_rate "
+    "across bins = usable threshold; flat = the score is noise for that "
+    "slice. Same exact-decimal score, same two-pass range rank (no "
+    "global sort); the decile assignment ((rn-1)*k) DIV n is pure "
+    "integer arithmetic, so binning is engine-exact. One tiny hash-agg "
+    "on the 10 bins after the rank.",
+)
+def pipeline_classifier_calibration(spark, sf_dir):
+    from .operators.rank import global_row_number
+
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(round(cast(v as double), 7) as decimal(8,7))").alias("val"),
+    )
+    cent = (
+        x.filter(F.col("label") == _AUC_POS_LABEL)
+        .groupBy("pos")
+        .agg(F.expr("cast(sum(val) as decimal(12,7))").alias("centsum"))
+    )
+    scored = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.when(F.col("label") == _AUC_POS_LABEL, 1).otherwise(0)
+            ).alias("y"),
+            F.sum(F.col("val") * F.col("centsum")).alias("score"),
+        )
+    )
+    ranked = global_row_number(scored, "score", "vec_id")
+    n = ranked.groupBy().agg(F.count("*").alias("n"))
+    binned = ranked.crossJoin(F.broadcast(n)).select(
+        F.expr(f"((rn - 1) * {_CAL_BINS}) DIV n").cast("int").alias("bin"),
+        "y",
+        "score",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.round(F.sum("y") / F.count("*").cast("double"), 6).alias("pos_rate"),
+        F.round(F.min("score").cast("double"), 6).alias("score_lo"),
+        F.round(F.max("score").cast("double"), 6).alias("score_hi"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6555,6 +6645,7 @@ _GATE_PRIORITY = [
     "agg_bitmap_distinct",
     "catalog_constraint_check",
     "pipeline_classifier_auc",
+    "pipeline_classifier_calibration",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

@@ -573,3 +573,29 @@ def test_classifier_auc_matches_reference(spark):
     assert (got.n_pos, got.n_neg) == (n_pos, n_neg)
     assert got.auc == expected
     assert got.auc > 0.6  # the centroid prototype has real signal
+
+
+def test_classifier_calibration_bins_partition_and_order(spark):
+    """Deciles partition the corpus evenly, bin score ranges are
+    non-overlapping and increasing, and the overall positive count
+    matches the AUC query's."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        q.pipeline_classifier_calibration(spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(10))
+    n = sum(r.n_vecs for r in rows)
+    assert max(r.n_vecs for r in rows) - min(r.n_vecs for r in rows) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.score_hi <= b.score_lo  # rank bins ⇒ disjoint score ranges
+    auc_row = q.pipeline_classifier_auc(spark, SF_DIR).collect()[0]
+    assert sum(r.n_pos for r in rows) == auc_row.n_pos
+    assert n == auc_row.n_pos + auc_row.n_neg
+    # the prototype score concentrates positives in the top deciles
+    assert sum(r.n_pos for r in rows[7:]) > sum(r.n_pos for r in rows[:3])

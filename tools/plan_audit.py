@@ -30,6 +30,8 @@ EXPECTED = {
     "sort-merge by hint: both sides spill, no in-memory build side — the "
     "broadcast/shuffle-hash alternatives OOM'd the 1M-doc rehearsal",
     "ref_cross_product": "explicit cartesian is the operator",
+    "pipeline_classifier_calibration": "crossJoin of a broadcast 1-row "
+    "total-count aggregate (lazy-count shape of text_idf)",
     "catalog_constraint_check": "five crossJoins of broadcast 1-row "
     "count aggregates (one per constraint row) — the lazy-count shape "
     "of text_idf, never data-sized",
@@ -130,6 +132,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "pipeline_classifier_auc": "two-pass rank offsets window (one row "
     "per range partition); tie-averaging windows on the high-cardinality "
     "score key",
+    "pipeline_classifier_calibration": "same two-pass rank offsets "
+    "window; the crossJoin is a broadcast 1-row total-count aggregate "
+    "(lazy-count shape)",
     "sim_hybrid_rrf": "rank windows run AFTER TakeOrdered limits — each "
     "covers at most the 50-row per-modality candidate list / 10-row "
     "fused list, never corpus-sized input",
