@@ -6604,6 +6604,88 @@ def pipeline_classifier_calibration(spark, sf_dir):
     )
 
 
+_PSI_W = 50  # n_chars bin width for drift detection (~11 bins on the gate corpus)
+
+
+@_q(
+    "catalog_distribution_drift",
+    f"""WITH tagged AS (
+    SELECT CASE WHEN {_duck_h48("concat(cast(doc_id as varchar), ':drift')")}
+                     % 2 = 0
+           THEN 'reference' ELSE 'current' END AS cohort,
+           n_chars // {_PSI_W} AS bin
+    FROM documents),
+counts AS (
+    SELECT bin,
+           sum(CASE WHEN cohort = 'reference' THEN 1 ELSE 0 END) AS n_ref,
+           sum(CASE WHEN cohort = 'current' THEN 1 ELSE 0 END) AS n_cur
+    FROM tagged GROUP BY bin),
+tot AS (
+    SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts),
+probs AS (
+    SELECT bin,
+           (n_ref + 0.5) / (t_ref + 0.5 * (SELECT count(*) FROM counts))
+               AS p,
+           (n_cur + 0.5) / (t_cur + 0.5 * (SELECT count(*) FROM counts))
+               AS q,
+           n_ref, n_cur
+    FROM counts, tot)
+SELECT cast(bin as bigint) AS bin,
+       cast(n_ref as bigint) AS n_ref,
+       cast(n_cur as bigint) AS n_cur,
+       round((p - q) * ln(p / q), 6) AS psi_term
+FROM probs""",
+    "population-stability-index drift monitor — the standard production "
+    "check that a corpus refresh still looks like what the filters were "
+    "tuned on. Cohorts split by engine-neutral md5 hash (deterministic "
+    "'reference' vs 'current' halves on the gate corpus; in production "
+    "the cohorts are yesterday/today), n_chars binned by integer "
+    "division, per-bin PSI terms (p−q)·ln(p/q) with Laplace 0.5 "
+    "smoothing so empty bins stay finite. Everything before the ln is "
+    "integer counts; the ln inputs are identical doubles in both "
+    "engines, and round(·,6) absorbs last-ulp libm variation. Two "
+    "hash-aggs + a broadcast 1-row total; Σ psi_term > 0.2 is the "
+    "standard alarm threshold.",
+)
+def catalog_distribution_drift(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    _h = _spark_h48("concat(cast(doc_id as string), ':drift')")
+    tagged = d.select(
+        F.expr(
+            f"CASE WHEN {_h} % 2 = 0 THEN 'reference' ELSE 'current' END"
+        ).alias("cohort"),
+        F.expr(f"n_chars DIV {_PSI_W}").alias("bin"),
+    )
+    counts = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("cohort") == "reference", 1).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(F.col("cohort") == "current", 1).otherwise(0)).alias(
+            "n_cur"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count("*").alias("n_bins"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("n_bins"))).alias("p"),
+        ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("n_bins"))).alias("q"),
+    )
+    return probs.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+        ).alias("psi_term"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6646,6 +6728,7 @@ _GATE_PRIORITY = [
     "catalog_constraint_check",
     "pipeline_classifier_auc",
     "pipeline_classifier_calibration",
+    "catalog_distribution_drift",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

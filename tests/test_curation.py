@@ -599,3 +599,24 @@ def test_classifier_calibration_bins_partition_and_order(spark):
     assert n == auc_row.n_pos + auc_row.n_neg
     # the prototype score concentrates positives in the top deciles
     assert sum(r.n_pos for r in rows[7:]) > sum(r.n_pos for r in rows[:3])
+
+
+def test_distribution_drift_psi_small_on_random_split(spark):
+    """A random hash split of one corpus must show near-zero PSI (the
+    null case); the term signs cancel and |sum| stays far under the 0.2
+    alarm threshold."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from tests.conftest import SF_DIR
+
+    rows = q.catalog_distribution_drift(spark, SF_DIR).collect()
+    assert len(rows) >= 5  # enough bins to be meaningful
+    total = sum(r.n_ref + r.n_cur for r in rows)
+    assert total == 500
+    psi = sum(r.psi_term for r in rows)
+    # (p-q) and ln(p/q) share sign, so every term is a non-negative
+    # divergence contribution; the null case sits far below the alarm
+    assert all(r.psi_term >= 0 for r in rows)
+    assert 0 <= psi < 0.2
