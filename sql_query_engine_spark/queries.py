@@ -6686,6 +6686,84 @@ def catalog_distribution_drift(spark, sf_dir):
     )
 
 
+@_q(
+    "text_keywords",
+    """WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS tok
+    FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           tf.tf * ln(cast(n_docs as double) / df.df) AS s
+    FROM tf JOIN df USING (tok), n),
+ranked AS (
+    SELECT doc_id, tok, tf, df, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, tok) AS rnk
+    FROM scored)
+SELECT doc_id, cast(rnk as int) AS rnk, tok,
+       cast(tf as bigint) AS tf, cast(df as bigint) AS df,
+       round(s, 6) AS tfidf
+FROM ranked WHERE rnk <= 3""",
+    "TF-IDF keyword extraction — top-3 terms per document, the "
+    "classic retrieval/tagging primitive (index keys, dedup features, "
+    "topic labels for curation dashboards). tf and df are exact "
+    "integer hash-aggs (df over the distinct (doc, tok) projection), "
+    "idf = ln(n/df) on identical doubles, ranking per-doc with the "
+    "term as deterministic tie-break (ties at tfidf 0 — corpus-wide "
+    "terms — order lexically). Windows partition on doc_id (high "
+    "cardinality); the df join shuffles on the term key, the same "
+    "skew-safe shape as the n-gram inverted indexes. One broadcast "
+    "1-row n_docs aggregate (lazy-count shape).",
+)
+def text_keywords(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("s", 6).alias("tfidf"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6729,6 +6807,7 @@ _GATE_PRIORITY = [
     "pipeline_classifier_auc",
     "pipeline_classifier_calibration",
     "catalog_distribution_drift",
+    "text_keywords",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

@@ -1084,3 +1084,28 @@ def test_substring_span_finds_planted_run(spark):
         rows = q.dedup_substring_span(spark, td).collect()
     got = {(r.doc_a, r.doc_b): r.max_span_tokens for r in rows}
     assert got == {(1, 2): 20}
+
+
+def test_keywords_rank_content_words_over_stopwords(spark):
+    """TF-IDF must surface a doc's distinctive term over a corpus-wide
+    stopword even when the stopword is more frequent in the doc."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    rows = [(i, "the the the the common filler words here") for i in range(9)]
+    rows.append((9, "the the the the zebra zebra quagga unique"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            (r.doc_id, r.rnk): r.tok
+            for r in q.text_keywords(spark, td).collect()
+        }
+    # doc 9: 'the' appears 4x but is in every doc (idf 0); zebra (2x,
+    # df 1) must rank first, then the df-1 singletons lexically
+    assert got[(9, 1)] == "zebra"
+    assert got[(9, 2)] in ("quagga", "unique")
+    assert all(got[(d, r)] is not None for d in range(10) for r in (1, 2, 3))

@@ -32,6 +32,8 @@ EXPECTED = {
     "ref_cross_product": "explicit cartesian is the operator",
     "pipeline_classifier_calibration": "crossJoin of a broadcast 1-row "
     "total-count aggregate (lazy-count shape of text_idf)",
+    "text_keywords": "crossJoin of a broadcast 1-row n_docs aggregate "
+    "(lazy-count shape of text_idf)",
     "catalog_distribution_drift": "crossJoin of a broadcast 1-row "
     "bin-totals aggregate (lazy-count shape of text_idf)",
     "catalog_constraint_check": "five crossJoins of broadcast 1-row "
