@@ -6764,6 +6764,95 @@ def text_keywords(spark, sf_dir):
     )
 
 
+@_q(
+    "emb_centroid_drift",
+    f"""WITH tagged AS (
+    SELECT vec_id, label, embedding AS v,
+           CASE WHEN {_duck_h48("concat(cast(vec_id as varchar), ':edrift')")}
+                     % 2 = 0
+           THEN 0 ELSE 1 END AS cohort
+    FROM embeddings),
+x AS (
+    SELECT label, cohort, generate_subscripts(v, 1) AS pos,
+           cast(round(cast(v[generate_subscripts(v, 1)] as double), 7)
+                as decimal(8,7)) AS val,
+           vec_id
+    FROM tagged),
+sums AS (
+    SELECT label, cohort, pos,
+           cast(sum(val) as decimal(14,7)) AS s,
+           count(DISTINCT vec_id) AS n
+    FROM x GROUP BY label, cohort, pos),
+wide AS (
+    SELECT label, pos,
+           max(CASE WHEN cohort = 0 THEN s END) AS s_ref,
+           max(CASE WHEN cohort = 0 THEN n END) AS n_ref,
+           max(CASE WHEN cohort = 1 THEN s END) AS s_cur,
+           max(CASE WHEN cohort = 1 THEN n END) AS n_cur
+    FROM sums GROUP BY label, pos),
+per_label AS (
+    SELECT label, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+           sum(abs(s_ref * n_cur - s_cur * n_ref)) AS num
+    FROM wide GROUP BY label)
+SELECT cast(label as int) AS label,
+       cast(n_ref as bigint) AS n_ref, cast(n_cur as bigint) AS n_cur,
+       round(cast(num as double) / (n_ref * n_cur), 6) AS l1_drift
+FROM per_label""",
+    "embedding-space drift — the vector counterpart of the PSI table "
+    "(catalog_distribution_drift): per-label L1 distance between the "
+    "two hash-cohort centroids. The inexact division is deferred to the "
+    "very last step by cross-multiplying the decimal centroid "
+    "NUMERATORS (|s_ref·n_cur − s_cur·n_ref| is exact fixed-point; one "
+    "double division + round(6) at the end), so the oracle "
+    "hash-matches. Plan: posexplode → one hash-agg on (label, cohort, "
+    "dim) with map-side combine → pivot to (label, dim) → per-label "
+    "fold. Detects encoder/version skew a count-based monitor cannot "
+    "see: the null split here must read ≈ noise-level drift.",
+)
+def emb_centroid_drift(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    _h = _spark_h48("concat(cast(vec_id as string), ':edrift')")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.expr(f"CASE WHEN {_h} % 2 = 0 THEN 0 ELSE 1 END").alias("cohort"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "cohort",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(round(cast(v as double), 7) as decimal(8,7))").alias("val"),
+    )
+    sums = x.groupBy("label", "cohort", "pos").agg(
+        F.expr("cast(sum(val) as decimal(14,7))").alias("s"),
+        F.countDistinct("vec_id").alias("n"),
+    )
+    wide = sums.groupBy("label", "pos").agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("s"))).alias("s_ref"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n_ref"),
+        F.max(F.when(F.col("cohort") == 1, F.col("s"))).alias("s_cur"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n_cur"),
+    )
+    per_label = wide.groupBy("label").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(
+            F.abs(
+                F.col("s_ref") * F.col("n_cur") - F.col("s_cur") * F.col("n_ref")
+            )
+        ).alias("num"),
+    )
+    return per_label.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            F.col("num").cast("double") / (F.col("n_ref") * F.col("n_cur")), 6
+        ).alias("l1_drift"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6808,6 +6897,7 @@ _GATE_PRIORITY = [
     "pipeline_classifier_calibration",
     "catalog_distribution_drift",
     "text_keywords",
+    "emb_centroid_drift",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

@@ -620,3 +620,52 @@ def test_distribution_drift_psi_small_on_random_split(spark):
     # divergence contribution; the null case sits far below the alarm
     assert all(r.psi_term >= 0 for r in rows)
     assert 0 <= psi < 0.2
+
+
+def test_centroid_drift_null_vs_planted_shift(spark):
+    """The hash-split null case must read near noise level; planting a
+    +1.0 shift on dimension 0 of exactly the 'reference' cohort (same
+    md5 rule as the query) must raise that label's drift by ~1."""
+    import hashlib
+    import sys
+    import tempfile
+
+    import pytest
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    def cohort(vec_id: int) -> int:
+        h = hashlib.md5(f"{vec_id}:edrift".encode()).hexdigest()[:12]
+        return 0 if int(h, 16) % 2 == 0 else 1
+
+    def vec(vec_id: int, shift: bool) -> list[float]:
+        base = [((vec_id * 31 + p * 7) % 200 - 100) / 100.0 for p in range(8)]
+        if shift and cohort(vec_id) == 0:
+            base[0] += 1.0
+        return base
+
+    rows_null = [(i, vec(i, False), i % 2) for i in range(400)]
+    rows_shift = [(i, vec(i, True), i % 2) for i in range(400)]
+    schema = "vec_id long, embedding array<float>, label int"
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows_null, schema).write.parquet(
+            f"{td}/embeddings.parquet"
+        )
+        null_drift = {
+            r.label: r.l1_drift
+            for r in q.emb_centroid_drift(spark, td).collect()
+        }
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows_shift, schema).write.parquet(
+            f"{td}/embeddings.parquet"
+        )
+        shift_drift = {
+            r.label: r.l1_drift
+            for r in q.emb_centroid_drift(spark, td).collect()
+        }
+
+    for lbl in (0, 1):
+        # planted +1 on dim 0 must add ~1 to the L1 drift of every label
+        assert shift_drift[lbl] - null_drift[lbl] == pytest.approx(1.0, abs=0.05)
