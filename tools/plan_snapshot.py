@@ -205,6 +205,23 @@ SHOWCASE = [
         "live inside the Arrow stage, only (doc_id, dims, mean) "
         "survive",
     ),
+    (
+        "pipeline_classifier_auc",
+        "two-pass range-partitioned row_number (no global sort); the "
+        "only partitionless window covers one row per range partition; "
+        "tie-averaging windows on the high-cardinality score key",
+        "corpus-wide ROC-AUC without a single-task sort — the eval "
+        "loop a learned filter needs before gating 100 TB",
+    ),
+    (
+        "emb_centroid_drift",
+        "posexplode into one hash aggregate on (label, cohort, dim) "
+        "with map-side combine, pivot, per-label fold — no window, no "
+        "join wider than a broadcast",
+        "embedding drift monitored from centroid partials: bytes "
+        "crossing the shuffle are (label x cohort x dim) sums, never "
+        "vectors",
+    ),
 ]
 
 # formatted mode details block:
