@@ -6853,6 +6853,103 @@ def emb_centroid_drift(spark, sf_dir):
     )
 
 
+_CM_D = 4      # count-min hash rows
+_CM_W = 1024   # buckets per row
+_CM_TOPK = 10
+
+
+def _cm_bucket_spark(row: int) -> str:
+    inner = "concat(cast(o_custkey as string), ':cm" + str(row) + "')"
+    return _spark_h48(inner) + " % " + str(_CM_W)
+
+
+def _cm_bucket_duck(row: int) -> str:
+    inner = "concat(cast(o_custkey as varchar), ':cm" + str(row) + "')"
+    return _duck_h48(inner) + " % " + str(_CM_W)
+
+
+@_q(
+    "agg_countmin_topk",
+    f"""WITH sketch AS (
+    SELECT r.row_id, b.bucket, count(*) AS cnt
+    FROM orders,
+         unnest(generate_series(0, {_CM_D - 1})) AS r(row_id),
+         LATERAL (SELECT CASE r.row_id
+             WHEN 0 THEN {_cm_bucket_duck(0)}
+             WHEN 1 THEN {_cm_bucket_duck(1)}
+             WHEN 2 THEN {_cm_bucket_duck(2)}
+             ELSE {_cm_bucket_duck(3)} END AS bucket) AS b
+    GROUP BY r.row_id, b.bucket),
+truth AS (
+    SELECT o_custkey, count(*) AS true_cnt
+    FROM orders GROUP BY o_custkey
+    ORDER BY true_cnt DESC, o_custkey LIMIT {_CM_TOPK}),
+probes AS (
+    SELECT o_custkey, true_cnt, r.row_id,
+           CASE r.row_id
+             WHEN 0 THEN {_cm_bucket_duck(0)}
+             WHEN 1 THEN {_cm_bucket_duck(1)}
+             WHEN 2 THEN {_cm_bucket_duck(2)}
+             ELSE {_cm_bucket_duck(3)} END AS bucket
+    FROM truth, unnest(generate_series(0, {_CM_D - 1})) AS r(row_id))
+SELECT p.o_custkey, cast(p.true_cnt as bigint) AS true_cnt,
+       cast(min(s.cnt) as bigint) AS est_cnt
+FROM probes p JOIN sketch s
+  ON p.row_id = s.row_id AND p.bucket = s.bucket
+GROUP BY p.o_custkey, p.true_cnt""",
+    "count-min sketch — the third mergeable sketch family (with the HLL "
+    "partials and the histogram quantiles): frequency estimation whose "
+    f"state is a FIXED {_CM_D}x{_CM_W} int grid regardless of corpus "
+    "size, built by one map-side-combinable hash aggregate over "
+    "(row, md5-bucket) pairs and mergeable across partitions, days, or "
+    "streams by cell-wise addition. The query builds the sketch, takes "
+    "the exact top-10 keys, probes their buckets, and reports est = min "
+    "over rows next to the true count — est >= true always (one-sided "
+    "error), and the overestimate bound eps*N is the classic trade. All "
+    "integer counts over engine-neutral md5 buckets: oracle-exact.",
+)
+def agg_countmin_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rows = [
+        o.select(
+            F.lit(r).alias("row_id"),
+            F.expr(_cm_bucket_spark(r)).alias("bucket"),
+        )
+        for r in range(_CM_D)
+    ]
+    ex = rows[0]
+    for rdf in rows[1:]:
+        ex = ex.unionByName(rdf)
+    sketch = ex.groupBy("row_id", "bucket").agg(F.count("*").alias("cnt"))
+
+    truth = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "o_custkey")
+        .limit(_CM_TOPK)
+    )
+    probes = None
+    for r in range(_CM_D):
+        p = truth.select(
+            "o_custkey",
+            "true_cnt",
+            F.lit(r).alias("row_id"),
+            F.expr(_cm_bucket_spark(r)).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["row_id", "bucket"])
+        .groupBy("o_custkey", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+        .select(
+            "o_custkey",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            "est_cnt",
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6898,6 +6995,7 @@ _GATE_PRIORITY = [
     "catalog_distribution_drift",
     "text_keywords",
     "emb_centroid_drift",
+    "agg_countmin_topk",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

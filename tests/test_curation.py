@@ -669,3 +669,22 @@ def test_centroid_drift_null_vs_planted_shift(spark):
     for lbl in (0, 1):
         # planted +1 on dim 0 must add ~1 to the L1 drift of every label
         assert shift_drift[lbl] - null_drift[lbl] == pytest.approx(1.0, abs=0.05)
+
+
+def test_countmin_one_sided_and_bounded(spark):
+    """CM estimates never undercount (one-sided error) and the
+    overestimate stays within the d=4, w=1024 sketch's expected bound
+    (~2N/w per colliding row, far tighter after the min over 4 rows)."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = q.agg_countmin_topk(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    n = load_table(spark, SF_DIR, "orders").count()
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt  # never undercounts
+        assert r.est_cnt - r.true_cnt <= max(10, 2 * n // 1024)
