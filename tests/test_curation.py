@@ -688,3 +688,41 @@ def test_countmin_one_sided_and_bounded(spark):
     for r in rows:
         assert r.est_cnt >= r.true_cnt  # never undercounts
         assert r.est_cnt - r.true_cnt <= max(10, 2 * n // 1024)
+
+
+def test_countmin_sketches_merge_exactly(spark):
+    """The CM property that matters at scale: sketches built per
+    partition (here: per order-priority slice) and merged cell-wise
+    equal the sketch built in one pass over everything — incremental
+    daily sketch maintenance is exact, only estimates are approximate."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from sql_query_engine_spark.catalog import load_table
+    from sql_query_engine_spark.queries import _CM_D, _cm_bucket_spark
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+
+    def sketch(df):
+        parts = None
+        for r in range(_CM_D):
+            p = df.select(
+                F.lit(r).alias("row_id"),
+                F.expr(_cm_bucket_spark(r)).alias("bucket"),
+            )
+            parts = p if parts is None else parts.unionByName(p)
+        return {
+            (r.row_id, r.bucket): r.cnt
+            for r in parts.groupBy("row_id", "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    whole = sketch(o)
+    merged: dict = {}
+    for pr in [r[0] for r in o.select("o_orderpriority").distinct().collect()]:
+        for cell, cnt in sketch(o.filter(F.col("o_orderpriority") == pr)).items():
+            merged[cell] = merged.get(cell, 0) + cnt
+    assert merged == whole and len(whole) > 0

@@ -65,6 +65,11 @@ def driver_green() -> dict[str, list[str]]:
 def main() -> int:
     emit = "--emit" in sys.argv
     timings: dict[str, float] = {}
+    default_timings = os.path.join(REPO_ROOT, "tools", "gate_timings.json")
+    if "--timings" not in sys.argv and os.path.exists(default_timings):
+        # committed profile from the latest round's measurement loop —
+        # refresh with --timings FILE when queries change materially
+        timings = json.load(open(default_timings))
     if "--timings" in sys.argv:
         # JSON {query: seconds} from a local profile run; the
         # never-checked block is then ordered cheapest-first by MEASURED
