@@ -6950,6 +6950,53 @@ def agg_countmin_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_countmin_users",
+    """WITH ev AS (
+    SELECT user_id,
+           (epoch_us(ts) // 3600000000) * 3600000000000 AS hour_start_ns
+    FROM events),
+cells AS (
+    SELECT hour_start_ns, r.row_id,
+           cast(concat('0x', substr(md5(concat(cast(user_id as varchar),
+                ':scm', cast(r.row_id as varchar))), 1, 12)) as bigint)
+               % 1024 AS bucket,
+           count(*) AS cnt
+    FROM ev, unnest(generate_series(0, 3)) AS r(row_id)
+    GROUP BY 1, 2, 3),
+merged AS (
+    SELECT row_id, bucket, sum(cnt) AS cnt
+    FROM cells GROUP BY row_id, bucket),
+truth AS (
+    SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id
+    ORDER BY true_cnt DESC, user_id LIMIT 5),
+probes AS (
+    SELECT user_id, true_cnt, r.row_id,
+           cast(concat('0x', substr(md5(concat(cast(user_id as varchar),
+                ':scm', cast(r.row_id as varchar))), 1, 12)) as bigint)
+               % 1024 AS bucket
+    FROM truth, unnest(generate_series(0, 3)) AS r(row_id))
+SELECT p.user_id, cast(p.true_cnt as bigint) AS true_cnt,
+       cast(min(m.cnt) as bigint) AS est_cnt
+FROM probes p JOIN merged m
+  ON p.row_id = m.row_id AND p.bucket = m.bucket
+GROUP BY p.user_id, p.true_cnt""",
+    "streaming sketch maintenance, batch twin: hourly count-min "
+    "partials over user_id (the fixed D×W grid fragment an incremental "
+    "maintainer emits per window — streaming/events.py "
+    "stream_countmin_partials runs the identical aggregation under "
+    "readStream with a 1-hour watermark, equivalence-tested in "
+    "test_streaming.py), merged CELL-WISE (CM merging is exact) and "
+    "probed at the exact top-5 users: est ≥ true one-sided. The hourly "
+    "partial stage is the operational shape — per-hour fragments "
+    "persist to a state store or sink and any later consumer sums them "
+    "without touching raw events.",
+)
+def stream_countmin_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return EV.countmin_user_estimates(ev)
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -6996,6 +7043,7 @@ _GATE_PRIORITY = [
     "text_keywords",
     "emb_centroid_drift",
     "agg_countmin_topk",
+    "stream_countmin_users",
     "text_readability",
     "text_domain_score",
     "pipeline_source_quota",

@@ -34,6 +34,11 @@ __all__ = [
     "sliding_counts",
     "session_stats",
     "stream_tumbling_counts",
+    "CM_D",
+    "CM_W",
+    "countmin_partials",
+    "countmin_user_estimates",
+    "stream_countmin_partials",
 ]
 
 HOUR_NS = 3_600_000_000_000
@@ -174,5 +179,114 @@ def stream_tumbling_counts(
             (F.unix_micros(F.col("w.start")) * F.lit(1000)).alias("window_start_ns"),
             "event_type",
             "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming count-min partials (mergeable sketch maintenance)
+# --------------------------------------------------------------------------
+
+CM_D = 4
+CM_W = 1024
+
+
+def _cm_user_bucket(row: int) -> str:
+    """Engine-neutral md5 bucket of user_id for CM hash row ``row``."""
+    inner = f"concat(cast(user_id as string), ':scm{row}')"
+    return (
+        f"conv(substr(md5({inner}), 1, 12), 16, 10) % {CM_W}"
+    )
+
+
+def countmin_partials(events: DataFrame) -> DataFrame:
+    """Per-hour count-min partials over ``user_id``: (hour_start_ns,
+    row_id, bucket, cnt).
+
+    This is exactly what an incremental sketch maintainer emits per
+    window: a fixed-size grid fragment (≤ D×W cells per hour) that
+    downstream consumers merge CELL-WISE (CM merging is exact — only
+    estimates are approximate). Works identically on batch and streaming
+    frames: one map-side-combinable hash aggregate, no joins, no state
+    beyond the aggregation itself.
+    """
+    rows = None
+    for r in range(CM_D):
+        p = events.select(
+            (F.col("ts") - (F.col("ts") % F.lit(HOUR_NS))).alias("hour_start_ns"),
+            F.lit(r).alias("row_id"),
+            F.expr(_cm_user_bucket(r)).alias("bucket"),
+        )
+        rows = p if rows is None else rows.unionByName(p)
+    return rows.groupBy("hour_start_ns", "row_id", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def countmin_user_estimates(events: DataFrame, top_k: int = 5) -> DataFrame:
+    """Merge the hourly partials cell-wise and probe the exact top-k
+    users: (user_id, true_cnt, est_cnt), est ≥ true one-sided."""
+    merged = (
+        countmin_partials(events)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    truth = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(top_k)
+    )
+    probes = None
+    for r in range(CM_D):
+        p = truth.select(
+            "user_id",
+            "true_cnt",
+            F.lit(r).alias("row_id"),
+            F.expr(_cm_user_bucket(r)).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        F.broadcast(probes)
+        .join(merged, ["row_id", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+        .select(
+            "user_id",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            "est_cnt",
+        )
+    )
+
+
+def stream_countmin_partials(
+    spark: SparkSession, events_path: str, schema
+) -> DataFrame:
+    """The hourly CM partials as a *real* streaming DataFrame: readStream
+    with a 1-hour watermark; each drained micro-batch updates the hourly
+    grid fragments, which a downstream merger sums cell-wise. The sketch
+    IS the aggregation state — fixed D×W cells per open hour, bounded by
+    the watermark."""
+    from ..catalog import normalize_events
+
+    raw = spark.readStream.schema(schema).parquet(events_path)
+    withts = normalize_events(raw)
+    rows = None
+    for r in range(CM_D):
+        p = withts.select(
+            "ts_utc",
+            F.lit(r).alias("row_id"),
+            F.expr(_cm_user_bucket(r)).alias("bucket"),
+        )
+        rows = p if rows is None else rows.unionByName(p)
+    return (
+        rows.withWatermark("ts_utc", "1 hour")
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "row_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            (F.unix_micros(F.col("w.start")) * F.lit(1000)).alias("hour_start_ns"),
+            "row_id",
+            "bucket",
+            "cnt",
         )
     )

@@ -707,3 +707,52 @@ def test_streaming_cdc_across_microbatches_equals_batch(spark, batch_events, tmp
         u: (et, v, t) for u, (et, v, t, d) in view.items() if not d
     }
     assert stream_alive == rel
+
+
+def test_stream_countmin_partials_equal_batch(spark, batch_events, tmp_path):
+    """The hourly CM grid fragments produced under the real streaming
+    engine equal the batch partials cell-for-cell, and merging them
+    cell-wise reproduces the whole-corpus sketch exactly — incremental
+    sketch maintenance loses nothing."""
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+
+    stream_df = EV.stream_countmin_partials(
+        spark, str(stream_dir), raw_schema(spark, SF_DIR, "events")
+    )
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("cm_partials_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.hour_start_ns, r.row_id, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM cm_partials_test").collect()
+    }
+    expected = {
+        (r.hour_start_ns, r.row_id, r.bucket): r.cnt
+        for r in EV.countmin_partials(batch_events).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+    # cell-wise merge of hourly fragments == one-pass whole sketch
+    merged: dict = {}
+    for (h, row_id, bucket), cnt in got.items():
+        merged[(row_id, bucket)] = merged.get((row_id, bucket), 0) + cnt
+    from pyspark.sql import functions as F
+
+    whole = {
+        (r.row_id, r.bucket): r.cnt
+        for r in EV.countmin_partials(batch_events)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
