@@ -1822,7 +1822,8 @@ def decode_jpeg_pixels(payload: bytes):
                 htables[(tc, th)] = dec
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            if body[0] != 8:
+            # precision + dims + Nf + one full component descriptor
+            if len(body) < 9 or body[0] != 8:
                 return None
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -1835,7 +1836,8 @@ def decode_jpeg_pixels(payload: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline SOF: boundary
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
+            # Ns + one component spec + the 3 spectral-selection bytes
+            if len(body) < 6 or body[0] != 1:
                 return None
             dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
             scan_start = pos + 2 + ln

@@ -192,11 +192,16 @@ CM_W = 1024
 
 
 def _cm_user_bucket(row: int) -> str:
-    """Engine-neutral md5 bucket of user_id for CM hash row ``row``."""
+    """Engine-neutral md5 bucket of user_id for CM hash row ``row``.
+
+    Reuses :func:`hashing.spark_hex48` so the bucket is an exact BIGINT
+    column (conv() returns STRING; without the cast the modulo coerces
+    through DOUBLE, which diverges from the batch ``agg_countmin_topk``
+    pattern and breaks under ``spark.sql.ansi.enabled``)."""
+    from ..functions.hashing import spark_hex48
+
     inner = f"concat(cast(user_id as string), ':scm{row}')"
-    return (
-        f"conv(substr(md5({inner}), 1, 12), 16, 10) % {CM_W}"
-    )
+    return f"{spark_hex48(inner)} % {CM_W}"
 
 
 def countmin_partials(events: DataFrame) -> DataFrame:

@@ -255,6 +255,25 @@ def test_decoders_never_raise_on_garbage(payload):
         assert out is None or isinstance(out, tuple)
 
 
+# Structurally-damaged JPEGs with truncated segment BODIES (the segment
+# length byte claims fewer bytes than the fixed-offset fields the parser
+# indexes): SOF0 shorter than one component descriptor, SOS shorter than
+# its spectral bytes. Regression seeds for the ADVICE r4 IndexError.
+_SHORT_SEGMENT_JPEGS = [
+    b"\xff\xd8\xff\xc0\x00\x03\x08",                      # SOF0 body = 1 byte
+    b"\xff\xd8\xff\xc0\x00\x07\x08\x00\x08\x00\x08",      # SOF0 body = 5 bytes
+    b"\xff\xd8\xff\xda\x00\x04\x01\x01",                  # SOS body = 2 bytes
+    b"\xff\xd8\xff\xda\x00\x06\x01\x01\x00\x00",          # SOS body = 4 bytes
+]
+
+
+def test_decoders_reject_short_segment_jpegs():
+    for payload in _SHORT_SEGMENT_JPEGS:
+        for dec in _DECODERS:
+            out = dec(payload)
+            assert out is None or isinstance(out, tuple)
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     base=st.sampled_from(range(len(_VALID))),
