@@ -1955,14 +1955,16 @@ def jpeg_pixel_stats(with_media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL audio sample decode #2 (FLAC, CONSTANT/VERBATIM subframes) — the
-# FLAC counterpart of the WAV/PCM path, from the public FLAC format
+# REAL audio sample decode #2 (FLAC, CONSTANT/VERBATIM/FIXED subframes)
+# — the FLAC counterpart of the WAV/PCM path, from the public FLAC format
 # specification (RFC 9639). Everything is real: frame-header sync and
 # field parsing, UTF-8-coded frame number, CRC-8 header check, bit-packed
-# subframe decode, CRC-16 frame check. CONSTANT and VERBATIM subframes
-# carry samples losslessly without prediction, so the sample statistics
-# stay oracle-expressible arithmetically; FIXED and LPC prediction remain
-# the documented codec boundary (reject to None).
+# subframe decode, Rice-coded residual decode with fixed-predictor
+# reconstruction (§9.2.2 orders 0-4, §9.2.7 partitioned Rice incl. the
+# escape encoding), CRC-16 frame check. All three subframe types are
+# lossless integer arithmetic, so the sample statistics stay
+# oracle-expressible; LPC prediction remains the documented codec
+# boundary (reject to None).
 # ---------------------------------------------------------------------------
 
 
@@ -1998,10 +2000,36 @@ def flac_verbatim_value(doc_id: int, i: int) -> int:
     return ((doc_id * 13 + i * i * 7) % 4096) - 2048
 
 
+_FIXED_COEFFS = (
+    (),
+    (1,),
+    (2, -1),
+    (3, -3, 1),
+    (4, -6, 4, -1),
+)
+
+
+def flac_subframe_kind(doc_id: int) -> int:
+    """0=CONSTANT, 1=VERBATIM, 2=FIXED (order (doc_id//3) % 5)."""
+    return doc_id % 3
+
+
+def flac_sample_value(doc_id: int, i: int) -> int:
+    """Decoded sample i of doc ``doc_id`` irrespective of encoding:
+    CONSTANT docs repeat the constant; VERBATIM and FIXED docs carry the
+    same quadratic formula (FIXED merely encodes it predictively, so the
+    oracle never needs to know the subframe type beyond the 3-way split).
+    """
+    if flac_subframe_kind(doc_id) == 0:
+        return flac_constant_value(doc_id)
+    return flac_verbatim_value(doc_id, i)
+
+
 def build_flac_samples(doc_id: int) -> bytes:
     """A REAL playable-layout FLAC: STREAMINFO + one frame holding a
-    CONSTANT (even doc_id) or VERBATIM (odd) mono 16-bit subframe, with
-    genuine CRC-8 and CRC-16 checksums."""
+    CONSTANT (doc_id%3==0), VERBATIM (%3==1), or FIXED-predictor
+    (%3==2, order (doc_id//3)%5, genuine Rice-coded residuals — RFC 9639
+    §9.2.2/§9.2.7) mono 16-bit subframe, with real CRC-8 and CRC-16."""
     rate = AUDIO_RATES[doc_id % len(AUDIO_RATES)]
     n = flac_sample_count(doc_id)
 
@@ -2032,17 +2060,47 @@ def build_flac_samples(doc_id: int) -> bytes:
                 acc = 0
                 nbits = 0
 
-    if doc_id % 2 == 0:
+    kind = flac_subframe_kind(doc_id)
+    if kind == 0:
         put(0, 1)          # zero pad bit
         put(0b000000, 6)   # CONSTANT
         put(0, 1)          # no wasted bits
         put(flac_constant_value(doc_id) & 0xFFFF, 16)
-    else:
+    elif kind == 1:
         put(0, 1)
         put(0b000001, 6)   # VERBATIM
         put(0, 1)
         for i in range(n):
             put(flac_verbatim_value(doc_id, i) & 0xFFFF, 16)
+    else:
+        order = min((doc_id // 3) % 5, n - 1)
+        samples = [flac_verbatim_value(doc_id, i) for i in range(n)]
+        coeffs = _FIXED_COEFFS[order]
+        residuals = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coeffs))
+            for i in range(order, n)
+        ]
+        put(0, 1)
+        put(0b001000 | order, 6)  # FIXED, order 0..4
+        put(0, 1)
+        for i in range(order):    # warm-up: raw samples at bit depth
+            put(samples[i] & 0xFFFF, 16)
+        # residual coding: method 0 (4-bit Rice params), partition order 0
+        put(0b00, 2)
+        put(0, 4)
+        zz = [(2 * r) if r >= 0 else (-2 * r - 1) for r in residuals]
+        # smallest param keeping every unary quotient ≤ 15 — real Rice
+        # codes, not the escape hatch
+        p = 0
+        while zz and max(zz) >> p > 15:
+            p += 1
+        put(p, 4)
+        for z in zz:
+            q = z >> p
+            put(0, q)      # q zero bits...
+            put(1, 1)      # ...terminated by a 1 (unary quotient)
+            if p:
+                put(z & ((1 << p) - 1), p)
     if nbits:
         put(0, 8 - nbits)  # zero-pad to byte alignment
 
@@ -2057,8 +2115,10 @@ def decode_flac_samples(payload: bytes):
     bit-packed subframe decode → CRC-16 verify → sample statistics.
 
     Returns (rate, n_samples, sum, sum_abs, peak) or None on structural
-    damage, failed CRC, non-mono/non-16-bit streams, or FIXED/LPC
-    prediction (the documented codec boundary).
+    damage, failed CRC, non-mono/non-16-bit streams, or LPC prediction
+    (the remaining documented codec boundary). CONSTANT, VERBATIM, and
+    FIXED order-0..4 subframes (Rice or escaped-raw residuals, any
+    partition order) decode fully.
     """
     b = payload
     if b is None or len(b) < 8 + 34 or b[:4] != b"fLaC":
@@ -2185,8 +2245,70 @@ def decode_flac_samples(payload: bytes):
             if v is None:
                 return None
             samples.append(v - 65536 if v >= 32768 else v)
+    elif 0b001000 <= stype <= 0b001100:  # FIXED, order 0..4 (RFC 9639 §9.2.2)
+        order = stype & 0x07
+        if order > n:
+            return None
+        samples = []
+        for _ in range(order):  # warm-up samples at full bit depth
+            v = br.get(16)
+            if v is None:
+                return None
+            samples.append(v - 65536 if v >= 32768 else v)
+        # coded residual (§9.2.7): 2-bit method, 4-bit partition order,
+        # then 2^po partitions of Rice-coded (or escaped-raw) residuals
+        method = br.get(2)
+        po = br.get(4)
+        if method is None or po is None or method > 1:
+            return None  # reserved coding method
+        nparts = 1 << po
+        if n % nparts != 0 or (n >> po) <= order:
+            return None
+        plen = 5 if method else 4
+        escape = (1 << plen) - 1
+        residuals: list[int] = []
+        for part in range(nparts):
+            count = (n >> po) - (order if part == 0 else 0)
+            param = br.get(plen)
+            if param is None:
+                return None
+            if param == escape:  # unencoded: 5-bit raw bit count
+                rawbits = br.get(5)
+                if rawbits is None:
+                    return None
+                for _ in range(count):
+                    if rawbits == 0:
+                        residuals.append(0)
+                        continue
+                    v = br.get(rawbits)
+                    if v is None:
+                        return None
+                    half = 1 << (rawbits - 1)
+                    residuals.append(v - (half << 1) if v >= half else v)
+            else:
+                for _ in range(count):
+                    q = 0
+                    while True:  # unary quotient: zeros then a 1
+                        bit = br.get(1)
+                        if bit is None:
+                            return None
+                        if bit:
+                            break
+                        q += 1
+                        if q > 1 << 20:
+                            return None  # absurd quotient: corrupt
+                    rem = br.get(param) if param else 0
+                    if rem is None:
+                        return None
+                    z = (q << param) | rem
+                    residuals.append(-((z + 1) >> 1) if z & 1 else z >> 1)
+        coeffs = _FIXED_COEFFS[order]
+        for i, r in enumerate(residuals):
+            k = order + i
+            pred = sum(c * samples[k - 1 - j] for j, c in enumerate(coeffs))
+            samples.append(r + pred)
     else:
-        return None  # FIXED/LPC prediction: documented boundary
+        return None  # LPC prediction: documented boundary
     # frame CRC-16 over everything from sync through subframe padding
     end = br.p  # subframe consumed bytes; padding bits already in acc
     if end + 2 > len(b):

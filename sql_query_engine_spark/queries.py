@@ -5809,7 +5809,7 @@ def mm_jpeg_pixel_stats(spark, sf_dir):
     SELECT doc_id, (doc_id % 100) + 20 AS n FROM documents),
 s AS (
     SELECT doc_id, n,
-           CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id % 3 = 0
                 THEN ((doc_id*13) % 4096) - 2048
                 ELSE ((doc_id*13 + ti.i*ti.i*7) % 4096) - 2048
            END AS v
@@ -5830,13 +5830,16 @@ FROM agg""",
     "lib): each doc gets a genuine FLAC — STREAMINFO plus one frame "
     "whose header carries real sync/blocksize/rate codes, a UTF-8-coded "
     "frame number and a passing CRC-8, and whose mono 16-bit subframe "
-    "is CONSTANT (even doc_id) or VERBATIM (odd) with a passing frame "
-    "CRC-16. The decode path re-parses all of it, verifies both CRCs, "
-    "bit-unpacks the samples, and reduces to amplitude statistics. "
-    "CONSTANT/VERBATIM carry samples losslessly so the oracle states "
-    "the stats in exact integer arithmetic; FIXED/LPC prediction "
-    "rejects to NULL (the remaining documented boundary). This closes "
-    "the FLAC-subframe boundary documented since round 2. Map-only.",
+    "is CONSTANT (doc_id%3=0), VERBATIM (%3=1), or FIXED order 0-4 "
+    "with genuine Rice-coded residuals (%3=2) — all with a passing "
+    "frame CRC-16. The decode path re-parses all of it, verifies both "
+    "CRCs, bit-unpacks the samples, decodes partitioned-Rice residuals "
+    "and reconstructs through the fixed predictors (RFC 9639 §9.2.2/"
+    "§9.2.7), and reduces to amplitude statistics. All three subframe "
+    "types are lossless integer arithmetic so the oracle states the "
+    "stats exactly (FIXED frames carry the same sample formula as "
+    "VERBATIM, just encoded predictively); LPC prediction rejects to "
+    "NULL (the remaining documented boundary). Map-only.",
 )
 def mm_flac_sample_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -7011,10 +7014,6 @@ def stream_countmin_users(spark, sf_dir):
 # cheap ones first so a time-budgeted gate certifies as many as possible.
 # Everything already driver-green in r1/r2 trails in declaration order.
 _GATE_PRIORITY = [
-    # reference parity (SURVEY.md §2.2) — pinned first, every round;
-    # remainder rotated by tools/rotate_gate.py --timings (round 4:
-    # never-driver-checked queries, cheapest-first by measured
-    # sf0.01 wall so the driver budget certifies the maximum count).
     "ref_q1_point_select",
     "ref_q2_cnr_join",
     "ref_q3_col_join_filters",
@@ -7030,6 +7029,67 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "mm_payload_dedup",
+    "agg_twophase_distinct",
+    "mm_video_decode",
+    "tpch_q14_promo_effect",
+    "emb_label_centroids",
+    "mm_audio_decode",
+    "stream_hourly_active_users",
+    "mm_decode",
+    "tpch_q13_customer_distribution",
+    "agg_heavy_hitters",
+    "stream_interval_join",
+    "catalog_table_diff",
+    "stream_daily_ohlc",
+    "sql_lateral_topn",
+    "catalog_key_skew_profile",
+    "stream_retention_cohorts",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "stream_sliding_counts",
+    "window_running_distinct",
+    "pipeline_contrastive_pairs",
+    "join_salted_skew",
+    "tpch_q20_part_promotion",
+    "mm_modality_router",
+    "mm_audio_filter",
+    "tpch_q17_small_qty_revenue",
+    "mm_decode_filter",
+    "tpch_q9_product_type_profit",
+    "pipeline_incremental_rollup",
+    "tpch_q11_important_stock",
+    "tpch_q19_disjunctive_revenue",
+    "stream_gapfill_locf",
+    "stream_session_native",
+    "window_time_range_trailing",
+    "agg_mode_and_argmax",
+    "tpch_q7_volume_shipping",
+    "tpch_q18_large_volume",
+    "tpch_q2_min_cost_supplier",
+    "join_interval_overlap",
+    "pipeline_scd2",
+    "emb_random_projection",
+    "tpch_q8_market_share",
+    "tpch_q16_supplier_part_counts",
+    "pipeline_semantic_decontaminate",
+    "pipeline_temperature_mixture",
+    "tpch_q21_suppliers_kept_waiting",
+    "join_asof_forward",
+    "emb_knn_label_transfer",
+    "join_nearest_event",
+    "mm_pixel_stats",
+    "mm_gif_pixel_stats",
+    "text_lm_score",
+    "dedup_embedding_clusters",
+    "dedup_containment",
+    "sample_stratified",
+    "sim_lsh_multiprobe_topk",
+    "pipeline_cluster_safe_split",
+    "join_bloom_semijoin",
+    "pipeline_dedup_rate_by_source",
+    "pipeline_source_authority",
     "mm_jpeg_pixel_stats",
     "mm_flac_sample_stats",
     "dedup_substring_span",
@@ -7059,79 +7119,11 @@ _GATE_PRIORITY = [
     "pipeline_token_budget_mixture",
     "catalog_table_checksum",
     "join_null_safe",
-    "agg_hll_partial_merge",
     "scalar_url_functions",
     "mm_audio_sample_stats",
     "tpch_q4_order_priority",
     "emb_norm_histogram",
     "stream_window_topk",
-    "stream_hourly_active_users",
-    "pipeline_contrastive_pairs",
-    "agg_heavy_hitters",
-    "pipeline_incremental_rollup",
-    "tpch_q19_disjunctive_revenue",
-    "pipeline_scd2",
-    "catalog_key_skew_profile",
-    "stream_retention_cohorts",
-    "mm_decode",
-    "mm_audio_decode",
-    "mm_video_decode",
-    "catalog_table_diff",
-    "emb_random_projection",
-    "stream_gapfill_locf",
-    "stream_daily_ohlc",
-    "tpch_q14_promo_effect",
-    "join_salted_skew",
-    "stream_session_native",
-    "tpch_q22_global_sales_opportunity",
-    "agg_mode_and_argmax",
-    "stream_sliding_counts",
-    "tpch_q12_late_priority",
-    "window_time_range_trailing",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q20_part_promotion",
-    "stream_interval_join",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_qty_revenue",
-    "mm_modality_router",
-    "mm_audio_filter",
-    "agg_twophase_distinct",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume",
-    "mm_decode_filter",
-    "mm_payload_dedup",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "emb_knn_label_transfer",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q16_supplier_part_counts",
-    "pipeline_semantic_decontaminate",
-    "mm_pixel_stats",
-    "mm_gif_pixel_stats",
-    "pipeline_temperature_mixture",
-    "text_bpe_encode",
-    "emb_label_centroids",
-    "join_asof_forward",
-    "join_nearest_event",
-    "window_running_distinct",
-    "join_interval_overlap",
-    "text_lm_score",
-    "sql_lateral_topn",
-    "agg_approx_count_distinct",
-    "dedup_embedding_clusters",
-    "dedup_containment",
-    "sample_stratified",
-    "sim_lsh_multiprobe_topk",
-    "emb_pca_project",
-    "join_bloom_semijoin",
-    "sim_pq_topk",
-    "pipeline_dedup_rate_by_source",
-    "sim_ivfpq_topk",
-    "pipeline_cluster_safe_split",
-    "pipeline_source_authority",
-    "sim_ivf_topk",
     "scalar_null_semantics",
     "scalar_date_arithmetic",
     "scalar_array_ops",
@@ -7241,6 +7233,13 @@ _GATE_PRIORITY = [
     "text_pii_stats",
     "text_repetition",
     "sim_hybrid_rrf",
+    "agg_hll_partial_merge",
+    "text_bpe_encode",
+    "agg_approx_count_distinct",
+    "emb_pca_project",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivf_topk",
 ]
 _GATE_RANK = {n: i for i, n in enumerate(_GATE_PRIORITY)}
 

@@ -999,26 +999,25 @@ def test_jpeg_pixel_roundtrip_and_corruption():
 
 
 def test_flac_sample_roundtrip_and_corruption():
-    """Full FLAC CONSTANT/VERBATIM decode (frame header parse, CRC-8 and
-    CRC-16 verification, bit-packed samples) matches the sample formulas;
+    """Full FLAC CONSTANT/VERBATIM/FIXED decode (frame header parse,
+    CRC-8 and CRC-16 verification, bit-packed samples, Rice residuals +
+    fixed-predictor reconstruction) matches the sample formulas;
     damaged containers and unsupported subframes yield None."""
     from sql_query_engine_spark.functions.multimodal import (
         AUDIO_RATES,
         build_flac,
         build_flac_samples,
         decode_flac_samples,
-        flac_constant_value,
         flac_sample_count,
-        flac_verbatim_value,
+        flac_sample_value,
     )
 
-    for d in (0, 1, 2, 99, 250):
+    # 2,5,8,11,14 cover FIXED orders 0-4 ((d//3)%5); 0/1 cover
+    # CONSTANT/VERBATIM; 99/250 vary blocksize and rate codes
+    for d in (0, 1, 2, 5, 8, 11, 14, 99, 250):
         got = decode_flac_samples(build_flac_samples(d))
         n = flac_sample_count(d)
-        if d % 2 == 0:
-            vals = [flac_constant_value(d)] * n
-        else:
-            vals = [flac_verbatim_value(d, i) for i in range(n)]
+        vals = [flac_sample_value(d, i) for i in range(n)]
         exp = (AUDIO_RATES[d % 5], n, sum(vals),
                sum(abs(v) for v in vals), max(abs(v) for v in vals))
         assert got == exp

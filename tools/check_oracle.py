@@ -39,10 +39,20 @@ def row_multiset(rows, colnames):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--determinism"]
-    determinism = "--determinism" in sys.argv
+    argv = sys.argv[1:]
+    timings_out = None
+    if "--timings-out" in argv:
+        # write {query: wall_seconds} for tools/rotate_gate.py --timings —
+        # one shared session, so fixed startup cost is amortized and the
+        # relative ordering is honest
+        i = argv.index("--timings-out")
+        timings_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--determinism"]
+    determinism = "--determinism" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    timings: dict[str, float] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -76,6 +86,7 @@ def main() -> int:
             n_fail += 1
             continue
         if q.oracle is None:
+            timings[q.name] = round(time.time() - t0, 2)
             print(f"ROWS {q.name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
@@ -114,11 +125,18 @@ def main() -> int:
                 for k in list(diff_d)[:3]:
                     print(f"   duck : {k!r}")
                 ok = False
+        timings[q.name] = round(time.time() - t0, 2)
         if ok:
             print(f"PASS {q.name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
         else:
             n_fail += 1
+    if timings_out:
+        import json
+
+        with open(timings_out, "w") as f:
+            json.dump(timings, f, indent=1, sort_keys=True)
+        print(f"wrote {len(timings)} timings to {timings_out}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
 
