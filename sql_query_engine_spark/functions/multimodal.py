@@ -1666,6 +1666,74 @@ def build_jpeg_pixels(doc_id: int, ac_blocks=None) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def jpeg_chroma_level(doc_id: int, k: int, chan: int) -> int:
+    """Deterministic per-block flat chroma level in [-112, 112] for
+    Cb (chan=0) / Cr (chan=1) — mirrored by the SQL oracle."""
+    if chan == 0:
+        return ((doc_id * 7 + k * 11) % 225) - 112
+    return ((doc_id * 5 + k * 17) % 225) - 112
+
+
+def build_jpeg_color_pixels(doc_id: int) -> bytes:
+    """A REAL baseline color JPEG: 3 components, 4:4:4 (all sampling
+    0x11), luma quant/Huffman tables id 0 and chroma tables id 1,
+    interleaved Y-Cb-Cr MCUs with independent DC predictors. DC-only
+    blocks keep every pixel exactly flat so the channel sums stay
+    integer-exact through the fixed-point YCbCr→RGB conversion."""
+    w, h = jpeg_dims(doc_id)
+    bw, bh = w // 8, h // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bwr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for k in range(bw * bh):
+        levels = (
+            jpeg_block_level(doc_id, k),
+            jpeg_chroma_level(doc_id, k, 0),
+            jpeg_chroma_level(doc_id, k, 1),
+        )
+        for c, dc in enumerate(levels):
+            diff = dc - preds[c]
+            preds[c] = dc
+            s = _jpeg_cat(diff)
+            code, ln = dc_codes[s]
+            bwr.put(code, ln)
+            if s:
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                bwr.put(amp, s)
+            code, ln = ac_codes[0x00]  # EOB
+            bwr.put(code, ln)
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes(_JPEG_QTABLE)
+        + bytes([0x01]) + bytes(_JPEG_QTABLE),
+    )
+    sof = seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+        + b"\x00\x3f\x00",
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with byte unstuffing;
     surfaces restart markers and EOI to the caller."""
@@ -1758,15 +1826,16 @@ def _idct_basis():
     return _IDCT_BASIS
 
 
-def decode_jpeg_pixels(payload: bytes):
-    """Full baseline JPEG decode: segment walk → Huffman scan decode →
-    dequantize → IDCT → level shift → gray sum.
+def _decode_jpeg_planes(payload: bytes):
+    """Baseline JPEG decode core: segment walk → per-component Huffman
+    scan decode (interleaved MCUs) → dequantize → IDCT → level shift.
 
-    Returns (width, height, sum_gray) or None for anything that is not a
-    single-component baseline JPEG or fails structural validation —
-    corrupt payloads become NULL rows, never stage failures. Progressive
-    (SOF2), multi-component color, and 16-bit quant tables are rejected
-    (documented boundaries).
+    Returns (width, height, [plane ndarray per component]) or None.
+    Supports 1-component grayscale and 3-component 4:4:4 color (all
+    sampling factors 0x11 — one block per component per MCU).
+    Progressive (SOF2), subsampled chroma, and 16-bit quant tables are
+    rejected (documented boundaries); corrupt payloads become None,
+    never exceptions.
     """
     import numpy as np
 
@@ -1776,8 +1845,10 @@ def decode_jpeg_pixels(payload: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    # SOF component list: cid -> quant table id (order preserved)
+    sof_comps: dict[int, int] = {}
+    # scan component list in interleave order: (qtab, dc_id, ac_id)
+    scan_comps: list[tuple[int, int, int]] = []
     pos = 2
     scan_start = None
     while pos + 4 <= len(b):
@@ -1827,80 +1898,141 @@ def decode_jpeg_pixels(payload: bytes):
                 return None
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
-                return None  # color: documented boundary
-            if body[7] != 0x11:
-                return None  # subsampling: boundary
-            comp_q = body[8]
+            nf = body[5]
+            if nf not in (1, 3):
+                return None  # CMYK etc.: boundary
+            if len(body) < 6 + 3 * nf:
+                return None
+            sof_comps = {}
+            for ci in range(nf):
+                cid = body[6 + 3 * ci]
+                if body[7 + 3 * ci] != 0x11:
+                    return None  # subsampled chroma: boundary
+                sof_comps[cid] = body[8 + 3 * ci]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline SOF: boundary
         elif marker == 0xDA:  # SOS
-            # Ns + one component spec + the 3 spectral-selection bytes
-            if len(body) < 6 or body[0] != 1:
+            # Ns + per-component specs + the 3 spectral-selection bytes
+            ns = body[0] if body else 0
+            if len(body) < 1 + 2 * ns + 3 or ns != len(sof_comps) or ns == 0:
                 return None
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_comps = []
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                if cid not in sof_comps:
+                    return None
+                tb = body[2 + 2 * ci]
+                scan_comps.append((sof_comps[cid], tb >> 4, tb & 0x0F))
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
     if scan_start is None or w is None or w == 0 or h == 0:
         return None
-    q = qtables.get(comp_q)
-    dct = htables.get((0, dc_id))
-    act = htables.get((1, ac_id))
-    if q is None or dct is None or act is None:
-        return None
+    tables = []
+    for qid, dc_id, ac_id in scan_comps:
+        q = qtables.get(qid)
+        dct = htables.get((0, dc_id))
+        act = htables.get((1, ac_id))
+        if q is None or dct is None or act is None:
+            return None
+        tables.append((np.array(q, dtype=np.float64), dct, act))
 
     A = _idct_basis()
     bw = (w + 7) // 8
     bh = (h + 7) // 8
     reader = _JpegBitReader(b, scan_start)
-    pred = 0
-    total = 0
-    qa = np.array(q, dtype=np.float64)
+    nc = len(scan_comps)
+    preds = [0] * nc
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
     for by in range(bh):
         for bx in range(bw):
             if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
                 reader.align_and_consume_marker()
-                pred = 0
-            s = _huff_decode(reader, dct)
-            if s is None or s > 11:
-                return None
-            if s:
-                amp = reader.bits(s)
-                if amp is None:
+                preds = [0] * nc
+            for c in range(nc):
+                qa, dct, act = tables[c]
+                s = _huff_decode(reader, dct)
+                if s is None or s > 11:
                     return None
-                pred += _extend(amp, s)
-            zz = np.zeros(64)
-            zz[0] = pred
-            idx = 0
-            while idx < 63:
-                rs = _huff_decode(reader, act)
-                if rs is None:
-                    return None
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    idx += 16
-                    continue
-                run, sz = rs >> 4, rs & 0x0F
-                idx += run + 1
-                if idx > 63 or sz == 0:
-                    return None
-                amp = reader.bits(sz)
-                if amp is None:
-                    return None
-                zz[idx] = _extend(amp, sz)
-            coef = np.zeros((8, 8))
-            for i, (r, c) in enumerate(_ZIGZAG):
-                coef[r, c] = zz[i] * qa[i]
-            block = A.T @ coef @ A
-            px = np.clip(np.round(block) + 128, 0, 255)
-            # crop edge blocks to the declared image bounds
-            x0, y0 = bx * 8, by * 8
-            px = px[: min(8, h - y0), : min(8, w - x0)]
-            total += int(px.sum())
-    return w, h, total
+                if s:
+                    amp = reader.bits(s)
+                    if amp is None:
+                        return None
+                    preds[c] += _extend(amp, s)
+                zz = np.zeros(64)
+                zz[0] = preds[c]
+                idx = 0
+                while idx < 63:
+                    rs = _huff_decode(reader, act)
+                    if rs is None:
+                        return None
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        idx += 16
+                        continue
+                    run, sz = rs >> 4, rs & 0x0F
+                    idx += run + 1
+                    if idx > 63 or sz == 0:
+                        return None
+                    amp = reader.bits(sz)
+                    if amp is None:
+                        return None
+                    zz[idx] = _extend(amp, sz)
+                coef = np.zeros((8, 8))
+                for i, (r, cc) in enumerate(_ZIGZAG):
+                    coef[r, cc] = zz[i] * qa[i]
+                block = A.T @ coef @ A
+                px = np.clip(np.round(block) + 128, 0, 255)
+                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    # crop edge blocks to the declared image bounds
+    return w, h, [p[:h, :w] for p in planes]
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Grayscale baseline JPEG decode → (width, height, sum_gray), or
+    None for color streams, structural damage, or documented boundaries
+    (progressive, subsampled, 16-bit DQT) — NULL rows, never stage
+    failures."""
+    dec = _decode_jpeg_planes(payload)
+    if dec is None or len(dec[2]) != 1:
+        return None
+    w, h, planes = dec
+    return w, h, int(planes[0].sum())
+
+
+# libjpeg-style 16-bit fixed-point YCbCr→RGB (JFIF / CCIR 601 matrix):
+# R = Y + 1.40200*(Cr-128); G = Y - 0.34414*(Cb-128) - 0.71414*(Cr-128);
+# B = Y + 1.77200*(Cb-128), each term as round-half-up fixed point with
+# SCALEBITS=16 then floor-shifted — pure integer arithmetic the SQL
+# oracle can restate with floor((x + 32768)/65536).
+_FIX_1_40200 = 91881
+_FIX_0_34414 = 22554
+_FIX_0_71414 = 46802
+_FIX_1_77200 = 116130
+
+
+def decode_jpeg_color_pixels(payload: bytes):
+    """3-component 4:4:4 baseline JPEG decode → per-channel RGB sums via
+    integer fixed-point YCbCr→RGB: (width, height, sum_r, sum_g, sum_b),
+    or None for grayscale streams / damage / boundaries."""
+    import numpy as np
+
+    dec = _decode_jpeg_planes(payload)
+    if dec is None or len(dec[2]) != 3:
+        return None
+    w, h, (y, cb, cr) = dec
+    yi = y.astype(np.int64)
+    cbi = cb.astype(np.int64) - 128
+    cri = cr.astype(np.int64) - 128
+    r = yi + ((_FIX_1_40200 * cri + 32768) >> 16)
+    g = yi - ((_FIX_0_34414 * cbi + _FIX_0_71414 * cri + 32768) >> 16)
+    bch = yi + ((_FIX_1_77200 * cbi + 32768) >> 16)
+    r = np.clip(r, 0, 255)
+    g = np.clip(g, 0, 255)
+    bch = np.clip(bch, 0, 255)
+    return w, h, int(r.sum()), int(g.sum()), int(bch.sum())
 
 
 JPEG_PIXEL_SCHEMA = StructType(
@@ -1952,6 +2084,65 @@ def jpeg_pixel_stats(with_media: DataFrame) -> DataFrame:
             yield out
 
     return with_media.mapInPandas(_dec, JPEG_PIXEL_SCHEMA)
+
+
+JPEG_COLOR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def synthesize_jpeg_color_pixels(docs: DataFrame) -> DataFrame:
+    """One real 4:4:4 color baseline JPEG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_jpeg_color_pixels(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def jpeg_color_stats(with_media: DataFrame) -> DataFrame:
+    """payload → RGB channel means via the full 3-component baseline
+    decode + fixed-point YCbCr→RGB (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_jpeg_color_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                else:
+                    w, h, sr, sg, sb = dec
+                    n = w * h
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(round(sr / n, 6))
+                    rows["mean_g"].append(round(sg / n, 6))
+                    rows["mean_b"].append(round(sb / n, 6))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, JPEG_COLOR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -5794,13 +5794,64 @@ FROM s""",
     "(level*q0/8 + 128 with q0=8), so the oracle states the mean with "
     "integer arithmetic; blocks with AC coefficients are pinned against "
     "an independent float IDCT in tests. Map-only; the remaining "
-    "boundaries (color/YCbCr, progressive, 16-bit DQT) reject to NULL. "
-    "This closes the JPEG boundary documented since round 2 "
+    "boundaries (progressive, subsampled chroma, 16-bit DQT) reject to "
+    "NULL — 4:4:4 color decodes via mm_jpeg_color_stats. This closes "
+    "the JPEG boundary documented since round 2 "
     "(multimodal.py _decode_jpeg was header-only).",
 )
 def mm_jpeg_pixel_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return multimodal.jpeg_pixel_stats(multimodal.synthesize_jpeg_pixels(d))
+
+
+@_q(
+    "mm_jpeg_color_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh
+    FROM documents),
+blk AS (
+    SELECT doc_id, bw, bh,
+           ((doc_id*3 + tk.k*5) % 225) - 112 + 128 AS y,
+           ((doc_id*7 + tk.k*11) % 225) - 112 AS cb,
+           ((doc_id*5 + tk.k*17) % 225) - 112 AS cr
+    FROM d, unnest(generate_series(0, bw*bh - 1)) AS tk(k)),
+rgb AS (
+    SELECT doc_id, bw, bh,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((91881*cr + 32768)/65536.0) as bigint))) AS r,
+           LEAST(255, GREATEST(0,
+               y - cast(floor((22554*cb + 46802*cr + 32768)/65536.0)
+                        as bigint))) AS g,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((116130*cb + 32768)/65536.0) as bigint))) AS b
+    FROM blk),
+s AS (
+    SELECT doc_id, bw, bh,
+           sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, count(*) AS nb
+    FROM rgb GROUP BY doc_id, bw, bh)
+SELECT doc_id, cast(bw*8 as int) AS width, cast(bh*8 as int) AS height,
+       round((64*sr) / cast(bw*8*bh*8 as double), 6) AS mean_r,
+       round((64*sg) / cast(bw*8*bh*8 as double), 6) AS mean_g,
+       round((64*sb) / cast(bw*8*bh*8 as double), 6) AS mean_b
+FROM s""",
+    "REAL pixel decode #4 — baseline COLOR JPEG (ITU-T T.81, 3-component "
+    "4:4:4, from spec, no codec lib): each doc gets a genuine color JPEG "
+    "— two DQTs (luma id 0, chroma id 1), SOF0 with three 0x11-sampled "
+    "components, four canonical Huffman tables (DC/AC x luma/chroma), "
+    "and an interleaved Y-Cb-Cr MCU scan with independent DC predictors "
+    "— and the decode path Huffman-decodes every component block, "
+    "dequantizes, IDCTs, and converts through the libjpeg-style 16-bit "
+    "fixed-point YCbCr->RGB matrix (pure integer: floor-shift + clamp), "
+    "reducing to per-channel means. DC-only blocks keep every pixel "
+    "exactly flat, so the oracle restates the whole pipeline including "
+    "the color conversion in exact integer arithmetic "
+    "(floor((fix*c + 32768)/65536)). Extends mm_jpeg_pixel_stats "
+    "(grayscale) to color; progressive and subsampled chroma remain the "
+    "documented boundaries. Map-only, NULL on corruption.",
+)
+def mm_jpeg_color_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_color_stats(multimodal.synthesize_jpeg_color_pixels(d))
 
 
 @_q(
@@ -7029,6 +7080,7 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "mm_jpeg_color_stats",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

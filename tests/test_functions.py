@@ -998,6 +998,48 @@ def test_jpeg_pixel_roundtrip_and_corruption():
     assert decode_jpeg_pixels(None) is None
 
 
+def test_jpeg_color_roundtrip_and_corruption():
+    """Full 3-component 4:4:4 color decode (interleaved MCUs, per-
+    component tables and DC predictors, fixed-point YCbCr→RGB) matches a
+    pure-integer reference; modality mixups and damage yield None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_jpeg_color_pixels,
+        build_jpeg_pixels,
+        decode_jpeg_color_pixels,
+        decode_jpeg_pixels,
+        jpeg_block_level,
+        jpeg_chroma_level,
+        jpeg_dims,
+    )
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    for d in (0, 7, 99, 250):
+        got = decode_jpeg_color_pixels(build_jpeg_color_pixels(d))
+        w, h = jpeg_dims(d)
+        sr = sg = sb = 0
+        for k in range((w // 8) * (h // 8)):
+            y = jpeg_block_level(d, k) + 128
+            cb = jpeg_chroma_level(d, k, 0)
+            cr = jpeg_chroma_level(d, k, 1)
+            sr += 64 * clamp(y + ((91881 * cr + 32768) >> 16))
+            sg += 64 * clamp(y - ((22554 * cb + 46802 * cr + 32768) >> 16))
+            sb += 64 * clamp(y + ((116130 * cb + 32768) >> 16))
+        assert got == (w, h, sr, sg, sb)
+
+    good = build_jpeg_color_pixels(5)
+    # modality mixups between the gray and color paths reject cleanly
+    assert decode_jpeg_pixels(good) is None
+    assert decode_jpeg_color_pixels(build_jpeg_pixels(5)) is None
+    assert decode_jpeg_color_pixels(good[:30]) is None      # truncated
+    assert decode_jpeg_color_pixels(None) is None
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # damage inside the entropy-coded scan
+    res = decode_jpeg_color_pixels(bytes(bad))
+    assert res is None or len(res) == 5
+
+
 def test_flac_sample_roundtrip_and_corruption():
     """Full FLAC CONSTANT/VERBATIM/FIXED decode (frame header parse,
     CRC-8 and CRC-16 verification, bit-packed samples, Rice residuals +

@@ -222,6 +222,7 @@ _DECODERS = [
     _mm.decode_png_pixels,
     _mm.decode_gif_pixels,
     _mm.decode_jpeg_pixels,
+    _mm.decode_jpeg_color_pixels,
     _mm.decode_wav_samples,
     _mm.decode_flac_samples,
     _mm.decode_real,
@@ -237,6 +238,7 @@ def _valid_payloads():
             _mm.build_png_pixels(d),
             _mm.build_gif_pixels(d),
             _mm.build_jpeg_pixels(d),
+            _mm.build_jpeg_color_pixels(d),
             _mm.build_wav_samples(d),
             _mm.build_flac_samples(d),
             _mm.build_mp4(*_mm.video_params(d)),
