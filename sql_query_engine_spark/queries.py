@@ -6658,6 +6658,132 @@ def pipeline_classifier_calibration(spark, sf_dir):
     )
 
 
+# ---- distributed quality-classifier TRAINING (batch gradient descent) ----
+# Shared expression strings: the Spark plan and the DuckDB oracle embed
+# the IDENTICAL arithmetic, associativity and casts, so every double is
+# bit-equal in both engines. The link is the ALGEBRAIC sigmoid
+# 0.5 + 0.5*z/(1+|z|) rather than 1/(1+exp(-z)): exp() output differs
+# across libm implementations in the last ulp, while +,-,*,/,abs are
+# exactly-rounded IEEE primitives every engine computes identically —
+# that one substitution is what makes fixed-point training cross-engine
+# value-exact. Per-row gradient contributions are cast to DECIMAL(30,15)
+# before summing (order-independent exact aggregation, the
+# pipeline_source_authority pattern); the weight step then returns to
+# double.
+_LRT_ITERS = 5
+_LRT_LR = "cast(2 as double)"
+_LRT_Y = ("CASE WHEN text LIKE '%table%' THEN cast(1 as double) "
+          "ELSE cast(0 as double) END")
+_LRT_X1 = "cast(n_chars as double) / cast(1000 as double)"
+_LRT_X2 = ("cast(length(text) - length(replace(text, ' ', '')) as double)"
+           " / cast(100 as double)")
+_LRT_Z = "b + w1 * x1 + w2 * x2"
+_LRT_S = ("cast(0.5 as double) + cast(0.5 as double) * z"
+          " / (cast(1 as double) + abs(z))")
+
+
+def _classifier_train_oracle() -> str:
+    """Unrolled fixed-iteration batch gradient descent — the same
+    'iterative algorithm IS SQL' trick as the PageRank oracle."""
+    rounds = []
+    for i in range(1, _LRT_ITERS + 1):
+        p = f"w{i - 1}"
+        rounds.append(f"""
+g{i} AS MATERIALIZED (
+    SELECT sum(cast((s - y) as decimal(30,15))) AS gb,
+           sum(cast((s - y) * x1 as decimal(30,15))) AS g1,
+           sum(cast((s - y) * x2 as decimal(30,15))) AS g2
+    FROM (SELECT y, x1, x2, {_LRT_S} AS s
+          FROM (SELECT f.y, f.x1, f.x2, {_LRT_Z} AS z
+                FROM feat f CROSS JOIN {p} w))),
+w{i} AS MATERIALIZED (
+    SELECT w.b - {_LRT_LR} * (cast(g.gb as double) / nn.n) AS b,
+           w.w1 - {_LRT_LR} * (cast(g.g1 as double) / nn.n) AS w1,
+           w.w2 - {_LRT_LR} * (cast(g.g2 as double) / nn.n) AS w2
+    FROM {p} w CROSS JOIN g{i} g CROSS JOIN nn)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS iteration, round(b, 9) AS bias, "
+        f"round(w1, 9) AS w_len, round(w2, 9) AS w_ws FROM w{i}"
+        for i in range(1, _LRT_ITERS + 1)
+    )
+    return f"""
+WITH feat AS MATERIALIZED (
+    SELECT {_LRT_Y} AS y, {_LRT_X1} AS x1, {_LRT_X2} AS x2
+    FROM documents),
+nn AS (SELECT count(*) AS n FROM feat),
+w0 AS (SELECT cast(0 as double) AS b, cast(0 as double) AS w1,
+              cast(0 as double) AS w2),
+{",".join(rounds)}
+{selects}
+"""
+
+
+@_q(
+    "pipeline_classifier_train",
+    _classifier_train_oracle(),
+    "distributed quality-classifier TRAINING — the fit side of the "
+    "CCNet/fastText-style filter whose eval side "
+    "pipeline_classifier_auc/_calibration already grade. Batch logistic-"
+    "style gradient descent on the doc feature table (length, "
+    "whitespace density; label = contains-'table'), 5 fixed unrolled "
+    "iterations, fully declarative: each round is one map-side-"
+    "combinable gradient aggregate over the persisted feature table "
+    "crossJoined with the broadcast 1-row weight vector — per-partition "
+    "gradient partials combine exactly because contributions ride "
+    "DECIMAL(30,15); no driver-side loop state beyond plan construction. "
+    "At 100 TB each iteration is one scan+reduce of the feature table "
+    "(itself computed once and cached); weights are O(features) "
+    "regardless of corpus size. Value-exact oracle: the algebraic "
+    "sigmoid z/(1+|z|) replaces exp() so both engines compute bit-equal "
+    "doubles (exp differs across libm builds; +,-,*,/ are exactly-"
+    "rounded IEEE everywhere), and the fixed iteration count unrolls to "
+    "chained MATERIALIZED CTEs. Returns the per-iteration weight "
+    "trajectory; AUC improvement over random is pinned in tests.",
+)
+def pipeline_classifier_train(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.expr(_LRT_Y).alias("y"),
+        F.expr(_LRT_X1).alias("x1"),
+        F.expr(_LRT_X2).alias("x2"),
+    ).persist()  # scanned once per iteration; tiny projected columns
+    nn = feat.groupBy().agg(F.count("*").alias("n"))
+    w = feat.sparkSession.range(1).select(
+        F.expr("cast(0 as double)").alias("b"),
+        F.expr("cast(0 as double)").alias("w1"),
+        F.expr("cast(0 as double)").alias("w2"),
+    )
+    out = None
+    for i in range(1, _LRT_ITERS + 1):
+        scored = (
+            feat.crossJoin(F.broadcast(w))
+            .select("y", "x1", "x2", F.expr(_LRT_Z).alias("z"))
+            .select("y", "x1", "x2", F.expr(_LRT_S).alias("s"))
+        )
+        g = scored.groupBy().agg(
+            F.expr("sum(cast((s - y) as decimal(30,15)))").alias("gb"),
+            F.expr("sum(cast((s - y) * x1 as decimal(30,15)))").alias("g1"),
+            F.expr("sum(cast((s - y) * x2 as decimal(30,15)))").alias("g2"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.expr(f"b - {_LRT_LR} * (cast(gb as double) / n)").alias("b"),
+                F.expr(f"w1 - {_LRT_LR} * (cast(g1 as double) / n)").alias("w1"),
+                F.expr(f"w2 - {_LRT_LR} * (cast(g2 as double) / n)").alias("w2"),
+            )
+        )
+        row = w.select(
+            F.lit(i).alias("iteration"),
+            F.expr("round(b, 9)").alias("bias"),
+            F.expr("round(w1, 9)").alias("w_len"),
+            F.expr("round(w2, 9)").alias("w_ws"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 _PSI_W = 50  # n_chars bin width for drift detection (~11 bins on the gate corpus)
 
 
@@ -7081,6 +7207,7 @@ _GATE_PRIORITY = [
     "ref_csv_scan",
     "ref_jsonl_scan",
     "mm_jpeg_color_stats",
+    "pipeline_classifier_train",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

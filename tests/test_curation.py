@@ -726,3 +726,38 @@ def test_countmin_sketches_merge_exactly(spark):
         for cell, cnt in sketch(o.filter(F.col("o_orderpriority") == pr)).items():
             merged[cell] = merged.get(cell, 0) + cnt
     assert merged == whole and len(whole) > 0
+
+
+def test_classifier_train_improves_over_random(spark):
+    """The trained weight trajectory must (a) move every iteration —
+    gradients are nonzero — and (b) produce scores whose training AUC
+    beats random ranking by a margin, i.e. the distributed fit actually
+    learns the label signal from the features."""
+    from sql_query_engine_spark.queries import pipeline_classifier_train
+
+    rows = sorted(
+        pipeline_classifier_train(spark, SF_DIR).collect(),
+        key=lambda r: r.iteration,
+    )
+    assert [r.iteration for r in rows] == [1, 2, 3, 4, 5]
+    trajectory = [(r.bias, r.w_len, r.w_ws) for r in rows]
+    assert len(set(trajectory)) == 5  # every step moves
+
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = docs.select(
+        F.expr("CASE WHEN text LIKE '%table%' THEN 1.0 ELSE 0.0 END").alias("y"),
+        F.expr("cast(n_chars as double) / 1000.0").alias("x1"),
+        F.expr(
+            "cast(length(text) - length(replace(text, ' ', '')) as double)"
+            " / 100.0"
+        ).alias("x2"),
+    ).collect()
+    b, w1, w2 = trajectory[-1]
+    scored = sorted((b + w1 * r.x1 + w2 * r.x2, r.y) for r in feats)
+    n_pos = sum(1 for _, y in scored if y == 1.0)
+    n_neg = len(scored) - n_pos
+    assert n_pos and n_neg
+    # Mann-Whitney AUC (ties broken by sort order; ample margin anyway)
+    rank_sum = sum(i + 1 for i, (_, y) in enumerate(scored) if y == 1.0)
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert auc > 0.65, auc
