@@ -7177,6 +7177,128 @@ def stream_countmin_users(spark, sf_dir):
     return EV.countmin_user_estimates(ev)
 
 
+# ---- BM25 retrieval (Lucene-style Okapi BM25, k1=1.2 b=0.75) -------------
+# Shared expression fragments so Spark and DuckDB compute bit-identical
+# doubles: idf is rounded to 6 decimals immediately after ln() (the
+# text_idf idiom — ln on identical doubles agrees at 6dp), every other
+# step is rational arithmetic with explicit double casts and identical
+# associativity, and per-(query,doc) term-score sums ride DECIMAL(30,12).
+_BM25_QUERIES = [
+    (1, "table"), (1, "scan"),
+    (2, "join"), (2, "order"),
+    (3, "spark"), (3, "data"), (3, "fast"),
+]
+_BM25_TOPK = 5
+_BM25_IDF = ("round(ln((cast(nd - df as double) + cast(0.5 as double))"
+             " / (cast(df as double) + cast(0.5 as double))"
+             " + cast(1 as double)), 6)")
+_BM25_TERM = ("idf * (cast(tf as double) * cast(2.2 as double))"
+              " / (cast(tf as double) + cast(1.2 as double)"
+              " * (cast(0.25 as double)"
+              " + cast(0.75 as double) * (cast(dl as double) / avgdl)))")
+
+
+@_q(
+    "text_bm25_topk",
+    f"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, t.tok
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)),
+dl AS MATERIALIZED (
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT cast(sum(dl) as double) / count(*) AS avgdl, count(*) AS nd
+    FROM dl),
+qt AS (SELECT * FROM (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)})
+       AS qt(query_id, term)),
+terms AS (SELECT DISTINCT term FROM qt),
+tf AS MATERIALIZED (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM toks JOIN terms ON tok = term
+    GROUP BY doc_id, tok),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, {_BM25_IDF} AS idf FROM dfq CROSS JOIN stats),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(cast({_BM25_TERM} as decimal(30,12))) AS score_d
+    FROM tf
+    JOIN qt ON qt.term = tf.term
+    JOIN idf ON idf.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY qt.query_id, tf.doc_id),
+ranked AS (
+    SELECT query_id, doc_id, score_d,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_d DESC, doc_id) AS rn
+    FROM scored)
+SELECT cast(query_id as int) AS query_id, doc_id,
+       round(cast(score_d as double), 6) AS score, cast(rn as int) AS rn
+FROM ranked WHERE rn <= {_BM25_TOPK}""",
+    "full-text BM25 retrieval (Okapi/Lucene form: "
+    "idf=ln(1+(N-df+.5)/(df+.5)), k1=1.2, b=0.75) — the retrieval "
+    "primitive behind decontamination lookups, quality-by-query "
+    "probes, and dedup keeper choice. One token-explode pass feeds "
+    "BOTH doc lengths and term frequencies; query terms are a "
+    "broadcast literal table so tf computation touches only matching "
+    "postings; per-(query,doc) scores are DECIMAL sums of "
+    "deterministic double term scores; top-5 per query via a "
+    "rank<=k window that Spark executes as WindowGroupLimit "
+    "(map-side partial top-k — no corpus-sized partition reaches the "
+    "window at 100 TB). idf rounds to 6dp straight out of ln() (the "
+    "text_idf idiom), making the whole pipeline value-exact.",
+)
+def text_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.groupBy().agg(
+        F.expr("cast(sum(dl) as double) / count(*)").alias("avgdl"),
+        F.count("*").alias("nd"),
+    )
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    terms = qt.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == terms["term"])
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumnRenamed("tok", "term")
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(stats)).select(
+        "term", F.expr(_BM25_IDF).alias("idf")
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr(f"sum(cast({_BM25_TERM} as decimal(30,12)))").alias("score_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_d").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id", "doc_id", "score_d",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _BM25_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            F.expr("round(cast(score_d as double), 6)").alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7208,6 +7330,7 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "mm_jpeg_color_stats",
     "pipeline_classifier_train",
+    "text_bm25_topk",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

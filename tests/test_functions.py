@@ -1150,3 +1150,51 @@ def test_keywords_rank_content_words_over_stopwords(spark):
     assert got[(9, 1)] == "zebra"
     assert got[(9, 2)] in ("quagga", "unique")
     assert all(got[(d, r)] is not None for d in range(10) for r in (1, 2, 3))
+
+
+def test_bm25_matches_pure_python(spark):
+    """text_bm25_topk's scores equal an independent pure-Python Okapi
+    BM25 (k1=1.2, b=0.75, Lucene idf) on a tiny corpus via temp dir."""
+    import math
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    docs = [
+        (1, "table scan table join"),
+        (2, "join order join order fast"),
+        (3, "spark data fast table"),
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {(r.query_id, r.doc_id): (r.score, r.rn)
+               for r in q.text_bm25_topk(spark, td).collect()}
+
+    toks = {d: t.split() for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    nd = len(docs)
+    want = {}
+    for qid, terms in ((1, ["table", "scan"]), (2, ["join", "order"]),
+                       (3, ["spark", "data", "fast"])):
+        scores = {}
+        for d, t in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = t.count(term)
+                if not tf:
+                    continue
+                dfc = sum(1 for tt in toks.values() if term in tt)
+                idf = round(math.log((nd - dfc + 0.5) / (dfc + 0.5) + 1), 6)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+            if s:
+                scores[d] = s
+        for rn, (d, s) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0])), 1
+        ):
+            want[(qid, d)] = (round(s, 6), rn)
+    assert got == want
