@@ -7299,6 +7299,95 @@ def text_bm25_topk(spark, sf_dir):
     )
 
 
+# ---- binary quantization + Hamming ANN -----------------------------------
+_HAM_NQ = 4   # query vectors: vec_id < _HAM_NQ
+_HAM_K = 5
+
+
+@_q(
+    "sim_hamming_topk",
+    f"""WITH u AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding) AS v
+    FROM embeddings),
+codes AS MATERIALIZED (
+    SELECT vec_id,
+           cast(sum(CASE WHEN pos <= 32 AND v >= 0
+                         THEN (1::BIGINT << (pos - 1)) ELSE 0 END) as bigint)
+               AS lo,
+           cast(sum(CASE WHEN pos > 32 AND v >= 0
+                         THEN (1::BIGINT << (pos - 33)) ELSE 0 END) as bigint)
+               AS hi
+    FROM u GROUP BY vec_id),
+q AS (SELECT * FROM codes WHERE vec_id < {_HAM_NQ}),
+d AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           cast(bit_count(xor(q.lo, c.lo))
+                + bit_count(xor(q.hi, c.hi)) as int) AS hamming
+    FROM q JOIN codes c ON c.vec_id <> q.vec_id),
+ranked AS (
+    SELECT query_id, neighbor_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS rn
+    FROM d)
+SELECT query_id, neighbor_id, hamming, cast(rn as int) AS rn
+FROM ranked WHERE rn <= {_HAM_K}""",
+    "binary-quantized ANN: each embedding collapses to a 64-bit sign "
+    "code (two 32-bit words packed by a pure-codegen aggregate lambda — "
+    "no explode, no shuffle, 64x memory reduction vs float32), and "
+    "neighbor search is bit_count(xor) Hamming distance — integer ops "
+    "inside whole-stage codegen, no floating point at query time. The "
+    "modern memory-tier trick for billion-vector search: codes for "
+    "100 TB of embeddings fit where floats cannot, Hamming prefilters "
+    "candidates for exact rerank (sim_lsh_multiprobe_topk / cosine_topk "
+    "are the rerank stages this composes with). Broadcast query codes x "
+    "one scan of the code table; top-5 per query via rank<=k that "
+    "executes as map-side-partial WindowGroupLimit. Everything is exact "
+    "integer arithmetic, so the oracle hash-matches.",
+)
+def sim_hamming_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
+            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i)"
+            " ELSE 0L END)"
+        ).alias("lo"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc +"
+            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i - 32)"
+            " ELSE 0L END)"
+        ).alias("hi"),
+    )
+    q = codes.filter(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    d = (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "cast(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) as int)"
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        d.select(
+            "query_id", "neighbor_id", "hamming",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _HAM_K)
+        .select("query_id", "neighbor_id", "hamming",
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7331,6 +7420,7 @@ _GATE_PRIORITY = [
     "mm_jpeg_color_stats",
     "pipeline_classifier_train",
     "text_bm25_topk",
+    "sim_hamming_topk",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1198,3 +1198,46 @@ def test_bm25_matches_pure_python(spark):
         ):
             want[(qid, d)] = (round(s, 6), rn)
     assert got == want
+
+
+def test_hamming_topk_matches_sign_codes(spark):
+    """sim_hamming_topk = exact Hamming distance between 64-bit sign
+    codes: verified on vectors with planted sign patterns."""
+    import itertools
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    def vec(signs):  # signs: list of 64 bools (True = non-negative)
+        return [0.5 if s else -0.5 for s in signs]
+
+    base = [True] * 64
+    flip1 = base[:]; flip1[7] = False
+    flip3 = base[:]; flip3[1] = flip3[40] = flip3[63] = False
+    half = [True] * 32 + [False] * 32
+    even = [i % 2 == 0 for i in range(64)]
+    vecs = [base, flip1, flip3, half, even, [False] * 64]
+    rows = [(i, vec(s), 0) for i, s in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got = {(r.query_id, r.neighbor_id): (r.hamming, r.rn)
+               for r in q.sim_hamming_topk(spark, td).collect()}
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if x != y)
+
+    want = {}
+    for qi in range(4):  # _HAM_NQ = 4
+        ds = sorted(
+            ((ham(vecs[qi], vecs[ci]), ci) for ci in range(6) if ci != qi)
+        )
+        for rn, (h, ci) in enumerate(ds[:5], 1):
+            want[(qi, ci)] = (h, rn)
+    assert got == want
+    assert got[(0, 1)] == (1, 1)   # single-flip neighbor ranks first
+    assert got[(0, 2)][0] == 3

@@ -50,6 +50,9 @@ EXPECTED = {
     "window_ntile_scale": "crossJoin of a broadcast 1-row total-count "
     "aggregate (same lazy-count shape as text_idf)",
     "sim_cosine_topk": "broadcast NLJ of tiny query set vs corpus — correct",
+    "sim_hamming_topk": "BNLJ is the broadcast ≤4-row query-code set "
+    "against one streaming pass of the code table — the cosine_topk "
+    "broadcast-query shape on 64-bit codes",
     "join_full_outer": "full outer cannot broadcast; SMJ is the right strategy",
     "join_range_bands": "theta join against a 5-row broadcast band table — "
     "BNLJ here IS the lookup",
