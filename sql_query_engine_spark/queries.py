@@ -7388,6 +7388,112 @@ def sim_hamming_topk(spark, sf_dir):
     )
 
 
+# ---- winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme) ----
+_WIN_K = 4        # tokens per k-gram
+_WIN_W = 4        # gram hashes per winnowing window
+_WIN_DFCAP = 50   # inverted-index df cap (stopgram guard)
+_WIN_POSBITS = 1048576  # 2^20: positions packed below the 40-bit hash
+
+
+@_q(
+    "dedup_winnowing",
+    f"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents),
+grams AS (
+    SELECT doc_id, g.i AS pos,
+           array_to_string(toks[g.i + 1 : g.i + {_WIN_K}], ' ') AS gram
+    FROM toks, unnest(generate_series(0, len(toks) - {_WIN_K})) AS g(i)
+    WHERE len(toks) >= {_WIN_K}),
+keyed AS (
+    SELECT doc_id, pos,
+           cast(concat('0x', substr(md5(gram), 1, 10)) as bigint)
+               * {_WIN_POSBITS} + ({_WIN_POSBITS - 1} - pos) AS key
+    FROM grams),
+wins AS (
+    SELECT doc_id, pos,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                          AND CURRENT ROW) AS sel_key
+    FROM keyed),
+fp AS MATERIALIZED (
+    SELECT DISTINCT doc_id, sel_key // {_WIN_POSBITS} AS h
+    FROM wins WHERE pos >= {_WIN_W - 1}),
+hdf AS (SELECT h FROM fp GROUP BY h
+        HAVING count(*) BETWEEN 2 AND {_WIN_DFCAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(count(*) as bigint) AS n_shared
+FROM fp a JOIN hdf USING (h) JOIN fp b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2""",
+    "winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 — "
+    "the MOSS scheme): 4-token k-gram hashes, and from every window of "
+    "4 consecutive hashes select the minimum (ties -> rightmost "
+    "position, encoded by packing 2^20-1-pos under the 40-bit hash so "
+    "ONE integer min() implements the tie rule identically in both "
+    "engines); distinct selected hashes are the doc's fingerprints — "
+    "guaranteed-coverage sampling (any shared run of w+k-1 tokens "
+    "shares a fingerprint) at ~2/(w+1) the index size of full shingles. "
+    "Pair generation is the df-capped inverted-index join of "
+    "dedup_ngram_jaccard: work proportional to shared-fingerprint "
+    "co-occupancy, never all-pairs; per-doc windows partition by "
+    "doc_id, so nothing is corpus-global. Pure integer/md5 arithmetic "
+    "end to end — the oracle hash-matches.",
+)
+def dedup_winnowing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    ).filter(F.expr(f"size(toks) >= {_WIN_K}"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_WIN_K}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {_WIN_K})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)"
+            f" * {_WIN_POSBITS} + ({_WIN_POSBITS - 1} - pos)"
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
+    )
+    wins = keyed.select(
+        "doc_id", "pos", F.min("key").over(w).alias("sel_key")
+    ).filter(F.col("pos") >= _WIN_W - 1)
+    fp = wins.select(
+        "doc_id", F.expr(f"sel_key div {_WIN_POSBITS}").alias("h")
+    ).distinct()
+    hdf = (
+        fp.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, _WIN_DFCAP))
+        .select("h")
+    )
+    a = fp.alias("a").join(hdf, "h")
+    b = fp.alias("b")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7421,6 +7527,7 @@ _GATE_PRIORITY = [
     "pipeline_classifier_train",
     "text_bm25_topk",
     "sim_hamming_topk",
+    "dedup_winnowing",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

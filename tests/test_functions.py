@@ -1241,3 +1241,30 @@ def test_hamming_topk_matches_sign_codes(spark):
     assert got == want
     assert got[(0, 1)] == (1, 1)   # single-flip neighbor ranks first
     assert got[(0, 2)][0] == 3
+
+
+def test_winnowing_guarantee_and_discrimination(spark):
+    """Winnowing's coverage guarantee: two docs sharing a run of at
+    least w+k-1 = 7 tokens must share a fingerprint (and surface as a
+    pair); fully-distinct docs must not pair."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight nine " + shared + " ten eleven twelve"),
+        (3, "p q r s t u v w x y z aa bb cc dd"),
+        (4, "ee ff gg hh ii jj kk ll mm nn oo pp qq rr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        pairs = {(r.doc_a, r.doc_b): r.n_shared
+                 for r in q.dedup_winnowing(spark, td).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    for p in pairs:
+        assert p == (1, 2), f"false pair {p}"
