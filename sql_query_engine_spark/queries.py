@@ -7494,6 +7494,72 @@ def dedup_winnowing(spark, sf_dir):
     )
 
 
+# ---- interval coalescing (gaps-and-islands over event activity) ---------
+_IVC_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@_q(
+    "stream_interval_coalesce",
+    f"""WITH iv AS (
+    SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_IVC_LEN_US} AS e,
+           event_id
+    FROM events),
+flagged AS (
+    SELECT user_id, s, e, event_id,
+           CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) >= s
+                THEN 0 ELSE 1 END AS new_island
+    FROM iv),
+islands AS (
+    SELECT user_id, s, e,
+           sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+    FROM flagged)
+SELECT user_id, min(s) AS interval_start_us, max(e) AS interval_end_us,
+       cast(count(*) as bigint) AS n_events
+FROM islands GROUP BY user_id, island""",
+    "overlapping-interval coalescing (gaps-and-islands): each event "
+    "opens a 5-minute activity interval; per user, intervals that "
+    "overlap or touch merge into maximal sessions-by-coverage — the "
+    "interval-union primitive behind SLA/uptime accounting, "
+    "copresence detection, and span-level dedup bookkeeping. A new "
+    "island starts exactly when an interval's start clears the running "
+    "max of all previous ends (running max, not lag(e): an earlier "
+    "long interval can swallow several later ones). Both windows "
+    "partition by user_id — nothing corpus-global; timestamps ride "
+    "integer epoch-microseconds so the oracle is exact.",
+)
+def stream_interval_coalesce(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # catalog loads ts as epoch-nanoseconds; the oracle reads the raw
+    # parquet TIMESTAMP via epoch_us — ns div 1000 is the same integer
+    iv = ev.select(
+        "user_id",
+        F.expr("ts div 1000").alias("s"),
+        F.expr(f"ts div 1000 + {_IVC_LEN_US}").alias("e"),
+        "event_id",
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = iv.select(
+        "user_id", "s", "e", "event_id",
+        F.when(F.max("e").over(prev) >= F.col("s"), 0).otherwise(1)
+         .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(run).alias("island"),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("interval_start_us"),
+        F.max("e").alias("interval_end_us"),
+        F.count("*").alias("n_events"),
+    ).drop("island")
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7528,6 +7594,7 @@ _GATE_PRIORITY = [
     "text_bm25_topk",
     "sim_hamming_topk",
     "dedup_winnowing",
+    "stream_interval_coalesce",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1268,3 +1268,46 @@ def test_winnowing_guarantee_and_discrimination(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     for p in pairs:
         assert p == (1, 2), f"false pair {p}"
+
+
+def test_interval_coalesce_merges_and_splits(spark):
+    """Golden gaps-and-islands: overlapping/touching intervals merge
+    (including an early long interval swallowing later short ones);
+    strict gaps split."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    M = 60_000_000  # one minute in µs
+    # user 1: events at t=0,4,8 min (5-min intervals chain); gap; t=20
+    # user 2: single event
+    rows = [
+        (1, 0 * M, 1), (2, 4 * M, 1), (3, 8 * M, 1), (4, 20 * M, 1),
+        (5, 0 * M, 2),
+        (6, 0 * M, 3), (7, 5 * M, 3),  # touching: [0,5) + [5,10) merge
+    ]
+    import datetime
+    df = spark.createDataFrame(
+        [(eid, datetime.datetime(2024, 1, 1) +
+          datetime.timedelta(microseconds=us), uid, "e", 0.0, "{}")
+         for eid, us, uid in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = sorted(
+            (r.user_id, r.interval_start_us, r.interval_end_us, r.n_events)
+            for r in q.stream_interval_coalesce(spark, td).collect()
+        )
+    base = int(datetime.datetime(2024, 1, 1)
+               .replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    want = sorted([
+        (1, base + 0, base + 13 * M, 3),        # 0-5,4-9,8-13 chain
+        (1, base + 20 * M, base + 25 * M, 1),   # after the gap
+        (2, base + 0, base + 5 * M, 1),
+        (3, base + 0, base + 10 * M, 2),        # touching merge
+    ])
+    assert got == want
