@@ -1450,6 +1450,66 @@ AUDIO_SAMPLE_SCHEMA = StructType(
 )
 
 
+STEREO_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("mean_left", DoubleType(), True),
+        StructField("mean_right", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_flac_stereo_samples(docs: DataFrame) -> DataFrame:
+    """One real stereo FLAC per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_flac_stereo_samples(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def flac_stereo_stats(with_media: DataFrame) -> DataFrame:
+    """payload → per-channel statistics via the stereo FLAC decode path
+    (decorrelation undo; map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                    "mean_left", "mean_right", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_flac_stereo_samples(payload)
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "mean_left",
+                              "mean_right", "peak"):
+                        rows[k].append(None)
+                else:
+                    rate, n, sl, sr, peak = dec
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+                    rows["mean_left"].append(round(sl / n, 6))
+                    rows["mean_right"].append(round(sr / n, 6))
+                    rows["peak"].append(peak)
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
+            out["peak"] = out["peak"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, STEREO_SAMPLE_SCHEMA)
+
+
 def synthesize_wav_samples(docs: DataFrame) -> DataFrame:
     """One real PCM WAV per doc (Arrow mapInPandas, map-only)."""
 
@@ -2300,16 +2360,130 @@ def build_flac_samples(doc_id: int) -> bytes:
     return build_flac(rate, 1, 16, n) + frame
 
 
-def decode_flac_samples(payload: bytes):
-    """Full FLAC frame decode for CONSTANT/VERBATIM subframes: STREAMINFO
-    walk → frame-header parse (sync, codes, UTF-8 frame number, CRC-8) →
-    bit-packed subframe decode → CRC-16 verify → sample statistics.
+class _FlacBits:
+    """MSB-first bit reader for FLAC subframe payloads."""
 
-    Returns (rate, n_samples, sum, sum_abs, peak) or None on structural
-    damage, failed CRC, non-mono/non-16-bit streams, or LPC prediction
-    (the remaining documented codec boundary). CONSTANT, VERBATIM, and
-    FIXED order-0..4 subframes (Rice or escaped-raw residuals, any
-    partition order) decode fully.
+    def __init__(self, buf: bytes, p: int) -> None:
+        self.buf, self.p, self.acc, self.n = buf, p, 0, 0
+
+    def get(self, k: int):
+        if k == 0:
+            return 0
+        while self.n < k:
+            if self.p >= len(self.buf):
+                return None
+            self.acc = (self.acc << 8) | self.buf[self.p]
+            self.p += 1
+            self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+
+def _flac_read_subframe(br: "_FlacBits", n: int, depth: int):
+    """Decode one subframe at the given sample bit depth: CONSTANT,
+    VERBATIM, or FIXED order 0-4 with partitioned-Rice residuals
+    (RFC 9639 §9.2.2/§9.2.7). Returns n samples or None."""
+    pad = br.get(1)
+    stype = br.get(6)
+    wasted = br.get(1)
+    if pad != 0 or wasted != 0 or stype is None:
+        return None
+    half = 1 << (depth - 1)
+    full = 1 << depth
+
+    def signed(v: int) -> int:
+        return v - full if v >= half else v
+
+    if stype == 0b000000:  # CONSTANT
+        v = br.get(depth)
+        if v is None:
+            return None
+        return [signed(v)] * n
+    if stype == 0b000001:  # VERBATIM
+        samples = []
+        for _ in range(n):
+            v = br.get(depth)
+            if v is None:
+                return None
+            samples.append(signed(v))
+        return samples
+    if 0b001000 <= stype <= 0b001100:  # FIXED, order 0..4
+        order = stype & 0x07
+        if order > n:
+            return None
+        samples = []
+        for _ in range(order):  # warm-up samples at full bit depth
+            v = br.get(depth)
+            if v is None:
+                return None
+            samples.append(signed(v))
+        # coded residual (§9.2.7): 2-bit method, 4-bit partition order,
+        # then 2^po partitions of Rice-coded (or escaped-raw) residuals
+        method = br.get(2)
+        po = br.get(4)
+        if method is None or po is None or method > 1:
+            return None  # reserved coding method
+        nparts = 1 << po
+        if n % nparts != 0 or (n >> po) <= order:
+            return None
+        plen = 5 if method else 4
+        escape = (1 << plen) - 1
+        residuals: list[int] = []
+        for part in range(nparts):
+            count = (n >> po) - (order if part == 0 else 0)
+            param = br.get(plen)
+            if param is None:
+                return None
+            if param == escape:  # unencoded: 5-bit raw bit count
+                rawbits = br.get(5)
+                if rawbits is None:
+                    return None
+                for _ in range(count):
+                    if rawbits == 0:
+                        residuals.append(0)
+                        continue
+                    v = br.get(rawbits)
+                    if v is None:
+                        return None
+                    h = 1 << (rawbits - 1)
+                    residuals.append(v - (h << 1) if v >= h else v)
+            else:
+                for _ in range(count):
+                    q = 0
+                    while True:  # unary quotient: zeros then a 1
+                        bit = br.get(1)
+                        if bit is None:
+                            return None
+                        if bit:
+                            break
+                        q += 1
+                        if q > 1 << 20:
+                            return None  # absurd quotient: corrupt
+                    rem = br.get(param) if param else 0
+                    if rem is None:
+                        return None
+                    z = (q << param) | rem
+                    residuals.append(-((z + 1) >> 1) if z & 1 else z >> 1)
+        coeffs = _FIXED_COEFFS[order]
+        for i, r in enumerate(residuals):
+            k = order + i
+            pred = sum(c * samples[k - 1 - j] for j, c in enumerate(coeffs))
+            samples.append(r + pred)
+        return samples
+    return None  # LPC prediction: documented boundary
+
+
+def _decode_flac_frame(payload: bytes):
+    """Shared FLAC frame decode: STREAMINFO walk → frame-header parse
+    (sync, codes, UTF-8 frame number, CRC-8) → per-channel subframe
+    decode (CONSTANT/VERBATIM/FIXED) → stereo decorrelation undo
+    (independent, left/side, right/side, mid/side — RFC 9639 §4.2) →
+    CRC-16 verify.
+
+    Returns (rate, n, [channel sample lists]) or None on structural
+    damage, failed CRC, >2 channels, non-16-bit streams, or LPC
+    subframes (the remaining documented codec boundary).
     """
     b = payload
     if b is None or len(b) < 8 + 34 or b[:4] != b"fLaC":
@@ -2335,7 +2509,7 @@ def decode_flac_samples(payload: bytes):
         pos += 4 + size
         if last:
             break
-    if rate is None or rate == 0 or channels != 1 or bits != 16:
+    if rate is None or rate == 0 or channels not in (1, 2) or bits != 16:
         return None
     frame_start = pos
     if pos + 5 > len(b):
@@ -2348,8 +2522,11 @@ def decode_flac_samples(payload: bytes):
     rate_code = b[pos + 2] & 0x0F
     chan_code = b[pos + 3] >> 4
     size_code = (b[pos + 3] >> 1) & 0x07
-    if chan_code != 0:  # mono only (matches STREAMINFO check above)
-        return None
+    if channels == 1:
+        if chan_code != 0:
+            return None
+    elif chan_code not in (0b0001, 0b1000, 0b1001, 0b1010):
+        return None  # independent / left-side / right-side / mid-side
     if size_code not in (0b100,):  # 16-bit only
         return None
     pos += 4
@@ -2401,115 +2578,141 @@ def decode_flac_samples(payload: bytes):
         return None
     pos += 1
 
-    # bit-packed subframe
-    class _Bits:
-        def __init__(self, buf: bytes, p: int) -> None:
-            self.buf, self.p, self.acc, self.n = buf, p, 0, 0
-
-        def get(self, k: int):
-            while self.n < k:
-                if self.p >= len(self.buf):
-                    return None
-                self.acc = (self.acc << 8) | self.buf[self.p]
-                self.p += 1
-                self.n += 8
-            v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
-            self.n -= k
-            return v
-
-    br = _Bits(b, pos)
-    pad = br.get(1)
-    stype = br.get(6)
-    wasted = br.get(1)
-    if pad != 0 or wasted != 0 or stype is None:
-        return None
-    if stype == 0b000000:  # CONSTANT
-        v = br.get(16)
-        if v is None:
+    br = _FlacBits(b, pos)
+    if channels == 1:
+        ch = _flac_read_subframe(br, n, 16)
+        if ch is None:
             return None
-        val = v - 65536 if v >= 32768 else v
-        samples = [val] * n
-    elif stype == 0b000001:  # VERBATIM
-        samples = []
-        for _ in range(n):
-            v = br.get(16)
-            if v is None:
-                return None
-            samples.append(v - 65536 if v >= 32768 else v)
-    elif 0b001000 <= stype <= 0b001100:  # FIXED, order 0..4 (RFC 9639 §9.2.2)
-        order = stype & 0x07
-        if order > n:
-            return None
-        samples = []
-        for _ in range(order):  # warm-up samples at full bit depth
-            v = br.get(16)
-            if v is None:
-                return None
-            samples.append(v - 65536 if v >= 32768 else v)
-        # coded residual (§9.2.7): 2-bit method, 4-bit partition order,
-        # then 2^po partitions of Rice-coded (or escaped-raw) residuals
-        method = br.get(2)
-        po = br.get(4)
-        if method is None or po is None or method > 1:
-            return None  # reserved coding method
-        nparts = 1 << po
-        if n % nparts != 0 or (n >> po) <= order:
-            return None
-        plen = 5 if method else 4
-        escape = (1 << plen) - 1
-        residuals: list[int] = []
-        for part in range(nparts):
-            count = (n >> po) - (order if part == 0 else 0)
-            param = br.get(plen)
-            if param is None:
-                return None
-            if param == escape:  # unencoded: 5-bit raw bit count
-                rawbits = br.get(5)
-                if rawbits is None:
-                    return None
-                for _ in range(count):
-                    if rawbits == 0:
-                        residuals.append(0)
-                        continue
-                    v = br.get(rawbits)
-                    if v is None:
-                        return None
-                    half = 1 << (rawbits - 1)
-                    residuals.append(v - (half << 1) if v >= half else v)
-            else:
-                for _ in range(count):
-                    q = 0
-                    while True:  # unary quotient: zeros then a 1
-                        bit = br.get(1)
-                        if bit is None:
-                            return None
-                        if bit:
-                            break
-                        q += 1
-                        if q > 1 << 20:
-                            return None  # absurd quotient: corrupt
-                    rem = br.get(param) if param else 0
-                    if rem is None:
-                        return None
-                    z = (q << param) | rem
-                    residuals.append(-((z + 1) >> 1) if z & 1 else z >> 1)
-        coeffs = _FIXED_COEFFS[order]
-        for i, r in enumerate(residuals):
-            k = order + i
-            pred = sum(c * samples[k - 1 - j] for j, c in enumerate(coeffs))
-            samples.append(r + pred)
+        chans = [ch]
     else:
-        return None  # LPC prediction: documented boundary
+        # side channel carries one extra bit (RFC 9639 §4.2)
+        d0 = 17 if chan_code == 0b1001 else 16
+        d1 = 17 if chan_code in (0b1000, 0b1010) else 16
+        c0 = _flac_read_subframe(br, n, d0)
+        c1 = _flac_read_subframe(br, n, d1) if c0 is not None else None
+        if c0 is None or c1 is None:
+            return None
+        if chan_code == 0b0001:  # independent
+            left, right = c0, c1
+        elif chan_code == 0b1000:  # left/side: side = L - R
+            left = c0
+            right = [l - s for l, s in zip(c0, c1)]
+        elif chan_code == 0b1001:  # right/side
+            right = c1
+            left = [r + s for s, r in zip(c0, c1)]
+        else:  # mid/side: mid = (L+R)>>1, side = L-R; LSB rides the side
+            left = []
+            right = []
+            for m, s in zip(c0, c1):
+                m2 = (m << 1) | (s & 1)
+                left.append((m2 + s) >> 1)
+                right.append((m2 - s) >> 1)
+        chans = [left, right]
     # frame CRC-16 over everything from sync through subframe padding
-    end = br.p  # subframe consumed bytes; padding bits already in acc
+    end = br.p  # subframes consumed bytes; padding bits already in acc
     if end + 2 > len(b):
         return None
     if _crc16(b[frame_start:end]) != int.from_bytes(b[end : end + 2], "big"):
         return None
+    return rate, n, chans
+
+
+def decode_flac_samples(payload: bytes):
+    """Mono FLAC decode → (rate, n_samples, sum, sum_abs, peak), or None
+    for stereo streams / damage / boundaries (see _decode_flac_frame)."""
+    dec = _decode_flac_frame(payload)
+    if dec is None or len(dec[2]) != 1:
+        return None
+    rate, n, (samples,) = dec
     total = sum(samples)
     abs_total = sum(abs(s) for s in samples)
     peak = max(abs(s) for s in samples)
     return rate, n, total, abs_total, peak
+
+
+def decode_flac_stereo_samples(payload: bytes):
+    """Stereo FLAC decode with decorrelation undo →
+    (rate, n_samples, sum_left, sum_right, peak), or None for mono
+    streams / damage / boundaries."""
+    dec = _decode_flac_frame(payload)
+    if dec is None or len(dec[2]) != 2:
+        return None
+    rate, n, (left, right) = dec
+    peak = max(max(abs(s) for s in left), max(abs(s) for s in right))
+    return rate, n, sum(left), sum(right), peak
+
+def flac_stereo_mode(doc_id: int) -> int:
+    """0=independent, 1=left/side, 2=right/side, 3=mid/side."""
+    return doc_id % 4
+
+
+def flac_left_value(doc_id: int, i: int) -> int:
+    return ((doc_id * 11 + i * 3) % 4096) - 2048
+
+
+def flac_right_value(doc_id: int, i: int) -> int:
+    return ((doc_id * 17 + i * 5) % 4096) - 2048
+
+
+def build_flac_stereo_samples(doc_id: int) -> bytes:
+    """A REAL stereo FLAC: STREAMINFO (2 channels) + one frame whose
+    channel assignment rotates through independent / left-side /
+    right-side / mid-side decorrelation (RFC 9639 §4.2 — the side
+    channel carries 17 bits), two VERBATIM subframes, genuine CRC-8 and
+    CRC-16. Decorrelation is lossless, so the decoded L/R stats follow
+    the flac_left/right_value formulas regardless of mode."""
+    rate = AUDIO_RATES[doc_id % len(AUDIO_RATES)]
+    n = flac_sample_count(doc_id)
+    mode = flac_stereo_mode(doc_id)
+    chan_code = (0b0001, 0b1000, 0b1001, 0b1010)[mode]
+
+    header = bytearray()
+    header += b"\xff\xf8"
+    header.append(0x70)  # blocksize: 16-bit n-1 follows; rate from STREAMINFO
+    header.append((chan_code << 4) | 0x08)  # channel code + 16-bit samples
+    header.append(0x00)  # UTF-8 coded frame number 0
+    header += (n - 1).to_bytes(2, "big")
+    header.append(_crc8(bytes(header)))
+
+    L = [flac_left_value(doc_id, i) for i in range(n)]
+    R = [flac_right_value(doc_id, i) for i in range(n)]
+    if mode == 0:
+        ch = [(L, 16), (R, 16)]
+    elif mode == 1:
+        ch = [(L, 16), ([l - r for l, r in zip(L, R)], 17)]
+    elif mode == 2:
+        ch = [([l - r for l, r in zip(L, R)], 17), (R, 16)]
+    else:
+        ch = [([(l + r) >> 1 for l, r in zip(L, R)], 16),
+              ([l - r for l, r in zip(L, R)], 17)]
+
+    bwr = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(value: int, length: int) -> None:
+        nonlocal acc, nbits
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                bwr.append(acc)
+                acc = 0
+                nbits = 0
+
+    for samples, depth in ch:
+        put(0, 1)          # zero pad bit
+        put(0b000001, 6)   # VERBATIM
+        put(0, 1)          # no wasted bits
+        mask = (1 << depth) - 1
+        for s in samples:
+            put(s & mask, depth)
+    if nbits:
+        put(0, 8 - nbits)
+
+    frame = bytes(header) + bytes(bwr)
+    frame += _crc16(frame).to_bytes(2, "big")
+    return build_flac(rate, 2, 16, n) + frame
 
 
 def synthesize_flac_samples(docs: DataFrame) -> DataFrame:

@@ -7560,6 +7560,47 @@ def stream_interval_coalesce(spark, sf_dir):
     ).drop("island")
 
 
+@_q(
+    "mm_flac_stereo_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id % 100) + 20 AS n FROM documents),
+s AS (
+    SELECT doc_id, n,
+           ((doc_id*11 + ti.i*3) % 4096) - 2048 AS l,
+           ((doc_id*17 + ti.i*5) % 4096) - 2048 AS r
+    FROM d, unnest(generate_series(0, n-1)) AS ti(i)),
+agg AS (
+    SELECT doc_id, n, sum(l) AS sl, sum(r) AS sr,
+           greatest(max(abs(l)), max(abs(r))) AS peak
+    FROM s GROUP BY doc_id, n)
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+       cast(n as bigint) AS n_samples,
+       round(sl / cast(n as double), 6) AS mean_left,
+       round(sr / cast(n as double), 6) AS mean_right,
+       cast(peak as int) AS peak
+FROM agg""",
+    "REAL audio sample decode #3 — STEREO FLAC with channel "
+    "decorrelation (RFC 9639 §4.2, from spec): each doc's frame "
+    "rotates through the four channel assignments — independent, "
+    "left/side, right/side, mid/side — with the side channel at its "
+    "mandated 17-bit depth; the decoder parses the assignment from the "
+    "frame header, decodes both subframes through the shared "
+    "CONSTANT/VERBATIM/FIXED path, undoes the decorrelation "
+    "(mid/side reconstructs the LSB from the side channel), verifies "
+    "both CRCs, and reduces to per-channel means. Decorrelation is "
+    "lossless integer arithmetic, so the oracle states L/R stats "
+    "directly from the sample formulas with no knowledge of the "
+    "per-doc encoding mode. Map-only; LPC remains the boundary.",
+)
+def mm_flac_stereo_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.flac_stereo_stats(
+        multimodal.synthesize_flac_stereo_samples(d)
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7595,6 +7636,7 @@ _GATE_PRIORITY = [
     "sim_hamming_topk",
     "dedup_winnowing",
     "stream_interval_coalesce",
+    "mm_flac_stereo_stats",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

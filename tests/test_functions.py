@@ -1311,3 +1311,37 @@ def test_interval_coalesce_merges_and_splits(spark):
         (3, base + 0, base + 10 * M, 2),        # touching merge
     ])
     assert got == want
+
+
+def test_flac_stereo_decorrelation_roundtrip():
+    """All four stereo channel assignments (independent, left/side,
+    right/side, mid/side) reconstruct L/R exactly; mono/stereo modality
+    mixups and damage reject to None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        AUDIO_RATES,
+        build_flac_samples,
+        build_flac_stereo_samples,
+        decode_flac_samples,
+        decode_flac_stereo_samples,
+        flac_left_value,
+        flac_right_value,
+        flac_sample_count,
+    )
+
+    for d in (0, 1, 2, 3, 99, 250):  # covers every mode (d % 4)
+        got = decode_flac_stereo_samples(build_flac_stereo_samples(d))
+        n = flac_sample_count(d)
+        L = [flac_left_value(d, i) for i in range(n)]
+        R = [flac_right_value(d, i) for i in range(n)]
+        exp = (AUDIO_RATES[d % 5], n, sum(L), sum(R),
+               max(max(abs(x) for x in L), max(abs(x) for x in R)))
+        assert got == exp
+
+    good = build_flac_stereo_samples(3)
+    assert decode_flac_samples(good) is None
+    assert decode_flac_stereo_samples(build_flac_samples(3)) is None
+    assert decode_flac_stereo_samples(good[:25]) is None
+    assert decode_flac_stereo_samples(None) is None
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF  # break the frame CRC-16
+    assert decode_flac_stereo_samples(bytes(bad)) is None

@@ -225,6 +225,7 @@ _DECODERS = [
     _mm.decode_jpeg_color_pixels,
     _mm.decode_wav_samples,
     _mm.decode_flac_samples,
+    _mm.decode_flac_stereo_samples,
     _mm.decode_real,
     _mm.decode_audio_real,
     _mm.decode_video_real,
@@ -241,6 +242,7 @@ def _valid_payloads():
             _mm.build_jpeg_color_pixels(d),
             _mm.build_wav_samples(d),
             _mm.build_flac_samples(d),
+            _mm.build_flac_stereo_samples(d),
             _mm.build_mp4(*_mm.video_params(d)),
         ]
     return [p for p in outs if p]
