@@ -967,19 +967,17 @@ def build_png_pixels(doc_id: int) -> bytes:
     )
 
 
-def decode_png_pixels(payload: bytes):
-    """Full PNG pixel decode: chunk walk → IDAT concat → zlib inflate →
-    unfilter (all five filter types) → per-channel sums.
-
-    Returns (width, height, sum_r, sum_g, sum_b) or None for anything
-    that is not an 8-bit truecolor (color type 2) PNG or fails
-    structural validation — corrupt payloads become NULL rows, never
-    stage failures (the mm_modality_router contract).
-    """
+def _decode_png_rows(payload: bytes):
+    """PNG pixel decode core: chunk walk → IDAT concat → zlib inflate →
+    unfilter (all five filter types). Returns (w, h, [row bytes]) or
+    None for anything that is not an 8-bit truecolor (color type 2) PNG
+    or fails structural validation — corrupt payloads become None,
+    never exceptions (the mm_modality_router contract)."""
     import zlib
 
     b = payload
-    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+    if b is None or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" \
+            or b[12:16] != b"IHDR":
         return None
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
@@ -1007,7 +1005,7 @@ def decode_png_pixels(payload: bytes):
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         return None
-    sums = [0, 0, 0]
+    rows = []
     prev = bytes(stride)
     pos = 0
     for _y in range(h):
@@ -1032,12 +1030,64 @@ def decode_png_pixels(payload: bytes):
                 line[i] = (line[i] + _paeth(a, prev[i], c)) % 256
         elif ft != 0:
             return None
-        for i in range(0, stride, bpp):
+        rows.append(bytes(line))
+        prev = rows[-1]
+    return w, h, rows
+
+
+def decode_png_pixels(payload: bytes):
+    """Full PNG pixel decode → (width, height, sum_r, sum_g, sum_b), or
+    None (see _decode_png_rows)."""
+    dec = _decode_png_rows(payload)
+    if dec is None:
+        return None
+    w, h, rows = dec
+    sums = [0, 0, 0]
+    for line in rows:
+        for i in range(0, w * 3, 3):
             sums[0] += line[i]
             sums[1] += line[i + 1]
             sums[2] += line[i + 2]
-        prev = bytes(line)
     return w, h, sums[0], sums[1], sums[2]
+
+
+def decode_png_ahash(payload: bytes):
+    """Perceptual average-hash over the REAL decoded pixels: the image
+    is average-pooled onto an 8x8 grid (cell of pixel (x, y) is
+    (x*8)//w, (y*8)//h — unequal cell sizes are handled exactly), and
+    bit (gy*8+gx) is set iff the cell's gray mean strictly exceeds the
+    image's gray mean, compared via integer cross-multiplication
+    (cellsum * total_px > totalsum * cell_px) so no division ever
+    happens. Gray = r+g+b (a positive scaling of the mean, which cannot
+    change any comparison). Returns (w, h, ahash_hi, ahash_lo, n_bits)
+    with bits 0-31 in lo and 32-63 in hi, or None."""
+    dec = _decode_png_rows(payload)
+    if dec is None:
+        return None
+    w, h, rows = dec
+    cell_sum = [[0] * 8 for _ in range(8)]
+    cell_px = [[0] * 8 for _ in range(8)]
+    total = 0
+    for y, line in enumerate(rows):
+        gy = (y * 8) // h
+        for x in range(w):
+            g = line[3 * x] + line[3 * x + 1] + line[3 * x + 2]
+            gx = (x * 8) // w
+            cell_sum[gy][gx] += g
+            cell_px[gy][gx] += 1
+            total += g
+    tp = w * h
+    hi = lo = nbits = 0
+    for gy in range(8):
+        for gx in range(8):
+            if cell_sum[gy][gx] * tp > total * cell_px[gy][gx]:
+                bit = gy * 8 + gx
+                if bit < 32:
+                    lo |= 1 << bit
+                else:
+                    hi |= 1 << (bit - 32)
+                nbits += 1
+    return w, h, hi, lo, nbits
 
 
 PIXEL_SCHEMA = StructType(
@@ -1050,6 +1100,51 @@ PIXEL_SCHEMA = StructType(
         StructField("mean_b", DoubleType(), True),
     ]
 )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("ahash_hi", LongType(), True),
+        StructField("ahash_lo", LongType(), True),
+        StructField("n_bits", IntegerType(), True),
+    ]
+)
+
+
+def png_ahash(with_media: DataFrame) -> DataFrame:
+    """payload → 64-bit perceptual average-hash via the full PNG decode
+    path (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "ahash_hi", "ahash_lo", "n_bits")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_png_ahash(payload)
+                if dec is None:
+                    for k in ("width", "height", "ahash_hi", "ahash_lo",
+                              "n_bits"):
+                        rows[k].append(None)
+                else:
+                    w, h, hi, lo, nb = dec
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["ahash_hi"].append(hi)
+                    rows["ahash_lo"].append(lo)
+                    rows["n_bits"].append(nb)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["ahash_hi"] = out["ahash_hi"].astype("Int64")
+            out["ahash_lo"] = out["ahash_lo"].astype("Int64")
+            out["n_bits"] = out["n_bits"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, AHASH_SCHEMA)
 
 
 def synthesize_png_pixels(docs: DataFrame) -> DataFrame:

@@ -7601,6 +7601,56 @@ def mm_flac_stereo_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_image_ahash",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h,
+           (tx.x*8) // w AS gx, (ty.y*8) // h AS gy,
+           (doc_id*7 + tx.x*3 + ty.y*5) % 256
+             + (doc_id*11 + tx.x + 2*ty.y) % 256
+             + (doc_id*3 + 5*tx.x + ty.y) % 256 AS g
+    FROM d, unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y)),
+cells AS (
+    SELECT doc_id, w, h, gx, gy, sum(g) AS cs, count(*) AS cp
+    FROM px GROUP BY doc_id, w, h, gx, gy),
+tot AS (
+    SELECT doc_id, sum(cs) AS ts, sum(cp) AS tp
+    FROM cells GROUP BY doc_id),
+bits AS (
+    SELECT c.doc_id, c.w, c.h, c.gy*8 + c.gx AS bit,
+           CASE WHEN c.cs * t.tp > t.ts * c.cp THEN 1 ELSE 0 END AS bset
+    FROM cells c JOIN tot t ON t.doc_id = c.doc_id)
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       cast(sum(CASE WHEN bit >= 32 AND bset = 1
+                     THEN (1::BIGINT << (bit - 32)) ELSE 0 END) as bigint)
+           AS ahash_hi,
+       cast(sum(CASE WHEN bit < 32 AND bset = 1
+                     THEN (1::BIGINT << bit) ELSE 0 END) as bigint)
+           AS ahash_lo,
+       cast(sum(bset) as int) AS n_bits
+FROM bits GROUP BY doc_id, w, h""",
+    "perceptual average-hash over REAL decoded PNG pixels — image "
+    "near-dup fingerprinting, the visual twin of simhash: the full "
+    "from-spec PNG decode (chunk walk, zlib inflate, all five filter "
+    "types) average-pools onto an 8x8 grid ((x*8) DIV w cell "
+    "assignment handles non-divisible dims exactly) and sets bit "
+    "gy*8+gx iff the cell's gray mean strictly exceeds the image mean, "
+    "compared by integer cross-multiplication (cellsum*total_px > "
+    "totalsum*cell_px) so no division or float ever occurs — the "
+    "oracle restates the whole thing arithmetically over a "
+    "generate_series pixel grid. The resulting 64-bit hashes compose "
+    "with sim_hamming_topk's bit_count(xor) machinery for visual "
+    "near-dup pairs. Map-only, NULL on corruption.",
+)
+def mm_image_ahash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.png_ahash(multimodal.synthesize_png_pixels(d))
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7637,6 +7687,7 @@ _GATE_PRIORITY = [
     "dedup_winnowing",
     "stream_interval_coalesce",
     "mm_flac_stereo_stats",
+    "mm_image_ahash",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

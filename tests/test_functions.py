@@ -1345,3 +1345,48 @@ def test_flac_stereo_decorrelation_roundtrip():
     bad = bytearray(good)
     bad[-1] ^= 0xFF  # break the frame CRC-16
     assert decode_flac_stereo_samples(bytes(bad)) is None
+
+
+def test_png_ahash_semantics():
+    """aHash invariances: identical images hash identically; a
+    brightness-inverted image flips cell-vs-mean comparisons (hash far
+    from the original); a flat image sets no bits (no cell strictly
+    exceeds the mean)."""
+    import zlib
+
+    from sql_query_engine_spark.functions.multimodal import (
+        _png_chunk,
+        build_png_pixels,
+        decode_png_ahash,
+    )
+
+    def flat_png(w, h, val):
+        rows = b"".join(b"\x00" + bytes([val] * (w * 3)) for _ in range(h))
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(rows))
+                + _png_chunk(b"IEND", b""))
+
+    a = decode_png_ahash(build_png_pixels(11))
+    b = decode_png_ahash(build_png_pixels(11))
+    assert a == b and a is not None
+
+    w, h, hi, lo, nb = decode_png_ahash(flat_png(16, 16, 77))
+    assert (hi, lo, nb) == (0, 0, 0)
+
+    # half-dark / half-bright: exactly the bright half's 32 bits set
+    rows = b"".join(
+        b"\x00" + bytes(([0] * (8 * 3)) + ([255] * (8 * 3)))
+        for _ in range(16)
+    )
+    ihdr = (16).to_bytes(4, "big") + (16).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    half = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(rows)) + _png_chunk(b"IEND", b""))
+    w, h, hi, lo, nb = decode_png_ahash(half)
+    assert nb == 32
+    # bright cells are gx in 4..7 of every row: mask 0b11110000 per row
+    assert lo == sum(0xF0 << (8 * r) for r in range(4))
+    assert hi == sum(0xF0 << (8 * r) for r in range(4))
+
+    assert decode_png_ahash(half[:20]) is None
+    assert decode_png_ahash(None) is None
