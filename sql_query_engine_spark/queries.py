@@ -7651,6 +7651,68 @@ def mm_image_ahash(spark, sf_dir):
     return multimodal.png_ahash(multimodal.synthesize_png_pixels(d))
 
 
+@_q(
+    "emb_standardize",
+    """WITH x AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           cast(round(cast(unnest(embedding) as double), 7)
+                as decimal(8,7)) AS val
+    FROM embeddings),
+s1 AS (
+    SELECT pos, sum(val) AS s, sum(val * val) AS ss, count(*) AS n
+    FROM x GROUP BY pos),
+s2 AS (SELECT pos, cast(s as double) / n AS mean, ss, n FROM s1),
+st AS (
+    SELECT pos, mean,
+           sqrt(cast(ss as double) / n - mean * mean) AS std
+    FROM s2)
+SELECT x.vec_id, x.pos,
+       round((cast(x.val as double) - st.mean) / st.std, 6) AS z
+FROM x JOIN st ON st.pos = x.pos
+WHERE st.std > 0""",
+    "per-dimension standardization (z-scoring) of the embedding "
+    "corpus — the feature-normalization pass quantization, PQ "
+    "codebooks, and drift monitors all assume. Values quantize to "
+    "DECIMAL(8,7) on entry (the pipeline_classifier_auc idiom), so "
+    "per-dim sums and sums-of-squares are exact and order-independent; "
+    "mean/variance return to double (deterministic IEEE ops) and "
+    "sqrt is correctly rounded by IEEE-754, so even std is bit-equal "
+    "cross-engine — a full mean/variance/sqrt pipeline with zero "
+    "tolerance needed. Two scans of the exploded values (one agg, one "
+    "broadcast-joined rescale), both map-side combinable; at 100 TB "
+    "the stats table is 64 rows regardless of corpus size.",
+)
+def emb_standardize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(round(cast(v as double), 7) as decimal(8,7))").alias("val"),
+    )
+    s1 = x.groupBy("pos").agg(
+        F.expr("sum(val)").alias("s"),
+        F.expr("sum(val * val)").alias("ss"),
+        F.count("*").alias("n"),
+    )
+    s2 = s1.select(
+        "pos", F.expr("cast(s as double) / n").alias("mean"), "ss", "n"
+    )
+    st = s2.select(
+        "pos", "mean",
+        F.expr("sqrt(cast(ss as double) / n - mean * mean)").alias("std"),
+    )
+    return (
+        x.join(F.broadcast(st), "pos")
+        .filter(F.col("std") > 0)
+        .select(
+            "vec_id", "pos",
+            F.expr("round((cast(val as double) - mean) / std, 6)").alias("z"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7688,6 +7750,7 @@ _GATE_PRIORITY = [
     "stream_interval_coalesce",
     "mm_flac_stereo_stats",
     "mm_image_ahash",
+    "emb_standardize",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

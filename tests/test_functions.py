@@ -1390,3 +1390,23 @@ def test_png_ahash_semantics():
 
     assert decode_png_ahash(half[:20]) is None
     assert decode_png_ahash(None) is None
+
+
+def test_standardize_zero_mean_unit_variance(spark):
+    """Per-dim z-scores must have mean ~0 and variance ~1 (up to the
+    6dp output rounding) for every dimension."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    rows = q.emb_standardize(spark, SF_DIR).collect()
+    by_pos: dict = {}
+    for r in rows:
+        by_pos.setdefault(r.pos, []).append(r.z)
+    assert len(by_pos) == 64
+    for pos, zs in by_pos.items():
+        m = sum(zs) / len(zs)
+        v = sum(z * z for z in zs) / len(zs) - m * m
+        assert abs(m) < 1e-4, (pos, m)
+        assert abs(v - 1) < 1e-3, (pos, v)
