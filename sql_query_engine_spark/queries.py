@@ -7713,6 +7713,83 @@ def emb_standardize(spark, sf_dir):
     )
 
 
+# ---- last-touch attribution ---------------------------------------------
+_ATTR_LOOKBACK_US = 86_400_000_000  # 24h
+
+
+@_q(
+    "stream_attribution",
+    f"""WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+    FROM events),
+keyed AS (
+    SELECT event_id, user_id, event_type, us,
+           CASE event_type WHEN 'click' THEN us * 8 + 2
+                           WHEN 'view' THEN us * 8 + 1 END AS touch_key
+    FROM ev),
+carried AS (
+    SELECT event_id, user_id, event_type, us,
+           max(touch_key) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS last_touch
+    FROM keyed)
+SELECT event_id, user_id, us AS purchase_us,
+       CASE WHEN last_touch IS NOT NULL
+                 AND last_touch // 8 >= us - {_ATTR_LOOKBACK_US}
+            THEN CASE last_touch % 8 WHEN 2 THEN 'click' ELSE 'view' END
+            ELSE 'organic' END AS touch_type,
+       CASE WHEN last_touch IS NOT NULL
+                 AND last_touch // 8 >= us - {_ATTR_LOOKBACK_US}
+            THEN us - last_touch // 8 END AS gap_us
+FROM carried WHERE event_type = 'purchase'""",
+    "last-touch attribution: every purchase is credited to the same "
+    "user's most recent prior click or view within a 24h lookback "
+    "(else 'organic') — the event-analytics primitive behind "
+    "conversion accounting and, in data-pipeline terms, provenance "
+    "assignment (credit an outcome to the latest qualifying upstream "
+    "event). The entire candidate-touch state is ONE bigint running "
+    "max (epoch-us * 8 + type code packs recency and the "
+    "click-beats-view tie rule into a single integer order), so the "
+    "per-user window carries O(1) state — no join, no per-type "
+    "subquery, no event-list buffering. Exact integer oracle.",
+)
+def stream_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+        F.expr(
+            "CASE event_type WHEN 'click' THEN (ts div 1000) * 8 + 2"
+            " WHEN 'view' THEN (ts div 1000) * 8 + 1 END"
+        ).alias("touch_key"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = keyed.select(
+        "event_id", "user_id", "event_type", "us",
+        F.max("touch_key").over(prev).alias("last_touch"),
+    )
+    ok = (
+        F.col("last_touch").isNotNull()
+        & (F.expr("last_touch div 8") >= F.col("us") - _ATTR_LOOKBACK_US)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.when(
+            ok,
+            F.expr("CASE last_touch % 8 WHEN 2 THEN 'click' ELSE 'view' END"),
+        ).otherwise(F.lit("organic")).alias("touch_type"),
+        F.when(ok, F.expr("us - last_touch div 8")).alias("gap_us"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7751,6 +7828,7 @@ _GATE_PRIORITY = [
     "mm_flac_stereo_stats",
     "mm_image_ahash",
     "emb_standardize",
+    "stream_attribution",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

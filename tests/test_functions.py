@@ -1410,3 +1410,48 @@ def test_standardize_zero_mean_unit_variance(spark):
         v = sum(z * z for z in zs) / len(zs) - m * m
         assert abs(m) < 1e-4, (pos, m)
         assert abs(v - 1) < 1e-3, (pos, v)
+
+
+def test_attribution_golden(spark):
+    """Golden last-touch: click beats older view; view attributes when
+    it is latest; out-of-lookback and no-touch purchases are organic."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    t0 = datetime.datetime(2024, 1, 10)
+
+    def at(**kw):
+        return t0 + datetime.timedelta(**kw)
+
+    rows = [
+        # user 1: view, click, purchase → click (latest)
+        (1, at(hours=1), 1, "view"), (2, at(hours=2), 1, "click"),
+        (3, at(hours=3), 1, "purchase"),
+        # user 2: click then view then purchase → view (latest wins)
+        (4, at(hours=1), 2, "click"), (5, at(hours=2), 2, "view"),
+        (6, at(hours=3), 2, "purchase"),
+        # user 3: touch 25h before purchase → organic
+        (7, at(hours=0), 3, "click"), (8, at(hours=25), 3, "purchase"),
+        # user 4: no touch at all → organic
+        (9, at(hours=1), 4, "error"), (10, at(hours=2), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, et, 0.0, "{}") for e, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {r.event_id: (r.touch_type, r.gap_us)
+               for r in q.stream_attribution(spark, td).collect()}
+    H = 3_600_000_000
+    assert got == {
+        3: ("click", 1 * H),
+        6: ("view", 1 * H),
+        8: ("organic", None),
+        10: ("organic", None),
+    }
