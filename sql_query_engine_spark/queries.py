@@ -7790,6 +7790,45 @@ def stream_attribution(spark, sf_dir):
     )
 
 
+def _hilbert_oracle() -> str:
+    from .sources.sinks import duck_hilbert_ctes
+
+    return f"""WITH pts AS (
+    SELECT o_orderkey AS key, o_orderkey % 256 AS x, o_custkey % 256 AS y
+    FROM orders),
+{duck_hilbert_ctes("x", "y", 8)}
+SELECT o.o_orderkey, o.o_orderkey % 256 AS na, o.o_custkey % 256 AS nb,
+       h0.hd AS hkey
+FROM h0 JOIN orders o ON o.o_orderkey = h0.key"""
+
+
+@_q(
+    "scalar_hilbert_key",
+    _hilbert_oracle(),
+    "Hilbert-curve layout key — the space-filling curve with strictly "
+    "better locality than Z-order (every consecutive key pair is "
+    "grid-adjacent; Morton jumps at power-of-two seams), i.e. fewer "
+    "row groups touched per 2-D range predicate when the table is "
+    "written sorted by this key (the write_zorder_parquet layout "
+    "story, upgraded). The classic xy2d walk is unrolled into 8 "
+    "chained pure-integer projections — no UDF, no runtime loop — "
+    "with the quadrant XOR restated as CASE arithmetic and the "
+    "full-grid n-1-x reflection keeping every operand non-negative so "
+    "div/% agree across engines; the oracle replays the identical "
+    "unrolled steps as chained CTEs. Verified against the canonical "
+    "reference implementation and the adjacency property in tests.",
+)
+def scalar_hilbert_key(spark, sf_dir):
+    from .sources.sinks import hilbert_cols
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 256).alias("na"),
+        (F.col("o_custkey") % 256).alias("nb"),
+    )
+    return hilbert_cols(o, "na", "nb", bits=8, out="hkey")
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7829,6 +7868,7 @@ _GATE_PRIORITY = [
     "mm_image_ahash",
     "emb_standardize",
     "stream_attribution",
+    "scalar_hilbert_key",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

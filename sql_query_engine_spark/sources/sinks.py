@@ -123,6 +123,93 @@ def zorder_key(col_a: str, col_b: str, bits: int = 8) -> "F.Column":
     )
 
 
+def hilbert_cols(df: DataFrame, col_a: str, col_b: str,
+                 bits: int = 8, out: str = "hilbert") -> DataFrame:
+    """Hilbert-curve key for two normalized columns — the space-filling
+    curve with strictly better locality than Morton/Z-order (adjacent
+    key values are always grid-adjacent; Z-order jumps at power-of-two
+    seams, so range scans on the sort key touch fewer distinct value
+    regions under Hilbert).
+
+    The classic xy2d walk (one step per bit, high to low: quadrant
+    digit d += s^2 * ((3*rx) XOR ry), then reflect+swap when ry=0) is
+    unrolled into ``bits`` chained projections of pure integer
+    arithmetic — no UDF, no loop at runtime; the XOR is restated as
+    CASE WHEN rx = 0 THEN ry ELSE 3 - ry END so the SQL oracle can
+    reproduce it verbatim. Both columns MUST be in [0, 2^bits)
+    (same contract as zorder_key)."""
+    n = 1 << bits  # full-grid reflection keeps coords in [0, n): no
+    # negative operands, so div/% agree across engines
+    df = df.withColumn("_hx", F.col(col_a).cast("bigint")) \
+           .withColumn("_hy", F.col(col_b).cast("bigint")) \
+           .withColumn(out, F.lit(0).cast("bigint"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        df = (
+            df.withColumn("_rx", F.expr(f"(_hx div {s}) % 2"))
+            .withColumn("_ry", F.expr(f"(_hy div {s}) % 2"))
+            .withColumn(
+                out,
+                F.expr(
+                    f"{out} + {s * s} *"
+                    " (CASE WHEN _rx = 0 THEN _ry ELSE 3 - _ry END)"
+                ),
+            )
+            .withColumn(
+                "_fx",
+                F.expr(
+                    f"CASE WHEN _ry = 0 AND _rx = 1 THEN {n - 1} - _hx"
+                    " ELSE _hx END"
+                ),
+            )
+            .withColumn(
+                "_fy",
+                F.expr(
+                    f"CASE WHEN _ry = 0 AND _rx = 1 THEN {n - 1} - _hy"
+                    " ELSE _hy END"
+                ),
+            )
+            .withColumn("_nx", F.expr("CASE WHEN _ry = 0 THEN _fy ELSE _fx END"))
+            .withColumn("_ny", F.expr("CASE WHEN _ry = 0 THEN _fx ELSE _fy END"))
+            .withColumn("_hx", F.col("_nx"))
+            .withColumn("_hy", F.col("_ny"))
+        )
+    return df.drop("_hx", "_hy", "_rx", "_ry", "_fx", "_fy", "_nx", "_ny")
+
+
+def duck_hilbert_ctes(col_a: str, col_b: str, bits: int = 8,
+                      source: str = "pts") -> str:
+    """The DuckDB twin of :func:`hilbert_cols`: one chained CTE per bit,
+    identical arithmetic. ``source`` must expose (key, x, y); the final
+    CTE ``h0`` exposes (key, hd)."""
+    n = 1 << bits
+    parts = []
+    prev = source
+    first = True
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        hx = "x" if first else "hx"
+        hy = "y" if first else "hy"
+        hd = "0" if first else "hd"
+        parts.append(f"""h{i} AS (
+    SELECT key,
+           CASE WHEN ({hy} // {s}) % 2 = 0
+                THEN CASE WHEN ({hx} // {s}) % 2 = 1
+                          THEN {n - 1} - {hy} ELSE {hy} END
+                ELSE {hx} END AS hx,
+           CASE WHEN ({hy} // {s}) % 2 = 0
+                THEN CASE WHEN ({hx} // {s}) % 2 = 1
+                          THEN {n - 1} - {hx} ELSE {hx} END
+                ELSE {hy} END AS hy,
+           {hd} + {s * s} *
+           (CASE WHEN ({hx} // {s}) % 2 = 0 THEN ({hy} // {s}) % 2
+                 ELSE 3 - ({hy} // {s}) % 2 END) AS hd
+    FROM {prev})""")
+        prev = f"h{i}"
+        first = False
+    return ",\n".join(parts)
+
+
 def write_zorder_parquet(
     df: DataFrame,
     path: str,

@@ -1455,3 +1455,38 @@ def test_attribution_golden(spark):
         8: ("organic", None),
         10: ("organic", None),
     }
+
+
+def test_hilbert_key_canonical_and_local(spark):
+    """hilbert_cols matches the canonical xy2d reference on the full
+    16x16 grid, is a bijection, and consecutive keys are always
+    grid-adjacent (the locality property Z-order lacks)."""
+    import itertools
+
+    from sql_query_engine_spark.sources.sinks import hilbert_cols
+
+    def ref(order, x, y):
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = order - 1 - x, order - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(x, y) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r.x, r.y): r.hilbert
+           for r in hilbert_cols(df, "x", "y", bits=4).collect()}
+    assert got == {(x, y): ref(16, x, y) for x, y in rows}
+    inv = {d: xy for xy, d in got.items()}
+    assert len(inv) == 256  # bijection
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )
