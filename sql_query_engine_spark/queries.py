@@ -7829,6 +7829,126 @@ def scalar_hilbert_key(spark, sf_dir):
     return hilbert_cols(o, "na", "nb", bits=8, out="hkey")
 
 
+# ---- robust (median/MAD) outlier detection ------------------------------
+# Exact medians WITHOUT corpus-sized sort windows: cumulative counts run
+# over the per-group VALUE HISTOGRAM (the agg_histogram_quantiles trick),
+# so every window is histogram-sized. Median of an even multiset is the
+# mean of the two middle order statistics, selected by position — no
+# interpolation semantics to match across engines.
+
+
+def _median_sql(src: str, valcol: str, out: str) -> str:
+    """DuckDB fragment: exact per-event_type median of ``valcol`` in
+    ``src`` (decimal-quantized) → table (event_type, {out})."""
+    return f"""(
+    WITH hist AS (
+        SELECT event_type, {valcol} AS v, count(*) AS c
+        FROM {src} GROUP BY event_type, {valcol}),
+    cum AS (
+        SELECT event_type, v, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cc,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hist)
+    SELECT event_type,
+           (cast(min(CASE WHEN cc >= (n + 1) // 2 THEN v END) as double)
+            + cast(min(CASE WHEN cc >= (n + 2) // 2 THEN v END) as double))
+           / 2 AS {out}
+    FROM cum GROUP BY event_type)"""
+
+
+@_q(
+    "agg_robust_outliers",
+    f"""WITH vals AS MATERIALIZED (
+    SELECT event_id, event_type,
+           cast(round(value, 6) as decimal(18,6)) AS val
+    FROM events),
+med AS MATERIALIZED ({_median_sql("vals", "val", "med")[1:-1]}),
+devs AS MATERIALIZED (
+    SELECT v.event_id, v.event_type,
+           cast(round(abs(cast(v.val as double) - m.med), 6)
+                as decimal(18,6)) AS val
+    FROM vals v JOIN med m ON m.event_type = v.event_type),
+mad AS ({_median_sql("devs", "val", "mad")[1:-1]})
+SELECT v.event_type,
+       cast(count(*) as bigint) AS n,
+       round(any_value(m.med), 6) AS med,
+       round(any_value(d.mad), 6) AS mad,
+       cast(count(*) FILTER (WHERE abs(cast(v.val as double) - m.med)
+                             > 3 * 1.4826 * d.mad) as bigint) AS n_outliers
+FROM vals v
+JOIN med m ON m.event_type = v.event_type
+JOIN mad d ON d.event_type = v.event_type
+GROUP BY v.event_type""",
+    "robust outlier detection per event stream: exact median and MAD "
+    "(median absolute deviation), flagging values beyond "
+    "3 * 1.4826 * MAD — the estimator that, unlike mean/stddev "
+    "z-scores, a few extreme values cannot corrupt (stream_zscore_"
+    "anomalies is the non-robust twin). Exact order statistics with NO "
+    "corpus-sized sort: cumulative counts run over the per-group VALUE "
+    "HISTOGRAM (bounded by distinct quantized values, not rows — the "
+    "agg_histogram_quantiles shape), and the even-count median is the "
+    "mean of two positionally-selected middles, so there are no "
+    "interpolation semantics to match. Values quantize to "
+    "DECIMAL(18,6); every remaining double op is deterministic IEEE.",
+)
+def agg_robust_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("cast(round(value, 6) as decimal(18,6))").alias("val"),
+    )
+
+    def median_of(df, out):
+        hist = df.groupBy("event_type", "val").agg(F.count("*").alias("c"))
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("event_type")
+        cum = hist.select(
+            "event_type", "val",
+            F.sum("c").over(wcum).alias("cc"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.expr(
+                "(cast(min(CASE WHEN cc >= (n + 1) div 2 THEN val END)"
+                " as double)"
+                " + cast(min(CASE WHEN cc >= (n + 2) div 2 THEN val END)"
+                " as double)) / 2"
+            ).alias(out)
+        )
+
+    med = median_of(vals, "med")
+    devs = vals.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "cast(round(abs(cast(val as double) - med), 6)"
+            " as decimal(18,6))"
+        ).alias("val"),
+    )
+    mad = median_of(devs, "mad")
+    return (
+        vals.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("round(any_value(med), 6)").alias("med"),
+            F.expr("round(any_value(mad), 6)").alias("mad"),
+            F.expr(
+                "cast(count_if(abs(cast(val as double) - med)"
+                " > 3 * 1.4826 * mad) as bigint)"
+            ).alias("n_outliers"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7869,6 +7989,7 @@ _GATE_PRIORITY = [
     "emb_standardize",
     "stream_attribution",
     "scalar_hilbert_key",
+    "agg_robust_outliers",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1490,3 +1490,29 @@ def test_hilbert_key_canonical_and_local(spark):
         abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
         for d in range(255)
     )
+
+
+def test_robust_outliers_golden(spark):
+    """Exact median/MAD on a known multiset, and robustness: one extreme
+    value is flagged without dragging the median."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # median 3, devs {2,1,0,1,97}, MAD 1
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0, 1, "a", v, "{}") for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        rows = q.agg_robust_outliers(spark, td).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.event_type, r.n, r.med, r.mad) == ("a", 5, 3.0, 1.0)
+    assert r.n_outliers == 1  # only 100.0 exceeds 3*1.4826*1
