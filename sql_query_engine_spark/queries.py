@@ -7949,6 +7949,80 @@ def agg_robust_outliers(spark, sf_dir):
     )
 
 
+# ---- grid-bucketed spatial join -----------------------------------------
+_SPATIAL_BOXES = [
+    # (box_id, x0, x1, y0, y1) on the 1000x1000 synthetic plane
+    (1, 0, 149, 0, 149),
+    (2, 100, 299, 350, 449),
+    (3, 500, 520, 500, 999),
+    (4, 900, 999, 0, 99),
+    (5, 250, 749, 600, 649),
+]
+_SPATIAL_CELL = 100
+
+
+@_q(
+    "join_spatial_grid",
+    f"""WITH pts AS (
+    SELECT o_orderkey, o_orderkey % 1000 AS x, o_custkey % 1000 AS y
+    FROM orders),
+boxes AS (SELECT * FROM (VALUES {", ".join(map(str, _SPATIAL_BOXES))})
+          AS b(box_id, x0, x1, y0, y1))
+SELECT box_id, cast(count(*) as bigint) AS n_points,
+       cast(sum(o_orderkey) as bigint) AS sum_keys
+FROM boxes JOIN pts
+  ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
+GROUP BY box_id""",
+    "spatial point-in-box join via grid bucketing: points bucket to "
+    "100x100 cells with pure integer division, each box explodes to "
+    "the (few) cells it overlaps, and the join is an ordinary EQUI-join "
+    "on cell id with the exact containment filter applied only to "
+    "candidates that share a cell — the standard way to turn an "
+    "unbounded theta join into shuffle-friendly hash buckets (same "
+    "discipline as the LSH band joins, in 2-D). The oracle runs the "
+    "plain theta join; identical integer results prove the bucketed "
+    "decomposition lossless. Box-cell table is literal and broadcast; "
+    "at 100 TB the per-cell candidate sets bound the work, not the "
+    "corpus x boxes product.",
+)
+def join_spatial_grid(spark, sf_dir):
+    c = _SPATIAL_CELL
+    pts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 1000).alias("x"),
+        (F.col("o_custkey") % 1000).alias("y"),
+    ).withColumn("cx", F.expr(f"x div {c}")).withColumn(
+        "cy", F.expr(f"y div {c}")
+    )
+    boxes = F.broadcast(
+        pts.sparkSession.createDataFrame(
+            _SPATIAL_BOXES, "box_id int, x0 int, x1 int, y0 int, y1 int"
+        ).select(
+            "*",
+            F.explode(
+                F.expr(f"sequence(x0 div {c}, x1 div {c})")
+            ).alias("cx"),
+        ).select(
+            "*",
+            F.explode(
+                F.expr(f"sequence(y0 div {c}, y1 div {c})")
+            ).alias("cy"),
+        )
+    )
+    return (
+        pts.join(boxes, ["cx", "cy"])
+        .filter(
+            F.col("x").between(F.col("x0"), F.col("x1"))
+            & F.col("y").between(F.col("y0"), F.col("y1"))
+        )
+        .groupBy("box_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("o_orderkey").alias("sum_keys"),
+        )
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -7990,6 +8064,7 @@ _GATE_PRIORITY = [
     "stream_attribution",
     "scalar_hilbert_key",
     "agg_robust_outliers",
+    "join_spatial_grid",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1516,3 +1516,27 @@ def test_robust_outliers_golden(spark):
     r = rows[0]
     assert (r.event_type, r.n, r.med, r.mad) == ("a", 5, 3.0, 1.0)
     assert r.n_outliers == 1  # only 100.0 exceeds 3*1.4826*1
+
+
+def test_spatial_grid_equals_theta(spark):
+    """The grid-bucketed decomposition must equal the plain theta join
+    point-for-point (boxes straddling cell boundaries included)."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    got = {(r.box_id): (r.n_points, r.sum_keys)
+           for r in q.join_spatial_grid(spark, SF_DIR).collect()}
+    pts = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 1000).alias("x"),
+        (F.col("o_custkey") % 1000).alias("y"),
+    ).collect()
+    from sql_query_engine_spark.queries import _SPATIAL_BOXES
+    want = {}
+    for box_id, x0, x1, y0, y1 in _SPATIAL_BOXES:
+        hits = [p.o_orderkey for p in pts if x0 <= p.x <= x1 and y0 <= p.y <= y1]
+        if hits:
+            want[box_id] = (len(hits), sum(hits))
+    assert got == want
