@@ -6725,12 +6725,15 @@ w0 AS (SELECT cast(0 as double) AS b, cast(0 as double) AS w1,
     "CCNet/fastText-style filter whose eval side "
     "pipeline_classifier_auc/_calibration already grade. Batch logistic-"
     "style gradient descent on the doc feature table (length, "
-    "whitespace density; label = contains-'table'), 5 fixed unrolled "
-    "iterations, fully declarative: each round is one map-side-"
-    "combinable gradient aggregate over the persisted feature table "
-    "crossJoined with the broadcast 1-row weight vector — per-partition "
-    "gradient partials combine exactly because contributions ride "
-    "DECIMAL(30,15); no driver-side loop state beyond plan construction. "
+    "whitespace density; label = contains-'table'), 5 fixed "
+    "iterations: each round is one map-side-combinable gradient "
+    "aggregate over the persisted feature table crossJoined with the "
+    "broadcast 1-row weight vector — per-partition gradient partials "
+    "combine exactly because contributions ride DECIMAL(30,15); the "
+    "1-row weight vector is localCheckpoint()ed per round (it feeds "
+    "three consumers, so an untruncated lineage triples per iteration "
+    "— the Catalyst plan-blowup this repo's round-3 notes document), "
+    "giving the standard driver-coordinated iterative shape. "
     "At 100 TB each iteration is one scan+reduce of the feature table "
     "(itself computed once and cached); weights are O(features) "
     "regardless of corpus size. Value-exact oracle: the algebraic "
@@ -6773,6 +6776,13 @@ def pipeline_classifier_train(spark, sf_dir):
                 F.expr(f"w1 - {_LRT_LR} * (cast(g1 as double) / n)").alias("w1"),
                 F.expr(f"w2 - {_LRT_LR} * (cast(g2 as double) / n)").alias("w2"),
             )
+            # the loop variable feeds THREE consumers per round (next
+            # round's z, the gradient rejoin, and the output row), so an
+            # un-truncated lineage triples per iteration (the Catalyst
+            # plan blowup); checkpointing the 1-ROW weight vector keeps
+            # every round's plan one scan + one reduce — the standard
+            # driver-coordinated iterative shape (MLlib does the same)
+            .localCheckpoint()
         )
         row = w.select(
             F.lit(i).alias("iteration"),

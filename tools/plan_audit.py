@@ -53,6 +53,9 @@ EXPECTED = {
     "sim_hamming_topk": "BNLJ is the broadcast ≤4-row query-code set "
     "against one streaming pass of the code table — the cosine_topk "
     "broadcast-query shape on 64-bit codes",
+    "text_bm25_topk": "two crossJoins of the broadcast 1-row "
+    "avgdl/corpus-count aggregate (lazy-count shape of text_idf) — "
+    "never data-sized",
     "join_full_outer": "full outer cannot broadcast; SMJ is the right strategy",
     "join_range_bands": "theta join against a 5-row broadcast band table — "
     "BNLJ here IS the lookup",
