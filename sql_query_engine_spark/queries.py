@@ -8033,6 +8033,43 @@ def join_spatial_grid(spark, sf_dir):
     )
 
 
+# ---- from-spec Avro container source ------------------------------------
+_AVRO_FIELDS = [
+    ("o_orderkey", "long"),
+    ("o_custkey", "long"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+]
+
+
+@_q(
+    "src_avro_scan",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       FROM orders WHERE o_totalprice > 150000""",
+    "real interchange-format source: orders round-trips through "
+    "from-spec Apache Avro Object Container Files (sources/avro.py — "
+    "magic, metadata map, zigzag-varint longs, little-endian IEEE "
+    "doubles, length-prefixed UTF-8, per-block sync markers; no "
+    "spark-avro jar) — the reference's hand-rolled-wire-format source "
+    "story (S1 CSV / S2 JSONL) extended to a binary container format. "
+    "Write: one OCF per partition, executor-side. Read: binaryFile "
+    "scan (one task per file — how Spark parallelizes container "
+    "formats) into an Arrow mapInPandas decoder that verifies magic, "
+    "codec, schema and every block's sync marker, raising with the "
+    "offending path on corruption. Doubles round-trip as raw IEEE "
+    "bytes, so the oracle (same filter on the parquet source) "
+    "hash-matching proves the container encoding lossless.",
+)
+def src_avro_scan(spark, sf_dir):
+    from .sources import avro
+
+    out = _legacy_fixture_dir(sf_dir, "orders_avro")
+    o = _t(spark, sf_dir, "orders")
+    avro.write_avro_dataset(o, out, "order", _AVRO_FIELDS, n_files=4)
+    back = avro.read_avro(spark, f"{out}/*.avro", _AVRO_FIELDS)
+    return back.filter(F.col("o_totalprice") > 150000)
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8075,6 +8112,7 @@ _GATE_PRIORITY = [
     "scalar_hilbert_key",
     "agg_robust_outliers",
     "join_spatial_grid",
+    "src_avro_scan",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

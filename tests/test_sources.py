@@ -602,3 +602,45 @@ def test_ref_scan_registry_entries_roundtrip(spark):
         for r in nation.filter("n_regionkey >= 3").collect()
     }
     assert got_jsonl == exp_jsonl and got_jsonl
+
+
+def test_avro_roundtrip_and_corruption(spark, tmp_path):
+    """From-spec Avro OCF: byte-level write→read round-trip preserves
+    longs (incl. negative zigzag), IEEE doubles, and UTF-8 strings;
+    corrupt magic/sync/codec raise with the path."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.avro import (
+        decode_avro_bytes,
+        read_avro,
+        write_avro_bytes,
+        write_avro_dataset,
+    )
+
+    fields = [("k", "long"), ("x", "double"), ("s", "string")]
+    rows = [(-(2 ** 40), 3.141592653589793, "héllo"),
+            (0, -0.0, ""), (2 ** 40, 1e300, "x" * 100)]
+    data = write_avro_bytes("t", fields, rows, block_rows=2)  # 2 blocks
+    got_fields, got_rows = decode_avro_bytes(data)
+    assert got_fields == fields
+    assert got_rows == rows
+    assert struct_eq(got_rows[1][1], -0.0)
+
+    with _pytest.raises(ValueError):
+        decode_avro_bytes(b"XXXX" + data[4:])
+    bad = bytearray(data)
+    bad[-1] ^= 0xFF  # final sync marker
+    with _pytest.raises(ValueError):
+        decode_avro_bytes(bytes(bad))
+
+    df = spark.createDataFrame(rows, "k long, x double, s string")
+    out = str(tmp_path / "avro_ds")
+    write_avro_dataset(df, out, "t", fields, n_files=2)
+    back = sorted(map(tuple, read_avro(spark, f"{out}/*.avro", fields).collect()))
+    assert back == sorted(rows)
+
+
+def struct_eq(a: float, b: float) -> bool:
+    import struct as _s
+
+    return _s.pack("<d", a) == _s.pack("<d", b)
