@@ -1540,3 +1540,36 @@ def test_spatial_grid_equals_theta(spark):
         if hits:
             want[box_id] = (len(hits), sum(hits))
     assert got == want
+
+
+def test_triangle_count_golden(spark):
+    """A planted 3-clique yields exactly one triangle; an isolated edge
+    and an over-cap cell contribute none."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+    from sql_query_engine_spark.queries import _TRI_CAP
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    t1 = datetime.datetime(2024, 1, 1, 5, 30)
+    t2 = datetime.datetime(2024, 1, 1, 9, 30)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):          # clique cell → triangle
+        eid += 1; rows.append((eid, t0, u, "view"))
+    for u in (4, 5):             # edge-only cell
+        eid += 1; rows.append((eid, t1, u, "click"))
+    for u in range(100, 100 + _TRI_CAP + 5):  # over-cap cell: dropped
+        eid += 1; rows.append((eid, t2, u, "error"))
+    df = spark.createDataFrame(
+        [(e, ts, u, et, 0.0, "{}") for e, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        r = q.graph_triangle_count(spark, td).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (5 + _TRI_CAP + 5, 4, 1)
