@@ -1102,6 +1102,136 @@ PIXEL_SCHEMA = StructType(
 )
 
 
+def build_png_with_metadata(doc_id: int) -> bytes:
+    """A real PNG carrying ancillary metadata chunks: two tEXt
+    (Title, Source — latin-1 keyword NUL value, per the PNG spec) and a
+    pHYs (pixels-per-unit x/y + unit flag), each with a genuine CRC-32,
+    placed between IHDR and the pixel data."""
+    base = build_png_pixels(doc_id)
+    # base = signature(8) + IHDR chunk (25 bytes: 4 len + 4 tag + 13 + 4 crc)
+    head, rest = base[: 8 + 25], base[8 + 25 :]
+    title = f"doc-{doc_id}".encode()
+    source = f"src{doc_id % 20}".encode()
+    ppu = 2834 + doc_id % 100
+    phys = ppu.to_bytes(4, "big") + (ppu * 2).to_bytes(4, "big") + b"\x01"
+    return (
+        head
+        + _png_chunk(b"tEXt", b"Title\x00" + title)
+        + _png_chunk(b"tEXt", b"Source\x00" + source)
+        + _png_chunk(b"pHYs", phys)
+        + rest
+    )
+
+
+def decode_png_metadata(payload: bytes):
+    """Walk PNG chunks, CRC-32-verify every chunk, and extract tEXt
+    key/values plus pHYs resolution. Returns (width, height,
+    {text key: value}, ppu_x, ppu_y, unit) or None on structural damage
+    or any CRC mismatch (metadata from a corrupt container is worse
+    than no metadata)."""
+    import zlib
+
+    b = payload
+    if b is None or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    texts: dict[str, str] = {}
+    ppu_x = ppu_y = unit = None
+    pos = 8
+    while pos + 12 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        crc = b[pos + 8 + ln : pos + 12 + ln]
+        if len(crc) < 4 or zlib.crc32(tag + body).to_bytes(4, "big") != crc:
+            return None
+        if tag == b"tEXt" and b"\x00" in body:
+            k, _, v = body.partition(b"\x00")
+            try:
+                texts[k.decode("latin-1")] = v.decode("latin-1")
+            except UnicodeDecodeError:
+                return None
+        elif tag == b"pHYs":
+            if ln != 9:
+                return None
+            ppu_x = int.from_bytes(body[0:4], "big")
+            ppu_y = int.from_bytes(body[4:8], "big")
+            unit = body[8]
+        if tag == b"IEND":
+            return w, h, texts, ppu_x, ppu_y, unit
+        pos += 12 + ln
+    return None  # no IEND: truncated container, don't trust the fields
+
+
+PNG_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("title", StringType(), True),
+        StructField("source_tag", StringType(), True),
+        StructField("ppu_x", LongType(), True),
+        StructField("ppu_y", LongType(), True),
+        StructField("unit", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_png_metadata(docs: DataFrame) -> DataFrame:
+    """One metadata-bearing real PNG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_png_with_metadata(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def png_metadata(with_media: DataFrame) -> DataFrame:
+    """payload → extracted container metadata (map-only, NULL on
+    corruption or CRC failure)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "title",
+                                    "source_tag", "ppu_x", "ppu_y", "unit")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_png_metadata(payload)
+                if dec is None:
+                    for k in ("width", "height", "title", "source_tag",
+                              "ppu_x", "ppu_y", "unit"):
+                        rows[k].append(None)
+                else:
+                    w, h, texts, px, py, unit = dec
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["title"].append(texts.get("Title"))
+                    rows["source_tag"].append(texts.get("Source"))
+                    rows["ppu_x"].append(px)
+                    rows["ppu_y"].append(py)
+                    rows["unit"].append(unit)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["ppu_x"] = out["ppu_x"].astype("Int64")
+            out["ppu_y"] = out["ppu_y"].astype("Int64")
+            out["unit"] = out["unit"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, PNG_META_SCHEMA)
+
+
 AHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

@@ -8158,6 +8158,33 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_png_metadata",
+    """SELECT doc_id,
+       cast((doc_id*7)%48+8 as int) AS width,
+       cast((doc_id*13)%32+8 as int) AS height,
+       concat('doc-', cast(doc_id as varchar)) AS title,
+       concat('src', cast(doc_id % 20 as varchar)) AS source_tag,
+       cast(2834 + doc_id % 100 as bigint) AS ppu_x,
+       cast((2834 + doc_id % 100) * 2 as bigint) AS ppu_y,
+       cast(1 as int) AS unit
+FROM documents""",
+    "container-metadata extraction — the curation signal that rides "
+    "INSIDE media files (provenance, resolution, tooling tags): each "
+    "doc's real PNG carries two tEXt chunks (Title/Source, "
+    "NUL-separated latin-1 per the PNG spec) and a pHYs resolution "
+    "chunk, and the extractor walks the chunk stream verifying EVERY "
+    "chunk's CRC-32 before trusting it — metadata from a corrupt "
+    "container becomes a NULL row, never a poisoned value. Pure "
+    "byte-walk (no pixel decode), so this is the cheap first pass a "
+    "100 TB media crawl runs before any expensive decode; oracle "
+    "restates the planted fields arithmetically. Map-only.",
+)
+def mm_png_metadata(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.png_metadata(multimodal.synthesize_png_metadata(d))
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8202,6 +8229,7 @@ _GATE_PRIORITY = [
     "join_spatial_grid",
     "src_avro_scan",
     "graph_triangle_count",
+    "mm_png_metadata",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1573,3 +1573,34 @@ def test_triangle_count_golden(spark):
         df.write.mode("overwrite").parquet(f"{td}/events.parquet")
         r = q.graph_triangle_count(spark, td).collect()[0]
     assert (r.n_vertices, r.n_edges, r.n_triangles) == (5 + _TRI_CAP + 5, 4, 1)
+
+
+def test_png_metadata_crc_gate():
+    """Metadata extraction trusts nothing unverified: valid container
+    round-trips the planted fields; ANY chunk CRC flip → None; the
+    metadata chunks don't disturb pixel decoding."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_png_pixels,
+        build_png_with_metadata,
+        decode_png_ahash,
+        decode_png_metadata,
+        decode_png_pixels,
+        pixel_dims,
+    )
+
+    d = 42
+    payload = build_png_with_metadata(d)
+    got = decode_png_metadata(payload)
+    w, h = pixel_dims(d)
+    assert got == (w, h, {"Title": f"doc-{d}", "Source": f"src{d % 20}"},
+                   2834 + d % 100, (2834 + d % 100) * 2, 1)
+
+    # pixel decoders skip ancillary chunks transparently
+    assert decode_png_pixels(payload) == decode_png_pixels(build_png_pixels(d))
+    assert decode_png_ahash(payload) == decode_png_ahash(build_png_pixels(d))
+
+    bad = bytearray(payload)
+    bad[8 + 25 + 10] ^= 0x01  # flip a byte inside the first tEXt chunk
+    assert decode_png_metadata(bytes(bad)) is None
+    assert decode_png_metadata(payload[:40]) is None
+    assert decode_png_metadata(None) is None
