@@ -49,6 +49,10 @@ HEADLINE = [
     "stream_session_windows",
     "join_asof",
     "pipeline_training_data",
+    # round-5 additions: retrieval, binary ANN, winnowing dedup
+    "text_bm25_topk",
+    "sim_hamming_topk",
+    "dedup_winnowing",
 ]
 
 
@@ -79,7 +83,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time (25 queries, min-of-2 runs, all operator families)",
+                "metric": f"headline-suite wall time ({len(HEADLINE)} queries, min-of-2 runs, all operator families)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
