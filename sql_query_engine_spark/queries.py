@@ -8185,6 +8185,115 @@ def mm_png_metadata(spark, sf_dir):
     return multimodal.png_metadata(multimodal.synthesize_png_metadata(d))
 
 
+# ---- next-event-prediction training examples ----------------------------
+_NEX_HIST = 4  # bounded history length per example
+
+
+@_q(
+    "pipeline_next_event_dataset",
+    f"""WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+    FROM events),
+seq AS (
+    SELECT event_id, user_id, us, event_type AS label,
+           array_agg(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS BETWEEN {_NEX_HIST} PRECEDING
+                                       AND 1 PRECEDING) AS history
+    FROM ev)
+SELECT event_id, user_id, us, history, label,
+       cast(len(history) as int) AS hist_len
+FROM seq WHERE len(history) = {_NEX_HIST}""",
+    "sequence-model training examples from event streams: for every "
+    "event with at least 4 predecessors, emit (history of the last 4 "
+    "event types in order, label = the event that followed) — the "
+    "next-token-prediction dataset shape, generated at the event level "
+    "the way a behavior/recommendation model consumes it. One bounded "
+    "ROWS window per user (history length is a compile-time constant, "
+    "state is O(4) per row, partitions are per-user — nothing "
+    "corpus-global), no self-joins, no explode-and-rejoin. Frame order "
+    "(us, event_id) is total, so the aggregated array is deterministic "
+    "and the oracle hash-matches element order included.",
+)
+def pipeline_next_event_dataset(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-_NEX_HIST, -1)
+    )
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        F.col("event_type").alias("label"),
+    ).select(
+        "event_id", "user_id", "us", "label",
+        F.collect_list("label").over(w).alias("history"),
+    )
+    return seq.filter(F.size("history") == _NEX_HIST).select(
+        "event_id", "user_id", "us", "history", "label",
+        F.size("history").alias("hist_len"),
+    )
+
+
+# ---- hashing-trick featurization ----------------------------------------
+_FH_DIM = 1024
+
+
+@_q(
+    "text_feature_hashing",
+    f"""WITH toks AS (
+    SELECT doc_id, t.tok
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)),
+hashed AS (
+    SELECT doc_id,
+           cast(concat('0x', substr(md5(concat('fh:', tok)), 1, 12))
+                as bigint) % {_FH_DIM} AS bucket,
+           CASE WHEN cast(concat('0x', substr(md5(concat('fs:', tok)), 1, 12))
+                     as bigint) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+    FROM toks)
+SELECT doc_id, bucket, cast(sum(sgn) as bigint) AS feat
+FROM hashed GROUP BY doc_id, bucket
+HAVING sum(sgn) <> 0""",
+    "hashing-trick featurization (Weinberger et al. 2009 — the "
+    "fastText/Vowpal-Wabbit input layer): tokens hash into a fixed "
+    "1024-dim space with a second independent hash supplying a +/-1 "
+    "sign, so collisions cancel in expectation instead of biasing "
+    "upward — the property that lets a FIXED feature width survive an "
+    "unbounded vocabulary, which is exactly the 100 TB constraint (no "
+    "vocabulary dictionary to build, ship, or keep consistent across "
+    "workers). One explode + one map-side-combinable aggregate; "
+    "engine-neutral md5 arithmetic keeps it oracle-exact; zero-sum "
+    "buckets are dropped on both sides.",
+)
+def text_feature_hashing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(concat('fh:', tok)), 1, 12), 16, 10)"
+            f" as bigint) % {_FH_DIM}"
+        ).alias("bucket"),
+        F.expr(
+            "CASE WHEN cast(conv(substr(md5(concat('fs:', tok)), 1, 12),"
+            " 16, 10) as bigint) % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("feat"))
+        .filter(F.col("feat") != 0)
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8230,6 +8339,8 @@ _GATE_PRIORITY = [
     "src_avro_scan",
     "graph_triangle_count",
     "mm_png_metadata",
+    "pipeline_next_event_dataset",
+    "text_feature_hashing",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1604,3 +1604,54 @@ def test_png_metadata_crc_gate():
     assert decode_png_metadata(bytes(bad)) is None
     assert decode_png_metadata(payload[:40]) is None
     assert decode_png_metadata(None) is None
+
+
+def test_next_event_dataset_golden(spark):
+    """Histories are the exact last-4 event types in time order, one
+    example per event with >= 4 predecessors."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    t0 = datetime.datetime(2024, 1, 1)
+    types = ["a", "b", "c", "d", "e", "f"]
+    rows = [(i, t0 + datetime.timedelta(minutes=i), 1, types[i], 0.0, "{}")
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {r.event_id: (list(r.history), r.label)
+               for r in q.pipeline_next_event_dataset(spark, td).collect()}
+    assert got == {
+        4: (["a", "b", "c", "d"], "e"),
+        5: (["b", "c", "d", "e"], "f"),
+    }
+
+
+def test_feature_hashing_properties(spark):
+    """Deterministic per-text features; identical texts get identical
+    feature vectors; the signed L1 norm never exceeds the token count."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    docs = [(1, "alpha beta gamma alpha"), (2, "alpha beta gamma alpha"),
+            (3, "delta epsilon")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        rows = q.text_feature_hashing(spark, td).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.feat
+    assert by_doc[1] == by_doc[2]
+    assert sum(abs(v) for v in by_doc[1].values()) <= 4
+    assert sum(abs(v) for v in by_doc[3].values()) <= 2
+    assert by_doc[1] != by_doc[3]
