@@ -1532,6 +1532,203 @@ def decode_gif_pixels(payload: bytes):
     return w, h, sums[0], sums[1], sums[2]
 
 
+def gif_frame_count(doc_id: int) -> int:
+    return doc_id % 5 + 2
+
+
+def gif_anim_pixel_index(doc_id: int, f: int, x: int, y: int) -> int:
+    return (doc_id * 5 + f * 13 + x * 7 + y * 11) % 256
+
+
+def build_gif_animation(doc_id: int) -> bytes:
+    """A REAL animated GIF89a: global palette, NETSCAPE2.0 looping
+    application extension, and per frame a Graphic Control Extension
+    (delay = 10+f centiseconds) followed by a full-size LZW-compressed
+    image — the multi-frame container a video-style sampling pipeline
+    walks."""
+    w, h = pixel_dims(doc_id)
+    palette = b"".join(bytes(gif_palette_rgb(i)) for i in range(256))
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    out += palette
+    # NETSCAPE2.0 looping extension (application extension 0xFF)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(gif_frame_count(doc_id)):
+        # Graphic Control Extension: disposal none, delay, no transparency
+        out += b"\x21\xf9\x04\x00"
+        out += (10 + f).to_bytes(2, "little")
+        out += b"\x00\x00"
+        out += b"\x2c" + bytes(4)
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += bytes([_GIF_MIN_CODE])
+        indices = bytes(
+            gif_anim_pixel_index(doc_id, f, x, y)
+            for y in range(h)
+            for x in range(w)
+        )
+        lzw = _lzw_encode(indices)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(payload: bytes):
+    """Full multi-frame GIF decode: block walk (application + graphic
+    control extensions, image descriptors), per-frame LZW inflate, and
+    per-frame channel sums through the palette.
+
+    Returns (w, h, [(delay_cs, sum_r, sum_g, sum_b) per frame]) or None
+    on structural damage anywhere — one bad frame poisons the container
+    (a sampling pipeline must not silently emit fewer frames than the
+    control extensions promise)."""
+    b = payload
+    if b is None or len(b) < 13 or b[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    if not flags & 0x80:
+        return None
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    palette = b[pos : pos + 3 * gct_n]
+    if len(palette) < 3 * gct_n:
+        return None
+    pos += 3 * gct_n
+    frames = []
+    delay = None
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:  # trailer
+            return (w, h, frames) if frames else None
+        if marker == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(b):
+                return None
+            label = b[pos + 1]
+            pos += 2
+            sub_start = pos
+            while True:
+                if pos >= len(b):
+                    return None
+                n = b[pos]
+                pos += 1
+                if n == 0:
+                    break
+                if label == 0xF9 and pos == sub_start + 1:
+                    if n != 4 or pos + 4 > len(b):
+                        return None
+                    delay = int.from_bytes(b[pos + 1 : pos + 3], "little")
+                pos += n
+            continue
+        if marker != 0x2C:
+            return None
+        iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        if (iw, ih) != (w, h) or b[pos + 9] & 0x80:
+            return None
+        pos += 10
+        if pos >= len(b) or b[pos] != _GIF_MIN_CODE:
+            return None
+        pos += 1
+        lzw = bytearray()
+        while pos < len(b):
+            n = b[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunk = b[pos : pos + n]
+            if len(chunk) < n:
+                return None
+            lzw += chunk
+            pos += n
+        indices = _lzw_decode(bytes(lzw), w * h)
+        if indices is None:
+            return None
+        if indices and max(indices) >= gct_n:
+            return None
+        sums = [0, 0, 0]
+        for idx in indices:
+            sums[0] += palette[3 * idx]
+            sums[1] += palette[3 * idx + 1]
+            sums[2] += palette[3 * idx + 2]
+        frames.append((delay, sums[0], sums[1], sums[2]))
+        delay = None
+    return None  # no trailer: truncated container
+
+
+GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("delay_cs", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def synthesize_gif_animations(docs: DataFrame) -> DataFrame:
+    """One real animated GIF per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_gif_animation(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def gif_frame_sample_stats(with_media: DataFrame, stride: int = 2) -> DataFrame:
+    """payload → one row per SAMPLED frame (every ``stride``-th): the
+    1→N fan-out a video frame-sampling pipeline produces, with real
+    per-frame decode behind it (map-only, NULL-free: corrupt containers
+    simply emit no rows, matching the oracle's absence semantics)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "delay_cs",
+                                    "width", "height",
+                                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_gif_animation(payload)
+                if dec is None:
+                    continue
+                w, h, frames = dec
+                n = w * h
+                for fi, (delay, sr, sg, sb) in enumerate(frames):
+                    if fi % stride:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["delay_cs"].append(delay)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(round(sr / n, 6))
+                    rows["mean_g"].append(round(sg / n, 6))
+                    rows["mean_b"].append(round(sb / n, 6))
+            out = pd.DataFrame(rows)
+            for c in ("frame_idx", "delay_cs", "width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, GIF_FRAME_SCHEMA)
+
+
 def synthesize_gif_pixels(docs: DataFrame) -> DataFrame:
     """One real LZW-compressed GIF per doc (Arrow mapInPandas, map-only)."""
 

@@ -8294,6 +8294,51 @@ def text_feature_hashing(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_gif_frame_sample",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h,
+           doc_id % 5 + 2 AS nf
+    FROM documents),
+fr AS (
+    SELECT doc_id, w, h, tf.f
+    FROM d, unnest(generate_series(0, nf-1)) AS tf(f)
+    WHERE tf.f % 2 = 0),
+px AS (
+    SELECT doc_id, w, h, f,
+           (doc_id*5 + f*13 + tx.x*7 + ty.y*11) % 256 AS idx
+    FROM fr, unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y)),
+s AS (
+    SELECT doc_id, w, h, f,
+           sum(idx) AS sr, sum((idx*2) % 256) AS sg,
+           sum((idx*3) % 256) AS sb, count(*) AS n
+    FROM px GROUP BY doc_id, w, h, f)
+SELECT doc_id, cast(f as int) AS frame_idx, cast(10 + f as int) AS delay_cs,
+       cast(w as int) AS width, cast(h as int) AS height,
+       round(sr / cast(n as double), 6) AS mean_r,
+       round(sg / cast(n as double), 6) AS mean_g,
+       round(sb / cast(n as double), 6) AS mean_b
+FROM s""",
+    "REAL multi-frame decode + frame SAMPLING — the video-pipeline op "
+    "(sample every Nth frame, decode only those) on a container we can "
+    "decode fully from spec: each doc gets a genuine animated GIF89a "
+    "(NETSCAPE looping extension, per-frame Graphic Control Extensions "
+    "carrying real delays, full-size LZW-compressed frames), and the "
+    "pipeline walks the block stream, inflates every 2nd frame through "
+    "the real LZW codec, and emits one row per sampled frame with its "
+    "GCE delay and channel means — the 1-to-N fan-out shape "
+    "mm_frame_samples stubs for true video codecs, made real here. "
+    "Corrupt containers emit no rows (absence = oracle semantics). "
+    "Map-only; oracle restates frames/pixels arithmetically.",
+)
+def mm_gif_frame_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.gif_frame_sample_stats(
+        multimodal.synthesize_gif_animations(d)
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8341,6 +8386,7 @@ _GATE_PRIORITY = [
     "mm_png_metadata",
     "pipeline_next_event_dataset",
     "text_feature_hashing",
+    "mm_gif_frame_sample",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1655,3 +1655,41 @@ def test_feature_hashing_properties(spark):
     assert sum(abs(v) for v in by_doc[1].values()) <= 4
     assert sum(abs(v) for v in by_doc[3].values()) <= 2
     assert by_doc[1] != by_doc[3]
+
+
+def test_gif_animation_roundtrip_and_sampling():
+    """Multi-frame GIF: per-frame LZW decode matches the planted frame
+    formulas (delays included); truncation and mid-frame damage reject;
+    single-frame decoder and animation decoder coexist."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_gif_animation,
+        build_gif_pixels,
+        decode_gif_animation,
+        decode_gif_pixels,
+        gif_anim_pixel_index,
+        gif_frame_count,
+        gif_palette_rgb,
+        pixel_dims,
+    )
+
+    for d in (0, 3, 4, 17):
+        w, h, frames = decode_gif_animation(build_gif_animation(d))
+        assert (w, h) == pixel_dims(d)
+        assert len(frames) == gif_frame_count(d)
+        for f, (delay, sr, sg, sb) in enumerate(frames):
+            assert delay == 10 + f
+            exp = [0, 0, 0]
+            for y in range(h):
+                for x in range(w):
+                    r, g, bb = gif_palette_rgb(gif_anim_pixel_index(d, f, x, y))
+                    exp[0] += r; exp[1] += g; exp[2] += bb
+            assert (sr, sg, sb) == tuple(exp)
+
+    g = build_gif_animation(6)
+    assert decode_gif_animation(g[:-1]) is None      # missing trailer
+    assert decode_gif_animation(g[:60]) is None      # truncated
+    bad = bytearray(g)
+    bad[-20] ^= 0xFF                                  # damage inside a frame
+    assert decode_gif_animation(bytes(bad)) is None
+    # the single-frame pixel decoder still handles the static corpus
+    assert decode_gif_pixels(build_gif_pixels(6)) is not None

@@ -221,6 +221,7 @@ from sql_query_engine_spark.functions import multimodal as _mm
 _DECODERS = [
     _mm.decode_png_pixels,
     _mm.decode_gif_pixels,
+    _mm.decode_gif_animation,
     _mm.decode_jpeg_pixels,
     _mm.decode_jpeg_color_pixels,
     _mm.decode_wav_samples,
@@ -238,6 +239,7 @@ def _valid_payloads():
         outs += [
             _mm.build_png_pixels(d),
             _mm.build_gif_pixels(d),
+            _mm.build_gif_animation(d),
             _mm.build_jpeg_pixels(d),
             _mm.build_jpeg_color_pixels(d),
             _mm.build_wav_samples(d),
