@@ -222,6 +222,38 @@ SHOWCASE = [
         "crossing the shuffle are (label x cohort x dim) sums, never "
         "vectors",
     ),
+    (
+        "text_bm25_topk",
+        "one token explode feeds both dl and tf; query terms broadcast; "
+        "Partial WindowGroupLimit BEFORE the query_id exchange",
+        "top-k per query is map-side partial — no corpus-sized partition "
+        "ever reaches the final window, so few-query retrieval scales "
+        "with matching postings, not the corpus",
+    ),
+    (
+        "sim_hamming_topk",
+        "sign codes via aggregate-lambda (no explode, no shuffle); "
+        "broadcast query codes; bit_count(xor) inside WholeStageCodegen; "
+        "WindowGroupLimit top-k",
+        "binary-quantized ANN: 64x smaller vectors, integer-only "
+        "distance, one streaming pass of the code table per query set",
+    ),
+    (
+        "dedup_winnowing",
+        "per-doc windows partition by doc_id; fingerprint pair join is "
+        "the df-capped inverted-index equi-join",
+        "fingerprint selection is embarrassingly parallel per doc; pair "
+        "work proportional to shared-fingerprint co-occupancy, never "
+        "all-pairs",
+    ),
+    (
+        "pipeline_classifier_train",
+        "each GD round is one scan of the cached 3-column feature "
+        "projection + one SinglePartition reduce of 3 decimal sums; "
+        "weight lineage truncated per round (no plan growth)",
+        "training state is O(features) regardless of corpus size; "
+        "gradients combine map-side because contributions ride DECIMAL",
+    ),
 ]
 
 # formatted mode details block:
