@@ -8426,86 +8426,86 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
-    "mm_jpeg_color_stats",
-    "pipeline_classifier_train",
-    "text_bm25_topk",
-    "sim_hamming_topk",
-    "dedup_winnowing",
-    "stream_interval_coalesce",
-    "mm_flac_stereo_stats",
-    "mm_image_ahash",
-    "emb_standardize",
-    "stream_attribution",
-    "scalar_hilbert_key",
-    "agg_robust_outliers",
-    "join_spatial_grid",
-    "src_avro_scan",
-    "graph_triangle_count",
-    "mm_png_metadata",
-    "pipeline_next_event_dataset",
-    "text_feature_hashing",
-    "mm_gif_frame_sample",
-    "catalog_zonemap_pruning",
-    "mm_payload_dedup",
     "agg_twophase_distinct",
-    "mm_video_decode",
+    "mm_payload_dedup",
+    "catalog_zonemap_pruning",
     "tpch_q14_promo_effect",
     "emb_label_centroids",
-    "mm_audio_decode",
-    "stream_hourly_active_users",
+    "mm_video_decode",
     "mm_decode",
+    "stream_hourly_active_users",
+    "mm_audio_decode",
+    "tpch_q12_late_priority",
+    "catalog_key_skew_profile",
+    "stream_sliding_counts",
+    "pipeline_contrastive_pairs",
+    "pipeline_incremental_rollup",
+    "tpch_q19_disjunctive_revenue",
     "tpch_q13_customer_distribution",
-    "agg_heavy_hitters",
     "stream_interval_join",
+    "sql_lateral_topn",
+    "tpch_q22_global_sales_opportunity",
     "catalog_table_diff",
     "stream_daily_ohlc",
-    "sql_lateral_topn",
-    "catalog_key_skew_profile",
-    "stream_retention_cohorts",
-    "tpch_q12_late_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "stream_sliding_counts",
-    "window_running_distinct",
-    "pipeline_contrastive_pairs",
+    "stream_attribution",
+    "agg_heavy_hitters",
     "join_salted_skew",
-    "tpch_q20_part_promotion",
-    "mm_modality_router",
-    "mm_audio_filter",
-    "tpch_q17_small_qty_revenue",
-    "mm_decode_filter",
-    "tpch_q9_product_type_profit",
-    "pipeline_incremental_rollup",
-    "tpch_q11_important_stock",
-    "tpch_q19_disjunctive_revenue",
-    "stream_gapfill_locf",
-    "stream_session_native",
+    "stream_retention_cohorts",
     "window_time_range_trailing",
-    "agg_mode_and_argmax",
-    "tpch_q7_volume_shipping",
-    "tpch_q18_large_volume",
-    "tpch_q2_min_cost_supplier",
-    "join_interval_overlap",
+    "tpch_q15_top_supplier",
+    "tpch_q20_part_promotion",
+    "mm_audio_filter",
     "pipeline_scd2",
+    "mm_modality_router",
+    "stream_gapfill_locf",
+    "mm_decode_filter",
+    "agg_mode_and_argmax",
     "emb_random_projection",
+    "tpch_q11_important_stock",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q9_product_type_profit",
+    "stream_session_native",
+    "window_running_distinct",
+    "tpch_q2_min_cost_supplier",
+    "text_feature_hashing",
+    "tpch_q7_volume_shipping",
+    "join_interval_overlap",
+    "pipeline_next_event_dataset",
     "tpch_q8_market_share",
     "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "sim_hamming_topk",
+    "stream_interval_coalesce",
     "pipeline_semantic_decontaminate",
     "pipeline_temperature_mixture",
     "tpch_q21_suppliers_kept_waiting",
-    "join_asof_forward",
     "emb_knn_label_transfer",
+    "sample_stratified",
+    "join_spatial_grid",
+    "join_asof_forward",
+    "mm_png_metadata",
     "join_nearest_event",
+    "emb_standardize",
+    "scalar_hilbert_key",
+    "mm_flac_stereo_stats",
+    "graph_triangle_count",
+    "text_lm_score",
     "mm_pixel_stats",
     "mm_gif_pixel_stats",
-    "text_lm_score",
+    "mm_image_ahash",
+    "dedup_winnowing",
     "dedup_embedding_clusters",
+    "agg_robust_outliers",
     "dedup_containment",
-    "sample_stratified",
     "sim_lsh_multiprobe_topk",
+    "pipeline_dedup_rate_by_source",
+    "src_avro_scan",
+    "pipeline_classifier_train",
     "pipeline_cluster_safe_split",
     "join_bloom_semijoin",
-    "pipeline_dedup_rate_by_source",
+    "mm_jpeg_color_stats",
+    "text_bm25_topk",
+    "mm_gif_frame_sample",
     "pipeline_source_authority",
     "mm_jpeg_pixel_stats",
     "mm_flac_sample_stats",
