@@ -258,6 +258,54 @@ def write_zorder_parquet(
     )
 
 
+def write_hilbert_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-ordered parquet layout — :func:`write_zorder_parquet`
+    with the Morton key swapped for the Hilbert key
+    (:func:`hilbert_cols`).
+
+    Same two-column data-skipping goal, strictly better locality: every
+    consecutive Hilbert value is grid-adjacent, where Z-order jumps at
+    power-of-two seams — so a 2-D range predicate maps to FEWER, LONGER
+    contiguous key runs, i.e. fewer admitted row groups for the same
+    row-group size. Same min-max normalization contract as the z-order
+    writer.
+    """
+    cap = 1 << bits
+    stats = df.agg(
+        F.min(col_a).alias("__min_a"),
+        F.max(col_a).alias("__max_a"),
+        F.min(col_b).alias("__min_b"),
+        F.max(col_b).alias("__max_b"),
+    )
+    norm_a = (
+        f"cast(({col_a} - __min_a) * {cap} / (__max_a - __min_a + 1) as bigint)"
+    )
+    norm_b = (
+        f"cast(({col_b} - __min_b) * {cap} / (__max_b - __min_b + 1) as bigint)"
+    )
+    out = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__na", F.expr(norm_a))
+        .withColumn("__nb", F.expr(norm_b))
+    )
+    out = hilbert_cols(out, "__na", "__nb", bits=bits, out="__h")
+    (
+        out.repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h", "__na", "__nb", "__min_a", "__max_a", "__min_b", "__max_b")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_training_shards(
     packed: DataFrame,
     path: str,

@@ -644,3 +644,39 @@ def struct_eq(a: float, b: float) -> bool:
     import struct as _s
 
     return _s.pack("<d", a) == _s.pack("<d", b)
+
+
+def test_hilbert_layout_skips_and_beats_nothing_lost(spark, tmp_path):
+    """Hilbert-ordered lineitem: same both-column row-group shrink
+    property as z-order (the data-skipping contract), all rows kept."""
+    import pyarrow.parquet as pq
+
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    def spans(path, col):
+        out = []
+        for f in sorted(path.glob("part-*.parquet")):
+            meta = pq.ParquetFile(str(f)).metadata
+            idx = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == col
+            )
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                out.append(st.max - st.min)
+        return out
+
+    h_path = tmp_path / "li_h"
+    sinks.write_hilbert_parquet(
+        li, str(h_path), "l_orderkey", "l_partkey", n_files=8
+    )
+    for col in ("l_orderkey", "l_partkey"):
+        lo, hi = li.agg(F.min(col), F.max(col)).first()
+        g = hi - lo
+        h_spans = spans(h_path, col)
+        assert sum(h_spans) / len(h_spans) < 0.75 * g, col
+    assert spark.read.parquet(str(h_path)).count() == li.count()
