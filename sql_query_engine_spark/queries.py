@@ -8397,6 +8397,60 @@ def catalog_zonemap_pruning(spark, sf_dir):
     )
 
 
+# ---- sliding-window distinct (7-day active users) ------------------------
+_SLD_DAY_US = 86_400_000_000
+_SLD_WIN = 7
+
+
+@_q(
+    "stream_sliding_distinct",
+    f"""WITH daily AS (
+    SELECT DISTINCT epoch_us(ts) // {_SLD_DAY_US} AS day, user_id
+    FROM events),
+days AS (SELECT DISTINCT day FROM daily),
+fanned AS (
+    SELECT daily.day + o.off AS day, user_id
+    FROM daily, unnest(generate_series(0, {_SLD_WIN - 1})) AS o(off)),
+win AS (
+    SELECT f.day, count(DISTINCT f.user_id) AS n_active_7d
+    FROM fanned f JOIN days d ON d.day = f.day
+    GROUP BY f.day),
+one AS (
+    SELECT day, count(*) AS n_active_1d FROM daily GROUP BY day)
+SELECT cast(w.day as bigint) AS day,
+       cast(o.n_active_1d as bigint) AS n_active_1d,
+       cast(w.n_active_7d as bigint) AS n_active_7d
+FROM win w JOIN one o ON o.day = w.day""",
+    "sliding-window COUNT DISTINCT — 7-day active users per day, the "
+    "metric a naive sliding window cannot compute at scale (distinct "
+    "doesn't decompose over overlapping windows, and a corpus-sized "
+    "range window is a straggler). The scale shape: collapse events to "
+    "the (day, user) grain FIRST (the only corpus-sized aggregate, "
+    "map-side combinable), then fan each daily-active row out to the 7 "
+    "window ends it supports — a bounded x7 multiply of the tiny "
+    "pre-aggregate, never of raw events — and count distinct per "
+    "window end. Exact, no approximation, no window functions at all; "
+    "restricting to observed days keeps the output calendar-honest.",
+)
+def stream_sliding_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.expr(f"(ts div 1000) div {_SLD_DAY_US}").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    fanned = daily.select(
+        F.explode(F.expr(f"sequence(day, day + {_SLD_WIN - 1})")).alias("day"),
+        "user_id",
+    )
+    win = (
+        fanned.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+    one = daily.groupBy("day").agg(F.count("*").alias("n_active_1d"))
+    return win.join(one, "day").select("day", "n_active_1d", "n_active_7d")
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8426,6 +8480,7 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "stream_sliding_distinct",
     "agg_twophase_distinct",
     "mm_payload_dedup",
     "catalog_zonemap_pruning",

@@ -1709,3 +1709,34 @@ def test_zonemap_safety_invariant(spark):
         if r.actual_matches > 0:
             assert r.candidate == 1, r
         assert r.min_d <= r.max_d
+
+
+def test_sliding_distinct_golden(spark):
+    """7-day active-user counts: a user active on days 0 and 3 counts
+    once in windows covering both; windows end only on observed days."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def day(n, u, eid):
+        return (eid, t0 + datetime.timedelta(days=n), u, "view", 0.0, "{}")
+
+    rows = [day(0, 1, 1), day(3, 1, 2), day(3, 2, 3), day(20, 3, 4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {r.day: (r.n_active_1d, r.n_active_7d)
+               for r in q.stream_sliding_distinct(spark, td).collect()}
+    base = (t0 - datetime.datetime(1970, 1, 1)).days
+    assert got == {
+        base + 0: (1, 1),        # only user 1
+        base + 3: (2, 2),        # users 1,2 active; window covers day 0 too
+        base + 20: (1, 1),
+    }
