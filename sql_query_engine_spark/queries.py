@@ -8451,6 +8451,70 @@ def stream_sliding_distinct(spark, sf_dir):
     return win.join(one, "day").select("day", "n_active_1d", "n_active_7d")
 
 
+# ---- weighted priority sampling -----------------------------------------
+_PRI_K = 20
+_PRI_SCALE = 281_474_976_710_656  # 2^48
+
+
+@_q(
+    "sample_weighted_priority",
+    f"""WITH wts AS (
+    SELECT doc_id, n_chars AS w,
+           cast(concat('0x', substr(md5(concat('pri:',
+                cast(doc_id as varchar))), 1, 12)) as bigint) + 1 AS h
+    FROM documents WHERE n_chars > 0),
+keyed AS (
+    SELECT doc_id, w,
+           cast(w as double) * {_PRI_SCALE} / h AS priority
+    FROM wts),
+ranked AS (
+    SELECT doc_id, w, priority,
+           row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+    FROM keyed)
+SELECT doc_id, cast(w as bigint) AS w, round(priority, 6) AS priority,
+       cast(rn as int) AS rn
+FROM ranked WHERE rn <= {_PRI_K}""",
+    "weighted sampling via PRIORITY SAMPLING (Duffield/Lund/Thorup "
+    "2007): each doc gets priority w/u with u uniform on (0,1] derived "
+    "from md5 (u = h/2^48, so priority = w * 2^48 / h — one exact "
+    "division on engine-identical integers, unlike the A-Res u^(1/w) "
+    "key whose pow() is not cross-engine reproducible), and the sample "
+    "is the top-k by priority — inclusion probability proportional to "
+    "weight with the unbiased subset-sum estimator the paper proves. "
+    "Deterministic given the seed string, so sampling is REPRODUCIBLE "
+    "across runs and engines — the property a training-data pipeline "
+    "needs to re-materialize the same sample after a failure. Top-k via "
+    "rank<=k (WindowGroupLimit/TakeOrdered shape), no global sort "
+    "materialized.",
+)
+def sample_weighted_priority(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.expr(
+            "cast(conv(substr(md5(concat('pri:', cast(doc_id as string))),"
+            " 1, 12), 16, 10) as bigint) + 1"
+        ).alias("h"),
+    ).select(
+        "doc_id", "w",
+        F.expr(f"cast(w as double) * {_PRI_SCALE} / h").alias("priority"),
+    )
+    # TakeOrderedAndProject picks the k rows; the global row_number then
+    # runs over the ALREADY-LIMITED k-row list (the topk_orders pattern),
+    # never the corpus
+    top = keyed.orderBy(F.col("priority").desc(), F.col("doc_id")).limit(
+        _PRI_K
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("w"),
+        F.expr("round(priority, 6)").alias("priority"),
+        F.row_number().over(w).cast("int").alias("rn"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8481,6 +8545,7 @@ _GATE_PRIORITY = [
     "ref_csv_scan",
     "ref_jsonl_scan",
     "stream_sliding_distinct",
+    "sample_weighted_priority",
     "agg_twophase_distinct",
     "mm_payload_dedup",
     "catalog_zonemap_pruning",

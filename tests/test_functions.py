@@ -1740,3 +1740,31 @@ def test_sliding_distinct_golden(spark):
         base + 3: (2, 2),        # users 1,2 active; window covers day 0 too
         base + 20: (1, 1),
     }
+
+
+def test_priority_sample_matches_reference_and_reproducible(spark):
+    """The sample equals a pure-Python priority-sampling reference
+    (same md5-derived uniforms) and is identical across runs."""
+    import hashlib
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars").collect()
+    scale = 281_474_976_710_656
+    keyed = []
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        h = int(hashlib.md5(f"pri:{r.doc_id}".encode()).hexdigest()[:12], 16) + 1
+        keyed.append((float(r.n_chars) * scale / h, r.doc_id, r.n_chars))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = {d: (wt, rn + 1) for rn, (_, d, wt) in enumerate(keyed[:20])}
+
+    got1 = {r.doc_id: (r.w, r.rn)
+            for r in q.sample_weighted_priority(spark, SF_DIR).collect()}
+    got2 = {r.doc_id: (r.w, r.rn)
+            for r in q.sample_weighted_priority(spark, SF_DIR).collect()}
+    assert got1 == got2 == want

@@ -125,6 +125,8 @@ EXPECTED = {
 # partitionless window is a scale bug: the whole input funnels through
 # one task for the sort.
 EXPECTED_GLOBAL_WINDOW = {
+    "sample_weighted_priority": "global row_number runs over the "
+    "TakeOrdered-limited 20-row priority sample, never the corpus",
     "window_ntile": "global quantile rank IS a total order; scale "
     "alternative (approx_percentile bucket edges) documented in queries.py",
     "window_distribution": "global percent_rank/cume_dist IS a total order; "
