@@ -8515,6 +8515,90 @@ def sample_weighted_priority(spark, sf_dir):
     )
 
 
+# ---- content-defined chunking (rolling-hash boundaries) ------------------
+_CDC_K = 3    # tokens per boundary-test gram
+_CDC_MOD = 16  # boundary when gram hash % MOD == 0 (expected chunk ~16)
+
+
+@_q(
+    "text_cdc_chunks",
+    f"""WITH toks AS (
+    SELECT doc_id, arr[g.i] AS tok, g.i - 1 AS pos
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                 AS arr FROM documents) d,
+         unnest(generate_series(1, len(arr))) AS g(i)),
+grams AS (
+    SELECT a.doc_id, a.pos, a.tok,
+           CASE WHEN a.pos >= {_CDC_K - 1} AND
+                cast(concat('0x', substr(md5(concat(
+                    lag(a.tok, 2) OVER w, ' ', lag(a.tok, 1) OVER w, ' ',
+                    a.tok)), 1, 12)) as bigint) % {_CDC_MOD} = 0
+                THEN 1 ELSE 0 END AS boundary
+    FROM toks a
+    WINDOW w AS (PARTITION BY a.doc_id ORDER BY a.pos)),
+chunked AS (
+    SELECT doc_id, pos, tok,
+           sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS chunk_id
+    FROM grams)
+SELECT doc_id, cast(chunk_id as int) AS chunk_id,
+       cast(min(pos) as int) AS start_pos, cast(max(pos) as int) AS end_pos,
+       cast(count(*) as bigint) AS n_tokens,
+       substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS content_hash
+FROM chunked GROUP BY doc_id, chunk_id""",
+    "content-defined chunking (the rolling-hash boundary rule behind "
+    "FastCDC / dedup storage / rsync): a chunk boundary falls AFTER any "
+    "position whose trailing 3-token gram hashes to 0 mod 16, so "
+    "boundaries depend only on LOCAL content — editing a document "
+    "reshapes only the chunk containing the edit while every other "
+    "chunk keeps its content hash (the edit-locality property "
+    "fixed-size chunking lacks, pinned in tests), which is what makes "
+    "chunk-level dedup between document versions work. Per-doc windows "
+    "only; md5 arithmetic + ordered string_agg keep the oracle exact.",
+)
+def text_cdc_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id", "pos", "tok",
+        F.expr(
+            f"CASE WHEN pos >= {_CDC_K - 1} THEN"
+            " cast(conv(substr(md5(concat("
+            "lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos), ' ',"
+            "lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos), ' ',"
+            f"tok)), 1, 12), 16, 10) as bigint) % {_CDC_MOD} ELSE 1 END"
+        ).alias("gh"),
+    ).select(
+        "doc_id", "pos", "tok",
+        F.expr("CASE WHEN gh = 0 THEN 1 ELSE 0 END").alias("boundary"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked = grams.select(
+        "doc_id", "pos", "tok",
+        F.sum("boundary").over(run).alias("chunk_id"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.min("pos").cast("int").alias("start_pos"),
+        F.max("pos").cast("int").alias("end_pos"),
+        F.count("*").alias("n_tokens"),
+        F.expr(
+            "substr(md5(concat_ws(' ', transform("
+            "array_sort(collect_list(struct(pos, tok))), s -> s.tok))),"
+            " 1, 16)"
+        ).alias("content_hash"),
+    ).select(
+        "doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+        "start_pos", "end_pos", "n_tokens", "content_hash",
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8546,6 +8630,7 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "stream_sliding_distinct",
     "sample_weighted_priority",
+    "text_cdc_chunks",
     "agg_twophase_distinct",
     "mm_payload_dedup",
     "catalog_zonemap_pruning",

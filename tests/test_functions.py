@@ -1768,3 +1768,31 @@ def test_priority_sample_matches_reference_and_reproducible(spark):
     got2 = {r.doc_id: (r.w, r.rn)
             for r in q.sample_weighted_priority(spark, SF_DIR).collect()}
     assert got1 == got2 == want
+
+
+def test_cdc_edit_locality(spark):
+    """Content-defined chunking's selling point: prepending text to a
+    document changes only chunks up to the first boundary after the
+    edit — every later chunk keeps its content hash. Fixed-size
+    chunking would shift every chunk."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    base = " ".join(f"tok{i * 37 % 211}" for i in range(300))
+    edited = "inserted words at the front " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        rows = q.text_cdc_chunks(spark, td).collect()
+    hashes = {1: set(), 2: set()}
+    for r in rows:
+        hashes[r.doc_id].add(r.content_hash)
+    shared = hashes[1] & hashes[2]
+    # all of doc 1's chunks except (at most) its first survive the edit
+    assert len(shared) >= len(hashes[1]) - 1, (len(shared), len(hashes[1]))
+    assert len(hashes[1]) > 3  # the corpus actually chunked
