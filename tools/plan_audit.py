@@ -56,6 +56,11 @@ EXPECTED = {
     "text_bm25_topk": "two crossJoins of the broadcast 1-row "
     "avgdl/corpus-count aggregate (lazy-count shape of text_idf) — "
     "never data-sized",
+    "graph_triangle_count": "BNLJ = crossJoins assembling the THREE "
+    "broadcast 1-row stat aggregates into the single output row; SMJ = "
+    "the wedge/closing edge-table self-joins — both sides are the same "
+    "persisted edge list (capped by the 20-user cell bound), so "
+    "sort-merge on vertex keys is the right strategy, not broadcast",
     "join_full_outer": "full outer cannot broadcast; SMJ is the right strategy",
     "join_range_bands": "theta join against a 5-row broadcast band table — "
     "BNLJ here IS the lookup",
