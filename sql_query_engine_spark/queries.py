@@ -8599,6 +8599,146 @@ def text_cdc_chunks(spark, sf_dir):
     )
 
 
+# ---- maximal marginal relevance (diversity re-ranking) -------------------
+_MMR_K = 5
+_MMR_L = "cast(0.7 as double)"
+_MMR_M = "cast(0.3 as double)"
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        """x AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           cast(round(cast(unnest(embedding) as double), 7)
+                as decimal(8,7)) AS val
+    FROM embeddings),
+qv AS (SELECT pos, val AS qval FROM x WHERE vec_id = 0),
+qs AS MATERIALIZED (
+    SELECT x.vec_id, sum(x.val * qv.qval) AS qs
+    FROM x JOIN qv USING (pos) WHERE x.vec_id <> 0 GROUP BY x.vec_id)"""
+    ]
+    for r in range(1, _MMR_K + 1):
+        if r == 1:
+            parts.append(f"""sel1 AS MATERIALIZED (
+    SELECT vec_id, {_MMR_L} * cast(qs as double) AS score
+    FROM qs ORDER BY score DESC, vec_id LIMIT 1)""")
+        else:
+            excl = " UNION ALL ".join(
+                f"SELECT vec_id FROM sel{i}" for i in range(1, r)
+            )
+            parts.append(f"""sel{r} AS MATERIALIZED (
+    SELECT q.vec_id,
+           {_MMR_L} * cast(q.qs as double)
+             - {_MMR_M} * cast(p.pen as double) AS score
+    FROM qs q JOIN pen{r - 1} p USING (vec_id)
+    WHERE q.vec_id NOT IN ({excl})
+    ORDER BY score DESC, vec_id LIMIT 1)""")
+        if r < _MMR_K:
+            prev_pen = (
+                "n.sim" if r == 1
+                else f"greatest(p.pen, n.sim)"
+            )
+            join_prev = (
+                "" if r == 1
+                else f"JOIN pen{r - 1} p ON p.vec_id = n.vec_id"
+            )
+            parts.append(f"""pen{r} AS MATERIALIZED (
+    SELECT n.vec_id, {prev_pen} AS pen
+    FROM (SELECT x.vec_id, sum(x.val * s.val) AS sim
+          FROM x JOIN (SELECT pos, val FROM x WHERE vec_id =
+                       (SELECT vec_id FROM sel{r})) s USING (pos)
+          WHERE x.vec_id <> 0 GROUP BY x.vec_id) n
+    {join_prev})""")
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS mmr_rank, vec_id, round(score, 6) AS score FROM sel{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@_q(
+    "sim_mmr_rerank",
+    _mmr_oracle(),
+    "maximal marginal relevance re-ranking (Carbonell/Goldstein 1998) — "
+    "the diversity-aware selection every dedup-conscious retrieval "
+    "pipeline runs after ANN: greedily pick argmax of 0.7*sim(query,c) "
+    "- 0.3*max sim(c, already-selected), 5 unrolled rounds. Each round "
+    "is ONE distributed pass: candidates join the newly-selected "
+    "vector's broadcast 64 dims, dot products accumulate as exact "
+    "DECIMAL (the classifier_auc quantization idiom), and the running "
+    "penalty is a decimal greatest() — per-candidate state is one "
+    "number, not a pairwise matrix, so the corpus never self-joins. "
+    "Selection is a 1-row TakeOrdered per round with the weight DF "
+    "lineage-truncated (classifier_train discipline). The fixed round "
+    "count unrolls to chained MATERIALIZED CTEs, value-exact.",
+)
+def sim_mmr_rerank(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(round(cast(v as double), 7) as decimal(8,7))").alias("val"),
+    ).persist()
+    qv = x.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("val").alias("qval")
+    )
+    qs = (
+        x.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "pos")
+        .groupBy("vec_id")
+        .agg(F.expr("sum(val * qval)").alias("qs"))
+        .localCheckpoint()
+    )
+    sel_ids: list[int] = []
+    out = None
+    pen = None
+    for r in range(1, _MMR_K + 1):
+        if r == 1:
+            scored = qs.select(
+                "vec_id", F.expr(f"{_MMR_L} * cast(qs as double)").alias("score")
+            )
+        else:
+            scored = (
+                qs.join(pen, "vec_id")
+                .filter(~F.col("vec_id").isin(sel_ids))
+                .select(
+                    "vec_id",
+                    F.expr(
+                        f"{_MMR_L} * cast(qs as double)"
+                        f" - {_MMR_M} * cast(pen as double)"
+                    ).alias("score"),
+                )
+            )
+        top = scored.orderBy(F.col("score").desc(), "vec_id").limit(1)
+        row = top.select(
+            F.lit(r).alias("mmr_rank"), "vec_id",
+            F.expr("round(score, 6)").alias("score"),
+        )
+        out = row if out is None else out.unionByName(row)
+        picked = top.collect()[0].vec_id  # 1 row per round: bounded state
+        sel_ids.append(picked)
+        if r < _MMR_K:
+            sdims = x.filter(F.col("vec_id") == picked).select(
+                "pos", F.col("val").alias("sval")
+            )
+            simnew = (
+                x.filter(F.col("vec_id") != 0)
+                .join(F.broadcast(sdims), "pos")
+                .groupBy("vec_id")
+                .agg(F.expr("sum(val * sval)").alias("sim"))
+            )
+            if pen is None:
+                pen = simnew.select("vec_id", F.col("sim").alias("pen"))
+            else:
+                pen = pen.join(simnew, "vec_id").select(
+                    "vec_id", F.expr("greatest(pen, sim)").alias("pen")
+                )
+            pen = pen.localCheckpoint()
+    return out
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8631,6 +8771,7 @@ _GATE_PRIORITY = [
     "stream_sliding_distinct",
     "sample_weighted_priority",
     "text_cdc_chunks",
+    "sim_mmr_rerank",
     "agg_twophase_distinct",
     "mm_payload_dedup",
     "catalog_zonemap_pruning",

@@ -1796,3 +1796,41 @@ def test_cdc_edit_locality(spark):
     # all of doc 1's chunks except (at most) its first survive the edit
     assert len(shared) >= len(hashes[1]) - 1, (len(shared), len(hashes[1]))
     assert len(hashes[1]) > 3  # the corpus actually chunked
+
+
+def test_mmr_prefers_diversity(spark):
+    """MMR picks one of a near-duplicate pair then a diverse vector,
+    where similarity-only top-k would return both twins first."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    def vec(a, b):
+        # 64-dim embedding concentrated on two axes
+        v = [0.0] * 64
+        v[0], v[1] = a, b
+        return v
+
+    rows = [
+        (0, vec(1.0, 0.0), 0),      # query
+        (1, vec(0.7, 0.7), 0),      # twin A: most query-similar
+        (2, vec(0.7, 0.69), 0),     # twin B: nearly identical to A
+        (3, vec(0.6, -0.6), 0),     # diverse (orthogonal-ish to twins)
+        (4, vec(0.5, -0.55), 0),    # diverse, moderately similar
+        (5, vec(-0.9, 0.0), 0),     # anti-similar
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got = sorted(
+            (r.mmr_rank, r.vec_id)
+            for r in q.sim_mmr_rerank(spark, td).collect()
+        )
+    order = [v for _, v in got]
+    assert order[0] in (1, 2)            # best match first
+    assert order[1] not in (1, 2)        # its twin is penalized out of #2
+    assert set(order[:3]) <= {1, 2, 3, 4}
