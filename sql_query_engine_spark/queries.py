@@ -8739,6 +8739,62 @@ def sim_mmr_rerank(spark, sf_dir):
     return out
 
 
+def _keeper_oracle() -> str:
+    return dedup.clusters_cte_oracle(dedup.minhash_lsh_pairs_oracle()) + """
+, sized AS (
+    SELECT c.cluster_id, c.doc_id, d.n_chars,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM clusters c JOIN documents d USING (doc_id))
+SELECT cluster_id,
+       cast(min(CASE WHEN rn = 1 THEN doc_id END) as bigint)
+           AS keeper_doc_id,
+       cast(min(CASE WHEN rn = 1 THEN n_chars END) as bigint)
+           AS keeper_chars,
+       cast(count(*) as bigint) AS n_members,
+       cast(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) as bigint)
+           AS dropped_chars
+FROM sized GROUP BY cluster_id"""
+
+
+@_q(
+    "pipeline_dedup_keeper",
+    _keeper_oracle(),
+    "dedup SURVIVORSHIP — the step after canonicalization that pair "
+    "lists and cluster maps still leave open: which member of each "
+    "near-dup cluster ships to training? Policy here: keep the longest "
+    "document (content-richest), ties to the smallest doc_id; emits "
+    "per cluster the keeper, member count, and how many characters "
+    "dedup drops — the token-savings accounting a 100 TB dedup run is "
+    "judged by. Composes the existing banded-LSH pair generation and "
+    "min-label-propagation clustering; the keeper rank window "
+    "partitions by cluster_id (near-dup clusters are a handful of "
+    "docs, never corpus-sized). Exact oracle via the recursive-CTE "
+    "cluster twin.",
+)
+def pipeline_dedup_keeper(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(
+        docs, dedup.minhash_lsh_pairs(docs), check_every=2
+    )
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = sized.select(
+        "cluster_id", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.expr("cast(min(CASE WHEN rn = 1 THEN doc_id END) as bigint)")
+        .alias("keeper_doc_id"),
+        F.expr("cast(min(CASE WHEN rn = 1 THEN n_chars END) as bigint)")
+        .alias("keeper_chars"),
+        F.count("*").alias("n_members"),
+        F.expr("cast(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) as bigint)")
+        .alias("dropped_chars"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8772,6 +8828,7 @@ _GATE_PRIORITY = [
     "sample_weighted_priority",
     "text_cdc_chunks",
     "sim_mmr_rerank",
+    "pipeline_dedup_keeper",
     "agg_twophase_distinct",
     "mm_payload_dedup",
     "catalog_zonemap_pruning",

@@ -1834,3 +1834,35 @@ def test_mmr_prefers_diversity(spark):
     assert order[0] in (1, 2)            # best match first
     assert order[1] not in (1, 2)        # its twin is penalized out of #2
     assert set(order[:3]) <= {1, 2, 3, 4}
+
+
+def test_dedup_keeper_policy(spark):
+    """Per cluster: keeper is the longest member (ties -> smallest
+    doc_id), members partition the clustered docs, and dropped_chars
+    counts exactly the non-keepers."""
+    import sys
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    rows = q.pipeline_dedup_keeper(spark, SF_DIR).collect()
+    assert rows
+    docs = {r.doc_id: r.n_chars
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "n_chars").collect()}
+    from sql_query_engine_spark.functions import dedup as D
+    clusters = D.dedup_clusters(
+        load_table(spark, SF_DIR, "documents"),
+        D.minhash_lsh_pairs(load_table(spark, SF_DIR, "documents")),
+        check_every=2,
+    ).collect()
+    by_cluster: dict = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for r in rows:
+        members = by_cluster[r.cluster_id]
+        assert r.n_members == len(members)
+        best = sorted(members, key=lambda d: (-docs[d], d))[0]
+        assert r.keeper_doc_id == best
+        assert r.keeper_chars == docs[best]
+        assert r.dropped_chars == sum(docs[d] for d in members) - docs[best]
