@@ -8824,91 +8824,91 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
-    "stream_sliding_distinct",
-    "sample_weighted_priority",
-    "text_cdc_chunks",
-    "sim_mmr_rerank",
-    "pipeline_dedup_keeper",
-    "agg_twophase_distinct",
-    "mm_payload_dedup",
-    "catalog_zonemap_pruning",
-    "tpch_q14_promo_effect",
-    "emb_label_centroids",
-    "mm_video_decode",
-    "mm_decode",
-    "stream_hourly_active_users",
     "mm_audio_decode",
+    "mm_decode",
+    "emb_label_centroids",
+    "catalog_zonemap_pruning",
+    "mm_payload_dedup",
+    "tpch_q14_promo_effect",
+    "stream_hourly_active_users",
+    "stream_attribution",
+    "agg_twophase_distinct",
+    "tpch_q19_disjunctive_revenue",
+    "stream_daily_ohlc",
+    "agg_heavy_hitters",
     "tpch_q12_late_priority",
     "catalog_key_skew_profile",
-    "stream_sliding_counts",
-    "pipeline_contrastive_pairs",
-    "pipeline_incremental_rollup",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q13_customer_distribution",
     "stream_interval_join",
-    "sql_lateral_topn",
-    "tpch_q22_global_sales_opportunity",
-    "catalog_table_diff",
-    "stream_daily_ohlc",
-    "stream_attribution",
-    "agg_heavy_hitters",
-    "join_salted_skew",
-    "stream_retention_cohorts",
-    "window_time_range_trailing",
-    "tpch_q15_top_supplier",
-    "tpch_q20_part_promotion",
-    "mm_audio_filter",
-    "pipeline_scd2",
     "mm_modality_router",
+    "pipeline_incremental_rollup",
+    "stream_interval_coalesce",
+    "text_feature_hashing",
+    "tpch_q13_customer_distribution",
     "stream_gapfill_locf",
     "mm_decode_filter",
-    "agg_mode_and_argmax",
+    "tpch_q22_global_sales_opportunity",
+    "mm_audio_filter",
+    "stream_session_native",
+    "sql_lateral_topn",
+    "join_salted_skew",
+    "stream_retention_cohorts",
+    "sim_hamming_topk",
+    "stream_sliding_counts",
+    "catalog_table_diff",
+    "pipeline_scd2",
+    "pipeline_contrastive_pairs",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "window_time_range_trailing",
+    "tpch_q7_volume_shipping",
     "emb_random_projection",
     "tpch_q11_important_stock",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q9_product_type_profit",
-    "stream_session_native",
-    "window_running_distinct",
-    "tpch_q2_min_cost_supplier",
-    "text_feature_hashing",
-    "tpch_q7_volume_shipping",
-    "join_interval_overlap",
-    "pipeline_next_event_dataset",
-    "tpch_q8_market_share",
-    "tpch_q16_supplier_part_counts",
     "tpch_q18_large_volume",
-    "sim_hamming_topk",
-    "stream_interval_coalesce",
-    "pipeline_semantic_decontaminate",
-    "pipeline_temperature_mixture",
-    "tpch_q21_suppliers_kept_waiting",
-    "emb_knn_label_transfer",
-    "sample_stratified",
+    "tpch_q20_part_promotion",
+    "agg_mode_and_argmax",
+    "window_running_distinct",
+    "pipeline_next_event_dataset",
+    "tpch_q9_product_type_profit",
+    "tpch_q8_market_share",
+    "join_interval_overlap",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q16_supplier_part_counts",
     "join_spatial_grid",
-    "join_asof_forward",
+    "pipeline_temperature_mixture",
     "mm_png_metadata",
-    "join_nearest_event",
     "emb_standardize",
+    "pipeline_semantic_decontaminate",
+    "emb_knn_label_transfer",
+    "tpch_q21_suppliers_kept_waiting",
+    "join_asof_forward",
     "scalar_hilbert_key",
+    "sample_weighted_priority",
     "mm_flac_stereo_stats",
-    "graph_triangle_count",
-    "text_lm_score",
     "mm_pixel_stats",
     "mm_gif_pixel_stats",
     "mm_image_ahash",
+    "join_nearest_event",
     "dedup_winnowing",
-    "dedup_embedding_clusters",
     "agg_robust_outliers",
-    "dedup_containment",
-    "sim_lsh_multiprobe_topk",
-    "pipeline_dedup_rate_by_source",
-    "src_avro_scan",
-    "pipeline_classifier_train",
-    "pipeline_cluster_safe_split",
-    "join_bloom_semijoin",
-    "mm_jpeg_color_stats",
+    "text_lm_score",
+    "graph_triangle_count",
+    "stream_sliding_distinct",
+    "dedup_embedding_clusters",
     "text_bm25_topk",
+    "sample_stratified",
+    "mm_jpeg_color_stats",
+    "pipeline_classifier_train",
+    "dedup_containment",
+    "mm_video_decode",
+    "sim_lsh_multiprobe_topk",
+    "src_avro_scan",
+    "join_bloom_semijoin",
+    "pipeline_cluster_safe_split",
+    "pipeline_dedup_rate_by_source",
+    "text_cdc_chunks",
     "mm_gif_frame_sample",
+    "pipeline_dedup_keeper",
+    "sim_mmr_rerank",
     "pipeline_source_authority",
     "mm_jpeg_pixel_stats",
     "mm_flac_sample_stats",

@@ -56,6 +56,11 @@ EXPECTED = {
     "text_bm25_topk": "two crossJoins of the broadcast 1-row "
     "avgdl/corpus-count aggregate (lazy-count shape of text_idf) — "
     "never data-sized",
+    "sim_mmr_rerank": "SMJ = the per-round (qs x penalty) joins: both "
+    "sides are the same per-candidate table (one row per corpus vector, "
+    "checkpointed so Catalyst has no size estimate) — sort-merge on "
+    "vec_id is the right strategy for two equal-cardinality sides; the "
+    "64-row selected-vector joins ARE broadcast",
     "graph_triangle_count": "BNLJ = crossJoins assembling the THREE "
     "broadcast 1-row stat aggregates into the single output row; SMJ = "
     "the wedge/closing edge-table self-joins — both sides are the same "
