@@ -8795,6 +8795,41 @@ def pipeline_dedup_keeper(spark, sf_dir):
     )
 
 
+@_q(
+    "src_tbl_scan",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       WHERE n_nationkey % 2 = 0""",
+    "TPC-H dbgen .tbl round-trip as a checked query: nation is written "
+    "in dbgen's wire format (pipe-separated, no header, trailing '|' "
+    "per line — the format the reference's utils/tbl_to_csv.py:6 "
+    "consumed) and scanned back through sources/legacy.read_tbl with "
+    "the dd-enforced schema; oracle = the same filter on the parquet "
+    "source, so a hash match proves the .tbl encode/decode lossless — "
+    "completing the source-format trio (CSV S1, JSONL S2, Avro) with "
+    "the reference's own input format.",
+)
+def src_tbl_scan(spark, sf_dir):
+    import os
+
+    from .sources import legacy
+
+    out = _legacy_fixture_dir(sf_dir, "nation_tbl")
+    os.makedirs(out, exist_ok=True)
+    n = _t(spark, sf_dir, "nation")
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    rows = n.select(*cols).collect()  # nation: 25 rows, driver-side write ok
+    with open(os.path.join(out, "NATION.tbl"), "w") as f:
+        for r in sorted(rows, key=lambda r: r.n_nationkey):
+            f.write("|".join(str(r[c]) for c in cols) + "|\n")
+    dd = {"n_nationkey": "int", "n_name": "string",
+          "n_regionkey": "int"}
+    back = legacy.read_tbl(spark, os.path.join(out, "NATION.tbl"),
+                           "NATION", dd)
+    return back.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8824,6 +8859,7 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "src_tbl_scan",
     "mm_audio_decode",
     "mm_decode",
     "emb_label_centroids",
