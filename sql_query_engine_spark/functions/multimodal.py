@@ -2683,16 +2683,17 @@ _FIXED_COEFFS = (
 
 
 def flac_subframe_kind(doc_id: int) -> int:
-    """0=CONSTANT, 1=VERBATIM, 2=FIXED (order (doc_id//3) % 5)."""
-    return doc_id % 3
+    """0=CONSTANT, 1=VERBATIM, 2=FIXED (order (doc_id//3) % 5), 3=LPC
+    (order 2, coeffs [3,-1], shift 1)."""
+    return doc_id % 4
 
 
 def flac_sample_value(doc_id: int, i: int) -> int:
     """Decoded sample i of doc ``doc_id`` irrespective of encoding:
-    CONSTANT docs repeat the constant; VERBATIM and FIXED docs carry the
-    same quadratic formula (FIXED merely encodes it predictively, so the
-    oracle never needs to know the subframe type beyond the 3-way split).
-    """
+    CONSTANT docs repeat the constant; VERBATIM, FIXED and LPC docs
+    carry the same quadratic formula (prediction merely encodes it, so
+    the oracle never needs to know the subframe type beyond the
+    constant/non-constant split)."""
     if flac_subframe_kind(doc_id) == 0:
         return flac_constant_value(doc_id)
     return flac_verbatim_value(doc_id, i)
@@ -2700,9 +2701,11 @@ def flac_sample_value(doc_id: int, i: int) -> int:
 
 def build_flac_samples(doc_id: int) -> bytes:
     """A REAL playable-layout FLAC: STREAMINFO + one frame holding a
-    CONSTANT (doc_id%3==0), VERBATIM (%3==1), or FIXED-predictor
-    (%3==2, order (doc_id//3)%5, genuine Rice-coded residuals — RFC 9639
-    §9.2.2/§9.2.7) mono 16-bit subframe, with real CRC-8 and CRC-16."""
+    CONSTANT (doc_id%4==0), VERBATIM (%4==1), FIXED-predictor (%4==2,
+    order (doc_id//3)%5) or LPC (%4==3, order 2, quantized coeffs
+    [3,-1] at precision 4 with shift 1) mono 16-bit subframe — all with
+    genuine Rice-coded residuals (RFC 9639 §9.2.2-§9.2.7) and real
+    CRC-8 / CRC-16."""
     rate = AUDIO_RATES[doc_id % len(AUDIO_RATES)]
     n = flac_sample_count(doc_id)
 
@@ -2733,31 +2736,7 @@ def build_flac_samples(doc_id: int) -> bytes:
                 acc = 0
                 nbits = 0
 
-    kind = flac_subframe_kind(doc_id)
-    if kind == 0:
-        put(0, 1)          # zero pad bit
-        put(0b000000, 6)   # CONSTANT
-        put(0, 1)          # no wasted bits
-        put(flac_constant_value(doc_id) & 0xFFFF, 16)
-    elif kind == 1:
-        put(0, 1)
-        put(0b000001, 6)   # VERBATIM
-        put(0, 1)
-        for i in range(n):
-            put(flac_verbatim_value(doc_id, i) & 0xFFFF, 16)
-    else:
-        order = min((doc_id // 3) % 5, n - 1)
-        samples = [flac_verbatim_value(doc_id, i) for i in range(n)]
-        coeffs = _FIXED_COEFFS[order]
-        residuals = [
-            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coeffs))
-            for i in range(order, n)
-        ]
-        put(0, 1)
-        put(0b001000 | order, 6)  # FIXED, order 0..4
-        put(0, 1)
-        for i in range(order):    # warm-up: raw samples at bit depth
-            put(samples[i] & 0xFFFF, 16)
+    def put_residuals(residuals):
         # residual coding: method 0 (4-bit Rice params), partition order 0
         put(0b00, 2)
         put(0, 4)
@@ -2774,6 +2753,53 @@ def build_flac_samples(doc_id: int) -> bytes:
             put(1, 1)      # ...terminated by a 1 (unary quotient)
             if p:
                 put(z & ((1 << p) - 1), p)
+
+    kind = flac_subframe_kind(doc_id)
+    if kind == 0:
+        put(0, 1)          # zero pad bit
+        put(0b000000, 6)   # CONSTANT
+        put(0, 1)          # no wasted bits
+        put(flac_constant_value(doc_id) & 0xFFFF, 16)
+    elif kind == 1:
+        put(0, 1)
+        put(0b000001, 6)   # VERBATIM
+        put(0, 1)
+        for i in range(n):
+            put(flac_verbatim_value(doc_id, i) & 0xFFFF, 16)
+    elif kind == 2:
+        order = min((doc_id // 3) % 5, n - 1)
+        samples = [flac_verbatim_value(doc_id, i) for i in range(n)]
+        coeffs = _FIXED_COEFFS[order]
+        residuals = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coeffs))
+            for i in range(order, n)
+        ]
+        put(0, 1)
+        put(0b001000 | order, 6)  # FIXED, order 0..4
+        put(0, 1)
+        for i in range(order):    # warm-up: raw samples at bit depth
+            put(samples[i] & 0xFFFF, 16)
+        put_residuals(residuals)
+    else:
+        # LPC order 2: s[i] ≈ (3*s[i-1] - 1*s[i-2]) >> 1
+        order, coeffs, shift, prec = 2, [3, -1], 1, 4
+        samples = [flac_verbatim_value(doc_id, i) for i in range(n)]
+        residuals = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coeffs))
+               >> shift)
+            for i in range(order, n)
+        ]
+        put(0, 1)
+        put(0b100000 | (order - 1), 6)  # LPC, order field = order-1
+        put(0, 1)
+        for i in range(order):
+            put(samples[i] & 0xFFFF, 16)
+        put(prec - 1, 4)
+        put(shift, 5)
+        for c in coeffs:
+            put(c & ((1 << prec) - 1), prec)
+        put_residuals(residuals)
     if nbits:
         put(0, 8 - nbits)  # zero-pad to byte alignment
 
@@ -2802,10 +2828,63 @@ class _FlacBits:
         return v
 
 
+def _flac_read_residuals(br: "_FlacBits", n: int, order: int):
+    """Coded residual block (RFC 9639 §9.2.7): 2-bit method, 4-bit
+    partition order, then 2^po partitions of Rice-coded (or escaped-raw)
+    residuals. Returns n-order residuals or None."""
+    method = br.get(2)
+    po = br.get(4)
+    if method is None or po is None or method > 1:
+        return None  # reserved coding method
+    nparts = 1 << po
+    if n % nparts != 0 or (n >> po) <= order:
+        return None
+    plen = 5 if method else 4
+    escape = (1 << plen) - 1
+    residuals: list[int] = []
+    for part in range(nparts):
+        count = (n >> po) - (order if part == 0 else 0)
+        param = br.get(plen)
+        if param is None:
+            return None
+        if param == escape:  # unencoded: 5-bit raw bit count
+            rawbits = br.get(5)
+            if rawbits is None:
+                return None
+            for _ in range(count):
+                if rawbits == 0:
+                    residuals.append(0)
+                    continue
+                v = br.get(rawbits)
+                if v is None:
+                    return None
+                h = 1 << (rawbits - 1)
+                residuals.append(v - (h << 1) if v >= h else v)
+        else:
+            for _ in range(count):
+                q = 0
+                while True:  # unary quotient: zeros then a 1
+                    bit = br.get(1)
+                    if bit is None:
+                        return None
+                    if bit:
+                        break
+                    q += 1
+                    if q > 1 << 20:
+                        return None  # absurd quotient: corrupt
+                rem = br.get(param) if param else 0
+                if rem is None:
+                    return None
+                z = (q << param) | rem
+                residuals.append(-((z + 1) >> 1) if z & 1 else z >> 1)
+    return residuals
+
+
 def _flac_read_subframe(br: "_FlacBits", n: int, depth: int):
     """Decode one subframe at the given sample bit depth: CONSTANT,
-    VERBATIM, or FIXED order 0-4 with partitioned-Rice residuals
-    (RFC 9639 §9.2.2/§9.2.7). Returns n samples or None."""
+    VERBATIM, FIXED order 0-4, or LPC order 1-32 (quantized-coefficient
+    linear prediction, RFC 9639 §9.2.2-§9.2.7). Returns n samples or
+    None."""
     pad = br.get(1)
     stype = br.get(6)
     wasted = br.get(1)
@@ -2840,60 +2919,49 @@ def _flac_read_subframe(br: "_FlacBits", n: int, depth: int):
             if v is None:
                 return None
             samples.append(signed(v))
-        # coded residual (§9.2.7): 2-bit method, 4-bit partition order,
-        # then 2^po partitions of Rice-coded (or escaped-raw) residuals
-        method = br.get(2)
-        po = br.get(4)
-        if method is None or po is None or method > 1:
-            return None  # reserved coding method
-        nparts = 1 << po
-        if n % nparts != 0 or (n >> po) <= order:
+        residuals = _flac_read_residuals(br, n, order)
+        if residuals is None:
             return None
-        plen = 5 if method else 4
-        escape = (1 << plen) - 1
-        residuals: list[int] = []
-        for part in range(nparts):
-            count = (n >> po) - (order if part == 0 else 0)
-            param = br.get(plen)
-            if param is None:
-                return None
-            if param == escape:  # unencoded: 5-bit raw bit count
-                rawbits = br.get(5)
-                if rawbits is None:
-                    return None
-                for _ in range(count):
-                    if rawbits == 0:
-                        residuals.append(0)
-                        continue
-                    v = br.get(rawbits)
-                    if v is None:
-                        return None
-                    h = 1 << (rawbits - 1)
-                    residuals.append(v - (h << 1) if v >= h else v)
-            else:
-                for _ in range(count):
-                    q = 0
-                    while True:  # unary quotient: zeros then a 1
-                        bit = br.get(1)
-                        if bit is None:
-                            return None
-                        if bit:
-                            break
-                        q += 1
-                        if q > 1 << 20:
-                            return None  # absurd quotient: corrupt
-                    rem = br.get(param) if param else 0
-                    if rem is None:
-                        return None
-                    z = (q << param) | rem
-                    residuals.append(-((z + 1) >> 1) if z & 1 else z >> 1)
         coeffs = _FIXED_COEFFS[order]
         for i, r in enumerate(residuals):
             k = order + i
             pred = sum(c * samples[k - 1 - j] for j, c in enumerate(coeffs))
             samples.append(r + pred)
         return samples
-    return None  # LPC prediction: documented boundary
+    if stype & 0b100000:  # LPC, order 1..32 (§9.2.3)
+        order = (stype & 0x1F) + 1
+        if order > n:
+            return None
+        samples = []
+        for _ in range(order):  # warm-up samples at full bit depth
+            v = br.get(depth)
+            if v is None:
+                return None
+            samples.append(signed(v))
+        prec = br.get(4)
+        if prec is None or prec == 0b1111:
+            return None  # invalid coefficient precision
+        prec += 1
+        shift = br.get(5)
+        if shift is None or shift >= 16:
+            return None  # negative shift (two's complement) is forbidden
+        chalf = 1 << (prec - 1)
+        cfull = 1 << prec
+        coeffs = []
+        for _ in range(order):
+            c = br.get(prec)
+            if c is None:
+                return None
+            coeffs.append(c - cfull if c >= chalf else c)
+        residuals = _flac_read_residuals(br, n, order)
+        if residuals is None:
+            return None
+        for i, r in enumerate(residuals):
+            k = order + i
+            acc = sum(c * samples[k - 1 - j] for j, c in enumerate(coeffs))
+            samples.append(r + (acc >> shift))  # arithmetic shift: floor
+        return samples
+    return None  # reserved subframe type
 
 
 def _decode_flac_frame(payload: bytes):
@@ -2904,8 +2972,9 @@ def _decode_flac_frame(payload: bytes):
     CRC-16 verify.
 
     Returns (rate, n, [channel sample lists]) or None on structural
-    damage, failed CRC, >2 channels, non-16-bit streams, or LPC
-    subframes (the remaining documented codec boundary).
+    damage, failed CRC, >2 channels, or non-16-bit streams. All four
+    subframe types decode (CONSTANT, VERBATIM, FIXED, LPC) — the FLAC
+    subframe surface is complete.
     """
     b = payload
     if b is None or len(b) < 8 + 34 or b[:4] != b"fLaC":

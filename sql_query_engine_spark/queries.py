@@ -5860,7 +5860,7 @@ def mm_jpeg_color_stats(spark, sf_dir):
     SELECT doc_id, (doc_id % 100) + 20 AS n FROM documents),
 s AS (
     SELECT doc_id, n,
-           CASE WHEN doc_id % 3 = 0
+           CASE WHEN doc_id % 4 = 0
                 THEN ((doc_id*13) % 4096) - 2048
                 ELSE ((doc_id*13 + ti.i*ti.i*7) % 4096) - 2048
            END AS v
@@ -5881,16 +5881,18 @@ FROM agg""",
     "lib): each doc gets a genuine FLAC — STREAMINFO plus one frame "
     "whose header carries real sync/blocksize/rate codes, a UTF-8-coded "
     "frame number and a passing CRC-8, and whose mono 16-bit subframe "
-    "is CONSTANT (doc_id%3=0), VERBATIM (%3=1), or FIXED order 0-4 "
-    "with genuine Rice-coded residuals (%3=2) — all with a passing "
+    "is CONSTANT (doc_id%4=0), VERBATIM (%4=1), FIXED order 0-4 (%4=2) "
+    "or LPC order 2 with quantized coefficients and shift (%4=3) — all "
+    "with genuine Rice-coded residuals and a passing "
     "frame CRC-16. The decode path re-parses all of it, verifies both "
     "CRCs, bit-unpacks the samples, decodes partitioned-Rice residuals "
     "and reconstructs through the fixed predictors (RFC 9639 §9.2.2/"
     "§9.2.7), and reduces to amplitude statistics. All three subframe "
     "types are lossless integer arithmetic so the oracle states the "
     "stats exactly (FIXED frames carry the same sample formula as "
-    "VERBATIM, just encoded predictively); LPC prediction rejects to "
-    "NULL (the remaining documented boundary). Map-only.",
+    "VERBATIM, just encoded predictively). With LPC decoded, the FLAC "
+    "subframe surface is COMPLETE — no remaining codec boundary. "
+    "Map-only.",
 )
 def mm_flac_sample_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -1054,9 +1054,9 @@ def test_flac_sample_roundtrip_and_corruption():
         flac_sample_value,
     )
 
-    # 2,5,8,11,14 cover FIXED orders 0-4 ((d//3)%5); 0/1 cover
-    # CONSTANT/VERBATIM; 99/250 vary blocksize and rate codes
-    for d in (0, 1, 2, 5, 8, 11, 14, 99, 250):
+    # 2,6,14,18,26 cover FIXED orders ((d//3)%5) under d%4==2; 0/1 cover
+    # CONSTANT/VERBATIM; 3/7 cover LPC; 99/250 vary blocksize/rate codes
+    for d in (0, 1, 2, 3, 6, 7, 14, 18, 26, 99, 250):
         got = decode_flac_samples(build_flac_samples(d))
         n = flac_sample_count(d)
         vals = [flac_sample_value(d, i) for i in range(n)]
