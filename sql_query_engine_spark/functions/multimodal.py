@@ -2386,11 +2386,20 @@ def _decode_jpeg_planes(payload: bytes):
             if len(body) < 6 + 3 * nf:
                 return None
             sof_comps = {}
+            samplings = []
             for ci in range(nf):
                 cid = body[6 + 3 * ci]
-                if body[7 + 3 * ci] != 0x11:
-                    return None  # subsampled chroma: boundary
-                sof_comps[cid] = body[8 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                samplings.append((hi, vi))
+                sof_comps[cid] = (hi, vi, body[8 + 3 * ci])
+            # supported sampling grids: all 1x1 (gray / 4:4:4) or the
+            # 4:2:0 layout (luma 2x2, both chromas 1x1)
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (nf == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+            ):
+                return None  # other subsampling grids: boundary
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline SOF: boundary
@@ -2405,71 +2414,101 @@ def _decode_jpeg_planes(payload: bytes):
                 if cid not in sof_comps:
                     return None
                 tb = body[2 + 2 * ci]
-                scan_comps.append((sof_comps[cid], tb >> 4, tb & 0x0F))
+                hi, vi, qid = sof_comps[cid]
+                scan_comps.append((hi, vi, qid, tb >> 4, tb & 0x0F))
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
     if scan_start is None or w is None or w == 0 or h == 0:
         return None
     tables = []
-    for qid, dc_id, ac_id in scan_comps:
+    for hi, vi, qid, dc_id, ac_id in scan_comps:
         q = qtables.get(qid)
         dct = htables.get((0, dc_id))
         act = htables.get((1, ac_id))
         if q is None or dct is None or act is None:
             return None
-        tables.append((np.array(q, dtype=np.float64), dct, act))
+        tables.append((hi, vi, np.array(q, dtype=np.float64), dct, act))
 
     A = _idct_basis()
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
+    hmax = max(t[0] for t in tables)
+    vmax = max(t[1] for t in tables)
+    mcw = 8 * hmax   # MCU pixel width / height
+    mch = 8 * vmax
+    mcus_x = (w + mcw - 1) // mcw
+    mcus_y = (h + mch - 1) // mch
     reader = _JpegBitReader(b, scan_start)
     nc = len(scan_comps)
     preds = [0] * nc
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
-    for by in range(bh):
-        for bx in range(bw):
+    planes = [
+        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+        for hi, vi, _, _, _ in tables
+    ]
+
+    def read_block(c):
+        _, _, qa, dct, act = tables[c]
+        s = _huff_decode(reader, dct)
+        if s is None or s > 11:
+            return None
+        if s:
+            amp = reader.bits(s)
+            if amp is None:
+                return None
+            preds[c] += _extend(amp, s)
+        zz = np.zeros(64)
+        zz[0] = preds[c]
+        idx = 0
+        while idx < 63:
+            rs = _huff_decode(reader, act)
+            if rs is None:
+                return None
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                idx += 16
+                continue
+            run, sz = rs >> 4, rs & 0x0F
+            idx += run + 1
+            if idx > 63 or sz == 0:
+                return None
+            amp = reader.bits(sz)
+            if amp is None:
+                return None
+            zz[idx] = _extend(amp, sz)
+        coef = np.zeros((8, 8))
+        for i, (r, cc) in enumerate(_ZIGZAG):
+            coef[r, cc] = zz[i] * qa[i]
+        block = A.T @ coef @ A
+        return np.clip(np.round(block) + 128, 0, 255)
+
+    # interleaved MCU order (T.81 A.2.3): per MCU, each component
+    # contributes its h_i x v_i blocks in raster order
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
                 reader.align_and_consume_marker()
                 preds = [0] * nc
             for c in range(nc):
-                qa, dct, act = tables[c]
-                s = _huff_decode(reader, dct)
-                if s is None or s > 11:
-                    return None
-                if s:
-                    amp = reader.bits(s)
-                    if amp is None:
-                        return None
-                    preds[c] += _extend(amp, s)
-                zz = np.zeros(64)
-                zz[0] = preds[c]
-                idx = 0
-                while idx < 63:
-                    rs = _huff_decode(reader, act)
-                    if rs is None:
-                        return None
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        idx += 16
-                        continue
-                    run, sz = rs >> 4, rs & 0x0F
-                    idx += run + 1
-                    if idx > 63 or sz == 0:
-                        return None
-                    amp = reader.bits(sz)
-                    if amp is None:
-                        return None
-                    zz[idx] = _extend(amp, sz)
-                coef = np.zeros((8, 8))
-                for i, (r, cc) in enumerate(_ZIGZAG):
-                    coef[r, cc] = zz[i] * qa[i]
-                block = A.T @ coef @ A
-                px = np.clip(np.round(block) + 128, 0, 255)
-                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    # crop edge blocks to the declared image bounds
-    return w, h, [p[:h, :w] for p in planes]
+                hi, vi = tables[c][0], tables[c][1]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        px = read_block(c)
+                        if px is None:
+                            return None
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample subsampled components by replication (nearest — keeps
+    # flat blocks exactly flat), then crop to the declared image bounds
+    out = []
+    for c, (hi, vi, _, _, _) in enumerate(tables):
+        p = planes[c]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        out.append(p[:h, :w])
+    return w, h, out
 
 
 def decode_jpeg_pixels(payload: bytes):
@@ -2482,6 +2521,78 @@ def decode_jpeg_pixels(payload: bytes):
         return None
     w, h, planes = dec
     return w, h, int(planes[0].sum())
+
+
+def jpeg420_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic MCU-grid dims (w, h), multiples of 16 so every MCU
+    is full — mirrored by the SQL oracle."""
+    return ((doc_id * 7) % 3 + 1) * 16, ((doc_id * 13) % 2 + 1) * 16
+
+
+def build_jpeg_420_pixels(doc_id: int) -> bytes:
+    """A REAL 4:2:0 baseline color JPEG: luma sampled 2x2, both chromas
+    1x1 — each 16x16 MCU carries four Y blocks (raster order) then one
+    Cb and one Cr, per T.81 A.2.3 interleaving. DC-only blocks; chroma
+    levels are per-MCU (jpeg_chroma_level over the MCU index), so the
+    nearest-neighbor upsample reconstructs them exactly."""
+    w, h = jpeg420_dims(doc_id)
+    mcx, mcy = w // 16, h // 16
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bwr = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_dc_block(c, dc):
+        diff = dc - preds[c]
+        preds[c] = dc
+        s = _jpeg_cat(diff)
+        code, ln = dc_codes[s]
+        bwr.put(code, ln)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            bwr.put(amp, s)
+        code, ln = ac_codes[0x00]  # EOB
+        bwr.put(code, ln)
+
+    bw_luma = w // 8
+    for my in range(mcy):
+        for mx in range(mcx):
+            m = my * mcx + mx
+            for byy in range(2):
+                for bxx in range(2):
+                    k = (my * 2 + byy) * bw_luma + (mx * 2 + bxx)
+                    put_dc_block(0, jpeg_block_level(doc_id, k))
+            put_dc_block(1, jpeg_chroma_level(doc_id, m, 0))
+            put_dc_block(2, jpeg_chroma_level(doc_id, m, 1))
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes(_JPEG_QTABLE)
+        + bytes([0x01]) + bytes(_JPEG_QTABLE),
+    )
+    sof = seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+        + b"\x00\x3f\x00",
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
 # libjpeg-style 16-bit fixed-point YCbCr→RGB (JFIF / CCIR 601 matrix):
@@ -2590,6 +2701,23 @@ def synthesize_jpeg_color_pixels(docs: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "payload": [
                         build_jpeg_color_pixels(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_420_pixels(docs: DataFrame) -> DataFrame:
+    """One real 4:2:0 subsampled color JPEG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_jpeg_420_pixels(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

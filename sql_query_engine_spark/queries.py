@@ -8832,6 +8832,56 @@ def src_tbl_scan(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_jpeg_420_stats",
+    """WITH d AS (
+    SELECT doc_id, ((doc_id*7)%3+1)*16 AS w, ((doc_id*13)%2+1)*16 AS h
+    FROM documents),
+blk AS (
+    SELECT doc_id, w, h,
+           ((doc_id*3 + (ty.byy*(w//8) + tx.bxx)*5) % 225) - 112 + 128 AS y,
+           ((doc_id*7 + ((ty.byy//2)*(w//16) + tx.bxx//2)*11) % 225) - 112
+               AS cb,
+           ((doc_id*5 + ((ty.byy//2)*(w//16) + tx.bxx//2)*17) % 225) - 112
+               AS cr
+    FROM d, unnest(generate_series(0, w//8 - 1)) AS tx(bxx),
+         unnest(generate_series(0, h//8 - 1)) AS ty(byy)),
+rgb AS (
+    SELECT doc_id, w, h,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((91881*cr + 32768)/65536.0) as bigint))) AS r,
+           LEAST(255, GREATEST(0,
+               y - cast(floor((22554*cb + 46802*cr + 32768)/65536.0)
+                        as bigint))) AS g,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((116130*cb + 32768)/65536.0) as bigint))) AS b
+    FROM blk),
+s AS (
+    SELECT doc_id, w, h,
+           sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, count(*) AS nb
+    FROM rgb GROUP BY doc_id, w, h)
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       round((64*sr) / cast(w*h as double), 6) AS mean_r,
+       round((64*sg) / cast(w*h as double), 6) AS mean_g,
+       round((64*sb) / cast(w*h as double), 6) AS mean_b
+FROM s""",
+    "REAL 4:2:0 SUBSAMPLED color JPEG decode — the sampling grid "
+    "virtually every camera and web JPEG uses: luma 2x2, chroma 1x1, "
+    "so each 16x16 MCU interleaves four Y blocks then Cb then Cr "
+    "(T.81 A.2.3), and the decoder walks the generalized MCU order, "
+    "reconstructs the quarter-resolution chroma planes, upsamples by "
+    "nearest-neighbor replication (exactly flat for flat blocks — what "
+    "keeps the oracle integer-exact), and converts through the same "
+    "fixed-point YCbCr->RGB as mm_jpeg_color_stats. The oracle "
+    "restates per-luma-block RGB with the chroma block indexed at MCU "
+    "granularity. With 4:4:4 and 4:2:0 decoded, progressive (SOF2) is "
+    "the one remaining JPEG boundary. Map-only, NULL on corruption.",
+)
+def mm_jpeg_420_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_color_stats(multimodal.synthesize_jpeg_420_pixels(d))
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8862,6 +8912,7 @@ _GATE_PRIORITY = [
     "ref_csv_scan",
     "ref_jsonl_scan",
     "src_tbl_scan",
+    "mm_jpeg_420_stats",
     "mm_audio_decode",
     "mm_decode",
     "emb_label_centroids",

@@ -1866,3 +1866,45 @@ def test_dedup_keeper_policy(spark):
         assert r.keeper_doc_id == best
         assert r.keeper_chars == docs[best]
         assert r.dropped_chars == sum(docs[d] for d in members) - docs[best]
+
+
+def test_jpeg_420_roundtrip_and_corruption():
+    """4:2:0 decode (generalized MCU interleave + nearest-neighbor
+    chroma upsample) matches a pure-integer reference; damage and
+    modality mixups reject."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_jpeg_420_pixels,
+        decode_jpeg_color_pixels,
+        decode_jpeg_pixels,
+        jpeg420_dims,
+        jpeg_block_level,
+        jpeg_chroma_level,
+    )
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    for d in (0, 1, 5, 42, 99):
+        w, h = jpeg420_dims(d)
+        bw, mcx = w // 8, w // 16
+        sr = sg = sb = 0
+        for byy in range(h // 8):
+            for bxx in range(bw):
+                k = byy * bw + bxx
+                m = (byy // 2) * mcx + (bxx // 2)
+                y = jpeg_block_level(d, k) + 128
+                cb = jpeg_chroma_level(d, m, 0)
+                cr = jpeg_chroma_level(d, m, 1)
+                sr += 64 * clamp(y + ((91881 * cr + 32768) >> 16))
+                sg += 64 * clamp(y - ((22554 * cb + 46802 * cr + 32768) >> 16))
+                sb += 64 * clamp(y + ((116130 * cb + 32768) >> 16))
+        assert decode_jpeg_color_pixels(build_jpeg_420_pixels(d)) \
+            == (w, h, sr, sg, sb)
+
+    good = build_jpeg_420_pixels(7)
+    assert decode_jpeg_pixels(good) is None   # not grayscale
+    assert decode_jpeg_color_pixels(good[:40]) is None
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF
+    res = decode_jpeg_color_pixels(bytes(bad))
+    assert res is None or len(res) == 5

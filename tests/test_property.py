@@ -242,6 +242,7 @@ def _valid_payloads():
             _mm.build_gif_animation(d),
             _mm.build_jpeg_pixels(d),
             _mm.build_jpeg_color_pixels(d),
+            _mm.build_jpeg_420_pixels(d),
             _mm.build_wav_samples(d),
             _mm.build_flac_samples(d),
             _mm.build_flac_stereo_samples(d),
