@@ -2595,6 +2595,237 @@ def build_jpeg_420_pixels(doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
+    """A REAL progressive (SOF2) grayscale JPEG: three genuine scans —
+    DC first pass at successive-approximation Al=1 (diff-coded
+    arithmetic-shifted coefficients), a DC refinement scan (one raw bit
+    per block, no Huffman), and an AC spectral-selection scan Ss=1..63
+    (all-zero here, coded as per-block EOBs). Same block levels as the
+    baseline corpus, so the decoded image is identical."""
+    w, h = jpeg_dims(doc_id)
+    bw, bh = w // 8, h // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    # scan 1: DC first, Al=1 — diffs of (dc >> 1), arithmetic shift
+    b1 = _JpegBitWriter()
+    pred = 0
+    for k in range(bw * bh):
+        v = jpeg_block_level(doc_id, k) >> 1
+        diff = v - pred
+        pred = v
+        s = _jpeg_cat(diff)
+        code, ln = dc_codes[s]
+        b1.put(code, ln)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            b1.put(amp, s)
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    b2 = _JpegBitWriter()
+    for k in range(bw * bh):
+        b2.put(jpeg_block_level(doc_id, k) & 1, 1)
+    # scan 3: AC first, Ss=1 Se=63 — every block all-zero: one EOB each
+    b3 = _JpegBitWriter()
+    code, ln = ac_codes[0x00]
+    for _ in range(bw * bh):
+        b3.put(code, ln)
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    sof = seg(
+        0xC2,  # SOF2: progressive
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos1 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, (0 << 4) | 1]))
+    sos2 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, (1 << 4) | 0]))
+    sos3 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos1 + b1.flush() + sos2 + b2.flush() + sos3 + b3.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_progressive_pixels(payload: bytes):
+    """Progressive (SOF2) grayscale JPEG decode: multi-scan coefficient
+    accumulation — DC first scans (diff + EXTEND, shifted left by Al),
+    DC refinement scans (raw bit ORed in at Al), AC spectral-selection
+    first scans (run/size with ZRL and EOBRUN) — then one dequantize +
+    IDCT per block over the accumulated coefficients.
+
+    Returns (width, height, sum_gray) or None on structural damage,
+    multi-component progressive streams, or AC refinement scans (Ah>0
+    on an AC band — the one remaining progressive boundary, rejected
+    cleanly). Never raises.
+    """
+    import numpy as np
+
+    b = payload
+    if b is None or len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    pos = 2
+    coefs = None
+    nblocks = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            return None
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0 or i + 65 > len(body):
+                    return None
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                if len(vals) != nvals:
+                    return None
+                dec: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for L in range(1, 17):
+                    for _ in range(bits[L - 1]):
+                        dec[(L, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = dec
+                i += 17 + nvals
+        elif marker == 0xC2:  # SOF2 progressive
+            if len(body) < 9 or body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                return None  # multi-component progressive: boundary
+            if body[7] != 0x11:
+                return None
+            comp_q = body[8]
+            nblocks = ((w + 7) // 8) * ((h + 7) // 8)
+            coefs = np.zeros((nblocks, 64), dtype=np.int64)
+        elif marker == 0xC0:
+            return None  # baseline stream: use decode_jpeg_pixels
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None
+        elif marker == 0xDA:  # one progressive scan
+            if coefs is None or len(body) < 6 or body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0x0F
+            reader = _JpegBitReader(b, pos + 2 + ln)
+            if ss == 0 and se == 0:
+                if ah == 0:  # DC first pass
+                    dct = htables.get((0, dc_id))
+                    if dct is None:
+                        return None
+                    pred = 0
+                    for k in range(nblocks):
+                        s = _huff_decode(reader, dct)
+                        if s is None or s > 11:
+                            return None
+                        if s:
+                            amp = reader.bits(s)
+                            if amp is None:
+                                return None
+                            pred += _extend(amp, s)
+                        coefs[k, 0] = pred << al
+                else:  # DC refinement: one raw bit per block at Al
+                    for k in range(nblocks):
+                        bit = reader.bits(1)
+                        if bit is None:
+                            return None
+                        coefs[k, 0] |= bit << al
+            else:  # AC band
+                if ah != 0:
+                    return None  # AC refinement: documented boundary
+                if not (1 <= ss <= se <= 63):
+                    return None
+                act = htables.get((1, ac_id))
+                if act is None:
+                    return None
+                eobrun = 0
+                for k in range(nblocks):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    idx = ss - 1
+                    while idx < se:
+                        rs = _huff_decode(reader, act)
+                        if rs is None:
+                            return None
+                        r, sz = rs >> 4, rs & 0x0F
+                        if sz == 0:
+                            if r == 15:  # ZRL
+                                idx += 16
+                                continue
+                            extra = reader.bits(r) if r else 0
+                            if extra is None:
+                                return None
+                            eobrun = (1 << r) - 1 + extra
+                            break
+                        idx += r + 1
+                        if idx > se:
+                            return None
+                        amp = reader.bits(sz)
+                        if amp is None:
+                            return None
+                        coefs[k, idx] = _extend(amp, sz) << al
+            # skip the entropy data: advance pos to the reader's marker
+            pos = reader.pos
+            continue
+        pos += 2 + ln
+    if coefs is None or w is None or w == 0 or h == 0:
+        return None
+    q = qtables.get(comp_q)
+    if q is None:
+        return None
+    A = _idct_basis()
+    qa = np.array(q, dtype=np.float64)
+    bw = (w + 7) // 8
+    total = 0
+    for k in range(nblocks):
+        coef = np.zeros((8, 8))
+        for i, (r, c) in enumerate(_ZIGZAG):
+            coef[r, c] = coefs[k, i] * qa[i]
+        block = A.T @ coef @ A
+        px = np.clip(np.round(block) + 128, 0, 255)
+        by, bx = divmod(k, bw)
+        x0, y0 = bx * 8, by * 8
+        px = px[: min(8, h - y0), : min(8, w - x0)]
+        total += int(px.sum())
+    return w, h, total
+
+
 # libjpeg-style 16-bit fixed-point YCbCr→RGB (JFIF / CCIR 601 matrix):
 # R = Y + 1.40200*(Cr-128); G = Y - 0.34414*(Cb-128) - 0.71414*(Cr-128);
 # B = Y + 1.77200*(Cb-128), each term as round-half-up fixed point with
@@ -2663,6 +2894,50 @@ def jpeg_pixel_stats(with_media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rows["doc_id"].append(doc_id)
                 dec = decode_jpeg_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "mean_gray"):
+                        rows[k].append(None)
+                else:
+                    w, h, total = dec
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_gray"].append(round(total / (w * h), 6))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, JPEG_PIXEL_SCHEMA)
+
+
+def synthesize_jpeg_progressive_pixels(docs: DataFrame) -> DataFrame:
+    """One real progressive (SOF2) JPEG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_jpeg_progressive_pixels(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def jpeg_progressive_stats(with_media: DataFrame) -> DataFrame:
+    """payload → gray mean via the multi-scan progressive decode path
+    (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "mean_gray")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_jpeg_progressive_pixels(payload)
                 if dec is None:
                     for k in ("width", "height", "mean_gray"):
                         rows[k].append(None)

@@ -8882,6 +8882,43 @@ def mm_jpeg_420_stats(spark, sf_dir):
     return multimodal.jpeg_color_stats(multimodal.synthesize_jpeg_420_pixels(d))
 
 
+@_q(
+    "mm_jpeg_progressive_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh
+    FROM documents),
+blk AS (
+    SELECT doc_id, bw, bh,
+           ((doc_id*3 + tk.k*5) % 225) - 112 AS lev
+    FROM d, unnest(generate_series(0, bw*bh - 1)) AS tk(k)),
+s AS (
+    SELECT doc_id, bw, bh, sum(lev) AS slev, count(*) AS nb
+    FROM blk GROUP BY doc_id, bw, bh)
+SELECT doc_id, cast(bw*8 as int) AS width, cast(bh*8 as int) AS height,
+       round((64*(slev + 128*nb)) / cast(bw*8*bh*8 as double), 6)
+           AS mean_gray
+FROM s""",
+    "REAL PROGRESSIVE (SOF2) JPEG decode — the last named JPEG "
+    "boundary, now decoded for grayscale: each doc gets a genuine "
+    "three-scan progressive stream (DC first pass at successive-"
+    "approximation Al=1 with diff-coded arithmetic-shifted "
+    "coefficients, a DC refinement scan of raw bits ORed in at Al, and "
+    "an AC spectral-selection scan with run/size + EOBRUN semantics), "
+    "and the decoder accumulates coefficients across scans before one "
+    "dequantize+IDCT per block — true multi-scan progressive "
+    "semantics, not a baseline re-read. Same DC-only levels as the "
+    "baseline corpus, so the oracle is the identical integer "
+    "arithmetic; the decoder asserts progressive==baseline pixel "
+    "output in tests. AC refinement scans and multi-component "
+    "progressive reject cleanly (the remaining sliver). Map-only.",
+)
+def mm_jpeg_progressive_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_progressive_stats(
+        multimodal.synthesize_jpeg_progressive_pixels(d)
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8913,6 +8950,7 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "src_tbl_scan",
     "mm_jpeg_420_stats",
+    "mm_jpeg_progressive_stats",
     "mm_audio_decode",
     "mm_decode",
     "emb_label_centroids",

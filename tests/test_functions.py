@@ -1908,3 +1908,29 @@ def test_jpeg_420_roundtrip_and_corruption():
     bad[-5] ^= 0xFF
     res = decode_jpeg_color_pixels(bytes(bad))
     assert res is None or len(res) == 5
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (three-scan) and baseline streams of the same image
+    content decode to identical pixels; cross-path and damage reject."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_jpeg_pixels,
+        build_jpeg_progressive_pixels,
+        decode_jpeg_pixels,
+        decode_jpeg_progressive_pixels,
+    )
+
+    for d in (0, 7, 42, 99, 250):
+        prog = decode_jpeg_progressive_pixels(build_jpeg_progressive_pixels(d))
+        base = decode_jpeg_pixels(build_jpeg_pixels(d))
+        assert prog == base and prog is not None
+
+    g = build_jpeg_progressive_pixels(5)
+    assert decode_jpeg_pixels(g) is None                 # SOF2 on baseline path
+    assert decode_jpeg_progressive_pixels(build_jpeg_pixels(5)) is None
+    assert decode_jpeg_progressive_pixels(g[:50]) is None
+    assert decode_jpeg_progressive_pixels(None) is None
+    bad = bytearray(g)
+    bad[-8] ^= 0xFF
+    res = decode_jpeg_progressive_pixels(bytes(bad))
+    assert res is None or len(res) == 3
