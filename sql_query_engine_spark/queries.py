@@ -8948,94 +8948,94 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "sample_weighted_priority",
     "src_tbl_scan",
-    "mm_jpeg_420_stats",
-    "mm_jpeg_progressive_stats",
-    "mm_audio_decode",
     "mm_decode",
-    "emb_label_centroids",
-    "catalog_zonemap_pruning",
+    "mm_video_decode",
+    "mm_audio_decode",
     "mm_payload_dedup",
-    "tpch_q14_promo_effect",
-    "stream_hourly_active_users",
-    "stream_attribution",
-    "agg_twophase_distinct",
-    "tpch_q19_disjunctive_revenue",
-    "stream_daily_ohlc",
-    "agg_heavy_hitters",
-    "tpch_q12_late_priority",
-    "catalog_key_skew_profile",
-    "stream_interval_join",
-    "mm_modality_router",
-    "pipeline_incremental_rollup",
-    "stream_interval_coalesce",
-    "text_feature_hashing",
-    "tpch_q13_customer_distribution",
-    "stream_gapfill_locf",
-    "mm_decode_filter",
-    "tpch_q22_global_sales_opportunity",
-    "mm_audio_filter",
-    "stream_session_native",
-    "sql_lateral_topn",
-    "join_salted_skew",
-    "stream_retention_cohorts",
-    "sim_hamming_topk",
     "stream_sliding_counts",
-    "catalog_table_diff",
-    "pipeline_scd2",
-    "pipeline_contrastive_pairs",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
+    "catalog_zonemap_pruning",
     "window_time_range_trailing",
-    "tpch_q7_volume_shipping",
-    "emb_random_projection",
-    "tpch_q11_important_stock",
-    "tpch_q18_large_volume",
+    "agg_twophase_distinct",
+    "tpch_q14_promo_effect",
+    "mm_audio_filter",
+    "pipeline_contrastive_pairs",
     "tpch_q20_part_promotion",
+    "tpch_q13_customer_distribution",
+    "tpch_q9_product_type_profit",
+    "join_salted_skew",
+    "tpch_q15_top_supplier",
+    "mm_decode_filter",
+    "catalog_table_diff",
+    "pipeline_next_event_dataset",
+    "sql_lateral_topn",
+    "stream_retention_cohorts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q11_important_stock",
+    "stream_hourly_active_users",
+    "tpch_q22_global_sales_opportunity",
+    "pipeline_scd2",
+    "mm_modality_router",
+    "stream_session_native",
+    "sample_stratified",
     "agg_mode_and_argmax",
     "window_running_distinct",
-    "pipeline_next_event_dataset",
-    "tpch_q9_product_type_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_late_priority",
+    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "join_interval_overlap",
-    "tpch_q2_min_cost_supplier",
+    "stream_interval_join",
+    "tpch_q18_large_volume",
+    "pipeline_incremental_rollup",
+    "stream_sliding_distinct",
+    "sim_hamming_topk",
+    "stream_gapfill_locf",
+    "emb_random_projection",
+    "catalog_key_skew_profile",
+    "stream_interval_coalesce",
     "tpch_q16_supplier_part_counts",
-    "join_spatial_grid",
-    "pipeline_temperature_mixture",
-    "mm_png_metadata",
-    "emb_standardize",
+    "tpch_q19_disjunctive_revenue",
     "pipeline_semantic_decontaminate",
-    "emb_knn_label_transfer",
+    "emb_label_centroids",
+    "stream_daily_ohlc",
     "tpch_q21_suppliers_kept_waiting",
+    "text_cdc_chunks",
+    "mm_png_metadata",
     "join_asof_forward",
+    "pipeline_temperature_mixture",
+    "emb_knn_label_transfer",
+    "text_feature_hashing",
+    "emb_standardize",
     "scalar_hilbert_key",
-    "sample_weighted_priority",
     "mm_flac_stereo_stats",
+    "stream_attribution",
+    "join_nearest_event",
+    "mm_jpeg_progressive_stats",
     "mm_pixel_stats",
     "mm_gif_pixel_stats",
     "mm_image_ahash",
-    "join_nearest_event",
     "dedup_winnowing",
     "agg_robust_outliers",
     "text_lm_score",
     "graph_triangle_count",
-    "stream_sliding_distinct",
+    "pipeline_classifier_train",
+    "mm_jpeg_color_stats",
+    "dedup_containment",
     "dedup_embedding_clusters",
     "text_bm25_topk",
-    "sample_stratified",
-    "mm_jpeg_color_stats",
-    "pipeline_classifier_train",
-    "dedup_containment",
-    "mm_video_decode",
-    "sim_lsh_multiprobe_topk",
+    "join_spatial_grid",
     "src_avro_scan",
-    "join_bloom_semijoin",
-    "pipeline_cluster_safe_split",
-    "pipeline_dedup_rate_by_source",
-    "text_cdc_chunks",
-    "mm_gif_frame_sample",
+    "sim_lsh_multiprobe_topk",
     "pipeline_dedup_keeper",
+    "agg_heavy_hitters",
+    "pipeline_dedup_rate_by_source",
     "sim_mmr_rerank",
+    "join_bloom_semijoin",
+    "mm_jpeg_420_stats",
+    "pipeline_cluster_safe_split",
+    "mm_gif_frame_sample",
     "pipeline_source_authority",
     "mm_jpeg_pixel_stats",
     "mm_flac_sample_stats",
