@@ -1314,3 +1314,84 @@ FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_duck_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2))
       >= {threshold}
 """
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — MOSS)
+# --------------------------------------------------------------------------
+
+WIN_K = 4         # tokens per k-gram
+WIN_W = 4         # gram hashes per winnowing window
+WIN_DFCAP = 50    # inverted-index df cap (stopgram guard)
+WIN_POSBITS = 1048576  # 2^20: positions packed below the 40-bit hash
+
+
+def winnowing_pairs(docs: DataFrame) -> DataFrame:
+    """MOSS winnowing fingerprints → shared-fingerprint pairs.
+
+    4-token k-gram md5-40 hashes; from every window of 4 consecutive
+    hashes select the minimum with ties to the RIGHTMOST position — the
+    tie rule is implemented by a single integer min() because
+    2^20-1-pos is packed under the hash. Distinct selected hashes are
+    the doc's fingerprints (any shared run of w+k-1 tokens shares one —
+    the coverage guarantee). Pairs come from the df-capped inverted
+    index, so join work is proportional to shared-fingerprint
+    co-occupancy, never all-pairs; the selection windows partition per
+    doc. Used by queries.dedup_winnowing and the 1M-doc rehearsal."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    ).filter(F.expr(f"size(toks) >= {WIN_K}"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {WIN_K}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {WIN_K})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)"
+            f" * {WIN_POSBITS} + ({WIN_POSBITS - 1} - pos)"
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WIN_W - 1), Window.currentRow)
+    )
+    wins = keyed.select(
+        "doc_id", "pos", F.min("key").over(w).alias("sel_key")
+    ).filter(F.col("pos") >= WIN_W - 1)
+    fp = wins.select(
+        "doc_id", F.expr(f"sel_key div {WIN_POSBITS}").alias("h")
+    ).distinct()
+    hdf = (
+        fp.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, WIN_DFCAP))
+        .select("h")
+    )
+    # Both pair-join sides derive from aggregates over the corpus, so
+    # Catalyst's size estimate descends from the (possibly tiny) leaf —
+    # on a spark.range-built 1M-doc rehearsal it BROADCAST the
+    # corpus-sized fingerprint table and OOM'd (the same trap the
+    # substring-span join hit in round 4). Pin to sort-merge: both
+    # sides spill, no in-memory build side.
+    a = fp.alias("a").join(hdf.hint("merge"), "h")
+    b = fp.alias("b").hint("merge")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -7455,55 +7455,7 @@ HAVING count(*) >= 2""",
 )
 def dedup_winnowing(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
-    ).filter(F.expr(f"size(toks) >= {_WIN_K}"))
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {_WIN_K}),"
-                f" i -> concat_ws(' ', slice(toks, i + 1, {_WIN_K})))"
-            )
-        ).alias("pos", "gram"),
-    )
-    keyed = grams.select(
-        "doc_id",
-        "pos",
-        F.expr(
-            f"cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)"
-            f" * {_WIN_POSBITS} + ({_WIN_POSBITS - 1} - pos)"
-        ).alias("key"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
-    )
-    wins = keyed.select(
-        "doc_id", "pos", F.min("key").over(w).alias("sel_key")
-    ).filter(F.col("pos") >= _WIN_W - 1)
-    fp = wins.select(
-        "doc_id", F.expr(f"sel_key div {_WIN_POSBITS}").alias("h")
-    ).distinct()
-    hdf = (
-        fp.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df").between(2, _WIN_DFCAP))
-        .select("h")
-    )
-    a = fp.alias("a").join(hdf, "h")
-    b = fp.alias("b")
-    return (
-        a.join(b, "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
+    return dedup.winnowing_pairs(docs)
 
 
 # ---- interval coalescing (gaps-and-islands over event activity) ---------

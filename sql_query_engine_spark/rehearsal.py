@@ -379,3 +379,46 @@ def run_span_rehearsal(
     report["boundary_collision_spans"] = len(longer)
     report["collision_bound"] = bound
     return report
+
+
+def run_winnow_rehearsal(
+    spark: SparkSession,
+    n_docs: int = 100_000,
+    n_tokens: int = 104,
+    n_mutate: int = 5,
+) -> dict:
+    """Scale rehearsal for :func:`dedup.winnowing_pairs`.
+
+    The planted corpus shares a ``n_tokens - n_mutate``-token prefix
+    run between each planted pair — far beyond winnowing's w+k-1 = 7
+    coverage guarantee, so EVERY planted pair must surface with many
+    shared fingerprints; unplanted docs share no 4-gram run, so false
+    pairs require md5-40 collisions (expected ≈ 0 at these scales).
+    Asserts perfect planted recall, a near-zero false-pair count, and
+    that each planted pair carries a deep fingerprint overlap (the
+    signal a dedup threshold would cut on).
+    """
+    report: dict = {"n_docs": n_docs}
+    docs = synth_documents(spark, n_docs, n_tokens, n_mutate)
+
+    t0 = time.monotonic()
+    rows = dedup.winnowing_pairs(docs).collect()
+    report["t_winnow_s"] = round(time.monotonic() - t0, 2)
+
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in rows}
+    exp_keys = {(i, i + 1) for i in range(0, n_docs - 1, PLANT_EVERY)}
+    report["pairs_found"] = len(got)
+    report["pairs_expected"] = len(exp_keys)
+    report["planted_recalled"] = len(exp_keys & set(got))
+    report["false_pairs"] = len(set(got) - exp_keys)
+    planted_shared = [v for k, v in got.items() if k in exp_keys]
+    report["min_shared_planted"] = min(planted_shared) if planted_shared else 0
+    assert exp_keys <= set(got), (
+        f"winnowing missed {len(exp_keys - set(got))} planted pairs"
+    )
+    # md5-40 collision pairs: expected ~(fingerprints choose 2)/2^40 — ~0
+    assert report["false_pairs"] <= max(5, n_docs // 10_000), report
+    # a ~99-token shared run must yield a deep overlap (≥ several
+    # fingerprints at expected density 2/(w+1) ≈ 0.4/gram)
+    assert report["min_shared_planted"] >= 5, report
+    return report

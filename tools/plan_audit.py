@@ -56,6 +56,11 @@ EXPECTED = {
     "text_bm25_topk": "two crossJoins of the broadcast 1-row "
     "avgdl/corpus-count aggregate (lazy-count shape of text_idf) — "
     "never data-sized",
+    "dedup_winnowing": "fingerprint pair join pinned to sort-merge by "
+    "hint: both sides are corpus-derived aggregates whose leaf "
+    "estimates can be tiny (the 1M rehearsal caught Catalyst "
+    "broadcasting the corpus-sized fingerprint table and OOMing — the "
+    "round-4 span-join trap) — REHEARSAL_r05_winnow_1m is the gate",
     "sim_mmr_rerank": "SMJ = the per-round (qs x penalty) joins: both "
     "sides are the same per-candidate table (one row per corpus vector, "
     "checkpointed so Catalyst has no size estimate) — sort-merge on "

@@ -22,6 +22,7 @@ from sql_query_engine_spark import get_spark  # noqa: E402
 from sql_query_engine_spark.rehearsal import (  # noqa: E402
     run_rehearsal,
     run_span_rehearsal,
+    run_winnow_rehearsal,
 )
 
 
@@ -40,7 +41,9 @@ def main() -> int:
 
     spark = get_spark("scale-rehearsal")
     t0 = time.monotonic()
-    if "--span" in sys.argv:
+    if "--winnow" in sys.argv:
+        report = run_winnow_rehearsal(spark, n_docs=n_docs)
+    elif "--span" in sys.argv:
         report = run_span_rehearsal(spark, n_docs=n_docs)
     else:
         report = run_rehearsal(spark, n_docs=n_docs)
