@@ -2654,17 +2654,17 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     )
 
 
-def decode_jpeg_progressive_pixels(payload: bytes):
-    """Progressive (SOF2) grayscale JPEG decode: multi-scan coefficient
-    accumulation — DC first scans (diff + EXTEND, shifted left by Al),
-    DC refinement scans (raw bit ORed in at Al), AC spectral-selection
-    first scans (run/size with ZRL and EOBRUN) — then one dequantize +
-    IDCT per block over the accumulated coefficients.
+def _decode_jpeg_progressive_coefs(payload: bytes):
+    """Progressive (SOF2) decode core: multi-scan coefficient
+    accumulation — interleaved DC first/refinement scans over all scan
+    components, single-component AC spectral-selection first scans with
+    EOBRUN — then one dequantize + IDCT per block.
 
-    Returns (width, height, sum_gray) or None on structural damage,
-    multi-component progressive streams, or AC refinement scans (Ah>0
-    on an AC band — the one remaining progressive boundary, rejected
-    cleanly). Never raises.
+    Supports 1-component grayscale and 3-component 4:4:4 (all sampling
+    0x11). Returns (w, h, [plane ndarray per component]) or None on
+    structural damage, subsampled progressive, or AC refinement scans
+    (Ah>0 on an AC band — the remaining progressive sliver), never
+    raising.
     """
     import numpy as np
 
@@ -2674,9 +2674,10 @@ def decode_jpeg_progressive_pixels(payload: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_q = 0
+    sof_comps: dict[int, int] = {}   # cid -> quant table id (order kept)
+    cids: list[int] = []
     pos = 2
-    coefs = None
+    coefs: dict[int, "np.ndarray"] = {}
     nblocks = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -2724,55 +2725,77 @@ def decode_jpeg_progressive_pixels(payload: bytes):
                 return None
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
-                return None  # multi-component progressive: boundary
-            if body[7] != 0x11:
+            nf = body[5]
+            if nf not in (1, 3) or len(body) < 6 + 3 * nf:
                 return None
-            comp_q = body[8]
+            for ci in range(nf):
+                cid = body[6 + 3 * ci]
+                if body[7 + 3 * ci] != 0x11:
+                    return None  # subsampled progressive: boundary
+                sof_comps[cid] = body[8 + 3 * ci]
+                cids.append(cid)
             nblocks = ((w + 7) // 8) * ((h + 7) // 8)
-            coefs = np.zeros((nblocks, 64), dtype=np.int64)
+            for cid in cids:
+                coefs[cid] = np.zeros((nblocks, 64), dtype=np.int64)
         elif marker == 0xC0:
-            return None  # baseline stream: use decode_jpeg_pixels
+            return None  # baseline stream: use the baseline decoders
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None
         elif marker == 0xDA:  # one progressive scan
-            if coefs is None or len(body) < 6 or body[0] != 1:
+            if not coefs or len(body) < 4:
                 return None
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 0x0F
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3 or ns == 0:
+                return None
+            scomps = []  # (cid, dc_id, ac_id)
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                if cid not in sof_comps:
+                    return None
+                tb = body[2 + 2 * ci]
+                scomps.append((cid, tb >> 4, tb & 0x0F))
+            off = 1 + 2 * ns
+            ss, se = body[off], body[off + 1]
+            ah, al = body[off + 2] >> 4, body[off + 2] & 0x0F
             reader = _JpegBitReader(b, pos + 2 + ln)
-            if ss == 0 and se == 0:
-                if ah == 0:  # DC first pass
-                    dct = htables.get((0, dc_id))
-                    if dct is None:
-                        return None
-                    pred = 0
-                    for k in range(nblocks):
-                        s = _huff_decode(reader, dct)
-                        if s is None or s > 11:
+            if ss == 0 and se == 0:  # DC scan: interleaved over scomps
+                if ah == 0:
+                    dcts = {}
+                    for cid, dc_id, _ in scomps:
+                        t = htables.get((0, dc_id))
+                        if t is None:
                             return None
-                        if s:
-                            amp = reader.bits(s)
-                            if amp is None:
+                        dcts[cid] = t
+                    preds = {cid: 0 for cid, _, _ in scomps}
+                    for k in range(nblocks):
+                        for cid, _, _ in scomps:
+                            s = _huff_decode(reader, dcts[cid])
+                            if s is None or s > 11:
                                 return None
-                            pred += _extend(amp, s)
-                        coefs[k, 0] = pred << al
-                else:  # DC refinement: one raw bit per block at Al
+                            if s:
+                                amp = reader.bits(s)
+                                if amp is None:
+                                    return None
+                                preds[cid] += _extend(amp, s)
+                            coefs[cid][k, 0] = preds[cid] << al
+                else:  # DC refinement: one raw bit per component block
                     for k in range(nblocks):
-                        bit = reader.bits(1)
-                        if bit is None:
-                            return None
-                        coefs[k, 0] |= bit << al
-            else:  # AC band
-                if ah != 0:
+                        for cid, _, _ in scomps:
+                            bit = reader.bits(1)
+                            if bit is None:
+                                return None
+                            coefs[cid][k, 0] |= bit << al
+            else:  # AC band: single component only (T.81 G.1.1.1.1)
+                if ns != 1 or ah != 0:
                     return None  # AC refinement: documented boundary
                 if not (1 <= ss <= se <= 63):
                     return None
+                cid, _, ac_id = scomps[0]
                 act = htables.get((1, ac_id))
                 if act is None:
                     return None
+                cc = coefs[cid]
                 eobrun = 0
                 for k in range(nblocks):
                     if eobrun:
@@ -2799,31 +2822,144 @@ def decode_jpeg_progressive_pixels(payload: bytes):
                         amp = reader.bits(sz)
                         if amp is None:
                             return None
-                        coefs[k, idx] = _extend(amp, sz) << al
-            # skip the entropy data: advance pos to the reader's marker
+                        cc[k, idx] = _extend(amp, sz) << al
+            # advance past the entropy data to the next marker
             pos = reader.pos
             continue
         pos += 2 + ln
-    if coefs is None or w is None or w == 0 or h == 0:
-        return None
-    q = qtables.get(comp_q)
-    if q is None:
+    if not coefs or w is None or w == 0 or h == 0:
         return None
     A = _idct_basis()
-    qa = np.array(q, dtype=np.float64)
     bw = (w + 7) // 8
-    total = 0
-    for k in range(nblocks):
-        coef = np.zeros((8, 8))
-        for i, (r, c) in enumerate(_ZIGZAG):
-            coef[r, c] = coefs[k, i] * qa[i]
-        block = A.T @ coef @ A
-        px = np.clip(np.round(block) + 128, 0, 255)
-        by, bx = divmod(k, bw)
-        x0, y0 = bx * 8, by * 8
-        px = px[: min(8, h - y0), : min(8, w - x0)]
-        total += int(px.sum())
-    return w, h, total
+    bh = (h + 7) // 8
+    planes = []
+    for cid in cids:
+        q = qtables.get(sof_comps[cid])
+        if q is None:
+            return None
+        qa = np.array(q, dtype=np.float64)
+        plane = np.zeros((bh * 8, bw * 8))
+        cc = coefs[cid]
+        for k in range(nblocks):
+            coef = np.zeros((8, 8))
+            for i, (r, c) in enumerate(_ZIGZAG):
+                coef[r, c] = cc[k, i] * qa[i]
+            block = A.T @ coef @ A
+            px = np.clip(np.round(block) + 128, 0, 255)
+            by, bx = divmod(k, bw)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        planes.append(plane[:h, :w])
+    return w, h, planes
+
+
+def build_jpeg_progressive_color_pixels(doc_id: int) -> bytes:
+    """A REAL progressive COLOR JPEG (SOF2, 4:4:4): an interleaved DC
+    first scan at Al=1 over all three components, an interleaved DC
+    refinement scan, then three single-component AC spectral-selection
+    scans — the scan script real progressive encoders emit. Same
+    Y/Cb/Cr block levels as the baseline color corpus."""
+    w, h = jpeg_dims(doc_id)
+    bw, bh = w // 8, h // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def level(c, k):
+        if c == 0:
+            return jpeg_block_level(doc_id, k)
+        return jpeg_chroma_level(doc_id, k, c - 1)
+
+    # scan 1: interleaved DC first, Al=1
+    b1 = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for k in range(bw * bh):
+        for c in range(3):
+            v = level(c, k) >> 1
+            diff = v - preds[c]
+            preds[c] = v
+            s = _jpeg_cat(diff)
+            code, ln = dc_codes[s]
+            b1.put(code, ln)
+            if s:
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                b1.put(amp, s)
+    # scan 2: interleaved DC refinement
+    b2 = _JpegBitWriter()
+    for k in range(bw * bh):
+        for c in range(3):
+            b2.put(level(c, k) & 1, 1)
+    # scans 3-5: per-component AC first — all zero: one EOB per block
+    ac_scans = []
+    code, ln = ac_codes[0x00]
+    for _c in range(3):
+        bx = _JpegBitWriter()
+        for _ in range(bw * bh):
+            bx.put(code, ln)
+        ac_scans.append(bx.flush())
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes(_JPEG_QTABLE)
+        + bytes([0x01]) + bytes(_JPEG_QTABLE),
+    )
+    sof = seg(
+        0xC2,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos_dc1 = seg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00])
+        + bytes([0, 0, (0 << 4) | 1]),
+    )
+    sos_dc2 = seg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00])
+        + bytes([0, 0, (1 << 4) | 0]),
+    )
+    out = b"\xff\xd8" + dqt + sof + dht + sos_dc1 + b1.flush() \
+        + sos_dc2 + b2.flush()
+    for c in range(3):
+        out += seg(0xDA, bytes([1, c + 1, 0x00, 1, 63, 0])) + ac_scans[c]
+    return out + b"\xff\xd9"
+
+
+def decode_jpeg_progressive_pixels(payload: bytes):
+    """Grayscale progressive decode → (width, height, sum_gray), or
+    None (see _decode_jpeg_progressive_coefs)."""
+    dec = _decode_jpeg_progressive_coefs(payload)
+    if dec is None or len(dec[2]) != 1:
+        return None
+    w, h, planes = dec
+    return w, h, int(planes[0].sum())
+
+
+def decode_jpeg_progressive_color_pixels(payload: bytes):
+    """3-component 4:4:4 progressive decode → per-channel RGB sums via
+    the same fixed-point YCbCr→RGB as the baseline color path:
+    (width, height, sum_r, sum_g, sum_b), or None."""
+    import numpy as np
+
+    dec = _decode_jpeg_progressive_coefs(payload)
+    if dec is None or len(dec[2]) != 3:
+        return None
+    w, h, (y, cb, cr) = dec
+    yi = y.astype(np.int64)
+    cbi = cb.astype(np.int64) - 128
+    cri = cr.astype(np.int64) - 128
+    r = np.clip(yi + ((_FIX_1_40200 * cri + 32768) >> 16), 0, 255)
+    g = np.clip(
+        yi - ((_FIX_0_34414 * cbi + _FIX_0_71414 * cri + 32768) >> 16), 0, 255
+    )
+    bch = np.clip(yi + ((_FIX_1_77200 * cbi + 32768) >> 16), 0, 255)
+    return w, h, int(r.sum()), int(g.sum()), int(bch.sum())
 
 
 # libjpeg-style 16-bit fixed-point YCbCr→RGB (JFIF / CCIR 601 matrix):
@@ -3011,6 +3147,54 @@ def jpeg_color_stats(with_media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rows["doc_id"].append(doc_id)
                 dec = decode_jpeg_color_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                else:
+                    w, h, sr, sg, sb = dec
+                    n = w * h
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(round(sr / n, 6))
+                    rows["mean_g"].append(round(sg / n, 6))
+                    rows["mean_b"].append(round(sb / n, 6))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, JPEG_COLOR_SCHEMA)
+
+
+def synthesize_jpeg_progressive_color_pixels(docs: DataFrame) -> DataFrame:
+    """One real progressive color JPEG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_jpeg_progressive_color_pixels(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def jpeg_progressive_color_stats(with_media: DataFrame) -> DataFrame:
+    """payload → RGB channel means via the multi-scan progressive color
+    decode (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_jpeg_progressive_color_pixels(payload)
                 if dec is None:
                     for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
                         rows[k].append(None)

@@ -8871,6 +8871,55 @@ def mm_jpeg_progressive_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_jpeg_progressive_color_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh
+    FROM documents),
+blk AS (
+    SELECT doc_id, bw, bh,
+           ((doc_id*3 + tk.k*5) % 225) - 112 + 128 AS y,
+           ((doc_id*7 + tk.k*11) % 225) - 112 AS cb,
+           ((doc_id*5 + tk.k*17) % 225) - 112 AS cr
+    FROM d, unnest(generate_series(0, bw*bh - 1)) AS tk(k)),
+rgb AS (
+    SELECT doc_id, bw, bh,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((91881*cr + 32768)/65536.0) as bigint))) AS r,
+           LEAST(255, GREATEST(0,
+               y - cast(floor((22554*cb + 46802*cr + 32768)/65536.0)
+                        as bigint))) AS g,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((116130*cb + 32768)/65536.0) as bigint))) AS b
+    FROM blk),
+s AS (
+    SELECT doc_id, bw, bh,
+           sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, count(*) AS nb
+    FROM rgb GROUP BY doc_id, bw, bh)
+SELECT doc_id, cast(bw*8 as int) AS width, cast(bh*8 as int) AS height,
+       round((64*sr) / cast(bw*8*bh*8 as double), 6) AS mean_r,
+       round((64*sg) / cast(bw*8*bh*8 as double), 6) AS mean_g,
+       round((64*sb) / cast(bw*8*bh*8 as double), 6) AS mean_b
+FROM s""",
+    "REAL progressive COLOR JPEG decode (SOF2, 4:4:4): the full "
+    "progressive scan script — interleaved DC first pass at Al=1 over "
+    "all three components, interleaved DC refinement bits, then three "
+    "single-component AC spectral-selection scans — with coefficients "
+    "accumulated per component across scans, one dequantize+IDCT per "
+    "block, and the fixed-point YCbCr->RGB conversion. The decoder "
+    "asserts progressive==baseline-color pixel equality in tests, and "
+    "the oracle is the identical integer arithmetic as "
+    "mm_jpeg_color_stats (same planted levels — only the container "
+    "encoding differs). Remaining progressive sliver: AC refinement "
+    "scans and subsampled progressive, rejected cleanly. Map-only.",
+)
+def mm_jpeg_progressive_color_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_progressive_color_stats(
+        multimodal.synthesize_jpeg_progressive_color_pixels(d)
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8965,6 +9014,7 @@ _GATE_PRIORITY = [
     "stream_attribution",
     "join_nearest_event",
     "mm_jpeg_progressive_stats",
+    "mm_jpeg_progressive_color_stats",
     "mm_pixel_stats",
     "mm_gif_pixel_stats",
     "mm_image_ahash",

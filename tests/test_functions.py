@@ -1934,3 +1934,32 @@ def test_jpeg_progressive_equals_baseline():
     bad[-8] ^= 0xFF
     res = decode_jpeg_progressive_pixels(bytes(bad))
     assert res is None or len(res) == 3
+
+
+def test_jpeg_progressive_color_equals_baseline():
+    """Progressive color (interleaved DC scans + per-component AC
+    scans) decodes to the same pixels as the baseline color stream of
+    the same content; cross-path and damage reject."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_jpeg_color_pixels,
+        build_jpeg_progressive_color_pixels,
+        decode_jpeg_color_pixels,
+        decode_jpeg_progressive_color_pixels,
+    )
+
+    for d in (0, 7, 42, 250):
+        prog = decode_jpeg_progressive_color_pixels(
+            build_jpeg_progressive_color_pixels(d)
+        )
+        base = decode_jpeg_color_pixels(build_jpeg_color_pixels(d))
+        assert prog == base and prog is not None
+
+    g = build_jpeg_progressive_color_pixels(5)
+    assert decode_jpeg_color_pixels(g) is None
+    assert decode_jpeg_progressive_color_pixels(
+        build_jpeg_color_pixels(5)) is None
+    assert decode_jpeg_progressive_color_pixels(g[:60]) is None
+    bad = bytearray(g)
+    bad[-8] ^= 0xFF
+    res = decode_jpeg_progressive_color_pixels(bytes(bad))
+    assert res is None or len(res) == 5

@@ -225,6 +225,7 @@ _DECODERS = [
     _mm.decode_jpeg_pixels,
     _mm.decode_jpeg_color_pixels,
     _mm.decode_jpeg_progressive_pixels,
+    _mm.decode_jpeg_progressive_color_pixels,
     _mm.decode_wav_samples,
     _mm.decode_flac_samples,
     _mm.decode_flac_stereo_samples,
@@ -245,6 +246,7 @@ def _valid_payloads():
             _mm.build_jpeg_color_pixels(d),
             _mm.build_jpeg_420_pixels(d),
             _mm.build_jpeg_progressive_pixels(d),
+            _mm.build_jpeg_progressive_color_pixels(d),
             _mm.build_wav_samples(d),
             _mm.build_flac_samples(d),
             _mm.build_flac_stereo_samples(d),
