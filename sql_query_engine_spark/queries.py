@@ -9014,7 +9014,6 @@ _GATE_PRIORITY = [
     "stream_attribution",
     "join_nearest_event",
     "mm_jpeg_progressive_stats",
-    "mm_jpeg_progressive_color_stats",
     "mm_pixel_stats",
     "mm_gif_pixel_stats",
     "mm_image_ahash",
@@ -9026,6 +9025,7 @@ _GATE_PRIORITY = [
     "mm_jpeg_color_stats",
     "dedup_containment",
     "dedup_embedding_clusters",
+    "mm_jpeg_progressive_color_stats",
     "text_bm25_topk",
     "join_spatial_grid",
     "src_avro_scan",
