@@ -8920,6 +8920,81 @@ def mm_jpeg_progressive_color_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_exact_moments",
+    """WITH v AS (
+    SELECT event_type, cast(round(value, 6) as decimal(18,6)) AS x
+    FROM events),
+m AS (
+    SELECT event_type, count(*) AS n,
+           sum(x) AS s1, sum(x*x) AS s2,
+           sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+    FROM v GROUP BY event_type),
+d AS (
+    SELECT event_type, n,
+           cast(s1 as double) / n AS m1,
+           cast(s2 as double) / n AS r2,
+           cast(s3 as double) / n AS r3,
+           cast(s4 as double) / n AS r4
+    FROM m)
+SELECT event_type, cast(n as bigint) AS n,
+       round(m1, 6) AS mean,
+       round(r2 - m1 * m1, 6) AS variance,
+       round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+             / pow(r2 - m1 * m1, 1.5), 6) AS skewness,
+       round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+             / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3, 6) AS excess_kurtosis
+FROM d WHERE r2 - m1 * m1 > 0""",
+    "exact higher moments per event stream — mean, variance, skewness, "
+    "excess kurtosis — the distribution-shape profile drift monitors "
+    "and quality gates read (heavy right tail? platykurtic noise?). "
+    "ONE map-side-combinable aggregate: raw power sums s1..s4 ride "
+    "exact DECIMAL (order-independent under partial aggregation — the "
+    "two-pass 'subtract the mean first' formulation would need a "
+    "second scan), then central moments come from the raw-moment "
+    "identities in deterministic double arithmetic. pow(x, 1.5) = "
+    "x*sqrt(x) is correctly-rounded IEEE both engines... verified by "
+    "the hash match itself. Spark's builtin skewness()/kurtosis() use "
+    "float running updates that are partition-order dependent — this "
+    "formulation is the reproducible twin.",
+)
+def agg_exact_moments(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("cast(round(value, 6) as decimal(18,6))").alias("x"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(x)").alias("s1"),
+        F.expr("sum(x*x)").alias("s2"),
+        F.expr("sum(x*x*x)").alias("s3"),
+        F.expr("sum(x*x*x*x)").alias("s4"),
+    )
+    d = m.select(
+        "event_type", "n",
+        F.expr("cast(s1 as double) / n").alias("m1"),
+        F.expr("cast(s2 as double) / n").alias("r2"),
+        F.expr("cast(s3 as double) / n").alias("r3"),
+        F.expr("cast(s4 as double) / n").alias("r4"),
+    )
+    return d.filter(F.expr("r2 - m1 * m1 > 0")).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("round(m1, 6)").alias("mean"),
+        F.expr("round(r2 - m1 * m1, 6)").alias("variance"),
+        F.expr(
+            "round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)"
+            " / pow(r2 - m1 * m1, 1.5), 6)"
+        ).alias("skewness"),
+        F.expr(
+            "round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2"
+            " - 3 * m1 * m1 * m1 * m1)"
+            " / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3, 6)"
+        ).alias("excess_kurtosis"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -8949,6 +9024,7 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "agg_exact_moments",
     "sample_weighted_priority",
     "src_tbl_scan",
     "mm_decode",

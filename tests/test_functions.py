@@ -1963,3 +1963,34 @@ def test_jpeg_progressive_color_equals_baseline():
     bad[-8] ^= 0xFF
     res = decode_jpeg_progressive_color_pixels(bytes(bad))
     assert res is None or len(res) == 5
+
+
+def test_exact_moments_golden(spark):
+    """Moments of a known multiset match the textbook formulas,
+    including a deliberately right-skewed stream."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    vals = [1.0, 1.0, 1.0, 1.0, 10.0]  # strong right skew
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0, 1, "a", v, "{}") for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        r = q.agg_exact_moments(spark, td).collect()[0]
+    n = len(vals)
+    m1 = sum(vals) / n
+    var = sum(v * v for v in vals) / n - m1 * m1
+    skew = (sum((v - m1) ** 3 for v in vals) / n) / var ** 1.5
+    kurt = (sum((v - m1) ** 4 for v in vals) / n) / var ** 2 - 3
+    assert (r.n, r.mean) == (5, round(m1, 6))
+    assert abs(r.variance - var) < 1e-6
+    assert abs(r.skewness - skew) < 1e-6 and r.skewness > 1
+    assert abs(r.excess_kurtosis - kurt) < 1e-6
