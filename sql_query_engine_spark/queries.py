@@ -8995,6 +8995,113 @@ def agg_exact_moments(spark, sf_dir):
     )
 
 
+@_q(
+    "join_asof_nearest",
+    """WITH r1 AS (
+    SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders),
+r2 AS (SELECT o_custkey, t, o_orderkey FROM r1 WHERE rn = 1),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+b AS (
+    SELECT l.event_id, l.user_id, l.t, r.t AS bt, r.o_orderkey AS bk
+    FROM l ASOF LEFT JOIN r2 r
+      ON l.user_id = r.o_custkey AND l.t >= r.t),
+f AS (
+    SELECT l.event_id, r.t AS ft, r.o_orderkey AS fk
+    FROM l ASOF LEFT JOIN r2 r
+      ON l.user_id = r.o_custkey AND l.t <= r.t)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b.bk IS NULL AND f.fk IS NULL THEN NULL
+            WHEN f.fk IS NULL THEN b.bk
+            WHEN b.bk IS NULL THEN f.fk
+            WHEN b.t - b.bt <= f.ft - b.t THEN b.bk ELSE f.fk END
+           AS nearest_orderkey,
+       CASE WHEN b.bk IS NULL AND f.fk IS NULL THEN 'none'
+            WHEN f.fk IS NULL THEN 'past'
+            WHEN b.bk IS NULL THEN 'future'
+            WHEN b.t - b.bt <= f.ft - b.t THEN 'past' ELSE 'future' END
+           AS direction,
+       CASE WHEN b.bk IS NULL AND f.fk IS NULL THEN NULL
+            WHEN f.fk IS NULL THEN b.t - b.bt
+            WHEN b.bk IS NULL THEN f.ft - b.t
+            WHEN b.t - b.bt <= f.ft - b.t THEN b.t - b.bt
+            ELSE f.ft - b.t END AS gap_us
+FROM b JOIN f ON f.event_id = b.event_id""",
+    "NEAREST-direction as-of join: each event picks the user's closest "
+    "order in TIME, whichever side of the event it falls on (ties "
+    "prefer the past — the causal default) — the alignment mode "
+    "sensor-fusion and event-to-record matching need when 'latest "
+    "before' is too strict. Composed as one backward + one forward "
+    "as-of pass (operators/asof.py runs the forward direction as the "
+    "same single window pass with the frame mirrored — no range "
+    "explosion), joined on event_id to pick the nearer side with pure "
+    "integer gap arithmetic. Oracle = two native DuckDB ASOF joins "
+    "with the identical CASE; right side pre-deduped per (key, ts) "
+    "both sides.",
+)
+def join_asof_nearest(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    w = Window.partitionBy("o_custkey", "o_t_us").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias(
+                "o_t_us"
+            ),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    back = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="t_us", right_ts="o_t_us",
+        value_cols=["o_orderkey", "o_t_us"], tiebreak="o_orderkey",
+    ).select(
+        "event_id", "user_id", "t_us",
+        F.col("o_orderkey").alias("bk"), F.col("o_t_us").alias("bt"),
+    )
+    fwd = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="t_us", right_ts="o_t_us",
+        value_cols=["o_orderkey", "o_t_us"], tiebreak="o_orderkey",
+        direction="forward",
+    ).select(
+        "event_id",
+        F.col("o_orderkey").alias("fk"), F.col("o_t_us").alias("ft"),
+    )
+    j = back.join(fwd, "event_id")
+    past_wins = F.expr(
+        "bk IS NOT NULL AND (fk IS NULL OR t_us - bt <= ft - t_us)"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(F.expr("bk IS NULL AND fk IS NULL"), F.lit(None))
+         .when(past_wins, F.col("bk")).otherwise(F.col("fk"))
+         .alias("nearest_orderkey"),
+        F.when(F.expr("bk IS NULL AND fk IS NULL"), F.lit("none"))
+         .when(past_wins, F.lit("past")).otherwise(F.lit("future"))
+         .alias("direction"),
+        F.when(F.expr("bk IS NULL AND fk IS NULL"),
+               F.lit(None).cast("bigint"))
+         .when(past_wins, F.expr("t_us - bt"))
+         .otherwise(F.expr("ft - t_us")).alias("gap_us"),
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -9025,6 +9132,7 @@ _GATE_PRIORITY = [
     "ref_csv_scan",
     "ref_jsonl_scan",
     "agg_exact_moments",
+    "join_asof_nearest",
     "sample_weighted_priority",
     "src_tbl_scan",
     "mm_decode",

@@ -1994,3 +1994,42 @@ def test_exact_moments_golden(spark):
     assert abs(r.variance - var) < 1e-6
     assert abs(r.skewness - skew) < 1e-6 and r.skewness > 1
     assert abs(r.excess_kurtosis - kurt) < 1e-6
+
+
+def test_asof_nearest_golden(spark):
+    """Nearest-direction as-of: past wins ties, future wins when
+    closer, no-order users get 'none'."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    D = datetime.date
+    t = datetime.datetime(1995, 1, 10, 12)  # event between orders
+    ev = [(1, t, 1, "view", 0.0, "{}"),       # user 1: orders both sides
+          (2, t, 2, "view", 0.0, "{}"),       # user 2: only a future order
+          (3, t, 3, "view", 0.0, "{}")]       # user 3: no orders
+    orders = [
+        # o_orderkey, o_custkey, o_orderdate, o_totalprice
+        (100, 1, D(1995, 1, 1), 1.0),    # 9.5 days past
+        (101, 1, D(1995, 1, 12), 1.0),   # 1.5 days future → nearer
+        (200, 2, D(1995, 2, 1), 1.0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            ev, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).write.parquet(f"{td}/events.parquet")
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate date,"
+            " o_totalprice double"
+        ).write.parquet(f"{td}/orders.parquet")
+        got = {r.event_id: (r.nearest_orderkey, r.direction)
+               for r in q.join_asof_nearest(spark, td).collect()}
+    assert got == {
+        1: (101, "future"),
+        2: (200, "future"),
+        3: (None, "none"),
+    }
