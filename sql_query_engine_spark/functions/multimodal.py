@@ -1860,6 +1860,122 @@ def decode_wav_samples(payload: bytes):
     return rate, len(data) // 2, total, abs_total, peak
 
 
+def build_wav_stereo_samples(doc_id: int) -> bytes:
+    """A REAL stereo 16-bit PCM WAV: interleaved L/R frames (RIFF
+    block align 4), using the flac_left/right_value formulas so the
+    oracle shares one set of channel constants."""
+    rate = AUDIO_RATES[doc_id % len(AUDIO_RATES)]
+    n = wav_sample_count(doc_id)
+    data = b"".join(
+        (flac_left_value(doc_id, i) & 0xFFFF).to_bytes(2, "little")
+        + (flac_right_value(doc_id, i) & 0xFFFF).to_bytes(2, "little")
+        for i in range(n)
+    )
+    fmt_body = (
+        (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+        + b"data" + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav_stereo_samples(payload: bytes):
+    """Stereo PCM decode: RIFF walk → de-interleave int16 L/R frames →
+    per-channel stats. Returns (rate, n_frames, sum_left, sum_right,
+    peak) or None on damage / non-PCM / non-16-bit / non-stereo."""
+    b = payload
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = bits = channels = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            if ln < 16 or int.from_bytes(body[0:2], "little") != 1:
+                return None  # non-PCM
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            if len(body) < ln:
+                return None  # truncated
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if rate is None or data is None or bits != 16 or channels != 2:
+        return None
+    if len(data) % 4:
+        return None
+    sl = sr = peak = 0
+    for i in range(0, len(data), 4):
+        lv = int.from_bytes(data[i : i + 2], "little", signed=True)
+        rv = int.from_bytes(data[i + 2 : i + 4], "little", signed=True)
+        sl += lv
+        sr += rv
+        peak = max(peak, abs(lv), abs(rv))
+    return rate, len(data) // 4, sl, sr, peak
+
+
+def synthesize_wav_stereo_samples(docs: DataFrame) -> DataFrame:
+    """One real stereo PCM WAV per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_wav_stereo_samples(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def wav_stereo_stats(with_media: DataFrame) -> DataFrame:
+    """payload → per-channel stats via the stereo PCM decode path
+    (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                    "mean_left", "mean_right", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_wav_stereo_samples(payload)
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "mean_left",
+                              "mean_right", "peak"):
+                        rows[k].append(None)
+                else:
+                    rate, n, sl, sr, peak = dec
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+                    rows["mean_left"].append(round(sl / n, 6))
+                    rows["mean_right"].append(round(sr / n, 6))
+                    rows["peak"].append(peak)
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
+            out["peak"] = out["peak"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, STEREO_SAMPLE_SCHEMA)
+
+
 AUDIO_SAMPLE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

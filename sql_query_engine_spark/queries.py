@@ -9102,6 +9102,43 @@ def join_asof_nearest(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_wav_stereo_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id % 200) + 50 AS n FROM documents),
+s AS (
+    SELECT doc_id, n,
+           ((doc_id*11 + ti.i*3) % 4096) - 2048 AS l,
+           ((doc_id*17 + ti.i*5) % 4096) - 2048 AS r
+    FROM d, unnest(generate_series(0, n-1)) AS ti(i)),
+agg AS (
+    SELECT doc_id, n, sum(l) AS sl, sum(r) AS sr,
+           greatest(max(abs(l)), max(abs(r))) AS peak
+    FROM s GROUP BY doc_id, n)
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+       cast(n as bigint) AS n_samples,
+       round(sl / cast(n as double), 6) AS mean_left,
+       round(sr / cast(n as double), 6) AS mean_right,
+       cast(peak as int) AS peak
+FROM agg""",
+    "REAL stereo PCM WAV decode: interleaved L/R int16 frames (RIFF "
+    "block align 4) de-interleaved to per-channel statistics — the "
+    "uncompressed twin of mm_flac_stereo_stats, sharing the same "
+    "channel sample formulas so WAV and decorrelated-FLAC encodings of "
+    "the same signal provably decode to identical stats (the "
+    "cross-container consistency a speech pipeline relies on when "
+    "sources mix formats). Map-only, exact integer oracle, NULL on "
+    "corruption; mono/stereo modality mixups reject on both paths.",
+)
+def mm_wav_stereo_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.wav_stereo_stats(
+        multimodal.synthesize_wav_stereo_samples(d)
+    )
+
+
 # =========================================================================
 # public API
 # =========================================================================
@@ -9133,6 +9170,7 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "agg_exact_moments",
     "join_asof_nearest",
+    "mm_wav_stereo_stats",
     "sample_weighted_priority",
     "src_tbl_scan",
     "mm_decode",

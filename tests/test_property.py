@@ -227,6 +227,7 @@ _DECODERS = [
     _mm.decode_jpeg_progressive_pixels,
     _mm.decode_jpeg_progressive_color_pixels,
     _mm.decode_wav_samples,
+    _mm.decode_wav_stereo_samples,
     _mm.decode_flac_samples,
     _mm.decode_flac_stereo_samples,
     _mm.decode_real,
@@ -248,6 +249,7 @@ def _valid_payloads():
             _mm.build_jpeg_progressive_pixels(d),
             _mm.build_jpeg_progressive_color_pixels(d),
             _mm.build_wav_samples(d),
+            _mm.build_wav_stereo_samples(d),
             _mm.build_flac_samples(d),
             _mm.build_flac_stereo_samples(d),
             _mm.build_mp4(*_mm.video_params(d)),
