@@ -1323,7 +1323,12 @@ WHERE {_duck_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2))
 WIN_K = 4         # tokens per k-gram
 WIN_W = 4         # gram hashes per winnowing window
 WIN_DFCAP = 50    # inverted-index df cap (stopgram guard)
-WIN_POSBITS = 1048576  # 2^20: positions packed below the 40-bit hash
+# 2^23: positions packed below the 40-bit hash. 40 + 23 = 63 bits, so
+# max key = (2^40-1)*2^23 + 2^23-1 = 2^63-1 — exactly the signed-bigint
+# ceiling. Documents are capped at WIN_POSBITS k-grams (~8.4M tokens,
+# far beyond any real document); k-grams past the cap are dropped by an
+# explicit filter rather than silently borrowing from the hash bits.
+WIN_POSBITS = 8388608
 
 
 def winnowing_pairs(docs: DataFrame) -> DataFrame:
@@ -1332,7 +1337,7 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
     4-token k-gram md5-40 hashes; from every window of 4 consecutive
     hashes select the minimum with ties to the RIGHTMOST position — the
     tie rule is implemented by a single integer min() because
-    2^20-1-pos is packed under the hash. Distinct selected hashes are
+    2^23-1-pos is packed under the hash. Distinct selected hashes are
     the doc's fingerprints (any shared run of w+k-1 tokens shares one —
     the coverage guarantee). Pairs come from the df-capped inverted
     index, so join work is proportional to shared-fingerprint
@@ -1353,7 +1358,7 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    keyed = grams.select(
+    keyed = grams.filter(F.col("pos") < WIN_POSBITS).select(
         "doc_id",
         "pos",
         F.expr(

@@ -4,17 +4,23 @@ Capability extension: treat image/audio/video payloads as opaque ``binary``
 columns with a typed metadata struct, and run decode / feature-extraction as
 Arrow-batched ``mapInPandas`` stages.
 
-Two decode tiers:
+Two decode tiers, BOTH real and from-spec (no image/audio libraries):
 
-* **Container decode is REAL** (:func:`decode_real`): byte-level parsing of
-  PNG / JPEG / GIF headers — format, dimensions, channels, bit depth — from
-  the public format specifications, no image libraries. This is the tier a
-  curation pipeline filters on.
-* **Pixel decode stays stubbed** (``_decode_stub``): inflate/IDCT needs
-  PIL/soundfile/av, which are not in this container. Swapping the stub for a
-  real pixel decoder changes zero lines of Spark plumbing — the schema
-  contract, Arrow batch shape, UDF signature, and partitioning are all
-  exercised for real by the container tier.
+* **Container decode** (:func:`decode_real`): byte-level parsing of
+  PNG / JPEG / GIF / WAV / FLAC / MP4 headers — format, dimensions,
+  channels, bit depth, duration — from the public format specifications.
+  This is the cheap first pass a curation pipeline filters on.
+* **Pixel/sample decode** (the ``*_stats`` families): real from-spec
+  decoders implemented in this module — PNG (stored-DEFLATE inflate +
+  all five filter types), GIF (LZW, incl. animated frame sampling),
+  JPEG (T.81 baseline + grayscale progressive DC/AC spectral selection,
+  color 4:4:4 and 4:2:0, full Huffman + dequant + IDCT), WAV (PCM mono
+  + stereo), FLAC (all four subframe types incl. LPC, Rice + escape
+  residuals, all four stereo decorrelation modes, CRC-verified), MP4
+  (box walk + sample tables). Remaining boundaries are listed in
+  COVERAGE.md (progressive AC successive-approximation refinement,
+  real video codec pixels); corrupt payloads decode to NULL rows,
+  never stage failures.
 
 Scale notes: binary payloads ride the scan; ``mapInPandas`` streams Arrow
 batches so executor memory is bounded by batch size × payload size — set
@@ -3402,6 +3408,44 @@ def flac_sample_value(doc_id: int, i: int) -> int:
     return flac_verbatim_value(doc_id, i)
 
 
+def _flac_put_residuals(put, residuals) -> None:
+    """Emit one coded-residual block (method 0, partition order 0) via
+    the caller's bit writer. The smallest Rice parameter keeping every
+    unary quotient ≤ 15 is chosen, capped at p = 14: 0b1111 is the
+    ESCAPE code, not a 15-bit Rice parameter, so an encoder landing on
+    p == 15 would emit partitions the decoder (correctly) reads as
+    unencoded. Residuals too large for p = 14 fall back to that escape
+    hatch — raw two's-complement at the smallest width that holds every
+    residual (the 5-bit width field allows up to 31 bits)."""
+    put(0b00, 2)
+    put(0, 4)
+    zz = [(2 * r) if r >= 0 else (-2 * r - 1) for r in residuals]
+    p = 0
+    while zz and max(zz) >> p > 15 and p < 14:
+        p += 1
+    if zz and max(zz) >> p > 15:
+        # two's-complement width w holds r iff -2^(w-1) <= r < 2^(w-1);
+        # max(zz) = max(2r, -2r-1) < 2^w exactly captures that bound
+        rawbits = max(zz).bit_length()
+        if rawbits > 31:
+            raise ValueError(
+                f"residual magnitude {max(zz) >> 1} exceeds the 31-bit "
+                "escape-coding ceiling"
+            )
+        put(0b1111, 4)  # escape: raw residuals at a fixed bit width
+        put(rawbits, 5)
+        for r in residuals:
+            put(r & ((1 << rawbits) - 1), rawbits)
+        return
+    put(p, 4)
+    for z in zz:
+        q = z >> p
+        put(0, q)      # q zero bits...
+        put(1, 1)      # ...terminated by a 1 (unary quotient)
+        if p:
+            put(z & ((1 << p) - 1), p)
+
+
 def build_flac_samples(doc_id: int) -> bytes:
     """A REAL playable-layout FLAC: STREAMINFO + one frame holding a
     CONSTANT (doc_id%4==0), VERBATIM (%4==1), FIXED-predictor (%4==2,
@@ -3440,22 +3484,7 @@ def build_flac_samples(doc_id: int) -> bytes:
                 nbits = 0
 
     def put_residuals(residuals):
-        # residual coding: method 0 (4-bit Rice params), partition order 0
-        put(0b00, 2)
-        put(0, 4)
-        zz = [(2 * r) if r >= 0 else (-2 * r - 1) for r in residuals]
-        # smallest param keeping every unary quotient ≤ 15 — real Rice
-        # codes, not the escape hatch
-        p = 0
-        while zz and max(zz) >> p > 15:
-            p += 1
-        put(p, 4)
-        for z in zz:
-            q = z >> p
-            put(0, q)      # q zero bits...
-            put(1, 1)      # ...terminated by a 1 (unary quotient)
-            if p:
-                put(z & ((1 << p) - 1), p)
+        _flac_put_residuals(put, residuals)
 
     kind = flac_subframe_kind(doc_id)
     if kind == 0:

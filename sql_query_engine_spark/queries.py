@@ -7404,7 +7404,9 @@ def sim_hamming_topk(spark, sf_dir):
 _WIN_K = 4        # tokens per k-gram
 _WIN_W = 4        # gram hashes per winnowing window
 _WIN_DFCAP = 50   # inverted-index df cap (stopgram guard)
-_WIN_POSBITS = 1048576  # 2^20: positions packed below the 40-bit hash
+_WIN_POSBITS = 8388608  # 2^23: positions packed below the 40-bit hash
+# (40+23 = 63 bits = signed-bigint ceiling; per-doc k-gram cap enforced
+# by an explicit pos filter in both engines — see functions/dedup.py)
 
 
 @_q(
@@ -7421,7 +7423,7 @@ keyed AS (
     SELECT doc_id, pos,
            cast(concat('0x', substr(md5(gram), 1, 10)) as bigint)
                * {_WIN_POSBITS} + ({_WIN_POSBITS - 1} - pos) AS key
-    FROM grams),
+    FROM grams WHERE pos < {_WIN_POSBITS}),
 wins AS (
     SELECT doc_id, pos,
            min(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -7442,7 +7444,7 @@ HAVING count(*) >= 2""",
     "winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 — "
     "the MOSS scheme): 4-token k-gram hashes, and from every window of "
     "4 consecutive hashes select the minimum (ties -> rightmost "
-    "position, encoded by packing 2^20-1-pos under the 40-bit hash so "
+    "position, encoded by packing 2^23-1-pos under the 40-bit hash so "
     "ONE integer min() implements the tie rule identically in both "
     "engines); distinct selected hashes are the doc's fingerprints — "
     "guaranteed-coverage sampling (any shared run of w+k-1 tokens "
@@ -8155,7 +8157,8 @@ seq AS (
                                        ROWS BETWEEN {_NEX_HIST} PRECEDING
                                        AND 1 PRECEDING) AS history
     FROM ev)
-SELECT event_id, user_id, us, history, label,
+SELECT event_id, user_id, us,
+       array_to_string(history, '|') AS history, label,
        cast(len(history) as int) AS hist_len
 FROM seq WHERE len(history) = {_NEX_HIST}""",
     "sequence-model training examples from event streams: for every "
@@ -8167,7 +8170,10 @@ FROM seq WHERE len(history) = {_NEX_HIST}""",
     "state is O(4) per row, partitions are per-user — nothing "
     "corpus-global), no self-joins, no explode-and-rejoin. Frame order "
     "(us, event_id) is total, so the aggregated array is deterministic "
-    "and the oracle hash-matches element order included.",
+    "and the oracle hash-matches element order included. The history is "
+    "emitted as a '|'-joined string (order-preserving) so downstream "
+    "tabular consumers — and the driver's pandas canonicalizer — see "
+    "only scalar columns.",
 )
 def pipeline_next_event_dataset(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -8186,7 +8192,8 @@ def pipeline_next_event_dataset(spark, sf_dir):
         F.collect_list("label").over(w).alias("history"),
     )
     return seq.filter(F.size("history") == _NEX_HIST).select(
-        "event_id", "user_id", "us", "history", "label",
+        "event_id", "user_id", "us",
+        F.concat_ws("|", "history").alias("history"), "label",
         F.size("history").alias("hist_len"),
     )
 

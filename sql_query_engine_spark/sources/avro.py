@@ -156,6 +156,11 @@ def decode_avro_bytes(payload: bytes, path: str = "<bytes>"):
     meta: dict[str, bytes] = {}
     nkeys, pos = _zigzag_decode(b, pos)
     while nkeys:
+        if nkeys < 0:
+            # Avro spec: a negative block count is followed by the
+            # block's byte size (a long) before the |count| entries —
+            # read and discard it so spec-valid third-party OCFs parse.
+            _blocksize, pos = _zigzag_decode(b, pos)
         for _ in range(abs(nkeys)):
             kl, pos = _zigzag_decode(b, pos)
             k = b[pos : pos + kl].decode()

@@ -1078,6 +1078,55 @@ def test_flac_sample_roundtrip_and_corruption():
     assert decode_flac_samples(None) is None
 
 
+def test_flac_rice_escape_fallback_roundtrip():
+    """The residual encoder must never emit Rice parameter 15 (that bit
+    pattern is the ESCAPE code): huge residuals fall back to raw 17-bit
+    escape coding, and moderate ones stay genuine Rice — both must
+    round-trip through the decoder bit-exactly."""
+    from sql_query_engine_spark.functions.multimodal import (
+        _flac_put_residuals,
+        _flac_read_residuals,
+        _FlacBits,
+    )
+
+    def encode(residuals):
+        out = bytearray()
+        state = {"acc": 0, "n": 0}
+
+        def put(value, length):
+            for i in range(length - 1, -1, -1):
+                state["acc"] = (state["acc"] << 1) | ((value >> i) & 1)
+                state["n"] += 1
+                if state["n"] == 8:
+                    out.append(state["acc"])
+                    state["acc"] = 0
+                    state["n"] = 0
+
+        _flac_put_residuals(put, residuals)
+        if state["n"]:
+            out.append(state["acc"] << (8 - state["n"]))
+        return bytes(out)
+
+    # zigzag magnitude > 15 * 2^14 forces the escape path (the p search
+    # would otherwise need the forbidden 15): |r| > 122880
+    huge = [300000, -300000, 0, 1, -1, 123, 250000]
+    buf = encode(huge)
+
+    def header_param(b):
+        # layout: method(2) | partition order(4) | param(4)
+        assert b[0] >> 6 == 0 and (b[0] >> 2) & 0xF == 0
+        return ((b[0] & 0x3) << 2) | (b[1] >> 6)
+
+    assert header_param(buf) == 0b1111  # escape code emitted
+    got = _flac_read_residuals(_FlacBits(buf, 0), len(huge), 0)
+    assert got == huge
+
+    moderate = [100, -99, 0, 5, -5, 31]
+    buf2 = encode(moderate)
+    assert header_param(buf2) != 0b1111  # real Rice, not escape
+    assert _flac_read_residuals(_FlacBits(buf2, 0), len(moderate), 0) == moderate
+
+
 def test_dup_ngrams_flags_planted_repetition(spark):
     """A doc that is one phrase looped must score dup fractions ~1; a doc
     of all-distinct trigrams must score exactly 0."""

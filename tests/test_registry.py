@@ -47,6 +47,26 @@ def test_all_queries_run_and_columns_match_oracle_names(spark):
                 )
 
 
+def test_no_complex_typed_output_columns(spark):
+    """No oracle-checked query may emit an array/map/struct column: the
+    driver's pandas canonicalizer sort_values/hashes scalar cells and
+    raises `unhashable type: 'list'` on complex ones (the single red row
+    in CORRECTNESS_r05 was exactly this). Serialize to a delimited
+    string instead (see pipeline_next_event_dataset)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    qs, os_ = queries(), oracle_sql()
+    for name, fn in qs.items():
+        if name not in os_:
+            continue  # rows-only queries never reach the value hasher
+        schema = fn(spark, SF_DIR).schema
+        for f in schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}: column {f.name!r} is {f.dataType.simpleString()} — "
+                "driver canonicalizer cannot hash complex types"
+            )
+
+
 def test_catalog_enforces_session_semantics(spark):
     """The engine must survive a session it didn't build: if the caller's
     conf lacks nanosAsLong (events unreadable) or uses a non-UTC zone

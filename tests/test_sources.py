@@ -640,6 +640,50 @@ def test_avro_roundtrip_and_corruption(spark, tmp_path):
     assert back == sorted(rows)
 
 
+def test_avro_negative_metadata_block_count():
+    """Spec-valid third-party OCFs may write the file-metadata map with a
+    NEGATIVE block count followed by the block's byte size (Avro 1.11
+    spec, 'Data Serialization': complex-type blocks); the decoder must
+    read and discard that size long instead of misparsing it as the
+    first key length."""
+    from sql_query_engine_spark.sources.avro import (
+        _zigzag_encode,
+        decode_avro_bytes,
+        write_avro_bytes,
+    )
+
+    fields = [("k", "long"), ("s", "string")]
+    rows = [(1, "a"), (2, "b")]
+    data = write_avro_bytes("t", fields, rows)
+
+    # rewrite the metadata map header: positive count N → (-N, bytesize)
+    pos = 4
+    body = data[pos:]
+    # our writer emits count=2 (one block of two entries) first
+    assert body[0] == _zigzag_encode(2)[0]
+    entries_start = 1
+    # find where the two entries end: walk two (klen,k,vlen,v) pairs
+    from sql_query_engine_spark.sources.avro import _zigzag_decode
+
+    p = entries_start
+    for _ in range(2):
+        kl, p = _zigzag_decode(body, p)
+        p += kl
+        vl, p = _zigzag_decode(body, p)
+        p += vl
+    entries = body[entries_start:p]
+    rest = body[p:]
+    rebuilt = (
+        data[:4]
+        + _zigzag_encode(-2)
+        + _zigzag_encode(len(entries))
+        + entries
+        + rest
+    )
+    got_fields, got_rows = decode_avro_bytes(rebuilt)
+    assert got_fields == fields and got_rows == rows
+
+
 def struct_eq(a: float, b: float) -> bool:
     import struct as _s
 
