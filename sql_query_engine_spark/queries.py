@@ -9175,6 +9175,65 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
+    "pipeline_next_event_dataset",
+    "stream_attribution",
+    "emb_label_centroids",
+    "tpch_q12_late_priority",
+    "pipeline_incremental_rollup",
+    "catalog_key_skew_profile",
+    "stream_interval_join",
+    "tpch_q19_disjunctive_revenue",
+    "stream_daily_ohlc",
+    "stream_gapfill_locf",
+    "text_feature_hashing",
+    "agg_heavy_hitters",
+    "stream_interval_coalesce",
+    "window_running_distinct",
+    "tpch_q18_large_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "emb_random_projection",
+    "join_interval_overlap",
+    "sim_hamming_topk",
+    "tpch_q16_supplier_part_counts",
+    "mm_png_metadata",
+    "stream_sliding_distinct",
+    "tpch_q21_suppliers_kept_waiting",
+    "join_asof_forward",
+    "join_spatial_grid",
+    "scalar_hilbert_key",
+    "pipeline_temperature_mixture",
+    "mm_jpeg_progressive_stats",
+    "mm_flac_stereo_stats",
+    "emb_knn_label_transfer",
+    "emb_standardize",
+    "mm_gif_pixel_stats",
+    "mm_pixel_stats",
+    "pipeline_semantic_decontaminate",
+    "mm_image_ahash",
+    "mm_jpeg_420_stats",
+    "dedup_winnowing",
+    "join_nearest_event",
+    "text_lm_score",
+    "agg_robust_outliers",
+    "mm_jpeg_color_stats",
+    "dedup_embedding_clusters",
+    "graph_triangle_count",
+    "dedup_containment",
+    "pipeline_classifier_train",
+    "text_cdc_chunks",
+    "mm_jpeg_progressive_color_stats",
+    "text_bm25_topk",
+    "src_avro_scan",
+    "tpch_q2_min_cost_supplier",
+    "sim_lsh_multiprobe_topk",
+    "pipeline_dedup_rate_by_source",
+    "sim_mmr_rerank",
+    "join_bloom_semijoin",
+    "pipeline_cluster_safe_split",
+    "pipeline_dedup_keeper",
+    "mm_gif_frame_sample",
+    "pipeline_source_authority",
     "agg_exact_moments",
     "join_asof_nearest",
     "mm_wav_stereo_stats",
@@ -9198,7 +9257,6 @@ _GATE_PRIORITY = [
     "tpch_q15_top_supplier",
     "mm_decode_filter",
     "catalog_table_diff",
-    "pipeline_next_event_dataset",
     "sql_lateral_topn",
     "stream_retention_cohorts",
     "tpch_q17_small_qty_revenue",
@@ -9210,64 +9268,6 @@ _GATE_PRIORITY = [
     "stream_session_native",
     "sample_stratified",
     "agg_mode_and_argmax",
-    "window_running_distinct",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q12_late_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "join_interval_overlap",
-    "stream_interval_join",
-    "tpch_q18_large_volume",
-    "pipeline_incremental_rollup",
-    "stream_sliding_distinct",
-    "sim_hamming_topk",
-    "stream_gapfill_locf",
-    "emb_random_projection",
-    "catalog_key_skew_profile",
-    "stream_interval_coalesce",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_revenue",
-    "pipeline_semantic_decontaminate",
-    "emb_label_centroids",
-    "stream_daily_ohlc",
-    "tpch_q21_suppliers_kept_waiting",
-    "text_cdc_chunks",
-    "mm_png_metadata",
-    "join_asof_forward",
-    "pipeline_temperature_mixture",
-    "emb_knn_label_transfer",
-    "text_feature_hashing",
-    "emb_standardize",
-    "scalar_hilbert_key",
-    "mm_flac_stereo_stats",
-    "stream_attribution",
-    "join_nearest_event",
-    "mm_jpeg_progressive_stats",
-    "mm_pixel_stats",
-    "mm_gif_pixel_stats",
-    "mm_image_ahash",
-    "dedup_winnowing",
-    "agg_robust_outliers",
-    "text_lm_score",
-    "graph_triangle_count",
-    "pipeline_classifier_train",
-    "mm_jpeg_color_stats",
-    "dedup_containment",
-    "dedup_embedding_clusters",
-    "mm_jpeg_progressive_color_stats",
-    "text_bm25_topk",
-    "join_spatial_grid",
-    "src_avro_scan",
-    "sim_lsh_multiprobe_topk",
-    "pipeline_dedup_keeper",
-    "agg_heavy_hitters",
-    "pipeline_dedup_rate_by_source",
-    "sim_mmr_rerank",
-    "join_bloom_semijoin",
-    "mm_jpeg_420_stats",
-    "pipeline_cluster_safe_split",
-    "mm_gif_frame_sample",
-    "pipeline_source_authority",
     "mm_jpeg_pixel_stats",
     "mm_flac_sample_stats",
     "dedup_substring_span",
