@@ -13,13 +13,13 @@ Two decode tiers, BOTH real and from-spec (no image/audio libraries):
 * **Pixel/sample decode** (the ``*_stats`` families): real from-spec
   decoders implemented in this module — PNG (stored-DEFLATE inflate +
   all five filter types), GIF (LZW, incl. animated frame sampling),
-  JPEG (T.81 baseline + grayscale progressive DC/AC spectral selection,
-  color 4:4:4 and 4:2:0, full Huffman + dequant + IDCT), WAV (PCM mono
-  + stereo), FLAC (all four subframe types incl. LPC, Rice + escape
-  residuals, all four stereo decorrelation modes, CRC-verified), MP4
-  (box walk + sample tables). Remaining boundaries are listed in
-  COVERAGE.md (progressive AC successive-approximation refinement,
-  real video codec pixels); corrupt payloads decode to NULL rows,
+  JPEG (T.81 baseline + progressive incl. AC successive-approximation
+  refinement scans, color 4:4:4 and 4:2:0, full Huffman + dequant +
+  IDCT), WAV (PCM mono + stereo), FLAC (all four subframe types incl.
+  LPC, Rice + escape residuals, all four stereo decorrelation modes,
+  CRC-verified), MP4 (box walk + sample tables). Remaining boundaries
+  are listed in COVERAGE.md (multi-component interleaved progressive
+  AC, real video codec pixels); corrupt payloads decode to NULL rows,
   never stage failures.
 
 Scale notes: binary payloads ride the scan; ``mapInPandas`` streams Arrow
@@ -2278,6 +2278,96 @@ def jpeg_chroma_level(doc_id: int, k: int, chan: int) -> int:
     return ((doc_id * 5 + k * 17) % 225) - 112
 
 
+_JPEG_AC_ZI = 20  # zigzag index of the planted AC coefficient: (u,v)=(5,0)
+_JPEG_AC_VALSET = (0, 1, -1, 2, 3)
+
+
+def jpeg_block_ac(doc_id: int, k: int) -> int:
+    """Planted AC coefficient (quantized units, zigzag ``_JPEG_AC_ZI``)
+    of block k: cycles 0 / 1 / -1 / 2 / 3 so a successive-approximation
+    AC pair of scans (first at Al=1, refinement at Ah=1) exercises every
+    refinement code path — EOB-only blocks, newly-nonzero ±1 insertions
+    behind a ZRL, and history-correction bits of both polarities. The
+    (5,0) basis at quantizer 16 rounds (half-even, no half-integer ties
+    for |coef| ≤ 3) to a ZERO-SUM 64-pixel pattern with every rounded
+    delta in [-8, 8], so block pixel SUMS — and therefore every existing
+    arithmetic oracle — are unchanged by the planted AC."""
+    return _JPEG_AC_VALSET[(doc_id + 2 * k) % 5]
+
+
+def _jpeg_encode_ac_first(bwr, ac_codes, items: dict, al: int) -> None:
+    """One block's AC first scan (band 1..63) at point transform Al:
+    run/size symbols with ZRL, one EOB when a zero tail remains.
+    ``items`` maps zigzag index -> full-precision coefficient; the AC
+    point transform truncates MAGNITUDE (T.81 §G.1.2.2)."""
+    r = 0
+    for idx in range(1, 64):
+        c = items.get(idx, 0)
+        t = abs(c) >> al
+        if t == 0:
+            r += 1
+            continue
+        if c < 0:
+            t = -t
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bwr.put(code, ln)
+            r -= 16
+        s = _jpeg_cat(t)
+        code, ln = ac_codes[(r << 4) | s]
+        bwr.put(code, ln)
+        amp = t if t >= 0 else t + (1 << s) - 1
+        bwr.put(amp, s)
+        r = 0
+    if r:
+        code, ln = ac_codes[0x00]
+        bwr.put(code, ln)
+
+
+def _jpeg_encode_ac_refine(bwr, ac_codes, items: dict, ah: int, al: int) -> None:
+    """One block's AC successive-approximation refinement scan (T.81
+    §G.1.2.3): a correction bit for every coefficient already nonzero at
+    precision Ah (buffered, flushed after the next symbol so stream
+    order matches the decoder's walk), run/size-1 symbols whose run
+    counts only zero-HISTORY positions for the newly nonzero, and one
+    EOB covering the tail."""
+    r = 0
+    buffered: list[int] = []
+
+    def flush() -> None:
+        for bit in buffered:
+            bwr.put(bit, 1)
+        buffered.clear()
+
+    for idx in range(1, 64):
+        c = items.get(idx, 0)
+        a = abs(c)
+        if a >> ah:              # nonzero history: one correction bit
+            buffered.append((a >> al) & 1)
+        elif (a >> al) == 1:     # newly nonzero at this precision
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bwr.put(code, ln)
+                r -= 16
+                flush()
+            code, ln = ac_codes[(r << 4) | 1]
+            bwr.put(code, ln)
+            bwr.put(1 if c > 0 else 0, 1)
+            flush()
+            r = 0
+        elif a >> al:
+            raise ValueError(
+                f"coefficient {c} at zigzag {idx} gains more than one "
+                "magnitude bit in a single refinement scan"
+            )
+        else:
+            r += 1
+    if r or buffered:
+        code, ln = ac_codes[0x00]
+        bwr.put(code, ln)
+        flush()
+
+
 def build_jpeg_color_pixels(doc_id: int) -> bytes:
     """A REAL baseline color JPEG: 3 components, 4:4:4 (all sampling
     0x11), luma quant/Huffman tables id 0 and chroma tables id 1,
@@ -2718,12 +2808,15 @@ def build_jpeg_420_pixels(doc_id: int) -> bytes:
 
 
 def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
-    """A REAL progressive (SOF2) grayscale JPEG: three genuine scans —
+    """A REAL progressive (SOF2) grayscale JPEG: four genuine scans —
     DC first pass at successive-approximation Al=1 (diff-coded
     arithmetic-shifted coefficients), a DC refinement scan (one raw bit
-    per block, no Huffman), and an AC spectral-selection scan Ss=1..63
-    (all-zero here, coded as per-block EOBs). Same block levels as the
-    baseline corpus, so the decoded image is identical."""
+    per block, no Huffman), an AC spectral-selection first scan
+    Ss=1..63 at Al=1, and an AC successive-approximation REFINEMENT
+    scan (Ah=1, Al=0) carrying correction bits and the newly-nonzero
+    ±1 coefficients. Blocks carry the baseline corpus's DC levels plus
+    a planted zero-pixel-sum AC coefficient (see jpeg_block_ac), so
+    decoded pixel sums are identical to baseline."""
     w, h = jpeg_dims(doc_id)
     bw, bh = w // 8, h // 8
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -2749,11 +2842,13 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     b2 = _JpegBitWriter()
     for k in range(bw * bh):
         b2.put(jpeg_block_level(doc_id, k) & 1, 1)
-    # scan 3: AC first, Ss=1 Se=63 — every block all-zero: one EOB each
+    # scan 3: AC first at Al=1; scan 4: AC refinement (Ah=1, Al=0)
     b3 = _JpegBitWriter()
-    code, ln = ac_codes[0x00]
-    for _ in range(bw * bh):
-        b3.put(code, ln)
+    b4 = _JpegBitWriter()
+    for k in range(bw * bh):
+        items = {_JPEG_AC_ZI: jpeg_block_ac(doc_id, k)}
+        _jpeg_encode_ac_first(b3, ac_codes, items, 1)
+        _jpeg_encode_ac_refine(b4, ac_codes, items, 1, 0)
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
     sof = seg(
@@ -2768,25 +2863,97 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     )
     sos1 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, (0 << 4) | 1]))
     sos2 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, (1 << 4) | 0]))
-    sos3 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, 0]))
+    sos3 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, (0 << 4) | 1]))
+    sos4 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, (1 << 4) | 0]))
     return (
         b"\xff\xd8" + dqt + sof + dht
         + sos1 + b1.flush() + sos2 + b2.flush() + sos3 + b3.flush()
+        + sos4 + b4.flush()
         + b"\xff\xd9"
     )
+
+
+def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al) -> bool:
+    """AC successive-approximation refinement scan (T.81 §G.1.2.3,
+    figure G.7 control flow): for every coefficient in the band whose
+    history is already nonzero, one correction bit refines its magnitude
+    by 1<<Al; newly-nonzero coefficients arrive as run/size symbols with
+    size 1 whose run length counts only zero-HISTORY positions; EOB runs
+    still carry correction bits for the nonzero-history tail of every
+    block they cover. Mutates ``cc`` (blocks × 64 zigzag coefficients)
+    in place; returns False on a corrupt stream."""
+    p1 = 1 << al
+    m1 = -p1
+    eobrun = 0
+    for k in range(nblocks):
+        idx = ss
+        if eobrun == 0:
+            while idx <= se:
+                rs = _huff_decode(reader, act)
+                if rs is None:
+                    return False
+                r, sz = rs >> 4, rs & 0x0F
+                val = 0
+                if sz == 0:
+                    if r != 15:  # EOB run (includes this block's tail)
+                        extra = reader.bits(r) if r else 0
+                        if extra is None:
+                            return False
+                        eobrun = (1 << r) + extra
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if sz != 1:
+                        return False  # refinement sizes are always 1
+                    sign = reader.bits(1)
+                    if sign is None:
+                        return False
+                    val = p1 if sign else m1
+                # advance over r zero-history positions, emitting a
+                # correction to every nonzero-history coefficient passed
+                while idx <= se:
+                    coef = int(cc[k, idx])
+                    if coef != 0:
+                        bit = reader.bits(1)
+                        if bit is None:
+                            return False
+                        if bit and (coef & p1) == 0:
+                            cc[k, idx] = coef + (p1 if coef > 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    idx += 1
+                if val:
+                    if idx > se:
+                        return False  # run overran the band
+                    cc[k, idx] = val
+                idx += 1
+        if eobrun:
+            # the EOB-covered remainder still refines nonzero history
+            while idx <= se:
+                coef = int(cc[k, idx])
+                if coef != 0:
+                    bit = reader.bits(1)
+                    if bit is None:
+                        return False
+                    if bit and (coef & p1) == 0:
+                        cc[k, idx] = coef + (p1 if coef > 0 else m1)
+                idx += 1
+            eobrun -= 1
+    return True
 
 
 def _decode_jpeg_progressive_coefs(payload: bytes):
     """Progressive (SOF2) decode core: multi-scan coefficient
     accumulation — interleaved DC first/refinement scans over all scan
     components, single-component AC spectral-selection first scans with
-    EOBRUN — then one dequantize + IDCT per block.
+    EOBRUN, and AC successive-approximation refinement scans (Ah>0,
+    T.81 §G.1.2.3) — then one dequantize + IDCT per block.
 
     Supports 1-component grayscale and 3-component 4:4:4 (all sampling
     0x11). Returns (w, h, [plane ndarray per component]) or None on
-    structural damage, subsampled progressive, or AC refinement scans
-    (Ah>0 on an AC band — the remaining progressive sliver), never
-    raising.
+    structural damage or subsampled progressive, never raising.
     """
     import numpy as np
 
@@ -2909,8 +3076,8 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                                 return None
                             coefs[cid][k, 0] |= bit << al
             else:  # AC band: single component only (T.81 G.1.1.1.1)
-                if ns != 1 or ah != 0:
-                    return None  # AC refinement: documented boundary
+                if ns != 1:
+                    return None
                 if not (1 <= ss <= se <= 63):
                     return None
                 cid, _, ac_id = scomps[0]
@@ -2919,32 +3086,38 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                     return None
                 cc = coefs[cid]
                 eobrun = 0
-                for k in range(nblocks):
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    idx = ss - 1
-                    while idx < se:
-                        rs = _huff_decode(reader, act)
-                        if rs is None:
-                            return None
-                        r, sz = rs >> 4, rs & 0x0F
-                        if sz == 0:
-                            if r == 15:  # ZRL
-                                idx += 16
-                                continue
-                            extra = reader.bits(r) if r else 0
-                            if extra is None:
+                if ah == 0:  # first scan for this band
+                    for k in range(nblocks):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        idx = ss - 1
+                        while idx < se:
+                            rs = _huff_decode(reader, act)
+                            if rs is None:
                                 return None
-                            eobrun = (1 << r) - 1 + extra
-                            break
-                        idx += r + 1
-                        if idx > se:
-                            return None
-                        amp = reader.bits(sz)
-                        if amp is None:
-                            return None
-                        cc[k, idx] = _extend(amp, sz) << al
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    idx += 16
+                                    continue
+                                extra = reader.bits(r) if r else 0
+                                if extra is None:
+                                    return None
+                                eobrun = (1 << r) - 1 + extra
+                                break
+                            idx += r + 1
+                            if idx > se:
+                                return None
+                            amp = reader.bits(sz)
+                            if amp is None:
+                                return None
+                            cc[k, idx] = _extend(amp, sz) << al
+                else:  # successive-approximation refinement (T.81 G.1.2.3)
+                    if not _jpeg_ac_refine_scan(
+                        reader, act, cc, nblocks, ss, se, al
+                    ):
+                        return None
             # advance past the entropy data to the next marker
             pos = reader.pos
             continue
@@ -2977,9 +3150,12 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
 def build_jpeg_progressive_color_pixels(doc_id: int) -> bytes:
     """A REAL progressive COLOR JPEG (SOF2, 4:4:4): an interleaved DC
     first scan at Al=1 over all three components, an interleaved DC
-    refinement scan, then three single-component AC spectral-selection
-    scans — the scan script real progressive encoders emit. Same
-    Y/Cb/Cr block levels as the baseline color corpus."""
+    refinement scan, single-component AC spectral-selection scans (Y at
+    Al=1, Cb/Cr complete at Al=0), and a final Y AC successive-
+    approximation refinement scan (Ah=1) — the scan script real
+    progressive encoders emit. Same Y/Cb/Cr block levels as the
+    baseline color corpus, plus a clip-guarded zero-pixel-sum AC plant
+    in Y (see jpeg_block_ac), so decoded RGB sums match baseline."""
     w, h = jpeg_dims(doc_id)
     bw, bh = w // 8, h // 8
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -3012,10 +3188,33 @@ def build_jpeg_progressive_color_pixels(doc_id: int) -> bytes:
     for k in range(bw * bh):
         for c in range(3):
             b2.put(level(c, k) & 1, 1)
-    # scans 3-5: per-component AC first — all zero: one EOB per block
+    # Y carries the planted AC (zero pixel-sum pattern, see
+    # jpeg_block_ac) wherever ±8 around the block's flat RGB cannot
+    # reach the clip rails — outside that guard the YCbCr→RGB transform
+    # would clip asymmetrically and the per-block sums would shift.
+    def y_ac(k: int) -> int:
+        y = level(0, k) + 128
+        cb = level(1, k)
+        cr = level(2, k)
+        r0 = y + ((_FIX_1_40200 * cr + 32768) >> 16)
+        g0 = y - ((_FIX_0_34414 * cb + _FIX_0_71414 * cr + 32768) >> 16)
+        b0 = y + ((_FIX_1_77200 * cb + 32768) >> 16)
+        if all(8 <= v <= 247 for v in (r0, g0, b0)):
+            return jpeg_block_ac(doc_id, k)
+        return 0
+
+    # scan 3: Y AC first at Al=1 (+ scan 6 refinement later); scans
+    # 4-5: Cb/Cr AC first at Al=0 — all zero: one EOB per block
     ac_scans = []
+    ac_refine_y = _JpegBitWriter()
+    by_ = _JpegBitWriter()
+    for k in range(bw * bh):
+        items = {_JPEG_AC_ZI: y_ac(k)}
+        _jpeg_encode_ac_first(by_, ac_codes, items, 1)
+        _jpeg_encode_ac_refine(ac_refine_y, ac_codes, items, 1, 0)
+    ac_scans.append(by_.flush())
     code, ln = ac_codes[0x00]
-    for _c in range(3):
+    for _c in range(2):
         bx = _JpegBitWriter()
         for _ in range(bw * bh):
             bx.put(code, ln)
@@ -3048,8 +3247,12 @@ def build_jpeg_progressive_color_pixels(doc_id: int) -> bytes:
     )
     out = b"\xff\xd8" + dqt + sof + dht + sos_dc1 + b1.flush() \
         + sos_dc2 + b2.flush()
-    for c in range(3):
+    # Y's AC first scan runs at Al=1; Cb/Cr complete in one Al=0 scan
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, (0 << 4) | 1])) + ac_scans[0]
+    for c in (1, 2):
         out += seg(0xDA, bytes([1, c + 1, 0x00, 1, 63, 0])) + ac_scans[c]
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, (1 << 4) | 0])) \
+        + ac_refine_y.flush()
     return out + b"\xff\xd9"
 
 

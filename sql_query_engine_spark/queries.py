@@ -8857,19 +8857,21 @@ SELECT doc_id, cast(bw*8 as int) AS width, cast(bh*8 as int) AS height,
        round((64*(slev + 128*nb)) / cast(bw*8*bh*8 as double), 6)
            AS mean_gray
 FROM s""",
-    "REAL PROGRESSIVE (SOF2) JPEG decode — the last named JPEG "
-    "boundary, now decoded for grayscale: each doc gets a genuine "
-    "three-scan progressive stream (DC first pass at successive-"
-    "approximation Al=1 with diff-coded arithmetic-shifted "
-    "coefficients, a DC refinement scan of raw bits ORed in at Al, and "
-    "an AC spectral-selection scan with run/size + EOBRUN semantics), "
-    "and the decoder accumulates coefficients across scans before one "
-    "dequantize+IDCT per block — true multi-scan progressive "
-    "semantics, not a baseline re-read. Same DC-only levels as the "
-    "baseline corpus, so the oracle is the identical integer "
-    "arithmetic; the decoder asserts progressive==baseline pixel "
-    "output in tests. AC refinement scans and multi-component "
-    "progressive reject cleanly (the remaining sliver). Map-only.",
+    "REAL PROGRESSIVE (SOF2) JPEG decode with the FULL successive-"
+    "approximation surface: each doc gets a genuine four-scan "
+    "progressive stream (DC first pass at Al=1 with diff-coded "
+    "arithmetic-shifted coefficients, a DC refinement scan of raw "
+    "bits ORed in at Al, an AC spectral-selection first scan at Al=1, "
+    "and an AC REFINEMENT scan — T.81 §G.1.2.3 correction bits, "
+    "zero-history run lengths, ZRL spans, EOB runs that still carry "
+    "correction bits), and the decoder accumulates coefficients across "
+    "scans before one dequantize+IDCT per block. Blocks carry the "
+    "baseline DC levels plus a planted AC coefficient whose rounded "
+    "64-pixel pattern sums to exactly zero (basis (5,0), |delta| <= 8, "
+    "no half-integer ties), so the arithmetic oracle is unchanged "
+    "while tests assert per-pixel equality including the AC pattern. "
+    "Multi-component interleaved progressive AC remains the documented "
+    "sliver. Map-only.",
 )
 def mm_jpeg_progressive_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -1674,11 +1674,13 @@ def test_next_event_dataset_golden(spark):
         " event_type string, value double, props string")
     with tempfile.TemporaryDirectory() as td:
         df.write.mode("overwrite").parquet(f"{td}/events.parquet")
-        got = {r.event_id: (list(r.history), r.label)
+        got = {r.event_id: (r.history, r.label)
                for r in q.pipeline_next_event_dataset(spark, td).collect()}
+    # history is emitted as a '|'-joined string (order-preserving) so the
+    # output schema stays scalar-only for tabular consumers
     assert got == {
-        4: (["a", "b", "c", "d"], "e"),
-        5: (["b", "c", "d", "e"], "f"),
+        4: ("a|b|c|d", "e"),
+        5: ("b|c|d|e", "f"),
     }
 
 
@@ -1960,29 +1962,64 @@ def test_jpeg_420_roundtrip_and_corruption():
 
 
 def test_jpeg_progressive_equals_baseline():
-    """Progressive (three-scan) and baseline streams of the same image
-    content decode to identical pixels; cross-path and damage reject."""
+    """Progressive (four-scan, incl. AC successive-approximation
+    refinement) and baseline streams of the same image content decode
+    to identical pixel SUMS (the planted AC pattern is zero-sum), and
+    the progressive planes match an independent per-pixel recomputation
+    that includes the AC — proving the refinement scan's coefficients
+    actually land. Cross-path and damage reject."""
+    import numpy as np
+
     from sql_query_engine_spark.functions.multimodal import (
+        _JPEG_AC_ZI,
+        _JPEG_QTABLE,
+        _ZIGZAG,
+        _decode_jpeg_progressive_coefs,
+        _idct_basis,
         build_jpeg_pixels,
         build_jpeg_progressive_pixels,
         decode_jpeg_pixels,
         decode_jpeg_progressive_pixels,
+        jpeg_block_ac,
+        jpeg_block_level,
     )
 
+    A = _idct_basis()
+    zr, zc = _ZIGZAG[_JPEG_AC_ZI]
+    q = _JPEG_QTABLE[_JPEG_AC_ZI]
+    saw_nonzero_ac = False
     for d in (0, 7, 42, 99, 250):
-        prog = decode_jpeg_progressive_pixels(build_jpeg_progressive_pixels(d))
+        g = build_jpeg_progressive_pixels(d)
+        prog = decode_jpeg_progressive_pixels(g)
         base = decode_jpeg_pixels(build_jpeg_pixels(d))
         assert prog == base and prog is not None
+
+        w, h, planes = _decode_jpeg_progressive_coefs(g)
+        bw = w // 8
+        exp = np.zeros((h, w))
+        coef = np.zeros((8, 8))
+        for k in range(bw * (h // 8)):
+            coef[:] = 0
+            coef[zr, zc] = jpeg_block_ac(d, k) * q
+            saw_nonzero_ac = saw_nonzero_ac or coef[zr, zc] != 0
+            pat = A.T @ coef @ A
+            blk = np.clip(np.round(jpeg_block_level(d, k) + pat) + 128,
+                          0, 255)
+            by, bx = divmod(k, bw)
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        assert np.array_equal(planes[0], exp)
+    assert saw_nonzero_ac  # the corpus genuinely exercises refinement
 
     g = build_jpeg_progressive_pixels(5)
     assert decode_jpeg_pixels(g) is None                 # SOF2 on baseline path
     assert decode_jpeg_progressive_pixels(build_jpeg_pixels(5)) is None
     assert decode_jpeg_progressive_pixels(g[:50]) is None
     assert decode_jpeg_progressive_pixels(None) is None
-    bad = bytearray(g)
-    bad[-8] ^= 0xFF
-    res = decode_jpeg_progressive_pixels(bytes(bad))
-    assert res is None or len(res) == 3
+    for flip in (-8, -12, -20, -30):  # incl. bytes inside the refine scan
+        bad = bytearray(g)
+        bad[flip] ^= 0xFF
+        res = decode_jpeg_progressive_pixels(bytes(bad))
+        assert res is None or len(res) == 3
 
 
 def test_jpeg_progressive_color_equals_baseline():
