@@ -71,6 +71,11 @@ __all__ = [
     "VIDEO_TIMESCALES",
     "video_params",
     "build_mp4",
+    "build_mjpeg_mp4_pixels",
+    "decode_mjpeg_mp4_pixels",
+    "synthesize_mjpeg_video",
+    "video_pixel_stats",
+    "video_frame_count",
     "decode_video_real",
     "synthesize_video",
     "decode_video",
@@ -678,6 +683,291 @@ def video_params(doc_id: int) -> tuple[int, int, int, int]:
     width = (doc_id * 11) % 1920 + 128
     height = (doc_id * 17) % 1080 + 128
     return timescale, duration_units, width, height
+
+
+VIDEO_FRAME_STRIDE = 12  # lcm of jpeg_dims' mod-6/mod-4 periods: same dims
+VIDEO_MJPEG_TIMESCALE = 25  # 25 fps → every frame is exactly 40 ms
+
+
+def video_frame_count(doc_id: int) -> int:
+    """Deterministic frames-per-video in [2, 5] — oracle-restatable."""
+    return doc_id % 4 + 2
+
+
+def build_mjpeg_mp4_pixels(doc_id: int) -> bytes:
+    """A REAL playable-layout MJPEG-in-MP4: ftyp + one mdat holding
+    ``video_frame_count`` complete baseline-JPEG frames + a moov whose
+    full sample-table chain (stsd 'jpeg' VisualSampleEntry, stts, stsc,
+    stsz, stco) addresses them — the classic Motion-JPEG layout
+    (ISO/IEC 14496-12 sample tables over ITU-T T.81 samples). Frame f
+    reuses the baseline builder at doc ``doc_id + 12*f``: stride 12 is
+    the period of jpeg_dims' modular grid, so every frame shares the
+    video's dimensions while block levels vary per frame — and the SQL
+    oracle restates every pixel with the same modular arithmetic."""
+    n = video_frame_count(doc_id)
+    w, h = jpeg_dims(doc_id)
+    frames = [build_jpeg_pixels(doc_id + VIDEO_FRAME_STRIDE * f)
+              for f in range(n)]
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mdat = _box(b"mdat", b"".join(frames))
+    first_off = len(ftyp) + 8  # absolute offset of frame 0 (one chunk)
+
+    entry = _box(
+        b"jpeg",
+        bytes(6)                       # reserved
+        + (1).to_bytes(2, "big")       # data_reference_index
+        + bytes(16)                    # pre_defined/reserved
+        + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+        + (0x480000).to_bytes(4, "big")  # 72 dpi horiz
+        + (0x480000).to_bytes(4, "big")  # 72 dpi vert
+        + bytes(4)                     # reserved
+        + (1).to_bytes(2, "big")       # frame_count per sample
+        + bytes(32)                    # compressorname
+        + (24).to_bytes(2, "big")      # depth
+        + (0xFFFF).to_bytes(2, "big"),  # pre_defined = -1
+    )
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
+    stts = _box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+                + n.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsc = _box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+                + (1).to_bytes(4, "big"))
+    stsz = _box(b"stsz", bytes(4) + bytes(4) + n.to_bytes(4, "big")
+                + b"".join(len(fr).to_bytes(4, "big") for fr in frames))
+    stco = _box(b"stco", bytes(4) + (1).to_bytes(4, "big")
+                + first_off.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # null media header + minimal data reference (self-contained)
+    dref = _box(b"dref", bytes(4) + (1).to_bytes(4, "big")
+                + _box(b"url ", b"\x00\x00\x00\x01"))
+    minf = _box(b"minf", _box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+                + _box(b"dinf", dref) + stbl)
+    mdhd = _box(
+        b"mdhd",
+        bytes(4) + bytes(8)
+        + VIDEO_MJPEG_TIMESCALE.to_bytes(4, "big")
+        + n.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")  # language 'und'
+        + bytes(2),
+    )
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12)
+                + b"MJPEG\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        bytes(1) + b"\x00\x00\x07" + bytes(8)
+        + (1).to_bytes(4, "big") + bytes(4)
+        + n.to_bytes(4, "big") + bytes(8) + bytes(8)
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+    )
+    mvhd = _box(
+        b"mvhd",
+        bytes(4) + bytes(8)
+        + VIDEO_MJPEG_TIMESCALE.to_bytes(4, "big")
+        + n.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + bytes(2 + 8)
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + bytes(24) + (2).to_bytes(4, "big"),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _mp4_sample_table(b: bytes):
+    """Walk ftyp→moov→trak(vide)→mdia→minf→stbl and return
+    (codec_fourcc, width, height, timescale, [(abs_offset, size)]) for
+    the video track's samples, or None on any structural defect. The
+    stsc sample-to-chunk mapping is applied in full generality (run-
+    length chunk groups), not just the one-chunk layout the builder
+    emits."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    stbl_span = None
+    timescale = None
+    for fourcc, s, e in _walk_boxes(b, 0, len(b)):
+        if fourcc != b"moov":
+            continue
+        for f2, s2, e2 in _walk_boxes(b, s, e):
+            if f2 != b"trak" or stbl_span is not None:
+                continue
+            for f3, s3, e3 in _walk_boxes(b, s2, e2):
+                if f3 != b"mdia":
+                    continue
+                is_video = False
+                ts = None
+                span = None
+                for f4, s4, e4 in _walk_boxes(b, s3, e3):
+                    if f4 == b"mdhd" and e4 - s4 >= 24 and b[s4] == 0:
+                        ts = int.from_bytes(b[s4 + 12 : s4 + 16], "big")
+                    elif f4 == b"hdlr" and e4 - s4 >= 12:
+                        is_video = b[s4 + 8 : s4 + 12] == b"vide"
+                    elif f4 == b"minf":
+                        for f5, s5, e5 in _walk_boxes(b, s4, e4):
+                            if f5 == b"stbl":
+                                span = (s5, e5)
+                if is_video and span and ts:
+                    stbl_span = span
+                    timescale = ts
+    if stbl_span is None:
+        return None
+    s, e = stbl_span
+    codec = width = height = None
+    sizes: list[int] | None = None
+    chunk_offsets: list[int] | None = None
+    stsc: list[tuple[int, int]] | None = None
+    for f, ps, pe in _walk_boxes(b, s, e):
+        body = b[ps:pe]
+        if f == b"stsd" and len(body) >= 16:
+            if int.from_bytes(body[4:8], "big") < 1:
+                return None
+            esize = int.from_bytes(body[8:12], "big")
+            if esize < 86 or 8 + esize > len(body):
+                return None
+            codec = body[12:16]
+            width = int.from_bytes(body[8 + 32 : 8 + 34], "big")
+            height = int.from_bytes(body[8 + 34 : 8 + 36], "big")
+        elif f == b"stsz" and len(body) >= 12:
+            fixed = int.from_bytes(body[4:8], "big")
+            n = int.from_bytes(body[8:12], "big")
+            if fixed:
+                sizes = [fixed] * n
+            else:
+                if len(body) < 12 + 4 * n:
+                    return None
+                sizes = [int.from_bytes(body[12 + 4 * i : 16 + 4 * i], "big")
+                         for i in range(n)]
+        elif f == b"stco" and len(body) >= 8:
+            n = int.from_bytes(body[4:8], "big")
+            if len(body) < 8 + 4 * n:
+                return None
+            chunk_offsets = [int.from_bytes(body[8 + 4 * i : 12 + 4 * i],
+                                            "big") for i in range(n)]
+        elif f == b"stsc" and len(body) >= 8:
+            n = int.from_bytes(body[4:8], "big")
+            if len(body) < 8 + 12 * n:
+                return None
+            stsc = [
+                (int.from_bytes(body[8 + 12 * i : 12 + 12 * i], "big"),
+                 int.from_bytes(body[12 + 12 * i : 16 + 12 * i], "big"))
+                for i in range(n)
+            ]
+    if not (codec and sizes and chunk_offsets and stsc and width):
+        return None
+    # expand stsc run-length groups into per-chunk sample counts
+    per_chunk: list[int] = []
+    for gi, (first, spc) in enumerate(stsc):
+        last = (stsc[gi + 1][0] - 1 if gi + 1 < len(stsc)
+                else len(chunk_offsets))
+        if first < 1 or last < first:
+            return None
+        per_chunk.extend([spc] * (last - first + 1))
+    if len(per_chunk) != len(chunk_offsets) or sum(per_chunk) != len(sizes):
+        return None
+    samples: list[tuple[int, int]] = []
+    si = 0
+    for ci, off in enumerate(chunk_offsets):
+        pos = off
+        for _ in range(per_chunk[ci]):
+            samples.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    return codec, width, height, timescale, samples
+
+
+def decode_mjpeg_mp4_pixels(payload: bytes):
+    """MJPEG-in-MP4 → (width, height, n_frames, duration_ms, sum_gray
+    over every pixel of every frame), or None. The sample table is the
+    real ISO/IEC 14496-12 chain; each addressed sample decodes through
+    the complete baseline-JPEG pixel path. Any structurally broken box,
+    non-'jpeg' codec, out-of-range sample, frame that fails JPEG
+    decode, or frame whose dimensions disagree with the stsd entry
+    rejects the whole document to NULL — never a stage failure."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    st = _mp4_sample_table(b)
+    if st is None:
+        return None
+    codec, w, h, timescale, samples = st
+    if codec != b"jpeg" or not samples or not timescale:
+        return None
+    total = 0
+    for off, size in samples:
+        if off < 0 or size < 4 or off + size > len(b):
+            return None
+        dec = decode_jpeg_pixels(b[off : off + size])
+        if dec is None or dec[0] != w or dec[1] != h:
+            return None
+        total += dec[2]
+    duration_ms = len(samples) * 1000.0 / timescale
+    return w, h, len(samples), duration_ms, total
+
+
+def synthesize_mjpeg_video(docs: DataFrame) -> DataFrame:
+    """One real MJPEG-in-MP4 per doc (Arrow mapInPandas, map-only)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_mjpeg_mp4_pixels(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def video_pixel_stats(with_media: DataFrame) -> DataFrame:
+    """payload → per-video frame/pixel stats through the full MP4
+    sample-table walk + per-frame baseline-JPEG decode. Map-only: the
+    Arrow batch is the only memory bound, every video decodes
+    independently, nothing is corpus-global — at 100 TB this is one
+    scan stage whose parallelism is the input partitioning."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_frames", IntegerType(), True),
+            StructField("duration_ms", DoubleType(), True),
+            StructField("mean_gray", DoubleType(), True),
+        ]
+    )
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_frames",
+                     "duration_ms", "mean_gray")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_mjpeg_mp4_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "n_frames",
+                              "duration_ms", "mean_gray"):
+                        rows[k].append(None)
+                else:
+                    w, h, n, dur, total = dec
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(n)
+                    rows["duration_ms"].append(dur)
+                    rows["mean_gray"].append(
+                        round(total / float(w * h * n), 6)
+                    )
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_frames"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, schema)
 
 
 def synthesize_video(docs: DataFrame) -> DataFrame:

@@ -8141,6 +8141,49 @@ def mm_png_metadata(spark, sf_dir):
     return multimodal.png_metadata(multimodal.synthesize_png_metadata(d))
 
 
+@_q(
+    "mm_video_pixel_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh,
+           doc_id%4+2 AS n
+    FROM documents),
+px AS (
+    SELECT doc_id, bw, bh, n,
+           (((doc_id + 12*tf.f)*3 + tk.k*5) % 225) - 112 AS lev
+    FROM d,
+         unnest(generate_series(0, n - 1)) AS tf(f),
+         unnest(generate_series(0, bw*bh - 1)) AS tk(k)),
+s AS (
+    SELECT doc_id, bw, bh, n, sum(lev) AS slev, count(*) AS nb
+    FROM px GROUP BY doc_id, bw, bh, n)
+SELECT doc_id, cast(bw*8 as int) AS width, cast(bh*8 as int) AS height,
+       cast(n as int) AS n_frames,
+       cast(n*40 as double) AS duration_ms,
+       round((64*(slev + 128*nb)) / cast(bw*8*bh*8*n as double), 6)
+           AS mean_gray
+FROM s""",
+    "REAL VIDEO PIXEL DECODE — the one modality that was still "
+    "header-only: each doc gets a playable-layout MJPEG-in-MP4 "
+    "(ISO/IEC 14496-12 ftyp + mdat of 2-5 complete baseline-JPEG "
+    "frames + the full sample-table chain: stsd 'jpeg' "
+    "VisualSampleEntry, stts, stsc run-length sample-to-chunk mapping, "
+    "stsz, stco), and the decoder walks moov->trak(vide)->mdia->minf->"
+    "stbl, resolves every sample's absolute byte range through the "
+    "general stsc expansion, and runs each frame through the complete "
+    "from-spec T.81 baseline JPEG pixel decoder — per-video "
+    "frame-count, 25fps duration, and pixel mean over all frames. "
+    "Frame f of doc d reuses the JPEG corpus at doc d+12f (the dims "
+    "grid's period), so the oracle restates every pixel with the same "
+    "modular arithmetic. Corrupt boxes, bad sample ranges, or frames "
+    "failing JPEG decode reject the doc to NULL, never a stage "
+    "failure. Map-only: the Arrow batch bounds memory; nothing is "
+    "corpus-global.",
+)
+def mm_video_pixel_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.video_pixel_stats(multimodal.synthesize_mjpeg_video(d))
+
+
 # ---- next-event-prediction training examples ----------------------------
 _NEX_HIST = 4  # bounded history length per example
 
@@ -9178,6 +9221,7 @@ _GATE_PRIORITY = [
     "ref_csv_scan",
     "ref_jsonl_scan",
     "pipeline_next_event_dataset",
+    "mm_video_pixel_stats",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

@@ -1078,6 +1078,47 @@ def test_flac_sample_roundtrip_and_corruption():
     assert decode_flac_samples(None) is None
 
 
+def test_mjpeg_mp4_pixel_roundtrip_and_corruption():
+    """MJPEG-in-MP4: the full ISO/IEC 14496-12 sample-table chain
+    (stsd/stts/stsc/stsz/stco) addresses 2-5 real baseline-JPEG frames
+    whose decoded pixel totals match the block-level formulas exactly;
+    structural damage, mdat corruption, truncation, and wrong-codec
+    entries reject to None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        VIDEO_FRAME_STRIDE,
+        build_mjpeg_mp4_pixels,
+        decode_mjpeg_mp4_pixels,
+        jpeg_block_level,
+        jpeg_dims,
+        video_frame_count,
+    )
+
+    for d in (0, 1, 2, 3, 7, 42, 99, 250):
+        got = decode_mjpeg_mp4_pixels(build_mjpeg_mp4_pixels(d))
+        w, h = jpeg_dims(d)
+        n = video_frame_count(d)
+        bw, bh = w // 8, h // 8
+        total = sum(
+            64 * (jpeg_block_level(d + VIDEO_FRAME_STRIDE * f, k) + 128)
+            for f in range(n)
+            for k in range(bw * bh)
+        )
+        assert got == (w, h, n, n * 40.0, total)
+
+    g = build_mjpeg_mp4_pixels(5)
+    assert decode_mjpeg_mp4_pixels(None) is None
+    assert decode_mjpeg_mp4_pixels(g[:60]) is None        # truncated
+    assert decode_mjpeg_mp4_pixels(b"XXXX" + g[4:]) is None  # no ftyp
+    bad = bytearray(g)
+    bad[32] ^= 0xFF  # first frame's SOI marker inside mdat
+    assert decode_mjpeg_mp4_pixels(bytes(bad)) is None
+    # rewrite the stsd codec fourcc: jpeg -> avc1 must reject
+    i = g.find(b"stsd")
+    j = g.find(b"jpeg", i)
+    wrong = g[:j] + b"avc1" + g[j + 4 :]
+    assert decode_mjpeg_mp4_pixels(wrong) is None
+
+
 def test_flac_rice_escape_fallback_roundtrip():
     """The residual encoder must never emit Rice parameter 15 (that bit
     pattern is the ESCAPE code): huge residuals fall back to raw 17-bit
