@@ -8114,6 +8114,103 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+# ---- PageRank over the customer-supplier purchase graph ------------------
+_PR_SCALE = 10**15  # integer rank scale: 85*SCALE = 8.5e16 << 2^63
+_PR_ITERS = 5
+_PR_TOPK = 20
+
+
+def _pr_iter_cte(i: int) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE (r{i} from
+    r{i-1}): contrib = sum over in-neighbors of rank // out-degree, new
+    rank = (15*SCALE)//(100*N) + (85*contrib)//100 — pure bigint floor
+    division, identical in both engines."""
+    return (
+        f"r{i} AS (SELECT s.node,"
+        f" (15*{_PR_SCALE})//(100*n.cnt) + (85*s.t)//100 AS rank"
+        f" FROM (SELECT e.b AS node, sum(r.rank // deg.d) AS t"
+        f" FROM e JOIN r{i - 1} r ON e.a = r.node"
+        f" JOIN deg ON deg.node = e.a"
+        f" GROUP BY e.b) s, n)"
+    )
+
+
+_PR_ITER_CTES = ",\n".join(_pr_iter_cte(i) for i in range(1, _PR_ITERS + 1))
+
+
+@_q(
+    "graph_pagerank",
+    f"""WITH e0 AS MATERIALIZED (
+    SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2 + 1 AS b
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS MATERIALIZED (
+    SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS MATERIALIZED (SELECT a AS node, count(*) AS d FROM e GROUP BY a),
+n AS (SELECT count(*) AS cnt FROM deg),
+r0 AS (SELECT node, {_PR_SCALE} // cnt AS rank FROM deg, n),
+{_PR_ITER_CTES}
+SELECT node, rank FROM r{_PR_ITERS} ORDER BY rank DESC, node
+LIMIT {_PR_TOPK}""",
+    "PageRank — the canonical iterative distributed graph algorithm — "
+    "over the bipartite customer-supplier purchase graph (distinct "
+    "(o_custkey, l_suppkey) pairs through the orders-lineitem join, "
+    "node ids disjointified by parity, edges symmetrized so no node "
+    "dangles). Five power iterations with damping 0.85, computed "
+    "ENTIRELY in scaled bigint floor arithmetic (rank//out-degree "
+    "contributions, (15*S)//(100*N) teleport, (85*t)//100 damp) so "
+    "both engines produce bit-identical ranks — the documented "
+    "deviation from float PageRank is the floor at each step. Scale "
+    "shape: edges are materialized ONCE (localCheckpoint) and reused "
+    "every iteration; each iteration is one edges-by-source shuffle "
+    "join against the node-sized rank table plus one groupBy-sum — the "
+    "classic Pregel/GraphX plan re-expressed in DataFrames; rank "
+    "lineage is checkpoint-truncated per round (the classifier-train "
+    "lesson: un-truncated iterative lineage multiplies the plan per "
+    "round). Top-20 by (rank, node) keeps the output bounded.",
+)
+def graph_pagerank(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = (
+        e.groupBy("a").agg(F.count("*").alias("d"))
+        .withColumnRenamed("a", "node")
+    )
+    n = deg.count()  # one scalar job; the graph's node count
+    base = _PR_SCALE // n
+    teleport = (15 * _PR_SCALE) // (100 * n)
+    ed = (
+        e.join(deg, e.a == deg.node)
+        .select("a", "b", "d")
+        .localCheckpoint()  # edges materialize once, reused per round
+    )
+    r = deg.select("node", F.lit(base).alias("rank")).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(r, ed.a == r.node)
+            .select(F.col("b").alias("node"), F.expr("rank div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("t"))
+        )
+        r = contrib.select(
+            "node",
+            (F.lit(teleport) + F.expr("(85 * t) div 100")).alias("rank"),
+        ).localCheckpoint()
+    return r.orderBy(F.desc("rank"), "node").limit(_PR_TOPK).select(
+        "node", "rank"
+    )
+
+
 @_q(
     "mm_png_metadata",
     """SELECT doc_id,
@@ -8835,6 +8932,52 @@ def src_tbl_scan(spark, sf_dir):
 
 
 @_q(
+    "src_fixed_width_scan",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+       WHERE s_nationkey <= 12""",
+    "fixed-width (mainframe/COBOL copybook) scan as a checked query: "
+    "supplier is written in a 4-field fixed-width layout (numerics "
+    "right-aligned, strings left-aligned, overflow raises — silent "
+    "truncation is how fixed-width files corrupt) and scanned back via "
+    "sources/legacy.read_fixed_width: one spark.read.text scan plus "
+    "substring/trim/cast per column, ALL whole-stage-codegen JVM "
+    "expressions — no Python in the row path, distributing like any "
+    "text source. Oracle = the same filter on the parquet source, so a "
+    "hash match proves the layout round-trip lossless — doubles travel "
+    "as shortest-repr text, which parses back to the identical IEEE "
+    "value. Extends the source-format surface (CSV S1, JSONL S2, .tbl, "
+    "Avro) with the one enterprise format none of them cover.",
+)
+def src_fixed_width_scan(spark, sf_dir):
+    import os
+
+    from .sources import legacy
+
+    out = _legacy_fixture_dir(sf_dir, "supplier_fw")
+    os.makedirs(out, exist_ok=True)
+    layout = [
+        ("s_suppkey", 1, 10, "int"),
+        ("s_name", 11, 25, "string"),
+        ("s_nationkey", 36, 4, "int"),
+        # double: shortest-repr text round-trips the exact IEEE value
+        ("s_acctbal", 40, 22, "double"),
+    ]
+    s = _t(spark, sf_dir, "supplier")
+    rows = [
+        (r.s_suppkey, r.s_name, r.s_nationkey, r.s_acctbal)
+        for r in s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+        .collect()  # supplier: 100/sf0.01 rows — fixture write only
+    ]
+    path = os.path.join(out, "SUPPLIER.fw")
+    legacy.write_fixed_width(rows, layout, path)
+    back = legacy.read_fixed_width(spark, path, "SUPPLIER", layout)
+    return back.filter(F.col("s_nationkey") <= 12).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@_q(
     "mm_jpeg_420_stats",
     """WITH d AS (
     SELECT doc_id, ((doc_id*7)%3+1)*16 AS w, ((doc_id*13)%2+1)*16 AS h
@@ -9222,6 +9365,7 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "pipeline_next_event_dataset",
     "mm_video_pixel_stats",
+    "src_fixed_width_scan",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",
@@ -9246,6 +9390,7 @@ _GATE_PRIORITY = [
     "stream_sliding_distinct",
     "tpch_q21_suppliers_kept_waiting",
     "join_asof_forward",
+    "graph_pagerank",
     "join_spatial_grid",
     "scalar_hilbert_key",
     "pipeline_temperature_mixture",

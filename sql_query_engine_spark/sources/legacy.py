@@ -24,10 +24,12 @@ strips the ``Rel.`` prefix and qualifies via alias instead.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DecimalType,
     DoubleType,
     LongType,
     StringType,
@@ -40,6 +42,8 @@ __all__ = [
     "load_dd",
     "read_qualified_csv",
     "read_tbl",
+    "read_fixed_width",
+    "write_fixed_width",
     "write_qualified_csv",
     "read_tagged_jsonl",
     "write_tagged_jsonl",
@@ -73,10 +77,17 @@ def dd_to_schema(dd_rel: dict[str, str], qualified_prefix: str | None = None) ->
     fields = []
     for attr, typename in dd_rel.items():
         name = f"{qualified_prefix}.{attr}" if qualified_prefix else attr
-        try:
-            dtype = _DD_TYPES[typename.lower()]
-        except KeyError:
-            raise ValueError(f"unknown dd type {typename!r} for attribute {attr!r}")
+        t = typename.lower().strip()
+        m = re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", t)
+        if m:
+            dtype = DecimalType(int(m.group(1)), int(m.group(2)))
+        else:
+            try:
+                dtype = _DD_TYPES[t]
+            except KeyError:
+                raise ValueError(
+                    f"unknown dd type {typename!r} for attribute {attr!r}"
+                )
         fields.append(StructField(name, dtype, nullable=True))
     return StructType(fields)
 
@@ -120,6 +131,51 @@ def read_tbl(
     """
     schema = dd_to_schema(dd_rel)
     return spark.read.csv(path, sep="|", header=False, schema=schema).alias(relation)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    relation: str,
+    layout: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Read a fixed-width (mainframe/COBOL copybook style) text file.
+
+    ``layout`` is [(column, 1-based start, width, dd_type)]. The parse is
+    pure JVM expression work — one ``spark.read.text`` scan, then
+    substring + trim + cast per column, all inside whole-stage codegen:
+    no Python in the row path, and the scan distributes like any text
+    source. Numeric fields are right-aligned space-padded, strings
+    left-aligned — both trim to the same value. A capability the
+    reference lacks entirely (its only inputs are CSV/JSONL conversions
+    of dbgen .tbl, utils/tbl_to_csv.py:6)."""
+    schema = dd_to_schema({name: t for name, _, _, t in layout})
+    raw = spark.read.text(path)
+    cols = [
+        F.expr(f"cast(trim(substring(value, {start}, {width})) as "
+               f"{schema[name].dataType.simpleString()})").alias(name)
+        for name, start, width, _ in layout
+    ]
+    return raw.select(*cols).alias(relation)
+
+
+def write_fixed_width(rows, layout, path: str) -> None:
+    """Write rows (sequences ordered like ``layout``) as fixed-width
+    text: numerics right-aligned, strings left-aligned, space-padded.
+    Raises if any value overflows its field — silent truncation is how
+    fixed-width files corrupt."""
+    with open(path, "w") as f:
+        for r in rows:
+            parts = []
+            for (name, _start, width, t), v in zip(layout, r):
+                s = str(v)
+                if len(s) > width:
+                    raise ValueError(
+                        f"{name}: value {s!r} wider than field ({width})"
+                    )
+                parts.append(s.ljust(width) if t == "string"
+                             else s.rjust(width))
+            f.write("".join(parts) + "\n")
 
 
 def write_qualified_csv(df: DataFrame, path: str, relation: str) -> None:

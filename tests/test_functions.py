@@ -1078,6 +1078,41 @@ def test_flac_sample_roundtrip_and_corruption():
     assert decode_flac_samples(None) is None
 
 
+def test_pagerank_golden(spark):
+    """Integer-arithmetic PageRank on a 4-node planted graph matches a
+    pure-Python power iteration with the identical floor formulas."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1)], "l_orderkey long, l_suppkey long")
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.mode("overwrite").parquet(f"{td}/orders.parquet")
+        li.write.mode("overwrite").parquet(f"{td}/lineitem.parquet")
+        got = {r.node: r.rank for r in q.graph_pagerank(spark, td).collect()}
+
+    # same graph in pure Python: c1=2, c2=4, s1=3, s2=5 (parity ids)
+    edges = [(2, 3), (2, 5), (4, 3)]
+    und = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    scale, tele = q._PR_SCALE, (15 * q._PR_SCALE) // (100 * len(deg))
+    rank = {v: scale // n for v in deg}
+    for _ in range(q._PR_ITERS):
+        t = {v: 0 for v in deg}
+        for a, b in und:
+            t[b] += rank[a] // deg[a]
+        rank = {v: tele + (85 * t[v]) // 100 for v in deg}
+    assert got == rank
+
+
 def test_mjpeg_mp4_pixel_roundtrip_and_corruption():
     """MJPEG-in-MP4: the full ISO/IEC 14496-12 sample-table chain
     (stsd/stts/stsc/stsz/stco) addresses 2-5 real baseline-JPEG frames

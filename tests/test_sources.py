@@ -640,6 +640,33 @@ def test_avro_roundtrip_and_corruption(spark, tmp_path):
     assert back == sorted(rows)
 
 
+def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
+    """Fixed-width write→read preserves ints, strings (trailing-space
+    stripped), and doubles via shortest repr; an overflowing value
+    raises instead of silently truncating."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.legacy import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    layout = [("k", 1, 6, "int"), ("s", 7, 10, "string"),
+              ("x", 17, 22, "double")]
+    rows = [(1, "alpha", 1.5), (22, "beta gamma", -0.0),
+            (333, "z", 4032.6799999999998)]
+    path = str(tmp_path / "t.fw")
+    write_fixed_width(rows, layout, path)
+    got = sorted(map(tuple, read_fixed_width(spark, path, "T",
+                                             layout).collect()))
+    assert got == sorted(rows)
+    assert struct_eq(got[1][2], -0.0)  # the (22, 'beta gamma') row
+
+    with _pytest.raises(ValueError):
+        write_fixed_width([(1, "way too long for field", 0.0)], layout,
+                          str(tmp_path / "bad.fw"))
+
+
 def test_avro_negative_metadata_block_count():
     """Spec-valid third-party OCFs may write the file-metadata map with a
     NEGATIVE block count followed by the block's byte size (Avro 1.11
