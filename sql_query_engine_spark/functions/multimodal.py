@@ -17,10 +17,9 @@ Two decode tiers, BOTH real and from-spec (no image/audio libraries):
   refinement scans, color 4:4:4 and 4:2:0, full Huffman + dequant +
   IDCT), WAV (PCM mono + stereo), FLAC (all four subframe types incl.
   LPC, Rice + escape residuals, all four stereo decorrelation modes,
-  CRC-verified), MP4 (box walk + sample tables). Remaining boundaries
-  are listed in COVERAGE.md (multi-component interleaved progressive
-  AC, real video codec pixels); corrupt payloads decode to NULL rows,
-  never stage failures.
+  CRC-verified), MP4 (box walk + sample tables). The JPEG surface is complete (baseline/progressive ×
+  gray/4:4:4/4:2:0, AC refinement); video decodes real MJPEG-in-MP4
+  pixels; corrupt payloads decode to NULL rows, never stage failures.
 
 Scale notes: binary payloads ride the scan; ``mapInPandas`` streams Arrow
 batches so executor memory is bounded by batch size × payload size — set
@@ -3097,6 +3096,141 @@ def build_jpeg_420_pixels(doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
+    """A REAL progressive (SOF2) 4:2:0 COLOR JPEG — the subsampled
+    progressive combination: interleaved DC first scan at Al=1 walking
+    16x16 MCUs (four raster-ordered Y blocks + Cb + Cr each), an
+    interleaved DC refinement scan in the same MCU order, then
+    NON-interleaved AC scans over each component's own block raster
+    (T.81 G.1.1.1.1: progressive AC scans are always single-component)
+    — Y at Al=1 with a final Ah=1 AC refinement scan, Cb/Cr complete at
+    Al=0. Same levels as the baseline 4:2:0 corpus plus a clip-guarded
+    zero-pixel-sum planted AC in Y."""
+    w, h = jpeg420_dims(doc_id)
+    mcx, mcy = w // 16, h // 16
+    bw_l, bh_l = w // 8, h // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def level(c: int, k: int) -> int:
+        return (jpeg_block_level(doc_id, k) if c == 0
+                else jpeg_chroma_level(doc_id, k, c - 1))
+
+    def y_ac(k: int) -> int:
+        # clip guard: the Y block's flat RGB (chroma at MCU granularity)
+        # must sit >= 8 away from both rails for the ±8 AC pattern
+        m = (k // bw_l // 2) * mcx + (k % bw_l) // 2
+        y = level(0, k) + 128
+        cb = level(1, m)
+        cr = level(2, m)
+        r0 = y + ((_FIX_1_40200 * cr + 32768) >> 16)
+        g0 = y - ((_FIX_0_34414 * cb + _FIX_0_71414 * cr + 32768) >> 16)
+        b0 = y + ((_FIX_1_77200 * cb + 32768) >> 16)
+        if all(8 <= v <= 247 for v in (r0, g0, b0)):
+            return jpeg_block_ac(doc_id, k)
+        return 0
+
+    def put_dc(bwr, preds, c, v):
+        diff = v - preds[c]
+        preds[c] = v
+        s = _jpeg_cat(diff)
+        code, ln = dc_codes[s]
+        bwr.put(code, ln)
+        if s:
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            bwr.put(amp, s)
+
+    # scans 1+2: DC first (Al=1) and DC refinement, interleaved MCUs
+    b1 = _JpegBitWriter()
+    b2 = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcy):
+        for mx in range(mcx):
+            m = my * mcx + mx
+            for byy in range(2):
+                for bxx in range(2):
+                    k = (my * 2 + byy) * bw_l + (mx * 2 + bxx)
+                    put_dc(b1, preds, 0, level(0, k) >> 1)
+                    b2.put(level(0, k) & 1, 1)
+            put_dc(b1, preds, 1, level(1, m) >> 1)
+            b2.put(level(1, m) & 1, 1)
+            put_dc(b1, preds, 2, level(2, m) >> 1)
+            b2.put(level(2, m) & 1, 1)
+    # scan 3 + refinement scan 6: Y AC over the luma raster
+    b3 = _JpegBitWriter()
+    b6 = _JpegBitWriter()
+    for k in range(bw_l * bh_l):
+        items = {_JPEG_AC_ZI: y_ac(k)}
+        _jpeg_encode_ac_first(b3, ac_codes, items, 1)
+        _jpeg_encode_ac_refine(b6, ac_codes, items, 1, 0)
+    # scans 4+5: Cb/Cr AC over the quarter-res raster — all zero
+    code, ln = ac_codes[0x00]
+    b4 = _JpegBitWriter()
+    b5 = _JpegBitWriter()
+    for _ in range(mcx * mcy):
+        b4.put(code, ln)
+        b5.put(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes(_JPEG_QTABLE)
+        + bytes([0x01]) + bytes(_JPEG_QTABLE),
+    )
+    sof = seg(
+        0xC2,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos_dc1 = seg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00])
+        + bytes([0, 0, (0 << 4) | 1]),
+    )
+    sos_dc2 = seg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00])
+        + bytes([0, 0, (1 << 4) | 0]),
+    )
+    out = (b"\xff\xd8" + dqt + sof + dht
+           + sos_dc1 + b1.flush() + sos_dc2 + b2.flush())
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, (0 << 4) | 1])) + b3.flush()
+    out += seg(0xDA, bytes([1, 2, 0x00, 1, 63, 0])) + b4.flush()
+    out += seg(0xDA, bytes([1, 3, 0x00, 1, 63, 0])) + b5.flush()
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, (1 << 4) | 0])) + b6.flush()
+    return out + b"\xff\xd9"
+
+
+def decode_jpeg_progressive_420_pixels(payload: bytes):
+    """4:2:0 progressive decode → (width, height, sum_r, sum_g, sum_b)
+    through the multi-scan coefficient accumulator (MCU-ordered
+    interleaved DC scans over the sampling grid, per-component AC
+    scans), nearest-neighbor chroma upsample, and the fixed-point
+    YCbCr→RGB — or None."""
+    import numpy as np
+
+    dec = _decode_jpeg_progressive_coefs(payload)
+    if dec is None or len(dec[2]) != 3:
+        return None
+    w, h, (y, cb, cr) = dec
+    yi = y.astype(np.int64)
+    cbi = cb.astype(np.int64) - 128
+    cri = cr.astype(np.int64) - 128
+    r = np.clip(yi + ((_FIX_1_40200 * cri + 32768) >> 16), 0, 255)
+    g = np.clip(
+        yi - ((_FIX_0_34414 * cbi + _FIX_0_71414 * cri + 32768) >> 16), 0, 255
+    )
+    bch = np.clip(yi + ((_FIX_1_77200 * cbi + 32768) >> 16), 0, 255)
+    return w, h, int(r.sum()), int(g.sum()), int(bch.sum())
+
+
 def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     """A REAL progressive (SOF2) grayscale JPEG: four genuine scans —
     DC first pass at successive-approximation Al=1 (diff-coded
@@ -3241,9 +3375,12 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
     EOBRUN, and AC successive-approximation refinement scans (Ah>0,
     T.81 §G.1.2.3) — then one dequantize + IDCT per block.
 
-    Supports 1-component grayscale and 3-component 4:4:4 (all sampling
-    0x11). Returns (w, h, [plane ndarray per component]) or None on
-    structural damage or subsampled progressive, never raising.
+    Supports 1-component grayscale, 3-component 4:4:4, and the 4:2:0
+    sampling grid (luma 2x2, chromas 1x1 — interleaved DC scans walk
+    MCUs over mixed-resolution component grids, AC scans walk each
+    component's own raster). Returns (w, h, [plane ndarray per
+    component, subsampled planes upsampled by replication]) or None on
+    structural damage or unsupported grids, never raising.
     """
     import numpy as np
 
@@ -3254,10 +3391,12 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
     sof_comps: dict[int, int] = {}   # cid -> quant table id (order kept)
+    samp: dict[int, tuple[int, int]] = {}   # cid -> (hi, vi)
+    grid: dict[int, tuple[int, int]] = {}   # cid -> blocks (cbw, cbh)
     cids: list[int] = []
     pos = 2
     coefs: dict[int, "np.ndarray"] = {}
-    nblocks = 0
+    hmax = vmax = mcus_x = mcus_y = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -3307,15 +3446,30 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
             nf = body[5]
             if nf not in (1, 3) or len(body) < 6 + 3 * nf:
                 return None
+            samplings = []
             for ci in range(nf):
                 cid = body[6 + 3 * ci]
-                if body[7 + 3 * ci] != 0x11:
-                    return None  # subsampled progressive: boundary
+                hv = body[7 + 3 * ci]
+                samp[cid] = (hv >> 4, hv & 0x0F)
+                samplings.append(samp[cid])
                 sof_comps[cid] = body[8 + 3 * ci]
                 cids.append(cid)
-            nblocks = ((w + 7) // 8) * ((h + 7) // 8)
+            # same grids the baseline core supports: all 1x1, or 4:2:0
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (nf == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+            ):
+                return None  # other subsampling grids: boundary
+            hmax = max(s[0] for s in samplings)
+            vmax = max(s[1] for s in samplings)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             for cid in cids:
-                coefs[cid] = np.zeros((nblocks, 64), dtype=np.int64)
+                hi, vi = samp[cid]
+                grid[cid] = (mcus_x * hi, mcus_y * vi)
+                coefs[cid] = np.zeros(
+                    (grid[cid][0] * grid[cid][1], 64), dtype=np.int64
+                )
         elif marker == 0xC0:
             return None  # baseline stream: use the baseline decoders
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -3338,7 +3492,29 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
             ss, se = body[off], body[off + 1]
             ah, al = body[off + 2] >> 4, body[off + 2] & 0x0F
             reader = _JpegBitReader(b, pos + 2 + ln)
-            if ss == 0 and se == 0:  # DC scan: interleaved over scomps
+
+            def scan_block_order():
+                # T.81 data-unit order: interleaved scans visit MCUs,
+                # each component contributing its hi x vi blocks in
+                # raster order; single-component scans walk that
+                # component's own block grid in raster order
+                if len(scomps) > 1:
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for cid_, _, _ in scomps:
+                                hi, vi = samp[cid_]
+                                cbw = grid[cid_][0]
+                                for byy in range(vi):
+                                    for bxx in range(hi):
+                                        yield cid_, ((my * vi + byy) * cbw
+                                                     + (mx * hi + bxx))
+                else:
+                    cid_ = scomps[0][0]
+                    cbw, cbh = grid[cid_]
+                    for k in range(cbw * cbh):
+                        yield cid_, k
+
+            if ss == 0 and se == 0:  # DC scan
                 if ah == 0:
                     dcts = {}
                     for cid, dc_id, _ in scomps:
@@ -3347,24 +3523,22 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                             return None
                         dcts[cid] = t
                     preds = {cid: 0 for cid, _, _ in scomps}
-                    for k in range(nblocks):
-                        for cid, _, _ in scomps:
-                            s = _huff_decode(reader, dcts[cid])
-                            if s is None or s > 11:
+                    for cid, k in scan_block_order():
+                        s = _huff_decode(reader, dcts[cid])
+                        if s is None or s > 11:
+                            return None
+                        if s:
+                            amp = reader.bits(s)
+                            if amp is None:
                                 return None
-                            if s:
-                                amp = reader.bits(s)
-                                if amp is None:
-                                    return None
-                                preds[cid] += _extend(amp, s)
-                            coefs[cid][k, 0] = preds[cid] << al
+                            preds[cid] += _extend(amp, s)
+                        coefs[cid][k, 0] = preds[cid] << al
                 else:  # DC refinement: one raw bit per component block
-                    for k in range(nblocks):
-                        for cid, _, _ in scomps:
-                            bit = reader.bits(1)
-                            if bit is None:
-                                return None
-                            coefs[cid][k, 0] |= bit << al
+                    for cid, k in scan_block_order():
+                        bit = reader.bits(1)
+                        if bit is None:
+                            return None
+                        coefs[cid][k, 0] |= bit << al
             else:  # AC band: single component only (T.81 G.1.1.1.1)
                 if ns != 1:
                     return None
@@ -3375,9 +3549,10 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                 if act is None:
                     return None
                 cc = coefs[cid]
+                nblocks_c = grid[cid][0] * grid[cid][1]
                 eobrun = 0
                 if ah == 0:  # first scan for this band
-                    for k in range(nblocks):
+                    for k in range(nblocks_c):
                         if eobrun:
                             eobrun -= 1
                             continue
@@ -3405,7 +3580,7 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                             cc[k, idx] = _extend(amp, sz) << al
                 else:  # successive-approximation refinement (T.81 G.1.2.3)
                     if not _jpeg_ac_refine_scan(
-                        reader, act, cc, nblocks, ss, se, al
+                        reader, act, cc, nblocks_c, ss, se, al
                     ):
                         return None
             # advance past the entropy data to the next marker
@@ -3415,24 +3590,30 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
     if not coefs or w is None or w == 0 or h == 0:
         return None
     A = _idct_basis()
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
     planes = []
     for cid in cids:
         q = qtables.get(sof_comps[cid])
         if q is None:
             return None
         qa = np.array(q, dtype=np.float64)
-        plane = np.zeros((bh * 8, bw * 8))
+        cbw, cbh = grid[cid]
+        plane = np.zeros((cbh * 8, cbw * 8))
         cc = coefs[cid]
-        for k in range(nblocks):
+        for k in range(cbw * cbh):
             coef = np.zeros((8, 8))
             for i, (r, c) in enumerate(_ZIGZAG):
                 coef[r, c] = cc[k, i] * qa[i]
             block = A.T @ coef @ A
             px = np.clip(np.round(block) + 128, 0, 255)
-            by, bx = divmod(k, bw)
+            by, bx = divmod(k, cbw)
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        # upsample subsampled components by replication (nearest — flat
+        # blocks stay exactly flat), then crop to the declared bounds
+        hi, vi = samp[cid]
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
         planes.append(plane[:h, :w])
     return w, h, planes
 
@@ -3810,6 +3991,54 @@ def jpeg_progressive_color_stats(with_media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rows["doc_id"].append(doc_id)
                 dec = decode_jpeg_progressive_color_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                else:
+                    w, h, sr, sg, sb = dec
+                    n = w * h
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(round(sr / n, 6))
+                    rows["mean_g"].append(round(sg / n, 6))
+                    rows["mean_b"].append(round(sb / n, 6))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, JPEG_COLOR_SCHEMA)
+
+
+def synthesize_jpeg_progressive_420_pixels(docs: DataFrame) -> DataFrame:
+    """One real progressive 4:2:0 JPEG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_jpeg_progressive_420_pixels(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def jpeg_progressive_420_stats(with_media: DataFrame) -> DataFrame:
+    """payload → RGB channel means via the subsampled multi-scan
+    progressive decode (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_jpeg_progressive_420_pixels(payload)
                 if dec is None:
                     for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
                         rows[k].append(None)

@@ -9019,12 +9019,66 @@ FROM s""",
     "keeps the oracle integer-exact), and converts through the same "
     "fixed-point YCbCr->RGB as mm_jpeg_color_stats. The oracle "
     "restates per-luma-block RGB with the chroma block indexed at MCU "
-    "granularity. With 4:4:4 and 4:2:0 decoded, progressive (SOF2) is "
-    "the one remaining JPEG boundary. Map-only, NULL on corruption.",
+    "granularity. Progressive 4:2:0 decodes too "
+    "(mm_jpeg_progressive_420_stats). Map-only, NULL on corruption.",
 )
 def mm_jpeg_420_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return multimodal.jpeg_color_stats(multimodal.synthesize_jpeg_420_pixels(d))
+
+
+@_q(
+    "mm_jpeg_progressive_420_stats",
+    """WITH d AS (
+    SELECT doc_id, ((doc_id*7)%3+1)*16 AS w, ((doc_id*13)%2+1)*16 AS h
+    FROM documents),
+blk AS (
+    SELECT doc_id, w, h,
+           ((doc_id*3 + (ty.byy*(w//8) + tx.bxx)*5) % 225) - 112 + 128 AS y,
+           ((doc_id*7 + ((ty.byy//2)*(w//16) + tx.bxx//2)*11) % 225) - 112
+               AS cb,
+           ((doc_id*5 + ((ty.byy//2)*(w//16) + tx.bxx//2)*17) % 225) - 112
+               AS cr
+    FROM d, unnest(generate_series(0, w//8 - 1)) AS tx(bxx),
+         unnest(generate_series(0, h//8 - 1)) AS ty(byy)),
+rgb AS (
+    SELECT doc_id, w, h,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((91881*cr + 32768)/65536.0) as bigint))) AS r,
+           LEAST(255, GREATEST(0,
+               y - cast(floor((22554*cb + 46802*cr + 32768)/65536.0)
+                        as bigint))) AS g,
+           LEAST(255, GREATEST(0,
+               y + cast(floor((116130*cb + 32768)/65536.0) as bigint))) AS b
+    FROM blk),
+s AS (
+    SELECT doc_id, w, h,
+           sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, count(*) AS nb
+    FROM rgb GROUP BY doc_id, w, h)
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       round((64*sr) / cast(w*h as double), 6) AS mean_r,
+       round((64*sg) / cast(w*h as double), 6) AS mean_g,
+       round((64*sb) / cast(w*h as double), 6) AS mean_b
+FROM s""",
+    "SUBSAMPLED PROGRESSIVE JPEG decode — the last named combination "
+    "in the JPEG surface (progressive SOF2 × 4:2:0 sampling): the "
+    "interleaved DC first/refinement scans walk 16x16 MCUs (four "
+    "raster-ordered Y blocks + Cb + Cr each, per-component predictors "
+    "and per-component coefficient grids at different resolutions), "
+    "the AC scans are single-component over each component's OWN block "
+    "raster (T.81 G.1.1.1.1), Y carries an Ah=1 successive-"
+    "approximation AC refinement scan with a clip-guarded zero-pixel-"
+    "sum planted coefficient, and reconstruction runs one dequantize+"
+    "IDCT per block, nearest-neighbor chroma upsample, and the "
+    "fixed-point YCbCr->RGB. Oracle = the baseline 4:2:0 arithmetic "
+    "(the planted AC sums to zero); tests assert progressive-420 == "
+    "baseline-420 RGB sums. Map-only, NULL on corruption.",
+)
+def mm_jpeg_progressive_420_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_progressive_420_stats(
+        multimodal.synthesize_jpeg_progressive_420_pixels(d)
+    )
 
 
 @_q(
@@ -9056,8 +9110,7 @@ FROM s""",
     "64-pixel pattern sums to exactly zero (basis (5,0), |delta| <= 8, "
     "no half-integer ties), so the arithmetic oracle is unchanged "
     "while tests assert per-pixel equality including the AC pattern. "
-    "Multi-component interleaved progressive AC remains the documented "
-    "sliver. Map-only.",
+    "Map-only.",
 )
 def mm_jpeg_progressive_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -9366,6 +9419,7 @@ _GATE_PRIORITY = [
     "pipeline_next_event_dataset",
     "mm_video_pixel_stats",
     "src_fixed_width_scan",
+    "mm_jpeg_progressive_420_stats",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

@@ -2127,6 +2127,43 @@ def test_jpeg_progressive_color_equals_baseline():
     assert res is None or len(res) == 5
 
 
+def test_jpeg_progressive_420_equals_baseline():
+    """Subsampled (4:2:0) progressive — interleaved MCU-ordered DC
+    scans over mixed-resolution component grids, single-component AC
+    scans, Y AC refinement — decodes to the same RGB sums as the
+    baseline 4:2:0 stream of the same content; damage rejects."""
+    import numpy as np
+
+    from sql_query_engine_spark.functions.multimodal import (
+        _decode_jpeg_planes,
+        build_jpeg_420_pixels,
+        build_jpeg_progressive_420_pixels,
+        decode_jpeg_progressive_420_pixels,
+    )
+
+    for d in (0, 1, 2, 3, 7, 42, 99, 250):
+        prog = decode_jpeg_progressive_420_pixels(
+            build_jpeg_progressive_420_pixels(d)
+        )
+        w, h, (y, cb, cr) = _decode_jpeg_planes(build_jpeg_420_pixels(d))
+        yi = y.astype(np.int64)
+        cbi = cb.astype(np.int64) - 128
+        cri = cr.astype(np.int64) - 128
+        r = np.clip(yi + ((91881 * cri + 32768) >> 16), 0, 255)
+        g = np.clip(yi - ((22554 * cbi + 46802 * cri + 32768) >> 16), 0, 255)
+        b = np.clip(yi + ((116130 * cbi + 32768) >> 16), 0, 255)
+        assert prog == (w, h, int(r.sum()), int(g.sum()), int(b.sum()))
+
+    g420 = build_jpeg_progressive_420_pixels(5)
+    assert decode_jpeg_progressive_420_pixels(None) is None
+    assert decode_jpeg_progressive_420_pixels(g420[:50]) is None
+    for flip in (-8, -16, -40):
+        bad = bytearray(g420)
+        bad[flip] ^= 0xFF
+        res = decode_jpeg_progressive_420_pixels(bytes(bad))
+        assert res is None or len(res) == 5
+
+
 def test_exact_moments_golden(spark):
     """Moments of a known multiset match the textbook formulas,
     including a deliberately right-skewed stream."""
