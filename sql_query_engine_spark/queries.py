@@ -590,6 +590,63 @@ def agg_exact_corr(spark, sf_dir):
 
 
 @_q(
+    "agg_ols_fit",
+    """WITH m AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+           cast(sum(cast(l_quantity as decimal(18,2))
+                    * cast(l_quantity as decimal(18,2))) as double) AS sxx,
+           cast(sum(cast(l_extendedprice as decimal(18,2))
+                    * cast(l_extendedprice as decimal(18,2))) as double) AS syy,
+           cast(sum(cast(l_quantity as decimal(18,2))
+                    * cast(l_extendedprice as decimal(18,2))) as double) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m""",
+    "ordinary-least-squares fit (price ~ quantity per return flag) from "
+    "EXACT decimal moments — the distributed ML-primitive shape: one "
+    "map-side-combinable pass computes the five sufficient statistics, "
+    "the closed-form solve is per-group scalar arithmetic on exactly "
+    "equal inputs, so slope/intercept/r2 are bit-reproducible across "
+    "engines (built-in regr_slope/regr_r2 float reductions are not). "
+    "At 100 TB this is one partial-agg shuffle on a tiny key; no "
+    "iteration, no driver math.",
+)
+def agg_ols_fit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast(_DEC)
+    dy = F.col("l_extendedprice").cast(_DEC)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+@_q(
     "agg_count_distinct",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
               count(*) AS n_rows
@@ -6027,6 +6084,74 @@ def stream_gapfill_locf(spark, sf_dir):
     )
 
 
+_LATE_ALLOW_US = 300_000_000  # 5-minute allowed lateness
+
+
+@_q(
+    "stream_late_data_accounting",
+    f"""WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+           epoch_us(ts) + ((event_id * 37) % 900) * 1000000 AS arrive
+    FROM events),
+wmk AS (
+    SELECT event_type, us,
+           max(us) OVER (PARTITION BY user_id ORDER BY arrive, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS wm
+    FROM ev)
+SELECT event_type, count(*) AS n_events,
+       sum(CASE WHEN wm IS NOT NULL AND us < wm - {_LATE_ALLOW_US}
+                THEN 1 ELSE 0 END) AS n_late,
+       round(cast(sum(CASE WHEN wm IS NOT NULL
+                           AND us < wm - {_LATE_ALLOW_US}
+                      THEN 1 ELSE 0 END) as double) / count(*), 6)
+           AS late_pct
+FROM wmk GROUP BY event_type""",
+    "watermark late-data accounting — the audit every production "
+    "streaming pipeline runs before choosing its allowed-lateness "
+    "knob: events are replayed in a deterministic arrival order "
+    "(event time plus a per-event modular network delay of 0-899s), a "
+    "per-user watermark tracks the running max event time of "
+    "previously-ARRIVED events, and an event counts late when it "
+    "arrives with event time older than watermark minus the 5-minute "
+    "allowance — exactly the tuple Structured Streaming's "
+    "withWatermark would drop. Per-key watermarks keep the state "
+    "bounded and the partitioning per-user (a global watermark would "
+    "serialize the stream); one window pass + one tiny-key aggregate, "
+    "nothing corpus-global.",
+)
+def stream_late_data_accounting(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+        F.expr("ts div 1000 + ((event_id * 37) % 900) * 1000000").alias(
+            "arrive"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrive", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wmk = ev.select(
+        "event_type", "us", F.max("us").over(w).alias("wm")
+    )
+    late = F.when(
+        F.col("wm").isNotNull()
+        & (F.col("us") < F.col("wm") - _LATE_ALLOW_US),
+        1,
+    ).otherwise(0)
+    return wmk.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late).alias("n_late"),
+        F.round(F.sum(late).cast("double") / F.count("*"), 6).alias(
+            "late_pct"
+        ),
+    )
+
+
 @_q(
     "agg_mode_and_argmax",
     """WITH vc AS (
@@ -9420,6 +9545,8 @@ _GATE_PRIORITY = [
     "mm_video_pixel_stats",
     "src_fixed_width_scan",
     "mm_jpeg_progressive_420_stats",
+    "agg_ols_fit",
+    "stream_late_data_accounting",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

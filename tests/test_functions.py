@@ -1078,6 +1078,59 @@ def test_flac_sample_roundtrip_and_corruption():
     assert decode_flac_samples(None) is None
 
 
+def test_ols_fit_golden(spark):
+    """A planted exact linear relation recovers slope/intercept/r2 == 1
+    bit-exactly from the decimal moment formulation."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    rows = [("A", float(x), 2.0 * x + 1.0) for x in range(1, 8)]
+    rows += [("B", 1.0, 5.0), ("B", 2.0, 3.0), ("B", 3.0, 7.0)]
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        li.write.mode("overwrite").parquet(f"{td}/lineitem.parquet")
+        got = {r.l_returnflag: (r.n, r.slope, r.intercept, r.r2)
+               for r in q.agg_ols_fit(spark, td).collect()}
+    assert got["A"] == (7, 2.0, 1.0, 1.0)
+    # B: x̄=2, ȳ=5 → slope = Σ(x-2)(y-5)/Σ(x-2)² = 2/2 = 1, intercept 3
+    assert got["B"][1] == 1.0 and got["B"][2] == 3.0 and 0 < got["B"][3] < 1
+
+
+def test_late_data_accounting_golden(spark):
+    """An event whose deterministic arrival delay lets a newer event
+    overtake it by more than the 5-minute allowance counts late."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, mins, typ):
+        return (eid, t0 + datetime.timedelta(minutes=mins), 1, typ, 0.0, "{}")
+
+    # delay_s = (eid*37) % 900: eid 100 → 100s; eid 24 → 888s.
+    # event 24 (t=+0min) arrives at +888s; event 100 (t=+10min) arrives
+    # at +700s — so when 24 arrives the watermark is already 600s ahead
+    # of its event time: late. Types split the two outcomes.
+    rows = [ev(24, 0, "a"), ev(100, 10, "b")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {r.event_type: (r.n_events, r.n_late)
+               for r in q.stream_late_data_accounting(spark, td).collect()}
+    assert got == {"a": (1, 1), "b": (1, 0)}
+
+
 def test_pagerank_golden(spark):
     """Integer-arithmetic PageRank on a 4-node planted graph matches a
     pure-Python power iteration with the identical floor formulas."""
