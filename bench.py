@@ -53,6 +53,9 @@ HEADLINE = [
     "text_bm25_topk",
     "sim_hamming_topk",
     "dedup_winnowing",
+    # round-6 additions: iterative graph algorithm, video pixel decode
+    "graph_pagerank",
+    "mm_video_pixel_stats",
 ]
 
 

@@ -8151,6 +8151,42 @@ def src_avro_scan(spark, sf_dir):
     return back.filter(F.col("o_totalprice") > 150000)
 
 
+@_q(
+    "src_warc_scan",
+    """SELECT doc_id,
+       concat('http://example.com/doc/', cast(doc_id as varchar))
+           AS target_uri,
+       cast(octet_length(cast(text as blob)) as bigint) AS content_length,
+       md5(text) AS payload_md5
+    FROM documents""",
+    "WARC/1.0 (ISO 28500) source — the container the web-scale crawl "
+    "corpora actually ship in, so a 100 TB ingest's FIRST distributed "
+    "scan is exactly this record walk: documents round-trip through "
+    "from-spec WARC response records (version line, named headers, "
+    "Content-Length byte framing, double-CRLF terminators; "
+    "sources/warc.py), one .warc per partition written executor-side, "
+    "read back via binaryFile + an Arrow mapInPandas walker that "
+    "raises with the offending path on any framing defect — "
+    "attributable ingest failures, the Avro source's convention. The "
+    "oracle restates target URI, UTF-8 byte length, and payload md5 "
+    "from the parquet source, so a hash match proves the container "
+    "framing byte-lossless on multi-byte text.",
+)
+def src_warc_scan(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_dataset(d, out, n_files=4)
+    back = warc.read_warc(spark, f"{out}/*.warc")
+    return back.select(
+        "doc_id",
+        "target_uri",
+        "content_length",
+        F.md5("text").alias("payload_md5"),
+    )
+
+
 # ---- distributed triangle counting --------------------------------------
 _TRI_CAP = 20  # max distinct users per co-occurrence group (blocking cap)
 
@@ -9547,6 +9583,7 @@ _GATE_PRIORITY = [
     "mm_jpeg_progressive_420_stats",
     "agg_ols_fit",
     "stream_late_data_accounting",
+    "src_warc_scan",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

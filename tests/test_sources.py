@@ -640,6 +640,58 @@ def test_avro_roundtrip_and_corruption(spark, tmp_path):
     assert back == sorted(rows)
 
 
+def test_warc_roundtrip_and_framing_defects(spark, tmp_path):
+    """WARC record walk: multi-record, multi-byte-UTF-8 round-trip
+    preserves doc ids, URIs, byte lengths and payload text; framing
+    defects (bad version, truncation, broken terminator, missing
+    Content-Length) raise with the path."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        build_warc_record,
+        decode_warc_bytes,
+        read_warc,
+        write_warc_bytes,
+        write_warc_dataset,
+    )
+
+    docs = [(1, "hello world"), (2, "héllo — ünïcode ☃"), (3, "")]
+    data = write_warc_bytes(docs)
+    recs = decode_warc_bytes(data)
+    assert [(d, u, n) for d, u, n, _ in recs] == [
+        (1, "http://example.com/doc/1", 11),
+        (2, "http://example.com/doc/2",
+         len("héllo — ünïcode ☃".encode())),
+        (3, "http://example.com/doc/3", 0),
+    ]
+    assert [b.decode() for *_, b in recs] == [t for _, t in docs]
+
+    with _pytest.raises(ValueError):
+        decode_warc_bytes(b"HTTP/1.0\r\n" + data[10:])   # bad version
+    with _pytest.raises(ValueError):
+        decode_warc_bytes(data[:-6])                      # truncated
+    bad = bytearray(data)
+    bad[-2] ^= 0xFF                                       # terminator
+    with _pytest.raises(ValueError):
+        decode_warc_bytes(bytes(bad))
+    no_len = build_warc_record(7, "x").replace(b"Content-Length: 1\r\n",
+                                               b"")
+    with _pytest.raises(ValueError):
+        decode_warc_bytes(no_len)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_ds")
+    write_warc_dataset(df, out, n_files=2)
+    back = sorted(
+        (r.doc_id, r.target_uri, r.content_length, r.text)
+        for r in read_warc(spark, f"{out}/*.warc").collect()
+    )
+    assert back == [
+        (d, f"http://example.com/doc/{d}", len(t.encode()), t)
+        for d, t in docs
+    ]
+
+
 def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
     """Fixed-width write→read preserves ints, strings (trailing-space
     stripped), and doubles via shortest repr; an overflowing value
