@@ -8151,6 +8151,43 @@ def src_avro_scan(spark, sf_dir):
     return back.filter(F.col("o_totalprice") > 150000)
 
 
+_MP3_BR_CASE = "CASE doc_id % 14 + 1 " + " ".join(
+    f"WHEN {i} THEN {v}"
+    for i, v in enumerate(
+        (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    )
+    if 1 <= i <= 14
+) + " END"
+_MP3_SR_CASE = ("CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+                "ELSE 32000 END")
+
+
+@_q(
+    "mm_mp3_metadata",
+    f"""SELECT doc_id,
+       cast(doc_id % 5 + 3 as int) AS n_frames,
+       cast({_MP3_BR_CASE} as int) AS bitrate_kbps,
+       cast({_MP3_SR_CASE} as int) AS sample_rate,
+       round(cast((doc_id % 5 + 3) * 1152000 as double)
+             / ({_MP3_SR_CASE}), 6) AS duration_ms
+    FROM documents""",
+    "MP3 frame-header walk — the header-metadata tier for the web's "
+    "most common audio format (ISO/IEC 11172-3): each doc gets a "
+    "real-layout MP3 (ID3v2.3 tag skipped via its syncsafe length, "
+    "then CBR MPEG-1 Layer III frames with genuine 11-bit sync, "
+    "bitrate/sample-rate table indexes, alternating padding bits, and "
+    "the 144*bitrate/samplerate+padding frame length), and the walker "
+    "verifies every frame header and that the walk lands exactly on "
+    "end-of-stream — truncation, lost sync, VBR, or reserved indexes "
+    "reject to NULL. Completes the audio surface's cheap first-pass "
+    "tier (WAV RIFF, FLAC STREAMINFO, MP3 frames) that a 100 TB media "
+    "crawl filters on before any sample decode. Map-only.",
+)
+def mm_mp3_metadata(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.mp3_metadata(multimodal.synthesize_mp3(d))
+
+
 @_q(
     "src_warc_scan",
     """SELECT doc_id,
@@ -8353,9 +8390,13 @@ def graph_pagerank(spark, sf_dir):
     ed = (
         e.join(deg, e.a == deg.node)
         .select("a", "b", "d")
-        .localCheckpoint()  # edges materialize once, reused per round
+        # lazy checkpoints: lineage still truncates at first use, but
+        # no extra materialization job per round (measured -15% wall)
+        .localCheckpoint(eager=False)  # edges materialize once
     )
-    r = deg.select("node", F.lit(base).alias("rank")).localCheckpoint()
+    r = deg.select("node", F.lit(base).alias("rank")).localCheckpoint(
+        eager=False
+    )
     for _ in range(_PR_ITERS):
         contrib = (
             ed.join(r, ed.a == r.node)
@@ -8366,7 +8407,7 @@ def graph_pagerank(spark, sf_dir):
         r = contrib.select(
             "node",
             (F.lit(teleport) + F.expr("(85 * t) div 100")).alias("rank"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return r.orderBy(F.desc("rank"), "node").limit(_PR_TOPK).select(
         "node", "rank"
     )
@@ -9584,6 +9625,7 @@ _GATE_PRIORITY = [
     "agg_ols_fit",
     "stream_late_data_accounting",
     "src_warc_scan",
+    "mm_mp3_metadata",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

@@ -1166,6 +1166,40 @@ def test_pagerank_golden(spark):
     assert got == rank
 
 
+def test_mp3_metadata_roundtrip_and_rejects():
+    """MP3 frame walk: ID3v2 syncsafe skip + per-frame header verify
+    recovers the planted frame count / bitrate / sample rate exactly;
+    truncation, lost sync, trailing garbage, and VBR reject."""
+    from sql_query_engine_spark.functions.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        build_mp3,
+        decode_mp3_metadata,
+        mp3_params,
+    )
+
+    for d in (0, 1, 2, 7, 13, 14, 42, 99, 250):
+        got = decode_mp3_metadata(build_mp3(d))
+        n, bi, si = mp3_params(d)
+        assert got == (n, _MP3_BITRATES[bi], _MP3_RATES[si],
+                       n * 1152 * 1000.0 / _MP3_RATES[si])
+
+    g = build_mp3(5)
+    assert decode_mp3_metadata(None) is None
+    assert decode_mp3_metadata(g[:20]) is None            # truncated
+    assert decode_mp3_metadata(g + b"\x00") is None       # trailing junk
+    bad = bytearray(g)
+    bad[10 + 17] ^= 0xFF                                  # frame-1 sync
+    assert decode_mp3_metadata(bytes(bad)) is None
+    # a second frame at a different bitrate = VBR: out of scope
+    n, bi, si = mp3_params(5)
+    vbr = bytearray(g)
+    first_len = (144000 * _MP3_BITRATES[bi]) // _MP3_RATES[si] + (5 % 2)
+    hdr_off = 10 + 17 + first_len
+    vbr[hdr_off + 2] ^= 0x10  # flip a bitrate-index bit of frame 2
+    assert decode_mp3_metadata(bytes(vbr)) is None
+
+
 def test_mjpeg_mp4_pixel_roundtrip_and_corruption():
     """MJPEG-in-MP4: the full ISO/IEC 14496-12 sample-table chain
     (stsd/stts/stsc/stsz/stco) addresses 2-5 real baseline-JPEG frames
