@@ -5178,6 +5178,87 @@ def catalog_key_skew_profile(spark, sf_dir):
     )
 
 
+_PREF_PAIRS_PER_GROUP = 5
+
+
+@_q(
+    "pipeline_preference_pairs",
+    f"""WITH scored AS (
+    SELECT doc_id, source, lang,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS score
+    FROM documents),
+ranked AS (
+    SELECT doc_id, source, lang, score,
+           row_number() OVER (PARTITION BY source, lang
+                              ORDER BY score DESC, doc_id) AS rn_best,
+           row_number() OVER (PARTITION BY source, lang
+                              ORDER BY score ASC, doc_id) AS rn_worst
+    FROM scored)
+SELECT b.source, b.lang, cast(b.rn_best as int) AS pair_rank,
+       b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       cast(b.score - w.score as bigint) AS margin
+FROM ranked b JOIN ranked w
+  ON b.source = w.source AND b.lang = w.lang AND b.rn_best = w.rn_worst
+WHERE b.rn_best <= {_PREF_PAIRS_PER_GROUP} AND b.score > w.score""",
+    "preference-pair construction — the DPO/RLHF reward-modeling "
+    "dataset shape: within every (source, lang) stratum, rank documents "
+    "by a deterministic quality score (token count here; any scorer "
+    "slots in), pair the i-th best with the i-th worst for the top "
+    f"{_PREF_PAIRS_PER_GROUP} ranks, and keep only pairs with a strict "
+    "quality margin so chosen/rejected never tie or cross in the "
+    "middle. Scale shape: both rankings come from windows sharing ONE "
+    "(source, lang) shuffle, the pair join is keyed on (stratum, rank) "
+    "with at most K rows per stratum on each side — never a pairwise "
+    "blowup — and the margin filter is a post-join predicate. The "
+    "tie-break on doc_id makes every pair deterministic, so the oracle "
+    "hash-matches.",
+)
+def pipeline_preference_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+        ).alias("score"),
+    )
+    wb = Window.partitionBy("source", "lang").orderBy(
+        F.desc("score"), "doc_id"
+    )
+    ww = Window.partitionBy("source", "lang").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "lang",
+        "score",
+        F.row_number().over(wb).alias("rn_best"),
+        F.row_number().over(ww).alias("rn_worst"),
+    )
+    b = ranked.filter(F.col("rn_best") <= _PREF_PAIRS_PER_GROUP).alias("b")
+    w = ranked.filter(F.col("rn_worst") <= _PREF_PAIRS_PER_GROUP).alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("b.source") == F.col("w.source"))
+            & (F.col("b.lang") == F.col("w.lang"))
+            & (F.col("b.rn_best") == F.col("w.rn_worst")),
+        )
+        .filter(F.col("b.score") > F.col("w.score"))
+        .select(
+            F.col("b.source").alias("source"),
+            F.col("b.lang").alias("lang"),
+            F.col("b.rn_best").cast("int").alias("pair_rank"),
+            F.col("b.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            (F.col("b.score") - F.col("w.score")).cast("bigint").alias(
+                "margin"
+            ),
+        )
+    )
+
+
 _NEG_BUCKETS = 64
 _NEG_PER_ANCHOR = 4
 
@@ -9626,6 +9707,7 @@ _GATE_PRIORITY = [
     "stream_late_data_accounting",
     "src_warc_scan",
     "mm_mp3_metadata",
+    "pipeline_preference_pairs",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

@@ -1078,6 +1078,33 @@ def test_flac_sample_roundtrip_and_corruption():
     assert decode_flac_samples(None) is None
 
 
+def test_preference_pairs_golden(spark):
+    """Planted stratum: best pairs with worst, strict-margin filter
+    drops ties, ranks are deterministic under the doc_id tie-break."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    def doc(i, nw):
+        return (i, " ".join(f"w{j}" for j in range(nw)), "en", "s1", nw)
+
+    # scores 10, 8, 5, 5, 2 → pair1 (10 vs 2), pair2 (8 vs 5/tie-break
+    # doc 3), pair3 would be 5 vs 5 at equal score → filtered
+    rows = [doc(1, 10), doc(2, 8), doc(3, 5), doc(4, 5), doc(5, 2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = sorted(
+            (r.pair_rank, r.chosen_id, r.rejected_id, r.margin)
+            for r in q.pipeline_preference_pairs(spark, td).collect()
+        )
+    assert got == [(1, 1, 5, 8), (2, 2, 3, 3)]
+
+
 def test_ols_fit_golden(spark):
     """A planted exact linear relation recovers slope/intercept/r2 == 1
     bit-exactly from the decimal moment formulation."""
