@@ -8195,6 +8195,119 @@ def join_spatial_grid(spark, sf_dir):
     )
 
 
+# ---- blocked fuzzy entity-resolution join --------------------------------
+_FUZZY_DFCAP = 200  # stop-gram guard: drop trigrams in > cap catalog names
+_FUZZY_MAXDIST = 2
+
+
+@_q(
+    "join_fuzzy_qgram",
+    f"""WITH probe AS (
+    SELECT p_partkey AS probe_key,
+           concat('x', substr(p_name, 2)) AS dirty
+    FROM part WHERE p_partkey % 4 = 0),
+pg AS (
+    SELECT DISTINCT probe_key, dirty, substr(dirty, g.i, 3) AS gram
+    FROM probe, unnest(generate_series(1, len(dirty) - 2)) AS g(i)
+    WHERE len(dirty) >= 3),
+cg0 AS (
+    SELECT DISTINCT p_partkey, p_name, substr(p_name, g.i, 3) AS gram
+    FROM part, unnest(generate_series(1, len(p_name) - 2)) AS g(i)
+    WHERE len(p_name) >= 3),
+keep AS (
+    SELECT gram FROM cg0 GROUP BY gram
+    HAVING count(DISTINCT p_partkey) <= {_FUZZY_DFCAP}),
+cand AS (
+    SELECT DISTINCT probe_key, dirty, p_partkey, p_name
+    FROM pg JOIN keep USING (gram) JOIN cg0 USING (gram)),
+scored AS (
+    SELECT probe_key, p_partkey, levenshtein(dirty, p_name) AS dist
+    FROM cand WHERE levenshtein(dirty, p_name) <= {_FUZZY_MAXDIST}),
+best AS (
+    SELECT probe_key, p_partkey AS matched_key, dist,
+           row_number() OVER (PARTITION BY probe_key
+                              ORDER BY dist, p_partkey) AS rn
+    FROM scored)
+SELECT probe_key, matched_key, cast(dist as int) AS dist
+FROM best WHERE rn = 1""",
+    "blocked fuzzy entity-resolution join — the dirty-names-to-catalog "
+    "matching step every ingest dedup runs: probe names (each catalog "
+    "name with its first character corrupted) match back to the part "
+    "catalog by character-trigram blocking (candidates must share a "
+    "surviving trigram; stop-grams in > "
+    f"{_FUZZY_DFCAP} names are dropped — the same df-cap discipline as "
+    "the shingle inverted index), exact levenshtein <= "
+    f"{_FUZZY_MAXDIST} verification on candidates only, then a "
+    "best-match-per-probe window (min distance, key tie-break). An "
+    "unbounded edit-distance theta join becomes an equi-join on gram + "
+    "a candidate-bounded verify + a per-probe top-1 — never probe x "
+    "catalog. levenshtein is definition-identical in both engines, so "
+    "the oracle hash-matches.",
+)
+def join_fuzzy_qgram(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    probe = part.filter(F.col("p_partkey") % 4 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.expr("concat('x', substr(p_name, 2))").alias("dirty"),
+    )
+    pg = (
+        probe.filter(F.length("dirty") >= 3)
+        .select(
+            "probe_key",
+            "dirty",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(dirty) - 2),"
+                    " i -> substring(dirty, i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    cg0 = (
+        part.filter(F.length("p_name") >= 3)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(p_name) - 2),"
+                    " i -> substring(p_name, i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    keep = (
+        cg0.groupBy("gram")
+        .agg(F.countDistinct("p_partkey").alias("df"))
+        .filter(F.col("df") <= _FUZZY_DFCAP)
+        .select("gram")
+    )
+    cand = (
+        pg.join(keep, "gram")
+        .join(cg0, "gram")
+        .select("probe_key", "dirty", "p_partkey", "p_name")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_key",
+        "p_partkey",
+        F.levenshtein("dirty", "p_name").alias("dist"),
+    ).filter(F.col("dist") <= _FUZZY_MAXDIST)
+    w = Window.partitionBy("probe_key").orderBy("dist", "p_partkey")
+    return (
+        scored.select(
+            "probe_key",
+            F.col("p_partkey").alias("matched_key"),
+            "dist",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("probe_key", "matched_key", F.col("dist").cast("int").alias("dist"))
+    )
+
+
 # ---- from-spec Avro container source ------------------------------------
 _AVRO_FIELDS = [
     ("o_orderkey", "long"),
@@ -9708,6 +9821,7 @@ _GATE_PRIORITY = [
     "src_warc_scan",
     "mm_mp3_metadata",
     "pipeline_preference_pairs",
+    "join_fuzzy_qgram",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

@@ -1078,6 +1078,30 @@ def test_flac_sample_roundtrip_and_corruption():
     assert decode_flac_samples(None) is None
 
 
+def test_fuzzy_qgram_join_golden(spark):
+    """Every corrupted probe resolves to its origin row (distance 1
+    beats the distance-2 sibling), and the blocking never produces a
+    cross match beyond the edit threshold."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    rows = [(4, "golden widget"), (8, "golden wadget"),
+            (12, "crimson gadget"), (3, "unprobed thing")]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/part.parquet")
+        got = {r.probe_key: (r.matched_key, r.dist)
+               for r in q.join_fuzzy_qgram(spark, td).collect()}
+    # probe 'xolden widget' → its own row at distance 1 (sibling at 2)
+    assert got[4] == (4, 1)
+    assert got[8] == (8, 1)
+    assert got[12] == (12, 1)
+    assert 3 not in got  # key 3 is not probed (p_partkey % 4 != 0)
+
+
 def test_preference_pairs_golden(spark):
     """Planted stratum: best pairs with worst, strict-margin filter
     drops ties, ranks are deterministic under the doc_id tie-break."""
