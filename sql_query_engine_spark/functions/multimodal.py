@@ -1277,48 +1277,25 @@ def build_png_pixels(doc_id: int) -> bytes:
     )
 
 
-def _decode_png_rows(payload: bytes):
-    """PNG pixel decode core: chunk walk → IDAT concat → zlib inflate →
-    unfilter (all five filter types). Returns (w, h, [row bytes]) or
-    None for anything that is not an 8-bit truecolor (color type 2) PNG
-    or fails structural validation — corrupt payloads become None,
-    never exceptions (the mm_modality_router contract)."""
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    b = payload
-    if b is None or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" \
-            or b[12:16] != b"IHDR":
-        return None
-    w = int.from_bytes(b[16:20], "big")
-    h = int.from_bytes(b[20:24], "big")
-    depth, color = b[24], b[25]
-    if depth != 8 or color != 2:
-        return None
-    idat = bytearray()
-    pos = 8
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos : pos + 4], "big")
-        tag = b[pos + 4 : pos + 8]
-        body = b[pos + 8 : pos + 8 + ln]
-        if len(body) < ln:
-            return None  # truncated
-        if tag == b"IDAT":
-            idat += body
-        if tag == b"IEND":
-            break
-        pos += 12 + ln
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
+
+def _png_unfilter_lines(raw: bytes, pos: int, width_px: int, n_rows: int):
+    """Unfilter ``n_rows`` scanlines of ``width_px`` RGB pixels starting
+    at ``pos`` (each line is 1 filter byte + pixels; prev row starts as
+    zeros — the rule each interlace pass restarts under). Returns
+    (rows, new_pos) or None on an unknown filter type / truncation."""
     bpp = 3
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
+    stride = width_px * bpp
+    if pos + n_rows * (stride + 1) > len(raw):
         return None
     rows = []
     prev = bytes(stride)
-    pos = 0
-    for _y in range(h):
+    for _y in range(n_rows):
         ft = raw[pos]
         pos += 1
         line = bytearray(raw[pos : pos + stride])
@@ -1342,7 +1319,126 @@ def _decode_png_rows(payload: bytes):
             return None
         rows.append(bytes(line))
         prev = rows[-1]
-    return w, h, rows
+    return rows, pos
+
+
+def build_png_pixels_interlaced(doc_id: int) -> bytes:
+    """A REAL Adam7-interlaced truecolor PNG of the same pixel content
+    as build_png_pixels: seven reduced passes, each independently
+    filtered with the five PNG filter types in rotation, one IDAT
+    zlib stream, IHDR interlace=1."""
+    import zlib
+
+    w, h = pixel_dims(doc_id)
+    bpp = 3
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(pw * bpp)
+        for py in range(ph):
+            y = y0 + py * dy
+            row = bytes(
+                v
+                for px in range(pw)
+                for v in pixel_value(doc_id, x0 + px * dx, y)
+            )
+            ft = py % 5
+            out.append(ft)
+            for i, v in enumerate(row):
+                a = row[i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    f = v
+                elif ft == 1:
+                    f = (v - a) % 256
+                elif ft == 2:
+                    f = (v - bb) % 256
+                elif ft == 3:
+                    f = (v - (a + bb) // 2) % 256
+                else:
+                    f = (v - _paeth(a, bb, c)) % 256
+                out.append(f)
+            prev = row
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 1])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_rows(payload: bytes):
+    """PNG pixel decode core: chunk walk → IDAT concat → zlib inflate →
+    unfilter (all five filter types), for both sequential and Adam7
+    INTERLACED streams (seven independently-filtered reduced passes
+    re-woven onto the pixel grid, PNG spec §8.2). Returns
+    (w, h, [row bytes]) or None for anything that is not an 8-bit
+    truecolor (color type 2) PNG or fails structural validation —
+    corrupt payloads become None, never exceptions (the
+    mm_modality_router contract)."""
+    import zlib
+
+    b = payload
+    if b is None or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" \
+            or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, color, interlace = b[24], b[25], b[28]
+    if depth != 8 or color != 2 or interlace > 1:
+        return None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated
+        if tag == b"IDAT":
+            idat += body
+        if tag == b"IEND":
+            break
+        pos += 12 + ln
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp = 3
+    stride = w * bpp
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            return None
+        dec = _png_unfilter_lines(raw, 0, w, h)
+        if dec is None:
+            return None
+        return w, h, dec[0]
+    # Adam7: each non-empty pass is an independently filtered sub-image
+    full = [bytearray(stride) for _ in range(h)]
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        dec = _png_unfilter_lines(raw, pos, pw, ph)
+        if dec is None:
+            return None
+        lines, pos = dec
+        for py, line in enumerate(lines):
+            y = y0 + py * dy
+            for px in range(pw):
+                x = x0 + px * dx
+                full[y][x * bpp : x * bpp + bpp] = \
+                    line[px * bpp : px * bpp + bpp]
+    if pos != len(raw):
+        return None  # trailing bytes: corrupt
+    return w, h, [bytes(r) for r in full]
 
 
 def decode_png_pixels(payload: bytes):
@@ -1743,6 +1839,24 @@ def synthesize_png_pixels(docs: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [build_png_pixels(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def synthesize_png_pixels_interlaced(docs: DataFrame) -> DataFrame:
+    """One real Adam7-interlaced PNG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_png_pixels_interlaced(int(d))
+                        for d in pdf["doc_id"]
+                    ],
                 }
             )
 

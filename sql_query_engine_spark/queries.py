@@ -5841,12 +5841,49 @@ FROM s""",
     "a generate_series pixel grid while Spark earns them through real "
     "format bytes. Map-only: payloads live inside the Arrow stage, only "
     "(doc_id, dims, 3 doubles) survive — pixel statistics at 100 TB "
-    "without moving pixels. JPEG pixel decode (IDCT) remains the "
-    "documented codec-library boundary.",
+    "without moving pixels.",
 )
 def mm_pixel_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return multimodal.pixel_stats(multimodal.synthesize_png_pixels(d))
+
+
+@_q(
+    "mm_png_interlaced_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+    FROM d,
+         unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y)),
+s AS (
+    SELECT doc_id, w, h,
+           sum((doc_id*7 + x*3 + y*5) % 256) AS sr,
+           sum((doc_id*11 + x + 2*y) % 256) AS sg,
+           sum((doc_id*3 + 5*x + y) % 256) AS sb,
+           count(*) AS n
+    FROM px GROUP BY doc_id, w, h)
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       round(sr / cast(n as double), 6) AS mean_r,
+       round(sg / cast(n as double), 6) AS mean_g,
+       round(sb / cast(n as double), 6) AS mean_b
+FROM s""",
+    "Adam7 INTERLACED PNG decode — the progressive-rendering variant "
+    "real crawls contain (PNG spec §8.2): the same pixel content as "
+    "mm_pixel_stats arrives as seven independently-filtered reduced "
+    "passes in one IDAT stream, and the decoder inflates once, "
+    "unfilters each pass with its own zero previous row, and re-weaves "
+    "the pass pixels onto the full-resolution grid before the channel "
+    "means. Tests assert interlaced == sequential per-pixel for the "
+    "same doc, so the oracle is the identical arithmetic. Map-only.",
+)
+def mm_png_interlaced_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.pixel_stats(
+        multimodal.synthesize_png_pixels_interlaced(d)
+    )
 
 
 @_q(
@@ -9867,6 +9904,7 @@ _GATE_PRIORITY = [
     "pipeline_preference_pairs",
     "join_fuzzy_qgram",
     "sql_recursive_cte",
+    "mm_png_interlaced_stats",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

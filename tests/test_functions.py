@@ -1246,6 +1246,31 @@ def test_pagerank_golden(spark):
     assert got == rank
 
 
+def test_png_interlaced_equals_sequential():
+    """Adam7 decode re-weaves the seven passes to exactly the
+    sequential image (pixel stats AND perceptual hash agree); truncated
+    or trailing-garbage interlaced streams reject."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_png_pixels,
+        build_png_pixels_interlaced,
+        decode_png_ahash,
+        decode_png_pixels,
+    )
+
+    for d in (0, 1, 2, 3, 7, 42, 99, 250):
+        assert decode_png_pixels(build_png_pixels_interlaced(d)) == \
+            decode_png_pixels(build_png_pixels(d)) is not None
+        assert decode_png_ahash(build_png_pixels_interlaced(d)) == \
+            decode_png_ahash(build_png_pixels(d))
+
+    g = build_png_pixels_interlaced(5)
+    assert decode_png_pixels(g[:40]) is None
+    bad = bytearray(g)
+    bad[-20] ^= 0xFF
+    r = decode_png_pixels(bytes(bad))
+    assert r is None or len(r) == 5
+
+
 def test_mp3_metadata_roundtrip_and_rejects():
     """MP3 frame walk: ID3v2 syncsafe skip + per-frame header verify
     recovers the planted frame count / bitrate / sample rate exactly;
