@@ -2053,11 +2053,17 @@ def build_gif_pixels(doc_id: int) -> bytes:
     )
 
 
-def decode_gif_pixels(payload: bytes):
-    """Full GIF pixel decode: header walk → palette → LZW inflate →
-    per-channel sums through the palette. None on any structural damage."""
+# GIF interlace passes (GIF89a appendix E): (row start, row step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
+    """GIF parse core: header walk → palette → LZW inflate → ROW-MAJOR
+    index stream (de-interlacing the 4-pass row order when the image
+    descriptor sets the interlace flag). Returns (w, h, palette,
+    indices) or None on structural damage."""
     b = payload
-    if len(b) < 13 or b[:6] not in (b"GIF89a", b"GIF87a"):
+    if b is None or len(b) < 13 or b[:6] not in (b"GIF89a", b"GIF87a"):
         return None
     w = int.from_bytes(b[6:8], "little")
     h = int.from_bytes(b[8:10], "little")
@@ -2074,7 +2080,10 @@ def decode_gif_pixels(payload: bytes):
         return None
     iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
     ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+    interlaced = bool(b[pos + 9] & 0x40)
     if (iw, ih) != (w, h) or b[pos + 9] & 0x80:
+        return None
+    if interlaced and not allow_interlace:
         return None
     pos += 10
     if pos >= len(b) or b[pos] != _GIF_MIN_CODE:
@@ -2095,12 +2104,149 @@ def decode_gif_pixels(payload: bytes):
         return None
     if indices and max(indices) >= gct_n:
         return None  # index stream references beyond the declared palette
+    if interlaced:
+        rowmajor = bytearray(w * h)
+        src = 0
+        for start, step in _GIF_INTERLACE:
+            for y in range(start, h, step):
+                rowmajor[y * w : (y + 1) * w] = indices[src : src + w]
+                src += w
+        indices = bytes(rowmajor)
+    return w, h, palette, indices
+
+
+def decode_gif_pixels(payload: bytes):
+    """Full GIF pixel decode: header walk → palette → LZW inflate →
+    per-channel sums through the palette. None on any structural damage."""
+    dec = _decode_gif_core(payload)
+    if dec is None:
+        return None
+    w, h, palette, indices = dec
     sums = [0, 0, 0]
     for idx in indices:
         sums[0] += palette[3 * idx]
         sums[1] += palette[3 * idx + 1]
         sums[2] += palette[3 * idx + 2]
     return w, h, sums[0], sums[1], sums[2]
+
+
+def decode_gif_interlaced_stats(payload: bytes):
+    """Interlaced-GIF decode → (w, h, sum_r, sum_g, sum_b, poshash)
+    where poshash = Σ (y*w + x + 1) * palette_index over the
+    DE-INTERLACED row-major grid — channel sums are order-independent,
+    so only a position-weighted statistic proves the 4-pass row
+    reordering is correct. None on damage."""
+    dec = _decode_gif_core(payload, allow_interlace=True)
+    if dec is None:
+        return None
+    w, h, palette, indices = dec
+    sums = [0, 0, 0]
+    poshash = 0
+    for i, idx in enumerate(indices):
+        sums[0] += palette[3 * idx]
+        sums[1] += palette[3 * idx + 1]
+        sums[2] += palette[3 * idx + 2]
+        poshash += (i + 1) * idx
+    return w, h, sums[0], sums[1], sums[2], poshash
+
+
+def build_gif_pixels_interlaced(doc_id: int) -> bytes:
+    """A REAL interlaced GIF89a of the same pixel content as
+    build_gif_pixels: the index stream is emitted in the 4-pass
+    interlace row order (rows 0,8,.. then 4,12,.. then 2,6,.. then the
+    odd rows) and the image descriptor sets the interlace flag."""
+    w, h = pixel_dims(doc_id)
+    palette = b"".join(bytes(gif_palette_rgb(i)) for i in range(256))
+    order = [y for start, step in _GIF_INTERLACE for y in range(start, h, step)]
+    indices = bytes(
+        gif_pixel_index(doc_id, x, y) for y in order for x in range(w)
+    )
+    lzw = _lzw_encode(indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])
+        + palette
+        + b"\x2c"
+        + bytes(4)
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x40"  # no local table, INTERLACED
+        + bytes([_GIF_MIN_CODE])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+GIF_INTERLACED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("poshash", LongType(), True),
+    ]
+)
+
+
+def synthesize_gif_pixels_interlaced(docs: DataFrame) -> DataFrame:
+    """One real interlaced GIF89a per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_gif_pixels_interlaced(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def gif_interlaced_stats(with_media: DataFrame) -> DataFrame:
+    """payload → channel means + position-weighted index checksum via
+    the de-interlacing decode (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "mean_r",
+                                    "mean_g", "mean_b", "poshash")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_gif_interlaced_stats(payload)
+                if dec is None:
+                    for k in ("width", "height", "mean_r", "mean_g",
+                              "mean_b", "poshash"):
+                        rows[k].append(None)
+                else:
+                    w, h, sr, sg, sb, ph = dec
+                    n = w * h
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(round(sr / n, 6))
+                    rows["mean_g"].append(round(sg / n, 6))
+                    rows["mean_b"].append(round(sb / n, 6))
+                    rows["poshash"].append(ph)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["poshash"] = out["poshash"].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, GIF_INTERLACED_SCHEMA)
 
 
 def gif_frame_count(doc_id: int) -> int:

@@ -8873,6 +8873,50 @@ def text_feature_hashing(spark, sf_dir):
 
 
 @_q(
+    "mm_gif_interlaced_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h,
+           (doc_id*5 + tx.x*7 + ty.y*11) % 256 AS idx,
+           ty.y*w + tx.x + 1 AS pos
+    FROM d,
+         unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y)),
+s AS (
+    SELECT doc_id, w, h,
+           sum(idx) AS sr,
+           sum((idx*2) % 256) AS sg,
+           sum((idx*3) % 256) AS sb,
+           sum(pos * idx) AS ph,
+           count(*) AS n
+    FROM px GROUP BY doc_id, w, h)
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       round(sr / cast(n as double), 6) AS mean_r,
+       round(sg / cast(n as double), 6) AS mean_g,
+       round(sb / cast(n as double), 6) AS mean_b,
+       cast(ph as bigint) AS poshash
+FROM s""",
+    "INTERLACED GIF decode (GIF89a appendix E): the index stream "
+    "arrives in the 4-pass row order (0,8,.. / 4,12,.. / 2,6,.. / odd "
+    "rows) and the decoder re-weaves it onto the row-major grid after "
+    "the LZW inflate. Channel sums are order-INdependent, so the "
+    "output adds a position-weighted checksum (sum over pixels of "
+    "(y*w+x+1) * palette_index) that is wrong under any row "
+    "misplacement — the oracle restates it arithmetically over the "
+    "generate_series grid. The sequential-GIF decoder rejects "
+    "interlaced streams (flag gate), keeping the two paths honest. "
+    "Map-only.",
+)
+def mm_gif_interlaced_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.gif_interlaced_stats(
+        multimodal.synthesize_gif_pixels_interlaced(d)
+    )
+
+
+@_q(
     "mm_gif_frame_sample",
     """WITH d AS (
     SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h,
@@ -9905,6 +9949,7 @@ _GATE_PRIORITY = [
     "join_fuzzy_qgram",
     "sql_recursive_cte",
     "mm_png_interlaced_stats",
+    "mm_gif_interlaced_stats",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

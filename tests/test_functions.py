@@ -1246,6 +1246,36 @@ def test_pagerank_golden(spark):
     assert got == rank
 
 
+def test_gif_interlaced_deinterlace_exact():
+    """The 4-pass GIF interlace re-weave reproduces the sequential
+    image exactly, proven by a position-weighted checksum (channel sums
+    alone cannot see row order); the sequential decoder rejects
+    interlaced streams."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_gif_pixels,
+        build_gif_pixels_interlaced,
+        decode_gif_interlaced_stats,
+        decode_gif_pixels,
+        gif_pixel_index,
+        pixel_dims,
+    )
+
+    for d in (0, 1, 2, 3, 7, 42, 99, 250):
+        gi = build_gif_pixels_interlaced(d)
+        inter = decode_gif_interlaced_stats(gi)
+        assert inter is not None
+        assert inter[:5] == decode_gif_pixels(build_gif_pixels(d))
+        w, h = pixel_dims(d)
+        exp = sum((y * w + x + 1) * gif_pixel_index(d, x, y)
+                  for y in range(h) for x in range(w))
+        assert inter[5] == exp
+        assert decode_gif_pixels(gi) is None  # flag gate
+
+    g = build_gif_pixels_interlaced(5)
+    assert decode_gif_interlaced_stats(g[:30]) is None
+    assert decode_gif_interlaced_stats(None) is None
+
+
 def test_png_interlaced_equals_sequential():
     """Adam7 decode re-weaves the seven passes to exactly the
     sequential image (pixel stats AND perceptual hash agree); truncated
