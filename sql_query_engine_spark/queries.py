@@ -5303,6 +5303,110 @@ def pipeline_preference_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_span_corruption",
+    """WITH toks0 AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+    FROM documents),
+toks AS (
+    SELECT doc_id, g.i AS pos, tl[g.i] AS tok
+    FROM toks0, unnest(generate_series(1, len(tl))) AS g(i)),
+marked AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN pos % 7 = 3 THEN 2
+                WHEN pos % 7 = 4 AND pos > 3 THEN 1
+                ELSE 0 END AS role,
+           CASE WHEN pos >= 3 THEN (pos - 3) // 7 + 1 ELSE 0 END AS k,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks)
+SELECT doc_id,
+       coalesce(string_agg(
+           CASE WHEN role = 2 THEN concat('<x_', cast(k as varchar), '>')
+                WHEN role = 0 THEN tok END, ' ' ORDER BY pos), '')
+           AS input,
+       coalesce(string_agg(
+           CASE WHEN role = 2 THEN
+               concat('<x_', cast(k as varchar), '> ', tok,
+                      CASE WHEN nxt IS NULL THEN ''
+                           ELSE concat(' ', nxt) END) END,
+           ' ' ORDER BY pos), '') AS target,
+       cast(sum(CASE WHEN role = 2 THEN 1 ELSE 0 END) as bigint)
+           AS n_spans
+FROM marked GROUP BY doc_id""",
+    "T5-style span corruption — the denoising-pretraining dataset "
+    "shape: deterministic 2-token spans (every 7th position) are "
+    "replaced by numbered sentinels in the input, and the target "
+    "lists each sentinel with its masked tokens, order preserved. "
+    "One tokenize-explode, one per-doc window (lead) for the span's "
+    "second token, one grouped reassembly whose pieces are "
+    "order-struct-sorted — no self-joins, nothing corpus-global; "
+    "partitions are per-doc exactly like chunking. Sentinel numbering, "
+    "span placement, and reassembly are pure integer/string "
+    "arithmetic, so the oracle hash-matches both generated strings "
+    "verbatim.",
+)
+def pipeline_span_corruption(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.expr(
+            "CASE WHEN pos % 7 = 3 THEN 2"
+            " WHEN pos % 7 = 4 AND pos > 3 THEN 1 ELSE 0 END"
+        ).alias("role"),
+        F.expr(
+            "CASE WHEN pos >= 3 THEN (pos - 3) div 7 + 1 ELSE 0 END"
+        ).alias("k"),
+        F.lead("tok").over(w).alias("nxt"),
+    )
+    inp_piece = F.when(
+        F.col("role") == 2,
+        F.struct(
+            F.col("pos"),
+            F.concat(F.lit("<x_"), F.col("k").cast("string"), F.lit(">")).alias("p"),
+        ),
+    ).when(
+        F.col("role") == 0, F.struct(F.col("pos"), F.col("tok").alias("p"))
+    )
+    tgt_piece = F.when(
+        F.col("role") == 2,
+        F.struct(
+            F.col("pos"),
+            F.concat(
+                F.lit("<x_"),
+                F.col("k").cast("string"),
+                F.lit("> "),
+                F.col("tok"),
+                F.coalesce(
+                    F.concat(F.lit(" "), F.col("nxt")), F.lit("")
+                ),
+            ).alias("p"),
+        ),
+    )
+    staged = marked.withColumn("_inp", inp_piece).withColumn(
+        "_tgt", tgt_piece
+    )
+    return staged.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(_inp)), s -> s.p)"),
+            " ",
+        ).alias("input"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(_tgt)), s -> s.p)"),
+            " ",
+        ).alias("target"),
+        F.sum((F.col("role") == 2).cast("bigint")).alias("n_spans"),
+    )
+
+
 _NEG_BUCKETS = 64
 _NEG_PER_ANCHOR = 4
 
@@ -9950,6 +10054,7 @@ _GATE_PRIORITY = [
     "sql_recursive_cte",
     "mm_png_interlaced_stats",
     "mm_gif_interlaced_stats",
+    "pipeline_span_corruption",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

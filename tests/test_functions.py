@@ -1131,6 +1131,29 @@ def test_fuzzy_qgram_join_golden(spark):
     assert 3 not in got  # key 3 is not probed (p_partkey % 4 != 0)
 
 
+def test_span_corruption_golden(spark):
+    """A 10-token planted doc produces exactly the T5 sentinel layout:
+    spans at positions 3-4 and 10 (length-1 tail span), numbering and
+    order preserved."""
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    text = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        row = q.pipeline_span_corruption(spark, td).collect()[0]
+    assert row.input == "t1 t2 <x_1> t5 t6 t7 t8 t9 <x_2>"
+    assert row.target == "<x_1> t3 t4 <x_2> t10"
+    assert row.n_spans == 2
+
+
 def test_preference_pairs_golden(spark):
     """Planted stratum: best pairs with worst, strict-margin filter
     drops ties, ranks are deterministic under the doc_id tie-break."""
