@@ -2577,6 +2577,80 @@ def decode_wav_samples(payload: bytes):
     return rate, len(data) // 2, total, abs_total, peak
 
 
+def wav24_sample_value(doc_id: int, i: int) -> int:
+    """Deterministic 24-bit sample (beyond int16 range, so the wide
+    format genuinely matters) — mirrored by the SQL oracle."""
+    return ((doc_id * 131 + i * i * 37) % 2_000_000) - 1_000_000
+
+
+def build_wav_24bit_samples(doc_id: int) -> bytes:
+    """A REAL mono 24-bit PCM WAV: 3-byte little-endian two's-complement
+    samples — the studio-master bit depth."""
+    rate = AUDIO_RATES[doc_id % len(AUDIO_RATES)]
+    n = wav_sample_count(doc_id)
+    data = b"".join(
+        (wav24_sample_value(doc_id, i) & 0xFFFFFF).to_bytes(3, "little")
+        for i in range(n)
+    )
+    fmt_body = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 3).to_bytes(4, "little")
+        + (3).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+        + b"data" + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav_24bit_samples(payload: bytes):
+    """24-bit PCM decode: RIFF walk → 3-byte two's-complement samples →
+    (rate, n_samples, sum, sum_abs, peak) or None. The 16-bit decoder
+    rejects these (bits gate), keeping the two paths honest."""
+    b = payload
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = bits = channels = block = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            if len(body) < 16 or int.from_bytes(body[0:2], "little") != 1:
+                return None  # non-PCM
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            if len(body) < ln:
+                return None  # truncated
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if rate is None or data is None or bits != 24 or channels != 1 \
+            or block != 3:
+        return None
+    if len(data) % 3:
+        return None
+    total = abs_total = 0
+    peak = 0
+    for i in range(0, len(data), 3):
+        v = int.from_bytes(data[i : i + 3], "little", signed=True)
+        total += v
+        abs_total += abs(v)
+        peak = max(peak, abs(v))
+    return rate, len(data) // 3, total, abs_total, peak
+
+
 def build_wav_stereo_samples(doc_id: int) -> bytes:
     """A REAL stereo 16-bit PCM WAV: interleaved L/R frames (RIFF
     block align 4), using the flac_left/right_value formulas so the
@@ -2780,9 +2854,30 @@ def synthesize_wav_samples(docs: DataFrame) -> DataFrame:
     return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
 
 
-def wav_sample_stats(with_media: DataFrame) -> DataFrame:
+def synthesize_wav_24bit_samples(docs: DataFrame) -> DataFrame:
+    """One real mono 24-bit PCM WAV per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_wav_24bit_samples(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def wav_sample_stats(with_media: DataFrame, decoder=None) -> DataFrame:
     """payload → sample statistics via the full PCM decode path (same
-    map-only shape and NULL-on-corruption contract as pixel_stats)."""
+    map-only shape and NULL-on-corruption contract as pixel_stats).
+    ``decoder`` selects the sample width (16-bit default, 24-bit via
+    decode_wav_24bit_samples) — the stats contract is identical."""
+    decoder = decoder or decode_wav_samples
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2790,7 +2885,7 @@ def wav_sample_stats(with_media: DataFrame) -> DataFrame:
                                     "mean_amp", "mean_abs", "peak")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rows["doc_id"].append(doc_id)
-                dec = decode_wav_samples(payload)
+                dec = decoder(payload)
                 if dec is None:
                     for k in ("sample_rate", "n_samples", "mean_amp",
                               "mean_abs", "peak"):

@@ -6523,6 +6523,42 @@ def mm_audio_sample_stats(spark, sf_dir):
     return multimodal.wav_sample_stats(multimodal.synthesize_wav_samples(d))
 
 
+@_q(
+    "mm_wav_24bit_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id % 200) + 50 AS n FROM documents),
+s AS (
+    SELECT doc_id, n,
+           ((doc_id*131 + ti.i*ti.i*37) % 2000000) - 1000000 AS v
+    FROM d, unnest(generate_series(0, n-1)) AS ti(i)),
+agg AS (
+    SELECT doc_id, n,
+           sum(v) AS total, sum(abs(v)) AS abs_total, max(abs(v)) AS peak
+    FROM s GROUP BY doc_id, n)
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+       cast(n as bigint) AS n_samples,
+       round(total / cast(n as double), 6) AS mean_amp,
+       round(abs_total / cast(n as double), 6) AS mean_abs,
+       cast(peak as int) AS peak
+FROM agg""",
+    "24-BIT PCM WAV decode — the studio-master bit depth whose 3-byte "
+    "two's-complement samples don't fit any fixed-width numpy dtype: "
+    "the RIFF walk verifies block-align 3 / bits 24, samples exceed "
+    "the int16 range by design (so a silent 16-bit misread cannot "
+    "pass), and the 16-bit decoder rejects these streams (bits gate). "
+    "Same amplitude-statistics contract as mm_audio_sample_stats; "
+    "exact integer oracle over a generate_series index. Map-only.",
+)
+def mm_wav_24bit_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.wav_sample_stats(
+        multimodal.synthesize_wav_24bit_samples(d),
+        decoder=multimodal.decode_wav_24bit_samples,
+    )
+
+
 _DUPG_N = 3  # intra-doc duplicate-n-gram width (Gopher repetition family)
 
 _SPARK_DUPG = (
@@ -10055,6 +10091,7 @@ _GATE_PRIORITY = [
     "mm_png_interlaced_stats",
     "mm_gif_interlaced_stats",
     "pipeline_span_corruption",
+    "mm_wav_24bit_stats",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

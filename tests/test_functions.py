@@ -1324,6 +1324,34 @@ def test_png_interlaced_equals_sequential():
     assert r is None or len(r) == 5
 
 
+def test_wav_24bit_roundtrip_and_gates():
+    """3-byte two's-complement samples beyond int16 range decode to the
+    exact planted stats; the 16-bit decoder rejects 24-bit streams and
+    vice versa; damage rejects."""
+    from sql_query_engine_spark.functions.multimodal import (
+        AUDIO_RATES,
+        build_wav_24bit_samples,
+        build_wav_samples,
+        decode_wav_24bit_samples,
+        decode_wav_samples,
+        wav24_sample_value,
+        wav_sample_count,
+    )
+
+    for d in (0, 1, 2, 7, 42, 99, 250):
+        got = decode_wav_24bit_samples(build_wav_24bit_samples(d))
+        n = wav_sample_count(d)
+        vals = [wav24_sample_value(d, i) for i in range(n)]
+        assert got == (AUDIO_RATES[d % 5], n, sum(vals),
+                       sum(abs(v) for v in vals), max(abs(v) for v in vals))
+        assert decode_wav_samples(build_wav_24bit_samples(d)) is None
+        assert decode_wav_24bit_samples(build_wav_samples(d)) is None
+
+    g = build_wav_24bit_samples(5)
+    assert decode_wav_24bit_samples(g[:30]) is None
+    assert decode_wav_24bit_samples(None) is None
+
+
 def test_mp3_metadata_roundtrip_and_rejects():
     """MP3 frame walk: ID3v2 syncsafe skip + per-frame header verify
     recovers the planted frame count / bitrate / sample rate exactly;
