@@ -6350,6 +6350,103 @@ def stream_gapfill_locf(spark, sf_dir):
     )
 
 
+_TB_CAP = 3                   # token-bucket capacity
+_TB_REFILL_US = 300_000_000   # one token per 5 minutes of gap
+
+
+@_q(
+    "stream_token_bucket",
+    f"""WITH RECURSIVE ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events),
+st AS (
+    SELECT user_id, event_id, us, rn,
+           TRUE AS admitted, {_TB_CAP - 1} AS tokens_after
+    FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.event_id, e.us, e.rn,
+           least({_TB_CAP}, st.tokens_after
+                 + (e.us - st.us) // {_TB_REFILL_US}) >= 1 AS admitted,
+           CASE WHEN least({_TB_CAP}, st.tokens_after
+                           + (e.us - st.us) // {_TB_REFILL_US}) >= 1
+                THEN least({_TB_CAP}, st.tokens_after
+                           + (e.us - st.us) // {_TB_REFILL_US}) - 1
+                ELSE least({_TB_CAP}, st.tokens_after
+                           + (e.us - st.us) // {_TB_REFILL_US})
+           END AS tokens_after
+    FROM st JOIN ev e ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+SELECT event_id, user_id, admitted, cast(tokens_after as int)
+           AS tokens_after
+FROM st""",
+    "per-key token-bucket rate limiting — a genuinely NON-associative "
+    "stateful stream operator (each decision depends on the previous "
+    "decision, so no window/aggregate can express it): every user's "
+    "bucket starts full at "
+    f"{_TB_CAP}, refills one token per {_TB_REFILL_US // 60_000_000} "
+    "minutes of inter-event gap (integer floor), and an event is "
+    "admitted iff a token is available, consuming it. Spark runs the "
+    "sequential transition per user inside applyInPandas — state is "
+    "O(1) per key, partitioning is per-user, the exact shape "
+    "applyInPandasWithState runs unbounded (streaming/ has the "
+    "readStream twin of this pattern). The oracle drives the SAME "
+    "integer transition through DuckDB's recursive CTE (one iteration "
+    "per event rank), so the hash match certifies a stateful operator "
+    "SQL windows cannot express.",
+)
+def stream_token_bucket(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("us")
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("user_id", LongType(), False),
+            StructField("admitted", BooleanType(), False),
+            StructField("tokens_after", IntegerType(), False),
+        ]
+    )
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        tokens = _TB_CAP
+        prev_us = None
+        admitted = []
+        after = []
+        for us in pdf["us"]:
+            if prev_us is not None:
+                tokens = min(
+                    _TB_CAP, tokens + (int(us) - prev_us) // _TB_REFILL_US
+                )
+            ok = tokens >= 1
+            if ok:
+                tokens -= 1
+            admitted.append(ok)
+            after.append(tokens)
+            prev_us = int(us)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].values,
+                "user_id": pdf["user_id"].values,
+                "admitted": admitted,
+                "tokens_after": after,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(bucket, schema)
+
+
 _LATE_ALLOW_US = 300_000_000  # 5-minute allowed lateness
 
 
@@ -10092,6 +10189,7 @@ _GATE_PRIORITY = [
     "mm_gif_interlaced_stats",
     "pipeline_span_corruption",
     "mm_wav_24bit_stats",
+    "stream_token_bucket",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

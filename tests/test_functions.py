@@ -1204,6 +1204,35 @@ def test_ols_fit_golden(spark):
     assert got["B"][1] == 1.0 and got["B"][2] == 3.0 and 0 < got["B"][3] < 1
 
 
+def test_token_bucket_golden(spark):
+    """Planted burst: capacity-3 bucket admits the first three
+    back-to-back events, drops the fourth, then re-admits after one
+    refill interval — each decision depending on the previous one."""
+    import datetime
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, secs):
+        return (eid, t0 + datetime.timedelta(seconds=secs), 1, "a", 0.0, "{}")
+
+    # 4 events in a burst (1s apart), then one 310s later (one refill)
+    rows = [ev(1, 0), ev(2, 1), ev(3, 2), ev(4, 3), ev(5, 313)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {r.event_id: (r.admitted, r.tokens_after)
+               for r in q.stream_token_bucket(spark, td).collect()}
+    assert got == {1: (True, 2), 2: (True, 1), 3: (True, 0),
+                   4: (False, 0), 5: (True, 0)}
+
+
 def test_late_data_accounting_golden(spark):
     """An event whose deterministic arrival delay lets a newer event
     overtake it by more than the 5-minute allowance counts late."""
