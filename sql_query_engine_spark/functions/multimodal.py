@@ -2185,6 +2185,150 @@ def build_gif_pixels_interlaced(doc_id: int) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# TIFF (TIFF 6.0) IFD metadata walk — the fourth image container tier,
+# and the one where byte order is part of the format: both 'II'
+# (little-endian) and 'MM' (big-endian) files carry the same logical
+# IFD structure, so the walker must thread endianness through every
+# read. Header tier only (like PNG metadata / MP3 frames).
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 262: "photometric"}
+
+
+def tiff_params(doc_id: int) -> tuple[str, int, int, int, int]:
+    """(byteorder, width, height, bits, photometric) — the corpus
+    alternates endianness so both walks stay exercised."""
+    bo = "II" if doc_id % 2 == 0 else "MM"
+    w = (doc_id * 7) % 48 + 8
+    h = (doc_id * 13) % 32 + 8
+    bits = 8 if doc_id % 3 else 16
+    photometric = doc_id % 2  # 0 = WhiteIsZero, 1 = BlackIsZero
+    return bo, w, h, bits, photometric
+
+
+def build_tiff(doc_id: int) -> bytes:
+    """A real-layout TIFF 6.0: byte-order mark, magic 42, one IFD with
+    SHORT-typed width/height/bits/photometric entries (values packed in
+    the inline 4-byte slot, left-justified per spec for SHORTs)."""
+    bo, w, h, bits, photometric = tiff_params(doc_id)
+    end = "little" if bo == "II" else "big"
+
+    def u16(v):
+        return v.to_bytes(2, end)
+
+    def u32(v):
+        return v.to_bytes(4, end)
+
+    entries = []
+    for tag, val in ((256, w), (257, h), (258, bits), (262, photometric)):
+        # tag, type 3 (SHORT), count 1, value left-justified in 4 bytes
+        entries.append(u16(tag) + u16(3) + u32(1) + u16(val) + u16(0))
+    ifd = u16(len(entries)) + b"".join(entries) + u32(0)
+    header = bo.encode() + u16(42) + u32(8)
+    return header + ifd
+
+
+def decode_tiff_metadata(payload: bytes):
+    """TIFF walk → (byteorder, width, height, bits, photometric) or
+    None: byte-order mark gates endianness, magic must be 42, the IFD
+    offset is followed, SHORT/LONG entry values are read inline with
+    the declared endianness; truncation or unknown order rejects."""
+    b = payload
+    if b is None or len(b) < 8:
+        return None
+    bo = b[:2]
+    if bo == b"II":
+        end = "little"
+    elif bo == b"MM":
+        end = "big"
+    else:
+        return None
+    if int.from_bytes(b[2:4], end) != 42:
+        return None
+    off = int.from_bytes(b[4:8], end)
+    if off + 2 > len(b):
+        return None
+    n = int.from_bytes(b[off : off + 2], end)
+    pos = off + 2
+    if pos + 12 * n + 4 > len(b):
+        return None
+    got: dict[str, int] = {}
+    for _ in range(n):
+        tag = int.from_bytes(b[pos : pos + 2], end)
+        typ = int.from_bytes(b[pos + 2 : pos + 4], end)
+        cnt = int.from_bytes(b[pos + 4 : pos + 8], end)
+        if tag in _TIFF_TAGS and cnt == 1:
+            if typ == 3:  # SHORT: left-justified in the 4-byte slot
+                val = int.from_bytes(b[pos + 8 : pos + 10], end)
+            elif typ == 4:  # LONG
+                val = int.from_bytes(b[pos + 8 : pos + 12], end)
+            else:
+                return None
+            got[_TIFF_TAGS[tag]] = val
+        pos += 12
+    if set(got) != set(_TIFF_TAGS.values()):
+        return None
+    return bo.decode(), got["width"], got["height"], got["bits"], \
+        got["photometric"]
+
+
+TIFF_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("byteorder", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("photometric", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_tiff(docs: DataFrame) -> DataFrame:
+    """One real-layout TIFF per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_tiff(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def tiff_metadata(with_media: DataFrame) -> DataFrame:
+    """payload → IFD metadata (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "byteorder", "width",
+                                    "height", "bits", "photometric")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_tiff_metadata(payload)
+                if dec is None:
+                    for k in ("byteorder", "width", "height", "bits",
+                              "photometric"):
+                        rows[k].append(None)
+                else:
+                    bo, w, h, bits, pm = dec
+                    rows["byteorder"].append(bo)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["bits"].append(bits)
+                    rows["photometric"].append(pm)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "bits", "photometric"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, TIFF_META_SCHEMA)
+
+
 GIF_INTERLACED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

@@ -8953,6 +8953,29 @@ def mm_png_metadata(spark, sf_dir):
 
 
 @_q(
+    "mm_tiff_metadata",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byteorder,
+       cast((doc_id*7) % 48 + 8 as int) AS width,
+       cast((doc_id*13) % 32 + 8 as int) AS height,
+       cast(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END as int) AS bits,
+       cast(doc_id % 2 as int) AS photometric
+    FROM documents""",
+    "TIFF 6.0 IFD metadata walk — the fourth image container tier, and "
+    "the one where BYTE ORDER is part of the format: the corpus "
+    "alternates 'II' (little-endian) and 'MM' (big-endian) files, so "
+    "the walker must thread the declared endianness through the magic, "
+    "the IFD offset, every entry's tag/type/count, and the "
+    "left-justified SHORT value slots. Unknown order marks, wrong "
+    "magic, truncation, or missing required tags reject to NULL. "
+    "Arithmetic oracle restates the planted fields. Map-only.",
+)
+def mm_tiff_metadata(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.tiff_metadata(multimodal.synthesize_tiff(d))
+
+
+@_q(
     "mm_video_pixel_stats",
     """WITH d AS (
     SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh,
@@ -10190,6 +10213,7 @@ _GATE_PRIORITY = [
     "pipeline_span_corruption",
     "mm_wav_24bit_stats",
     "stream_token_bucket",
+    "mm_tiff_metadata",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

@@ -1353,6 +1353,31 @@ def test_png_interlaced_equals_sequential():
     assert r is None or len(r) == 5
 
 
+def test_tiff_metadata_both_endians():
+    """TIFF IFD walk honors both 'II' and 'MM' byte orders; bad order
+    marks, wrong magic, and truncation reject."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_tiff,
+        decode_tiff_metadata,
+        tiff_params,
+    )
+
+    seen = set()
+    for d in range(0, 260, 7):
+        got = decode_tiff_metadata(build_tiff(d))
+        assert got == tiff_params(d)
+        seen.add(got[0])
+    assert seen == {"II", "MM"}
+
+    g = build_tiff(5)
+    assert decode_tiff_metadata(g[:6]) is None
+    assert decode_tiff_metadata(b"XX" + g[2:]) is None
+    assert decode_tiff_metadata(None) is None
+    bad = bytearray(g)
+    bad[2] ^= 0xFF  # magic
+    assert decode_tiff_metadata(bytes(bad)) is None
+
+
 def test_wav_24bit_roundtrip_and_gates():
     """3-byte two's-complement samples beyond int16 range decode to the
     exact planted stats; the 16-bit decoder rejects 24-bit streams and
