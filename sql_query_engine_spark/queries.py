@@ -1242,6 +1242,74 @@ def text_idf(spark, sf_dir):
     )
 
 
+
+_VARINT_SQL = ("CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2 "
+               "WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4 "
+               "ELSE 5 END")
+
+
+@_q(
+    "text_postings_delta",
+    f"""WITH toks AS (
+    SELECT DISTINCT doc_id, g2.tok
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS g2(tok)),
+gaps AS (
+    SELECT tok,
+           coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok
+                                               ORDER BY doc_id),
+                    doc_id + 1) AS g
+    FROM toks)
+SELECT tok, cast(count(*) as bigint) AS df,
+       cast(sum({_VARINT_SQL}) as bigint) AS delta_bytes,
+       cast(count(*) * 8 as bigint) AS raw_bytes,
+       round(cast(sum({_VARINT_SQL}) as double) / (count(*) * 8), 6)
+           AS compression
+FROM gaps GROUP BY tok HAVING count(*) >= 20""",
+    "delta + varint posting-list compression — the inverted-index "
+    "storage primitive every search/retrieval system builds on: each "
+    "term's sorted doc_id posting list becomes d-gaps (first gap "
+    "doc_id+1, then successive differences) and each gap costs its "
+    "LEB128 varint byte length (1 byte under 128, 2 under 16384, ...); "
+    "the per-term compressed size against 8-byte raw ids is the "
+    "index-sizing statistic. One term-keyed shuffle shared by the lag "
+    "window and the aggregate — at 100 TB this is exactly how the "
+    "posting lists themselves would be laid out, term-partitioned with "
+    "doc-sorted runs. Pure integer arithmetic; hash-exact.",
+)
+def text_postings_delta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            )
+        ).alias("tok"),
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = toks.select(
+        "tok",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ).alias("g"),
+    )
+    vb = F.expr(_VARINT_SQL)
+    return (
+        gaps.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum(vb).alias("delta_bytes"),
+            (F.count("*") * 8).alias("raw_bytes"),
+            F.round(
+                F.sum(vb).cast("double") / (F.count("*") * 8), 6
+            ).alias("compression"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+
+
 @_q(
     "window_ntile",
     """SELECT quartile, count(*) AS n,
@@ -10214,6 +10282,7 @@ _GATE_PRIORITY = [
     "mm_wav_24bit_stats",
     "stream_token_bucket",
     "mm_tiff_metadata",
+    "text_postings_delta",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",
