@@ -2344,6 +2344,22 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 @_q(
+    "sim_int8_topk",
+    similarity.int8_topk_oracle(),
+    "top-k by EXACT int8-quantized dot product — the rescoring pass a "
+    "quantized retrieval index runs: symmetric max-abs int8 "
+    "quantization (the emb_quantize_int8 arithmetic), bigint dot "
+    "products (no floats anywhere in the similarity, so cross-engine "
+    "drift is impossible by construction), per-query rank-limit with "
+    "id tie-break. Same broadcast-query plan shape as sim_cosine_topk; "
+    "at 100 TB the corpus scan reads 1-byte codes instead of float32 — "
+    "the 4x I/O cut is the point.",
+)
+def sim_int8_topk(spark, sf_dir):
+    return similarity.int8_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "sim_lsh_ann_topk",
     similarity.lsh_bucket_topk_oracle(),
     "ANN via random-hyperplane LSH buckets — the 100 TB scale path",
@@ -10283,6 +10299,7 @@ _GATE_PRIORITY = [
     "stream_token_bucket",
     "mm_tiff_metadata",
     "text_postings_delta",
+    "sim_int8_topk",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",
