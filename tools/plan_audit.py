@@ -50,6 +50,9 @@ EXPECTED = {
     "window_ntile_scale": "crossJoin of a broadcast 1-row total-count "
     "aggregate (same lazy-count shape as text_idf)",
     "sim_cosine_topk": "broadcast NLJ of tiny query set vs corpus — correct",
+    "sim_int8_topk": "BNLJ is the broadcast ≤8-row quantized query set "
+    "against one streaming pass of the quantized corpus — the "
+    "cosine_topk broadcast-query shape on int8 codes",
     "sim_hamming_topk": "BNLJ is the broadcast ≤4-row query-code set "
     "against one streaming pass of the code table — the cosine_topk "
     "broadcast-query shape on 64-bit codes",
