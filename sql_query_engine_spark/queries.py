@@ -5306,6 +5306,76 @@ def catalog_key_skew_profile(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_group_advantage",
+    """WITH scored AS (
+    SELECT doc_id, source, lang,
+           cast(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                as bigint) AS score
+    FROM documents),
+g AS (
+    SELECT source, lang,
+           count(*) AS n,
+           cast(sum(score) as bigint) AS s,
+           cast(sum(score * score) as bigint) AS ss
+    FROM scored GROUP BY source, lang HAVING count(*) >= 2),
+j AS (
+    SELECT sc.doc_id, sc.source, sc.lang, sc.score, g.n, g.s, g.ss,
+           sc.score - cast(g.s as double) / g.n AS adv,
+           sqrt((g.ss - cast(g.s as double) * g.s / g.n) / (g.n - 1))
+               AS sd
+    FROM scored sc JOIN g USING (source, lang))
+SELECT doc_id, source, lang, score,
+       round(adv, 6) AS advantage,
+       CASE WHEN sd > 0 THEN round(adv / sd, 6) END AS advantage_norm
+FROM j""",
+    "group-relative advantage computation — the GRPO/RLVR "
+    "reward-shaping primitive: within every (source, lang) group of "
+    "candidate outputs, each member's advantage is its score minus the "
+    "group mean, normalized by the group's sample standard deviation "
+    "(NULL when the group is constant — never a divide-by-zero). "
+    "Moments are EXACT bigint sums (one map-side-combinable pass), the "
+    "mean/σ solve is per-group scalar arithmetic on exactly equal "
+    "inputs, and sqrt is IEEE-correctly-rounded in both engines — so "
+    "every advantage is bit-reproducible. One group shuffle + one "
+    "broadcast-size group join; nothing corpus-global.",
+)
+def pipeline_group_advantage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            "cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+            " as bigint)"
+        ).alias("score"),
+    )
+    g = (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("score").alias("s"),
+            F.sum(F.col("score") * F.col("score")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    j = scored.join(g, ["source", "lang"])
+    adv = F.col("score") - F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "lang",
+        "score",
+        F.round(adv, 6).alias("advantage"),
+        F.when(sd > 0, F.round(adv / sd, 6)).alias("advantage_norm"),
+    )
+
+
 _PREF_PAIRS_PER_GROUP = 5
 
 
@@ -10300,6 +10370,7 @@ _GATE_PRIORITY = [
     "mm_tiff_metadata",
     "text_postings_delta",
     "sim_int8_topk",
+    "pipeline_group_advantage",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",
