@@ -6504,6 +6504,73 @@ def stream_gapfill_locf(spark, sf_dir):
     )
 
 
+_ROLL_W = 10  # trailing-frame width for the rolling regression
+
+
+@_q(
+    "window_rolling_slope",
+    f"""WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           cast(value as decimal(18,6)) AS y,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS x
+    FROM events WHERE user_id < 40),
+f AS (
+    SELECT user_id, event_id, x,
+           count(*) OVER w AS n,
+           cast(sum(x) OVER w as bigint) AS sx,
+           cast(sum(y) OVER w as double) AS sy,
+           cast(sum(x * x) OVER w as bigint) AS sxx,
+           cast(sum(x * y) OVER w as double) AS sxy
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY x
+                 ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       round((n * sxy - sx * sy) / (n * sxx - cast(sx as double) * sx), 6)
+           AS slope
+FROM f WHERE n = {_ROLL_W}""",
+    "rolling regression — the trend-feature primitive (drift alarms, "
+    "trading signals, telemetry slopes): at every event, the OLS slope "
+    "of value against event rank over the user's trailing "
+    f"{_ROLL_W}-row frame. The sufficient statistics are frame "
+    "aggregates — bigint sums for the integer rank moments, DECIMAL "
+    "sums for the value moments so peer order inside the frame cannot "
+    "drift floats — and the closed-form solve is per-row scalar "
+    "arithmetic on exactly equal inputs (the agg_ols_fit formulation "
+    "made windowed). One per-user window pass; no self-joins, state "
+    "bounded by the frame.",
+)
+def window_rolling_slope(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    wrank = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    ).withColumn("x", F.row_number().over(wrank))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_ROLL_W - 1), Window.currentRow)
+    )
+    f = ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(wf).alias("n"),
+        F.sum("x").over(wf).cast("bigint").alias("sx"),
+        F.sum("y").over(wf).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(wf).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return f.filter(F.col("n") == _ROLL_W).select(
+        "user_id", "event_id", F.round(slope, 6).alias("slope")
+    )
+
+
 _TB_CAP = 3                   # token-bucket capacity
 _TB_REFILL_US = 300_000_000   # one token per 5 minutes of gap
 
@@ -10371,6 +10438,7 @@ _GATE_PRIORITY = [
     "text_postings_delta",
     "sim_int8_topk",
     "pipeline_group_advantage",
+    "window_rolling_slope",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",
