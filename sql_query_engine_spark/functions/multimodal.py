@@ -2329,6 +2329,112 @@ def tiff_metadata(with_media: DataFrame) -> DataFrame:
     return with_media.mapInPandas(_dec, TIFF_META_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Magic-byte format sniffer over the full eight-format container zoo —
+# the FIRST pass a 100 TB mixed crawl runs on every payload (cheaper
+# than any decode: a handful of byte comparisons routes each blob).
+# ---------------------------------------------------------------------------
+
+_SNIFF_FORMATS = ("png", "gif", "jpeg", "tiff", "wav", "flac", "mp3", "mp4")
+
+
+def build_sniff_payload(doc_id: int) -> bytes:
+    """One real container per doc cycling through all eight formats;
+    docs with doc_id % 97 == 0 get their magic region overwritten — the
+    planted corruption slice the sniffer must route to 'unknown'."""
+    kind = _SNIFF_FORMATS[doc_id % 8]
+    w = (doc_id * 7) % 48 + 8
+    h = (doc_id * 13) % 32 + 8
+    if kind == "png":
+        b = build_png(w, h)
+    elif kind == "gif":
+        b = build_gif(w, h)
+    elif kind == "jpeg":
+        b = build_jpeg(w, h)
+    elif kind == "tiff":
+        b = build_tiff(doc_id)
+    elif kind == "wav":
+        b = build_wav(44100, 1, 16, 100)
+    elif kind == "flac":
+        b = build_flac(44100, 1, 16, 100)
+    elif kind == "mp3":
+        b = build_mp3(doc_id)
+    else:
+        b = build_mp4(90000, 90000, w, h)
+    if doc_id % 97 == 0:
+        b = b"XXXXXXXX" + b[8:]
+    return b
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte routing: returns the format name or 'unknown'. The
+    checks are the ones real sniffers use — PNG signature, GIF8x, JPEG
+    SOI, TIFF byte-order marks, RIFF/WAVE, fLaC, ID3-or-frame-sync MP3,
+    ISO-BMFF ftyp at offset 4."""
+    b = payload
+    if b is None or len(b) < 12:
+        return "unknown"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:4] in (b"GIF8",):
+        return "gif"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"fLaC":
+        return "flac"
+    if b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+        return "mp3"
+    if b[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+SNIFF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), True),
+    ]
+)
+
+
+def synthesize_sniff_corpus(docs: DataFrame) -> DataFrame:
+    """One container per doc across the eight-format zoo."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_sniff_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def format_sniffer(with_media: DataFrame) -> DataFrame:
+    """payload → sniffed format name (map-only)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [
+                        sniff_format(p) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return with_media.mapInPandas(_dec, SNIFF_SCHEMA)
+
+
 GIF_INTERLACED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

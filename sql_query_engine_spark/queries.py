@@ -9174,6 +9174,38 @@ def mm_png_metadata(spark, sf_dir):
 
 
 @_q(
+    "mm_format_sniffer",
+    """WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+                ELSE CASE CAST(doc_id % 8 AS INT)
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                     WHEN 2 THEN 'jpeg' WHEN 3 THEN 'tiff'
+                     WHEN 4 THEN 'wav' WHEN 5 THEN 'flac'
+                     WHEN 6 THEN 'mp3' ELSE 'mp4' END
+           END AS format
+    FROM documents)
+SELECT format, cast(count(*) as bigint) AS n_payloads
+FROM m GROUP BY format""",
+    "magic-byte format sniffing over the full eight-format container "
+    "zoo (PNG, GIF, JPEG, TIFF, WAV, FLAC, MP3, MP4 interleaved in ONE "
+    "binary column) — the first pass a 100 TB mixed crawl runs on "
+    "every payload: a handful of byte comparisons (signatures, "
+    "byte-order marks, RIFF/WAVE, fLaC, ID3/frame-sync, ftyp at offset "
+    "4) routes each blob to its decoder; a planted corruption slice "
+    "(every 97th doc's magic region overwritten) must land in "
+    "'unknown', never raise. Counts per routed format are pure "
+    "doc_id arithmetic — the oracle restates the routing table "
+    "exactly. Map-only.",
+)
+def mm_format_sniffer(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.format_sniffer(
+        multimodal.synthesize_sniff_corpus(d)
+    ).groupBy("format").agg(F.count("*").alias("n_payloads"))
+
+
+@_q(
     "mm_tiff_metadata",
     """SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byteorder,
@@ -10439,6 +10471,7 @@ _GATE_PRIORITY = [
     "sim_int8_topk",
     "pipeline_group_advantage",
     "window_rolling_slope",
+    "mm_format_sniffer",
     "stream_attribution",
     "emb_label_centroids",
     "tpch_q12_late_priority",

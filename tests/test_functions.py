@@ -1353,6 +1353,23 @@ def test_png_interlaced_equals_sequential():
     assert r is None or len(r) == 5
 
 
+def test_format_sniffer_all_formats_and_corruption():
+    """Every format in the zoo sniffs to its own name; the corrupted
+    magic slice and short/None payloads route to 'unknown'."""
+    from sql_query_engine_spark.functions.multimodal import (
+        _SNIFF_FORMATS,
+        build_sniff_payload,
+        sniff_format,
+    )
+
+    for d in range(1, 17):  # two full format cycles, none % 97 == 0
+        assert sniff_format(build_sniff_payload(d)) == _SNIFF_FORMATS[d % 8]
+    assert sniff_format(build_sniff_payload(0)) == "unknown"    # 0 % 97
+    assert sniff_format(build_sniff_payload(97 * 3)) == "unknown"
+    assert sniff_format(None) == "unknown"
+    assert sniff_format(b"short") == "unknown"
+
+
 def test_tiff_metadata_both_endians():
     """TIFF IFD walk honors both 'II' and 'MM' byte orders; bad order
     marks, wrong magic, and truncation reject."""
