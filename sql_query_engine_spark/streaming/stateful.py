@@ -139,3 +139,77 @@ def profile_batch(events: DataFrame) -> DataFrame:
     return _with_ts_us(events).groupBy("user_id").applyInPandas(
         _one_group, PROFILE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming token bucket — the applyInPandasWithState twin of the batch
+# stream_token_bucket query (queries.py): a NON-associative per-key
+# recurrence whose state (remaining tokens + last event time) must carry
+# across triggers; no windowed aggregate can express it.
+# ---------------------------------------------------------------------------
+
+TB_CAP = 3
+TB_REFILL_US = 300_000_000
+
+TOKEN_BUCKET_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("admitted", LongType(), False),  # 0/1
+        StructField("tokens_after", LongType(), False),
+    ]
+)
+
+_TB_STATE_SCHEMA = "tokens bigint, last_us bigint"
+
+
+def _tb_transition(tokens, last, us_seq, ids):
+    """Shared transition: integer-floor refill per gap, admit iff a
+    token is available. ``last`` is -1 for a fresh bucket."""
+    adm, aft = [], []
+    for us in us_seq:
+        if last >= 0:
+            tokens = min(TB_CAP, tokens + (int(us) - last) // TB_REFILL_US)
+        ok = 1 if tokens >= 1 else 0
+        tokens -= ok
+        adm.append(ok)
+        aft.append(tokens)
+        last = int(us)
+    return tokens, last, adm, aft
+
+
+def token_bucket_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming admission control with explicit keyed state. Events
+    inside a trigger are folded in (event time, id) order; the bucket
+    level and last-seen time persist in the state store across
+    triggers — exactly what distinguishes this from a window."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            tokens, last = state.get
+        else:
+            tokens, last = TB_CAP, -1
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        tokens, last, adm, aft = _tb_transition(
+            tokens, last, pdf["ts_us"].tolist(), pdf["event_id"].tolist()
+        )
+        state.update((tokens, last))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].values,
+                "user_id": [key[0]] * len(pdf),
+                "admitted": adm,
+                "tokens_after": aft,
+            }
+        )
+
+    ev = events_stream.select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=TOKEN_BUCKET_SCHEMA,
+        stateStructType=_TB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -756,3 +756,59 @@ def test_stream_countmin_partials_equal_batch(spark, batch_events, tmp_path):
         .collect()
     }
     assert merged == whole
+
+
+def test_stateful_token_bucket_stream_equals_batch(spark, batch_events, tmp_path):
+    """The streaming token bucket (applyInPandasWithState) must equal the
+    batch recursive-transition query across MULTIPLE triggers: the corpus
+    is split at the median event time into two files processed one per
+    micro-batch (maxFilesPerTrigger=1), so bucket levels and last-seen
+    times genuinely carry through the state store."""
+    import os
+    import sys
+    import time as _time
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    from sql_query_engine_spark.streaming import stateful
+
+    qmod = sys.modules["sql_query_engine_spark.queries"]
+
+    from pyspark.sql import functions as F
+
+    median_ts = batch_events.approxQuantile("ts", [0.5], 0.0)[0]
+    stream_dir = tmp_path / "events_tb"
+    early = str(stream_dir / "a")
+    late = str(stream_dir / "b")
+    batch_events.filter(F.col("ts") <= median_ts).write.parquet(early)
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    batch_events.filter(F.col("ts") > median_ts).write.parquet(late)
+    for sub in (late,):
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f))
+
+    # staged files carry the NORMALIZED schema (ts = int64 nanos), so
+    # read them with it directly — no second normalization pass
+    raw = spark.readStream.schema(batch_events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{stream_dir}/*")
+    q = (
+        stateful.token_bucket_stream(raw)
+        .writeStream.format("memory")
+        .queryName("tb_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.event_id: (bool(r.admitted), r.tokens_after)
+        for r in spark.sql("SELECT * FROM tb_test").collect()
+    }
+    expected = {
+        r.event_id: (r.admitted, r.tokens_after)
+        for r in qmod.stream_token_bucket(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(expected) > 0
+    assert got == expected
