@@ -26,6 +26,7 @@ import io
 import json
 import os
 import struct
+import zlib
 from typing import Iterator, List, Tuple
 
 import pandas as pd
@@ -105,14 +106,17 @@ def _decode_value(t: str, buf: bytes, pos: int):
 
 
 def write_avro_bytes(name: str, fields: AvroFields, rows,
-                     block_rows: int = 1000) -> bytes:
+                     block_rows: int = 1000, codec: str = "null") -> bytes:
     """Serialize rows (sequences ordered like ``fields``) into one
-    spec-conformant OCF byte string."""
+    spec-conformant OCF byte string. ``codec`` is "null" or "deflate"
+    (raw zlib stream, no header/checksum — the Avro spec's framing)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     out = io.BytesIO()
     out.write(AVRO_MAGIC)
     meta = {
         "avro.schema": avro_schema_json(name, fields).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     # file metadata: an avro map<bytes> — one block then the 0 terminator
     out.write(_zigzag_encode(len(meta)))
@@ -129,9 +133,13 @@ def write_avro_bytes(name: str, fields: AvroFields, rows,
     def flush():
         nonlocal buf, count
         if count:
+            body = bytes(buf)
+            if codec == "deflate":
+                # spec: raw DEFLATE, i.e. zlib without header/checksum
+                body = zlib.compress(body)[2:-4]
             out.write(_zigzag_encode(count))
-            out.write(_zigzag_encode(len(buf)))
-            out.write(bytes(buf))
+            out.write(_zigzag_encode(len(body)))
+            out.write(body)
             out.write(_SYNC)
             buf = bytearray()
             count = 0
@@ -169,8 +177,9 @@ def decode_avro_bytes(payload: bytes, path: str = "<bytes>"):
             meta[k] = b[pos : pos + vl]
             pos += vl
         nkeys, pos = _zigzag_decode(b, pos)
-    if meta.get("avro.codec", b"null") != b"null":
-        raise ValueError(f"{path}: unsupported codec")
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"{path}: unsupported codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     fields: AvroFields = [(f["name"], f["type"]) for f in schema["fields"]]
     sync = b[pos : pos + 16]
@@ -184,6 +193,11 @@ def decode_avro_bytes(payload: bytes, path: str = "<bytes>"):
         if b[pos : pos + 16] != sync:
             raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
         pos += 16
+        if codec == b"deflate":
+            try:
+                block = zlib.decompress(block, wbits=-15)  # raw DEFLATE
+            except zlib.error as e:
+                raise ValueError(f"{path}: deflate block corrupt: {e}")
         bp = 0
         for _ in range(count):
             row = []
@@ -191,7 +205,7 @@ def decode_avro_bytes(payload: bytes, path: str = "<bytes>"):
                 v, bp = _decode_value(t, block, bp)
                 row.append(v)
             rows.append(tuple(row))
-        if bp != size:
+        if bp != len(block):
             raise ValueError(f"{path}: block size mismatch")
     return fields, rows
 

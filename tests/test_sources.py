@@ -719,6 +719,33 @@ def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
                           str(tmp_path / "bad.fw"))
 
 
+def test_avro_deflate_codec_roundtrip_and_corruption():
+    """avro.codec=deflate (raw DEFLATE block bodies, the spec's framing
+    without zlib header/checksum) round-trips losslessly, compresses,
+    and raises with the path on a corrupt compressed block."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.avro import (
+        decode_avro_bytes,
+        write_avro_bytes,
+    )
+
+    fields = [("k", "long"), ("x", "double"), ("s", "string")]
+    rows = [(i, i * 1.5, f"row-{i}" * 10) for i in range(200)]
+    plain = write_avro_bytes("t", fields, rows, codec="null")
+    packed = write_avro_bytes("t", fields, rows, codec="deflate")
+    assert len(packed) < len(plain) // 2  # repetitive strings compress
+    got_fields, got_rows = decode_avro_bytes(packed)
+    assert got_fields == fields and got_rows == rows
+
+    bad = bytearray(packed)
+    bad[60] ^= 0xFF  # inside the compressed block body
+    with _pytest.raises(ValueError):
+        decode_avro_bytes(bytes(bad), "p")
+    with _pytest.raises(ValueError):
+        write_avro_bytes("t", fields, rows, codec="snappy")
+
+
 def test_avro_negative_metadata_block_count():
     """Spec-valid third-party OCFs may write the file-metadata map with a
     NEGATIVE block count followed by the block's byte size (Avro 1.11
