@@ -3234,6 +3234,20 @@ class _JpegBitWriter:
                 self.acc = 0
                 self.nbits = 0
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding, stuffed like any data byte) and emit
+        restart marker RST(m mod 8) — T.81 F.2 restart insertion."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m & 7))
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -3334,6 +3348,7 @@ def jpeg_chroma_level(doc_id: int, k: int, chan: int) -> int:
     return ((doc_id * 5 + k * 17) % 225) - 112
 
 
+_PROG_RST = 5  # progressive corpus restart interval (MCUs between RSTn)
 _JPEG_AC_ZI = 20  # zigzag index of the planted AC coefficient: (u,v)=(5,0)
 _JPEG_AC_VALSET = (0, 1, -1, 2, 3)
 
@@ -4016,10 +4031,17 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
+    # every scan restarts each _PROG_RST MCUs (DRI below): byte-align +
+    # RSTn + DC-predictor/EOB-run reset, marker number mod 8 per scan
+    rst = _PROG_RST
+
     # scan 1: DC first, Al=1 — diffs of (dc >> 1), arithmetic shift
     b1 = _JpegBitWriter()
     pred = 0
     for k in range(bw * bh):
+        if k and k % rst == 0:
+            b1.restart(k // rst - 1)
+            pred = 0
         v = jpeg_block_level(doc_id, k) >> 1
         diff = v - pred
         pred = v
@@ -4032,16 +4054,22 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
     b2 = _JpegBitWriter()
     for k in range(bw * bh):
+        if k and k % rst == 0:
+            b2.restart(k // rst - 1)
         b2.put(jpeg_block_level(doc_id, k) & 1, 1)
     # scan 3: AC first at Al=1; scan 4: AC refinement (Ah=1, Al=0)
     b3 = _JpegBitWriter()
     b4 = _JpegBitWriter()
     for k in range(bw * bh):
+        if k and k % rst == 0:
+            b3.restart(k // rst - 1)
+            b4.restart(k // rst - 1)
         items = {_JPEG_AC_ZI: jpeg_block_ac(doc_id, k)}
         _jpeg_encode_ac_first(b3, ac_codes, items, 1)
         _jpeg_encode_ac_refine(b4, ac_codes, items, 1, 0)
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    dri = seg(0xDD, _PROG_RST.to_bytes(2, "big"))
     sof = seg(
         0xC2,  # SOF2: progressive
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
@@ -4057,14 +4085,15 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     sos3 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, (0 << 4) | 1]))
     sos4 = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, (1 << 4) | 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht
+        b"\xff\xd8" + dqt + dri + sof + dht
         + sos1 + b1.flush() + sos2 + b2.flush() + sos3 + b3.flush()
         + sos4 + b4.flush()
         + b"\xff\xd9"
     )
 
 
-def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al) -> bool:
+def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al,
+                         maybe_restart=None) -> bool:
     """AC successive-approximation refinement scan (T.81 §G.1.2.3,
     figure G.7 control flow): for every coefficient in the band whose
     history is already nonzero, one correction bit refines its magnitude
@@ -4077,6 +4106,8 @@ def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al) -> bool:
     m1 = -p1
     eobrun = 0
     for k in range(nblocks):
+        if maybe_restart is not None and maybe_restart():
+            eobrun = 0  # RSTn resets the EOB run and bit alignment
         idx = ss
         if eobrun == 0:
             while idx <= se:
@@ -4260,26 +4291,41 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
             ah, al = body[off + 2] >> 4, body[off + 2] & 0x0F
             reader = _JpegBitReader(b, pos + 2 + ln)
 
+            def maybe_restart() -> bool:
+                # a pending RSTn at a data-unit boundary: byte-align,
+                # consume, and tell the caller to reset its DC
+                # predictors / EOB run (T.81 F.2 restart semantics)
+                if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
+                    reader.align_and_consume_marker()
+                    return True
+                return False
+
             def scan_block_order():
                 # T.81 data-unit order: interleaved scans visit MCUs,
                 # each component contributing its hi x vi blocks in
                 # raster order; single-component scans walk that
-                # component's own block grid in raster order
+                # component's own block grid in raster order. The third
+                # element marks restart-checkable boundaries (MCU
+                # starts / every block when non-interleaved).
                 if len(scomps) > 1:
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            first = True
                             for cid_, _, _ in scomps:
                                 hi, vi = samp[cid_]
                                 cbw = grid[cid_][0]
                                 for byy in range(vi):
                                     for bxx in range(hi):
-                                        yield cid_, ((my * vi + byy) * cbw
-                                                     + (mx * hi + bxx))
+                                        yield (cid_,
+                                               (my * vi + byy) * cbw
+                                               + (mx * hi + bxx),
+                                               first)
+                                        first = False
                 else:
                     cid_ = scomps[0][0]
                     cbw, cbh = grid[cid_]
                     for k in range(cbw * cbh):
-                        yield cid_, k
+                        yield cid_, k, True
 
             if ss == 0 and se == 0:  # DC scan
                 if ah == 0:
@@ -4290,7 +4336,9 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                             return None
                         dcts[cid] = t
                     preds = {cid: 0 for cid, _, _ in scomps}
-                    for cid, k in scan_block_order():
+                    for cid, k, boundary in scan_block_order():
+                        if boundary and maybe_restart():
+                            preds = {c: 0 for c, _, _ in scomps}
                         s = _huff_decode(reader, dcts[cid])
                         if s is None or s > 11:
                             return None
@@ -4301,7 +4349,9 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                             preds[cid] += _extend(amp, s)
                         coefs[cid][k, 0] = preds[cid] << al
                 else:  # DC refinement: one raw bit per component block
-                    for cid, k in scan_block_order():
+                    for cid, k, boundary in scan_block_order():
+                        if boundary:
+                            maybe_restart()  # alignment reset only
                         bit = reader.bits(1)
                         if bit is None:
                             return None
@@ -4320,6 +4370,8 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                 eobrun = 0
                 if ah == 0:  # first scan for this band
                     for k in range(nblocks_c):
+                        if maybe_restart():
+                            eobrun = 0
                         if eobrun:
                             eobrun -= 1
                             continue
@@ -4347,7 +4399,8 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                             cc[k, idx] = _extend(amp, sz) << al
                 else:  # successive-approximation refinement (T.81 G.1.2.3)
                     if not _jpeg_ac_refine_scan(
-                        reader, act, cc, nblocks_c, ss, se, al
+                        reader, act, cc, nblocks_c, ss, se, al,
+                        maybe_restart,
                     ):
                         return None
             # advance past the entropy data to the next marker
