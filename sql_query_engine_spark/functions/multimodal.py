@@ -3553,6 +3553,26 @@ class _JpegBitReader:
             self.nbits = 0
         return m
 
+    def expect_restart(self, n: int) -> bool:
+        """T.81 F.2.1.3: the DRI interval has elapsed, so an RSTn MUST
+        sit at the next byte boundary. Drop the 1-pad bits, force the
+        lazy fill to surface the marker (it may not have been fetched
+        yet at a data-unit boundary), check the modulo-8 restart number,
+        and consume it. False = corrupt stream (missing / wrong-numbered
+        marker, or entropy bytes where the marker must be)."""
+        self.nbits -= self.nbits % 8
+        if self.nbits:
+            return False  # whole entropy bytes where a marker must sit
+        if self.marker is None:
+            self._fill()
+        if self.marker != 0xD0 + (n & 7):
+            return False
+        self.marker = None
+        self.pos += 2
+        self.acc = 0
+        self.nbits = 0
+        return True
+
 
 def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]):
     code = 0
@@ -3616,6 +3636,7 @@ def _decode_jpeg_planes(payload: bytes):
     scan_comps: list[tuple[int, int, int]] = []
     pos = 2
     scan_start = None
+    ri = 0  # DRI restart interval in MCUs (0 = none)
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -3627,7 +3648,11 @@ def _decode_jpeg_planes(payload: bytes):
         body = b[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
             return None
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xDD:  # DRI: restart interval (T.81 B.2.4.4)
+            if len(body) != 2:
+                return None
+            ri = int.from_bytes(body, "big")
+        elif marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
@@ -3765,12 +3790,27 @@ def _decode_jpeg_planes(payload: bytes):
         return np.clip(np.round(block) + 128, 0, 255)
 
     # interleaved MCU order (T.81 A.2.3): per MCU, each component
-    # contributes its h_i x v_i blocks in raster order
+    # contributes its h_i x v_i blocks in raster order. With a DRI
+    # interval, EXPECT a validated RSTn every ri MCUs (F.2.1.3) —
+    # counting, not peeking: the lazy fill may not have surfaced a
+    # pending marker at an MCU boundary.
+    mcu_i = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
+            if ri and mcu_i and mcu_i % ri == 0:
+                if not reader.expect_restart(rst_n):
+                    return None
+                rst_n += 1
+                preds = [0] * nc
+            elif (not ri and reader.marker is not None
+                  and 0xD0 <= reader.marker <= 0xD7):
+                # lenient path for non-conformant streams with RSTn but
+                # no DRI segment — only fires when the marker happens to
+                # be visible (best effort, as before)
                 reader.align_and_consume_marker()
                 preds = [0] * nc
+            mcu_i += 1
             for c in range(nc):
                 hi, vi = tables[c][0], tables[c][1]
                 for byy in range(vi):
@@ -4093,7 +4133,7 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
 
 
 def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al,
-                         maybe_restart=None) -> bool:
+                         unit_boundary=None) -> bool:
     """AC successive-approximation refinement scan (T.81 §G.1.2.3,
     figure G.7 control flow): for every coefficient in the band whose
     history is already nonzero, one correction bit refines its magnitude
@@ -4106,8 +4146,12 @@ def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al,
     m1 = -p1
     eobrun = 0
     for k in range(nblocks):
-        if maybe_restart is not None and maybe_restart():
-            eobrun = 0  # RSTn resets the EOB run and bit alignment
+        if unit_boundary is not None:
+            r = unit_boundary()
+            if r < 0:
+                return False
+            if r:
+                eobrun = 0  # RSTn resets the EOB run and bit alignment
         idx = ss
         if eobrun == 0:
             while idx <= se:
@@ -4195,6 +4239,7 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
     pos = 2
     coefs: dict[int, "np.ndarray"] = {}
     hmax = vmax = mcus_x = mcus_y = 0
+    ri = 0  # DRI restart interval in MCUs / data units (0 = none)
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -4270,6 +4315,10 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                 )
         elif marker == 0xC0:
             return None  # baseline stream: use the baseline decoders
+        elif marker == 0xDD:  # DRI: restart interval (T.81 B.2.4.4)
+            if len(body) != 2:
+                return None
+            ri = int.from_bytes(body, "big")
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None
@@ -4291,14 +4340,25 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
             ah, al = body[off + 2] >> 4, body[off + 2] & 0x0F
             reader = _JpegBitReader(b, pos + 2 + ln)
 
-            def maybe_restart() -> bool:
-                # a pending RSTn at a data-unit boundary: byte-align,
-                # consume, and tell the caller to reset its DC
-                # predictors / EOB run (T.81 F.2 restart semantics)
-                if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
-                    reader.align_and_consume_marker()
-                    return True
-                return False
+            # T.81 F.2.1.3 restart semantics: count data units against
+            # the DRI interval and EXPECT an RSTn (validated modulo-8
+            # number) every `ri` units — never peek at reader.marker,
+            # which the lazy fill may not have fetched yet at a
+            # data-unit boundary. Numbering resets to RST0 per scan.
+            rst_state = [0, 0]  # [units decoded, next RSTn number]
+
+            def unit_boundary() -> int:
+                # start of the next MCU / data unit. 0 = no restart
+                # due, 1 = restart consumed (caller resets predictors /
+                # EOB run), -1 = corrupt (expected marker missing).
+                units, n = rst_state
+                rst_state[0] = units + 1
+                if ri and units and units % ri == 0:
+                    if not reader.expect_restart(n):
+                        return -1
+                    rst_state[1] = n + 1
+                    return 1
+                return 0
 
             def scan_block_order():
                 # T.81 data-unit order: interleaved scans visit MCUs,
@@ -4337,8 +4397,12 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                         dcts[cid] = t
                     preds = {cid: 0 for cid, _, _ in scomps}
                     for cid, k, boundary in scan_block_order():
-                        if boundary and maybe_restart():
-                            preds = {c: 0 for c, _, _ in scomps}
+                        if boundary:
+                            r = unit_boundary()
+                            if r < 0:
+                                return None
+                            if r:
+                                preds = {c: 0 for c, _, _ in scomps}
                         s = _huff_decode(reader, dcts[cid])
                         if s is None or s > 11:
                             return None
@@ -4350,8 +4414,8 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                         coefs[cid][k, 0] = preds[cid] << al
                 else:  # DC refinement: one raw bit per component block
                     for cid, k, boundary in scan_block_order():
-                        if boundary:
-                            maybe_restart()  # alignment reset only
+                        if boundary and unit_boundary() < 0:
+                            return None  # alignment reset only
                         bit = reader.bits(1)
                         if bit is None:
                             return None
@@ -4370,7 +4434,10 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                 eobrun = 0
                 if ah == 0:  # first scan for this band
                     for k in range(nblocks_c):
-                        if maybe_restart():
+                        r = unit_boundary()
+                        if r < 0:
+                            return None
+                        if r:
                             eobrun = 0
                         if eobrun:
                             eobrun -= 1
@@ -4400,7 +4467,7 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                 else:  # successive-approximation refinement (T.81 G.1.2.3)
                     if not _jpeg_ac_refine_scan(
                         reader, act, cc, nblocks_c, ss, se, al,
-                        maybe_restart,
+                        unit_boundary,
                     ):
                         return None
             # advance past the entropy data to the next marker

@@ -2442,6 +2442,36 @@ def test_jpeg_progressive_equals_baseline():
         assert res is None or len(res) == 3
 
 
+def test_jpeg_restart_marker_validation():
+    """T.81 F.2.1.3 restart discipline: the corpus fixtures carry a DRI
+    segment and RSTn markers every _PROG_RST data units; a wrong
+    modulo-8 restart NUMBER, and a marker replaced with entropy-looking
+    bytes, must both reject (decode -> None), not silently desync."""
+    from sql_query_engine_spark.functions.multimodal import (
+        _PROG_RST,
+        build_jpeg_progressive_pixels,
+        decode_jpeg_progressive_pixels,
+    )
+
+    g = build_jpeg_progressive_pixels(7)
+    assert decode_jpeg_progressive_pixels(g) is not None
+    # the DRI segment is present with the corpus interval
+    i = g.find(b"\xff\xdd")
+    assert i >= 0
+    assert int.from_bytes(g[i + 4 : i + 6], "big") == _PROG_RST
+
+    # locate the first RST0 after the first SOS and corrupt it two ways
+    sos = g.find(b"\xff\xda")
+    rst = g.find(b"\xff\xd0", sos)
+    assert rst > sos
+    wrong_num = bytearray(g)
+    wrong_num[rst + 1] = 0xD3  # RST3 where RST0 is expected
+    assert decode_jpeg_progressive_pixels(bytes(wrong_num)) is None
+    gone = bytearray(g)
+    gone[rst] = 0x00  # marker bytes become (unstuffed-looking) data
+    assert decode_jpeg_progressive_pixels(bytes(gone)) is None
+
+
 def test_jpeg_progressive_color_equals_baseline():
     """Progressive color (interleaved DC scans + per-component AC
     scans) decodes to the same pixels as the baseline color stream of
