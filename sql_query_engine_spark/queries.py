@@ -6683,14 +6683,12 @@ wmk AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING) AS wm
     FROM ev)
-SELECT event_type, count(*) AS n_events,
-       sum(CASE WHEN wm IS NOT NULL AND us < wm - {_LATE_ALLOW_US}
-                THEN 1 ELSE 0 END) AS n_late,
-       round(cast(sum(CASE WHEN wm IS NOT NULL
-                           AND us < wm - {_LATE_ALLOW_US}
-                      THEN 1 ELSE 0 END) as double) / count(*), 6)
-           AS late_pct
-FROM wmk GROUP BY event_type""",
+SELECT event_type, n_events, n_late,
+       CAST((n_late * 1000000) // n_events AS BIGINT) AS late_ppm
+FROM (SELECT event_type, count(*) AS n_events,
+             sum(CASE WHEN wm IS NOT NULL AND us < wm - {_LATE_ALLOW_US}
+                      THEN 1 ELSE 0 END) AS n_late
+      FROM wmk GROUP BY event_type)""",
     "watermark late-data accounting — the audit every production "
     "streaming pipeline runs before choosing its allowed-lateness "
     "knob: events are replayed in a deterministic arrival order "
@@ -6727,12 +6725,21 @@ def stream_late_data_accounting(spark, sf_dir):
         & (F.col("us") < F.col("wm") - _LATE_ALLOW_US),
         1,
     ).otherwise(0)
-    return wmk.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(late).alias("n_late"),
-        F.round(F.sum(late).cast("double") / F.count("*"), 6).alias(
-            "late_pct"
-        ),
+    # the rate is an exact integer parts-per-million (truncating integer
+    # division on both engines) — a rounded double division here is not
+    # hash-stable across DuckDB versions
+    return (
+        wmk.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(late).alias("n_late"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            F.expr("(n_late * 1000000) div n_events").alias("late_ppm"),
+        )
     )
 
 

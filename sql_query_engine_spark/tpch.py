@@ -332,15 +332,20 @@ def register_tpch(q, t):
                            THEN 1 ELSE 0 END) AS low_line_count
            FROM orders, lineitem
            WHERE o_orderkey = l_orderkey
-             AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-             AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                 > 5184000000000
+             AND epoch_us(l_shipdate) >= 852076800000000
+             AND epoch_us(l_shipdate) <  883612800000000
            GROUP BY l_returnflag""",
         "TPC-H Q12 shape: priority mix of late shipments (shipdate lagging "
         "orderdate by 60+ days stands in for receipt-vs-commit; no ship "
         "modes in the driver schema, grouped by return flag). The lateness "
         "predicate is a post-join filter on two scan columns — the date "
-        "range still pushes to the lineitem scan",
+        "range still pushes to the lineitem scan. Both sides state every "
+        "time predicate in integer epoch-µs (60 days = 5184000000000 µs; "
+        "the Spark range literals equal the oracle's epoch bounds at µs "
+        "precision, and stay parquet-pushable) — interval arithmetic on "
+        "TIMESTAMP drifts across engine versions",
     )
     def tpch_q12_late_priority(spark, sf_dir):
         o = t(spark, sf_dir, "orders")
@@ -349,9 +354,13 @@ def register_tpch(q, t):
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
         )
         high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        late = (
+            F.expr("unix_micros(cast(l_shipdate as timestamp))")
+            - F.expr("unix_micros(cast(o_orderdate as timestamp))")
+        ) > F.lit(5184000000000)
         return (
             li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .filter(late)
             .groupBy("l_returnflag")
             .agg(
                 F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
