@@ -10457,41 +10457,8 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
-    "pipeline_next_event_dataset",
-    "mm_video_pixel_stats",
-    "src_fixed_width_scan",
-    "mm_jpeg_progressive_420_stats",
-    "agg_ols_fit",
     "stream_late_data_accounting",
-    "src_warc_scan",
-    "mm_mp3_metadata",
-    "pipeline_preference_pairs",
-    "join_fuzzy_qgram",
-    "sql_recursive_cte",
-    "mm_png_interlaced_stats",
-    "mm_gif_interlaced_stats",
-    "pipeline_span_corruption",
-    "mm_wav_24bit_stats",
-    "stream_token_bucket",
-    "mm_tiff_metadata",
-    "text_postings_delta",
-    "sim_int8_topk",
-    "pipeline_group_advantage",
-    "window_rolling_slope",
-    "mm_format_sniffer",
-    "stream_attribution",
-    "emb_label_centroids",
     "tpch_q12_late_priority",
-    "pipeline_incremental_rollup",
-    "catalog_key_skew_profile",
-    "stream_interval_join",
-    "tpch_q19_disjunctive_revenue",
-    "stream_daily_ohlc",
-    "stream_gapfill_locf",
-    "text_feature_hashing",
-    "agg_heavy_hitters",
-    "stream_interval_coalesce",
-    "window_running_distinct",
     "tpch_q18_large_volume",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -10503,7 +10470,6 @@ _GATE_PRIORITY = [
     "stream_sliding_distinct",
     "tpch_q21_suppliers_kept_waiting",
     "join_asof_forward",
-    "graph_pagerank",
     "join_spatial_grid",
     "scalar_hilbert_key",
     "pipeline_temperature_mixture",
@@ -10538,6 +10504,40 @@ _GATE_PRIORITY = [
     "pipeline_dedup_keeper",
     "mm_gif_frame_sample",
     "pipeline_source_authority",
+    "graph_pagerank",
+    "pipeline_next_event_dataset",
+    "mm_video_pixel_stats",
+    "src_fixed_width_scan",
+    "mm_jpeg_progressive_420_stats",
+    "agg_ols_fit",
+    "src_warc_scan",
+    "mm_mp3_metadata",
+    "pipeline_preference_pairs",
+    "join_fuzzy_qgram",
+    "sql_recursive_cte",
+    "mm_png_interlaced_stats",
+    "mm_gif_interlaced_stats",
+    "pipeline_span_corruption",
+    "mm_wav_24bit_stats",
+    "stream_token_bucket",
+    "mm_tiff_metadata",
+    "text_postings_delta",
+    "sim_int8_topk",
+    "pipeline_group_advantage",
+    "window_rolling_slope",
+    "mm_format_sniffer",
+    "stream_attribution",
+    "emb_label_centroids",
+    "pipeline_incremental_rollup",
+    "catalog_key_skew_profile",
+    "stream_interval_join",
+    "tpch_q19_disjunctive_revenue",
+    "stream_daily_ohlc",
+    "stream_gapfill_locf",
+    "text_feature_hashing",
+    "agg_heavy_hitters",
+    "stream_interval_coalesce",
+    "window_running_distinct",
     "agg_exact_moments",
     "join_asof_nearest",
     "mm_wav_stereo_stats",
