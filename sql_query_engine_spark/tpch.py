@@ -637,7 +637,8 @@ def register_tpch(q, t):
         "tpch_q21_suppliers_kept_waiting",
         """WITH fl AS (
              SELECT l_orderkey, l_suppkey,
-                    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+                    (epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                     > 7776000000000) AS is_late
              FROM lineitem, orders
              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'),
            stats AS (
@@ -660,12 +661,16 @@ def register_tpch(q, t):
     def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
         li = t(spark, sf_dir, "lineitem")
         o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+        # 90 days = 7776000000000 µs, compared as integer epoch-µs on
+        # both engines (TIMESTAMP + INTERVAL drifts across versions)
         fl = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
             "l_orderkey",
             "l_suppkey",
-            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
-                "is_late"
-            ),
+            (
+                F.expr("unix_micros(cast(l_shipdate as timestamp))")
+                - F.expr("unix_micros(cast(o_orderdate as timestamp))")
+                > F.lit(7776000000000)
+            ).alias("is_late"),
         )
         stats = fl.groupBy(F.col("l_orderkey").alias("ok")).agg(
             F.count_distinct("l_suppkey").alias("n_supp"),

@@ -7,6 +7,13 @@ cd "$(dirname "$0")/.."
 echo "=== pytest ==="
 python -m pytest tests/ -q
 
+echo "=== oracle fragility lint ==="
+# static scan for version-fragile oracle constructs (INTERVAL
+# arithmetic, rounded double division, exp, nondeterminism) — the
+# driver's DuckDB version cannot be pinned here, so new uses must be
+# restated exactly or reviewed into the allowlist
+python tools/oracle_fragility.py
+
 echo "=== oracle gate (sf0.01) ==="
 python tools/check_oracle.py /root/testdata/sf0.01
 
