@@ -35,6 +35,9 @@ __all__ = [
     "hybrid_rrf_oracle",
     "int8_topk",
     "int8_topk_oracle",
+    "ivf_int8_index",
+    "ivf_int8_topk",
+    "ivf_int8_topk_oracle",
     "lsh_bucket_topk",
     "lsh_bucket_topk_oracle",
 ]
@@ -213,6 +216,212 @@ scored AS (
                AS dot
     FROM qn q JOIN qn c ON q.vec_id != c.vec_id
     WHERE q.vec_id < {n_queries}),
+ranked AS (
+    SELECT query_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, cast(dot as bigint) AS dot,
+       cast(rank as int) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+_rng_ivf = random.Random(0xCE11)
+# 16 pinned centroid vector ids (< 500, the smallest-SF corpus; disjoint
+# from the query ids 0-7). Deterministic "sample-init IVF": using corpus
+# vectors as the coarse quantizer (k-means init without Lloyd rounds)
+# keeps every arithmetic step literal-exact across engines, which trained
+# float centroids never are.
+IVF_CENTROID_IDS: tuple[int, ...] = tuple(
+    sorted(_rng_ivf.sample(range(8, 500), 16))
+)
+
+
+def ivf_int8_index(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Build-time artifacts of the two-stage index: ``(assign_all,
+    codes)`` — per-vector centroid rankings (rn=1 is the cell
+    assignment; low rn rows double as query probe sets) and the int8
+    code table. Persist both to amortize the corpus×centroid assignment
+    fold across query batches."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    base = (
+        emb.repartition(par)
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_max(F.expr("transform(embedding, x -> abs(x))")).alias("m"),
+        )
+        .filter(F.col("m") > 0)
+    )
+    cent = F.broadcast(
+        base.filter(F.col("vec_id").isin(*centroid_ids)).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cemb"),
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double)"
+                " * cast(x as double)), cast(0 as double),"
+                " (acc, v) -> acc + v)"
+            ).alias("cn2"),
+        )
+    )
+    dot_vc = F.expr(
+        "aggregate(zip_with(embedding, cemb,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    assign_all = (
+        base.crossJoin(cent)
+        .select(
+            "vec_id",
+            "cell_id",
+            (F.col("cn2") - F.lit(2.0) * dot_vc).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    qn = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * (127.0d / m) + 0.5d) as bigint))"
+        ).alias("qv"),
+    )
+    return assign_all, qn
+
+
+def ivf_int8_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    n_probes: int = 4,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval: IVF candidate generation + exact int8
+    rescoring — the production vector-index shape (sim_int8_topk's exact
+    full-corpus scan composed with a coarse quantizer so scan volume is
+    n_probes/n_cells of the corpus, sub-linear at 100 TB).
+
+    Stage 1 (IVF-Flat, deterministic): centroids are PINNED corpus
+    vectors (sample-init, no Lloyd rounds — trained float centroids have
+    no value-exact cross-engine twin). Every vector joins the broadcast
+    centroid set (map-side, no shuffle), its cell is
+    argmin ||v−c||² = argmin (||c||² − 2·v·c) via a fixed-order fold,
+    ties on cell id. Queries keep their ``n_probes`` nearest cells.
+    Candidate generation is then an EQUI-JOIN on the cell id — never
+    query × corpus.
+
+    Stage 2: candidates rescore by the exact int8-quantized bigint dot
+    product (the sim_int8_topk arithmetic — integer, drift-free), rank
+    per query, tie on neighbor id.
+
+    At 100 TB: stage 1 reads 1 float vector + writes a (vec_id, cell)
+    pair; stage 2's scan is confined to probed cells and reads 1-byte
+    codes. Both stages shuffle only on the cell id. The index
+    (assignment + codes) is a BUILD-TIME artifact — pass a persisted
+    :func:`ivf_int8_index` result as ``index`` to amortize it across
+    query batches, the production access pattern.
+    """
+    assign_all, qn = (
+        index if index is not None else ivf_int8_index(emb, centroid_ids)
+    )
+    assign = assign_all.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    probes = (
+        assign_all.filter(
+            (F.col("vec_id") < n_queries) & (F.col("rn") <= n_probes)
+        )
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        cand.join(
+            qn.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")),
+            "query_id",
+        )
+        .join(
+            qn.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("c_qv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y),"
+                " 0L, (a, v) -> a + v)"
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def ivf_int8_topk_oracle(
+    k: int = 10,
+    n_queries: int = 8,
+    n_probes: int = 4,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> str:
+    ids = ", ".join(str(i) for i in centroid_ids)
+    dot_vc = (
+        f"list_reduce(list_prepend(cast(0 as double),"
+        f" list_transform(generate_series(1, {DIM}),"
+        f" i -> e.embedding[i]::DOUBLE * ct.cemb[i]::DOUBLE)),"
+        f" (x, y) -> x + y)"
+    )
+    return f"""
+WITH b AS MATERIALIZED (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x))) AS m
+    FROM embeddings),
+fb AS MATERIALIZED (SELECT vec_id, embedding FROM b WHERE m > 0),
+cent AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding AS cemb, {_DUCK_NORM2} AS cn2
+    FROM fb WHERE vec_id IN ({ids})),
+assign_all AS MATERIALIZED (
+    SELECT e.vec_id, ct.cell_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ct.cn2 - 2.0 * {dot_vc}, ct.cell_id) AS rn
+    FROM fb e, cent ct),
+assign AS (SELECT vec_id, cell_id FROM assign_all WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell_id
+           FROM assign_all WHERE vec_id < {n_queries} AND rn <= {n_probes}),
+qn AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> cast(floor(x::DOUBLE * (cast(127 as double) / m)
+                               + cast(0.5 as double)) as bigint)) AS qv
+    FROM b WHERE m > 0),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+    WHERE a.vec_id != p.query_id),
+scored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           list_reduce(list_prepend(cast(0 as bigint),
+               list_transform(generate_series(1, {DIM}),
+                              i -> q.qv[i] * c.qv[i])), (x, y) -> x + y)
+               AS dot
+    FROM cand cd
+    JOIN qn q ON q.vec_id = cd.query_id
+    JOIN qn c ON c.vec_id = cd.neighbor_id),
 ranked AS (
     SELECT query_id, neighbor_id, dot,
            row_number() OVER (PARTITION BY query_id

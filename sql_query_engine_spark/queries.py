@@ -2360,6 +2360,23 @@ def sim_int8_topk(spark, sf_dir):
 
 
 @_q(
+    "sim_ivf_int8_topk",
+    similarity.ivf_int8_topk_oracle(),
+    "two-stage retrieval: deterministic IVF candidate generation (pinned "
+    "sample-init centroids, map-side broadcast assignment, cell-id "
+    "equi-join) + exact int8 bigint rescoring of candidates only — the "
+    "production vector-index shape. Composes sim_int8_topk's rescorer "
+    "with a coarse quantizer so the rescoring scan is n_probes/n_cells "
+    "of the corpus instead of a full pass (sub-linear at 100 TB); "
+    "value-exact because centroids are corpus vectors, assignment is a "
+    "fixed-order float fold with id tie-break, and rescoring never "
+    "leaves integers.",
+)
+def sim_ivf_int8_topk(spark, sf_dir):
+    return similarity.ivf_int8_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "sim_lsh_ann_topk",
     similarity.lsh_bucket_topk_oracle(),
     "ANN via random-hyperplane LSH buckets — the 100 TB scale path",

@@ -87,6 +87,50 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.3, f"recall@10 too low: {recall:.2f}"
 
 
+def test_ivf_int8_two_stage(spark):
+    """Two-stage IVF + int8 rescoring: every returned dot product must
+    equal the exact full-scan rescorer's (same integer arithmetic), the
+    candidate set must be sub-linear (probed cells only), and recall@10
+    vs the exact int8 full scan must clear a floor at n_probes=4/16."""
+    from sql_query_engine_spark.functions import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_rows = similarity.int8_topk(emb, k=10, n_queries=8).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    all_dots = {
+        (r.query_id, r.neighbor_id): r.dot
+        for r in similarity.int8_topk(emb, k=500, n_queries=8).collect()
+    }
+    got = similarity.ivf_int8_topk(emb, k=10, n_queries=8).collect()
+    assert len(got) > 0
+    for r in got:
+        assert all_dots[(r.query_id, r.neighbor_id)] == r.dot  # exact ints
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        two_stage = {r.neighbor_id for r in got if r.query_id == qid}
+        hits += len(two_stage & nbrs)
+        total += len(nbrs)
+    recall = hits / total
+    assert recall >= 0.3, f"recall@10 too low: {recall:.2f}"
+
+    # sub-linearity: with 16 cells and 4 probes, each query's candidate
+    # pool must be well under the full corpus
+    n_corpus = emb.count()
+    probes = 4
+    cand = (
+        similarity.ivf_int8_topk(emb, k=10**9, n_queries=8, n_probes=probes)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    for row in cand:
+        assert row["count"] < n_corpus * 0.75, (
+            f"query {row.query_id} scanned {row['count']}/{n_corpus}"
+        )
+
+
 def test_multiprobe_lsh_recall_improves(spark):
     """Multi-probe LSH: probing the flip buckets of the 2 nearest planes
     must strictly add recall vs single-bucket at fixed N_PLANES.
