@@ -1284,12 +1284,13 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter_lines(raw: bytes, pos: int, width_px: int, n_rows: int):
-    """Unfilter ``n_rows`` scanlines of ``width_px`` RGB pixels starting
-    at ``pos`` (each line is 1 filter byte + pixels; prev row starts as
-    zeros — the rule each interlace pass restarts under). Returns
-    (rows, new_pos) or None on an unknown filter type / truncation."""
-    bpp = 3
+def _png_unfilter_lines(raw: bytes, pos: int, width_px: int, n_rows: int,
+                        bpp: int = 3):
+    """Unfilter ``n_rows`` scanlines of ``width_px`` pixels of ``bpp``
+    bytes each starting at ``pos`` (each line is 1 filter byte + pixels;
+    prev row starts as zeros — the rule each interlace pass restarts
+    under). Returns (rows, new_pos) or None on an unknown filter type /
+    truncation."""
     stride = width_px * bpp
     if pos + n_rows * (stride + 1) > len(raw):
         return None
@@ -1377,8 +1378,9 @@ def _decode_png_rows(payload: bytes):
     unfilter (all five filter types), for both sequential and Adam7
     INTERLACED streams (seven independently-filtered reduced passes
     re-woven onto the pixel grid, PNG spec §8.2). Returns
-    (w, h, [row bytes]) or None for anything that is not an 8-bit
-    truecolor (color type 2) PNG or fails structural validation —
+    (w, h, [row bytes]) with rows ALWAYS expanded to RGB triplets, or
+    None for anything that is not an 8-bit truecolor (color type 2) or
+    grayscale (color type 0) PNG or fails structural validation —
     corrupt payloads become None, never exceptions (the
     mm_modality_router contract)."""
     import zlib
@@ -1390,8 +1392,9 @@ def _decode_png_rows(payload: bytes):
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
     depth, color, interlace = b[24], b[25], b[28]
-    if depth != 8 or color != 2 or interlace > 1:
+    if depth != 8 or color not in (0, 2) or interlace > 1:
         return None
+    bpp = 3 if color == 2 else 1
     idat = bytearray()
     pos = 8
     while pos + 8 <= len(b):
@@ -1409,15 +1412,23 @@ def _decode_png_rows(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    bpp = 3
     stride = w * bpp
+
+    def to_rgb(line: bytes) -> bytes:
+        if bpp == 3:
+            return bytes(line)
+        out = bytearray(w * 3)
+        for i, g in enumerate(line):
+            out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = g
+        return bytes(out)
+
     if interlace == 0:
         if len(raw) != h * (stride + 1):
             return None
-        dec = _png_unfilter_lines(raw, 0, w, h)
+        dec = _png_unfilter_lines(raw, 0, w, h, bpp)
         if dec is None:
             return None
-        return w, h, dec[0]
+        return w, h, [to_rgb(r) for r in dec[0]]
     # Adam7: each non-empty pass is an independently filtered sub-image
     full = [bytearray(stride) for _ in range(h)]
     pos = 0
@@ -1426,7 +1437,7 @@ def _decode_png_rows(payload: bytes):
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        dec = _png_unfilter_lines(raw, pos, pw, ph)
+        dec = _png_unfilter_lines(raw, pos, pw, ph, bpp)
         if dec is None:
             return None
         lines, pos = dec
@@ -1438,7 +1449,7 @@ def _decode_png_rows(payload: bytes):
                     line[px * bpp : px * bpp + bpp]
     if pos != len(raw):
         return None  # trailing bytes: corrupt
-    return w, h, [bytes(r) for r in full]
+    return w, h, [to_rgb(r) for r in full]
 
 
 def decode_png_pixels(payload: bytes):
@@ -1975,10 +1986,15 @@ def _lzw_encode(indices: bytes) -> bytes:
     return bw.flush()
 
 
-def _lzw_decode(data: bytes, n_expected: int):
-    """Inverse: returns the index stream or None on structural damage."""
-    width = _GIF_MIN_CODE + 1
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+def _lzw_decode(data: bytes, n_expected: int,
+                min_code: int = _GIF_MIN_CODE):
+    """Inverse: returns the index stream or None on structural damage.
+    ``min_code`` is the stream's LZW minimum code size (GIF spec §22 —
+    palette-bits for real encoders, pinned 8 by this repo's builders)."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     out = bytearray()
     acc = nbits = pos = 0
     prev: bytes | None = None
@@ -1992,12 +2008,12 @@ def _lzw_decode(data: bytes, n_expected: int):
         code = acc & ((1 << width) - 1)
         acc >>= width
         nbits -= width
-        if code == _GIF_CLEAR:
-            table = [bytes([i]) for i in range(256)] + [b"", b""]
-            width = _GIF_MIN_CODE + 1
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
             prev = None
             continue
-        if code == _GIF_END:
+        if code == end:
             break
         if prev is None:
             if code >= len(table):
@@ -2076,6 +2092,13 @@ def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
     if len(palette) < 3 * gct_n:
         return None
     pos += 3 * gct_n
+    # skip extension blocks (GCE / comment / application — real encoders
+    # routinely emit these before the image descriptor)
+    while pos + 1 < len(b) and b[pos] == 0x21:
+        pos += 2
+        while pos < len(b) and b[pos] != 0:
+            pos += b[pos] + 1
+        pos += 1  # block terminator
     if pos >= len(b) or b[pos] != 0x2C:
         return None
     iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
@@ -2086,8 +2109,10 @@ def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
     if interlaced and not allow_interlace:
         return None
     pos += 10
-    if pos >= len(b) or b[pos] != _GIF_MIN_CODE:
+    # LZW minimum code size: palette-bits for real encoders (2..8)
+    if pos >= len(b) or not (2 <= b[pos] <= 8):
         return None
+    min_code = b[pos]
     pos += 1
     lzw = bytearray()
     while pos < len(b):
@@ -2099,7 +2124,7 @@ def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
         if len(b[pos : pos + n]) < n:
             return None
         pos += n
-    indices = _lzw_decode(bytes(lzw), w * h)
+    indices = _lzw_decode(bytes(lzw), w * h, min_code)
     if indices is None:
         return None
     if indices and max(indices) >= gct_n:
@@ -2117,8 +2142,10 @@ def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
 
 def decode_gif_pixels(payload: bytes):
     """Full GIF pixel decode: header walk → palette → LZW inflate →
-    per-channel sums through the palette. None on any structural damage."""
-    dec = _decode_gif_core(payload)
+    per-channel sums through the palette (interlaced streams welcome —
+    channel sums are row-order-independent). None on any structural
+    damage."""
+    dec = _decode_gif_core(payload, allow_interlace=True)
     if dec is None:
         return None
     w, h, palette, indices = dec
@@ -2258,11 +2285,22 @@ def decode_tiff_metadata(payload: bytes):
         tag = int.from_bytes(b[pos : pos + 2], end)
         typ = int.from_bytes(b[pos + 2 : pos + 4], end)
         cnt = int.from_bytes(b[pos + 4 : pos + 8], end)
-        if tag in _TIFF_TAGS and cnt == 1:
-            if typ == 3:  # SHORT: left-justified in the 4-byte slot
+        if tag in _TIFF_TAGS:
+            if typ == 3 and cnt == 1:  # SHORT, left-justified inline
                 val = int.from_bytes(b[pos + 8 : pos + 10], end)
-            elif typ == 4:  # LONG
+            elif typ == 4 and cnt == 1:  # LONG
                 val = int.from_bytes(b[pos + 8 : pos + 12], end)
+            elif typ == 3 and 2 <= cnt <= 4:
+                # short arrays (bits-per-sample for multi-channel): ≤2
+                # values sit inline, longer arrays behind an offset;
+                # report the first (uniform for 8-bit-per-channel files)
+                if cnt <= 2:
+                    base = pos + 8
+                else:
+                    base = int.from_bytes(b[pos + 8 : pos + 12], end)
+                if base + 2 * cnt > len(b):
+                    return None
+                val = int.from_bytes(b[base : base + 2], end)
             else:
                 return None
             got[_TIFF_TAGS[tag]] = val

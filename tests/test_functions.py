@@ -773,17 +773,22 @@ def test_png_pixel_decode_rejects_corruption():
     bad = bytearray(good)
     bad[60] ^= 0xFF
     assert decode_png_pixels(bytes(bad)) is None
-    # grayscale (color type 0) is outside the truecolor contract
+    # grayscale (color type 0) decodes, expanded to RGB triplets; RGBA
+    # (color type 6) stays outside the contract
     from sql_query_engine_spark.functions.multimodal import _png_chunk
 
-    ihdr = (8).to_bytes(4, "big") + (8).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
-    gray = (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(9 * 8)))
-        + _png_chunk(b"IEND", b"")
-    )
-    assert decode_png_pixels(gray) is None
+    def one_type(ct: int, bpp: int) -> bytes:
+        ihdr = (8).to_bytes(4, "big") + (8).to_bytes(4, "big") \
+            + bytes([8, ct, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(8 * (8 * bpp + 1))))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    assert decode_png_pixels(one_type(0, 1)) == (8, 8, 0, 0, 0)
+    assert decode_png_pixels(one_type(6, 4)) is None
 
 
 def test_readability_known_values(spark):
@@ -1301,8 +1306,7 @@ def test_pagerank_golden(spark):
 def test_gif_interlaced_deinterlace_exact():
     """The 4-pass GIF interlace re-weave reproduces the sequential
     image exactly, proven by a position-weighted checksum (channel sums
-    alone cannot see row order); the sequential decoder rejects
-    interlaced streams."""
+    alone cannot see row order)."""
     from sql_query_engine_spark.functions.multimodal import (
         build_gif_pixels,
         build_gif_pixels_interlaced,
@@ -1321,7 +1325,9 @@ def test_gif_interlaced_deinterlace_exact():
         exp = sum((y * w + x + 1) * gif_pixel_index(d, x, y)
                   for y in range(h) for x in range(w))
         assert inter[5] == exp
-        assert decode_gif_pixels(gi) is None  # flag gate
+        # channel sums are row-order-independent, so the plain decoder
+        # accepts interlaced streams and agrees with the stats path
+        assert decode_gif_pixels(gi) == inter[:5]
 
     g = build_gif_pixels_interlaced(5)
     assert decode_gif_interlaced_stats(g[:30]) is None
@@ -2641,3 +2647,54 @@ def test_wav_stereo_roundtrip_and_cross_container():
     assert decode_wav_stereo_samples(build_wav_samples(3)) is None
     assert decode_wav_stereo_samples(good[:30]) is None
     assert decode_wav_stereo_samples(None) is None
+
+
+def test_foreign_media_fixtures():
+    """The from-spec decoders against bytes they did NOT write: fixtures
+    produced by the JVM's own encoders (javax.imageio, javax.sound —
+    tools/make_foreign_fixtures.py). These streams exercise real-world
+    encoding choices the repo's builders never emit: PNG per-line filter
+    selection and color type 0, interlaced GIF with a 3-bit LZW minimum
+    code size, JPEG with Annex-K Huffman + libjpeg-style quant tables
+    (grayscale and 4:2:0 color), big-endian TIFF with an offset-stored
+    bits-per-sample array, and javax.sound RIFF layout. Lossless formats
+    must decode EXACTLY; JPEG pins dimensions and a mean tolerance."""
+    import json
+    import os
+
+    from sql_query_engine_spark.functions.multimodal import (
+        decode_gif_pixels,
+        decode_jpeg_color_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        decode_tiff_metadata,
+        decode_wav_samples,
+    )
+
+    d = os.path.join(os.path.dirname(__file__), "fixtures", "foreign")
+    exp = json.load(open(os.path.join(d, "expected.json")))
+    w, h = exp["w"], exp["h"]
+
+    def load(name):
+        return open(os.path.join(d, name), "rb").read()
+
+    # lossless: exact
+    assert decode_png_pixels(load("rgb.png")) == (w, h, *exp["png_rgb_sums"])
+    g = exp["png_gray_sum"]
+    assert decode_png_pixels(load("gray.png")) == (w, h, g, g, g)
+    assert decode_gif_pixels(load("pal.gif")) == (w, h, *exp["gif_sums"])
+    wav = exp["wav"]
+    assert decode_wav_samples(load("mono16.wav")) == (
+        wav["rate"], wav["n_samples"], wav["total"], wav["abs_total"], 10000
+    )
+    assert decode_tiff_metadata(load("rgb.tif")) == ("MM", w, h, 8, 2)
+
+    # lossy JPEG: dimensions exact, per-pixel mean within 2 gray levels
+    n_px = w * h
+    dec = decode_jpeg_pixels(load("gray.jpg"))
+    assert dec is not None and dec[:2] == (w, h)
+    assert abs(dec[2] - exp["jpeg_gray_source_sum"]) < 2 * n_px
+    dec = decode_jpeg_color_pixels(load("rgb.jpg"))
+    assert dec is not None and dec[:2] == (w, h)
+    for got, want in zip(dec[2:], exp["jpeg_rgb_source_sums"]):
+        assert abs(got - want) < 3 * n_px
