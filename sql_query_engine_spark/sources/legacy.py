@@ -149,6 +149,10 @@ def read_fixed_width(
     left-aligned — both trim to the same value. A capability the
     reference lacks entirely (its only inputs are CSV/JSONL conversions
     of dbgen .tbl, utils/tbl_to_csv.py:6)."""
+    names = [name for name, _, _, _ in layout]
+    if len(set(names)) != len(names):
+        dups = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate layout column name(s): {dups}")
     schema = dd_to_schema({name: t for name, _, _, t in layout})
     raw = spark.read.text(path)
     cols = [

@@ -96,10 +96,14 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>"):
             pos = eol + 2
             if not line:
                 break  # blank line: payload follows
-            k, sep, v = line.partition(b": ")
-            if not sep:
+            # ISO 28500 allows zero whitespace after the colon — split
+            # on the bare colon and strip optional LWS from the value
+            k, sep, v = line.partition(b":")
+            if not sep or not k:
                 raise ValueError(f"{path}: malformed header {line!r}")
-            headers[k] = v
+            if k in headers:
+                raise ValueError(f"{path}: duplicate header {k!r}")
+            headers[k] = v.lstrip(b" \t")
         if b"Content-Length" not in headers:
             raise ValueError(f"{path}: record without Content-Length")
         try:

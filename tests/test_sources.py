@@ -678,6 +678,16 @@ def test_warc_roundtrip_and_framing_defects(spark, tmp_path):
                                                b"")
     with _pytest.raises(ValueError):
         decode_warc_bytes(no_len)
+    # ISO 28500 allows zero whitespace after the colon — still parses
+    tight = build_warc_record(7, "x").replace(b"Content-Length: 1",
+                                              b"Content-Length:1")
+    assert [r[0] for r in decode_warc_bytes(tight)] == [7]
+    # duplicate header names reject instead of silently last-winning
+    dup = build_warc_record(7, "x").replace(
+        b"Content-Length: 1\r\n",
+        b"Content-Length: 1\r\nContent-Length: 1\r\n")
+    with _pytest.raises(ValueError):
+        decode_warc_bytes(dup)
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = str(tmp_path / "warc_ds")
@@ -717,6 +727,20 @@ def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
     with _pytest.raises(ValueError):
         write_fixed_width([(1, "way too long for field", 0.0)], layout,
                           str(tmp_path / "bad.fw"))
+
+
+def test_fixed_width_duplicate_columns_reject(spark, tmp_path):
+    """A layout with a repeated column name raises instead of silently
+    collapsing to the last duplicate's type."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.legacy import read_fixed_width
+
+    p = str(tmp_path / "dup.fw")
+    open(p, "w").write("  1abc\n")
+    layout = [("a", 1, 3, "integer"), ("a", 4, 3, "string")]
+    with _pytest.raises(ValueError, match="duplicate"):
+        read_fixed_width(spark, p, "t", layout)
 
 
 def test_avro_deflate_codec_roundtrip_and_corruption():
