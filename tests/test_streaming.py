@@ -812,3 +812,71 @@ def test_stateful_token_bucket_stream_equals_batch(spark, batch_events, tmp_path
     }
     assert len(got) == len(expected) > 0
     assert got == expected
+
+
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """Crash-recovery semantics: the keyed quota state must survive a
+    FULL QUERY RESTART, not just multiple triggers of one run. Phase 1
+    processes the first half of the corpus and stops; phase 2 is a NEW
+    query object on the same checkpoint seeing only newly-arrived files,
+    so every per-source admission counter must be REHYDRATED from the
+    state store on disk. Output goes through the fault-tolerant file
+    sink; the union of both phases must equal the batch twin over the
+    whole corpus — any lost state would over-admit in phase 2."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.catalog import load_table
+    from sql_query_engine_spark.streaming import quota
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    n = docs.count()
+    half = n // 2
+    stream_dir = tmp_path / "docs_restart"
+    stream_dir.mkdir()
+    out = str(tmp_path / "out_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def run_available_now():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir / "b*"))
+        )
+        q = (
+            quota.quota_stream(stream, cap=10)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "b0")
+    )
+    run_available_now()
+    phase1 = spark.read.parquet(out).count()
+    assert 0 < phase1 <= 10 * 20
+
+    _time.sleep(1.1)
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "b1")
+    )
+    run_available_now()  # new query instance, same checkpoint
+
+    got = {
+        (r.source, r.doc_id): (r.n_chars, r.admit_rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.source, r.doc_id): (r.n_chars, r.admit_rank)
+        for r in quota.quota_batch(docs, cap=10).collect()
+    }
+    assert got == expected
+    assert len(got) == 10 * 20
