@@ -9140,10 +9140,14 @@ def graph_pagerank(spark, sf_dir):
     deg = (
         e.groupBy("a").agg(F.count("*").alias("d"))
         .withColumnRenamed("a", "node")
+        .localCheckpoint(eager=False)  # reused by ed, nrow, and r init
     )
-    n = deg.count()  # one scalar job; the graph's node count
-    base = _PR_SCALE // n
-    teleport = (15 * _PR_SCALE) // (100 * n)
+    # node count as a LAZY 1-row aggregate (broadcast into each consumer)
+    # instead of a blocking driver-side count() — the whole query stays
+    # one DAG with no scalar job (the text_idf pattern)
+    nrow = F.broadcast(
+        deg.agg(F.count("*").alias("n_nodes")).localCheckpoint(eager=False)
+    )
     ed = (
         e.join(deg, e.a == deg.node)
         .select("a", "b", "d")
@@ -9151,9 +9155,10 @@ def graph_pagerank(spark, sf_dir):
         # no extra materialization job per round (measured -15% wall)
         .localCheckpoint(eager=False)  # edges materialize once
     )
-    r = deg.select("node", F.lit(base).alias("rank")).localCheckpoint(
-        eager=False
-    )
+    r = deg.crossJoin(nrow).select(
+        "node", F.expr(f"{_PR_SCALE} div n_nodes").alias("rank")
+    ).localCheckpoint(eager=False)
+    tele_expr = f"((15 * {_PR_SCALE}) div (100 * n_nodes)) + (85 * t) div 100"
     for _ in range(_PR_ITERS):
         contrib = (
             ed.join(r, ed.a == r.node)
@@ -9161,9 +9166,8 @@ def graph_pagerank(spark, sf_dir):
             .groupBy("node")
             .agg(F.sum("c").alias("t"))
         )
-        r = contrib.select(
-            "node",
-            (F.lit(teleport) + F.expr("(85 * t) div 100")).alias("rank"),
+        r = contrib.crossJoin(nrow).select(
+            "node", F.expr(tele_expr).alias("rank")
         ).localCheckpoint(eager=False)
     return r.orderBy(F.desc("rank"), "node").limit(_PR_TOPK).select(
         "node", "rank"
