@@ -56,6 +56,8 @@ HEADLINE = [
     # round-6 additions: iterative graph algorithm, video pixel decode
     "graph_pagerank",
     "mm_video_pixel_stats",
+    # round-7 addition: two-stage IVF + int8 retrieval
+    "sim_ivf_int8_topk",
 ]
 
 
