@@ -3317,10 +3317,13 @@ def _jpeg_cat(v: int) -> int:
     return abs(v).bit_length()
 
 
-def build_jpeg_pixels(doc_id: int, ac_blocks=None) -> bytes:
+def build_jpeg_pixels(doc_id: int, ac_blocks=None,
+                      restart_interval: int | None = None) -> bytes:
     """A REAL baseline JPEG: grayscale, custom canonical Huffman tables,
     entropy-coded DC-per-block scan (DC-only unless ``ac_blocks`` maps
-    block index -> list of (zigzag_index, value) for the test corpus)."""
+    block index -> list of (zigzag_index, value) for the test corpus).
+    ``restart_interval`` adds a DRI segment and T.81 F.2 RSTn markers
+    every that many MCUs (pixel content identical)."""
     w, h = jpeg_dims(doc_id)
     bw, bh = w // 8, h // 8
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -3329,6 +3332,9 @@ def build_jpeg_pixels(doc_id: int, ac_blocks=None) -> bytes:
     bwr = _JpegBitWriter()
     pred = 0
     for k in range(bw * bh):
+        if restart_interval and k and k % restart_interval == 0:
+            bwr.restart(k // restart_interval - 1)
+            pred = 0
         # DC: quantized coefficient equals the flat level (q0 = 8)
         dc = jpeg_block_level(doc_id, k)
         diff = dc - pred
@@ -3364,6 +3370,8 @@ def build_jpeg_pixels(doc_id: int, ac_blocks=None) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    dri = (seg(0xDD, restart_interval.to_bytes(2, "big"))
+           if restart_interval else b"")
     sof = seg(
         0xC0,
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
@@ -3375,7 +3383,7 @@ def build_jpeg_pixels(doc_id: int, ac_blocks=None) -> bytes:
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
     sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def jpeg_chroma_level(doc_id: int, k: int, chan: int) -> int:
@@ -3477,12 +3485,15 @@ def _jpeg_encode_ac_refine(bwr, ac_codes, items: dict, ah: int, al: int) -> None
         flush()
 
 
-def build_jpeg_color_pixels(doc_id: int) -> bytes:
+def build_jpeg_color_pixels(doc_id: int,
+                            restart_interval: int | None = None) -> bytes:
     """A REAL baseline color JPEG: 3 components, 4:4:4 (all sampling
     0x11), luma quant/Huffman tables id 0 and chroma tables id 1,
     interleaved Y-Cb-Cr MCUs with independent DC predictors. DC-only
     blocks keep every pixel exactly flat so the channel sums stay
-    integer-exact through the fixed-point YCbCr→RGB conversion."""
+    integer-exact through the fixed-point YCbCr→RGB conversion.
+    ``restart_interval`` adds DRI + RSTn every that many MCUs — the
+    INTERLEAVED restart shape (all three predictors reset per marker)."""
     w, h = jpeg_dims(doc_id)
     bw, bh = w // 8, h // 8
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -3491,6 +3502,9 @@ def build_jpeg_color_pixels(doc_id: int) -> bytes:
     bwr = _JpegBitWriter()
     preds = [0, 0, 0]
     for k in range(bw * bh):
+        if restart_interval and k and k % restart_interval == 0:
+            bwr.restart(k // restart_interval - 1)
+            preds = [0, 0, 0]
         levels = (
             jpeg_block_level(doc_id, k),
             jpeg_chroma_level(doc_id, k, 0),
@@ -3517,6 +3531,9 @@ def build_jpeg_color_pixels(doc_id: int) -> bytes:
         bytes([0x00]) + bytes(_JPEG_QTABLE)
         + bytes([0x01]) + bytes(_JPEG_QTABLE),
     )
+    dri = (seg(0xDD, restart_interval.to_bytes(2, "big"))
+           if restart_interval else b"")
+    dqt = dqt + dri
     sof = seg(
         0xC0,
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"

@@ -2478,6 +2478,38 @@ def test_jpeg_restart_marker_validation():
     assert decode_jpeg_progressive_pixels(bytes(gone)) is None
 
 
+def test_jpeg_baseline_restart_intervals():
+    """Baseline restart coverage for BOTH scan shapes: single-component
+    (MCU = block) and interleaved 3-component (all DC predictors reset
+    per marker). Every interval 1..9 must decode identically to the
+    marker-free stream — marker numbers wrap mod 8 at the small
+    intervals, so the modulo sequence check is genuinely exercised; a
+    wrong-numbered marker rejects."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_jpeg_color_pixels,
+        build_jpeg_pixels,
+        decode_jpeg_color_pixels,
+        decode_jpeg_pixels,
+    )
+
+    for d in (0, 7, 42, 250):
+        plain_g = decode_jpeg_pixels(build_jpeg_pixels(d))
+        plain_c = decode_jpeg_color_pixels(build_jpeg_color_pixels(d))
+        for ri in (1, 2, 3, 5, 9):
+            g = build_jpeg_pixels(d, restart_interval=ri)
+            assert decode_jpeg_pixels(g) == plain_g
+            c = build_jpeg_color_pixels(d, restart_interval=ri)
+            assert decode_jpeg_color_pixels(c) == plain_c
+
+    g = build_jpeg_pixels(7, restart_interval=2)
+    sos = g.find(b"\xff\xda")
+    rst = g.find(b"\xff\xd0", sos)
+    assert rst > sos
+    bad = bytearray(g)
+    bad[rst + 1] = 0xD6  # RST6 where RST0 is expected
+    assert decode_jpeg_pixels(bytes(bad)) is None
+
+
 def test_jpeg_progressive_color_equals_baseline():
     """Progressive color (interleaved DC scans + per-component AC
     scans) decodes to the same pixels as the baseline color stream of
