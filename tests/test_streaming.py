@@ -880,3 +880,60 @@ def test_stateful_state_survives_query_restart(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == 10 * 20
+
+
+def test_stateful_quota_state_stays_bounded(spark, tmp_path):
+    """The production claim behind every keyed-state operator here is
+    O(1) state PER KEY — not per event. Run the quota over six
+    micro-batches and read the engine's own state-store metrics
+    (stateOperators.numRowsTotal from query progress): the row count
+    must equal the number of distinct sources ever seen, never grow
+    with the thousands of processed documents."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_spark.catalog import load_table
+    from sql_query_engine_spark.streaming import quota
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    n = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    stream_dir = tmp_path / "docs_bounded"
+    stream_dir.mkdir()
+    step = n // 6 + 1
+    for i in range(6):
+        docs.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        ).coalesce(1).write.parquet(str(stream_dir / f"b{i}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "b*"))
+    )
+    q = (
+        quota.quota_stream(stream, cap=10)
+        .writeStream.format("memory")
+        .queryName("quota_bounded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bounded"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 4  # genuinely multiple micro-batches
+    state_rows = [p["stateOperators"][0]["numRowsTotal"]
+                  for p in progresses]
+    n_rows_in = sum(p["numInputRows"] for p in q.recentProgress)
+    assert n_rows_in == n
+    # state is keyed: bounded by the source count at every batch, and
+    # ends exactly at one row per source — NEVER proportional to events
+    assert all(0 < s <= n_sources for s in state_rows), state_rows
+    assert state_rows[-1] == n_sources
+    assert max(state_rows) < n / 10
