@@ -2080,12 +2080,19 @@ def scalar_try_arithmetic(spark, sf_dir):
 @_q(
     "scalar_date_arithmetic",
     """SELECT o_orderkey,
-              strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
-              datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
-                  AS days_since_epoch_start,
+              strftime(make_timestamp(epoch_us(o_orderdate)
+                                      + 2592000000000), '%Y-%m-%d')
+                  AS due_date,
+              cast((epoch_us(o_orderdate) - 788918400000000)
+                   // 86400000000 as bigint) AS days_since_epoch_start,
               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
        FROM orders WHERE o_orderkey % 100 = 0""",
-    "date arithmetic: interval add, datediff, truncation",
+    "date arithmetic: interval add, datediff, truncation. The Spark side "
+    "uses the native idioms (INTERVAL add, datediff — Spark is pinned by "
+    "the driver); the oracle states the identical values in integer "
+    "epoch-µs (30 d = 2592000000000 µs; 1995-01-01 = 788918400000000 µs; "
+    "midnight-aligned dates make the day division exact) because DuckDB "
+    "INTERVAL/timestamp-literal arithmetic drifts across versions",
 )
 def scalar_date_arithmetic(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
