@@ -10486,6 +10486,7 @@ _GATE_PRIORITY = [
     "ref_csv_scan",
     "ref_jsonl_scan",
     "stream_late_data_accounting",
+    "sim_ivf_int8_topk",
     "tpch_q12_late_priority",
     "tpch_q18_large_volume",
     "tpch_q7_volume_shipping",
