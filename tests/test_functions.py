@@ -2730,3 +2730,12 @@ def test_foreign_media_fixtures():
     assert dec is not None and dec[:2] == (w, h)
     for got, want in zip(dec[2:], exp["jpeg_rgb_source_sums"]):
         assert abs(got - want) < 3 * n_px
+
+    # magic-byte routing holds for foreign encoders' byte layouts too
+    from sql_query_engine_spark.functions.multimodal import sniff_format
+
+    for name, fmt in (("rgb.png", "png"), ("gray.png", "png"),
+                      ("pal.gif", "gif"), ("gray.jpg", "jpeg"),
+                      ("rgb.jpg", "jpeg"), ("rgb.tif", "tiff"),
+                      ("mono16.wav", "wav")):
+        assert sniff_format(load(name)) == fmt, name
