@@ -9,6 +9,8 @@ document. Examples are kept small — every example is a real Spark job.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -253,7 +255,16 @@ def _valid_payloads():
             _mm.build_flac_samples(d),
             _mm.build_flac_stereo_samples(d),
             _mm.build_mp4(*_mm.video_params(d)),
+            # restart-bearing baseline streams: mutations around DRI /
+            # RSTn markers must reject cleanly, never desync or raise
+            _mm.build_jpeg_pixels(d, restart_interval=2),
+            _mm.build_jpeg_color_pixels(d, restart_interval=3),
         ]
+    # foreign encoders' byte layouts (javax.imageio / javax.sound)
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "foreign")
+    for f in sorted(os.listdir(fdir)):
+        if not f.endswith(".json"):
+            outs.append(open(os.path.join(fdir, f), "rb").read())
     return [p for p in outs if p]
 
 
