@@ -3973,7 +3973,9 @@ def build_jpeg_420_pixels(doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
-def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
+def build_jpeg_progressive_420_pixels(
+    doc_id: int, restart_interval: int | None = None
+) -> bytes:
     """A REAL progressive (SOF2) 4:2:0 COLOR JPEG — the subsampled
     progressive combination: interleaved DC first scan at Al=1 walking
     16x16 MCUs (four raster-ordered Y blocks + Cb + Cr each), an
@@ -3982,7 +3984,10 @@ def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
     (T.81 G.1.1.1.1: progressive AC scans are always single-component)
     — Y at Al=1 with a final Ah=1 AC refinement scan, Cb/Cr complete at
     Al=0. Same levels as the baseline 4:2:0 corpus plus a clip-guarded
-    zero-pixel-sum planted AC in Y."""
+    zero-pixel-sum planted AC in Y. ``restart_interval`` adds DRI +
+    per-scan RSTn markers — interleaved scans restart on MCU counts,
+    the single-component AC scans on their own block counts (T.81
+    F.2.1.3)."""
     w, h = jpeg420_dims(doc_id)
     mcx, mcy = w // 16, h // 16
     bw_l, bh_l = w // 8, h // 8
@@ -4017,6 +4022,8 @@ def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
             amp = diff if diff >= 0 else diff + (1 << s) - 1
             bwr.put(amp, s)
 
+    ri = restart_interval
+
     # scans 1+2: DC first (Al=1) and DC refinement, interleaved MCUs
     b1 = _JpegBitWriter()
     b2 = _JpegBitWriter()
@@ -4024,6 +4031,10 @@ def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
     for my in range(mcy):
         for mx in range(mcx):
             m = my * mcx + mx
+            if ri and m and m % ri == 0:
+                b1.restart(m // ri - 1)
+                preds = [0, 0, 0]
+                b2.restart(m // ri - 1)
             for byy in range(2):
                 for bxx in range(2):
                     k = (my * 2 + byy) * bw_l + (mx * 2 + bxx)
@@ -4037,6 +4048,9 @@ def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
     b3 = _JpegBitWriter()
     b6 = _JpegBitWriter()
     for k in range(bw_l * bh_l):
+        if ri and k and k % ri == 0:
+            b3.restart(k // ri - 1)
+            b6.restart(k // ri - 1)
         items = {_JPEG_AC_ZI: y_ac(k)}
         _jpeg_encode_ac_first(b3, ac_codes, items, 1)
         _jpeg_encode_ac_refine(b6, ac_codes, items, 1, 0)
@@ -4044,7 +4058,10 @@ def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
     code, ln = ac_codes[0x00]
     b4 = _JpegBitWriter()
     b5 = _JpegBitWriter()
-    for _ in range(mcx * mcy):
+    for c in range(mcx * mcy):
+        if ri and c and c % ri == 0:
+            b4.restart(c // ri - 1)
+            b5.restart(c // ri - 1)
         b4.put(code, ln)
         b5.put(code, ln)
 
@@ -4056,6 +4073,8 @@ def build_jpeg_progressive_420_pixels(doc_id: int) -> bytes:
         bytes([0x00]) + bytes(_JPEG_QTABLE)
         + bytes([0x01]) + bytes(_JPEG_QTABLE),
     )
+    if ri:
+        dqt += seg(0xDD, ri.to_bytes(2, "big"))
     sof = seg(
         0xC2,
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"

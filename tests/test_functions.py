@@ -2510,6 +2510,28 @@ def test_jpeg_baseline_restart_intervals():
     assert decode_jpeg_pixels(bytes(bad)) is None
 
 
+def test_jpeg_progressive_interleaved_restart_intervals():
+    """The PROGRESSIVE interleaved restart path (multi-component DC
+    scans restart on MCU counts, single-component AC scans on their own
+    block counts — the remaining T.81 F.2 shape): every interval must
+    decode identically to the marker-free 4:2:0 stream."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_jpeg_progressive_420_pixels,
+        decode_jpeg_progressive_420_pixels,
+    )
+
+    for d in (0, 7, 42, 250):
+        plain = decode_jpeg_progressive_420_pixels(
+            build_jpeg_progressive_420_pixels(d)
+        )
+        assert plain is not None
+        for ri in (1, 2, 3, 5):
+            r = decode_jpeg_progressive_420_pixels(
+                build_jpeg_progressive_420_pixels(d, restart_interval=ri)
+            )
+            assert r == plain
+
+
 def test_jpeg_progressive_color_equals_baseline():
     """Progressive color (interleaved DC scans + per-component AC
     scans) decodes to the same pixels as the baseline color stream of
