@@ -1841,6 +1841,87 @@ def png_ahash(with_media: DataFrame) -> DataFrame:
     return with_media.mapInPandas(_dec, AHASH_SCHEMA)
 
 
+RESIZE_GRID = 4  # thumbnail target: 4x4 cells per image
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("gy", IntegerType(), True),
+        StructField("gx", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("mean_r", LongType(), True),
+        StructField("mean_g", LongType(), True),
+        StructField("mean_b", LongType(), True),
+    ]
+)
+
+
+def decode_png_resize(payload: bytes, grid: int = RESIZE_GRID):
+    """Box-filter resize of the decoded PNG onto a ``grid``×``grid``
+    thumbnail: pixel (x, y) pools into cell ((x*grid)//w, (y*grid)//h)
+    — the same exact unequal-cell assignment the ahash uses — and each
+    cell's per-channel mean is the truncating integer division
+    sum DIV count, so no float ever appears and the values are
+    engine-exact. Returns [(gy, gx, n_px, mean_r, mean_g, mean_b)] in
+    raster order, or None on structural damage."""
+    dec = _decode_png_rows(payload)
+    if dec is None:
+        return None
+    w, h, rows = dec
+    sums = [[[0, 0, 0, 0] for _ in range(grid)] for _ in range(grid)]
+    for y, line in enumerate(rows):
+        gy = (y * grid) // h
+        row = sums[gy]
+        for x in range(w):
+            cell = row[(x * grid) // w]
+            i = 3 * x
+            cell[0] += line[i]
+            cell[1] += line[i + 1]
+            cell[2] += line[i + 2]
+            cell[3] += 1
+    out = []
+    for gy in range(grid):
+        for gx in range(grid):
+            sr, sg, sb, n = sums[gy][gx]
+            out.append((gy, gx, n, sr // n, sg // n, sb // n))
+    return out
+
+
+def png_resize(with_media: DataFrame, grid: int = RESIZE_GRID) -> DataFrame:
+    """payload → exploded grid×grid thumbnail cells via the full PNG
+    decode path (Arrow mapInPandas, map-only; a corrupt container
+    becomes one NULL-cells row, never a stage failure)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "gy", "gx", "n_px",
+                                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cells = decode_png_resize(payload, grid)
+                if cells is None:
+                    rows["doc_id"].append(doc_id)
+                    for k in ("gy", "gx", "n_px", "mean_r", "mean_g",
+                              "mean_b"):
+                        rows[k].append(None)
+                    continue
+                for gy, gx, n, mr, mg, mb in cells:
+                    rows["doc_id"].append(doc_id)
+                    rows["gy"].append(gy)
+                    rows["gx"].append(gx)
+                    rows["n_px"].append(n)
+                    rows["mean_r"].append(mr)
+                    rows["mean_g"].append(mg)
+                    rows["mean_b"].append(mb)
+            out = pd.DataFrame(rows)
+            for k in ("gy", "gx"):
+                out[k] = out[k].astype("Int32")
+            for k in ("n_px", "mean_r", "mean_g", "mean_b"):
+                out[k] = out[k].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, RESIZE_SCHEMA)
+
+
 def synthesize_png_pixels(docs: DataFrame) -> DataFrame:
     """One real truecolor PNG per doc (Arrow mapInPandas, map-only)."""
 

@@ -8394,6 +8394,41 @@ def mm_image_ahash(spark, sf_dir):
 
 
 @_q(
+    "mm_image_resize",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, (tx.x*4) // w AS gx, (ty.y*4) // h AS gy,
+           (doc_id*7 + tx.x*3 + ty.y*5) % 256 AS r,
+           (doc_id*11 + tx.x + 2*ty.y) % 256 AS g,
+           (doc_id*3 + 5*tx.x + ty.y) % 256 AS b
+    FROM d, unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y))
+SELECT doc_id, cast(gy as int) AS gy, cast(gx as int) AS gx,
+       cast(count(*) as bigint) AS n_px,
+       cast(sum(r) // count(*) as bigint) AS mean_r,
+       cast(sum(g) // count(*) as bigint) AS mean_g,
+       cast(sum(b) // count(*) as bigint) AS mean_b
+FROM px GROUP BY doc_id, gy, gx""",
+    "image RESIZE as a first-class operator: the full from-spec PNG "
+    "decode box-filters each image onto a 4x4 thumbnail grid (pixel "
+    "(x,y) pools into cell ((x*4) DIV w, (y*4) DIV h) — exact "
+    "unequal-cell assignment for non-divisible dims), per-channel cell "
+    "means as truncating integer division so no float ever appears and "
+    "the oracle restates everything arithmetically over a "
+    "generate_series pixel grid. The downsample every multimodal "
+    "training pipeline runs before feature extraction; Arrow "
+    "mapInPandas, map-only, corrupt containers become one NULL-cells "
+    "row. The 4x4x3 integer thumbnails feed embedding/dedup stages "
+    "downstream exactly like the ahash bits do.",
+)
+def mm_image_resize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.png_resize(multimodal.synthesize_png_pixels(d))
+
+
+@_q(
     "emb_standardize",
     """WITH x AS MATERIALIZED (
     SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -10487,6 +10522,7 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "stream_late_data_accounting",
     "sim_ivf_int8_topk",
+    "mm_image_resize",
     "tpch_q12_late_priority",
     "tpch_q18_large_volume",
     "tpch_q7_volume_shipping",

@@ -2761,3 +2761,36 @@ def test_foreign_media_fixtures():
                       ("rgb.jpg", "jpeg"), ("rgb.tif", "tiff"),
                       ("mono16.wav", "wav")):
         assert sniff_format(load(name)) == fmt, name
+
+
+def test_png_resize_box_filter_exact():
+    """The 4x4 box-filter thumbnail: cell sums recomputed per-pixel from
+    the planted pattern match exactly (incl. truncating integer means
+    on non-divisible dims), and damage -> None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_png_pixels,
+        decode_png_resize,
+        pixel_dims,
+        pixel_value,
+    )
+
+    for d in (0, 7, 42, 99):
+        w, h = pixel_dims(d)
+        cells = decode_png_resize(build_png_pixels(d))
+        assert len(cells) == 16
+        exp = {}
+        for y in range(h):
+            for x in range(w):
+                key = ((y * 4) // h, (x * 4) // w)
+                s = exp.setdefault(key, [0, 0, 0, 0])
+                r, g, b = pixel_value(d, x, y)
+                s[0] += r
+                s[1] += g
+                s[2] += b
+                s[3] += 1
+        for gy, gx, n, mr, mg, mb in cells:
+            sr, sg, sb, np_ = exp[(gy, gx)]
+            assert (n, mr, mg, mb) == (np_, sr // np_, sg // np_, sb // np_)
+
+    assert decode_png_resize(b"JUNK") is None
+    assert decode_png_resize(build_png_pixels(5)[:40]) is None
