@@ -238,17 +238,9 @@ IVF_CENTROID_IDS: tuple[int, ...] = tuple(
 )
 
 
-def ivf_int8_index(
-    emb: DataFrame,
-    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
-) -> tuple[DataFrame, DataFrame]:
-    """Build-time artifacts of the two-stage index: ``(assign_all,
-    codes)`` — per-vector centroid rankings (rn=1 is the cell
-    assignment; low rn rows double as query probe sets) and the int8
-    code table. Persist both to amortize the corpus×centroid assignment
-    fold across query batches."""
+def _ivf_base(emb: DataFrame) -> DataFrame:
     par = emb.sparkSession.sparkContext.defaultParallelism
-    base = (
+    return (
         emb.repartition(par)
         .select(
             "vec_id",
@@ -257,7 +249,10 @@ def ivf_int8_index(
         )
         .filter(F.col("m") > 0)
     )
-    cent = F.broadcast(
+
+
+def _ivf_centroids(base: DataFrame, centroid_ids: tuple[int, ...]):
+    return F.broadcast(
         base.filter(F.col("vec_id").isin(*centroid_ids)).select(
             F.col("vec_id").alias("cell_id"),
             F.col("embedding").alias("cemb"),
@@ -268,20 +263,45 @@ def ivf_int8_index(
             ).alias("cn2"),
         )
     )
-    dot_vc = F.expr(
+
+
+def _ivf_dot_vc():
+    # built lazily: F.expr needs an active SparkContext, so this cannot
+    # be a module-level Column
+    return F.expr(
         "aggregate(zip_with(embedding, cemb,"
         " (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
-    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
-    assign_all = (
+
+
+def ivf_int8_index(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Build-time artifacts of the two-stage index: ``(assign, codes)``
+    — one (vec_id, cell_id) row per vector and the int8 code table.
+    Persist both to amortize the corpus×centroid fold across query
+    batches.
+
+    The cell assignment is argmin-by-struct: ``min(struct(dist,
+    cell_id))`` under a plain groupBy — map-side combinable PARTIAL
+    aggregation, so the corpus × n_cells distance rows reduce to one
+    row per vector before any shuffle. (A row_number window here would
+    shuffle and sort the full corpus×cells expansion — measured OOM at
+    4M vectors × 128 cells on local[32].)"""
+    base = _ivf_base(emb)
+    cent = _ivf_centroids(base, centroid_ids)
+    assign = (
         base.crossJoin(cent)
         .select(
             "vec_id",
             "cell_id",
-            (F.col("cn2") - F.lit(2.0) * dot_vc).alias("dist"),
+            (F.col("cn2") - F.lit(2.0) * _ivf_dot_vc()).alias("dist"),
         )
-        .withColumn("rn", F.row_number().over(w_cell))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cell_id")).alias("best"))
+        .select("vec_id", F.col("best.cell_id").alias("cell_id"))
     )
     qn = base.select(
         "vec_id",
@@ -290,7 +310,7 @@ def ivf_int8_index(
             " * (127.0d / m) + 0.5d) as bigint))"
         ).alias("qv"),
     )
-    return assign_all, qn
+    return assign, qn
 
 
 def ivf_int8_topk(
@@ -320,20 +340,30 @@ def ivf_int8_topk(
     per query, tie on neighbor id.
 
     At 100 TB: stage 1 reads 1 float vector + writes a (vec_id, cell)
-    pair; stage 2's scan is confined to probed cells and reads 1-byte
-    codes. Both stages shuffle only on the cell id. The index
-    (assignment + codes) is a BUILD-TIME artifact — pass a persisted
-    :func:`ivf_int8_index` result as ``index`` to amortize it across
-    query batches, the production access pattern.
+    pair via a map-side-combinable argmin aggregate; stage 2's scan is
+    confined to probed cells and reads 1-byte codes. Both stages
+    shuffle only on the cell/vec id. The index (assignment + codes) is
+    a BUILD-TIME artifact — pass a persisted :func:`ivf_int8_index`
+    result as ``index`` to amortize it across query batches; query
+    probe cells are always computed fresh from the (tiny) query
+    vectors, the production access pattern.
     """
-    assign_all, qn = (
+    assign, qn = (
         index if index is not None else ivf_int8_index(emb, centroid_ids)
     )
-    assign = assign_all.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    base = _ivf_base(emb)
+    cent = _ivf_centroids(base, centroid_ids)
+    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
     probes = (
-        assign_all.filter(
-            (F.col("vec_id") < n_queries) & (F.col("rn") <= n_probes)
+        base.filter(F.col("vec_id") < n_queries)
+        .crossJoin(cent)
+        .select(
+            "vec_id",
+            "cell_id",
+            (F.col("cn2") - F.lit(2.0) * _ivf_dot_vc()).alias("dist"),
         )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= n_probes)
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
     cand = (

@@ -7,7 +7,7 @@ the exact int8 rescorer makes (27.7s at 1M in REHEARSAL_r06). Asserts
 the planted near-duplicate neighbor is recovered, candidate pools stay
 well under the corpus size, and records wall times for both paths.
 
-    python tools/newops_rehearsal_r07.py [--out FILE.json]
+    python tools/newops_rehearsal_r07.py [n_vecs] [--out FILE.json]
 """
 
 from __future__ import annotations
@@ -32,9 +32,17 @@ N_PROBES = 8
 
 
 def main() -> int:
+    global N_VECS, N_CELLS
     out = None
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
+    skip = {sys.argv.index("--out") + 1} if "--out" in sys.argv else set()
+    pos = [a for i, a in enumerate(sys.argv[1:], 1)
+           if not a.startswith("--") and i not in skip]
+    if pos:
+        N_VECS = int(pos[0])
+        # keep pool fractions comparable: cells scale ~ sqrt growth
+        N_CELLS = max(64, int(64 * (N_VECS / 1_000_000) ** 0.5))
     spark = get_spark("newops-rehearsal-r07")
     report: dict = {"n_vecs": N_VECS, "n_cells": N_CELLS, "n_probes": N_PROBES}
 
