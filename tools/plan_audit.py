@@ -108,11 +108,11 @@ EXPECTED = {
     "sim_pq_topk": "BNLJ is the broadcast ≤8-row query-LUT table against "
     "the coded corpus scan — the same broadcast-query-set shape as "
     "cosine_topk; corpus codes stream through exactly once",
-    "sim_ivf_int8_topk": "BNLJ×2 is the ONE corpus×16-broadcast-centroid "
-    "assignment fold, instantiated twice because assign_all feeds both "
-    "the cell assignment (rn=1) and the query probe set (rn≤n_probes) — "
-    "map-side in both instances, no corpus shuffle; candidate generation "
-    "and rescoring are the BHJ equi-joins",
+    "sim_ivf_int8_topk": "BNLJ×2 is the broadcast 16-centroid set "
+    "crossed once against the corpus (assignment argmin aggregate — "
+    "map-side partial, one row per vector before the shuffle) and once "
+    "against the 8 query vectors (probe ranking) — no corpus shuffle on "
+    "vectors; candidate generation and rescoring are the BHJ equi-joins",
     "sim_hybrid_rrf": "BNLJs are the lazy 1-row corpus-count crossJoin "
     "(text_idf shape) and the broadcast single query vector vs corpus; "
     "the SMJ is the full outer fusion of two ≤50-row ranked lists "
