@@ -1303,6 +1303,42 @@ def test_pagerank_golden(spark):
     assert got == rank
 
 
+def test_iterative_loops_support_reliable_checkpoints(spark):
+    """graph_pagerank and pipeline_classifier_train accept a
+    checkpoint_dir (r7 verdict #5): iterations then truncate lineage via
+    reliable checkpoint() into that directory instead of
+    localCheckpoint(), so an executor loss mid-power-iteration recovers
+    from the checkpoint store on a real cluster (localCheckpoint blocks
+    die with their executor). Results must be identical on both paths
+    and checkpoint files must actually land in the directory."""
+    import os
+    import sys
+    import tempfile
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    sf = "/root/testdata/sf0.001"
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "ckpt")
+        pr_rel = {r.node: r.rank for r in
+                  q.graph_pagerank(spark, sf, checkpoint_dir=ckpt).collect()}
+        pr_loc = {r.node: r.rank for r in
+                  q.graph_pagerank(spark, sf).collect()}
+        assert pr_rel == pr_loc and len(pr_rel) > 0
+        tr_rel = sorted(map(tuple, q.pipeline_classifier_train(
+            spark, sf, checkpoint_dir=ckpt).collect()))
+        tr_loc = sorted(map(tuple, q.pipeline_classifier_train(
+            spark, sf).collect()))
+        assert tr_rel == tr_loc and len(tr_rel) == 5
+        written = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
 def test_gif_interlaced_deinterlace_exact():
     """The 4-pass GIF interlace re-weave reproduces the sequential
     image exactly, proven by a position-weighted checksum (channel sums

