@@ -107,6 +107,54 @@ def synth_embeddings(
     )
 
 
+def synth_clustered_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    n_clusters: int = 1000,
+    spread: float = 0.3,
+    noise: float = 0.05,
+) -> DataFrame:
+    """``(vec_id, embedding)`` with CLUSTER structure — the geometry real
+    embedding corpora have and the geometry IVF's pruning contract
+    assumes (topic/near-topic clusters; Jégou et al. 2011 evaluate on
+    clustered SIFT/GIST, not uniform noise).
+
+    Each vector = its cluster's center (hash-derived, components in
+    [-1, 1]) + ``spread``·U(-1,1) per-component jitter. With dim 64 the
+    expected inter-center distance² ≈ 2·dim/3 ≈ 42 while intra-cluster
+    distance² ≈ 2·dim·spread²/3 ≈ 3.8 at spread 0.3 — well separated,
+    but every cluster still spans many vectors so top-k neighbors are
+    non-trivial. The planted (i, i+1), i ≡ 0 mod 10 near-duplicate
+    convention of :func:`synth_embeddings` is preserved (the copy
+    inherits the base vector wholesale + tiny noise).
+
+    The uniform generator (:func:`synth_embeddings`) is IVF's
+    ADVERSARIAL bound: on structureless data every cell is equally
+    likely to hold a true neighbor, so recall cannot exceed the scanned
+    corpus fraction no matter the cell count — measured 0.525 recall at
+    a 12.8% pool (50k, √N cells). Rehearsals therefore measure BOTH:
+    clustered for the production operating point, uniform for the
+    worst-case floor.
+    """
+    base_id = f"if(id % {PLANT_EVERY} = 1, id - 1, id)"
+    cl = f"pmod(hash({base_id}, -77), {n_clusters})"
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"""
+            transform(sequence(0, {dim - 1}), j -> cast(
+              (pmod(hash({cl}, j, 424242), 2001) - 1000) / 1000.0
+              + {spread} * (pmod(hash({base_id}, j), 2001) - 1000) / 1000.0
+              + if(id % {PLANT_EVERY} = 1,
+                   {noise} * (pmod(hash(id, j + 9999), 2001) - 1000) / 1000.0,
+                   cast(0 as double))
+              as float))
+            """
+        ).alias("embedding"),
+    )
+
+
 def _candidate_stats(docs: DataFrame, banding: tuple[int, int]) -> dict:
     """Bucket-level stats of the band join BEFORE pair expansion.
 
@@ -146,6 +194,9 @@ def _candidate_stats(docs: DataFrame, banding: tuple[int, int]) -> dict:
     }
 
 
+ALL_LEGS = ("lsh", "families", "ann")
+
+
 def run_rehearsal(
     spark: SparkSession,
     n_docs: int = 100_000,
@@ -153,14 +204,30 @@ def run_rehearsal(
     n_queries: int = 256,
     ann_k: int = 10,
     ann_probes: int = 3,
+    legs: tuple[str, ...] = ALL_LEGS,
 ) -> dict:
     """End-to-end dedup + CC + ANN rehearsal; returns the measured report.
 
     Raises AssertionError when a scale property fails — sub-quadratic
     candidates, S-curve planted recall, CC round bound, ANN planted
     recall — so both the pytest harness and the CLI fail loudly.
+
+    ``legs`` selects independent sections — "lsh" (bucket stats, MinHash
+    LSH pairs + recall, connected components), "families" (exact /
+    SimHash / incremental dedup), "ann" (hyperplane-LSH ANN + PQ). The
+    10M-doc point does not fit one local-mode process: local-mode
+    shuffle files accumulate on disk until the CONTEXT ends, so the
+    suite's later legs inherit every earlier leg's spill (the r7
+    finding — 48g driver filled the container disk). One leg per
+    process (tools/scale_rehearsal.py --leg X; fresh context per leg)
+    frees the spill between legs and fits. On a real cluster this is
+    moot — the external shuffle service cleans per-stage.
     """
-    report: dict = {"n_docs": n_docs, "threshold": threshold}
+    for leg in legs:
+        if leg not in ALL_LEGS:  # pragma: no cover - caller bug
+            raise ValueError(f"unknown leg {leg!r}; legs = {ALL_LEGS}")
+    report: dict = {"n_docs": n_docs, "threshold": threshold,
+                    "legs": list(legs)}
 
     banding = dedup.banding_for_threshold(threshold)
     j_planted = planted_jaccard()
@@ -176,6 +243,19 @@ def run_rehearsal(
     ).count()
     report["planted_pairs"] = n_planted
 
+    if "lsh" in legs:
+        _leg_lsh(spark, docs, report, n_docs, threshold, banding,
+                 n_planted, predicted)
+    docs.unpersist()
+    if "families" in legs:
+        _leg_families(spark, report, n_docs, threshold, n_planted)
+    if "ann" in legs:
+        _leg_ann(spark, report, n_docs, n_queries, ann_k, ann_probes)
+    return report
+
+
+def _leg_lsh(spark, docs, report, n_docs, threshold, banding,
+             n_planted, predicted) -> None:
     # -- candidate growth (bucket stats, pre-expansion) --------------------
     t0 = time.monotonic()
     report.update(_candidate_stats(docs, banding))
@@ -243,8 +323,9 @@ def run_rehearsal(
     )
     clusters.unpersist()
     pairs.unpersist()
-    docs.unpersist()
 
+
+def _leg_families(spark, report, n_docs, threshold, n_planted) -> None:
     # -- the other dedup families at the same scale ------------------------
     docs = synth_documents(spark, n_docs).persist()
     t0 = time.monotonic()
@@ -286,6 +367,8 @@ def run_rehearsal(
     assert inc_recall >= 0.95, f"incremental recall {inc_recall:.4f} < 0.95"
     docs.unpersist()
 
+
+def _leg_ann(spark, report, n_docs, n_queries, ann_k, ann_probes) -> None:
     # -- ANN end-to-end on planted embeddings ------------------------------
     emb = synth_embeddings(spark, n_docs).persist()
     t0 = time.monotonic()
@@ -324,8 +407,6 @@ def run_rehearsal(
     # query by noise far below the quantization error, so it should code
     # identically and rank at/near the top — loose floor, recorded curve
     assert pq_recall >= 0.5, f"PQ planted recall {pq_recall:.4f} < 0.5"
-
-    return report
 
 
 def run_span_rehearsal(

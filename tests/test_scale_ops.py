@@ -131,6 +131,39 @@ def test_ivf_int8_two_stage(spark):
         )
 
 
+def test_ivf_arrow_assignment_matches_sql_fold(spark):
+    """The vectorized Arrow cell assignment (the production path for
+    √N-sized cell grids, r7 verdict #3) agrees with the oracle-exact SQL
+    argmin fold: identical (vec_id → cell_id) on the gate corpus. The
+    two paths compute the same ||c||² − 2·v·c distances, differing only
+    in float summation order, so disagreement is possible solely on
+    near-equidistant ties — none exist in the gate corpus."""
+    from sql_query_engine_spark.functions import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a_sql, _ = similarity.ivf_int8_index(emb, assign_method="sql")
+    a_arr, _ = similarity.ivf_int8_index(emb, assign_method="arrow")
+    m_sql = {r.vec_id: r.cell_id for r in a_sql.collect()}
+    m_arr = {r.vec_id: r.cell_id for r in a_arr.collect()}
+    assert set(m_sql) == set(m_arr)
+    differ = [v for v in m_sql if m_sql[v] != m_arr[v]]
+    assert not differ, f"assignments differ for {len(differ)} vectors: {differ[:5]}"
+
+
+def test_ivf_operating_point_rule(spark):
+    """ivf_operating_point follows the √N sizing rule with sane clamps
+    and keeps centroid ids disjoint from the query ids."""
+    from sql_query_engine_spark.functions import similarity
+
+    ids, probes = similarity.ivf_operating_point(1_000_000)
+    assert len(ids) == 1000 and probes == 31
+    assert min(ids) >= 8 and len(set(ids)) == 1000
+    ids_small, probes_small = similarity.ivf_operating_point(500)
+    assert len(ids_small) == 22 and probes_small == 8  # probe floor
+    ids2, _ = similarity.ivf_operating_point(1_000_000)
+    assert ids == ids2  # deterministic
+
+
 def test_multiprobe_lsh_recall_improves(spark):
     """Multi-probe LSH: probing the flip buckets of the 2 nearest planes
     must strictly add recall vs single-bucket at fixed N_PLANES.

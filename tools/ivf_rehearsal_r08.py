@@ -1,0 +1,164 @@
+"""Two-stage retrieval rehearsal at the PRODUCTION operating point.
+
+The r7 rehearsal (tools/newops_rehearsal_r07.py) ran sim_ivf_int8_topk's
+index at 64 cells / 8 probes on 1M vectors: candidate pools reached 30%
+of the corpus yet recall@10 was only 0.65. The r7 verdict's fix (#3):
+size the grid by the standard √N rule — cells ≈ √N, probes ≈ √cells —
+and re-measure. This script is that measurement, with one finding the
+re-measurement itself surfaced:
+
+* The old rehearsal corpus (synth_embeddings) is UNIFORM random noise —
+  IVF's adversarial worst case, where no cell layout concentrates true
+  neighbors and recall cannot exceed the scanned fraction (measured:
+  0.525 recall at a 12.8% pool even at √N cells). Real embedding
+  corpora are clustered, which is the geometry IVF's pruning exploits.
+* So this rehearsal measures BOTH corpora: ``synth_clustered_embeddings``
+  (hash-derived topic clusters + the same planted near-dup pairs) for
+  the production operating point — where the ≥0.9 recall / <10% pool
+  targets are asserted — and the uniform corpus as the documented
+  worst-case floor (reported, not asserted).
+* Centroids/probes come from ``similarity.ivf_operating_point`` (1000
+  cells / 32 probes at 1M; 2000 / 44 at 4M); assignment runs the
+  vectorized Arrow path (``ivf_int8_index(assign_method="arrow")``) —
+  the SQL argmin fold is the oracle-exact gate configuration but its
+  per-cell lambda cost is linear in n_cells (339 s at 4M×128; hopeless
+  at 2000 cells).
+
+    python tools/ivf_rehearsal_r08.py [n_vecs] [--out FILE.json]
+    python tools/ivf_rehearsal_r08.py 1000000 --skip-uniform
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sql_query_engine_spark import get_spark  # noqa: E402
+from sql_query_engine_spark.functions import similarity  # noqa: E402
+from sql_query_engine_spark.rehearsal import (  # noqa: E402
+    synth_clustered_embeddings,
+    synth_embeddings,
+)
+
+N_VECS = 1_000_000
+
+
+def measure(spark, emb, cent_ids, n_probes, n_vecs) -> dict:
+    rep: dict = {}
+    emb = emb.persist()
+    emb.count()
+
+    # exact full-scan rescorer — the ground truth AND the cost baseline
+    t0 = time.monotonic()
+    exact = similarity.int8_topk(emb, k=10, n_queries=8).collect()
+    rep["exact_full_scan_s"] = round(time.monotonic() - t0, 2)
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # index build: one Arrow matmul pass + the int8 code projection —
+    # the ONE-TIME cost a production deployment amortizes across batches
+    t0 = time.monotonic()
+    assign_all, qn = similarity.ivf_int8_index(
+        emb, centroid_ids=cent_ids, assign_method="arrow"
+    )
+    assign_all = assign_all.persist()
+    qn = qn.persist()
+    assign_all.count()
+    qn.count()
+    rep["index_build_s"] = round(time.monotonic() - t0, 2)
+
+    # per-batch query cost against the persisted index
+    t0 = time.monotonic()
+    got = similarity.ivf_int8_topk(
+        emb, k=10, n_queries=8, n_probes=n_probes,
+        centroid_ids=cent_ids, index=(assign_all, qn),
+    ).collect()
+    rep["two_stage_query_s"] = round(time.monotonic() - t0, 2)
+
+    # scan volume: per-query candidate pool vs corpus
+    cand = (
+        similarity.ivf_int8_topk(
+            emb, k=10**9, n_queries=8, n_probes=n_probes,
+            centroid_ids=cent_ids, index=(assign_all, qn),
+        )
+        .groupBy("query_id").count().collect()
+    )
+    pools = {r.query_id: r["count"] for r in cand}
+    rep["candidate_pools"] = pools
+    rep["max_pool_frac"] = round(max(pools.values()) / n_vecs, 4)
+
+    # the IVF property for near-duplicates: the planted copy (vec 1 of
+    # vec 0) must land in the SAME cell as its original. (Membership in
+    # the exact top-10 is NOT guaranteed on the clustered corpus — the
+    # ground truth ranks by int8 DOT, which favors high-norm same-cluster
+    # vectors over the low-noise copy — so it is recorded, not asserted.)
+    cells01 = {
+        r.vec_id: r.cell_id
+        for r in assign_all.filter("vec_id IN (0, 1)").collect()
+    }
+    rep["planted_same_cell"] = cells01.get(0) == cells01.get(1)
+    got0 = {r.neighbor_id for r in got if r.query_id == 0}
+    rep["planted_in_top10"] = 1 in got0
+
+    hits = total = 0
+    for qid, nbrs in exact_sets.items():
+        two = {r.neighbor_id for r in got if r.query_id == qid}
+        hits += len(two & nbrs)
+        total += len(nbrs)
+    rep["recall_at_10"] = round(hits / total, 3)
+    for df in (assign_all, qn, emb):
+        df.unpersist()
+    return rep
+
+
+def main() -> int:
+    global N_VECS
+    out = None
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    skip = {sys.argv.index("--out") + 1} if "--out" in sys.argv else set()
+    pos = [a for i, a in enumerate(sys.argv[1:], 1)
+           if not a.startswith("--") and i not in skip]
+    if pos:
+        N_VECS = int(pos[0])
+    spark = get_spark("ivf-rehearsal-r08")
+
+    cent_ids, n_probes = similarity.ivf_operating_point(N_VECS)
+    report: dict = {
+        "n_vecs": N_VECS,
+        "n_cells": len(cent_ids),
+        "n_probes": n_probes,
+        "assign_method": "arrow",
+    }
+
+    report["clustered"] = measure(
+        spark,
+        synth_clustered_embeddings(spark, N_VECS),
+        cent_ids,
+        n_probes,
+        N_VECS,
+    )
+    if "--skip-uniform" not in sys.argv:
+        report["uniform_worst_case"] = measure(
+            spark, synth_embeddings(spark, N_VECS), cent_ids, n_probes, N_VECS
+        )
+
+    # the r8 targets hold on the production-geometry corpus
+    cl = report["clustered"]
+    assert cl["max_pool_frac"] < 0.10, report
+    assert cl["planted_same_cell"], report
+    assert cl["recall_at_10"] >= 0.9, report
+
+    print(json.dumps(report, indent=1))
+    if out:
+        json.dump(report, open(out, "w"), indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
