@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_collect_set", "salted_join"]
 
 _SALT = "__salt"
 
@@ -59,3 +59,38 @@ def salted_join(
     for fk, dk in on:
         cond = cond & (salted_fact[fk] == salted_dim[dk])
     return salted_fact.join(salted_dim, cond, how).drop(_SALT)
+
+
+def salted_collect_set(
+    df: DataFrame, key: str, col: str, n_salt: int = 16, out: str | None = None
+) -> DataFrame:
+    """``groupBy(key).agg(collect_set(col))`` with the hot key's
+    accumulation split ``n_salt`` ways — the AGGREGATION shape AQE
+    cannot rescue.
+
+    Plain sums/counts are skew-immune (map-side partial aggregation
+    collapses each partition's hot-key rows to one row before the
+    shuffle), and rank-filtered window top-k gets the same protection
+    from WindowGroupLimit's partial mode. collect_set/collect_list are
+    the exception: their partial state is the VALUE SET itself, so every
+    row of the hot key still lands in one reducer task, and AQE's skew
+    split cannot divide a single group. This is the documented reserve
+    case for salting (REHEARSAL_r07_skew_10m showed AQE beating salting
+    for JOIN skew; REHEARSAL_r08_skew_agg measures this agg shape).
+
+    Two-level plan: salt on a hash of the VALUE (so duplicates of one
+    value land in the same salt bucket and partial sets stay small) →
+    ``collect_set`` per (key, salt) → flatten the ≤ n_salt partial sets
+    per key. The per-value hash makes the result exactly equal to the
+    plain collect_set (same distinct set; array order is normalized by
+    ``array_sort`` on both paths' consumers).
+    """
+    out = out or f"{col}_set"
+    part = (
+        df.withColumn(_SALT, F.pmod(F.xxhash64(F.col(col)), F.lit(n_salt)))
+        .groupBy(key, _SALT)
+        .agg(F.collect_set(col).alias("_part"))
+    )
+    return part.groupBy(key).agg(
+        F.flatten(F.collect_list("_part")).alias(out)
+    )

@@ -51,6 +51,32 @@ def test_salted_join_on_skewed_key(spark):
     assert n_buckets > 8
 
 
+def test_salted_collect_set_equals_plain(spark):
+    """salted_collect_set (the salting RESERVE case — collect-style aggs
+    are the shape AQE's skew split cannot rescue, since the hot key is a
+    single group) must produce exactly the plain collect_set per key,
+    including on a 90%-one-key skew."""
+    from sql_query_engine_spark.operators.skew import salted_collect_set
+
+    fact = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") % 997).alias("v"),
+    )
+    plain = {
+        r.k: sorted(r.vs)
+        for r in fact.groupBy("k").agg(F.collect_set("v").alias("vs")).collect()
+    }
+    salted = {
+        r.k: sorted(r.v_set)
+        for r in salted_collect_set(fact, "k", "v", n_salt=16).collect()
+    }
+    assert plain == salted
+    # the per-VALUE salt puts every duplicate of a value in one bucket,
+    # so the flattened partial sets need no final dedup — pin that
+    hot = salted[1]
+    assert len(hot) == len(set(hot))
+
+
 def test_salted_left_join_preserves_unmatched(spark):
     fact = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("rid"))
     dim = spark.range(0, 50).select(F.col("id").alias("dk"), F.lit("x").alias("v"))
