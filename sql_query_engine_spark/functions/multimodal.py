@@ -4287,7 +4287,7 @@ def build_jpeg_progressive_pixels(doc_id: int) -> bytes:
     )
 
 
-def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al,
+def _jpeg_ac_refine_scan(reader, act, cc, blocks, ss, se, al,
                          unit_boundary=None) -> bool:
     """AC successive-approximation refinement scan (T.81 §G.1.2.3,
     figure G.7 control flow): for every coefficient in the band whose
@@ -4295,12 +4295,18 @@ def _jpeg_ac_refine_scan(reader, act, cc, nblocks, ss, se, al,
     by 1<<Al; newly-nonzero coefficients arrive as run/size symbols with
     size 1 whose run length counts only zero-HISTORY positions; EOB runs
     still carry correction bits for the nonzero-history tail of every
-    block they cover. Mutates ``cc`` (blocks × 64 zigzag coefficients)
-    in place; returns False on a corrupt stream."""
+    block they cover. ``blocks`` is the scan's data-unit order — an
+    iterable of row-major indices into ``cc`` covering the component's
+    EFFECTIVE ceil(xi/8)×ceil(yi/8) block grid (T.81 A.2.2:
+    non-interleaved scans code only real blocks, never the MCU padding
+    an interleaved scan would include — the partial-MCU case a foreign
+    24×16 4:2:0 progressive fixture exposed). Mutates ``cc`` (blocks ×
+    64 zigzag coefficients) in place; returns False on a corrupt
+    stream."""
     p1 = 1 << al
     m1 = -p1
     eobrun = 0
-    for k in range(nblocks):
+    for k in blocks:
         if unit_boundary is not None:
             r = unit_boundary()
             if r < 0:
@@ -4389,7 +4395,8 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
     w = h = None
     sof_comps: dict[int, int] = {}   # cid -> quant table id (order kept)
     samp: dict[int, tuple[int, int]] = {}   # cid -> (hi, vi)
-    grid: dict[int, tuple[int, int]] = {}   # cid -> blocks (cbw, cbh)
+    grid: dict[int, tuple[int, int]] = {}   # cid -> PADDED blocks (cbw, cbh)
+    eff: dict[int, tuple[int, int]] = {}    # cid -> effective blocks
     cids: list[int] = []
     pos = 2
     coefs: dict[int, "np.ndarray"] = {}
@@ -4465,6 +4472,15 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
             for cid in cids:
                 hi, vi = samp[cid]
                 grid[cid] = (mcus_x * hi, mcus_y * vi)
+                # effective block dims (T.81 A.1.1/A.2.2): xi=ceil(X*Hi/
+                # Hmax), yi=ceil(Y*Vi/Vmax); NON-interleaved scans code
+                # exactly ceil(xi/8)×ceil(yi/8) data units — the padded
+                # MCU grid applies to interleaved scans only. A partial
+                # right/bottom MCU makes these differ (24×16 4:2:0 luma:
+                # 3×2 real blocks in a 4×2 padded grid).
+                xi = -(-w * hi // hmax)
+                yi = -(-h * vi // vmax)
+                eff[cid] = ((xi + 7) // 8, (yi + 7) // 8)
                 coefs[cid] = np.zeros(
                     (grid[cid][0] * grid[cid][1], 64), dtype=np.int64
                 )
@@ -4537,10 +4553,15 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                                                first)
                                         first = False
                 else:
+                    # non-interleaved: the component's EFFECTIVE block
+                    # raster only (T.81 A.2.2) — row-major indices into
+                    # the padded storage grid
                     cid_ = scomps[0][0]
-                    cbw, cbh = grid[cid_]
-                    for k in range(cbw * cbh):
-                        yield cid_, k, True
+                    cbw = grid[cid_][0]
+                    ebw, ebh = eff[cid_]
+                    for yy in range(ebh):
+                        for xx in range(ebw):
+                            yield cid_, yy * cbw + xx, True
 
             if ss == 0 and se == 0:  # DC scan
                 if ah == 0:
@@ -4585,10 +4606,16 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                 if act is None:
                     return None
                 cc = coefs[cid]
-                nblocks_c = grid[cid][0] * grid[cid][1]
+                # AC scans are always non-interleaved: effective blocks
+                # only, mapped row-major into the padded grid
+                cbw = grid[cid][0]
+                ebw, ebh = eff[cid]
+                ac_blocks = [
+                    yy * cbw + xx for yy in range(ebh) for xx in range(ebw)
+                ]
                 eobrun = 0
                 if ah == 0:  # first scan for this band
-                    for k in range(nblocks_c):
+                    for k in ac_blocks:
                         r = unit_boundary()
                         if r < 0:
                             return None
@@ -4621,7 +4648,7 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                             cc[k, idx] = _extend(amp, sz) << al
                 else:  # successive-approximation refinement (T.81 G.1.2.3)
                     if not _jpeg_ac_refine_scan(
-                        reader, act, cc, nblocks_c, ss, se, al,
+                        reader, act, cc, ac_blocks, ss, se, al,
                         unit_boundary,
                     ):
                         return None

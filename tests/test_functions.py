@@ -2789,13 +2789,55 @@ def test_foreign_media_fixtures():
     for got, want in zip(dec[2:], exp["jpeg_rgb_source_sums"]):
         assert abs(got - want) < 3 * n_px
 
+    # --- round-8 corpus extension: more encoders / depths / scan modes
+    from sql_query_engine_spark.functions.multimodal import (
+        decode_jpeg_progressive_420_pixels,
+        decode_jpeg_progressive_pixels,
+        decode_wav_stereo_samples,
+    )
+
+    # progressive grayscale from javax's scan script (Ss bands split,
+    # two-level successive approximation) — the decoder family behind
+    # the r6 regression, now pinned against a second encoder
+    dec = decode_jpeg_progressive_pixels(load("prog_gray.jpg"))
+    assert dec is not None and dec[:2] == (w, h)
+    assert abs(dec[2] - exp["png_gray_sum"]) < 2 * n_px
+
+    # progressive 4:2:0 color at 24x16 — a PARTIAL right MCU, which our
+    # own builders (multiple-of-16 dims) never emit; this fixture caught
+    # the non-interleaved-scan bug where AC scans walked the padded MCU
+    # grid instead of the component's effective ceil(xi/8) blocks
+    # (T.81 A.2.2) and desynced the Huffman stream
+    dec = decode_jpeg_progressive_420_pixels(load("prog_rgb.jpg"))
+    assert dec is not None and dec[:2] == (w, h)
+    for got, want in zip(dec[2:], exp["png_rgb_sums"]):
+        assert abs(got - want) < 3 * n_px
+
+    # low-quality baseline: coarse quant tables, dims must hold and the
+    # mean stays in the same neighborhood
+    dec = decode_jpeg_pixels(load("q30_gray.jpg"))
+    assert dec is not None and dec[:2] == (w, h)
+    assert abs(dec[2] - exp["png_gray_sum"]) < 8 * n_px
+
+    # grayscale TIFF: photometric 1, single 8-bit sample
+    assert decode_tiff_metadata(load("gray.tif")) == ("MM", w, h, 8, 1)
+
+    # stereo 16-bit WAV from javax.sound: exact per-channel stats
+    st = exp["wav_stereo"]
+    assert decode_wav_stereo_samples(load("stereo16.wav")) == (
+        st["rate"], st["n_frames"], st["sum_left"], st["sum_right"],
+        st["peak"],
+    )
+
     # magic-byte routing holds for foreign encoders' byte layouts too
     from sql_query_engine_spark.functions.multimodal import sniff_format
 
     for name, fmt in (("rgb.png", "png"), ("gray.png", "png"),
                       ("pal.gif", "gif"), ("gray.jpg", "jpeg"),
                       ("rgb.jpg", "jpeg"), ("rgb.tif", "tiff"),
-                      ("mono16.wav", "wav")):
+                      ("mono16.wav", "wav"), ("prog_gray.jpg", "jpeg"),
+                      ("prog_rgb.jpg", "jpeg"), ("q30_gray.jpg", "jpeg"),
+                      ("gray.tif", "tiff"), ("stereo16.wav", "wav")):
         assert sniff_format(load(name)) == fmt, name
 
 

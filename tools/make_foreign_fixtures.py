@@ -156,6 +156,82 @@ def main() -> int:
     expected["wav"] = {"rate": 8000, "channels": 1, "bits": 16,
                        "n_samples": n, "total": total, "abs_total": abs_total}
 
+    # ---- round-8 corpus extension (r7 verdict #7: more encoders/depths)
+
+    def encode_with_param(img, fmt: str, progressive: bool = False,
+                          quality: float | None = None) -> bytes:
+        """Encode through an explicit ImageWriter so write params
+        (progressive scan scripts, quant quality) are exercised — byte
+        layouts ImageIO.write's defaults never produce."""
+        writer = ImageIO.getImageWritersByFormatName(fmt).next()
+        param = writer.getDefaultWriteParam()
+        ImageWriteParam = jvm.javax.imageio.ImageWriteParam
+        if progressive:
+            param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+        if quality is not None:
+            param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(float(quality))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        mos = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        writer.setOutput(mos)
+        IIOImage = jvm.javax.imageio.IIOImage
+        writer.write(None, IIOImage(img, None, None), param)
+        mos.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    # progressive JPEG, grayscale — the decoder family behind the r6
+    # regression, now pinned against a second encoder's scan script
+    img = BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+    set_gray_raster(img, gray_at)
+    open(os.path.join(OUT, "prog_gray.jpg"), "wb").write(
+        encode_with_param(img, "jpg", progressive=True)
+    )
+
+    # progressive JPEG, color (Java emits 4:2:0 YCbCr)
+    img = BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    set_pixels(img, rgb_at)
+    open(os.path.join(OUT, "prog_rgb.jpg"), "wb").write(
+        encode_with_param(img, "jpg", progressive=True)
+    )
+
+    # low-quality baseline JPEG — coarse quant tables, heavy coefficient
+    # truncation; dimensions must survive even when values drift
+    img = BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+    set_gray_raster(img, gray_at)
+    open(os.path.join(OUT, "q30_gray.jpg"), "wb").write(
+        encode_with_param(img, "jpg", quality=0.3)
+    )
+
+    # grayscale TIFF — photometric 1 (BlackIsZero), single-sample tags
+    img = BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+    set_gray_raster(img, gray_at)
+    open(os.path.join(OUT, "gray.tif"), "wb").write(encode(img, "tif"))
+
+    # WAV 16-bit STEREO — interleaved L/R frames from javax.sound
+    nf = 200
+    pcm2 = bytearray()
+    sl = srr = 0
+    peak = 0
+    for i in range(nf):
+        lv = pcm_at(2 * i)
+        rv = pcm_at(2 * i + 1)
+        sl += lv
+        srr += rv
+        peak = max(peak, abs(lv), abs(rv))
+        pcm2 += int(lv).to_bytes(2, "little", signed=True)
+        pcm2 += int(rv).to_bytes(2, "little", signed=True)
+    fmt2 = AudioFormat(8000.0, 16, 2, True, False)
+    bais2 = jvm.java.io.ByteArrayInputStream(bytes(pcm2))
+    stream2 = AudioInputStream(bais2, fmt2, nf)
+    baos2 = jvm.java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream2, Type.WAVE, baos2)
+    open(os.path.join(OUT, "stereo16.wav"), "wb").write(
+        bytes(baos2.toByteArray())
+    )
+    expected["wav_stereo"] = {"rate": 8000, "n_frames": nf, "sum_left": sl,
+                              "sum_right": srr, "peak": peak}
+
     json.dump(expected, open(os.path.join(OUT, "expected.json"), "w"),
               indent=1)
     for f in sorted(os.listdir(OUT)):
