@@ -194,7 +194,28 @@ def _candidate_stats(docs: DataFrame, banding: tuple[int, int]) -> dict:
     }
 
 
-ALL_LEGS = ("lsh", "families", "ann")
+ALL_LEGS = ("buckets", "pairs", "families", "ann")
+# "lsh" = the pre-split name for buckets+pairs (kept for callers/tests)
+_LEG_ALIASES = {"lsh": ("buckets", "pairs")}
+
+
+def _release_shuffles(spark) -> None:
+    """Nudge Spark's ContextCleaner between rehearsal sections.
+
+    Local-mode shuffle files live until the ShuffleDependency is
+    garbage-collected; dropping the Python DataFrame references and
+    forcing a GC on both sides lets the cleaner delete finished
+    sections' spill instead of accumulating it for the context lifetime
+    — the difference between the 10M lsh leg fitting this container's
+    ~94G usable disk or dying on ENOSPC mid-minhash.
+    """
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # pragma: no cover - jvm gateway quirk
+        pass
 
 
 def run_rehearsal(
@@ -223,9 +244,13 @@ def run_rehearsal(
     frees the spill between legs and fits. On a real cluster this is
     moot — the external shuffle service cleans per-stage.
     """
+    expanded: list[str] = []
     for leg in legs:
+        expanded.extend(_LEG_ALIASES.get(leg, (leg,)))
+    for leg in expanded:
         if leg not in ALL_LEGS:  # pragma: no cover - caller bug
             raise ValueError(f"unknown leg {leg!r}; legs = {ALL_LEGS}")
+    legs = tuple(expanded)
     report: dict = {"n_docs": n_docs, "threshold": threshold,
                     "legs": list(legs)}
 
@@ -243,19 +268,23 @@ def run_rehearsal(
     ).count()
     report["planted_pairs"] = n_planted
 
-    if "lsh" in legs:
-        _leg_lsh(spark, docs, report, n_docs, threshold, banding,
-                 n_planted, predicted)
+    if "buckets" in legs:
+        _leg_buckets(spark, docs, report, n_docs, banding)
+        _release_shuffles(spark)
+    if "pairs" in legs:
+        _leg_pairs(spark, docs, report, n_docs, threshold, banding,
+                   n_planted, predicted)
+        _release_shuffles(spark)
     docs.unpersist()
     if "families" in legs:
         _leg_families(spark, report, n_docs, threshold, n_planted)
+        _release_shuffles(spark)
     if "ann" in legs:
         _leg_ann(spark, report, n_docs, n_queries, ann_k, ann_probes)
     return report
 
 
-def _leg_lsh(spark, docs, report, n_docs, threshold, banding,
-             n_planted, predicted) -> None:
+def _leg_buckets(spark, docs, report, n_docs, banding) -> None:
     # -- candidate growth (bucket stats, pre-expansion) --------------------
     t0 = time.monotonic()
     report.update(_candidate_stats(docs, banding))
@@ -265,6 +294,9 @@ def _leg_lsh(spark, docs, report, n_docs, threshold, banding,
         f"(> 5×{n_docs})"
     )
 
+
+def _leg_pairs(spark, docs, report, n_docs, threshold, banding,
+               n_planted, predicted) -> None:
     # -- planted-pair recall through the real pipeline ---------------------
     t0 = time.monotonic()
     pairs = dedup.minhash_lsh_pairs(docs, threshold=threshold, banding=banding)
