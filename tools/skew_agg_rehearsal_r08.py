@@ -33,9 +33,9 @@ from sql_query_engine_spark import get_spark  # noqa: E402
 from sql_query_engine_spark.operators.skew import salted_collect_set  # noqa: E402
 
 N_ROWS = 10_000_000
-HOT_SHARE = 0.5
+HOT_SHARE = 0.9  # the pathological shape: one key carries 90% of rows
 N_KEYS = 100_000
-N_VALUES = 1_000_000
+N_VALUES = 2_000_000
 
 
 def checksum(df, set_col):
@@ -66,11 +66,16 @@ def main() -> int:
     report: dict = {"n_rows": N_ROWS, "hot_share": HOT_SHARE,
                     "n_keys": N_KEYS, "n_values": N_VALUES}
 
+    # string values: collect_set accumulation cost per row is what the
+    # hot reducer task pays — int payloads are cheap enough that
+    # local[32] hides a 50% hot key (measured 1.12×); the 90%-hot
+    # string-set shape is where the single-task accumulation dominates
+    hot_every = max(1, int(round(1 / (1 - HOT_SHARE))))
     fact = spark.range(N_ROWS).select(
-        F.when(F.col("id") % int(1 / HOT_SHARE) == 0, F.lit(1))
+        F.when(F.col("id") % hot_every != 0, F.lit(1))
         .otherwise(F.col("id") % N_KEYS)
         .alias("k"),
-        (F.col("id") % N_VALUES).alias("v"),
+        F.concat(F.lit("value-"), (F.col("id") % N_VALUES)).alias("v"),
     ).persist()
     fact.count()
 
