@@ -796,13 +796,19 @@ def minhash_bands_stateless(docs: DataFrame) -> DataFrame:
     can dedup multi-band collisions with a per-row predicate instead of a
     stateful DISTINCT — see :func:`incremental_neardup_stateless`.
     """
-    sh = shingled_docs(docs)
+    # carry the distinct 48-bit shingle HASHES (not the strings) through
+    # every downstream shuffle/index — same ~4× payload cut and identical
+    # oracle treatment as minhash_lsh_pairs; xs derives from them by % P
+    sh = shingled_docs(docs).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sh, s -> {spark_hex48('s')}))"
+        ).alias("sh"),
+    )
     xs = sh.select(
         "doc_id",
         "sh",
-        F.expr(
-            f"transform(sh, s -> {spark_hex48('s')} % {MERSENNE_P})"
-        ).alias("xs"),
+        F.expr(f"transform(sh, h -> h % {MERSENNE_P})").alias("xs"),
     )
     mh = [
         f"array_min(transform(xs, x -> ({a} * x + {b}) % {MERSENNE_P}))"
@@ -916,9 +922,20 @@ def incremental_neardup(
     Returns (new_doc, known_doc, jaccard) pairs ≥ threshold.
     """
     def _bands(docs: DataFrame, par):
-        sh = shingled_docs(docs).repartition(par, "doc_id")
-        ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
-            "doc_id", F.expr(f"{spark_hex48('s')} % {MERSENNE_P}").alias("x")
+        # hashed-before-repartition, like minhash_lsh_pairs: the reused
+        # exchange and the verify joins carry bigints, never strings
+        sh = (
+            shingled_docs(docs)
+            .select(
+                "doc_id",
+                F.expr(
+                    f"array_distinct(transform(sh, s -> {spark_hex48('s')}))"
+                ).alias("sh"),
+            )
+            .repartition(par, "doc_id")
+        )
+        ex = sh.select("doc_id", F.explode("sh").alias("h")).select(
+            "doc_id", F.expr(f"h % {MERSENNE_P}").alias("x")
         )
         sigs = _minhash_signatures_from(ex)
         band_structs = []
@@ -975,6 +992,11 @@ def incremental_neardup_oracle(
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_DUCK_SHINGLED},
+sh_hashed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, s -> {duck_hex48('s')})) AS sh
+    FROM shingled
+),
 sigs AS (SELECT doc_id, {mh_cols} FROM ex_hash GROUP BY doc_id),
 bands AS ({bands_sql}),
 cand AS (
@@ -987,8 +1009,8 @@ SELECT new_doc, known_doc,
              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6)
            AS jaccard
 FROM cand
-JOIN shingled da ON da.doc_id = cand.new_doc
-JOIN shingled db ON db.doc_id = cand.known_doc
+JOIN sh_hashed da ON da.doc_id = cand.new_doc
+JOIN sh_hashed db ON db.doc_id = cand.known_doc
 WHERE cast(len(list_intersect(da.sh, db.sh)) as double)
       / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
       >= {threshold}
