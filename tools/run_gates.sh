@@ -17,6 +17,12 @@ python tools/oracle_fragility.py
 echo "=== oracle gate (sf0.01) ==="
 python tools/check_oracle.py /root/testdata/sf0.01
 
+echo "=== driver fetch-model audit (sf0.01) ==="
+# the r8-inferred driver comparator: Spark .toPandas() vs DuckDB .df()
+# — catches representation divergence (HUGEINT→float64 etc.) that
+# value-equal fetchall comparison cannot see
+python tools/fetch_path_audit.py /root/testdata/sf0.01
+
 echo "=== plan audit ==="
 python tools/plan_audit.py
 
