@@ -94,6 +94,39 @@ def test_entry_contract(spark):
     assert df.count() > 0
 
 
+def test_epoch_us_col_layout_robust(spark, tmp_path):
+    """_epoch_us_col (the probe queries' epoch derivation) must produce
+    identical µs values whether a timestamp column ships as
+    TIMESTAMP(MICROS) (read as ntz) or TIMESTAMP(NANOS) (read as bigint
+    nanos under nanosAsLong) — the two generations the driver's parquet
+    has shipped. An unconditional cast-through-timestamp would misread
+    the nanos layout as seconds."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sql_query_engine_spark.queries  # noqa: F401
+    q = sys.modules["sql_query_engine_spark.queries"]
+
+    vals_us = [1_704_067_200_000_000 + i * 86_400_000_001 for i in range(7)]
+    t_us = pa.table({"d": pa.array(vals_us, pa.int64()).cast(pa.timestamp("us"))})
+    t_ns = pa.table(
+        {"d": pa.array([v * 1000 for v in vals_us], pa.int64()).cast(pa.timestamp("ns"))}
+    )
+    pq.write_table(t_us, str(tmp_path / "us.parquet"))
+    pq.write_table(t_ns, str(tmp_path / "ns.parquet"))
+
+    out = {}
+    for name in ("us", "ns"):
+        df = spark.read.parquet(str(tmp_path / f"{name}.parquet"))
+        out[name] = sorted(
+            r[0]
+            for r in df.select(q._epoch_us_col(df, "d")).collect()
+        )
+    assert out["us"] == out["ns"] == sorted(vals_us)
+
+
 def test_oracle_output_types_driver_safe():
     """No oracle may surface an output type the driver normalizer hasn't
     green-lit. Across r1-r7 the ONLY two driver-red/locally-green rows
