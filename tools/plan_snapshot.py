@@ -254,6 +254,16 @@ SHOWCASE = [
         "training state is O(features) regardless of corpus size; "
         "gradients combine map-side because contributions ride DECIMAL",
     ),
+    (
+        "dedup_incremental",
+        "new-batch bands equi-join the known corpus's band index; every "
+        "exchange after shingling carries int64 hash arrays, never "
+        "n-gram strings (the r8 hash-carry); verify only on candidates",
+        "ingest cost scales with the batch, not the corpus, and the "
+        "persisted index + probe shuffle move 8-byte ints — the 10M "
+        "rehearsal leg halved (309s→148s) and the string form ENOSPC'd "
+        "local disk; at 100 TB raw text shuffles exactly once",
+    ),
 ]
 
 # formatted mode details block:
