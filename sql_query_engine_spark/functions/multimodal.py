@@ -2180,7 +2180,10 @@ def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
         while pos < len(b) and b[pos] != 0:
             pos += b[pos] + 1
         pos += 1  # block terminator
-    if pos >= len(b) or b[pos] != 0x2C:
+    # the full 10-byte image descriptor must be present — a stream
+    # truncated inside it is damage, not a short image (fuzz-found:
+    # b[pos+9] raised IndexError on a cut after the extension skip)
+    if pos + 10 > len(b) or b[pos] != 0x2C:
         return None
     iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
     ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
@@ -2712,7 +2715,10 @@ def decode_gif_animation(payload: bytes):
                     delay = int.from_bytes(b[pos + 1 : pos + 3], "little")
                 pos += n
             continue
-        if marker != 0x2C:
+        # a stream truncated inside the 10-byte image descriptor is
+        # damage, not a short frame (same fuzz-found class as
+        # decode_gif_pixels)
+        if marker != 0x2C or pos + 10 > len(b):
             return None
         iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
         ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
