@@ -246,13 +246,20 @@ def ivf_operating_point(
     (fixing the 64-cells-at-1M configuration whose 8 probes scanned 30%
     of the corpus for recall@10 of only 0.65): cells ≈ √N so cell size
     and cell count balance, probes ≈ √cells with a floor of 8. At 1M
-    that is 1000 cells / 32 probes ≈ 3% expected scan fraction; the
-    measured operating point lives in REHEARSAL_r08_ivf_*.json.
+    that is 1000 cells / 31 probes (int(√1000), truncating) ≈ 3%
+    expected scan fraction; the measured operating point lives in
+    REHEARSAL_r08_ivf_*.json. NOTE the √N rule assumes the corpus has
+    cluster structure — on an adversarially uniform corpus recall ≈
+    scan fraction, mathematically (see REHEARSAL_r09_ivf_uniform.json
+    for the probes-vs-recall curve and the documented fallback).
     Deterministic sample-init (seeded ids, disjoint from the query ids)
     like the fixed gate configuration. The 65536 clamp keeps the
-    centroid matrix driver-sized (65536×128 doubles ≈ 67 MB)."""
+    centroid matrix driver-sized (65536×128 doubles ≈ 67 MB); the lower
+    clamp keeps sample() feasible on tiny corpora."""
     n_cells = max(16, min(65536, int(n_vectors**0.5)))
-    n_probes = max(8, min(n_cells, int(n_cells**0.5)))
+    # tiny-corpus clamp: sample() needs n_cells ≤ population size
+    n_cells = min(n_cells, max(1, n_vectors - n_queries))
+    n_probes = max(1, min(n_cells, max(8, int(n_cells**0.5))))
     ids = tuple(
         sorted(
             random.Random(0xCE11).sample(range(n_queries, n_vectors), n_cells)

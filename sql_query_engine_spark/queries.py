@@ -48,10 +48,28 @@ class Q:
 
 _REGISTRY: list[Q] = []
 
+# Diagnostic probes (round-8 driver-environment experiment) live in a
+# separate registry: they are NOT operator queries and are NOT exported
+# through queries()/oracle_sql() — the driver never sees them. They are
+# kept runnable because (a) tools/fetch_path_audit.py replays the
+# driver's pandas fetch model over them every gate run (the canary's
+# check lives on locally), and (b) tests pin their consistency with the
+# two restated sentinel queries. Retired from the public registry per
+# VERDICT r8 "Next round #1".
+_PROBE_REGISTRY: list[Q] = []
+
 
 def _q(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: SparkQuery) -> SparkQuery:
         _REGISTRY.append(Q(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+def _probe(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _PROBE_REGISTRY.append(Q(name, fn, oracle, doc))
         return fn
 
     return deco
@@ -6903,7 +6921,7 @@ def _probe_stats_sql(table: str, expr: str, tag: str) -> str:
     )
 
 
-@_q(
+@_probe(
     "probe_hugeint_canary",
     """SELECT CAST(sum(v) AS BIGINT) AS sum_bigint,
               sum(v) AS sum_hugeint,
@@ -6928,7 +6946,7 @@ def probe_hugeint_canary(spark, sf_dir):
     )
 
 
-@_q(
+@_probe(
     "probe_epoch_sums",
     "\nUNION ALL\n".join(
         [
@@ -6965,7 +6983,7 @@ def probe_epoch_sums(spark, sf_dir):
     )
 
 
-@_q(
+@_probe(
     "probe_q12_boundary",
     f"""SELECT count(*) AS n_total,
        CAST(sum(CASE WHEN d > {_Q12_LATE_US} THEN 1 ELSE 0 END)
@@ -6987,7 +7005,8 @@ def probe_epoch_sums(spark, sf_dir):
        CAST(sum(CASE WHEN d >= {_Q12_LATE_US} - 3600000000
                  AND d <= {_Q12_LATE_US} + 3600000000
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hr,
-       CAST(sum(d) AS BIGINT) AS sum_d
+       CAST(sum(d // {_PROBE_SPLIT}) AS BIGINT) AS sum_d_hi,
+       CAST(sum(d % {_PROBE_SPLIT}) AS BIGINT) AS sum_d_lo
 FROM (SELECT epoch_us(l_shipdate) - epoch_us(o_orderdate) AS d
       FROM orders, lineitem
       WHERE o_orderkey = l_orderkey
@@ -7030,12 +7049,17 @@ def probe_q12_boundary(spark, sf_dir):
             (F.col("d") >= B - 3600000000) & (F.col("d") <= B + 3600000000),
             "n_hr",
         ),
-        # |sum(d)| ≤ 8.7k rows × 2.2e14 µs ≈ 1.9e18 < 2^63 — BIGINT-safe
-        F.sum("d").alias("sum_d"),
+        # split at 2^30 like _probe_stats: a raw sum(d) is BIGINT-safe
+        # only at the pinned small SF (8.7k rows × 2.2e14 µs ≈ 1.9e18);
+        # at larger testdata Spark's non-ANSI sum would wrap silently
+        # while the oracle's CAST of DuckDB's HUGEINT diverges (ADVICE
+        # r8). d ≥ 0 (ship after order), so div/% agree across engines.
+        F.sum(F.expr(f"d div {_PROBE_SPLIT}")).alias("sum_d_hi"),
+        F.sum(F.expr(f"d % {_PROBE_SPLIT}")).alias("sum_d_lo"),
     )
 
 
-@_q(
+@_probe(
     "probe_late_margin",
     f"""WITH ev AS (
     SELECT event_id, user_id, epoch_us(ts) AS us,
@@ -7126,7 +7150,7 @@ def probe_late_margin(spark, sf_dir):
     )
 
 
-@_q(
+@_probe(
     "probe_q12_robust",
     f"""SELECT l_returnflag,
               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -7174,7 +7198,7 @@ def probe_q12_robust(spark, sf_dir):
     )
 
 
-@_q(
+@_probe(
     "probe_late_robust",
     f"""WITH ev AS (
     SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us,
@@ -9569,10 +9593,15 @@ def _iter_checkpoint(df: DataFrame, checkpoint_dir: str | None, *, eager: bool =
     """
     if checkpoint_dir:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None or not str(
-            sc.getCheckpointDir()
-        ).startswith(checkpoint_dir.rstrip("/")):
-            sc.setCheckpointDir(checkpoint_dir)
+        # getCheckpointDir() returns the RESOLVED URI of a random
+        # subdirectory (e.g. file:/tmp/ckpt/<uuid>), so compare against
+        # what THIS helper last configured, not the raw path (ADVICE r8:
+        # a plain startswith never matched and re-ran setCheckpointDir —
+        # one fresh subdirectory per checkpoint call).
+        want = checkpoint_dir.rstrip("/")
+        if getattr(sc, "_sqe_checkpoint_dir", None) != want:
+            sc.setCheckpointDir(want)
+            sc._sqe_checkpoint_dir = want
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
@@ -10973,15 +11002,18 @@ def mm_wav_stereo_stats(spark, sf_dir):
 # public API
 # =========================================================================
 
-# The correctness driver walks queries() in order under a budget (rounds 1-2
-# each verified exactly the first 50 declared entries), so registry order IS
-# the checked surface. Union of the r1+r2 driver windows covered 86 of the
-# 151 declared queries; per VERDICT.md round-2 "Next round #1", round 3's
-# window is rotated to the 65 queries absent from BOTH CORRECTNESS_r01.json
-# and CORRECTNESS_r02.json. The 13 ref_* parity rows stay pinned first (they
-# must stay driver-green every round); the 65 never-checked queries follow,
-# cheap ones first so a time-budgeted gate certifies as many as possible.
-# Everything already driver-green in r1/r2 trails in declaration order.
+# The correctness driver walks queries() in order under a time budget —
+# only the first ~50 registry entries earn a driver row per round, so
+# registry order IS the checked surface. Every registered query is now
+# driver-green somewhere in r1-r8 (VERDICT r8), so from round 9 the
+# policy is CERTIFICATION FRESHNESS: the 15 ref_* parity rows stay
+# pinned first (they must stay driver-green every round), then the two
+# permanent regression sentinels (the restated ex-red rows of r6/r7),
+# then every certifiable oracled query ordered by the round of its
+# latest driver-green row, oldest first (cheap-first within a tier).
+# Justified rows-only queries pin to the very tail. This list is
+# GENERATED — regenerate each round with:
+#     python tools/rotate_gate.py --emit
 _GATE_PRIORITY = [
     "ref_q1_point_select",
     "ref_q2_cnr_join",
@@ -10998,293 +11030,266 @@ _GATE_PRIORITY = [
     "ref_multikey_join",
     "ref_csv_scan",
     "ref_jsonl_scan",
-    # --- the two persistent driver-red rows, UNCHANGED (r7 verdict #1:
-    # their r8 result is part of the probe decision table) ---
     "stream_late_data_accounting",
     "tpch_q12_late_priority",
-    # --- the six diagnostic probes for those rows ---
-    "probe_hugeint_canary",
-    "probe_epoch_sums",
-    "probe_q12_boundary",
-    "probe_late_margin",
-    "probe_q12_robust",
-    "probe_late_robust",
-    # --- the 15 never-driver-certified oracled queries (r7 verdict #2:
-    # all pass the local sweep; this rotation finishes certification) ---
-    "graph_pagerank",
-    "text_bm25_topk",
-    "tpch_q2_min_cost_supplier",
-    "sim_mmr_rerank",
-    "src_avro_scan",
-    "mm_gif_frame_sample",
-    "pipeline_dedup_keeper",
-    "text_cdc_chunks",
-    "pipeline_classifier_train",
-    "sim_lsh_multiprobe_topk",
-    "mm_jpeg_progressive_color_stats",
-    "join_bloom_semijoin",
-    "pipeline_cluster_safe_split",
-    "pipeline_dedup_rate_by_source",
-    "pipeline_source_authority",
-    # --- re-certification backfill: greens whose latest driver check is
-    # the oldest (round 1), freshest-stale first ---
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_percentiles",
-    "agg_exact_corr",
-    "agg_udaf_median",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
+    "topk_orders",
+    "setop_union_all",
+    "scalar_string",
+    "scalar_map_ops",
+    "scalar_higher_order",
     "join_anti",
+    "scalar_date",
+    "agg_having",
+    "join_semi",
+    "setop_except",
+    "scalar_math",
+    "join_full_outer",
+    "agg_percentiles",
+    "window_rank_dense",
     "agg_rollup",
-    "agg_cube",
-    # --- below here: past the driver's ~50-row budget ---
+    "window_ntile",
+    "agg_rollup_gid",
+    "join_left_outer",
+    "scalar_conditional",
+    "agg_count_distinct",
+    "setop_intersect",
+    "scalar_json",
+    "agg_pricing_summary",
     "agg_conditional_pivot",
-    "sim_ivf_int8_topk",
-    "mm_image_resize",
-    "tpch_q18_large_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "emb_random_projection",
-    "join_interval_overlap",
-    "sim_hamming_topk",
-    "tpch_q16_supplier_part_counts",
-    "mm_png_metadata",
-    "stream_sliding_distinct",
-    "tpch_q21_suppliers_kept_waiting",
-    "join_asof_forward",
-    "join_spatial_grid",
-    "scalar_hilbert_key",
-    "pipeline_temperature_mixture",
-    "mm_jpeg_progressive_stats",
+    "topk_per_group",
+    "agg_cube",
+    "agg_udaf_median",
+    "window_moving_avg",
+    "window_lag_lead",
+    "tpch_q3_shipping_priority",
+    "sql_scalar_subquery",
+    "window_running_sum",
+    "agg_exact_corr",
+    "tpch_q10_returned_items",
+    "tpch_q5_local_supplier_volume",
+    "text_scrub",
+    "pipeline_dataset_mixture",
+    "text_token_stats",
+    "text_pii_stats",
+    "text_quality",
+    "dedup_exact_hash",
+    "emb_quantize_int8",
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
+    "mm_binary_features",
+    "text_idf",
+    "text_lang_id",
+    "mm_frame_samples",
+    "stream_tumbling_counts",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "text_char_entropy",
+    "stream_session_windows",
+    "text_chunking",
+    "stream_funnel_conversion",
+    "dedup_embedding_lsh",
+    "sim_lsh_ann_topk",
+    "dedup_incremental_stateless",
+    "stream_zscore_anomalies",
+    "text_pack_sequences",
+    "join_asof_tolerance",
+    "join_asof",
+    "dedup_incremental",
+    "stream_user_profile",
+    "sim_hybrid_rrf",
+    "dedup_simhash_fp",
+    "dedup_ngram_jaccard",
+    "text_repetition",
+    "dedup_minhash_lsh",
+    "dedup_simhash_lsh",
+    "dedup_clusters",
+    "pipeline_training_data",
+    "scalar_array_ops",
+    "scalar_fuzzy_match",
+    "scalar_date_arithmetic",
+    "scalar_regex",
+    "agg_string_agg",
+    "sample_systematic",
+    "dedup_exact",
+    "pipeline_length_histogram",
+    "text_word_freq",
+    "setop_union_distinct",
+    "dedup_normalized",
+    "agg_two_level",
+    "scalar_null_semantics",
+    "setop_except_all",
+    "window_distribution",
+    "sql_in_subquery",
+    "sql_exists_subquery",
+    "join_right_outer",
+    "catalog_profile_orders",
+    "catalog_profile_documents",
+    "sql_grouping_sets",
+    "setop_intersect_all",
+    "window_range_running",
+    "join_argmax",
+    "agg_unpivot",
+    "sql_correlated_subquery",
+    "agg_native_pivot",
+    "sql_cte",
+    "window_analytic_values",
+    "window_distribution_scale",
+    "window_ntile_scale",
+    "join_range_bands",
+    "dedup_repeated_ngrams",
+    "dedup_embedding_cosine",
+    "pipeline_decontaminate",
+    "text_quality_filter",
+    "dedup_simhash_pairs",
+    "scalar_url_functions",
+    "text_readability",
+    "text_domain_score",
+    "pipeline_domain_cap",
+    "pipeline_source_quota",
+    "tpch_q6_forecast_revenue",
+    "scalar_try_arithmetic",
+    "stream_first_event_dedup",
+    "text_tokenizer_fertility",
+    "catalog_table_checksum",
+    "pipeline_cdc_upsert",
+    "agg_bitmap_distinct",
+    "emb_matryoshka_truncate",
+    "pipeline_token_budget_mixture",
+    "tpch_q4_order_priority",
+    "catalog_feed_freshness",
+    "scalar_zorder_key",
+    "join_null_safe",
+    "emb_norm_histogram",
+    "stream_window_topk",
+    "catalog_distribution_drift",
+    "agg_histogram_quantiles",
+    "text_dup_ngrams",
+    "text_keywords",
+    "catalog_constraint_check",
+    "agg_countmin_topk",
+    "mm_audio_sample_stats",
+    "emb_centroid_drift",
+    "mm_jpeg_pixel_stats",
+    "mm_flac_sample_stats",
+    "stream_countmin_users",
+    "pipeline_classifier_calibration",
+    "pipeline_classifier_auc",
+    "dedup_substring_span",
+    "src_tbl_scan",
+    "sample_weighted_priority",
+    "catalog_zonemap_pruning",
+    "agg_twophase_distinct",
+    "stream_hourly_active_users",
+    "tpch_q13_customer_distribution",
+    "agg_exact_moments",
+    "mm_payload_dedup",
+    "tpch_q15_top_supplier",
+    "tpch_q14_promo_effect",
+    "pipeline_contrastive_pairs",
+    "catalog_table_diff",
+    "sql_lateral_topn",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q20_part_promotion",
+    "pipeline_scd2",
+    "stream_sliding_counts",
+    "join_salted_skew",
+    "tpch_q11_important_stock",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q9_product_type_profit",
+    "stream_retention_cohorts",
+    "sample_stratified",
+    "agg_mode_and_argmax",
+    "stream_session_native",
+    "window_time_range_trailing",
+    "mm_wav_stereo_stats",
+    "mm_decode",
+    "mm_video_decode",
+    "mm_modality_router",
+    "mm_audio_decode",
+    "mm_audio_filter",
+    "mm_decode_filter",
+    "join_asof_nearest",
+    "src_fixed_width_scan",
+    "stream_attribution",
+    "emb_label_centroids",
+    "pipeline_group_advantage",
+    "catalog_key_skew_profile",
+    "agg_heavy_hitters",
+    "tpch_q19_disjunctive_revenue",
+    "text_postings_delta",
+    "pipeline_incremental_rollup",
+    "stream_interval_join",
+    "stream_daily_ohlc",
+    "text_feature_hashing",
+    "agg_ols_fit",
+    "window_rolling_slope",
+    "pipeline_next_event_dataset",
+    "pipeline_preference_pairs",
+    "window_running_distinct",
+    "stream_gapfill_locf",
+    "sim_int8_topk",
+    "stream_interval_coalesce",
+    "pipeline_span_corruption",
+    "mm_tiff_metadata",
+    "mm_png_interlaced_stats",
+    "mm_gif_interlaced_stats",
+    "mm_wav_24bit_stats",
+    "mm_mp3_metadata",
+    "mm_format_sniffer",
+    "mm_jpeg_progressive_420_stats",
+    "sql_recursive_cte",
+    "mm_video_pixel_stats",
+    "join_fuzzy_qgram",
+    "src_warc_scan",
+    "stream_token_bucket",
+    "pipeline_semantic_decontaminate",
     "mm_flac_stereo_stats",
+    "mm_jpeg_progressive_stats",
+    "mm_gif_pixel_stats",
+    "mm_image_ahash",
+    "mm_jpeg_color_stats",
+    "mm_pixel_stats",
+    "mm_jpeg_420_stats",
     "emb_knn_label_transfer",
     "emb_standardize",
-    "mm_gif_pixel_stats",
-    "mm_pixel_stats",
-    "pipeline_semantic_decontaminate",
-    "mm_image_ahash",
-    "mm_jpeg_420_stats",
-    "dedup_winnowing",
+    "pipeline_temperature_mixture",
+    "scalar_hilbert_key",
+    "join_asof_forward",
     "join_nearest_event",
     "text_lm_score",
     "agg_robust_outliers",
-    "mm_jpeg_color_stats",
     "dedup_embedding_clusters",
     "graph_triangle_count",
+    "join_spatial_grid",
     "dedup_containment",
-    "pipeline_next_event_dataset",
-    "mm_video_pixel_stats",
-    "src_fixed_width_scan",
-    "mm_jpeg_progressive_420_stats",
-    "agg_ols_fit",
-    "src_warc_scan",
-    "mm_mp3_metadata",
-    "pipeline_preference_pairs",
-    "join_fuzzy_qgram",
-    "sql_recursive_cte",
-    "mm_png_interlaced_stats",
-    "mm_gif_interlaced_stats",
-    "pipeline_span_corruption",
-    "mm_wav_24bit_stats",
-    "stream_token_bucket",
-    "mm_tiff_metadata",
-    "text_postings_delta",
-    "sim_int8_topk",
-    "pipeline_group_advantage",
-    "window_rolling_slope",
-    "mm_format_sniffer",
-    "stream_attribution",
-    "emb_label_centroids",
-    "pipeline_incremental_rollup",
-    "catalog_key_skew_profile",
-    "stream_interval_join",
-    "tpch_q19_disjunctive_revenue",
-    "stream_daily_ohlc",
-    "stream_gapfill_locf",
-    "text_feature_hashing",
-    "agg_heavy_hitters",
-    "stream_interval_coalesce",
-    "window_running_distinct",
-    "agg_exact_moments",
-    "join_asof_nearest",
-    "mm_wav_stereo_stats",
-    "sample_weighted_priority",
-    "src_tbl_scan",
-    "mm_decode",
-    "mm_video_decode",
-    "mm_audio_decode",
-    "mm_payload_dedup",
-    "stream_sliding_counts",
-    "catalog_zonemap_pruning",
-    "window_time_range_trailing",
-    "agg_twophase_distinct",
-    "tpch_q14_promo_effect",
-    "mm_audio_filter",
-    "pipeline_contrastive_pairs",
-    "tpch_q20_part_promotion",
-    "tpch_q13_customer_distribution",
-    "tpch_q9_product_type_profit",
-    "join_salted_skew",
-    "tpch_q15_top_supplier",
-    "mm_decode_filter",
-    "catalog_table_diff",
-    "sql_lateral_topn",
-    "stream_retention_cohorts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q11_important_stock",
-    "stream_hourly_active_users",
-    "tpch_q22_global_sales_opportunity",
-    "pipeline_scd2",
-    "mm_modality_router",
-    "stream_session_native",
-    "sample_stratified",
-    "agg_mode_and_argmax",
-    "mm_jpeg_pixel_stats",
-    "mm_flac_sample_stats",
-    "dedup_substring_span",
-    "text_dup_ngrams",
-    "agg_histogram_quantiles",
-    "agg_bitmap_distinct",
-    "catalog_constraint_check",
-    "pipeline_classifier_auc",
-    "pipeline_classifier_calibration",
-    "catalog_distribution_drift",
-    "text_keywords",
-    "emb_centroid_drift",
-    "agg_countmin_topk",
-    "stream_countmin_users",
-    "text_readability",
-    "text_domain_score",
-    "pipeline_source_quota",
-    "pipeline_domain_cap",
-    "scalar_zorder_key",
-    "text_tokenizer_fertility",
-    "tpch_q6_forecast_revenue",
-    "pipeline_cdc_upsert",
-    "emb_matryoshka_truncate",
-    "catalog_feed_freshness",
-    "stream_first_event_dedup",
-    "scalar_try_arithmetic",
-    "pipeline_token_budget_mixture",
-    "catalog_table_checksum",
-    "join_null_safe",
-    "scalar_url_functions",
-    "mm_audio_sample_stats",
-    "tpch_q4_order_priority",
-    "emb_norm_histogram",
-    "stream_window_topk",
-    "scalar_null_semantics",
-    "scalar_date_arithmetic",
-    "scalar_array_ops",
-    "scalar_regex",
-    "scalar_fuzzy_match",
-    "sql_correlated_subquery",
-    "sql_exists_subquery",
-    "sql_in_subquery",
-    "sql_cte",
-    "sql_grouping_sets",
-    "setop_intersect_all",
-    "setop_except_all",
-    "setop_union_distinct",
-    "window_analytic_values",
-    "window_distribution",
-    "window_distribution_scale",
-    "window_ntile_scale",
-    "window_range_running",
-    "agg_string_agg",
-    "agg_two_level",
-    "agg_native_pivot",
-    "agg_unpivot",
-    "join_argmax",
-    "join_right_outer",
-    "join_range_bands",
-    "sample_systematic",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_repeated_ngrams",
-    "text_word_freq",
-    "text_quality_filter",
-    "catalog_profile_orders",
-    "catalog_profile_documents",
-    "pipeline_length_histogram",
-    "pipeline_decontaminate",
-    "agg_pricing_summary",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_rollup_gid",
-    "agg_udaf_median",
-    "agg_exact_corr",
-    "agg_count_distinct",
-    "agg_percentiles",
-    "topk_orders",
-    "topk_per_group",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "scalar_string",
-    "scalar_math",
-    "scalar_date",
-    "scalar_conditional",
-    "scalar_json",
-    "scalar_map_ops",
-    "scalar_higher_order",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_rank_dense",
-    "window_moving_avg",
-    "agg_conditional_pivot",
-    "text_idf",
-    "window_ntile",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "sql_scalar_subquery",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_fp",
-    "dedup_simhash_lsh",
-    "text_scrub",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_incremental_stateless",
-    "dedup_embedding_lsh",
-    "sim_cosine_topk",
-    "sim_lsh_ann_topk",
-    "text_lang_id",
-    "text_quality",
-    "text_char_entropy",
-    "text_token_stats",
-    "text_fingerprint",
-    "mm_binary_features",
-    "mm_frame_samples",
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_zscore_anomalies",
-    "text_chunking",
-    "stream_funnel_conversion",
-    "join_asof",
-    "join_asof_tolerance",
-    "text_pack_sequences",
-    "stream_user_profile",
-    "pipeline_training_data",
-    "pipeline_dataset_mixture",
-    "pipeline_train_val_split",
-    "pipeline_global_shuffle",
-    "emb_quantize_int8",
-    "text_pii_stats",
-    "text_repetition",
-    "sim_hybrid_rrf",
+    "dedup_winnowing",
+    "sim_hamming_topk",
+    "tpch_q2_min_cost_supplier",
+    "emb_random_projection",
+    "tpch_q7_volume_shipping",
+    "stream_sliding_distinct",
+    "tpch_q8_market_share",
+    "join_interval_overlap",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "text_cdc_chunks",
+    "tpch_q21_suppliers_kept_waiting",
+    "mm_gif_frame_sample",
+    "mm_jpeg_progressive_color_stats",
+    "src_avro_scan",
+    "pipeline_classifier_train",
+    "text_bm25_topk",
+    "pipeline_dedup_keeper",
+    "sim_ivf_int8_topk",
+    "sim_lsh_multiprobe_topk",
+    "join_bloom_semijoin",
+    "pipeline_cluster_safe_split",
+    "sim_mmr_rerank",
+    "graph_pagerank",
+    "pipeline_dedup_rate_by_source",
+    "mm_png_metadata",
+    "pipeline_source_authority",
+    "mm_image_resize",
     "agg_hll_partial_merge",
     "text_bpe_encode",
     "agg_approx_count_distinct",
@@ -11293,7 +11298,13 @@ _GATE_PRIORITY = [
     "sim_ivfpq_topk",
     "sim_ivf_topk",
 ]
-_GATE_RANK = {n: i for i, n in enumerate(_GATE_PRIORITY)}
+# first-occurrence-wins: a duplicated name must rank at its FIRST (most
+# prioritized) position — round 8's backfill was silently inert because
+# a dict comprehension kept the LAST index (ADVICE r8).  Duplicates are
+# additionally rejected outright by tests/test_registry.py.
+_GATE_RANK: dict[str, int] = {}
+for _i, _n in enumerate(_GATE_PRIORITY):
+    _GATE_RANK.setdefault(_n, _i)
 
 
 def registry() -> list[Q]:
@@ -11308,3 +11319,16 @@ def queries() -> dict[str, SparkQuery]:
 
 def oracle_sql() -> dict[str, str]:
     return {q.name: q.oracle for q in registry() if q.oracle is not None}
+
+
+def probe_registry() -> list[Q]:
+    """Diagnostic probes — local-gate surface only, never driver-facing."""
+    return list(_PROBE_REGISTRY)
+
+
+def probes() -> dict[str, SparkQuery]:
+    return {q.name: q.spark for q in probe_registry()}
+
+
+def probe_oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in probe_registry() if q.oracle is not None}

@@ -4,13 +4,35 @@ from __future__ import annotations
 
 import re
 
-from sql_query_engine_spark.queries import oracle_sql, queries, registry
+from sql_query_engine_spark.queries import (
+    _GATE_PRIORITY,
+    oracle_sql,
+    probes,
+    queries,
+    registry,
+)
 from tests.conftest import SF_DIR
 
 
 def test_registry_names_unique():
     names = [q.name for q in registry()]
     assert len(names) == len(set(names))
+
+
+def test_gate_priority_exact_and_unique():
+    """_GATE_PRIORITY must list every registered query exactly once —
+    round 8's re-certification backfill was silently inert because 13
+    duplicated names ranked at their LAST occurrence (past the driver's
+    ~50-row budget), certifying different rows than planned (ADVICE r8).
+    Diagnostic probes are retired from the public registry (VERDICT r8
+    #1) and must never reappear in it."""
+    names = [q.name for q in registry()]
+    assert sorted(_GATE_PRIORITY) == sorted(set(_GATE_PRIORITY)) == sorted(names)
+    assert not any(n.startswith("probe_") for n in names)
+    assert set(probes()) == {
+        "probe_hugeint_canary", "probe_epoch_sums", "probe_q12_boundary",
+        "probe_late_margin", "probe_q12_robust", "probe_late_robust",
+    }
 
 
 def test_every_oracle_key_has_query():
@@ -137,14 +159,14 @@ def test_oracle_output_types_driver_safe():
     Reproduced locally on DuckDB 1.0.0 (round 8). DECIMAL outputs were
     never surfaced by a green row either, so they are gated with the
     same rule: CAST integer aggregates to BIGINT, decimal sums to
-    DOUBLE. probe_hugeint_canary is the one sanctioned exception — it
-    exists to measure the driver's HUGEINT handling."""
+    DOUBLE. (probe_hugeint_canary — the one sanctioned HUGEINT surface —
+    now lives in the probe registry, outside oracle_sql(), so no
+    exception is needed here.)"""
     import sys
     sys.path.insert(0, "/root/repo/tools")
     from oracle_fragility import scan_output_types
 
     hits = scan_output_types(SF_DIR)
-    hits.pop("probe_hugeint_canary", None)
     assert hits == {}, f"unsafe oracle output types: {hits}"
 
 
@@ -156,8 +178,8 @@ def test_probe_fingerprints_match_red_queries(spark):
     ties on q12's 60-day boundary; no sub-second margins or arrival
     near-ties for the stream query — which is why no timestamp-read
     drift could ever have flipped it on this data)."""
-    qs = queries()
-    b = qs["probe_q12_boundary"](spark, SF_DIR).collect()[0]
+    qs, ps = queries(), probes()
+    b = ps["probe_q12_boundary"](spark, SF_DIR).collect()[0]
     q12 = qs["tpch_q12_late_priority"](spark, SF_DIR).collect()
     assert b["n_late"] == sum(
         r["high_line_count"] + r["low_line_count"] for r in q12
@@ -165,10 +187,10 @@ def test_probe_fingerprints_match_red_queries(spark):
     # (exact boundary ties — n_eq=5 — are an sf0.01 observation; the
     # sf0.001 test slice has none, so only the consistency invariants
     # are asserted here)
-    m = qs["probe_late_margin"](spark, SF_DIR).collect()[0]
+    m = ps["probe_late_margin"](spark, SF_DIR).collect()[0]
     late = qs["stream_late_data_accounting"](spark, SF_DIR).collect()
     assert m["n_late"] == sum(r["n_late"] for r in late)
     assert m["n_eq0"] == 0 and m["n_lo_1s"] == 0 and m["n_hi_1s"] == 0
     # canary: both aliases carry the identical value on the Spark side
-    c = qs["probe_hugeint_canary"](spark, SF_DIR).collect()[0]
+    c = ps["probe_hugeint_canary"](spark, SF_DIR).collect()[0]
     assert c["sum_bigint"] == c["sum_hugeint"]

@@ -32,8 +32,12 @@ import duckdb  # noqa: E402
 
 from sql_query_engine_spark import get_spark  # noqa: E402
 from sql_query_engine_spark.catalog import TABLES, table_path  # noqa: E402
-from sql_query_engine_spark.queries import registry  # noqa: E402
+from sql_query_engine_spark.queries import probe_registry, registry  # noqa: E402
 
+# Diagnostic probes are retired from the public registry (VERDICT r8 #1)
+# but this audit still replays the fetch model over them every gate run:
+# the canary's HUGEINT measurement lives on HERE instead of burning a
+# driver certification slot per round.
 EXPECTED_DIVERGENT = {"probe_hugeint_canary"}
 
 
@@ -66,7 +70,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
         )
     bad = expected = n = 0
-    for q in registry():
+    for q in registry() + probe_registry():
         if q.oracle is None or (only and q.name not in only):
             continue
         n += 1

@@ -18,7 +18,7 @@ re-measurement itself surfaced:
   targets are asserted — and the uniform corpus as the documented
   worst-case floor (reported, not asserted).
 * Centroids/probes come from ``similarity.ivf_operating_point`` (1000
-  cells / 32 probes at 1M; 2000 / 44 at 4M); assignment runs the
+  cells / 31 probes at 1M; 2000 / 44 at 4M — int(sqrt(cells)), truncating); assignment runs the
   vectorized Arrow path (``ivf_int8_index(assign_method="arrow")``) —
   the SQL argmin fold is the oracle-exact gate configuration but its
   per-cell lambda cost is linear in n_cells (339 s at 4M×128; hopeless

@@ -134,9 +134,8 @@ def scan() -> dict[str, list[str]]:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     type_hits = scan_output_types(sf_dir) if os.path.isdir(sf_dir) else {}
-    # probe_hugeint_canary is the ONE sanctioned HUGEINT surface — it
-    # exists to measure the driver normalizer's HUGEINT handling.
-    type_hits.pop("probe_hugeint_canary", None)
+    # (probe_hugeint_canary — the one sanctioned HUGEINT surface — lives
+    # in the probe registry, outside oracle_sql(), so no exception here.)
     for name, cols in sorted(type_hits.items()):
         print(f"UNSAFE-OUTPUT-TYPE {name}: {', '.join(cols)}")
     hits = scan()

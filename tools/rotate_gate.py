@@ -8,13 +8,17 @@ round. This tool makes the rotation mechanical:
     python tools/rotate_gate.py            # report coverage + plan
     python tools/rotate_gate.py --emit     # print the Python list body
 
-Policy (COVERAGE.md "rotation notes"): the 13 ``ref_*`` parity rows stay
-pinned first every round (they must stay driver-green); then every query
-that has NEVER been green in any archived CORRECTNESS_r*.json, ordered
-cheapest-first so a time-budgeted gate certifies as many as possible
-(cost proxy: previous bench/oracle wall time is unavailable here, so the
-order falls back to declaration order — cheap scalar/agg families were
-declared early); already-green queries trail in declaration order.
+Policy (VERDICT r8 "Next round #2" — freshness rotation): the 15
+``ref_*`` parity rows stay pinned first every round (they must stay
+driver-green); then the two permanent regression sentinels
+(`stream_late_data_accounting`, `tpch_q12_late_priority` — the restated
+ex-red rows); then every certifiable oracled query ordered by the round
+of its LATEST driver-green row, oldest first (never-green first of
+all), so each ~50-row window refreshes the stalest certifications.
+Within a staleness tier, cheapest-first when a timings profile exists
+(tools/gate_timings.json) so the time-budgeted gate certifies the
+maximum count. Justified rows-only queries pin to the very tail — they
+can only ever earn a `no_oracle` row and would burn a certifiable slot.
 """
 
 from __future__ import annotations
@@ -31,22 +35,24 @@ from sql_query_engine_spark.queries import oracle_sql, queries, registry  # noqa
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+SENTINELS = ["stream_late_data_accounting", "tpch_q12_late_priority"]
 
-def driver_green() -> dict[str, list[str]]:
-    """query name → rounds in which the driver recorded it green.
+
+def last_green() -> dict[str, int]:
+    """query name → round number of its latest driver-green row.
 
     A row counts as green only when rows AND schema matched, the value
     hash did not mismatch (``None`` = rows-only check, still counts),
     and no error was recorded.
     """
-    green: dict[str, list[str]] = {}
+    latest: dict[str, int] = {}
     paths = sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
     if not paths:
         print(f"WARNING: no CORRECTNESS_r*.json artifacts under {REPO_ROOT}; "
               "every query will look never-green", file=sys.stderr)
     for path in paths:
-        rnd = os.path.basename(path)
         try:
+            rnd = int(os.path.basename(path).split("_r")[-1].split(".")[0])
             data = json.load(open(path))
         except Exception:
             continue
@@ -58,47 +64,43 @@ def driver_green() -> dict[str, list[str]]:
                 and not row.get("err")
             )
             if ok:
-                green.setdefault(name, []).append(rnd)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def main() -> int:
     emit = "--emit" in sys.argv
     timings: dict[str, float] = {}
     default_timings = os.path.join(REPO_ROOT, "tools", "gate_timings.json")
-    if "--timings" not in sys.argv and os.path.exists(default_timings):
+    if "--timings" in sys.argv:
+        tpath = sys.argv[sys.argv.index("--timings") + 1]
+        timings = json.load(open(tpath))
+    elif os.path.exists(default_timings):
         # committed profile from the latest round's measurement loop —
         # refresh with --timings FILE when queries change materially
         timings = json.load(open(default_timings))
-    if "--timings" in sys.argv:
-        # JSON {query: seconds} from a local profile run; the
-        # never-checked block is then ordered cheapest-first by MEASURED
-        # cost, so the driver's time budget certifies the maximum count.
-        tpath = sys.argv[sys.argv.index("--timings") + 1]
-        timings = json.load(open(tpath))
-    green = driver_green()
+    latest = last_green()
     names = [q.name for q in registry()]
-    # Justified rows-only queries (no oracle_sql twin) can only ever earn
-    # a `no_oracle` driver row — they'd burn a certifiable window slot
-    # every round without ever turning green (VERDICT r4 "What's wrong"
-    # #1). Pin them to the very tail, behind already-green entries.
+    pos = {n: i for i, n in enumerate(names)}
     rows_only = set(queries()) - set(oracle_sql())
     refs = [n for n in names if n.startswith("ref_")]
-    never = [n for n in names
-             if n not in green and not n.startswith("ref_")
-             and n not in rows_only]
-    checked = [n for n in names if n in green and not n.startswith("ref_")]
+    sentinels = [n for n in SENTINELS if n in pos]
+    body = [n for n in names
+            if not n.startswith("ref_") and n not in sentinels
+            and n not in rows_only]
+    # staleness first (never-green = round 0), then cheap-first within a
+    # tier, then declaration order for stability
+    body.sort(key=lambda n: (latest.get(n, 0), timings.get(n, 999.0), pos[n]))
     tail = [n for n in names
-            if n in rows_only and n not in green and not n.startswith("ref_")]
-    if timings:
-        pos = {n: i for i, n in enumerate(never)}
-        never.sort(key=lambda n: (timings.get(n, 999.0), pos[n]))
+            if n in rows_only and not n.startswith("ref_")]
 
     print(f"declared: {len(names)}")
-    print(f"driver-green somewhere: {len(green)}")
-    print(f"never driver-checked (non-ref, certifiable): {len(never)}")
+    print(f"driver-green somewhere: {sum(1 for n in names if n in latest)}")
+    print(f"never driver-green (certifiable): "
+          f"{sum(1 for n in body if n not in latest)}")
     print(f"rows-only pinned to tail: {len(tail)}")
-    rotation = refs + never + checked + tail
+    rotation = refs + sentinels + body + tail
+    assert len(rotation) == len(set(rotation)) == len(names)
     if emit:
         print("\n_GATE_PRIORITY = [")
         for n in rotation:
@@ -106,12 +108,10 @@ def main() -> int:
         print("]")
     else:
         window = rotation[:50]
-        certified = sum(1 for n in window if n not in green)
-        print(f"\nnext-round ~50-query window would newly certify "
-              f"{certified} queries:")
+        fresh = sum(1 for n in window if latest.get(n, 0) < max(latest.values(), default=0))
+        print(f"\nnext-round ~50-query window refreshes {fresh} stale rows:")
         for n in window:
-            tag = "NEW" if n not in green else "re"
-            print(f"  {tag:3} {n}")
+            print(f"  r{latest.get(n, 0):<2} {n}")
     return 0
 
 
