@@ -249,9 +249,26 @@ def ivf_operating_point(
     that is 1000 cells / 31 probes (int(√1000), truncating) ≈ 3%
     expected scan fraction; the measured operating point lives in
     REHEARSAL_r08_ivf_*.json. NOTE the √N rule assumes the corpus has
-    cluster structure — on an adversarially uniform corpus recall ≈
-    scan fraction, mathematically (see REHEARSAL_r09_ivf_uniform.json
-    for the probes-vs-recall curve and the documented fallback).
+    cluster structure. On an adversarially UNIFORM corpus there is no
+    probes-vs-recall knee — recall tracks the scanned fraction
+    (REHEARSAL_r09_ivf_uniform.json, 1M×128, 1000 cells):
+
+        probes   scan%   recall@10   query_s (persisted index)
+          31       6.3%    0.588       3.2
+          62      12.0%    0.662       2.4
+         125      22.0%    0.787       3.0
+         250      38.4%    0.900       3.2
+         500      66.1%    1.000       4.6
+        1000     100.0%    1.000       5.8   (exact full scan: 10.4 s)
+
+    Operating rule: when the corpus lacks cluster structure (recall on
+    a held-out sample ≪ the clustered expectation at the same scan
+    fraction), either raise probes to ≥50% of cells (the persisted
+    int8-code index still beats the float full scan on per-batch cost —
+    4.6 s vs 10.4 s above — because quantization is amortized at build
+    time), or skip IVF entirely: exact sim_int8_topk (recall 1.0) or a
+    binary-Hamming prefilter (sim_hamming_topk shape) for one-off
+    batches that cannot amortize an index build.
     Deterministic sample-init (seeded ids, disjoint from the query ids)
     like the fixed gate configuration. The 65536 clamp keeps the
     centroid matrix driver-sized (65536×128 doubles ≈ 67 MB); the lower

@@ -864,3 +864,37 @@ def test_span_rehearsal_small(spark):
     assert report["pairs_found"] == report["pairs_expected"] == 500
     assert report["spans_at_keep"] + report["boundary_collision_spans"] == 500
     assert report["boundary_collision_spans"] <= report["collision_bound"]
+
+
+def test_batch_survives_task_failure(tmp_path):
+    """Batch-side fault-injection soak (r8 verdict #4), mirroring
+    test_streaming_survives_task_failure: the dedup pipeline (banded
+    LSH + the localCheckpoint-truncated connected-components loop) and
+    the Arrow media-decode stage must each survive one injected
+    transient task failure and produce results identical to the clean
+    run. Subprocess because task retries need a maxFailures>1 master
+    (local[4,3])."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tests", "batch_retry_script.py"),
+            SF_DIR,
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=500,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["dedup_failure_injected"] is True
+    assert report["decode_failure_injected"] is True
+    assert report["dedup_equal"] is True
+    assert report["decode_equal"] is True
