@@ -285,6 +285,98 @@ def ivf_operating_point(
     return ids, n_probes
 
 
+def ivf_sampled_recall(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] | None = None,
+    n_probes: int | None = None,
+    k: int = 10,
+    n_query_sample: int = 64,
+    max_sample: int = 4096,
+    sample_mod: int = 1,
+) -> float:
+    """Estimate IVF recall@k at an operating point from a driver-sized
+    sample — the executable form of the operating boundary documented on
+    :func:`ivf_operating_point`. Run this BEFORE building an IVF index
+    on an unknown corpus: a low estimate means the corpus lacks cluster
+    structure and the √N point will under-recall (the r9 uniform sweep,
+    REHEARSAL_r09_ivf_uniform.json, shows recall then merely tracks the
+    scanned fraction — no probe-count knee exists).
+
+    Method (all driver-side numpy after one bounded sampling scan):
+    hash-sample ≤``max_sample`` corpus vectors; the first
+    ``n_query_sample`` double as queries. Ground truth = exact top-k by
+    dot product within the sample (the retrieval metric family — int8
+    rescoring approximates float dot). IVF simulation = assign the
+    sample to cells by nearest centroid (L2, exactly the index rule),
+    probe each query's ``n_probes`` nearest cells, count the fraction of
+    true top-k inside probed cells.
+
+    The estimate is a CONSERVATIVE lower band, not an unbiased recall
+    predictor: a 4k-sample cannot contain the corpus's true nearest
+    neighbors, so the sample's "top-k" are bulk-distance points whose
+    cell placement is more random than real NNs'. Measured calibration
+    against the full rehearsals (1M×128, √N operating point):
+
+        corpus      estimate   measured recall@10
+        clustered     0.76          1.0
+        uniform       0.27          0.588
+
+    Decision rule from that calibration: estimate ≥ 0.6 → the corpus is
+    clustered enough, build IVF at the operating point; < 0.4 → uniform-
+    like, use the exact int8 scan / a binary-Hamming prefilter (or raise
+    probes past 50% of cells when the index amortizes across batches);
+    0.4-0.6 → run the real rehearsal before committing.
+
+    Cost: one scan + (sample × dim) doubles collected + numpy matmuls
+    against the (already driver-sized) centroid matrix. No shuffle, no
+    index build. ``sample_mod`` > 1 thins the hash-sample for corpora
+    where even the scan-side filter should pass fewer rows.
+    """
+    import numpy as np
+
+    if centroid_ids is None or n_probes is None:
+        n_vectors = emb.count()
+        auto_ids, auto_probes = ivf_operating_point(n_vectors)
+        centroid_ids = centroid_ids or auto_ids
+        n_probes = n_probes or auto_probes
+    base = _ivf_base(emb)
+    cent = sorted(
+        base.filter(F.col("vec_id").isin(*centroid_ids))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_mat = np.asarray([r.embedding for r in cent], dtype=np.float64)
+    sample = (
+        base.filter(
+            (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0)
+            & ~F.col("vec_id").isin(*centroid_ids)
+        )
+        .select("embedding")
+        .limit(max_sample)
+        .collect()
+    )
+    if len(sample) < 2 * k or len(c_mat) < 2:
+        return 1.0  # sample too small to prune anything — IVF is moot
+    x = np.asarray([r.embedding for r in sample], dtype=np.float64)
+    c_sq = (c_mat * c_mat).sum(axis=1)
+    # cell assignment for every sampled vector (the index rule: L2 argmin)
+    d_cells = c_sq[None, :] - 2.0 * (x @ c_mat.T)
+    cells = d_cells.argmin(axis=1)
+    nq = min(n_query_sample, len(x))
+    n_probes = min(n_probes, len(c_mat))
+    hits = total = 0
+    dots = x[:nq] @ x.T  # queries × sample dot products
+    for qi in range(nq):
+        dq = dots[qi].copy()
+        dq[qi] = -np.inf  # exclude self
+        true_k = np.argpartition(-dq, k)[:k]
+        probed = set(np.argpartition(d_cells[qi], n_probes - 1)[:n_probes])
+        hits += sum(1 for t in true_k if cells[t] in probed)
+        total += k
+    return hits / total
+
+
 def _ivf_base(emb: DataFrame) -> DataFrame:
     par = emb.sparkSession.sparkContext.defaultParallelism
     return (

@@ -42,12 +42,20 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def get_spark(app_name: str = "sql-query-engine-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "sql-query-engine-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     Local-mode defaults; on a cluster, pass ``master`` / rely on
     spark-submit conf and these settings remain sensible (AQE, Arrow,
     broadcast threshold) or are overridden by the submitter.
+
+    ``extra_conf`` entries are applied LAST, overriding the defaults —
+    pre-launch settings (driver memory, UI) only take effect in a fresh
+    process before the JVM starts (the spill rehearsal's use case).
     """
     cores = default_parallelism()
     builder = (
@@ -89,4 +97,6 @@ def get_spark(app_name: str = "sql-query-engine-spark", master: str | None = Non
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

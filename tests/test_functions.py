@@ -2829,6 +2829,32 @@ def test_foreign_media_fixtures():
         st["peak"],
     )
 
+    # --- round-9 corpus extension: depth/colorspace variants whose PIXEL
+    # decode is a documented reject-to-NULL boundary but whose metadata
+    # walk must still be exact (r8 verdict #6)
+    from sql_query_engine_spark.functions.multimodal import decode_real
+
+    # 16-bit grayscale PNG: metadata reports the true depth; the 8-bit
+    # pixel/resize/ahash decoders reject cleanly
+    p16 = exp["png16"]
+    assert decode_real(load("gray16.png")) == (
+        "png", w, h, p16["channels"], p16["depth"]
+    )
+    assert decode_png_pixels(load("gray16.png")) is None
+
+    # 4-component (CMYK-convention) baseline JPEG, with and without the
+    # Adobe APP14 transform segment: metadata reports Nf=4; every pixel
+    # decoder rejects (Nf∉{1,3} boundary), never raises
+    j4 = exp["jpeg4"]
+    for name in ("cmyk4.jpg", "adobe_ycck.jpg"):
+        assert decode_real(load(name)) == (
+            "jpeg", w, h, j4["n_comp"], j4["precision"]
+        ), name
+        for dec in (decode_jpeg_pixels, decode_jpeg_color_pixels,
+                    decode_jpeg_progressive_pixels,
+                    decode_jpeg_progressive_420_pixels):
+            assert dec(load(name)) is None, (name, dec.__name__)
+
     # magic-byte routing holds for foreign encoders' byte layouts too
     from sql_query_engine_spark.functions.multimodal import sniff_format
 
@@ -2837,7 +2863,9 @@ def test_foreign_media_fixtures():
                       ("rgb.jpg", "jpeg"), ("rgb.tif", "tiff"),
                       ("mono16.wav", "wav"), ("prog_gray.jpg", "jpeg"),
                       ("prog_rgb.jpg", "jpeg"), ("q30_gray.jpg", "jpeg"),
-                      ("gray.tif", "tiff"), ("stereo16.wav", "wav")):
+                      ("gray.tif", "tiff"), ("stereo16.wav", "wav"),
+                      ("gray16.png", "png"), ("cmyk4.jpg", "jpeg"),
+                      ("adobe_ycck.jpg", "jpeg")):
         assert sniff_format(load(name)) == fmt, name
 
 

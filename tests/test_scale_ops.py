@@ -898,3 +898,30 @@ def test_batch_survives_task_failure(tmp_path):
     assert report["decode_failure_injected"] is True
     assert report["dedup_equal"] is True
     assert report["decode_equal"] is True
+
+
+def test_ivf_sampled_recall_separates_corpora(spark):
+    """ivf_sampled_recall — the pre-build structure diagnostic — must
+    separate the two rehearsal geometries with the documented decision
+    margins: clustered lands in the build zone (>= 0.6), uniform in the
+    fallback zone (< 0.4). Calibration against the full rehearsals is
+    recorded in the docstring and REHEARSAL_r09_ivf_uniform.json."""
+    from sql_query_engine_spark.functions import similarity
+    from sql_query_engine_spark.rehearsal import (
+        synth_clustered_embeddings,
+        synth_embeddings,
+    )
+
+    n = 50_000
+    clustered = similarity.ivf_sampled_recall(
+        synth_clustered_embeddings(spark, n), sample_mod=10
+    )
+    uniform = similarity.ivf_sampled_recall(
+        synth_embeddings(spark, n), sample_mod=10
+    )
+    assert clustered >= 0.6, clustered
+    assert uniform < 0.4, uniform
+    # tiny corpora: pruning is moot, the diagnostic must not block
+    assert similarity.ivf_sampled_recall(
+        synth_embeddings(spark, 30)
+    ) == 1.0

@@ -232,6 +232,59 @@ def main() -> int:
     expected["wav_stereo"] = {"rate": 8000, "n_frames": nf, "sum_left": sl,
                               "sum_right": srr, "peak": peak}
 
+    # ---- round-9 corpus extension (r8 verdict #6: 16-bit PNG, CMYK /
+    # Adobe-transform JPEG — variants whose PIXEL decode is a documented
+    # reject-to-NULL boundary but whose metadata walk and sniffing must
+    # still work, and whose truncation mutants must never crash)
+
+    # 16-bit grayscale PNG (depth 16, color type 0) — raster samples so
+    # no sRGB conversion touches the stored values
+    img16 = BufferedImage(W, H, BufferedImage.TYPE_USHORT_GRAY)
+    raster16 = img16.getRaster()
+    for y in range(H):
+        for x in range(W):
+            raster16.setSample(x, y, 0, (x * 2500 + y * 700) % 65536)
+    open(os.path.join(OUT, "gray16.png"), "wb").write(encode(img16, "png"))
+    expected["png16"] = {"depth": 16, "channels": 1}
+
+    # 4-component baseline JPEG: javax's writer refuses ARGB
+    # BufferedImages but happily encodes a raw 4-band interleaved
+    # Raster — SOF0 with Nf=4 and NO Adobe APP14 (decoders conventionally
+    # read that as CMYK). The repo's pixel decoders reject Nf∉{1,3} by
+    # documented boundary; metadata must still report 4 components.
+    Raster = jvm.java.awt.image.Raster
+    Point = jvm.java.awt.Point
+    DataBuffer = jvm.java.awt.image.DataBuffer
+    raster4 = Raster.createInterleavedRaster(
+        DataBuffer.TYPE_BYTE, W, H, 4, Point(0, 0)
+    )
+    for y in range(H):
+        for x in range(W):
+            for band in range(4):
+                raster4.setSample(x, y, band, (x * (band + 3) + y * (band + 7)) % 256)
+    writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    baos4 = jvm.java.io.ByteArrayOutputStream()
+    mos4 = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(baos4)
+    writer.setOutput(mos4)
+    IIOImage = jvm.javax.imageio.IIOImage
+    writer.write(None, IIOImage(raster4, None, None), None)
+    mos4.flush()
+    writer.dispose()
+    cmyk = bytes(baos4.toByteArray())
+    open(os.path.join(OUT, "cmyk4.jpg"), "wb").write(cmyk)
+
+    # Adobe-transform variant: the same stream with an APP14 "Adobe"
+    # segment (transform=2, YCCK) spliced after SOI — the marker layout
+    # Photoshop-exported CMYK JPEGs carry in real crawls
+    app14 = (
+        b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe"
+        + b"\x00\x64" + b"\x00\x00" + b"\x00\x00" + b"\x02"
+    )
+    open(os.path.join(OUT, "adobe_ycck.jpg"), "wb").write(
+        cmyk[:2] + app14 + cmyk[2:]
+    )
+    expected["jpeg4"] = {"n_comp": 4, "precision": 8}
+
     json.dump(expected, open(os.path.join(OUT, "expected.json"), "w"),
               indent=1)
     for f in sorted(os.listdir(OUT)):
