@@ -11032,51 +11032,51 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "stream_late_data_accounting",
     "tpch_q12_late_priority",
+    "scalar_date",
     "topk_orders",
     "setop_union_all",
-    "scalar_string",
-    "scalar_map_ops",
-    "scalar_higher_order",
-    "join_anti",
-    "scalar_date",
-    "agg_having",
-    "join_semi",
-    "setop_except",
     "scalar_math",
-    "join_full_outer",
-    "agg_percentiles",
-    "window_rank_dense",
-    "agg_rollup",
-    "window_ntile",
-    "agg_rollup_gid",
-    "join_left_outer",
     "scalar_conditional",
-    "agg_count_distinct",
-    "setop_intersect",
+    "scalar_map_ops",
+    "join_anti",
+    "join_semi",
+    "window_rank_dense",
+    "window_ntile",
+    "setop_except",
+    "agg_rollup_gid",
     "scalar_json",
-    "agg_pricing_summary",
+    "agg_percentiles",
+    "join_left_outer",
+    "window_running_sum",
+    "agg_having",
+    "setop_intersect",
+    "join_full_outer",
+    "agg_count_distinct",
     "agg_conditional_pivot",
+    "scalar_higher_order",
     "topk_per_group",
     "agg_cube",
-    "agg_udaf_median",
     "window_moving_avg",
     "window_lag_lead",
-    "tpch_q3_shipping_priority",
-    "sql_scalar_subquery",
-    "window_running_sum",
-    "agg_exact_corr",
+    "agg_rollup",
+    "agg_pricing_summary",
     "tpch_q10_returned_items",
+    "tpch_q3_shipping_priority",
+    "agg_exact_corr",
+    "sql_scalar_subquery",
     "tpch_q5_local_supplier_volume",
-    "text_scrub",
-    "pipeline_dataset_mixture",
-    "text_token_stats",
+    "scalar_string",
+    "agg_udaf_median",
     "text_pii_stats",
     "text_quality",
+    "text_scrub",
+    "text_token_stats",
     "dedup_exact_hash",
-    "emb_quantize_int8",
-    "pipeline_train_val_split",
+    "pipeline_dataset_mixture",
     "pipeline_global_shuffle",
     "mm_binary_features",
+    "pipeline_train_val_split",
+    "emb_quantize_int8",
     "text_idf",
     "text_lang_id",
     "mm_frame_samples",
