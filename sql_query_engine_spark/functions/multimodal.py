@@ -1452,6 +1452,65 @@ def _decode_png_rows(payload: bytes):
     return w, h, [to_rgb(r) for r in full]
 
 
+def decode_png16_gray_stats(payload: bytes):
+    """16-bit grayscale PNG decode → (width, height, sum_v, min_v,
+    max_v) over the big-endian 16-bit samples, exact, or None.
+
+    The 8-bit row decoders (:func:`_decode_png_rows`) reject depth 16 at
+    a documented boundary; this dedicated path covers the real-crawl
+    16-bit case (elevation maps, medical exports, javax's
+    TYPE_USHORT_GRAY) without widening the 8-bit RGB row contract. PNG
+    filters operate on BYTES at a bytes-per-pixel distance (spec §9.2),
+    so the existing unfilter runs unchanged with bpp=2; samples then
+    reassemble big-endian per pixel. Sequential (non-interlaced) streams
+    only; anything else — wrong depth/color, Adam7, structural damage —
+    returns None, never raises (the mm_modality_router contract)."""
+    import zlib
+
+    b = payload
+    if b is None or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" \
+            or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, color, interlace = b[24], b[25], b[28]
+    if depth != 16 or color != 0 or interlace != 0 or w == 0 or h == 0:
+        return None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated
+        if tag == b"IDAT":
+            idat += body
+        if tag == b"IEND":
+            break
+        pos += 12 + ln
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w * 2 + 1):
+        return None
+    dec = _png_unfilter_lines(raw, 0, w, h, bpp=2)
+    if dec is None:
+        return None
+    total = 0
+    vmin, vmax = 65535, 0
+    for line in dec[0]:
+        for i in range(0, w * 2, 2):
+            v = (line[i] << 8) | line[i + 1]
+            total += v
+            if v < vmin:
+                vmin = v
+            if v > vmax:
+                vmax = v
+    return w, h, total, vmin, vmax
+
+
 def decode_png_pixels(payload: bytes):
     """Full PNG pixel decode → (width, height, sum_r, sum_g, sum_b), or
     None (see _decode_png_rows)."""
@@ -3758,11 +3817,11 @@ def _decode_jpeg_planes(payload: bytes):
     scan decode (interleaved MCUs) → dequantize → IDCT → level shift.
 
     Returns (width, height, [plane ndarray per component]) or None.
-    Supports 1-component grayscale and 3-component 4:4:4 color (all
-    sampling factors 0x11 — one block per component per MCU).
-    Progressive (SOF2), subsampled chroma, and 16-bit quant tables are
-    rejected (documented boundaries); corrupt payloads become None,
-    never exceptions.
+    Supports 1-component grayscale, 3-component 4:4:4 or 4:2:0 color,
+    and 4-component (CMYK-convention) 4:4:4 streams — the MCU walk is
+    generic over the scan's component list. Progressive (SOF2), other
+    subsampling grids, and 16-bit quant tables are rejected (documented
+    boundaries); corrupt payloads become None, never exceptions.
     """
     import numpy as np
 
@@ -3831,8 +3890,10 @@ def _decode_jpeg_planes(payload: bytes):
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nf = body[5]
-            if nf not in (1, 3):
-                return None  # CMYK etc.: boundary
+            # 4 = CMYK-convention streams, decoded as raw planes by
+            # decode_jpeg_cmyk_pixels (the MCU walk is nc-generic)
+            if nf not in (1, 3, 4):
+                return None  # exotic component counts: boundary
             if len(body) < 6 + 3 * nf:
                 return None
             sof_comps = {}
@@ -4864,6 +4925,28 @@ def decode_jpeg_color_pixels(payload: bytes):
     g = np.clip(g, 0, 255)
     bch = np.clip(bch, 0, 255)
     return w, h, int(r.sum()), int(g.sum()), int(bch.sum())
+
+
+def decode_jpeg_cmyk_pixels(payload: bytes):
+    """4-component (CMYK-convention) baseline JPEG decode →
+    (width, height, sum_b0, sum_b1, sum_b2, sum_b3) over the four
+    STORED planes, or None for other component counts / damage /
+    boundaries.
+
+    No inverse color transform is applied: 4-component JPEGs carry
+    either raw CMYK (no Adobe APP14, or transform=0) or YCCK
+    (transform=2), and which bands mean what is metadata-dependent —
+    so this returns the decoded planes' sums as stored, the honest
+    primitive a router can combine with the APP14 transform flag
+    (surfaced by decode_real's n_comp and a marker walk) when true RGB
+    is needed. Exercised by the foreign cmyk4.jpg / adobe_ycck.jpg
+    fixtures (javax-encoded raw 4-band raster, with and without the
+    spliced Adobe segment)."""
+    dec = _decode_jpeg_planes(payload)
+    if dec is None or len(dec[2]) != 4:
+        return None
+    w, h, planes = dec
+    return (w, h) + tuple(int(p.sum()) for p in planes)
 
 
 JPEG_PIXEL_SCHEMA = StructType(

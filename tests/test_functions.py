@@ -2835,16 +2835,32 @@ def test_foreign_media_fixtures():
     from sql_query_engine_spark.functions.multimodal import decode_real
 
     # 16-bit grayscale PNG: metadata reports the true depth; the 8-bit
-    # pixel/resize/ahash decoders reject cleanly
+    # pixel/resize/ahash decoders reject cleanly; the dedicated 16-bit
+    # path decodes the javax-written samples EXACTLY (lossless)
+    from sql_query_engine_spark.functions.multimodal import (
+        decode_png16_gray_stats,
+    )
+
     p16 = exp["png16"]
     assert decode_real(load("gray16.png")) == (
         "png", w, h, p16["channels"], p16["depth"]
     )
     assert decode_png_pixels(load("gray16.png")) is None
+    assert decode_png16_gray_stats(load("gray16.png")) == (
+        w, h, p16["sum"], p16["min"], p16["max"]
+    )
+    # and the 16-bit path rejects 8-bit streams (disjoint boundaries)
+    assert decode_png16_gray_stats(load("gray.png")) is None
 
     # 4-component (CMYK-convention) baseline JPEG, with and without the
-    # Adobe APP14 transform segment: metadata reports Nf=4; every pixel
-    # decoder rejects (Nf∉{1,3} boundary), never raises
+    # Adobe APP14 transform segment: metadata reports Nf=4; the 1- and
+    # 3-component pixel decoders reject, never raise; the dedicated
+    # CMYK path decodes all four STORED planes (raw javax bands, so the
+    # Adobe splice must not change the decoded values)
+    from sql_query_engine_spark.functions.multimodal import (
+        decode_jpeg_cmyk_pixels,
+    )
+
     j4 = exp["jpeg4"]
     for name in ("cmyk4.jpg", "adobe_ycck.jpg"):
         assert decode_real(load(name)) == (
@@ -2854,6 +2870,17 @@ def test_foreign_media_fixtures():
                     decode_jpeg_progressive_pixels,
                     decode_jpeg_progressive_420_pixels):
             assert dec(load(name)) is None, (name, dec.__name__)
+        dec4 = decode_jpeg_cmyk_pixels(load(name))
+        assert dec4 is not None and dec4[:2] == (w, h), name
+        for got, want in zip(dec4[2:], j4["source_band_sums"]):
+            assert abs(got - want) < 2 * n_px, (name, got, want)
+    # both variants decode to identical plane sums (the APP14 segment is
+    # metadata, not entropy data)
+    assert decode_jpeg_cmyk_pixels(load("cmyk4.jpg")) == \
+        decode_jpeg_cmyk_pixels(load("adobe_ycck.jpg"))
+    # and the CMYK path rejects 1-/3-component streams (disjoint)
+    assert decode_jpeg_cmyk_pixels(load("gray.jpg")) is None
+    assert decode_jpeg_cmyk_pixels(load("rgb.jpg")) is None
 
     # magic-byte routing holds for foreign encoders' byte layouts too
     from sql_query_engine_spark.functions.multimodal import sniff_format

@@ -222,10 +222,12 @@ from sql_query_engine_spark.functions import multimodal as _mm
 
 _DECODERS = [
     _mm.decode_png_pixels,
+    _mm.decode_png16_gray_stats,
     _mm.decode_gif_pixels,
     _mm.decode_gif_animation,
     _mm.decode_jpeg_pixels,
     _mm.decode_jpeg_color_pixels,
+    _mm.decode_jpeg_cmyk_pixels,
     _mm.decode_jpeg_progressive_pixels,
     _mm.decode_jpeg_progressive_color_pixels,
     _mm.decode_wav_samples,

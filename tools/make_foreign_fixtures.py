@@ -245,7 +245,9 @@ def main() -> int:
         for x in range(W):
             raster16.setSample(x, y, 0, (x * 2500 + y * 700) % 65536)
     open(os.path.join(OUT, "gray16.png"), "wb").write(encode(img16, "png"))
-    expected["png16"] = {"depth": 16, "channels": 1}
+    vals16 = [(x * 2500 + y * 700) % 65536 for y in range(H) for x in range(W)]
+    expected["png16"] = {"depth": 16, "channels": 1, "sum": sum(vals16),
+                         "min": min(vals16), "max": max(vals16)}
 
     # 4-component baseline JPEG: javax's writer refuses ARGB
     # BufferedImages but happily encodes a raw 4-band interleaved
@@ -283,7 +285,13 @@ def main() -> int:
     open(os.path.join(OUT, "adobe_ycck.jpg"), "wb").write(
         cmyk[:2] + app14 + cmyk[2:]
     )
-    expected["jpeg4"] = {"n_comp": 4, "precision": 8}
+    band_sums = [
+        sum((x * (band + 3) + y * (band + 7)) % 256
+            for y in range(H) for x in range(W))
+        for band in range(4)
+    ]
+    expected["jpeg4"] = {"n_comp": 4, "precision": 8,
+                         "source_band_sums": band_sums}
 
     json.dump(expected, open(os.path.join(OUT, "expected.json"), "w"),
               indent=1)
