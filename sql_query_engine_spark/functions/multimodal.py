@@ -1511,6 +1511,120 @@ def decode_png16_gray_stats(payload: bytes):
     return w, h, total, vmin, vmax
 
 
+def png16_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic dims for the 16-bit corpus — mirrored by the SQL
+    oracle."""
+    return (doc_id * 5) % 13 + 4, (doc_id * 11) % 9 + 4
+
+
+def png16_value(doc_id: int, x: int, y: int) -> int:
+    """Planted 16-bit sample — mirrored by the SQL oracle."""
+    return (doc_id * 977 + x * 2500 + y * 700) % 65536
+
+
+def build_png16_pixels(doc_id: int) -> bytes:
+    """A REAL 16-bit grayscale PNG (depth 16, color type 0): big-endian
+    2-byte samples, scanlines filtered with the five PNG filter types in
+    rotation (filters operate on BYTES at the 2-byte pixel distance —
+    spec §9.2), zlib-compressed."""
+    import zlib
+
+    w, h = png16_dims(doc_id)
+    bpp = 2
+    raw_rows = [
+        b"".join(
+            png16_value(doc_id, x, y).to_bytes(2, "big") for x in range(w)
+        )
+        for y in range(h)
+    ]
+    out = bytearray()
+    prev = bytes(w * bpp)
+    for y, row in enumerate(raw_rows):
+        ft = y % 5
+        out.append(ft)
+        for i, v in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = (v - a) % 256
+            elif ft == 2:
+                f = (v - b) % 256
+            elif ft == 3:
+                f = (v - (a + b) // 2) % 256
+            else:
+                f = (v - _paeth(a, b, c)) % 256
+            out.append(f)
+        prev = row
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+PNG16_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sum_v", LongType(), True),
+        StructField("min_v", IntegerType(), True),
+        StructField("max_v", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_png16_pixels(docs: DataFrame) -> DataFrame:
+    """One real 16-bit grayscale PNG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_png16_pixels(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def png16_stats(with_media: DataFrame) -> DataFrame:
+    """payload → exact 16-bit sample stats (integer sum/min/max — the
+    all-integer output shape keeps the cross-engine oracle tie-free)
+    via decode_png16_gray_stats (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "sum_v", "min_v", "max_v")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_png16_gray_stats(payload)
+                if dec is None:
+                    for k in ("width", "height", "sum_v", "min_v", "max_v"):
+                        rows[k].append(None)
+                else:
+                    w, h, total, vmin, vmax = dec
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_v"].append(total)
+                    rows["min_v"].append(vmin)
+                    rows["max_v"].append(vmax)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "min_v", "max_v"):
+                out[c] = out[c].astype("Int32")
+            out["sum_v"] = out["sum_v"].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, PNG16_SCHEMA)
+
+
 def decode_png_pixels(payload: bytes):
     """Full PNG pixel decode → (width, height, sum_r, sum_g, sum_b), or
     None (see _decode_png_rows)."""
@@ -4925,6 +5039,129 @@ def decode_jpeg_color_pixels(payload: bytes):
     g = np.clip(g, 0, 255)
     bch = np.clip(bch, 0, 255)
     return w, h, int(r.sum()), int(g.sum()), int(bch.sum())
+
+
+def jpeg_cmyk_level(doc_id: int, k: int, band: int) -> int:
+    """Deterministic per-block flat level in [-112, 112] for stored
+    band ``band`` (0..3) — mirrored by the SQL oracle."""
+    return ((doc_id * (3 + band) + k * (5 + 2 * band)) % 225) - 112
+
+
+def build_jpeg_cmyk_pixels(doc_id: int) -> bytes:
+    """A REAL 4-component baseline JPEG (CMYK convention): SOF0 with
+    four 0x11-sampled components, one shared quant/Huffman table set,
+    interleaved 4-block MCUs with independent DC predictors. DC-only
+    blocks keep every pixel exactly flat (level + 128 at q0=8), so the
+    SQL oracle states every band mean with integer arithmetic."""
+    w, h = jpeg_dims(doc_id)
+    bw, bh = w // 8, h // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bwr = _JpegBitWriter()
+    preds = [0, 0, 0, 0]
+    for k in range(bw * bh):
+        for c in range(4):
+            dc = jpeg_cmyk_level(doc_id, k, c)
+            diff = dc - preds[c]
+            preds[c] = dc
+            s = _jpeg_cat(diff)
+            code, ln = dc_codes[s]
+            bwr.put(code, ln)
+            if s:
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                bwr.put(amp, s)
+            code, ln = ac_codes[0x00]  # EOB
+            bwr.put(code, ln)
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    # Adobe APP14 with transform=0 (no color transform — bands are
+    # stored as-is), the marker real CMYK exports carry
+    adobe = seg(
+        0xEE, b"Adobe" + b"\x00\x64" + b"\x00\x00" + b"\x00\x00" + b"\x00"
+    )
+    sof = seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x04"
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(4)),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(
+        0xDA,
+        b"\x04" + b"".join(bytes([i + 1, 0x00]) for i in range(4))
+        + b"\x00\x3f\x00",
+    )
+    return b"\xff\xd8" + adobe + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+JPEG_CMYK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sum_c", LongType(), True),
+        StructField("sum_m", LongType(), True),
+        StructField("sum_y", LongType(), True),
+        StructField("sum_k", LongType(), True),
+    ]
+)
+
+
+def synthesize_jpeg_cmyk_pixels(docs: DataFrame) -> DataFrame:
+    """One real 4-component baseline JPEG per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_jpeg_cmyk_pixels(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def jpeg_cmyk_stats(with_media: DataFrame) -> DataFrame:
+    """payload → per-stored-band integer sums (all-integer output keeps
+    the cross-engine oracle tie-free) via the full 4-component baseline
+    decode (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = ("doc_id", "width", "height",
+                    "sum_c", "sum_m", "sum_y", "sum_k")
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_jpeg_cmyk_pixels(payload)
+                if dec is None:
+                    for k in cols[1:]:
+                        rows[k].append(None)
+                else:
+                    w, h = dec[0], dec[1]
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    for k, total in zip(cols[3:], dec[2:]):
+                        rows[k].append(total)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            for c in cols[3:]:
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, JPEG_CMYK_SCHEMA)
 
 
 def decode_jpeg_cmyk_pixels(payload: bytes):

@@ -6374,6 +6374,73 @@ def mm_jpeg_color_stats(spark, sf_dir):
 
 
 @_q(
+    "mm_png16_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*5)%13+4 AS w, (doc_id*11)%9+4 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h,
+           (doc_id*977 + (tk.k % w)*2500 + (tk.k // w)*700) % 65536 AS v
+    FROM d, unnest(generate_series(0, w*h - 1)) AS tk(k))
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       cast(min(v) as int) AS min_v, cast(max(v) as int) AS max_v
+FROM px GROUP BY doc_id, w, h""",
+    "REAL pixel decode — 16-BIT grayscale PNG (depth 16, color type 0: "
+    "elevation maps, medical exports, TYPE_USHORT_GRAY): each doc gets "
+    "a genuine 16-bit PNG — big-endian 2-byte samples, the five PNG "
+    "filter types in rotation (filters act on BYTES at the 2-byte pixel "
+    "distance, spec §9.2), zlib IDAT — and the decode path walks "
+    "chunks, inflates, unfilters at bpp=2 and reassembles the 16-bit "
+    "samples exactly. All-integer outputs (sum/min/max — no float "
+    "rounding anywhere) keep the oracle literal-exact; the oracle "
+    "restates the planted sample grid arithmetically. Round-9 "
+    "counterpart of the foreign gray16.png fixture (javax encoder), "
+    "which pins the same decoder against independent filter choices. "
+    "Map-only, NULL on corruption.",
+)
+def mm_png16_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.png16_stats(multimodal.synthesize_png16_pixels(d))
+
+
+@_q(
+    "mm_jpeg_cmyk_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh
+    FROM documents),
+blk AS (
+    SELECT doc_id, bw, bh,
+           ((doc_id*3 + tk.k*5)  % 225) - 112 AS c0,
+           ((doc_id*4 + tk.k*7)  % 225) - 112 AS c1,
+           ((doc_id*5 + tk.k*9)  % 225) - 112 AS c2,
+           ((doc_id*6 + tk.k*11) % 225) - 112 AS c3
+    FROM d, unnest(generate_series(0, bw*bh - 1)) AS tk(k))
+SELECT doc_id, cast(bw*8 as int) AS width, cast(bh*8 as int) AS height,
+       CAST(64*(sum(c0) + 128*count(*)) AS BIGINT) AS sum_c,
+       CAST(64*(sum(c1) + 128*count(*)) AS BIGINT) AS sum_m,
+       CAST(64*(sum(c2) + 128*count(*)) AS BIGINT) AS sum_y,
+       CAST(64*(sum(c3) + 128*count(*)) AS BIGINT) AS sum_k
+FROM blk GROUP BY doc_id, bw, bh""",
+    "REAL pixel decode — 4-component CMYK-convention baseline JPEG "
+    "(print/Photoshop exports): each doc gets a genuine 4-component "
+    "JPEG — Adobe APP14 (transform=0), SOF0 with four 0x11-sampled "
+    "components, interleaved 4-block MCUs with independent DC "
+    "predictors — and the decode path Huffman-decodes all four planes "
+    "through the same nc-generic MCU walk as gray/color and returns the "
+    "STORED band sums (no color-transform guess: which bands mean what "
+    "is APP14 metadata, so raw plane sums are the honest primitive). "
+    "DC-only blocks are exactly flat (level+128 at q0=8), so the oracle "
+    "states every band sum in integer arithmetic. Foreign twins: "
+    "cmyk4.jpg / adobe_ycck.jpg (javax-encoded raw 4-band raster). "
+    "Map-only, NULL on corruption.",
+)
+def mm_jpeg_cmyk_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_cmyk_stats(multimodal.synthesize_jpeg_cmyk_pixels(d))
+
+
+@_q(
     "mm_flac_sample_stats",
     """WITH d AS (
     SELECT doc_id, (doc_id % 100) + 20 AS n FROM documents),
@@ -11032,6 +11099,8 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "stream_late_data_accounting",
     "tpch_q12_late_priority",
+    "mm_png16_stats",
+    "mm_jpeg_cmyk_stats",
     "scalar_date",
     "topk_orders",
     "setop_union_all",

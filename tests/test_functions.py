@@ -2927,3 +2927,57 @@ def test_png_resize_box_filter_exact():
 
     assert decode_png_resize(b"JUNK") is None
     assert decode_png_resize(build_png_pixels(5)[:40]) is None
+
+
+def test_png16_roundtrip_exact_and_damage():
+    """16-bit grayscale PNG: the from-spec builder's five-filter
+    rotation decodes back to EXACT sample stats; truncation and depth
+    mismatches reject to None (never raise)."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_png16_pixels,
+        decode_png16_gray_stats,
+        png16_dims,
+        png16_value,
+    )
+
+    for d in (0, 3, 17, 101, 444):
+        b = build_png16_pixels(d)
+        w, h = png16_dims(d)
+        vals = [png16_value(d, x, y) for y in range(h) for x in range(w)]
+        assert decode_png16_gray_stats(b) == (
+            w, h, sum(vals), min(vals), max(vals)
+        )
+        assert decode_png16_gray_stats(b[: len(b) // 2]) is None
+        corrupt = bytearray(b)
+        corrupt[40] ^= 0xFF
+        out = decode_png16_gray_stats(bytes(corrupt))
+        assert out is None or isinstance(out, tuple)
+
+
+def test_jpeg_cmyk_roundtrip_exact_and_damage():
+    """4-component baseline JPEG: flat DC-only blocks decode to exact
+    per-band sums through the nc-generic MCU walk; the 1-/3-component
+    decoders reject the stream; truncation rejects to None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_jpeg_cmyk_pixels,
+        decode_jpeg_cmyk_pixels,
+        decode_jpeg_color_pixels,
+        decode_jpeg_pixels,
+        jpeg_cmyk_level,
+        jpeg_dims,
+    )
+
+    for d in (0, 3, 17, 101, 444):
+        b = build_jpeg_cmyk_pixels(d)
+        w, h = jpeg_dims(d)
+        nb = (w // 8) * (h // 8)
+        dec = decode_jpeg_cmyk_pixels(b)
+        assert dec is not None and dec[:2] == (w, h)
+        for band in range(4):
+            want = sum(
+                64 * (jpeg_cmyk_level(d, k, band) + 128) for k in range(nb)
+            )
+            assert dec[2 + band] == want
+        assert decode_jpeg_pixels(b) is None
+        assert decode_jpeg_color_pixels(b) is None
+        assert decode_jpeg_cmyk_pixels(b[: len(b) // 2]) is None

@@ -250,6 +250,8 @@ def _valid_payloads():
             _mm.build_jpeg_pixels(d),
             _mm.build_jpeg_color_pixels(d),
             _mm.build_jpeg_420_pixels(d),
+            _mm.build_jpeg_cmyk_pixels(d),
+            _mm.build_png16_pixels(d),
             _mm.build_jpeg_progressive_pixels(d),
             _mm.build_jpeg_progressive_color_pixels(d),
             _mm.build_wav_samples(d),
