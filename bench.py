@@ -58,6 +58,9 @@ HEADLINE = [
     "mm_video_pixel_stats",
     # round-7 addition: two-stage IVF + int8 retrieval
     "sim_ivf_int8_topk",
+    # round-9 additions: 16-bit PNG and 4-component CMYK JPEG decode
+    "mm_png16_stats",
+    "mm_jpeg_cmyk_stats",
 ]
 
 

@@ -6883,8 +6883,12 @@ def stream_late_data_accounting(spark, sf_dir):
 # tools/oracle_fragility.py's output-type gate and
 # tests/test_registry.py::test_oracle_output_types_driver_safe).
 #
-# The probes below stay pinned in the r8 window as the controlled
-# experiment around that fix:
+# The probes below ran pinned in the r8 window as the controlled
+# experiment around that fix — every hypothesis probe came back green
+# and the canary red exactly on its HUGEINT column, driver-confirming
+# the mechanism. RETIRED from the public registry in round 9 (VERDICT
+# r8 #1): they live in _PROBE_REGISTRY, outside queries()/oracle_sql(),
+# and tools/fetch_path_audit.py replays them every gate run.
 #
 #   probe_hugeint_canary — a constant 1-row query surfacing one raw
 #                         HUGEINT next to its BIGINT-cast twin with
