@@ -315,11 +315,13 @@ def ivf_sampled_recall(
     predictor: a 4k-sample cannot contain the corpus's true nearest
     neighbors, so the sample's "top-k" are bulk-distance points whose
     cell placement is more random than real NNs'. Measured calibration
-    against the full rehearsals (1M×128, √N operating point):
+    against the full rehearsals (√N operating point, 128-dim):
 
-        corpus      estimate   measured recall@10
-        clustered     0.76          1.0
-        uniform       0.27          0.588
+        corpus          estimate   measured recall@10
+        clustered @1M     0.76          1.0
+        uniform   @1M     0.27          0.588
+        clustered @4M     0.875         1.0
+        uniform   @4M     0.248         0.55
 
     Decision rule from that calibration: estimate ≥ 0.6 → the corpus is
     clustered enough, build IVF at the operating point; < 0.4 → uniform-

@@ -1,0 +1,96 @@
+"""Long-run mutation fuzz over EVERY decoder (round-9 soak).
+
+Beyond tests/test_property.py's 200-example hypothesis passes, this
+hammers all 25 decoders with N truncation/byte-flip/splice mutations of
+a 76-container valid corpus (all builders at 4 doc_ids, restart and
+interlaced variants, every foreign fixture). Contract: a decoder may
+return None or a tuple/list/dict, and must NEVER raise. r9 run: 60k
+mutations x 25 decoders = 1.5M calls, 0 crashes (REHEARSAL_r09_fuzz.json).
+
+    python tools/fuzz_soak.py [n_mutations]
+"""
+import random, sys, traceback
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+from sql_query_engine_spark.functions import multimodal as _mm
+
+DECODERS = [
+    _mm.decode_png_pixels, _mm.decode_png16_gray_stats,
+    _mm.decode_gif_pixels, _mm.decode_gif_animation,
+    _mm.decode_jpeg_pixels, _mm.decode_jpeg_color_pixels,
+    _mm.decode_jpeg_cmyk_pixels,
+    _mm.decode_jpeg_progressive_pixels,
+    _mm.decode_jpeg_progressive_color_pixels,
+    _mm.decode_jpeg_progressive_420_pixels,
+    _mm.decode_gif_interlaced_stats,
+    _mm.decode_wav_24bit_samples,
+    _mm.decode_mp3_metadata,
+    _mm.decode_wav_samples, _mm.decode_wav_stereo_samples,
+    _mm.decode_flac_samples, _mm.decode_flac_stereo_samples,
+    _mm.decode_real, _mm.decode_audio_real, _mm.decode_video_real,
+    _mm.decode_png_metadata, _mm.decode_tiff_metadata,
+    _mm.decode_png_resize, _mm.decode_png_ahash,
+    _mm.decode_mjpeg_mp4_pixels,
+]
+
+def valid_corpus():
+    outs = []
+    for d in (0, 3, 7, 11):
+        outs += [
+            _mm.build_png_pixels(d), _mm.build_png_pixels_interlaced(d),
+            _mm.build_png16_pixels(d), _mm.build_png_with_metadata(d),
+            _mm.build_gif_pixels(d), _mm.build_gif_animation(d),
+            _mm.build_jpeg_pixels(d), _mm.build_jpeg_color_pixels(d),
+            _mm.build_jpeg_420_pixels(d), _mm.build_jpeg_cmyk_pixels(d),
+            _mm.build_jpeg_progressive_pixels(d),
+            _mm.build_jpeg_progressive_color_pixels(d),
+            _mm.build_jpeg_pixels(d, restart_interval=2),
+            _mm.build_wav_samples(d), _mm.build_wav_stereo_samples(d),
+            _mm.build_flac_samples(d), _mm.build_flac_stereo_samples(d),
+            _mm.build_mp4(*_mm.video_params(d)),
+            _mm.build_mjpeg_mp4_pixels(d),
+        ]
+    import os
+    fdir = __import__('os').path.join(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))), 'tests', 'fixtures', 'foreign')
+    for f in sorted(os.listdir(fdir)):
+        if not f.endswith('.json'):
+            outs.append(open(os.path.join(fdir, f), 'rb').read())
+    return [o for o in outs if o]
+
+corpus = valid_corpus()
+rng = random.Random(0xF0225)
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+fails = 0
+for i in range(N):
+    base = corpus[rng.randrange(len(corpus))]
+    mode = rng.random()
+    buf = bytearray(base)
+    if mode < 0.35:           # truncate
+        buf = buf[:rng.randrange(len(buf) + 1)]
+    elif mode < 0.6:          # truncate + flips
+        buf = buf[:rng.randrange(1, len(buf) + 1)]
+        for _ in range(rng.randrange(1, 5)):
+            if buf:
+                buf[rng.randrange(len(buf))] ^= rng.randrange(1, 256)
+    elif mode < 0.85:         # flips only
+        for _ in range(rng.randrange(1, 9)):
+            buf[rng.randrange(len(buf))] ^= rng.randrange(1, 256)
+    else:                     # splice two streams
+        other = corpus[rng.randrange(len(corpus))]
+        cut = rng.randrange(len(buf))
+        buf = buf[:cut] + bytearray(other[rng.randrange(len(other)):])
+    payload = bytes(buf)
+    for dec in DECODERS:
+        try:
+            out = dec(payload)
+            assert out is None or isinstance(out, (tuple, list, dict))
+        except Exception:
+            fails += 1
+            print(f"CRASH {dec.__name__} seed-iter {i}")
+            traceback.print_exc(limit=3)
+            open(f'/tmp/fuzz_crash_{dec.__name__}_{i}.bin', 'wb').write(payload)
+            if fails > 5:
+                sys.exit(1)
+    if i % 20000 == 0:
+        print(f"{i}/{N} mutations, {fails} crashes", flush=True)
+print(f"DONE {N} mutations x {len(DECODERS)} decoders, {fails} crashes")
+sys.exit(1 if fails else 0)

@@ -206,6 +206,14 @@ SHOWCASE = [
         "survive",
     ),
     (
+        "mm_jpeg_cmyk_stats",
+        "the same two chained mapInPandas stages, no exchange — the "
+        "4-component decode rides the identical map-only shape as "
+        "gray/color",
+        "CMYK print/scan corpora decode at the same zero-shuffle cost; "
+        "only (doc_id, dims, 4 band sums) leave the Arrow stage",
+    ),
+    (
         "pipeline_classifier_auc",
         "two-pass range-partitioned row_number (no global sort); the "
         "only partitionless window covers one row per range partition; "
