@@ -1383,35 +1383,11 @@ def _decode_png_rows(payload: bytes):
     grayscale (color type 0) PNG or fails structural validation —
     corrupt payloads become None, never exceptions (the
     mm_modality_router contract)."""
-    import zlib
-
-    b = payload
-    if b is None or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" \
-            or b[12:16] != b"IHDR":
+    front = _png_idat(payload, want_depth=8, want_colors=(0, 2))
+    if front is None:
         return None
-    w = int.from_bytes(b[16:20], "big")
-    h = int.from_bytes(b[20:24], "big")
-    depth, color, interlace = b[24], b[25], b[28]
-    if depth != 8 or color not in (0, 2) or interlace > 1:
-        return None
+    w, h, color, interlace, raw = front
     bpp = 3 if color == 2 else 1
-    idat = bytearray()
-    pos = 8
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos : pos + 4], "big")
-        tag = b[pos + 4 : pos + 8]
-        body = b[pos + 8 : pos + 8 + ln]
-        if len(body) < ln:
-            return None  # truncated
-        if tag == b"IDAT":
-            idat += body
-        if tag == b"IEND":
-            break
-        pos += 12 + ln
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     stride = w * bpp
 
     def to_rgb(line: bytes) -> bytes:
@@ -1465,6 +1441,37 @@ def decode_png16_gray_stats(payload: bytes):
     reassemble big-endian per pixel. Sequential (non-interlaced) streams
     only; anything else — wrong depth/color, Adam7, structural damage —
     returns None, never raises (the mm_modality_router contract)."""
+    front = _png_idat(payload, want_depth=16, want_colors=(0,))
+    if front is None:
+        return None
+    w, h, _color, interlace, raw = front
+    if interlace != 0:
+        return None  # Adam7 at 16-bit: documented boundary
+    if len(raw) != h * (w * 2 + 1):
+        return None
+    dec = _png_unfilter_lines(raw, 0, w, h, bpp=2)
+    if dec is None:
+        return None
+    total = 0
+    vmin, vmax = 65535, 0
+    for line in dec[0]:
+        for i in range(0, w * 2, 2):
+            v = (line[i] << 8) | line[i + 1]
+            total += v
+            if v < vmin:
+                vmin = v
+            if v > vmax:
+                vmax = v
+    return w, h, total, vmin, vmax
+
+
+def _png_idat(payload: bytes, want_depth: int, want_colors: tuple[int, ...]):
+    """Shared PNG front half: signature + IHDR check (against the
+    caller's depth / color-type whitelist), IDAT chunk walk, zlib
+    inflate. Returns (w, h, color, interlace, raw) or None — so the
+    8-bit row decoders and the 16-bit stats path validate and inflate
+    through ONE code path (review r9: a structural-hardening fix must
+    not have to land twice)."""
     import zlib
 
     b = payload
@@ -1474,7 +1481,8 @@ def decode_png16_gray_stats(payload: bytes):
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
     depth, color, interlace = b[24], b[25], b[28]
-    if depth != 16 or color != 0 or interlace != 0 or w == 0 or h == 0:
+    if depth != want_depth or color not in want_colors or interlace > 1 \
+            or w == 0 or h == 0:
         return None
     idat = bytearray()
     pos = 8
@@ -1493,22 +1501,7 @@ def decode_png16_gray_stats(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (w * 2 + 1):
-        return None
-    dec = _png_unfilter_lines(raw, 0, w, h, bpp=2)
-    if dec is None:
-        return None
-    total = 0
-    vmin, vmax = 65535, 0
-    for line in dec[0]:
-        for i in range(0, w * 2, 2):
-            v = (line[i] << 8) | line[i + 1]
-            total += v
-            if v < vmin:
-                vmin = v
-            if v > vmax:
-                vmax = v
-    return w, h, total, vmin, vmax
+    return w, h, color, interlace, raw
 
 
 def png16_dims(doc_id: int) -> tuple[int, int]:

@@ -274,8 +274,14 @@ def ivf_operating_point(
     centroid matrix driver-sized (65536×128 doubles ≈ 67 MB); the lower
     clamp keeps sample() feasible on tiny corpora."""
     n_cells = max(16, min(65536, int(n_vectors**0.5)))
-    # tiny-corpus clamp: sample() needs n_cells ≤ population size
-    n_cells = min(n_cells, max(1, n_vectors - n_queries))
+    # tiny-corpus clamp: sample() needs n_cells ≤ population size; a
+    # corpus no bigger than the query set has nothing to index — return
+    # an empty grid (callers like ivf_sampled_recall treat it as "IVF
+    # is moot") instead of raising from sample()
+    population = max(0, n_vectors - n_queries)
+    n_cells = min(n_cells, population)
+    if n_cells == 0:
+        return (), 0
     n_probes = max(1, min(n_cells, max(8, int(n_cells**0.5))))
     ids = tuple(
         sorted(
@@ -315,13 +321,14 @@ def ivf_sampled_recall(
     predictor: a 4k-sample cannot contain the corpus's true nearest
     neighbors, so the sample's "top-k" are bulk-distance points whose
     cell placement is more random than real NNs'. Measured calibration
-    against the full rehearsals (√N operating point, 128-dim):
+    against the full rehearsals (√N operating point, 128-dim,
+    deterministic hash-ordered sample):
 
         corpus          estimate   measured recall@10
-        clustered @1M     0.76          1.0
-        uniform   @1M     0.27          0.588
-        clustered @4M     0.875         1.0
-        uniform   @4M     0.248         0.55
+        clustered @1M     0.78          1.0
+        uniform   @1M     0.30          0.588
+        clustered @4M     0.86          1.0
+        uniform   @4M     0.26          0.55
 
     Decision rule from that calibration: estimate ≥ 0.6 → the corpus is
     clustered enough, build IVF at the operating point; < 0.4 → uniform-
@@ -336,11 +343,20 @@ def ivf_sampled_recall(
     """
     import numpy as np
 
-    if centroid_ids is None or n_probes is None:
-        n_vectors = emb.count()
-        auto_ids, auto_probes = ivf_operating_point(n_vectors)
-        centroid_ids = centroid_ids or auto_ids
-        n_probes = n_probes or auto_probes
+    if centroid_ids is None:
+        auto_ids, auto_probes = ivf_operating_point(emb.count())
+        centroid_ids = auto_ids
+        if n_probes is None:
+            n_probes = auto_probes
+    if n_probes is None:
+        # probes sized from the CALLER'S grid, not the corpus-size auto
+        # grid — deriving from ivf_operating_point here would hand a
+        # small grid more probes than it has cells and the diagnostic
+        # would degenerate to a constant 1.0 (review r9)
+        n_probes = max(1, min(len(centroid_ids),
+                              max(8, int(len(centroid_ids) ** 0.5))))
+    if len(centroid_ids) < 2:
+        return 1.0  # degenerate grid — IVF prunes nothing, moot
     base = _ivf_base(emb)
     cent = sorted(
         base.filter(F.col("vec_id").isin(*centroid_ids))
@@ -349,12 +365,19 @@ def ivf_sampled_recall(
         key=lambda r: r.vec_id,
     )
     c_mat = np.asarray([r.embedding for r in cent], dtype=np.float64)
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-K,
+    # no full sort): the sample is DETERMINISTIC across partition
+    # layouts/parallelism, unlike a bare limit() which takes whichever
+    # partitions materialize first (review r9). Ordering by the hash —
+    # not vec_id — keeps the kept rows a pseudo-random spread of the
+    # corpus even when sample_mod=1 passes everything.
     sample = (
         base.filter(
             (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0)
             & ~F.col("vec_id").isin(*centroid_ids)
         )
-        .select("embedding")
+        .select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
         .limit(max_sample)
         .collect()
     )

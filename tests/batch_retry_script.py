@@ -37,7 +37,7 @@ from pyspark import TaskContext
 from pyspark.sql import SparkSession
 
 
-def flaky_passthrough(schema: str, flag: str):
+def flaky_passthrough(flag: str):
     def _flaky(batches):
         tc = TaskContext.get()
         for pdf in batches:
@@ -90,11 +90,11 @@ def main() -> int:
 
     clean_dedup = run_dedup(docs)
     faulty_dedup = run_dedup(
-        docs.mapInPandas(flaky_passthrough(schema, flag_dedup), schema)
+        docs.mapInPandas(flaky_passthrough(flag_dedup), schema)
     )
     clean_decode = run_decode(docs)
     faulty_decode = run_decode(
-        docs.mapInPandas(flaky_passthrough(schema, flag_decode), schema)
+        docs.mapInPandas(flaky_passthrough(flag_decode), schema)
     )
 
     report = {

@@ -112,19 +112,20 @@ def main() -> int:
         F.sum(F.when(F.col("width").isNull(), 1).otherwise(0)).alias("nulls"),
         F.sum(F.when(F.col("doc_id") % 10 != 0, F.col("width"))).alias("sw_clean"),
     ).collect()[0]
+    n_victims = (N_DOCS + 9) // 10  # doc_id % 10 == 0 over range(N)
     report["corrupted"] = {
         "wall_s": round(time.monotonic() - t0, 2),
         "null_rows": agg2["nulls"],
-        "victim_rows": N_DOCS // 10,
+        "victim_rows": n_victims,
     }
     assert agg2["n"] == N_DOCS
     # a mid-IDAT flip corrupts the deflate stream or a CRC; nearly every
     # victim must reject (a flip can land on a byte zlib tolerates, so
     # allow a small survivor margin), and never MORE than the victims
-    assert agg2["nulls"] <= N_DOCS // 10, report
-    assert agg2["nulls"] >= int(N_DOCS * 0.09), report
+    assert agg2["nulls"] <= n_victims, report
+    assert agg2["nulls"] >= int(n_victims * 0.9), report
     report["corrupted"]["reject_fraction_of_victims"] = round(
-        agg2["nulls"] / (N_DOCS // 10), 4
+        agg2["nulls"] / n_victims, 4
     )
 
     # clean rows' stats unchanged by neighbors' corruption

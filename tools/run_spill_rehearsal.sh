@@ -16,7 +16,7 @@ run_leg() {
 }
 run_leg minhash 4g --n "${1:-3000000}"
 run_leg winnow 4g --n 1000000
-run_leg pagerank 2g
+run_leg pagerank 1g
 python - <<'EOF'
 import json
 legs = {}

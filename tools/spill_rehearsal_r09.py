@@ -16,7 +16,7 @@ ends — the r7 finding), launched by tools/run_spill_rehearsal.sh with
   shuffle) at 3M docs under a 4g heap (48g was the comfortable 10M
   configuration; 4g at 3M is ~1/4 the per-core budget).
 * ``winnow``  — winnowing fingerprints + self-join at 1M docs, 4g.
-* ``pagerank`` — graph_pagerank at sf0.1 under a 2g heap (iterative
+* ``pagerank`` — graph_pagerank at sf0.1 under a 1g heap (iterative
   loop + localCheckpoint blocks competing with execution memory).
 
 Spill evidence comes from the Spark status REST API (the UI is enabled
