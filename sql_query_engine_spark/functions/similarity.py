@@ -965,6 +965,14 @@ def hybrid_rrf(
         .agg(F.count("*").alias("doc_freq"))
         .filter(F.col("tok").isin(*tokens))
     )
+    # kw_score = Σ ln(n/df) over the doc's matched tokens — summed as a
+    # FIXED-ORDER fold over the token-sorted IDF list, not a float
+    # sum(): parallel aggregation adds the terms in nondeterministic
+    # order, and at sf0.1 thousands of docs tie on the same matched
+    # set, so per-doc ulp noise broke the (score, doc_id) tie
+    # differently in each engine (found by the r9 sf0.1 oracle sweep).
+    # The sorted fold makes every doc's additions identical in both
+    # engines — bit-exact scores, deterministic ties.
     kw_scored = (
         toks.filter(F.expr(f"tok IN ({spark_tokens})"))
         .filter(F.col("doc_id") != query_id)
@@ -972,9 +980,11 @@ def hybrid_rrf(
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))).alias(
-                "kw_score"
-            )
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(tok, ln(cast(n_docs as double) / doc_freq)))),"
+                " s -> s.col2), cast(0 as double), (acc, v) -> acc + v)"
+            ).alias("kw_score")
         )
     )
     # top-cut via orderBy+limit = TakeOrderedAndProject (per-partition
@@ -1048,8 +1058,14 @@ n AS (SELECT count(*) AS n_docs FROM documents),
 dfreq AS (SELECT tok, count(*) AS doc_freq FROM toks
           WHERE tok IN ({duck_tokens}) GROUP BY tok),
 kw_scored AS (
+    -- fixed-order fold over the token-sorted IDF terms (see the Spark
+    -- twin): a plain float sum() adds in nondeterministic parallel
+    -- order, and ulp noise breaks mass score ties differently per
+    -- engine at larger scale factors
     SELECT t.doc_id,
-           sum(ln(cast(n.n_docs as double) / d.doc_freq)) AS kw_score
+           list_reduce(list_prepend(cast(0 as double),
+               list(ln(cast(n.n_docs as double) / d.doc_freq)
+                    ORDER BY t.tok)), (a, b) -> a + b) AS kw_score
     FROM toks t JOIN dfreq d ON t.tok = d.tok CROSS JOIN n
     WHERE t.tok IN ({duck_tokens}) AND t.doc_id != {query_id}
     GROUP BY t.doc_id),
