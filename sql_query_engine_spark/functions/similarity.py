@@ -29,8 +29,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "HYPERPLANES",
+    "ann_plan",
+    "ann_topk",
     "cosine_topk",
     "cosine_topk_oracle",
+    "hamming_prefilter_topk",
     "hybrid_rrf",
     "hybrid_rrf_oracle",
     "int8_topk",
@@ -688,6 +691,216 @@ SELECT query_id, neighbor_id, cast(dot as bigint) AS dot,
        cast(rank as int) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def hamming_prefilter_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    prefilter_mult: int = 32,
+) -> DataFrame:
+    """Two-stage ANN for corpora with NO cluster structure and NO
+    amortizable index: a 64-bit binary-sign Hamming prefilter keeps the
+    ``prefilter_mult × k`` nearest codes per query, then the survivors
+    rescore by the exact int8-quantized bigint dot product. Output
+    schema is identical to :func:`int8_topk` / :func:`ivf_int8_topk`
+    (query_id, neighbor_id, dot, rank) so :func:`ann_topk` callers see
+    one contract regardless of strategy.
+
+    Why this shape: on a uniform corpus IVF recall merely tracks the
+    scanned fraction (REHEARSAL_r09_ivf_uniform.json) — there is no
+    cell structure to exploit — but sign codes still correlate with dot
+    product direction, and the code table is 1/32 the size of the float
+    corpus. Stage 1 is integer bit_count(xor) inside whole-stage
+    codegen over the code scan (broadcast query codes, no shuffle of
+    the corpus); only prefilter_mult×k×n_queries rows reach stage 2's
+    int8 fold. At 100 TB stage 1 reads 8 bytes/vector, stage 2 reads
+    the int8 codes of a bounded candidate set via an equi-join on
+    vec_id. Hamming ties at the prefilter boundary break on neighbor
+    id, so candidate sets — and therefore results — are deterministic.
+    """
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.repartition(par).select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.expr("transform(embedding, x -> abs(x))")).alias("m"),
+    ).filter(F.col("m") > 0)
+    codes = base.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
+            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i)"
+            " ELSE 0L END)"
+        ).alias("lo"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc +"
+            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i - 32)"
+            " ELSE 0L END)"
+        ).alias("hi"),
+    )
+    qc = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    w_ham = Window.partitionBy("query_id").orderBy(
+        "hamming", "neighbor_id"
+    )
+    cand = (
+        F.broadcast(qc)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "cast(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) as int)"
+            ).alias("hamming"),
+        )
+        .withColumn("hrn", F.row_number().over(w_ham))
+        .filter(F.col("hrn") <= prefilter_mult * k)
+        .select("query_id", "neighbor_id")
+    )
+    qn = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * (127.0d / m) + 0.5d) as bigint))"
+        ).alias("qv"),
+    )
+    scored = (
+        cand.join(
+            qn.select(F.col("vec_id").alias("query_id"),
+                      F.col("qv").alias("q_qv")),
+            "query_id",
+        )
+        .join(
+            qn.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("qv").alias("c_qv")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y),"
+                " 0L, (a, v) -> a + v)"
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def ann_plan(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    amortized: bool = True,
+    build_threshold: float = 0.6,
+    fallback_threshold: float = 0.4,
+) -> dict:
+    """Choose an ANN strategy for this corpus — the executable form of
+    the operating rule the r9 round documented on
+    :func:`ivf_operating_point` / :func:`ivf_sampled_recall`. Runs the
+    pre-build sampled-recall diagnostic (one bounded scan, driver-side
+    numpy) and applies the calibrated thresholds
+    (REHEARSAL_r09_ivf_uniform.json: clustered corpora estimate
+    0.78-0.86, uniform 0.26-0.30 at the √N point):
+
+    * estimate ≥ ``build_threshold`` (0.6) → ``"ivf"``: the corpus has
+      cluster structure; build IVF-√N + int8 codes
+      (:func:`ivf_int8_topk`), 3-6% expected scan fraction.
+    * estimate < ``fallback_threshold`` (0.4) → uniform-like; IVF at
+      the √N point would under-recall (~0.59 measured at 1M uniform).
+      With ``amortized=True`` (the index persists across query batches)
+      → ``"ivf_wide"``: IVF with probes raised to 50% of cells — recall
+      ≥0.9 on the measured uniform curve, and the persisted int8 index
+      still beats the float full scan per batch (4.6 s vs 10.4 s at
+      1M). One-off batches (``amortized=False``) → ``"hamming"``: the
+      binary prefilter + exact rescore (:func:`hamming_prefilter_topk`)
+      with no build cost.
+    * in between → ``"exact"``: the calibration band is ambiguous, so
+      correctness wins — exact int8 full scan (:func:`int8_topk`,
+      recall 1.0) until a real recall rehearsal certifies IVF for this
+      corpus.
+
+    Degenerate corpora (no indexable grid: n_vectors ≲ n_queries + 2)
+    are ``"exact"`` — there is nothing for IVF to prune.
+
+    Returns a plan dict: ``strategy`` (ivf | ivf_wide | exact |
+    hamming), ``est_recall``, ``n_vectors``, ``centroid_ids``,
+    ``n_probes``, ``reason``. Feed it to :func:`ann_topk` (or call
+    ann_topk directly, which plans internally)."""
+    n = emb.count()
+    centroid_ids, n_probes = ivf_operating_point(n, n_queries)
+    if len(centroid_ids) < 2:
+        return {
+            "strategy": "exact",
+            "reason": "degenerate-grid",
+            "est_recall": 1.0,
+            "n_vectors": n,
+            "centroid_ids": (),
+            "n_probes": 0,
+        }
+    est = ivf_sampled_recall(emb, centroid_ids, n_probes, k=k)
+    if est >= build_threshold:
+        strategy, reason = "ivf", "clustered"
+    elif est < fallback_threshold:
+        if amortized:
+            strategy, reason = "ivf_wide", "uniform-amortized"
+            n_probes = max(n_probes, (len(centroid_ids) + 1) // 2)
+        else:
+            strategy, reason = "hamming", "uniform-oneoff"
+    else:
+        strategy, reason = "exact", "uncertain-band"
+    return {
+        "strategy": strategy,
+        "reason": reason,
+        "est_recall": est,
+        "n_vectors": n,
+        "centroid_ids": centroid_ids,
+        "n_probes": n_probes,
+    }
+
+
+def ann_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    amortized: bool = True,
+    plan: dict | None = None,
+) -> DataFrame:
+    """Adaptive ANN top-k: plan via :func:`ann_plan`, then dispatch to
+    the chosen strategy. All strategies return the same schema
+    (query_id, neighbor_id, dot bigint, rank int) — the exact
+    int8-quantized dot is the scoring contract regardless of how
+    candidates were generated, so switching strategy never changes
+    result semantics, only recall/cost.
+
+    This is the entry point a caller should use on an UNKNOWN corpus:
+    it spends one bounded diagnostic scan to avoid the r9-measured
+    failure mode where the √N IVF default silently returns recall 0.59
+    on a cluster-free corpus."""
+    if plan is None:
+        plan = ann_plan(emb, k=k, n_queries=n_queries, amortized=amortized)
+    strategy = plan["strategy"]
+    if strategy in ("ivf", "ivf_wide"):
+        return ivf_int8_topk(
+            emb,
+            k=k,
+            n_queries=n_queries,
+            n_probes=plan["n_probes"],
+            centroid_ids=plan["centroid_ids"],
+        )
+    if strategy == "hamming":
+        return hamming_prefilter_topk(emb, k=k, n_queries=n_queries)
+    return int8_topk(emb, k=k, n_queries=n_queries)
 
 
 def cosine_topk_oracle(k: int = 10, n_queries: int = 8) -> str:

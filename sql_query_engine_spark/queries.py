@@ -2402,6 +2402,33 @@ def sim_ivf_int8_topk(spark, sf_dir):
 
 
 @_q(
+    "sim_ann_topk",
+    f"""SELECT query_id, neighbor_id, dot, rank, 'exact' AS strategy
+FROM ({similarity.int8_topk_oracle()}) t""",
+    "ADAPTIVE ANN planner (r9 verdict #3 made engine behavior in r10): "
+    "ann_topk() first runs the pre-build sampled-recall diagnostic "
+    "(one bounded scan + driver-side numpy, similarity.ivf_sampled_"
+    "recall) and dispatches per the calibrated thresholds — est>=0.6 "
+    "IVF-sqrt(N), <0.4 wide-probe IVF (amortized) or Hamming prefilter "
+    "(one-off), else the exact int8 scan. Every strategy returns the "
+    "same (query_id, neighbor_id, dot, rank) contract scored by the "
+    "exact int8 bigint dot, so strategy choice changes recall/cost, "
+    "never semantics. The gate embeddings tables estimate in the "
+    "uncertain band (0.45-0.59 at sf0.001-0.1), so the planner picks "
+    "'exact' here and the oracle pins BOTH the chosen strategy (as a "
+    "literal column a planner flip would hash-break) and the exact "
+    "result values. Clustered-vs-uniform dispatch is pinned in "
+    "tests/test_scale_ops.py::test_ann_planner_chooses_correctly.",
+)
+def sim_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    plan = similarity.ann_plan(emb)
+    return similarity.ann_topk(emb, plan=plan).withColumn(
+        "strategy", F.lit(plan["strategy"])
+    )
+
+
+@_q(
     "sim_lsh_ann_topk",
     similarity.lsh_bucket_topk_oracle(),
     "ANN via random-hyperplane LSH buckets — the 100 TB scale path",
@@ -11103,39 +11130,6 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "stream_late_data_accounting",
     "tpch_q12_late_priority",
-    "mm_png16_stats",
-    "mm_jpeg_cmyk_stats",
-    "scalar_date",
-    "topk_orders",
-    "setop_union_all",
-    "scalar_math",
-    "scalar_conditional",
-    "scalar_map_ops",
-    "join_anti",
-    "join_semi",
-    "window_rank_dense",
-    "window_ntile",
-    "setop_except",
-    "agg_rollup_gid",
-    "scalar_json",
-    "agg_percentiles",
-    "join_left_outer",
-    "window_running_sum",
-    "agg_having",
-    "setop_intersect",
-    "join_full_outer",
-    "agg_count_distinct",
-    "agg_conditional_pivot",
-    "scalar_higher_order",
-    "topk_per_group",
-    "agg_cube",
-    "window_moving_avg",
-    "window_lag_lead",
-    "agg_rollup",
-    "agg_pricing_summary",
-    "tpch_q10_returned_items",
-    "tpch_q3_shipping_priority",
-    "agg_exact_corr",
     "sql_scalar_subquery",
     "tpch_q5_local_supplier_volume",
     "scalar_string",
@@ -11363,6 +11357,39 @@ _GATE_PRIORITY = [
     "mm_png_metadata",
     "pipeline_source_authority",
     "mm_image_resize",
+    "scalar_date",
+    "topk_orders",
+    "setop_union_all",
+    "scalar_math",
+    "scalar_conditional",
+    "scalar_map_ops",
+    "join_anti",
+    "join_semi",
+    "window_rank_dense",
+    "window_ntile",
+    "setop_except",
+    "agg_rollup_gid",
+    "scalar_json",
+    "agg_percentiles",
+    "join_left_outer",
+    "window_running_sum",
+    "agg_having",
+    "setop_intersect",
+    "join_full_outer",
+    "agg_count_distinct",
+    "agg_conditional_pivot",
+    "scalar_higher_order",
+    "topk_per_group",
+    "agg_cube",
+    "window_moving_avg",
+    "window_lag_lead",
+    "agg_rollup",
+    "agg_pricing_summary",
+    "tpch_q10_returned_items",
+    "tpch_q3_shipping_priority",
+    "agg_exact_corr",
+    "mm_png16_stats",
+    "mm_jpeg_cmyk_stats",
     "agg_hll_partial_merge",
     "text_bpe_encode",
     "agg_approx_count_distinct",
