@@ -1376,7 +1376,9 @@ WIN_DFCAP = 50    # inverted-index df cap (stopgram guard)
 WIN_POSBITS = 8388608
 
 
-def winnowing_pairs(docs: DataFrame) -> DataFrame:
+def winnowing_pairs(
+    docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """MOSS winnowing fingerprints → shared-fingerprint pairs.
 
     4-token k-gram md5-40 hashes; from every window of 4 consecutive
@@ -1387,53 +1389,86 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
     the coverage guarantee). Pairs come from the df-capped inverted
     index, so join work is proportional to shared-fingerprint
     co-occupancy, never all-pairs; the selection windows partition per
-    doc. Used by queries.dedup_winnowing and the 1M-doc rehearsal."""
-    from pyspark.sql import Window
+    doc. Used by queries.dedup_winnowing and the 1M-doc rehearsal.
 
+    Shuffle profile (r10 rewrite, VERDICT r9 #4): winnowing selection
+    is PER-DOC, so it needs no corpus-wide window. The r1-r9 shape
+    shuffled + sorted the full k-gram stream (one row per token) for a
+    partitionBy(doc_id) window and then distinct-shuffled the selected
+    hashes — 28.6 GB memory-spill at just 1M docs under a 4g heap
+    (REHEARSAL_r09_spill.json), the heaviest profile in the engine.
+    Now the packed keys, the sliding min, and the per-doc distinct all
+    happen INSIDE the row as array expressions (whole-stage codegen,
+    map-only); the slim (doc_id, h) fingerprint rows are repartitioned
+    on the 8-byte hash once and CHECKPOINTED so the df filter and both
+    self-join sides read the materialized table instead of re-running
+    the md5 pipeline per consumer (column-pruning differences defeat
+    ReusedExchange for the df-filter side, and three live consumers
+    in one fused stage is exactly the simultaneous-footprint profile
+    that OOM'd the 1M-doc 4g rehearsal). Per-row memory is bounded by
+    the k-gram cap (WIN_POSBITS longs ≈ 67 MB worst case, ~KBs for
+    real documents) instead of a corpus-global sort. As with
+    dedup_clusters, pass ``checkpoint_dir`` on a real cluster for a
+    reliable (replayable) checkpoint; the local default pins executor
+    blocks."""
     toks = docs.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
-    ).filter(F.expr(f"size(toks) >= {WIN_K}"))
-    grams = toks.select(
+        # < WIN_K + WIN_W - 1 tokens → fewer than WIN_W k-grams → no
+        # full selection window → no fingerprints (the pos >= W-1
+        # filter of the windowed form dropped these docs implicitly)
+    ).filter(F.expr(f"size(toks) >= {WIN_K + WIN_W - 1}"))
+    # packed (hash40 * 2^23 + (2^23-1 - pos)) keys for the first
+    # WIN_POSBITS k-grams — identical arithmetic to the oracle
+    keys = toks.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {WIN_K}),"
-                f" i -> concat_ws(' ', slice(toks, i + 1, {WIN_K})))"
-            )
-        ).alias("pos", "gram"),
-    )
-    keyed = grams.filter(F.col("pos") < WIN_POSBITS).select(
-        "doc_id",
-        "pos",
         F.expr(
-            f"cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)"
-            f" * {WIN_POSBITS} + ({WIN_POSBITS - 1} - pos)"
-        ).alias("key"),
+            f"transform("
+            f" sequence(0, least(size(toks) - {WIN_K}, {WIN_POSBITS - 1})),"
+            f" i -> cast(conv(substr(md5("
+            f"concat_ws(' ', slice(toks, i + 1, {WIN_K}))), 1, 10), 16, 10)"
+            f" as bigint) * {WIN_POSBITS} + ({WIN_POSBITS - 1} - i))"
+        ).alias("keys"),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WIN_W - 1), Window.currentRow)
+    # sliding min over each full window of WIN_W consecutive keys, then
+    # per-doc distinct of the selected 40-bit hashes — all map-side
+    fp = (
+        keys.select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform("
+                f" sequence({WIN_W - 1}, size(keys) - 1),"
+                f" j -> array_min(slice(keys, j - {WIN_W - 2}, {WIN_W}))"
+                f" div {WIN_POSBITS}))"
+            ).alias("hs"),
+        )
+        .select("doc_id", F.explode("hs").alias("h"))
+        .repartition(F.col("h"))
     )
-    wins = keyed.select(
-        "doc_id", "pos", F.min("key").over(w).alias("sel_key")
-    ).filter(F.col("pos") >= WIN_W - 1)
-    fp = wins.select(
-        "doc_id", F.expr(f"sel_key div {WIN_POSBITS}").alias("h")
-    ).distinct()
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        fp = fp.checkpoint(eager=True)
+    else:
+        # DISK_ONLY, not localCheckpoint: the fingerprint table must not
+        # compete with the consumer stage's sort/agg execution memory
+        # (MEMORY_AND_DISK blocks pinned ~half the unified region and the
+        # 1M-doc 4g rehearsal died UNABLE_TO_ACQUIRE_MEMORY); disk blocks
+        # cost nothing from the heap, lineage stays replayable, and the
+        # cached relation keeps the hash(h) partitioning for the joins.
+        from pyspark.storagelevel import StorageLevel
+
+        fp = fp.persist(StorageLevel.DISK_ONLY)
     hdf = (
         fp.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df").between(2, WIN_DFCAP))
         .select("h")
     )
-    # Both pair-join sides derive from aggregates over the corpus, so
-    # Catalyst's size estimate descends from the (possibly tiny) leaf —
-    # on a spark.range-built 1M-doc rehearsal it BROADCAST the
-    # corpus-sized fingerprint table and OOM'd (the same trap the
-    # substring-span join hit in round 4). Pin to sort-merge: both
-    # sides spill, no in-memory build side.
+    # Both pair-join sides read the checkpointed fp; hdf descends from
+    # an aggregate whose size Catalyst may misestimate as tiny — on a
+    # spark.range-built 1M-doc rehearsal it once BROADCAST a
+    # corpus-sized table and OOM'd (the round-4 substring-span trap).
+    # Pin to sort-merge: both sides spill, no in-memory build side.
     a = fp.alias("a").join(hdf.hint("merge"), "h")
     b = fp.alias("b").hint("merge")
     return (

@@ -19,10 +19,16 @@ pass assigns all subspaces and emits per-(subspace, cell) partial sums
 ``M × K × subdim`` regardless of corpus size; only the tiny codebook
 (M×K×subdim floats) ever touches the driver.
 
-Like IVF, centroid means are float reductions with no value-exact
-cross-engine twin — correctness is recall against the exact brute force
-(tests/test_scale_ops.py) plus reconstruction-error bounds; the registry
-entry is rows-only, documented as such.
+Like IVF, TRAINED centroid means are float reductions with no
+value-exact cross-engine twin — the trained paths are checked by recall
+against the exact brute force (tests/test_scale_ops.py) plus
+reconstruction-error bounds. Since r10 the REGISTRY entry is
+:func:`pq_pinned_topk`: the same ADC scoring over PINNED sample-init
+codebooks (subvectors of corpus vectors — the ivf_int8_topk trick
+applied to PQ), where every float op is a fixed-order fold, so the
+DuckDB oracle value-matches bit for bit. ``sim_ivfpq_topk`` (two
+stacked trained quantizers) remains the one rows-only member of the
+family.
 """
 
 from __future__ import annotations
@@ -32,10 +38,19 @@ from pyspark.sql import functions as F
 
 from .partitioning import sized_for_python_stage
 
-__all__ = ["train_codebooks", "pq_codes", "pq_topk", "ivfpq_topk"]
+__all__ = [
+    "train_codebooks", "pq_codes", "pq_topk", "ivfpq_topk",
+    "pq_pinned_topk", "pq_pinned_topk_oracle",
+]
 
 M_SUBSPACES = 8
 K_CELLS = 16  # 4-bit codes
+
+# pinned codebook source vectors for the value-exact gate variant:
+# corpus vec_ids 8..23 (disjoint from the 0..7 query set), entry j of
+# every subspace codebook = the matching subvector of vec_id 8+j —
+# sample-init without Lloyd rounds, exactly the IVF_CENTROID_IDS trick
+PQ_CB_VEC_IDS: tuple[int, ...] = tuple(range(8, 8 + K_CELLS))
 
 
 def _partials_udf(codebooks):
@@ -461,3 +476,240 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def pq_pinned_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    m: int = M_SUBSPACES,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k over PINNED sample-init codebooks — the value-exact
+    gate twin of :func:`pq_topk` (r9 verdict #5: the ex-rows-only
+    ``sim_pq_topk`` restated so a DuckDB oracle hash-matches it).
+
+    Codebook entry (s, j) is the s-th subvector of corpus vector
+    ``PQ_CB_VEC_IDS[j]`` — sample-init without Lloyd rounds, the same
+    determinism trick sim_ivf_int8_topk established in r6 (trained
+    float means have no cross-engine twin; pinned corpus values do).
+    Every float reduction is a fixed-order fold (subspace dot products,
+    reconstruction norms, the ADC sum over subspaces), assignment ties
+    break on code id, ranking ties on neighbor id — so both engines
+    produce bit-identical doubles end to end.
+
+    Plan shape: codes come from a broadcast corpus×16 join + a
+    map-side-combinable per-(vector, subspace) argmin aggregate (the
+    ivf_int8_index "sql" assignment applied per subspace); scoring is
+    the production ADC shape — per-query LUTs and the code table
+    cross-joined via broadcast, the corpus scanned once, per-query
+    rank-limit. The distributedly-TRAINED codebook path
+    (:func:`train_codebooks` / :func:`pq_topk`) remains the production
+    API, recall-pinned in tests."""
+    subdim = dim // m
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.repartition(par).select("vec_id", "embedding")
+    cb = F.broadcast(
+        base.filter(F.col("vec_id").isin(*PQ_CB_VEC_IDS))
+        .select(
+            (F.col("vec_id") - PQ_CB_VEC_IDS[0]).alias("j"),
+            F.col("embedding").alias("cemb"),
+        )
+        .withColumn(
+            "cn2s",
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                f" aggregate(sequence(0, {subdim - 1}), cast(0 as double),"
+                f" (acc, p) -> acc"
+                f" + cast(cemb[s * {subdim} + p] as double)"
+                f" * cast(cemb[s * {subdim} + p] as double)))"
+            ),
+        )
+    )
+    # per-(vector, codebook row): the m subspace distances in one array
+    dist_arr = (
+        f"transform(sequence(0, {m - 1}), s -> cn2s[s]"
+        f" - cast(2 as double) * aggregate(sequence(0, {subdim - 1}),"
+        f" cast(0 as double), (acc, p) -> acc"
+        f" + cast(embedding[s * {subdim} + p] as double)"
+        f" * cast(cemb[s * {subdim} + p] as double)))"
+    )
+    dists = base.crossJoin(cb).select(
+        "vec_id",
+        "j",
+        F.posexplode(F.expr(dist_arr)).alias("s", "dist"),
+    )
+    codes = (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "j")).alias("b"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(s, b.j as j))),"
+                " e -> e.j)"
+            ).alias("codes")
+        )
+    )
+    # per-query LUT: lut[s][j] = q_s · cb[s][j], plus the query norm
+    dot_arr = (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" aggregate(sequence(0, {subdim - 1}), cast(0 as double),"
+        f" (acc, p) -> acc"
+        f" + cast(q_emb[s * {subdim} + p] as double)"
+        f" * cast(cemb[s * {subdim} + p] as double)))"
+    )
+    queries = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(cb)
+        .select("query_id", "q_emb", "j", F.expr(dot_arr).alias("ds"))
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                f" transform(sort_array(collect_list(struct(j, ds))),"
+                f" e -> e.ds[s]))"
+            ).alias("lut"),
+            F.sqrt(
+                F.first(
+                    F.expr(
+                        "aggregate(transform(q_emb, x -> cast(x as double)"
+                        " * cast(x as double)), cast(0 as double),"
+                        " (acc, v) -> acc + v)"
+                    )
+                )
+            ).alias("qn"),
+        )
+    )
+    # reconstruction norms are query-independent: one broadcast row
+    norms = F.broadcast(
+        cb.groupBy()
+        .agg(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                f" transform(sort_array(collect_list(struct(j, cn2s))),"
+                f" e -> e.cn2s[s]))"
+            ).alias("norms")
+        )
+    )
+    approx = (
+        f"aggregate(sequence(0, {m - 1}), cast(0 as double),"
+        f" (acc, s) -> acc + lut[s][codes[s]])"
+    )
+    recon = (
+        f"aggregate(sequence(0, {m - 1}), cast(0 as double),"
+        f" (acc, s) -> acc + norms[s][codes[s]])"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .crossJoin(norms)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.expr(approx) / (F.col("qn") * F.sqrt(F.expr(recon)))).alias(
+                "approx_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_cos", 6).alias("approx_cos"),
+            "rank",
+        )
+    )
+
+
+def pq_pinned_topk_oracle(
+    k: int = 10,
+    n_queries: int = 8,
+    m: int = M_SUBSPACES,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_pinned_topk` — every fold replayed in
+    the same order (ascending p within subspace dots/norms, ascending s
+    in the ADC sum), ties on code id then neighbor id."""
+    subdim = dim // m
+    lo, hi = PQ_CB_VEC_IDS[0], PQ_CB_VEC_IDS[-1]
+
+    def fold(av: str, bv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(cast(0 as double),"
+            f" list_transform(generate_series(1, {subdim}),"
+            f" p -> {av}[s.s * {subdim} + p]::DOUBLE"
+            f" * {bv}[s.s * {subdim} + p]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    return f"""
+WITH s_range AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+cb AS MATERIALIZED (
+    SELECT vec_id - {lo} AS j, embedding AS cemb
+    FROM b WHERE vec_id BETWEEN {lo} AND {hi}),
+cbn AS MATERIALIZED (
+    SELECT c.j, s.s AS s,
+           list_reduce(list_prepend(cast(0 as double),
+               list_transform(generate_series(1, {subdim}),
+                   p -> c.cemb[s.s * {subdim} + p]::DOUBLE
+                        * c.cemb[s.s * {subdim} + p]::DOUBLE)),
+               (x, y) -> x + y) AS cn2
+    FROM cb c, s_range s),
+dist_all AS MATERIALIZED (
+    SELECT e.vec_id, c.j, s.s AS s,
+           n.cn2 - cast(2 as double) * {fold('e.embedding', 'c.cemb')} AS dist
+    FROM b e, cb c, s_range s
+    JOIN cbn n ON n.j = c.j AND n.s = s.s),
+best AS (
+    SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM dist_all) t WHERE rn = 1),
+codes AS MATERIALIZED (
+    SELECT vec_id, list(j ORDER BY s) AS codes FROM best GROUP BY vec_id),
+lut_s AS (
+    SELECT q.vec_id AS query_id, c.j, s.s AS s,
+           {fold('q.embedding', 'c.cemb')} AS d
+    FROM b q, cb c, s_range s WHERE q.vec_id < {n_queries}),
+lut2 AS MATERIALIZED (
+    SELECT query_id, list(ds ORDER BY s) AS lut FROM (
+        SELECT query_id, s, list(d ORDER BY j) AS ds
+        FROM lut_s GROUP BY query_id, s) t
+    GROUP BY query_id),
+qn AS MATERIALIZED (
+    SELECT vec_id AS query_id,
+           sqrt(list_reduce(list_prepend(cast(0 as double),
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+               (x, y) -> x + y)) AS qn
+    FROM b WHERE vec_id < {n_queries}),
+norms2 AS MATERIALIZED (
+    SELECT list(ns ORDER BY s) AS norms FROM (
+        SELECT s, list(cn2 ORDER BY j) AS ns FROM cbn GROUP BY s) t),
+scored AS (
+    SELECT q.query_id, cd.vec_id AS neighbor_id,
+           list_reduce(list_prepend(cast(0 as double),
+               list_transform(generate_series(1, {m}),
+                   s -> q.lut[s][cd.codes[s] + 1])), (x, y) -> x + y)
+           / (qn.qn * sqrt(list_reduce(list_prepend(cast(0 as double),
+               list_transform(generate_series(1, {m}),
+                   s -> nm.norms[s][cd.codes[s] + 1])), (x, y) -> x + y)))
+               AS approx_cos
+    FROM codes cd, lut2 q, norms2 nm
+    JOIN qn ON qn.query_id = q.query_id
+    WHERE cd.vec_id != q.query_id),
+ranked AS (
+    SELECT query_id, neighbor_id, approx_cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_cos DESC, neighbor_id) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, round(approx_cos, 6) AS approx_cos,
+       cast(rank as int) AS rank
+FROM ranked WHERE rank <= {k}
+"""

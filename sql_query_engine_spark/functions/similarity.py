@@ -693,6 +693,161 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ivf_float_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    n_probes: int = 4,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> DataFrame:
+    """IVF-Flat with FLOAT cosine rescoring, fully deterministic — the
+    ex-rows-only ``sim_ivf_topk`` restated so it value-matches a DuckDB
+    oracle (r9 verdict #5): pinned sample-init centroids (corpus
+    vectors, no Lloyd rounds — trained float means have no value-exact
+    cross-engine twin, which is what kept this family rows-only for 9
+    rounds), argmin cell assignment via a fixed-order float fold with
+    cell-id tie-break, candidates from a cell-id EQUI-join, and cosine
+    scoring as the same fixed-order fold :func:`cosine_topk` uses. The
+    TRAINED k-means variant (functions/ivf.py) remains the production
+    API, recall-pinned in tests — this is the same split
+    ivf_int8_topk made for the int8 path in r6.
+
+    Plan shape is ivf_int8_topk's: broadcast centroid set, map-side
+    combinable argmin aggregate, cell equi-join — sub-linear scan at
+    100 TB, no query×corpus product anywhere."""
+    base = _ivf_base(emb)
+    cent = _ivf_centroids(base, centroid_ids)
+    assign = (
+        base.crossJoin(cent)
+        .select(
+            "vec_id",
+            "cell_id",
+            (F.col("cn2") - F.lit(2.0) * _ivf_dot_vc()).alias("dist"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cell_id")).alias("best"))
+        .select("vec_id", F.col("best.cell_id").alias("cell_id"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    probes = (
+        base.filter(F.col("vec_id") < n_queries)
+        .crossJoin(cent)
+        .select(
+            "vec_id",
+            "cell_id",
+            (F.col("cn2") - F.lit(2.0) * _ivf_dot_vc()).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= n_probes)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    n = base.select(
+        "vec_id", "embedding", F.expr(_SPARK_NORM2).alias("n2")
+    )
+    scored = (
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("n2").alias("q_n2"),
+            ),
+            "query_id",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("n2").alias("c_n2"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(
+                    "aggregate(zip_with(q_emb, c_emb,"
+                    " (x, y) -> cast(x as double) * cast(y as double)),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                )
+                / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos", 6).alias("cos"), "rank",
+        )
+    )
+
+
+def ivf_float_topk_oracle(
+    k: int = 10,
+    n_queries: int = 8,
+    n_probes: int = 4,
+    centroid_ids: tuple[int, ...] = IVF_CENTROID_IDS,
+) -> str:
+    ids = ", ".join(str(i) for i in centroid_ids)
+    dot_vc = (
+        f"list_reduce(list_prepend(cast(0 as double),"
+        f" list_transform(generate_series(1, {DIM}),"
+        f" i -> e.embedding[i]::DOUBLE * ct.cemb[i]::DOUBLE)),"
+        f" (x, y) -> x + y)"
+    )
+    return f"""
+WITH b AS MATERIALIZED (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x))) AS m
+    FROM embeddings),
+fb AS MATERIALIZED (SELECT vec_id, embedding FROM b WHERE m > 0),
+cent AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding AS cemb, {_DUCK_NORM2} AS cn2
+    FROM fb WHERE vec_id IN ({ids})),
+assign_all AS MATERIALIZED (
+    SELECT e.vec_id, ct.cell_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ct.cn2 - 2.0 * {dot_vc}, ct.cell_id) AS rn
+    FROM fb e, cent ct),
+assign AS (SELECT vec_id, cell_id FROM assign_all WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell_id
+           FROM assign_all WHERE vec_id < {n_queries} AND rn <= {n_probes}),
+n AS MATERIALIZED (
+    SELECT vec_id, embedding, {_DUCK_NORM2} AS n2 FROM fb),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+    WHERE a.vec_id != p.query_id),
+scored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_duck_dot('q.embedding', 'c.embedding')}
+             / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+    FROM cand cd
+    JOIN n q ON q.vec_id = cd.query_id
+    JOIN n c ON c.vec_id = cd.neighbor_id),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+       cast(rank as int) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def hamming_prefilter_topk(
     emb: DataFrame,
     k: int = 10,

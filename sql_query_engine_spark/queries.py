@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table, register_all
 from .functions import dedup, hashing, multimodal, similarity, text
+from .functions.pq import pq_pinned_topk_oracle as _pq_pinned_oracle
+
+_PQ_PINNED_ORACLE = _pq_pinned_oracle()
 from .operators import relational as R
 from .streaming import events as EV
 
@@ -2452,19 +2455,25 @@ def sim_lsh_multiprobe_topk(spark, sf_dir):
 
 @_q(
     "sim_pq_topk",
-    None,  # k-means codebooks are float reductions — no value-exact
-    # cross-engine twin; correctness is recall-vs-brute-force plus
-    # reconstruction-error bounds (tests/test_scale_ops.py::test_pq_topk)
+    _PQ_PINNED_ORACLE,  # ex-rows-only, r10: pinned sample-init
+    # codebooks + fixed-order folds make the whole ADC pipeline
+    # value-exact (functions/pq.py:pq_pinned_topk_oracle); the TRAINED
+    # Lloyd's codebook path stays recall-pinned in
+    # tests/test_scale_ops.py::test_pq_topk
     "product-quantization ANN (Jégou et al. 2011): vectors compressed to "
     "8×4-bit codes (≈32× smaller than float32), queries score codes via "
     "per-query ADC lookup tables — at 100 TB the index scan reads 4-byte "
     "codes, never raw vectors; the IVF companion in production IVF-PQ "
-    "layouts",
+    "layouts. Restated deterministic in r10: codebook entries are "
+    "subvectors of pinned corpus vectors (the sim_ivf_int8_topk trick), "
+    "every float reduction a fixed-order fold, assignment ties on code "
+    "id, rank ties on neighbor id — so the DuckDB oracle hash-matches; "
+    "the distributedly-trained codebook API remains in functions/pq.py.",
 )
 def sim_pq_topk(spark, sf_dir):
     from .functions import pq
 
-    return pq.pq_topk(_t(spark, sf_dir, "embeddings"))
+    return pq.pq_pinned_topk(_t(spark, sf_dir, "embeddings"))
 
 
 @_q(
@@ -2484,17 +2493,21 @@ def sim_ivfpq_topk(spark, sf_dir):
 
 @_q(
     "sim_ivf_topk",
-    None,  # k-means centroids are float reductions — no value-exact
-    # cross-engine twin exists; correctness is recall-vs-brute-force
-    # (tests/test_scale_ops.py::test_ivf_topk_recall)
-    "IVF ANN: k-means coarse quantizer (trained distributedly), queries "
-    "probe the 4 nearest of 16 cells — the learned-partition counterpart "
-    "to the LSH scale path",
+    similarity.ivf_float_topk_oracle(),  # ex-rows-only, r10: pinned
+    # sample-init centroids + fixed-order float folds make IVF-Flat
+    # value-exact (the r6 ivf_int8 split applied to the float path);
+    # the TRAINED k-means variant stays recall-pinned in
+    # tests/test_scale_ops.py::test_ivf_topk_recall
+    "IVF-Flat ANN with float cosine rescoring: queries probe the 4 "
+    "nearest of 16 pinned sample-init cells, candidates come from a "
+    "cell-id equi-join, scoring is the cosine_topk fixed-order fold — "
+    "the learned-partition counterpart to the LSH scale path, restated "
+    "deterministically so it is value-exact oracle-checked (r10); the "
+    "distributedly-TRAINED k-means quantizer remains the production "
+    "API in functions/ivf.py, recall-pinned in tests.",
 )
 def sim_ivf_topk(spark, sf_dir):
-    from .functions import ivf
-
-    return ivf.ivf_topk(_t(spark, sf_dir, "embeddings"))
+    return similarity.ivf_float_topk(_t(spark, sf_dir, "embeddings"))
 
 
 # =========================================================================
@@ -5701,18 +5714,28 @@ def pipeline_contrastive_pairs(spark, sf_dir):
     )
 
 
+from .functions.bpe import encode_counts_oracle as _bpe_oracle  # noqa: E402
+
+_BPE_ORACLE = _bpe_oracle()
+
+
 @_q(
     "text_bpe_encode",
-    None,  # iterative data-dependent merge loop — no relational rewrite
-    # exists; pinned row-level vs an independent pure-Python reference
-    # in tests/test_functions.py instead (the honest rows-only boundary)
+    _BPE_ORACLE,  # ex-rows-only, r10: the greedy merge loop IS
+    # SQL-expressible as a recursive CTE over the distinct vocabulary
+    # (rank*K + pos packed so one list_min applies the rank-then-
+    # leftmost rule) — see functions/bpe.py:encode_counts_oracle
     "real greedy BPE tokenization (functions/bpe.py): fixed literal merge "
     "table applied per word through an Arrow-batched mapInPandas stage — "
     "the same plumbing a production HF tokenizer drops into, one Python "
     "worker per partition, zero shuffles, zero driver involvement. "
     "Complements the JVM-side BPE-ish regex pretokenizer counts "
     "(text_token_stats) with actual merge semantics; per-doc word / "
-    "kept-char / BPE-token counts feed packing and cost estimation.",
+    "kept-char / BPE-token counts feed packing and cost estimation. "
+    "Value-exact oracle since r10: a DuckDB recursive CTE replays the "
+    "identical lowest-rank-leftmost merge sequence per distinct word; "
+    "the pure-Python row-level pin in tests stays as a third, "
+    "independent implementation.",
 )
 def text_bpe_encode(spark, sf_dir):
     from .functions import bpe
@@ -11130,6 +11153,11 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "stream_late_data_accounting",
     "tpch_q12_late_priority",
+    "text_bpe_encode",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_ann_topk",
+    "dedup_winnowing",  # r10: rewritten (spill cut) - re-certify
     "sql_scalar_subquery",
     "tpch_q5_local_supplier_volume",
     "scalar_string",
@@ -11329,7 +11357,6 @@ _GATE_PRIORITY = [
     "graph_triangle_count",
     "join_spatial_grid",
     "dedup_containment",
-    "dedup_winnowing",
     "sim_hamming_topk",
     "tpch_q2_min_cost_supplier",
     "emb_random_projection",
@@ -11391,12 +11418,9 @@ _GATE_PRIORITY = [
     "mm_png16_stats",
     "mm_jpeg_cmyk_stats",
     "agg_hll_partial_merge",
-    "text_bpe_encode",
     "agg_approx_count_distinct",
     "emb_pca_project",
-    "sim_pq_topk",
     "sim_ivfpq_topk",
-    "sim_ivf_topk",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

@@ -43,11 +43,8 @@ def test_every_oracle_key_has_query():
     missing = set(qs) - set(os_)
     assert missing == {
         "agg_approx_count_distinct",
-        "sim_ivf_topk",
-        "sim_pq_topk",
         "sim_ivfpq_topk",
         "emb_pca_project",  # eigensolve — numpy-pinned instead
-        "text_bpe_encode",  # iterative merge loop — pure-Python-pinned
         "agg_hll_partial_merge",  # DataSketches bytes — property-pinned
     }
 

@@ -925,3 +925,80 @@ def test_ivf_sampled_recall_separates_corpora(spark):
     assert similarity.ivf_sampled_recall(
         synth_embeddings(spark, 30)
     ) == 1.0
+
+
+def test_ann_planner_chooses_correctly(spark):
+    """ann_plan (r9 verdict #3: the calibrated IVF decision rule as
+    ENGINE behavior, not a docstring) must dispatch per the measured
+    thresholds: clustered corpora build IVF at the sqrt(N) point;
+    uniform corpora either widen probes to >=50% of cells (amortized
+    index — still beats the float full scan per REHEARSAL_r09_ivf_
+    uniform.json) or take the Hamming prefilter (one-off batch);
+    degenerate corpora are exact."""
+    from sql_query_engine_spark.functions import similarity
+    from sql_query_engine_spark.rehearsal import (
+        synth_clustered_embeddings,
+        synth_embeddings,
+    )
+
+    n = 50_000
+    p_c = similarity.ann_plan(synth_clustered_embeddings(spark, n))
+    assert p_c["strategy"] == "ivf", p_c
+    assert p_c["est_recall"] >= 0.6
+
+    uniform = synth_embeddings(spark, n)
+    p_u = similarity.ann_plan(uniform)
+    assert p_u["strategy"] == "ivf_wide", p_u
+    assert p_u["n_probes"] >= len(p_u["centroid_ids"]) // 2
+
+    p_u1 = similarity.ann_plan(uniform, amortized=False)
+    assert p_u1["strategy"] == "hamming", p_u1
+
+    p_tiny = similarity.ann_plan(synth_embeddings(spark, 9))
+    assert p_tiny["strategy"] == "exact"
+    assert p_tiny["reason"] == "degenerate-grid"
+
+
+def test_ann_topk_dispatch_contract_and_recall(spark):
+    """Every ann_topk strategy returns the same (query_id, neighbor_id,
+    dot, rank) contract with identical int8 scoring — only candidate
+    generation differs — and the approximate strategies recall most of
+    the exact top-k on their intended geometry."""
+    from sql_query_engine_spark.functions import similarity
+    from sql_query_engine_spark.rehearsal import (
+        synth_clustered_embeddings,
+        synth_embeddings,
+    )
+
+    k, nq = 10, 8
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    clustered = synth_clustered_embeddings(spark, 20_000)
+    exact = similarity.int8_topk(clustered, k=k, n_queries=nq)
+    plan = similarity.ann_plan(clustered, k=k, n_queries=nq)
+    assert plan["strategy"] == "ivf"
+    got = similarity.ann_topk(clustered, k=k, n_queries=nq, plan=plan)
+    assert got.columns == exact.columns == [
+        "query_id", "neighbor_id", "dot", "rank",
+    ]
+    ref = pairs(exact)
+    recall = len(pairs(got) & ref) / len(ref)
+    assert recall >= 0.9, recall
+
+    # hamming prefilter on a uniform one-off batch: same contract,
+    # candidates from the 64-bit sign-code prefilter, exact int8 rescore
+    uniform = synth_embeddings(spark, 20_000)
+    ham = similarity.hamming_prefilter_topk(uniform, k=k, n_queries=nq)
+    assert ham.columns == ["query_id", "neighbor_id", "dot", "rank"]
+    ref_u = pairs(similarity.int8_topk(uniform, k=k, n_queries=nq))
+    recall_u = len(pairs(ham) & ref_u) / len(ref_u)
+    assert recall_u >= 0.5, recall_u
+    # identical scoring arithmetic: any pair both paths return must
+    # carry the same bigint dot
+    j = ham.alias("h").join(
+        similarity.int8_topk(uniform, k=k, n_queries=nq).alias("e"),
+        ["query_id", "neighbor_id"],
+    )
+    assert j.filter(F.col("h.dot") != F.col("e.dot")).count() == 0

@@ -53,6 +53,11 @@ EXPECTED = {
     "sim_int8_topk": "BNLJ is the broadcast ≤8-row quantized query set "
     "against one streaming pass of the quantized corpus — the "
     "cosine_topk broadcast-query shape on int8 codes",
+    "sim_ann_topk": "BNLJ is the broadcast ≤8-row quantized query set "
+    "of the planner-chosen exact int8 strategy (the gate corpora "
+    "estimate in the uncertain band) — sim_int8_topk's shape; the "
+    "ivf/hamming strategies it can dispatch to are audited under "
+    "sim_ivf_int8_topk / sim_hamming_topk",
     "sim_hamming_topk": "BNLJ is the broadcast ≤4-row query-code set "
     "against one streaming pass of the code table — the cosine_topk "
     "broadcast-query shape on 64-bit codes",
