@@ -970,3 +970,42 @@ def test_streaming_survives_task_failure(tmp_path):
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["failure_injected"] is True
     assert report["streamed_equals_batch"] is True
+
+
+def test_streaming_kill_restart_recovery(tmp_path):
+    """Checkpoint-recovery soak (r9 verdict #6): a stateful streaming
+    query (dropDuplicatesWithinWatermark → session_window aggregation,
+    two chained stateful operators) is HARD-KILLED mid-stream
+    (os._exit — no graceful stop, checkpoint left mid-flight), then
+    restarted from the same checkpoint; the resumed run's file-sink
+    contents must equal an uninterrupted run's row for row. One
+    subprocess per phase — a kill must take a whole JVM with it."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tests", "streaming_recovery_script.py")
+
+    def run(mode, expect_rc=0):
+        proc = subprocess.run(
+            [sys.executable, script, mode, SF_DIR, str(tmp_path)],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+            timeout=400,
+        )
+        assert proc.returncode == expect_rc, (
+            mode, proc.returncode, proc.stderr[-3000:],
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    victim = run("victim", expect_rc=137)
+    assert victim["killed_after"] >= 3
+    resumed = run("resume")
+    clean = run("clean")
+    assert resumed["n_rows"] > 0
+    assert resumed["rows"] == clean["rows"], (
+        resumed["n_rows"], clean["n_rows"],
+    )
