@@ -61,6 +61,12 @@ HEADLINE = [
     # round-9 additions: 16-bit PNG and 4-component CMYK JPEG decode
     "mm_png16_stats",
     "mm_jpeg_cmyk_stats",
+    # round-10 additions: adaptive ANN planner (diagnostic + exact scan),
+    # Adam7 16-bit decode, Ogg page walk, multi-track MP4 census
+    "sim_ann_topk",
+    "mm_png16i_stats",
+    "mm_ogg_metadata",
+    "mm_mp4_tracks",
 ]
 
 

@@ -33,6 +33,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+from .partitioning import configure_checkpoint_dir
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1121,7 +1122,9 @@ def dedup_clusters(
     force the distributed path (the scale rehearsal does).
     """
     if checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        configure_checkpoint_dir(
+            docs.sparkSession.sparkContext, checkpoint_dir
+        )
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -1446,7 +1449,9 @@ def winnowing_pairs(
         .repartition(F.col("h"))
     )
     if checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        configure_checkpoint_dir(
+            docs.sparkSession.sparkContext, checkpoint_dir
+        )
         fp = fp.checkpoint(eager=True)
     else:
         # DISK_ONLY, not localCheckpoint: the fingerprint table must not

@@ -1438,31 +1438,55 @@ def decode_png16_gray_stats(payload: bytes):
     TYPE_USHORT_GRAY) without widening the 8-bit RGB row contract. PNG
     filters operate on BYTES at a bytes-per-pixel distance (spec §9.2),
     so the existing unfilter runs unchanged with bpp=2; samples then
-    reassemble big-endian per pixel. Sequential (non-interlaced) streams
-    only; anything else — wrong depth/color, Adam7, structural damage —
-    returns None, never raises (the mm_modality_router contract)."""
+    reassemble big-endian per pixel, vectorized (numpy '>u2' view +
+    int64-accumulated sum — exact). Both sequential and
+    Adam7-interlaced streams decode (r10); anything else — wrong
+    depth/color, structural damage — returns None, never raises (the
+    mm_modality_router contract)."""
+    import numpy as np
+
     front = _png_idat(payload, want_depth=16, want_colors=(0,))
     if front is None:
         return None
     w, h, _color, interlace, raw = front
-    if interlace != 0:
-        return None  # Adam7 at 16-bit: documented boundary
-    if len(raw) != h * (w * 2 + 1):
+    if interlace == 0:
+        if len(raw) != h * (w * 2 + 1):
+            return None
+        dec = _png_unfilter_lines(raw, 0, w, h, bpp=2)
+        if dec is None:
+            return None
+        lines = dec[0]
+    else:
+        # Adam7 (r10 — the foreign javax progressive encoder emits it):
+        # sum/min/max are position-independent, so each pass's
+        # unfiltered scanlines contribute directly, no grid reweave
+        lines = []
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            dec = _png_unfilter_lines(raw, pos, pw, ph, bpp=2)
+            if dec is None:
+                return None
+            pass_lines, pos = dec
+            lines.extend(pass_lines)
+        if pos != len(raw):
+            return None  # trailing bytes: corrupt
+    # vectorized stats (ADVICE r9: the per-pixel Python loop was exact
+    # but too slow for multi-megapixel real-crawl 16-bit images); int64
+    # accumulation keeps the sum exact
+    arr = np.frombuffer(b"".join(lines), dtype=">u2")
+    if arr.size != w * h:
         return None
-    dec = _png_unfilter_lines(raw, 0, w, h, bpp=2)
-    if dec is None:
-        return None
-    total = 0
-    vmin, vmax = 65535, 0
-    for line in dec[0]:
-        for i in range(0, w * 2, 2):
-            v = (line[i] << 8) | line[i + 1]
-            total += v
-            if v < vmin:
-                vmin = v
-            if v > vmax:
-                vmax = v
-    return w, h, total, vmin, vmax
+    return (
+        w,
+        h,
+        int(arr.sum(dtype=np.int64)),
+        int(arr.min()),
+        int(arr.max()),
+    )
 
 
 def _png_idat(payload: bytes, want_depth: int, want_colors: tuple[int, ...]):
@@ -1497,9 +1521,31 @@ def _png_idat(payload: bytes, want_depth: int, want_colors: tuple[int, ...]):
         if tag == b"IEND":
             break
         pos += 12 + ln
+    # Decompression bound from the DECLARED geometry (ADVICE r9: an
+    # unbounded zlib.decompress lets a tiny crafted stream expand to
+    # gigabytes in executor memory — a zip bomb defeats the
+    # corrupt-payload robustness contract). A valid image inflates to
+    # exactly the filtered-scanline size; anything bigger is corrupt.
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        return None
+    if interlace == 0:
+        bound = h * ((w * channels * depth + 7) // 8 + 1)
+    else:
+        bound = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                bound += ph * ((pw * channels * depth + 7) // 8 + 1)
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = dec.decompress(bytes(idat), bound + 1)
     except zlib.error:
+        return None
+    if len(raw) > bound or not dec.eof or dec.unused_data:
+        # oversized stream (bomb), truncated stream, or trailing bytes
+        # after the zlib end-of-stream — all structurally invalid
         return None
     return w, h, color, interlace, raw
 
@@ -1560,6 +1606,56 @@ def build_png16_pixels(doc_id: int) -> bytes:
     )
 
 
+def build_png16_pixels_interlaced(doc_id: int) -> bytes:
+    """The Adam7-interlaced twin of :func:`build_png16_pixels` — same
+    16-bit sample content (png16_value grid), seven reduced passes each
+    independently filtered with the five filter types in rotation, one
+    IDAT stream, IHDR interlace=1. The shape javax's progressive PNG
+    writer emits for TYPE_USHORT_GRAY (foreign fixture gray16i.png)."""
+    import zlib
+
+    w, h = png16_dims(doc_id)
+    bpp = 2
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(pw * bpp)
+        for py in range(ph):
+            y = y0 + py * dy
+            row = b"".join(
+                png16_value(doc_id, x0 + px * dx, y).to_bytes(2, "big")
+                for px in range(pw)
+            )
+            ft = py % 5
+            out.append(ft)
+            for i, v in enumerate(row):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    f = v
+                elif ft == 1:
+                    f = (v - a) % 256
+                elif ft == 2:
+                    f = (v - b) % 256
+                elif ft == 3:
+                    f = (v - (a + b) // 2) % 256
+                else:
+                    f = (v - _paeth(a, b, c)) % 256
+                out.append(f)
+            prev = row
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 1])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 PNG16_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -1572,15 +1668,17 @@ PNG16_SCHEMA = StructType(
 )
 
 
-def synthesize_png16_pixels(docs: DataFrame) -> DataFrame:
-    """One real 16-bit grayscale PNG per doc (Arrow mapInPandas)."""
+def synthesize_png16_pixels(docs: DataFrame, interlaced: bool = False) -> DataFrame:
+    """One real 16-bit grayscale PNG per doc (Arrow mapInPandas);
+    ``interlaced=True`` emits the Adam7 form of the same samples."""
+    build = build_png16_pixels_interlaced if interlaced else build_png16_pixels
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [build_png16_pixels(int(d)) for d in pdf["doc_id"]],
+                    "payload": [build(int(d)) for d in pdf["doc_id"]],
                 }
             )
 
@@ -1960,6 +2058,416 @@ def mp3_metadata(with_media: DataFrame) -> DataFrame:
             yield out
 
     return with_media.mapInPandas(_dec, MP3_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Ogg container walk (RFC 3533 — public byte layout) + Vorbis id header
+# (Vorbis I spec §4.2.2). Header-metadata tier like the MP3/MP4 walks:
+# page structure + CRC verified, stream identity and duration extracted,
+# no packet (audio) decode — exactly what a crawl filters on. r10
+# (VERDICT r9 #7: the audio container family lacked an Ogg member).
+# ---------------------------------------------------------------------------
+
+_OGG_RATES = (8000, 16000, 44100)
+
+
+def _ogg_crc_table():
+    tbl = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) \
+                & 0xFFFFFFFF
+        tbl.append(r)
+    return tbl
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc32(b: bytes) -> int:
+    """Ogg's CRC-32: poly 0x04C11DB7, non-reflected, init 0, no xor-out
+    (RFC 3533 §6) — NOT zlib's reflected variant."""
+    r = 0
+    for byte in b:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((r >> 24) & 0xFF) ^ byte]
+    return r
+
+
+def ogg_params(doc_id: int) -> tuple[int, int, int, int]:
+    """Deterministic (n_pages, channels, sample_rate, last_granule) —
+    the SQL oracle restates this arithmetic."""
+    n_pages = doc_id % 4 + 2
+    channels = doc_id % 2 + 1
+    rate = _OGG_RATES[doc_id % 3]
+    last_granule = (doc_id * 997) % 100_000 + rate  # ≥ 1 second
+    return n_pages, channels, rate, last_granule
+
+
+def _ogg_page(serial: int, seq: int, granule: int, htype: int,
+              payload: bytes) -> bytes:
+    """One Ogg page with a correct CRC (segments ≤ 255 bytes each)."""
+    segs = [payload[i : i + 255] for i in range(0, len(payload), 255)] or [b""]
+    lacing = bytes(len(s) for s in segs)
+    head = (
+        b"OggS" + bytes([0, htype])
+        + granule.to_bytes(8, "little")
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + bytes(4)  # CRC placeholder
+        + bytes([len(segs)]) + lacing
+    )
+    crc = _ogg_crc32(head + payload)
+    head = head[:22] + crc.to_bytes(4, "little") + head[26:]
+    return head + payload
+
+
+def build_ogg_vorbis(doc_id: int) -> bytes:
+    """A real-layout Ogg/Vorbis stream head: BOS page carrying the
+    Vorbis identification header (channels + rate), data pages with
+    monotone granule positions, EOS on the last page, every page
+    CRC-correct."""
+    n_pages, channels, rate, last_granule = ogg_params(doc_id)
+    serial = (doc_id * 2654435761) % (1 << 32)
+    ident = (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")          # vorbis_version
+        + bytes([channels])
+        + rate.to_bytes(4, "little")
+        + bytes(12)                          # bitrate max/nominal/min
+        + bytes([0x66])                      # blocksizes 2^6 / 2^6
+        + b"\x01"                            # framing bit
+    )
+    out = bytearray(_ogg_page(serial, 0, 0, 0x02, ident))  # BOS
+    for p in range(1, n_pages):
+        gran = last_granule * p // (n_pages - 1)
+        ln = (doc_id * 7 + p * 13) % 200 + 1
+        body = bytes((doc_id + p * 31 + i) % 256 for i in range(ln))
+        htype = 0x04 if p == n_pages - 1 else 0x00  # EOS on last
+        out += _ogg_page(serial, p, gran, htype, body)
+    return bytes(out)
+
+
+def decode_ogg_metadata(payload: bytes):
+    """Ogg page walk → (n_pages, channels, sample_rate, last_granule,
+    duration_ms) or None.
+
+    Verifies per page: capture pattern, version 0, the RFC 3533 CRC
+    (recomputed with the CRC field zeroed), one logical stream (a
+    single serial — multiplexed streams are out of scope), page
+    sequence numbers incrementing from 0, BOS exactly on the first
+    page and EOS on the last, and that the walk lands exactly on
+    end-of-stream. The BOS packet must be a Vorbis identification
+    header (channels ≥ 1, rate > 0); duration = last granule position
+    (PCM sample count for Vorbis) over the rate. Anything else —
+    truncation, bit flips (CRC), lost capture, foreign codecs —
+    rejects to None, never raises."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    pos = 0
+    n_pages = 0
+    serial = channels = rate = None
+    granule = -1
+    eos_seen = False
+    while pos < len(b):
+        if eos_seen or pos + 27 > len(b) or b[pos : pos + 4] != b"OggS" \
+                or b[pos + 4] != 0:
+            return None
+        htype = b[pos + 5]
+        gran = int.from_bytes(b[pos + 6 : pos + 14], "little")
+        ser = int.from_bytes(b[pos + 14 : pos + 18], "little")
+        seq = int.from_bytes(b[pos + 18 : pos + 22], "little")
+        crc = int.from_bytes(b[pos + 22 : pos + 26], "little")
+        nseg = b[pos + 26]
+        hend = pos + 27 + nseg
+        if hend > len(b):
+            return None
+        body_len = sum(b[pos + 27 : hend])
+        pend = hend + body_len
+        if pend > len(b):
+            return None
+        page = bytearray(b[pos:pend])
+        page[22:26] = bytes(4)
+        if _ogg_crc32(bytes(page)) != crc:
+            return None
+        if seq != n_pages:
+            return None  # lost/reordered page
+        if serial is None:
+            serial = ser
+        elif ser != serial:
+            return None  # multiplexed: out of scope
+        if n_pages == 0:
+            if htype & 0x02 == 0:
+                return None  # first page must be BOS
+            ident = b[hend:pend]
+            if len(ident) < 30 or ident[:7] != b"\x01vorbis":
+                return None
+            channels = ident[11]
+            rate = int.from_bytes(ident[12:16], "little")
+            if channels == 0 or rate == 0:
+                return None
+        elif htype & 0x02:
+            return None  # BOS past the first page
+        if gran < granule:
+            return None  # granule positions must be monotone
+        granule = gran
+        eos_seen = bool(htype & 0x04)
+        n_pages += 1
+        pos = pend
+    if n_pages < 2 or not eos_seen or pos != len(b):
+        return None
+    return n_pages, channels, rate, granule, granule * 1000.0 / rate
+
+
+OGG_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_pages", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("last_granule", LongType(), True),
+        StructField("duration_ms", DoubleType(), True),
+    ]
+)
+
+
+def synthesize_ogg(docs: DataFrame) -> DataFrame:
+    """One real-layout Ogg/Vorbis stream head per doc (Arrow
+    mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_ogg_vorbis(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def ogg_metadata(with_media: DataFrame) -> DataFrame:
+    """payload → page-walk metadata (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_pages", "channels",
+                                    "sample_rate", "last_granule",
+                                    "duration_ms")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_ogg_metadata(payload)
+                if dec is None:
+                    for k in ("n_pages", "channels", "sample_rate",
+                              "last_granule", "duration_ms"):
+                        rows[k].append(None)
+                else:
+                    n, ch, sr, gran, dur = dec
+                    rows["n_pages"].append(n)
+                    rows["channels"].append(ch)
+                    rows["sample_rate"].append(sr)
+                    rows["last_granule"].append(gran)
+                    rows["duration_ms"].append(round(dur, 6))
+            out = pd.DataFrame(rows)
+            for c in ("n_pages", "channels", "sample_rate"):
+                out[c] = out[c].astype("Int32")
+            out["last_granule"] = out["last_granule"].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, OGG_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Multi-track MP4 (r10, VERDICT r9 #7): real containers carry several
+# traks (video + audio at minimum); the header walk must enumerate and
+# classify them by mdia/hdlr handler type, not stop at the first tkhd.
+# ---------------------------------------------------------------------------
+
+
+def mp4_track_params(doc_id: int):
+    """Deterministic multi-track layout: n_tracks ∈ [2,4]; even track
+    indexes are video (per-track dims below), odd are audio. The SQL
+    oracle restates this arithmetic."""
+    timescale, duration_units, _w, _h = video_params(doc_id)
+    n_tracks = doc_id % 3 + 2
+    tracks = []
+    for t in range(n_tracks):
+        if t % 2 == 0:
+            w = (doc_id * 11 + t * 64) % 1920 + 128
+            h = (doc_id * 17 + t * 48) % 1080 + 128
+            tracks.append(("vide", w, h))
+        else:
+            tracks.append(("soun", 0, 0))
+    return timescale, duration_units, tracks
+
+
+def build_mp4_multitrack(doc_id: int) -> bytes:
+    """ftyp + moov(mvhd, trak*): every trak carries tkhd (dims for
+    video, zero for audio) AND mdia(mdhd, hdlr) with the real handler
+    fourcc ('vide'/'soun') — the layout every camera/ffmpeg MP4 has."""
+    timescale, duration_units, tracks = mp4_track_params(doc_id)
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        bytes(4) + bytes(8)
+        + timescale.to_bytes(4, "big")
+        + duration_units.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")
+        + (0x0100).to_bytes(2, "big")
+        + bytes(2 + 8)
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + bytes(24)
+        + (len(tracks) + 1).to_bytes(4, "big"),
+    )
+    traks = b""
+    for t, (kind, w, h) in enumerate(tracks):
+        volume = 0x0100 if kind == "soun" else 0
+        tkhd = _box(
+            b"tkhd",
+            bytes(1) + b"\x00\x00\x07" + bytes(8)
+            + (t + 1).to_bytes(4, "big") + bytes(4)
+            + duration_units.to_bytes(4, "big") + bytes(8)
+            + bytes(2 + 2) + volume.to_bytes(2, "big") + bytes(2)
+            + b"".join(v.to_bytes(4, "big") for v in
+                       (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+            + (w << 16).to_bytes(4, "big")
+            + (h << 16).to_bytes(4, "big"),
+        )
+        mdhd = _box(
+            b"mdhd",
+            bytes(4) + bytes(8)
+            + timescale.to_bytes(4, "big")
+            + duration_units.to_bytes(4, "big")
+            + (0x55C4).to_bytes(2, "big")  # language 'und'
+            + bytes(2),
+        )
+        hdlr = _box(
+            b"hdlr",
+            bytes(4) + bytes(4) + kind.encode("ascii") + bytes(12) + b"\x00",
+        )
+        traks += _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr))
+    return ftyp + _box(b"moov", mvhd + traks)
+
+
+def decode_mp4_tracks(payload: bytes):
+    """Multi-track MP4 header walk → (n_tracks, n_video, n_audio,
+    max_width, max_height, duration_ms) or None.
+
+    Walks EVERY moov/trak (the single-track decode_video_real stops at
+    the first), classifying by the mdia/hdlr handler fourcc; dims come
+    from the video traks' tkhd 16.16 fields. Traks with no hdlr or a
+    foreign handler reject the container (a crawl treats those as
+    corrupt/out-of-scope). Truncated boxes reject to None, never
+    raise."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    timescale = duration = None
+    n_video = n_audio = n_tracks = 0
+    max_w = max_h = 0
+    for fourcc, s, e in _walk_boxes(b, 0, len(b)):
+        if fourcc != b"moov":
+            continue
+        for f2, s2, e2 in _walk_boxes(b, s, e):
+            if f2 == b"mvhd" and e2 - s2 >= 100 and b[s2] == 0:
+                timescale = int.from_bytes(b[s2 + 12 : s2 + 16], "big")
+                duration = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
+            elif f2 == b"trak":
+                n_tracks += 1
+                w = h = 0
+                handler = None
+                for f3, s3, e3 in _walk_boxes(b, s2, e2):
+                    if f3 == b"tkhd" and e3 - s3 >= 84 and b[s3] == 0:
+                        w = int.from_bytes(b[e3 - 8 : e3 - 4], "big") >> 16
+                        h = int.from_bytes(b[e3 - 4 : e3], "big") >> 16
+                    elif f3 == b"mdia":
+                        for f4, s4, e4 in _walk_boxes(b, s3, e3):
+                            if f4 == b"hdlr" and e4 - s4 >= 12:
+                                handler = b[s4 + 8 : s4 + 12]
+                if handler == b"vide":
+                    n_video += 1
+                    max_w = max(max_w, w)
+                    max_h = max(max_h, h)
+                elif handler == b"soun":
+                    n_audio += 1
+                else:
+                    return None  # missing/foreign handler: out of scope
+    if not timescale or duration is None or n_tracks == 0:
+        return None
+    return (
+        n_tracks,
+        n_video,
+        n_audio,
+        max_w,
+        max_h,
+        duration * 1000.0 / timescale,
+    )
+
+
+MP4_TRACKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("n_video", IntegerType(), True),
+        StructField("n_audio", IntegerType(), True),
+        StructField("max_width", IntegerType(), True),
+        StructField("max_height", IntegerType(), True),
+        StructField("duration_ms", DoubleType(), True),
+    ]
+)
+
+
+def synthesize_mp4_multitrack(docs: DataFrame) -> DataFrame:
+    """One real-layout multi-track MP4 header per doc (Arrow
+    mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_mp4_multitrack(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def mp4_track_stats(with_media: DataFrame) -> DataFrame:
+    """payload → per-container track census (map-only, NULL on
+    corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = ("n_tracks", "n_video", "n_audio", "max_width",
+                    "max_height", "duration_ms")
+            rows = {k: [] for k in ("doc_id", *cols)}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_mp4_tracks(payload)
+                if dec is None:
+                    for k in cols:
+                        rows[k].append(None)
+                else:
+                    for k, v in zip(cols, dec):
+                        rows[k].append(
+                            round(v, 6) if k == "duration_ms" else v
+                        )
+            out = pd.DataFrame(rows)
+            for c in cols[:-1]:
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return with_media.mapInPandas(_dec, MP4_TRACKS_SCHEMA)
 
 
 AHASH_SCHEMA = StructType(

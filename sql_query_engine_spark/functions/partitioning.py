@@ -38,3 +38,20 @@ def sized_for_python_stage(
     if target < current:
         return df.coalesce(target)
     return df.repartition(target)
+
+
+def configure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
+    """The single chokepoint for ``sc.setCheckpointDir`` (ADVICE r9:
+    dedup.py once called it directly while queries._iter_checkpoint
+    cached the configured dir in ``sc._sqe_checkpoint_dir`` — a direct
+    call elsewhere could change the JVM-side dir after the cache was
+    set, and the helper would then silently checkpoint into the foreign
+    directory without resetting). Every caller routes here, so the
+    cached marker and the JVM state can never diverge. The cache
+    matters because each setCheckpointDir call creates a fresh random
+    subdirectory — re-running it per checkpoint() would scatter
+    checkpoints across one-use dirs (ADVICE r8)."""
+    want = checkpoint_dir.rstrip("/")
+    if getattr(sc, "_sqe_checkpoint_dir", None) != want:
+        sc.setCheckpointDir(want)
+        sc._sqe_checkpoint_dir = want

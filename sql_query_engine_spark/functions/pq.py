@@ -713,3 +713,403 @@ SELECT query_id, neighbor_id, round(approx_cos, 6) AS approx_cos,
        cast(rank as int) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def _ivfpq_pinned_ids() -> tuple[int, ...]:
+    """16 pinned RESIDUAL-codebook source vectors: the smallest corpus
+    vec_ids ≥ 8 (past the query set) that are not coarse centroids —
+    collisions would make degenerate zero residual entries."""
+    from .similarity import IVF_CENTROID_IDS
+
+    out, i = [], 8
+    taken = set(IVF_CENTROID_IDS)
+    while len(out) < K_CELLS:
+        if i not in taken:
+            out.append(i)
+        i += 1
+    return tuple(out)
+
+
+IVFPQ_CB_VEC_IDS: tuple[int, ...] = _ivfpq_pinned_ids()
+
+
+def ivfpq_pinned_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 8,
+    n_probe: int = 4,
+    m: int = M_SUBSPACES,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ over PINNED coarse centroids AND pinned residual
+    codebooks — the value-exact gate twin of :func:`ivfpq_topk` (r10:
+    the last rows-only PQ-family member restated; only sketches and
+    the eigensolve remain un-oracled).
+
+    Coarse cells are the 16 pinned corpus vectors sim_ivf_int8_topk
+    uses (similarity.IVF_CENTROID_IDS); the residual codebook entry j
+    is the RESIDUAL (v − nearest centroid) of pinned corpus vector
+    ``IVFPQ_CB_VEC_IDS[j]`` — both quantizers sample-init, no Lloyd
+    rounds, so every value both engines compute is a fixed-order float
+    fold over table data. Scoring is the trained path's ADC algebra
+    exactly: approx cos = (q·c + Σ_s lut[s][code_s]) /
+    (‖q‖ · sqrt(‖c‖² + 2·Σ_s ccdot[s][code_s] + Σ_s rnorm[s][code_s])),
+    with the per-(query, probed-cell) LUTs built IN-PLAN (tiny
+    broadcast relations, not driver literals) so the DuckDB oracle can
+    restate every step. The trained two-quantizer path stays the
+    production API, recall-pinned in tests."""
+    from .similarity import IVF_CENTROID_IDS
+
+    subdim = dim // m
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.repartition(par).select("vec_id", "embedding")
+    coarse = F.broadcast(
+        base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("cemb"))
+        .withColumn(
+            "cn2",
+            F.expr(
+                "aggregate(transform(cemb, x -> cast(x as double)"
+                " * cast(x as double)), cast(0 as double),"
+                " (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    dot_ec = (
+        f"aggregate(sequence(1, {dim}), cast(0 as double), (acc, i) ->"
+        f" acc + cast(embedding[i - 1] as double)"
+        f" * cast(cemb[i - 1] as double))"
+    )
+    # residual of every corpus vector wrt its nearest coarse cell
+    resid = (
+        base.crossJoin(coarse)
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            "cemb",
+            (F.col("cn2") - F.lit(2.0) * F.expr(dot_ec)).alias("dist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.expr(
+                "zip_with(embedding, cemb, (x, y) ->"
+                " cast(x as double) - cast(y as double))"
+            ).alias("rvec"),
+        )
+    )
+    # pinned residual codebook: (j, rcb vector, per-subspace norms)
+    rcb = F.broadcast(
+        resid.filter(F.col("vec_id").isin(*IVFPQ_CB_VEC_IDS))
+        .select(F.col("vec_id").alias("cb_vec"), F.col("rvec").alias("rcb"))
+        .withColumn(
+            "rn2s",
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                f" aggregate(sequence(0, {subdim - 1}), cast(0 as double),"
+                f" (acc, p) -> acc + rcb[s * {subdim} + p]"
+                f" * rcb[s * {subdim} + p]))"
+            ),
+        )
+    )
+    jmap = {v: j for j, v in enumerate(IVFPQ_CB_VEC_IDS)}
+    j_expr = "CASE cb_vec " + " ".join(
+        f"WHEN {v} THEN {j}" for v, j in jmap.items()
+    ) + " END"
+    rcb = rcb.withColumn("j", F.expr(j_expr))
+    # residual codes per corpus vector (argmin per subspace, tie on j)
+    rdist_arr = (
+        f"transform(sequence(0, {m - 1}), s -> rn2s[s]"
+        f" - cast(2 as double) * aggregate(sequence(0, {subdim - 1}),"
+        f" cast(0 as double), (acc, p) -> acc"
+        f" + rvec[s * {subdim} + p] * rcb[s * {subdim} + p]))"
+    )
+    codes = (
+        resid.crossJoin(rcb)
+        .select(
+            "vec_id",
+            "cell_id",
+            "j",
+            F.posexplode(F.expr(rdist_arr)).alias("s", "dist"),
+        )
+        .groupBy("vec_id", "cell_id", "s")
+        .agg(F.min(F.struct("dist", "j")).alias("b"))
+        .groupBy("vec_id", "cell_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(s, b.j as j))),"
+                " e -> e.j)"
+            ).alias("codes")
+        )
+    )
+    # query-side: probed cells + per-(query, cell) ADC tables, in-plan
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    dot_qc = (
+        f"aggregate(sequence(1, {dim}), cast(0 as double), (acc, i) ->"
+        f" acc + cast(q_emb[i - 1] as double)"
+        f" * cast(cemb[i - 1] as double))"
+    )
+    qprobes = (
+        q.crossJoin(coarse)
+        .select(
+            "query_id",
+            "q_emb",
+            "cell_id",
+            "cemb",
+            F.col("cn2").alias("cnorm2"),
+            (F.col("cn2") - F.lit(2.0) * F.expr(dot_qc)).alias("dist"),
+            F.expr(dot_qc).alias("qdotc"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell_id")
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+    )
+    lut_arr = (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" aggregate(sequence(0, {subdim - 1}), cast(0 as double),"
+        f" (acc, p) -> acc + (cast(q_emb[s * {subdim} + p] as double)"
+        f" - cast(cemb[s * {subdim} + p] as double))"
+        f" * rcb[s * {subdim} + p]))"
+    )
+    ccd_arr = (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" aggregate(sequence(0, {subdim - 1}), cast(0 as double),"
+        f" (acc, p) -> acc + cast(cemb[s * {subdim} + p] as double)"
+        f" * rcb[s * {subdim} + p]))"
+    )
+    qcell = F.broadcast(
+        qprobes.crossJoin(rcb)
+        .select(
+            "query_id", "cell_id", "qdotc", "cnorm2", "j",
+            F.expr(lut_arr).alias("ls"),
+            F.expr(ccd_arr).alias("cs"),
+            F.col("rn2s").alias("ns"),
+        )
+        .groupBy("query_id", "cell_id", "qdotc", "cnorm2")
+        .agg(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                f" transform(sort_array(collect_list(struct(j, ls))),"
+                f" e -> e.ls[s]))"
+            ).alias("lut"),
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                f" transform(sort_array(collect_list(struct(j, cs))),"
+                f" e -> e.cs[s]))"
+            ).alias("ccdot"),
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                f" transform(sort_array(collect_list(struct(j, ns))),"
+                f" e -> e.ns[s]))"
+            ).alias("rnorm"),
+        )
+    )
+    qn = F.broadcast(
+        q.select(
+            "query_id",
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(q_emb, x -> cast(x as double)"
+                    " * cast(x as double)), cast(0 as double),"
+                    " (acc, v) -> acc + v)"
+                )
+            ).alias("qn"),
+        )
+    )
+    agg = (
+        "aggregate(sequence(0, {n}), cast(0 as double),"
+        " (acc, s) -> acc + {t})"
+    )
+    approx_dot = "qdotc + " + agg.format(n=m - 1, t="lut[s][codes[s]]")
+    recon2 = (
+        "cnorm2 + cast(2 as double) * ("
+        + agg.format(n=m - 1, t="ccdot[s][codes[s]]")
+        + ") + ("
+        + agg.format(n=m - 1, t="rnorm[s][codes[s]]")
+        + ")"
+    )
+    scored = (
+        codes.join(qcell, "cell_id")
+        .join(qn, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.expr(approx_dot) / (F.col("qn") * F.sqrt(F.expr(recon2))))
+            .alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_cos", 6).alias("approx_cos"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_pinned_topk_oracle(
+    k: int = 10,
+    n_queries: int = 8,
+    n_probe: int = 4,
+    m: int = M_SUBSPACES,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_pinned_topk`: identical fold orders
+    (ascending element index in every dot/norm, ascending s in the ADC
+    sums, left-associated recon2), ties on cell id / code id /
+    neighbor id."""
+    from .similarity import IVF_CENTROID_IDS
+
+    subdim = dim // m
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    jcase = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {j}" for j, v in enumerate(IVFPQ_CB_VEC_IDS)
+    ) + " END"
+    pids = ", ".join(str(i) for i in IVFPQ_CB_VEC_IDS)
+
+    def fold64(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(cast(0 as double),"
+            f" list_transform(generate_series(1, {dim}),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    def subfold(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(cast(0 as double),"
+            f" list_transform(generate_series(1, {subdim}),"
+            f" p -> {expr})), (x, y) -> x + y)"
+        )
+
+    return f"""
+WITH s_range AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+coarse AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding AS cemb,
+           {fold64('embedding', 'embedding')} AS cn2
+    FROM b WHERE vec_id IN ({cids})),
+assign_all AS MATERIALIZED (
+    SELECT e.vec_id, c.cell_id, c.cemb,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               c.cn2 - 2.0 * {fold64('e.embedding', 'c.cemb')},
+               c.cell_id) AS rn
+    FROM b e, coarse c),
+resid AS MATERIALIZED (
+    SELECT a.vec_id, a.cell_id,
+           list_transform(generate_series(1, {dim}),
+               i -> e.embedding[i]::DOUBLE - a.cemb[i]::DOUBLE) AS rvec
+    FROM assign_all a JOIN b e ON e.vec_id = a.vec_id
+    WHERE a.rn = 1),
+rcb AS MATERIALIZED (
+    SELECT {jcase} AS j, rvec AS rcb,
+           list_transform(generate_series(0, {m - 1}), s ->
+               list_reduce(list_prepend(cast(0 as double),
+                   list_transform(generate_series(1, {subdim}),
+                       p -> rvec[s * {subdim} + p]
+                            * rvec[s * {subdim} + p])),
+                   (x, y) -> x + y)) AS rn2s
+    FROM resid WHERE vec_id IN ({pids})),
+code_d AS MATERIALIZED (
+    SELECT r.vec_id, r.cell_id, c.j, s.s AS s,
+           c.rn2s[s.s + 1] - cast(2 as double) * {subfold(
+               'r.rvec[s.s * ' + str(subdim) + ' + p]'
+               ' * c.rcb[s.s * ' + str(subdim) + ' + p]')} AS dist
+    FROM resid r, rcb c, s_range s),
+best AS (
+    SELECT vec_id, cell_id, s, j FROM (
+        SELECT vec_id, cell_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM code_d) t WHERE rn = 1),
+codes AS MATERIALIZED (
+    SELECT vec_id, cell_id, list(j ORDER BY s) AS codes
+    FROM best GROUP BY vec_id, cell_id),
+qp AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell_id,
+               c.cemb, c.cn2 AS cnorm2,
+               {fold64('q.embedding', 'c.cemb')} AS qdotc,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   c.cn2 - 2.0 * {fold64('q.embedding', 'c.cemb')},
+                   c.cell_id) AS rn
+        FROM b q, coarse c WHERE q.vec_id < {n_queries}) t
+    WHERE rn <= {n_probe}),
+qcell_j AS MATERIALIZED (
+    SELECT p.query_id, p.cell_id, p.qdotc, p.cnorm2, c.j, s.s AS s,
+           {subfold(
+               '(p.q_emb[s.s * ' + str(subdim) + ' + p]::DOUBLE'
+               ' - p.cemb[s.s * ' + str(subdim) + ' + p]::DOUBLE)'
+               ' * c.rcb[s.s * ' + str(subdim) + ' + p]')} AS l,
+           {subfold(
+               'p.cemb[s.s * ' + str(subdim) + ' + p]::DOUBLE'
+               ' * c.rcb[s.s * ' + str(subdim) + ' + p]')} AS cc,
+           c.rn2s[s.s + 1] AS nn
+    FROM qp p, rcb c, s_range s),
+qcell AS MATERIALIZED (
+    SELECT query_id, cell_id, qdotc, cnorm2,
+           list(ls ORDER BY s) AS lut,
+           list(cs ORDER BY s) AS ccdot,
+           list(ns ORDER BY s) AS rnorm
+    FROM (
+        SELECT query_id, cell_id, qdotc, cnorm2, s,
+               list(l ORDER BY j) AS ls,
+               list(cc ORDER BY j) AS cs,
+               list(nn ORDER BY j) AS ns
+        FROM qcell_j
+        GROUP BY query_id, cell_id, qdotc, cnorm2, s) t
+    GROUP BY query_id, cell_id, qdotc, cnorm2),
+qn AS MATERIALIZED (
+    SELECT vec_id AS query_id,
+           sqrt({fold64('embedding', 'embedding')}) AS qn
+    FROM b WHERE vec_id < {n_queries}),
+scored AS (
+    SELECT qc.query_id, cd.vec_id AS neighbor_id,
+           (qc.qdotc + list_reduce(list_prepend(cast(0 as double),
+               list_transform(generate_series(1, {m}),
+                   s -> qc.lut[s][cd.codes[s] + 1])), (x, y) -> x + y))
+           / (qn.qn * sqrt(qc.cnorm2 + cast(2 as double) *
+               list_reduce(list_prepend(cast(0 as double),
+                   list_transform(generate_series(1, {m}),
+                       s -> qc.ccdot[s][cd.codes[s] + 1])),
+                   (x, y) -> x + y)
+               + list_reduce(list_prepend(cast(0 as double),
+                   list_transform(generate_series(1, {m}),
+                       s -> qc.rnorm[s][cd.codes[s] + 1])),
+                   (x, y) -> x + y))) AS approx_cos
+    FROM codes cd
+    JOIN qcell qc ON qc.cell_id = cd.cell_id
+    JOIN qn ON qn.query_id = qc.query_id
+    WHERE cd.vec_id != qc.query_id),
+ranked AS (
+    SELECT query_id, neighbor_id, approx_cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_cos DESC, neighbor_id)
+               AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, round(approx_cos, 6) AS approx_cos,
+       cast(rank as int) AS rank
+FROM ranked WHERE rank <= {k}
+"""

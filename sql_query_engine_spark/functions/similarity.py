@@ -245,7 +245,14 @@ def ivf_operating_point(
     n_vectors: int, n_queries: int = 8
 ) -> tuple[tuple[int, ...], int]:
     """Production ``(centroid_ids, n_probes)`` for a corpus of
-    ``n_vectors`` — the √N sizing rule the r7 verdict prescribed
+    ``n_vectors`` — OR ``((), 0)`` when the corpus is too small to
+    index (n_vectors ≲ n_queries + 2: nothing to prune). Callers MUST
+    branch on an empty grid before indexing ``centroid_ids[0]`` or
+    passing ``n_probes`` downstream — 0 is not a valid probe count
+    (ADVICE r9; :func:`ann_plan` shows the canonical branch:
+    ``len(centroid_ids) < 2 → exact scan``).
+
+    The sizing rule: the √N point the r7 verdict prescribed
     (fixing the 64-cells-at-1M configuration whose 8 probes scanned 30%
     of the corpus for recall@10 of only 0.65): cells ≈ √N so cell size
     and cell count balance, probes ≈ √cells with a floor of 8. At 1M

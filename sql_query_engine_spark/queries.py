@@ -32,9 +32,11 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table, register_all
 from .functions import dedup, hashing, multimodal, similarity, text
+from .functions.pq import ivfpq_pinned_topk_oracle as _ivfpq_pinned_oracle
 from .functions.pq import pq_pinned_topk_oracle as _pq_pinned_oracle
 
 _PQ_PINNED_ORACLE = _pq_pinned_oracle()
+_IVFPQ_PINNED_ORACLE = _ivfpq_pinned_oracle()
 from .operators import relational as R
 from .streaming import events as EV
 
@@ -2478,17 +2480,27 @@ def sim_pq_topk(spark, sf_dir):
 
 @_q(
     "sim_ivfpq_topk",
-    None,  # two stacked k-means quantizers — rows-only; correctness is
-    # recall-vs-brute-force (tests/test_scale_ops.py::test_ivfpq_topk)
+    _IVFPQ_PINNED_ORACLE,  # ex-rows-only, r10: BOTH quantizers pinned
+    # sample-init (coarse = the sim_ivf_int8_topk centroid set;
+    # residual codebook = residuals of 16 pinned corpus vectors), every
+    # float op a fixed-order fold — the full ADC algebra value-matches;
+    # the trained two-quantizer path stays recall-pinned in
+    # tests/test_scale_ops.py::test_ivfpq_topk
     "IVF-PQ: coarse Voronoi cells + PQ-encoded RESIDUALS (~5 bytes per "
     "vector) — the production billion-scale vector-index layout. Probes "
     "n_probe cells via an equi-join on the cell id; within cells, ADC "
-    "over residual codes plus the exact query·centroid term",
+    "over residual codes plus the exact query·centroid term. Restated "
+    "deterministic in r10 (the last rows-only PQ-family member): both "
+    "quantizers are pinned corpus vectors, residuals/LUTs/norms are "
+    "fixed-order folds built IN-PLAN from tiny broadcast relations, so "
+    "the DuckDB oracle replays assignment, residual encoding, and the "
+    "(q·c + Σ lut) / (‖q‖·√(‖c‖² + 2Σ ccdot + Σ rnorm)) scoring bit "
+    "for bit; trained-codebook API unchanged in functions/pq.py.",
 )
 def sim_ivfpq_topk(spark, sf_dir):
     from .functions import pq
 
-    return pq.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+    return pq.ivfpq_pinned_topk(_t(spark, sf_dir, "embeddings"))
 
 
 @_q(
@@ -6455,6 +6467,38 @@ def mm_png16_stats(spark, sf_dir):
 
 
 @_q(
+    "mm_png16i_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*5)%13+4 AS w, (doc_id*11)%9+4 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h,
+           (doc_id*977 + (tk.k % w)*2500 + (tk.k // w)*700) % 65536 AS v
+    FROM d, unnest(generate_series(0, w*h - 1)) AS tk(k))
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       cast(min(v) as int) AS min_v, cast(max(v) as int) AS max_v
+FROM px GROUP BY doc_id, w, h""",
+    "REAL pixel decode — ADAM7-INTERLACED 16-bit grayscale PNG (r10; "
+    "the form javax's progressive writer emits for TYPE_USHORT_GRAY): "
+    "each doc gets a genuine interlaced 16-bit PNG — seven reduced "
+    "passes, each independently filtered with the five filter types in "
+    "rotation — and the decoder unfilters every pass at bpp=2 and "
+    "accumulates the 16-bit samples exactly (sum/min/max are position-"
+    "independent, so interlaced passes need no grid reweave). Same "
+    "planted sample grid as mm_png16_stats, so the two queries "
+    "cross-check: sequential and interlaced encodings of one image "
+    "must produce identical integer stats. Foreign twin gray16i.png "
+    "(javax progressive encoder). Map-only, NULL on corruption.",
+)
+def mm_png16i_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.png16_stats(
+        multimodal.synthesize_png16_pixels(d, interlaced=True)
+    )
+
+
+@_q(
     "mm_jpeg_cmyk_stats",
     """WITH d AS (
     SELECT doc_id, (doc_id*7)%6+2 AS bw, (doc_id*13)%4+2 AS bh
@@ -9574,6 +9618,77 @@ def mm_mp3_metadata(spark, sf_dir):
 
 
 @_q(
+    "mm_ogg_metadata",
+    """WITH p AS (
+    SELECT doc_id,
+           doc_id % 4 + 2 AS n_pages,
+           doc_id % 2 + 1 AS channels,
+           CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS rate
+    FROM documents)
+SELECT doc_id, cast(n_pages as int) AS n_pages,
+       cast(channels as int) AS channels,
+       cast(rate as int) AS sample_rate,
+       CAST((doc_id*997) % 100000 + rate AS BIGINT) AS last_granule,
+       round(cast(((doc_id*997) % 100000 + rate) * 1000 as double)
+             / rate, 6) AS duration_ms
+FROM p""",
+    "Ogg page walk (RFC 3533) + Vorbis identification header — the "
+    "audio-container member the header-metadata tier lacked (r10, "
+    "VERDICT r9 #7): each doc gets a real-layout Ogg/Vorbis stream "
+    "head (BOS page with the \\x01vorbis ident packet, data pages with "
+    "monotone granule positions, EOS flag, and the REAL non-reflected "
+    "0x04C11DB7 page CRC — not zlib's), and the walker verifies "
+    "capture pattern, version, CRC per page (bit flips reject), single "
+    "logical stream, sequence continuity, BOS/EOS placement, and exact "
+    "end-of-stream landing; channels/rate parse from the Vorbis ident, "
+    "duration = last granule over the rate. Map-only, NULL on "
+    "corruption.",
+)
+def mm_ogg_metadata(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.ogg_metadata(multimodal.synthesize_ogg(d))
+
+
+@_q(
+    "mm_mp4_tracks",
+    """WITH p AS (
+    SELECT doc_id,
+           doc_id % 3 + 2 AS n_tracks,
+           CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                ELSE 90000 END AS ts,
+           (doc_id*11) % 1920 + 128 AS w0,
+           (doc_id*11 + 128) % 1920 + 128 AS w2,
+           (doc_id*17) % 1080 + 128 AS h0,
+           (doc_id*17 + 96) % 1080 + 128 AS h2
+    FROM documents)
+SELECT doc_id, cast(n_tracks as int) AS n_tracks,
+       cast((n_tracks + 1) // 2 as int) AS n_video,
+       cast(n_tracks // 2 as int) AS n_audio,
+       cast(CASE WHEN n_tracks >= 3 THEN greatest(w0, w2) ELSE w0 END
+            as int) AS max_width,
+       cast(CASE WHEN n_tracks >= 3 THEN greatest(h0, h2) ELSE h0 END
+            as int) AS max_height,
+       round(cast(((doc_id*31) % 100000 + ts) * 1000 as double) / ts, 6)
+           AS duration_ms
+FROM p""",
+    "multi-track MP4 census (r10, VERDICT r9 #7): real containers "
+    "carry several traks (camera files: video + audio at minimum), so "
+    "each doc gets a moov with 2-4 traks — video traks with 16.16 tkhd "
+    "dimensions, audio traks with zero dims and tkhd volume — each "
+    "carrying the REAL mdia(mdhd, hdlr) layout; the walker enumerates "
+    "EVERY trak (decode_video_real stops at the first), classifies by "
+    "the hdlr handler fourcc ('vide'/'soun'; anything else rejects the "
+    "container), and reports the track census + max video resolution + "
+    "mvhd duration — the fields a crawl buckets/filters video on "
+    "before touching sample data. Map-only, NULL on corruption.",
+)
+def mm_mp4_tracks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.mp4_track_stats(multimodal.synthesize_mp4_multitrack(d))
+
+
+@_q(
     "src_warc_scan",
     """SELECT doc_id,
        concat('http://example.com/doc/', cast(doc_id as varchar))
@@ -9713,16 +9828,12 @@ def _iter_checkpoint(df: DataFrame, checkpoint_dir: str | None, *, eager: bool =
     the checkpoint store; the ``eager`` flag is honored on both paths.
     """
     if checkpoint_dir:
-        sc = df.sparkSession.sparkContext
-        # getCheckpointDir() returns the RESOLVED URI of a random
-        # subdirectory (e.g. file:/tmp/ckpt/<uuid>), so compare against
-        # what THIS helper last configured, not the raw path (ADVICE r8:
-        # a plain startswith never matched and re-ran setCheckpointDir —
-        # one fresh subdirectory per checkpoint call).
-        want = checkpoint_dir.rstrip("/")
-        if getattr(sc, "_sqe_checkpoint_dir", None) != want:
-            sc.setCheckpointDir(want)
-            sc._sqe_checkpoint_dir = want
+        # one chokepoint for setCheckpointDir across the engine (ADVICE
+        # r9) — see functions/partitioning.py:configure_checkpoint_dir
+        # for the caching rationale (resolved-URI mismatch, ADVICE r8)
+        from .functions.partitioning import configure_checkpoint_dir
+
+        configure_checkpoint_dir(df.sparkSession.sparkContext, checkpoint_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
@@ -11156,8 +11267,12 @@ _GATE_PRIORITY = [
     "text_bpe_encode",
     "sim_ivf_topk",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "sim_ann_topk",
     "dedup_winnowing",  # r10: rewritten (spill cut) - re-certify
+    "mm_png16i_stats",
+    "mm_ogg_metadata",
+    "mm_mp4_tracks",
     "sql_scalar_subquery",
     "tpch_q5_local_supplier_volume",
     "scalar_string",
@@ -11420,7 +11535,6 @@ _GATE_PRIORITY = [
     "agg_hll_partial_merge",
     "agg_approx_count_distinct",
     "emb_pca_project",
-    "sim_ivfpq_topk",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

@@ -2852,6 +2852,17 @@ def test_foreign_media_fixtures():
     # and the 16-bit path rejects 8-bit streams (disjoint boundaries)
     assert decode_png16_gray_stats(load("gray.png")) is None
 
+    # r10: javax's PROGRESSIVE mode — Adam7 interlacing at depth 16 —
+    # must decode to the exact same stats as the sequential encoding
+    p16i = exp["png16i"]
+    g16i = load("gray16i.png")
+    assert g16i[28] == 1  # IHDR interlace flag actually set
+    assert decode_png16_gray_stats(g16i) == (
+        w, h, p16i["sum"], p16i["min"], p16i["max"]
+    )
+    assert decode_png16_gray_stats(g16i) == \
+        decode_png16_gray_stats(load("gray16.png"))
+
     # 4-component (CMYK-convention) baseline JPEG, with and without the
     # Adobe APP14 transform segment: metadata reports Nf=4; the 1- and
     # 3-component pixel decoders reject, never raise; the dedicated
@@ -2892,7 +2903,8 @@ def test_foreign_media_fixtures():
                       ("prog_rgb.jpg", "jpeg"), ("q30_gray.jpg", "jpeg"),
                       ("gray.tif", "tiff"), ("stereo16.wav", "wav"),
                       ("gray16.png", "png"), ("cmyk4.jpg", "jpeg"),
-                      ("adobe_ycck.jpg", "jpeg")):
+                      ("adobe_ycck.jpg", "jpeg"),
+                      ("gray16i.png", "png")):
         assert sniff_format(load(name)) == fmt, name
 
 
@@ -2940,6 +2952,10 @@ def test_png16_roundtrip_exact_and_damage():
         png16_value,
     )
 
+    from sql_query_engine_spark.functions.multimodal import (
+        build_png16_pixels_interlaced,
+    )
+
     for d in (0, 3, 17, 101, 444):
         b = build_png16_pixels(d)
         w, h = png16_dims(d)
@@ -2947,11 +2963,44 @@ def test_png16_roundtrip_exact_and_damage():
         assert decode_png16_gray_stats(b) == (
             w, h, sum(vals), min(vals), max(vals)
         )
+        # the Adam7 twin carries the same samples -> identical stats
+        bi = build_png16_pixels_interlaced(d)
+        assert decode_png16_gray_stats(bi) == decode_png16_gray_stats(b)
         assert decode_png16_gray_stats(b[: len(b) // 2]) is None
+        assert decode_png16_gray_stats(bi[: len(bi) // 2]) is None
         corrupt = bytearray(b)
         corrupt[40] ^= 0xFF
         out = decode_png16_gray_stats(bytes(corrupt))
         assert out is None or isinstance(out, tuple)
+
+
+def test_png_idat_zip_bomb_rejected():
+    """ADVICE r9: a tiny crafted PNG whose zlib stream inflates far past
+    the declared geometry (zip bomb) must reject WITHOUT materializing
+    the expansion — the decompression is bounded by the size the IHDR
+    header promises."""
+    import zlib
+
+    from sql_query_engine_spark.functions.multimodal import (
+        _png_chunk,
+        decode_png16_gray_stats,
+        decode_png_pixels,
+    )
+
+    def bomb(depth: int, color: int) -> bytes:
+        ihdr = (
+            (4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, 0])
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100_000_000))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    assert len(bomb(16, 0)) < 200_000  # tiny on the wire
+    assert decode_png16_gray_stats(bomb(16, 0)) is None
+    assert decode_png_pixels(bomb(8, 2)) is None
 
 
 def test_jpeg_cmyk_roundtrip_exact_and_damage():
@@ -2981,3 +3030,62 @@ def test_jpeg_cmyk_roundtrip_exact_and_damage():
         assert decode_jpeg_pixels(b) is None
         assert decode_jpeg_color_pixels(b) is None
         assert decode_jpeg_cmyk_pixels(b[: len(b) // 2]) is None
+
+
+def test_ogg_vorbis_roundtrip_and_damage():
+    """Ogg page walk (RFC 3533): the from-spec builder's pages decode
+    to the exact planted parameters; the real non-reflected page CRC
+    catches single bit flips; truncation, BOS/EOS misplacement, and
+    foreign first packets reject to None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_ogg_vorbis,
+        decode_ogg_metadata,
+        ogg_params,
+    )
+
+    for d in (0, 3, 17, 101, 444):
+        b = build_ogg_vorbis(d)
+        n, ch, rate, gran = ogg_params(d)
+        assert decode_ogg_metadata(b) == (
+            n, ch, rate, gran, gran * 1000.0 / rate
+        )
+        assert decode_ogg_metadata(b[: len(b) // 2]) is None
+        flipped = bytearray(b)
+        flipped[30] ^= 0xFF  # inside the first page body → CRC mismatch
+        assert decode_ogg_metadata(bytes(flipped)) is None
+    # a stream whose first page is not BOS / not a vorbis ident rejects
+    b = build_ogg_vorbis(3)
+    no_bos = bytearray(b)
+    no_bos[5] = 0  # clear header-type flags on page 0
+    # (CRC now wrong too — both reasons reject; the point is no crash)
+    assert decode_ogg_metadata(bytes(no_bos)) is None
+
+
+def test_mp4_multitrack_census_and_damage():
+    """Multi-track MP4: the walker enumerates every trak, classifies by
+    the hdlr fourcc, and reports the census + max video dims; foreign
+    handlers and truncation reject to None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_mp4_multitrack,
+        decode_mp4_tracks,
+        mp4_track_params,
+    )
+
+    for d in (0, 3, 17, 101, 444):
+        m = build_mp4_multitrack(d)
+        ts, du, tracks = mp4_track_params(d)
+        nv = sum(1 for k, _, _ in tracks if k == "vide")
+        got = decode_mp4_tracks(m)
+        assert got == (
+            len(tracks),
+            nv,
+            len(tracks) - nv,
+            max((w for k, w, _ in tracks if k == "vide"), default=0),
+            max((h for k, _, h in tracks if k == "vide"), default=0),
+            du * 1000.0 / ts,
+        ), (d, got)
+        assert decode_mp4_tracks(m[: len(m) // 2]) is None
+        # a foreign handler fourcc rejects the whole container
+        alien = m.replace(b"soun", b"text", 1)
+        if alien != m:
+            assert decode_mp4_tracks(alien) is None

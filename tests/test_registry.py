@@ -43,7 +43,6 @@ def test_every_oracle_key_has_query():
     missing = set(qs) - set(os_)
     assert missing == {
         "agg_approx_count_distinct",
-        "sim_ivfpq_topk",
         "emb_pca_project",  # eigensolve — numpy-pinned instead
         "agg_hll_partial_merge",  # DataSketches bytes — property-pinned
     }

@@ -7,7 +7,7 @@ interlaced variants, every foreign fixture). Contract: a decoder may
 return None or a tuple/list/dict, and must NEVER raise. r9 run: 60k
 mutations x 25 decoders = 1.5M calls, 0 crashes (REHEARSAL_r09_fuzz.json).
 
-    python tools/fuzz_soak.py [n_mutations]
+    python tools/fuzz_soak.py [n_mutations] [seed]
 """
 import random, sys, traceback
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
@@ -30,6 +30,7 @@ DECODERS = [
     _mm.decode_png_metadata, _mm.decode_tiff_metadata,
     _mm.decode_png_resize, _mm.decode_png_ahash,
     _mm.decode_mjpeg_mp4_pixels,
+    _mm.decode_ogg_metadata, _mm.decode_mp4_tracks,  # r10
 ]
 
 def valid_corpus():
@@ -48,6 +49,9 @@ def valid_corpus():
             _mm.build_flac_samples(d), _mm.build_flac_stereo_samples(d),
             _mm.build_mp4(*_mm.video_params(d)),
             _mm.build_mjpeg_mp4_pixels(d),
+            _mm.build_png16_pixels_interlaced(d),  # r10
+            _mm.build_ogg_vorbis(d),               # r10
+            _mm.build_mp4_multitrack(d),           # r10
         ]
     import os
     fdir = __import__('os').path.join(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))), 'tests', 'fixtures', 'foreign')
@@ -57,7 +61,7 @@ def valid_corpus():
     return [o for o in outs if o]
 
 corpus = valid_corpus()
-rng = random.Random(0xF0225)
+rng = random.Random(int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF0225)
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 fails = 0
 for i in range(N):

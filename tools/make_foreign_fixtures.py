@@ -249,6 +249,28 @@ def main() -> int:
     expected["png16"] = {"depth": 16, "channels": 1, "sum": sum(vals16),
                          "min": min(vals16), "max": max(vals16)}
 
+    # ---- round-10 corpus extension (r9 verdict #7): the SAME 16-bit
+    # image through javax's PROGRESSIVE png mode — Adam7 interlacing at
+    # depth 16, the one PNG layout axis the foreign set did not yet
+    # cross with 16-bit samples; decode stats must equal gray16.png's
+    png_writer = ImageIO.getImageWritersByFormatName("png").next()
+    prog_param = png_writer.getDefaultWriteParam()
+    prog_param.setProgressiveMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+    )
+    baos16i = jvm.java.io.ByteArrayOutputStream()
+    mos16i = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(baos16i)
+    png_writer.setOutput(mos16i)
+    png_writer.write(
+        None, jvm.javax.imageio.IIOImage(img16, None, None), prog_param
+    )
+    mos16i.flush()
+    png_writer.dispose()
+    g16i = bytes(baos16i.toByteArray())
+    assert g16i[28] == 1, "javax progressive png did not set interlace=1"
+    open(os.path.join(OUT, "gray16i.png"), "wb").write(g16i)
+    expected["png16i"] = expected["png16"]
+
     # 4-component baseline JPEG: javax's writer refuses ARGB
     # BufferedImages but happily encodes a raw 4-band interleaved
     # Raster — SOF0 with Nf=4 and NO Adobe APP14 (decoders conventionally

@@ -110,9 +110,19 @@ EXPECTED = {
     "text_lm_score": "BNLJ is the 1-row bigram-total aggregate crossJoin "
     "(text_idf shape); the per-doc⋈vocab join broadcasts the tiny "
     "bigram-count table",
-    "sim_pq_topk": "BNLJ is the broadcast ≤8-row query-LUT table against "
-    "the coded corpus scan — the same broadcast-query-set shape as "
-    "cosine_topk; corpus codes stream through exactly once",
+    "sim_pq_topk": "BNLJ is the broadcast 16-row pinned codebook / "
+    "8-row query-LUT tables against the corpus scan (r10 pinned "
+    "variant) — the sim_ivf_int8_topk broadcast-small-set shape; "
+    "assignment reduces corpus×16 to one codes row per vector via a "
+    "map-side-combinable argmin aggregate before any shuffle",
+    "sim_ivfpq_topk": "BNLJ×6 is the 16-row pinned coarse-centroid and "
+    "16-row pinned residual-codebook broadcasts crossed against the "
+    "corpus scan and the ≤8-row query set (r10 pinned variant; the "
+    "corpus-side subtree appears twice because the residual table "
+    "feeds both the codebook filter and the code assignment) — every "
+    "BNLJ side is a bounded broadcast relation, never data×data; "
+    "candidate generation and scoring are the BHJ equi-joins on "
+    "cell_id/query_id",
     "sim_ivf_int8_topk": "BNLJ×2 is the broadcast 16-centroid set "
     "crossed once against the corpus (assignment argmin aggregate — "
     "map-side partial, one row per vector before the shuffle) and once "

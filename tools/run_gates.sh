@@ -26,6 +26,16 @@ python tools/fetch_path_audit.py /root/testdata/sf0.01
 echo "=== plan audit ==="
 python tools/plan_audit.py
 
+echo "=== oracle gate (sf0.1 — 10x driver scale) ==="
+# promoted from a one-off to a standing gate (VERDICT r9 #8): the r9
+# sf0.1 sweep caught a REAL scale-dependent bug sf0.01 could not
+# (sim_hybrid_rrf float-sum tie instability — mass ties only appear at
+# scale). Skippable for quick mid-round iterations with
+# SKIP_SF01_SWEEP=1; the pre-snapshot gate run must include it.
+if [[ "${SKIP_SF01_SWEEP:-0}" != "1" ]]; then
+  python tools/check_oracle.py /root/testdata/sf0.1
+fi
+
 echo "=== bench (sf0.1) + trend gate ==="
 # n-of-3 confirm: a regression must survive the per-query min across up
 # to three isolated runs before the gate fails — absorbs CPU-contention
