@@ -1476,7 +1476,7 @@ def winnowing_pairs(
     # Pin to sort-merge: both sides spill, no in-memory build side.
     a = fp.alias("a").join(hdf.hint("merge"), "h")
     b = fp.alias("b").hint("merge")
-    return (
+    out = (
         a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
@@ -1485,3 +1485,17 @@ def winnowing_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+    # cache lifetime (review r10): the DISK_ONLY blocks live until the
+    # ContextCleaner reclaims the GC'd plan — fine for one-shot gate
+    # queries, but a long-lived session doing repeated corpus-sized
+    # runs should release explicitly once the pairs are materialized
+    out._sqe_cached_fp = fp
+    return out
+
+
+def release_winnowing_cache(pairs: DataFrame) -> None:
+    """Unpersist the fingerprint cache behind a winnowing_pairs result
+    (call AFTER materializing the pairs — the rehearsal does)."""
+    cached = getattr(pairs, "_sqe_cached_fp", None)
+    if cached is not None:
+        cached.unpersist()

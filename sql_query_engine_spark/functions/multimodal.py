@@ -642,7 +642,11 @@ def decode_video_real(payload: bytes):
                 duration = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
             elif f2 == b"trak" and width is None:
                 for f3, s3, e3 in _walk_boxes(b, s2, e2):
-                    if f3 == b"tkhd" and e3 - s3 >= 84 and b[s3] == 0:
+                    # v0 and v1 tkhd both keep w/h at the tail (r10)
+                    if f3 == b"tkhd" and (
+                        (b[s3] == 0 and e3 - s3 >= 84)
+                        or (b[s3] == 1 and e3 - s3 >= 96)
+                    ):
                         width = int.from_bytes(b[e3 - 8 : e3 - 4], "big") >> 16
                         height = int.from_bytes(b[e3 - 4 : e3], "big") >> 16
     if not timescale or duration is None or width is None:
@@ -2209,13 +2213,21 @@ def decode_ogg_metadata(payload: bytes):
                 return None
         elif htype & 0x02:
             return None  # BOS past the first page
-        if gran < granule:
-            return None  # granule positions must be monotone
-        granule = gran
+        if gran == 0xFFFFFFFFFFFFFFFF:
+            # RFC 3533 §6: -1 granule = "no packet completes on this
+            # page" (packets spanning pages — routine in real encoder
+            # output); it is a SENTINEL, not a position, so it neither
+            # updates nor violates monotonicity (review r10: treating
+            # it as 2^64-1 rejected most real Ogg files)
+            pass
+        else:
+            if gran < granule:
+                return None  # granule positions must be monotone
+            granule = gran
         eos_seen = bool(htype & 0x04)
         n_pages += 1
         pos = pend
-    if n_pages < 2 or not eos_seen or pos != len(b):
+    if n_pages < 2 or not eos_seen or pos != len(b) or granule < 0:
         return None
     return n_pages, channels, rate, granule, granule * 1000.0 / rate
 
@@ -2384,7 +2396,14 @@ def decode_mp4_tracks(payload: bytes):
                 w = h = 0
                 handler = None
                 for f3, s3, e3 in _walk_boxes(b, s2, e2):
-                    if f3 == b"tkhd" and e3 - s3 >= 84 and b[s3] == 0:
+                    # version-1 tkhd (64-bit times, +12 bytes — long
+                    # recordings) keeps w/h at the same TAIL offsets;
+                    # accepting only v0 reported 0x0 dims for real v1
+                    # video traks (review r10)
+                    if f3 == b"tkhd" and (
+                        (b[s3] == 0 and e3 - s3 >= 84)
+                        or (b[s3] == 1 and e3 - s3 >= 96)
+                    ):
                         w = int.from_bytes(b[e3 - 8 : e3 - 4], "big") >> 16
                         h = int.from_bytes(b[e3 - 4 : e3], "big") >> 16
                     elif f3 == b"mdia":

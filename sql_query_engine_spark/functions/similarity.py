@@ -69,6 +69,46 @@ _SPARK_DOT_QC = (
     " cast(0 as double), (acc, v) -> acc + v)"
 )
 
+# ---- shared quantization expressions (review r10: these contracts are
+# asserted identical across operators — int8 rescoring must score the
+# same in every strategy, sign codes must bucket the same in every
+# Hamming consumer — so they live in exactly one place) ----------------
+
+# symmetric max-abs int8 quantization (the emb_quantize_int8 / r6 int8
+# rule); expects a sibling column `m` = max(|x|) > 0
+SPARK_INT8_QV = (
+    "transform(embedding, x -> cast(floor(cast(x as double)"
+    " * (127.0d / m) + 0.5d) as bigint))"
+)
+# 64-bit binary sign code packed as two 32-bit words, pure codegen
+SPARK_SIGN_LO = (
+    "aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
+    " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i)"
+    " ELSE 0L END)"
+)
+SPARK_SIGN_HI = (
+    "aggregate(sequence(32, 63), 0L, (acc, i) -> acc +"
+    " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i - 32)"
+    " ELSE 0L END)"
+)
+
+
+def _int8_base(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv): the int8-quantized corpus every int8-scoring
+    strategy shares (zero vectors have no quantization scale and are
+    excluded, matching _ivf_base)."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.repartition(par)
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_max(F.expr("transform(embedding, x -> abs(x))")).alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .select("vec_id", F.expr(SPARK_INT8_QV).alias("qv"))
+    )
+
 
 def _duck_dot(av: str, bv: str) -> str:
     return (
@@ -158,23 +198,7 @@ def int8_topk(emb: DataFrame, k: int = 10, n_queries: int = 8) -> DataFrame:
     Same plan shape as cosine_topk: broadcast query set × corpus scan,
     per-query rank-limit. At 100 TB the scan reads 1-byte codes instead
     of float32 — the 4× I/O cut is the point of the quantization."""
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    base = (
-        emb.repartition(par)
-        .select(
-            "vec_id",
-            "embedding",
-            F.array_max(F.expr("transform(embedding, x -> abs(x))")).alias("m"),
-        )
-        .filter(F.col("m") > 0)
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> cast(floor(cast(x as double)"
-                " * (127.0d / m) + 0.5d) as bigint))"
-            ).alias("qv"),
-        )
-    )
+    base = _int8_base(emb)
     q = base.filter(F.col("vec_id") < n_queries).alias("q")
     c = base.alias("c")
     scored = (
@@ -540,13 +564,7 @@ def ivf_int8_index(
         )
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown assign_method: {assign_method!r}")
-    qn = base.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double)"
-            " * (127.0d / m) + 0.5d) as bigint))"
-        ).alias("qv"),
-    )
+    qn = base.select("vec_id", F.expr(SPARK_INT8_QV).alias("qv"))
     return assign, qn
 
 
@@ -889,16 +907,8 @@ def hamming_prefilter_topk(
     ).filter(F.col("m") > 0)
     codes = base.select(
         "vec_id",
-        F.expr(
-            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
-            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i)"
-            " ELSE 0L END)"
-        ).alias("lo"),
-        F.expr(
-            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc +"
-            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i - 32)"
-            " ELSE 0L END)"
-        ).alias("hi"),
+        F.expr(SPARK_SIGN_LO).alias("lo"),
+        F.expr(SPARK_SIGN_HI).alias("hi"),
     )
     qc = codes.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -922,13 +932,7 @@ def hamming_prefilter_topk(
         .filter(F.col("hrn") <= prefilter_mult * k)
         .select("query_id", "neighbor_id")
     )
-    qn = base.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double)"
-            " * (127.0d / m) + 0.5d) as bigint))"
-        ).alias("qv"),
-    )
+    qn = base.select("vec_id", F.expr(SPARK_INT8_QV).alias("qv"))
     scored = (
         cand.join(
             qn.select(F.col("vec_id").alias("query_id"),

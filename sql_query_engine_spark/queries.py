@@ -8765,18 +8765,12 @@ FROM ranked WHERE rn <= {_HAM_K}""",
 )
 def sim_hamming_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    # sign-code packing shared with similarity.hamming_prefilter_topk
+    # (one definition — the bucketing contract must not fork, r10)
     codes = emb.select(
         "vec_id",
-        F.expr(
-            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
-            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i)"
-            " ELSE 0L END)"
-        ).alias("lo"),
-        F.expr(
-            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc +"
-            " CASE WHEN embedding[i] >= 0 THEN shiftleft(1L, i - 32)"
-            " ELSE 0L END)"
-        ).alias("hi"),
+        F.expr(similarity.SPARK_SIGN_LO).alias("lo"),
+        F.expr(similarity.SPARK_SIGN_HI).alias("hi"),
     )
     q = codes.filter(F.col("vec_id") < _HAM_NQ).select(
         F.col("vec_id").alias("query_id"),

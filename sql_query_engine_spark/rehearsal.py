@@ -515,8 +515,10 @@ def run_winnow_rehearsal(
     docs = synth_documents(spark, n_docs, n_tokens, n_mutate)
 
     t0 = time.monotonic()
-    rows = dedup.winnowing_pairs(docs).collect()
+    pairs = dedup.winnowing_pairs(docs)
+    rows = pairs.collect()
     report["t_winnow_s"] = round(time.monotonic() - t0, 2)
+    dedup.release_winnowing_cache(pairs)  # free the DISK_ONLY fp blocks
 
     got = {(r.doc_a, r.doc_b): r.n_shared for r in rows}
     exp_keys = {(i, i + 1) for i in range(0, n_docs - 1, PLANT_EVERY)}

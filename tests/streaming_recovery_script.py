@@ -161,7 +161,11 @@ def main() -> int:
         )
         deadline = time.monotonic() + 240
         while time.monotonic() < deadline:
-            done = len([p for p in q.recentProgress if p["numInputRows"] >= 0])
+            # count DATA batches only: Spark emits no-data micro-batches
+            # to advance watermarks, and >= 0 would count those (review
+            # r10) — the kill must land after 3 batches that actually
+            # committed rows, or the resume leg has nothing to prove
+            done = len([p for p in q.recentProgress if p["numInputRows"] > 0])
             if done >= KILL_AFTER_BATCHES:
                 # crash, don't stop: no graceful shutdown, no JVM exit
                 # hooks — the checkpoint is whatever the last commit wrote

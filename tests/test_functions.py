@@ -2998,8 +2998,9 @@ def test_png_idat_zip_bomb_rejected():
             + _png_chunk(b"IEND", b"")
         )
 
-    assert len(bomb(16, 0)) < 200_000  # tiny on the wire
-    assert decode_png16_gray_stats(bomb(16, 0)) is None
+    b16 = bomb(16, 0)
+    assert len(b16) < 200_000  # tiny on the wire
+    assert decode_png16_gray_stats(b16) is None
     assert decode_png_pixels(bomb(8, 2)) is None
 
 
@@ -3060,6 +3061,27 @@ def test_ogg_vorbis_roundtrip_and_damage():
     # (CRC now wrong too — both reasons reject; the point is no crash)
     assert decode_ogg_metadata(bytes(no_bos)) is None
 
+    # RFC 3533 -1 granule sentinel ("no packet completes on this
+    # page" — routine when packets span pages) must NOT trip the
+    # monotonicity check (review r10): rewrite a middle page's granule
+    # to -1 with a correct CRC and the walk still succeeds, reporting
+    # the last REAL granule
+    from sql_query_engine_spark.functions.multimodal import _ogg_crc32
+
+    s = bytearray(build_ogg_vorbis(7))
+    i = s.index(b"OggS", 4)  # second page
+    nseg = s[i + 26]
+    hend = i + 27 + nseg
+    pend = hend + sum(s[i + 27 : hend])
+    s[i + 6 : i + 14] = b"\xff" * 8
+    page = bytearray(s[i:pend])
+    page[22:26] = bytes(4)
+    s[i + 22 : i + 26] = _ogg_crc32(bytes(page)).to_bytes(4, "little")
+    n, ch, rate, gran = ogg_params(7)
+    assert decode_ogg_metadata(bytes(s)) == (
+        n, ch, rate, gran, gran * 1000.0 / rate
+    )
+
 
 def test_mp4_multitrack_census_and_damage():
     """Multi-track MP4: the walker enumerates every trak, classifies by
@@ -3089,3 +3111,44 @@ def test_mp4_multitrack_census_and_damage():
         alien = m.replace(b"soun", b"text", 1)
         if alien != m:
             assert decode_mp4_tracks(alien) is None
+
+    # version-1 tkhd (64-bit times — long recordings) must parse, not
+    # silently report 0x0 video dims (review r10): assemble a VALID
+    # one-video-track container whose tkhd uses the v1 layout (_box
+    # recomputes every enclosing size, so the container stays
+    # structurally sound)
+    from sql_query_engine_spark.functions.multimodal import _box
+
+    ts, du, w1, h1 = 600, 1800, 1280, 720
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        bytes(4) + bytes(8) + ts.to_bytes(4, "big") + du.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + bytes(2 + 8)
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + bytes(24) + (2).to_bytes(4, "big"),
+    )
+    tkhd_v1 = _box(
+        b"tkhd",
+        bytes([1]) + b"\x00\x00\x07" + bytes(16)  # v1: 8-byte times
+        + (1).to_bytes(4, "big") + bytes(4)
+        + du.to_bytes(8, "big") + bytes(8)        # v1: 8-byte duration
+        + bytes(2 + 2 + 2 + 2)
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + (w1 << 16).to_bytes(4, "big") + (h1 << 16).to_bytes(4, "big"),
+    )
+    mdhd = _box(
+        b"mdhd",
+        bytes(4) + bytes(8) + ts.to_bytes(4, "big") + du.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big") + bytes(2),
+    )
+    hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"\x00")
+    v1_container = ftyp + _box(
+        b"moov", mvhd + _box(b"trak", tkhd_v1 + _box(b"mdia", mdhd + hdlr))
+    )
+    assert decode_mp4_tracks(v1_container) == (
+        1, 1, 0, w1, h1, du * 1000.0 / ts
+    )
