@@ -718,6 +718,49 @@ def agg_approx_count_distinct(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_approx_cd_bounded",
+    """SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag""",
+    "the HLL error CONTRACT as a hash-checkable oracle row (r10: "
+    "shrinking what rows-only hides): approx_count_distinct's estimate "
+    "is engine-specific so its VALUE can never oracle-match, but its "
+    "CONTRACT — estimate within a few relative standard deviations of "
+    "the exact distinct count — is a deterministic boolean given the "
+    "data (HLL++ has no query-time randomness). The Spark side "
+    "computes the sketch estimate AND the exact count per group and "
+    "emits within_bound = |approx/exact - 1| <= 5 x rsd(0.01); the "
+    "oracle pins the exact counts by value and the flag to TRUE. A "
+    "sketch regression (wrong hashing, broken merge, bias drift past "
+    "5 sigma) flips the flag and hash-breaks the gate — the sibling "
+    "agg_approx_count_distinct row stays rows-only for the raw "
+    "estimates.",
+)
+def agg_approx_cd_bounded(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(
+                    F.col("approx_parts").cast("double")
+                    / F.col("exact_parts").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.05)
+            ).alias("within_bound"),
+        )
+    )
+
+
 # =========================================================================
 # Sort / limit / top-k
 # =========================================================================
@@ -11267,6 +11310,7 @@ _GATE_PRIORITY = [
     "mm_png16i_stats",
     "mm_ogg_metadata",
     "mm_mp4_tracks",
+    "agg_approx_cd_bounded",
     "sql_scalar_subquery",
     "tpch_q5_local_supplier_volume",
     "scalar_string",
