@@ -3145,6 +3145,385 @@ def tiff_metadata(with_media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TIFF pixel decode (r10): the one image format whose coverage stopped at
+# the metadata walk. Baseline TIFF 6.0 subset — 8-bit grayscale
+# (photometric 1) and RGB (photometric 2), chunky planar config, multi-
+# strip layout via StripOffsets/StripByteCounts (SHORT or LONG arrays),
+# compression 1 (none) and 5 (TIFF-LZW: MSB-first variable-width codes
+# with the early-change rule — a DIFFERENT dialect from the GIF LZW the
+# engine already decodes: bit order reversed, width bumps one code
+# early). Everything else rejects to None.
+# ---------------------------------------------------------------------------
+
+_TIFF_CLEAR = 256
+_TIFF_EOI = 257
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int):
+    """TIFF 6.0 §13 LZW: 8-bit symbols, codes MSB-first starting at 9
+    bits, ClearCode 256 / EOI 257, code width bumps EARLY (when the
+    next table entry would be 511/1023/2047). Output capped at
+    ``max_out`` (the strip's declared decoded size) — oversized streams
+    reject (the zip-bomb rule)."""
+    out = bytearray()
+    bitbuf = bitlen = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    pos = 0
+    n = len(data)
+    while True:
+        while bitlen < width:
+            if pos >= n:
+                return None  # ran out before EOI
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitlen += 8
+        code = (bitbuf >> (bitlen - width)) & ((1 << width) - 1)
+        bitlen -= width
+        if code == _TIFF_EOI:
+            break
+        if code == _TIFF_CLEAR:
+            reset()
+            continue
+        if prev is None:
+            if code >= 256:
+                return None  # first code after clear must be literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None  # code beyond table: corrupt
+        out += entry
+        if len(out) > max_out:
+            return None  # exceeds declared strip size
+        prev = entry
+        # EARLY CHANGE: width bumps when the NEXT entry would need it
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder (the from-spec builder's compressor):
+    mirrors _tiff_lzw_decode exactly — MSB-first, early change."""
+    out = bytearray()
+    bitbuf = bitlen = 0
+
+    def put(code: int, width: int):
+        nonlocal bitbuf, bitlen
+        bitbuf = (bitbuf << width) | code
+        bitlen += width
+        while bitlen >= 8:
+            out.append((bitbuf >> (bitlen - 8)) & 0xFF)
+            bitlen -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(_TIFF_CLEAR, width)
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # the encoder bumps width when the NEXT code to emit could be
+        # next_code - 1; early change = bump at 511/1023/2047
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: clear (spec practice)
+            put(_TIFF_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        put(table[prev], width)
+    put(_TIFF_EOI, width)
+    if bitlen:
+        out.append((bitbuf << (8 - bitlen)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_ifd_values(b: bytes, end: str, pos: int, typ: int, cnt: int):
+    """All values of a SHORT(3)/LONG(4) IFD entry (inline or offset)."""
+    size = 2 if typ == 3 else 4
+    if typ not in (3, 4):
+        return None
+    total = size * cnt
+    if total <= 4:
+        base = pos + 8
+    else:
+        base = int.from_bytes(b[pos + 8 : pos + 12], end)
+    if base + total > len(b):
+        return None
+    return [
+        int.from_bytes(b[base + i * size : base + (i + 1) * size], end)
+        for i in range(cnt)
+    ]
+
+
+def decode_tiff_pixels(payload: bytes):
+    """Baseline TIFF pixel decode → (w, h, [row bytes as RGB triplets])
+    or None.
+
+    Subset: 8-bit samples, photometric 1 (gray, expanded to RGB like
+    the PNG gray path) or 2 (RGB, chunky), compression 1 (none) or 5
+    (TIFF-LZW), strips only (no tiles), PlanarConfiguration 1. Strip
+    sizes are validated against the declared geometry before any
+    decompression (the bounded-inflate rule); structural damage, other
+    photometrics/compressions/bit depths reject to None, never raise."""
+    b = payload
+    if b is None or len(b) < 8:
+        return None
+    bo = b[:2]
+    if bo == b"II":
+        end = "little"
+    elif bo == b"MM":
+        end = "big"
+    else:
+        return None
+    if int.from_bytes(b[2:4], end) != 42:
+        return None
+    off = int.from_bytes(b[4:8], end)
+    if off + 2 > len(b):
+        return None
+    n = int.from_bytes(b[off : off + 2], end)
+    pos = off + 2
+    if pos + 12 * n + 4 > len(b):
+        return None
+    tags: dict[int, list[int]] = {}
+    for _ in range(n):
+        tag = int.from_bytes(b[pos : pos + 2], end)
+        typ = int.from_bytes(b[pos + 2 : pos + 4], end)
+        cnt = int.from_bytes(b[pos + 4 : pos + 8], end)
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279) \
+                and typ in (3, 4):
+            vals = _tiff_ifd_values(b, end, pos, typ, cnt)
+            if vals is None:
+                return None
+            tags[tag] = vals
+        pos += 12
+    try:
+        w, h = tags[256][0], tags[257][0]
+        comp = tags[259][0]
+        photo = tags[262][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError:
+        return None
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    rps = tags.get(278, [h])[0]
+    if w == 0 or h == 0 or rps == 0:
+        return None
+    if comp not in (1, 5) or any(v != 8 for v in bits):
+        return None
+    if photo == 1 and spp == 1:
+        ch = 1
+    elif photo == 2 and spp == 3:
+        ch = 3
+    else:
+        return None
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) != n_strips or len(counts) != n_strips:
+        return None
+    stride = w * ch
+    raw = bytearray()
+    for si in range(n_strips):
+        rows_here = min(rps, h - si * rps)
+        want = rows_here * stride
+        so, sc = offsets[si], counts[si]
+        if so + sc > len(b):
+            return None
+        strip = b[so : so + sc]
+        if comp == 1:
+            if sc != want:
+                return None
+            raw += strip
+        else:
+            dec = _tiff_lzw_decode(strip, want)
+            if dec is None or len(dec) != want:
+                return None
+            raw += dec
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        if ch == 3:
+            rows.append(bytes(line))
+        else:
+            out = bytearray(w * 3)
+            for i, g in enumerate(line):
+                out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = g
+            rows.append(bytes(out))
+    return w, h, rows
+
+
+def build_tiff_pixels(
+    doc_id: int, compression: int = 1, rows_per_strip: int = 4
+) -> bytes:
+    """A REAL multi-strip chunky RGB TIFF of the shared pixel_value
+    grid (the same pattern the PNG/GIF/JPEG builders plant, so
+    cross-format consistency is checkable): little-endian, 8-bit,
+    photometric 2, StripOffsets/StripByteCounts LONG arrays, and the
+    strips either raw (compression 1) or TIFF-LZW (compression 5,
+    MSB-first early-change codes from the from-spec encoder)."""
+    w, h = pixel_dims(doc_id)
+    end = "little"
+
+    def u16(v):
+        return v.to_bytes(2, end)
+
+    def u32(v):
+        return v.to_bytes(4, end)
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows_here = min(rows_per_strip, h - y0)
+        raw = bytes(
+            v
+            for y in range(y0, y0 + rows_here)
+            for x in range(w)
+            for v in pixel_value(doc_id, x, y)
+        )
+        strips.append(raw if compression == 1 else _tiff_lzw_encode(raw))
+    n_strips = len(strips)
+
+    def entry(tag, typ, cnt, val4):
+        return u16(tag) + u16(typ) + u32(cnt) + val4
+
+    # layout: header(8) + IFD + [bits array][offsets][counts] + strips
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    bits_off = 8 + ifd_size
+    so_off = bits_off + 6
+    sc_off = so_off + 4 * n_strips
+    data_off = sc_off + 4 * n_strips
+    offsets = []
+    cur = data_off
+    for s in strips:
+        offsets.append(cur)
+        cur += len(s)
+    entries = [
+        entry(256, 3, 1, u16(w) + u16(0)),
+        entry(257, 3, 1, u16(h) + u16(0)),
+        entry(258, 3, 3, u32(bits_off)),
+        entry(259, 3, 1, u16(compression) + u16(0)),
+        entry(262, 3, 1, u16(2) + u16(0)),
+        entry(
+            273, 4, n_strips,
+            u32(so_off) if n_strips > 1 else u32(offsets[0]),
+        ),
+        entry(277, 3, 1, u16(3) + u16(0)),
+        entry(278, 3, 1, u16(rows_per_strip) + u16(0)),
+        entry(
+            279, 4, n_strips,
+            u32(sc_off) if n_strips > 1 else u32(len(strips[0])),
+        ),
+    ]
+    out = bytearray()
+    out += b"II" + u16(42) + u32(8)
+    out += u16(n_entries) + b"".join(entries) + u32(0)
+    out += u16(8) * 3  # bits-per-sample array (8,8,8)
+    if n_strips > 1:
+        out += b"".join(u32(o) for o in offsets)
+        out += b"".join(u32(len(s)) for s in strips)
+    else:
+        # inline offset/count already point at data_off; keep the
+        # reserved slots so the layout arithmetic above stays fixed
+        out += u32(offsets[0]) + u32(len(strips[0]))
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+TIFF_PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
+
+
+def synthesize_tiff_pixels(docs: DataFrame, compression: int = 5) -> DataFrame:
+    """One real multi-strip RGB TIFF per doc (Arrow mapInPandas);
+    compression 5 = TIFF-LZW (the default — the codec worth gating),
+    1 = raw strips."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_tiff_pixels(int(d), compression=compression)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def tiff_pixel_stats(with_media: DataFrame) -> DataFrame:
+    """payload → exact per-channel integer pixel sums through the full
+    TIFF decode path (strip walk, LZW, gray→RGB expansion). All-integer
+    output (the r9 rule: integer sums cannot hit cross-engine rounding
+    ties). Map-only, NULL on corruption."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_tiff_pixels(payload)
+                if dec is None:
+                    for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                        rows[k].append(None)
+                else:
+                    w, h, rws = dec
+                    sr = sg = sb = 0
+                    for r in rws:
+                        sr += sum(r[0::3])
+                        sg += sum(r[1::3])
+                        sb += sum(r[2::3])
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(sr)
+                    rows["sum_g"].append(sg)
+                    rows["sum_b"].append(sb)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height"):
+                out[c] = out[c].astype("Int32")
+            for c in ("sum_r", "sum_g", "sum_b"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, TIFF_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Magic-byte format sniffer over the full eight-format container zoo —
 # the FIRST pass a 100 TB mixed crawl runs on every payload (cheaper
 # than any decode: a handful of byte comparisons routes each blob).

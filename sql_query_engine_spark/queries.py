@@ -9726,6 +9726,42 @@ def mm_mp4_tracks(spark, sf_dir):
 
 
 @_q(
+    "mm_tiff_lzw_stats",
+    """WITH d AS (
+    SELECT doc_id, (doc_id*7)%48+8 AS w, (doc_id*13)%32+8 AS h
+    FROM documents),
+px AS (
+    SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+    FROM d,
+         unnest(generate_series(0, w-1)) AS tx(x),
+         unnest(generate_series(0, h-1)) AS ty(y))
+SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+       CAST(sum((doc_id*7 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id*11 + x + 2*y) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id*3 + 5*x + y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h""",
+    "REAL pixel decode — TIFF with LZW strips (r10: TIFF was the one "
+    "image format whose coverage stopped at the metadata walk): each "
+    "doc gets a genuine multi-strip chunky RGB TIFF whose strips are "
+    "TIFF-6.0 LZW (MSB-first variable-width codes with the EARLY-"
+    "change rule — a different dialect from the GIF LZW the engine "
+    "already decodes: bit order reversed, width bumps one code early), "
+    "and the decoder walks the IFD, validates strip geometry BEFORE "
+    "decompressing (the bounded-inflate rule), LZW-decodes every strip "
+    "from spec, and reduces to exact per-channel integer sums. Same "
+    "planted pixel grid as mm_pixel_stats, so PNG and TIFF encodings "
+    "of one image cross-check. Foreign twins gray.tif/rgb.tif (javax "
+    "writer, uncompressed strips) decode exactly in tests. Map-only, "
+    "NULL on corruption.",
+)
+def mm_tiff_lzw_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.tiff_pixel_stats(
+        multimodal.synthesize_tiff_pixels(d, compression=5)
+    )
+
+
+@_q(
     "src_warc_scan",
     """SELECT doc_id,
        concat('http://example.com/doc/', cast(doc_id as varchar))
@@ -11311,6 +11347,7 @@ _GATE_PRIORITY = [
     "mm_ogg_metadata",
     "mm_mp4_tracks",
     "agg_approx_cd_bounded",
+    "mm_tiff_lzw_stats",
     "sql_scalar_subquery",
     "tpch_q5_local_supplier_volume",
     "scalar_string",

@@ -3152,3 +3152,58 @@ def test_mp4_multitrack_census_and_damage():
     assert decode_mp4_tracks(v1_container) == (
         1, 1, 0, w1, h1, du * 1000.0 / ts
     )
+
+
+def test_tiff_pixel_roundtrip_foreign_and_damage():
+    """TIFF pixel decode (r10): multi-strip raw and TIFF-LZW strips
+    decode the planted grid exactly; the LZW dialect handles the
+    early-change width bumps (strips long enough to push the code table
+    past 511/1023/2047); the FOREIGN javax TIFFs decode to the same
+    sums their PNG twins pin; truncation and alien layouts reject."""
+    import json
+    import os
+
+    from sql_query_engine_spark.functions.multimodal import (
+        build_tiff_pixels,
+        decode_tiff_pixels,
+        pixel_dims,
+        pixel_value,
+    )
+
+    for d in (0, 3, 17, 101, 444):
+        w, h = pixel_dims(d)
+        exp_rows = [
+            bytes(v for x in range(w) for v in pixel_value(d, x, y))
+            for y in range(h)
+        ]
+        for comp in (1, 5):
+            b = build_tiff_pixels(d, compression=comp)
+            assert decode_tiff_pixels(b) == (w, h, exp_rows), (d, comp)
+            assert decode_tiff_pixels(b[: len(b) // 2]) is None
+    # one whole-image strip: the LZW table grows ~1 entry/byte, so a
+    # 48x32 RGB image (4.6 KB) pushes code width through 10/11/12 bits
+    d = 40  # dims (40*7)%48+8 = 48, (40*13)%32+8 = 16 -> 2304 bytes
+    w, h = pixel_dims(d)
+    b = build_tiff_pixels(d, compression=5, rows_per_strip=h)
+    got = decode_tiff_pixels(b)
+    assert got is not None and got[:2] == (w, h)
+    assert got[2] == [
+        bytes(v for x in range(w) for v in pixel_value(d, x, y))
+        for y in range(h)
+    ]
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "foreign")
+    exp = json.load(open(os.path.join(fdir, "expected.json")))
+
+    def sums(name):
+        w, h, rows = decode_tiff_pixels(
+            open(os.path.join(fdir, name), "rb").read()
+        )
+        assert (w, h) == (exp["w"], exp["h"])
+        return [
+            sum(sum(r[c::3]) for r in rows) for c in range(3)
+        ]
+
+    g = sums("gray.tif")
+    assert g[0] == g[1] == g[2] == exp["png_gray_sum"]
+    assert sums("rgb.tif") == exp["png_rgb_sums"]

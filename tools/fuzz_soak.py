@@ -31,6 +31,7 @@ DECODERS = [
     _mm.decode_png_resize, _mm.decode_png_ahash,
     _mm.decode_mjpeg_mp4_pixels,
     _mm.decode_ogg_metadata, _mm.decode_mp4_tracks,  # r10
+    _mm.decode_tiff_pixels,                             # r10
 ]
 
 def valid_corpus():
@@ -52,6 +53,8 @@ def valid_corpus():
             _mm.build_png16_pixels_interlaced(d),  # r10
             _mm.build_ogg_vorbis(d),               # r10
             _mm.build_mp4_multitrack(d),           # r10
+            _mm.build_tiff_pixels(d, compression=1),  # r10
+            _mm.build_tiff_pixels(d, compression=5),  # r10
         ]
     import os
     fdir = __import__('os').path.join(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))), 'tests', 'fixtures', 'foreign')
