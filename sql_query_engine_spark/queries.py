@@ -5770,8 +5770,12 @@ def pipeline_contrastive_pairs(spark, sf_dir):
 
 
 from .functions.bpe import encode_counts_oracle as _bpe_oracle  # noqa: E402
+from .functions.unigram import (  # noqa: E402
+    segment_counts_oracle as _unigram_oracle,
+)
 
 _BPE_ORACLE = _bpe_oracle()
+_UNIGRAM_ORACLE = _unigram_oracle()
 
 
 @_q(
@@ -5796,6 +5800,33 @@ def text_bpe_encode(spark, sf_dir):
     from .functions import bpe
 
     return bpe.encode_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_unigram_segment",
+    _UNIGRAM_ORACLE,  # packed-integer Viterbi DP — the bpe recursive-
+    # CTE trick applied to dynamic programming; every word\'s optimal
+    # segmentation is replayed character-by-character in DuckDB
+    "unigram-LM (SentencePiece-style) Viterbi segmentation — the "
+    "SECOND major subword-tokenizer family beside BPE (Kudo, ACL "
+    "2018): each word segments into the minimum-cost piece sequence "
+    "over a fixed literal vocabulary with INTEGER milli-nat costs; "
+    "the DP state is one packed integer (cost<<20 | pieces<<10 | "
+    "fallbacks), so a single min() is the entire tie law — cost, then "
+    "fewer pieces, then fewer single-char fallbacks — identical in "
+    "both engines by construction. Per-doc words / optimal pieces / "
+    "total cost / fallback count are the tokenizer-pricing signals a "
+    "corpus report runs before committing to a tokenizer (high "
+    "fallback fraction = OOV-heavy text). Arrow mapInPandas, zero "
+    "shuffles (the bpe plumbing); the oracle replays the DP as a "
+    "recursive CTE over the DISTINCT vocabulary carrying the last 4 "
+    "best states as columns; pinned against brute-force enumeration "
+    "of ALL segmentations in tests.",
+)
+def text_unigram_segment(spark, sf_dir):
+    from .functions import unigram
+
+    return unigram.segment_counts(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -11348,6 +11379,7 @@ _GATE_PRIORITY = [
     "mm_mp4_tracks",
     "agg_approx_cd_bounded",
     "mm_tiff_lzw_stats",
+    "text_unigram_segment",
     "sql_scalar_subquery",
     "tpch_q5_local_supplier_volume",
     "scalar_string",

@@ -3207,3 +3207,66 @@ def test_tiff_pixel_roundtrip_foreign_and_damage():
     g = sums("gray.tif")
     assert g[0] == g[1] == g[2] == exp["png_gray_sum"]
     assert sums("rgb.tif") == exp["png_rgb_sums"]
+
+
+def test_unigram_viterbi_optimal_and_engine_parity(spark):
+    """Unigram-LM Viterbi segmentation (r10): the packed-integer DP
+    must return the TRUE optimum under the full tie law (min cost →
+    fewer pieces → fewer fallbacks), verified against brute-force
+    enumeration of every segmentation; and the Spark Arrow stage must
+    equal the pure-Python reference row-for-row on real documents."""
+    import random
+    import re
+
+    from sql_query_engine_spark.functions import unigram as ug
+    from sql_query_engine_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    def brute(word):
+        n = len(word)
+        best = None
+
+        def rec(i, cost, pieces, fb):
+            nonlocal best
+            if i == n:
+                packed = cost * ug._C_SHIFT + pieces * ug._P_SHIFT + fb
+                if best is None or packed < best:
+                    best = packed
+                return
+            for ln in range(1, min(ug.MAX_PIECE_LEN, n - i) + 1):
+                c = ug.VOCAB.get(word[i : i + ln])
+                if c is not None:
+                    rec(i + ln, cost + c, pieces + 1,
+                        fb + (1 if ln == 1 else 0))
+
+        rec(0, 0, 0, 0)
+        return (
+            best // ug._C_SHIFT,
+            (best % ug._C_SHIFT) // ug._P_SHIFT,
+            best % ug._P_SHIFT,
+        )
+
+    rng = random.Random(7)
+    for L in range(1, 9):
+        for _ in range(150):
+            w = "".join(rng.choice("terinoa1") for _ in range(L))
+            assert ug.viterbi_word(w) == brute(w), w
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.total_cost_milli, r.n_fallback)
+        for r in ug.segment_counts(docs).collect()
+    }
+    tok = re.compile(r"[a-z0-9]+")
+    for row in docs.select("doc_id", "text").collect():
+        ws = [
+            w for w in tok.findall((row.text or "").lower())
+            if len(w) < ug.MAX_WORD_LEN
+        ]
+        c = p = f = 0
+        for w in ws:
+            wc, wp, wf = ug.viterbi_word(w)
+            c += wc
+            p += wp
+            f += wf
+        assert got[row.doc_id] == (len(ws), p, c, f), row.doc_id
