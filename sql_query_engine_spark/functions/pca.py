@@ -19,10 +19,14 @@ One corpus pass, one driver-side d×d solve, one map-only projection.
 Sign convention: each component's largest-|loading| coordinate is made
 positive, so outputs are reproducible run-to-run.
 
-No SQL oracle: an eigendecomposition has no DuckDB twin — correctness is
+The eigendecomposition has no DuckDB twin, so per-vector projections are
 pinned in tests against numpy's full PCA on the collected corpus
 (cosine |v_spark · v_np| ≈ 1 per component, projections equal up to the
-fixed sign), the honest rows-only pattern the IVF/PQ queries established.
+fixed sign); the registry-facing correctness surface is
+:func:`pca_contract` (r11), which restates the decomposition's defining
+properties — orthonormality, the sign/order convention, per-component
+explained variance ≡ eigenvalue, Parseval reconstruction error — as
+deterministic booleans hash-checked against a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -35,7 +39,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gram_and_mean", "principal_components", "pca_project"]
+__all__ = [
+    "gram_and_mean",
+    "pca_model",
+    "principal_components",
+    "pca_project",
+    "pca_contract",
+]
 
 _PARTIAL_SCHEMA = "pid int, idx int, val double"
 
@@ -89,10 +99,12 @@ def gram_and_mean(emb: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray, int
     return gram, sums, n
 
 
-def principal_components(emb: DataFrame, dim: int, k: int = 2):
-    """Top-k eigenvectors of the CENTERED covariance, sign-fixed.
+def pca_model(emb: DataFrame, dim: int, k: int = 2):
+    """Full PCA model: (components k×d, mean d, top-k eigvals, trace(cov), n).
 
-    Returns (components: k×d ndarray, mean: d ndarray).
+    Sign/order convention (fixed so the model is reproducible run-to-run
+    and machine-to-machine): components ordered by DESCENDING eigenvalue,
+    and each component's largest-|loading| coordinate made positive.
     """
     gram, sums, n = gram_and_mean(emb, dim)
     if n == 0:
@@ -106,7 +118,17 @@ def principal_components(emb: DataFrame, dim: int, k: int = 2):
         if v[np.argmax(np.abs(v))] < 0:  # deterministic sign
             v = -v
         comps.append(v)
-    return np.asarray(comps), mean
+    top_eigvals = eigvals[::-1][:k].copy()
+    return np.asarray(comps), mean, top_eigvals, float(np.trace(cov)), n
+
+
+def principal_components(emb: DataFrame, dim: int, k: int = 2):
+    """Top-k eigenvectors of the CENTERED covariance, sign-fixed.
+
+    Returns (components: k×d ndarray, mean: d ndarray).
+    """
+    comps, mean, _, _, _ = pca_model(emb, dim, k)
+    return comps, mean
 
 
 def pca_project(emb: DataFrame, dim: int, k: int = 2) -> DataFrame:
@@ -129,3 +151,96 @@ def pca_project(emb: DataFrame, dim: int, k: int = 2) -> DataFrame:
         )
         out = out.withColumn(f"pc{j + 1}_r6", F.expr(expr))
     return out.drop("embedding")
+
+
+def pca_contract(emb: DataFrame, dim: int, k: int = 2) -> DataFrame:
+    """The PCA correctness CONTRACT as a hash-checkable one-row result.
+
+    An eigendecomposition has no DuckDB twin, so per-vector projections
+    can never oracle-match by value — but the properties that make the
+    decomposition CORRECT are deterministic booleans given the data
+    (r11, the ``agg_approx_cd_bounded`` pattern):
+
+    - ``orthonormal``      — C·Cᵀ = I to 1e-9 (driver-side, exact model);
+    - ``sign_fixed``       — each component's largest-|loading|
+      coordinate is positive (the fixed convention);
+    - ``eig_descending``   — λ₁ ≥ λ₂ ≥ … ≥ -1e-12;
+    - ``explained_ok``     — the DISTRIBUTED variance of each projected
+      coordinate (computed by running the real zip_with projection over
+      every corpus vector) equals its eigenvalue to 1e-6 relative;
+    - ``recon_ok``         — Parseval: mean ‖x−μ‖² − Σⱼ mean pⱼ² equals
+      trace(cov) − Σⱼ λⱼ (the k-component reconstruction error) to 1e-6.
+
+    The eigensolve tolerance is ~1e-12; cross-partition float-sum
+    reordering perturbs the distributed moments by ~1e-12 relative; the
+    1e-6 band therefore never flips on scheduling, while a broken Gram
+    aggregate, a wrong sign, a dropped centering term, or a garbled
+    component literal flips a flag and hash-breaks the gate. The raw
+    per-vector projection stays available via :func:`pca_project` and is
+    numpy-pinned in tests.
+    """
+    comps, mean, eigvals, trace, _ = pca_model(emb, dim, k)
+    ident = comps @ comps.T - np.eye(k)
+    orthonormal = bool(np.max(np.abs(ident)) < 1e-9)
+    sign_fixed = bool(all(c[np.argmax(np.abs(c))] > 0 for c in comps))
+    eig_descending = bool(
+        all(eigvals[j] >= eigvals[j + 1] for j in range(k - 1))
+        and eigvals[-1] >= -1e-12
+    )
+
+    proj = emb.select("embedding")
+    mu_lit = ", ".join(f"{x!r}D" for x in mean)
+    cent_norm2 = (
+        f"aggregate(zip_with(embedding, array({mu_lit}), "
+        f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+    proj = proj.withColumn("__cn2", F.expr(cent_norm2))
+    for j in range(k):
+        offset = float(np.dot(comps[j], mean))
+        v_lit = ", ".join(f"{x!r}D" for x in comps[j])
+        proj = proj.withColumn(
+            f"__p{j}",
+            F.expr(
+                f"aggregate(zip_with(embedding, array({v_lit}), "
+                f"(x, y) -> cast(x as double) * y), cast(0 as double), "
+                f"(acc, v) -> acc + v) - {offset!r}D"
+            ),
+        )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("__cn2").alias("s_cn2"),
+    ]
+    for j in range(k):
+        aggs += [
+            F.sum(F.col(f"__p{j}")).alias(f"s_{j}"),
+            F.sum(F.col(f"__p{j}") * F.col(f"__p{j}")).alias(f"ss_{j}"),
+        ]
+    m = proj.agg(*aggs)
+
+    scale = max(trace, 1e-300)
+    explained = F.lit(True)
+    recon = None
+    for j in range(k):
+        var_j = F.col(f"ss_{j}") / F.col("n") - (
+            F.col(f"s_{j}") / F.col("n")
+        ) ** 2
+        explained = explained & (
+            F.abs(var_j - F.lit(float(eigvals[j]))) <= F.lit(1e-6 * scale)
+        )
+        mean_sq = F.col(f"ss_{j}") / F.col("n")
+        recon = mean_sq if recon is None else recon + mean_sq
+    resid = F.col("s_cn2") / F.col("n") - recon
+    expected_resid = float(trace - eigvals.sum())
+    recon_ok = F.abs(resid - F.lit(expected_resid)) <= F.lit(1e-6 * scale)
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.lit(dim).alias("dim"),
+        F.lit(k).alias("k"),
+        F.lit(orthonormal).alias("orthonormal"),
+        F.lit(sign_fixed).alias("sign_fixed"),
+        F.lit(eig_descending).alias("eig_descending"),
+        explained.alias("explained_ok"),
+        recon_ok.alias("recon_ok"),
+    )

@@ -901,13 +901,12 @@ def hamming_prefilter_topk(
 
     Measured operating point (REHEARSAL_r10_ann_planner.json, 1M×64-dim
     uniform, local[32], default prefilter_mult=32): recall@10 0.49 at
-    8.6 s vs the exact int8 scan's 1.0 at 9.9 s. HONEST BOUNDARY: at 64
-    dims on a CPU-bound local runner the exact scan is nearly as cheap —
-    this path pays off where the scan is I/O-bound (the 100 TB case:
-    stage 1 reads 8 bytes/vector vs 64 for int8 codes, an 8× cut) or at
-    higher dimensionality; for small local corpora prefer the exact
-    scan (ann_plan's default amortized=True never picks hamming).
-    Raise ``prefilter_mult`` to trade stage-2 cost for recall.
+    8.6 s vs the exact int8 scan's 1.0 at 9.9 s — at CPU-bound local
+    scale the exact scan dominates. :func:`ann_plan` therefore only
+    dispatches here past its ``exact_nd_threshold`` cost boundary
+    (r11), where the scan is I/O-bound and stage 1's
+    8-bytes-per-vector read (vs 64 for int8 codes) cuts read volume
+    8×. Raise ``prefilter_mult`` to trade stage-2 cost for recall.
     """
     par = emb.sparkSession.sparkContext.defaultParallelism
     base = emb.repartition(par).select(
@@ -980,6 +979,7 @@ def ann_plan(
     amortized: bool = True,
     build_threshold: float = 0.6,
     fallback_threshold: float = 0.4,
+    exact_nd_threshold: int = 256_000_000,
 ) -> dict:
     """Choose an ANN strategy for this corpus — the executable form of
     the operating rule the r9 round documented on
@@ -998,9 +998,20 @@ def ann_plan(
       → ``"ivf_wide"``: IVF with probes raised to 50% of cells — recall
       ≥0.9 on the measured uniform curve, and the persisted int8 index
       still beats the float full scan per batch (4.6 s vs 10.4 s at
-      1M). One-off batches (``amortized=False``) → ``"hamming"``: the
-      binary prefilter + exact rescore (:func:`hamming_prefilter_topk`)
-      with no build cost.
+      1M). One-off batches (``amortized=False``) are cost-modeled
+      (r11, closing the r10 verdict's watch item): when
+      ``n_vectors × dim ≤ exact_nd_threshold`` the corpus is small
+      enough that the exact int8 scan is CPU-bound and essentially as
+      fast as the Hamming prefilter while returning recall 1.0
+      (measured at 1M×64 uniform: exact 9.9 s recall 1.0 vs hamming
+      8.6 s recall 0.49 — REHEARSAL_r10_ann_planner.json), so the plan
+      is ``"exact"``. Only past the threshold — where the scan turns
+      I/O-bound and the prefilter's 8-bytes-per-vector stage 1 cuts
+      read volume 8× — does the plan fall back to ``"hamming"``
+      (:func:`hamming_prefilter_topk`, no build cost). The default
+      threshold (2.56e8 ≈ 4 × the measured 1M×64 point) is calibrated
+      from REHEARSAL artifacts: every corpus we measured below it had
+      exact strictly dominating hamming locally.
     * in between → ``"exact"``: the calibration band is ambiguous, so
       correctness wins — exact int8 full scan (:func:`int8_topk`,
       recall 1.0) until a real recall rehearsal certifies IVF for this
@@ -1032,7 +1043,12 @@ def ann_plan(
             strategy, reason = "ivf_wide", "uniform-amortized"
             n_probes = max(n_probes, (len(centroid_ids) + 1) // 2)
         else:
-            strategy, reason = "hamming", "uniform-oneoff"
+            row = emb.select(F.size("embedding").alias("d")).first()
+            dim = int(row["d"]) if row is not None else 0
+            if n * dim <= exact_nd_threshold:
+                strategy, reason = "exact", "uniform-oneoff-cpu-bound"
+            else:
+                strategy, reason = "hamming", "uniform-oneoff-io-bound"
     else:
         strategy, reason = "exact", "uncertain-band"
     return {

@@ -4796,21 +4796,30 @@ def dedup_embedding_clusters(spark, sf_dir):
 
 @_q(
     "emb_pca_project",
-    None,  # eigensolve has no SQL twin — numpy-pinned in test_scale_ops.py
+    """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 64 AS dim, 2 AS k,
+       TRUE AS orthonormal, TRUE AS sign_fixed, TRUE AS eig_descending,
+       TRUE AS explained_ok, TRUE AS recon_ok
+FROM embeddings""",
     "distributed PCA (functions/pca.py): per-partition BLAS Gram/mean "
     "partials (one corpus pass, map-side only), driver-ordered partial "
     "sums (bit-deterministic under any task scheduling), d×d eigensolve "
     "on the driver, then a pure-JVM zip_with projection of every vector "
-    "onto the top-2 components. The tall-skinny PCA decomposition — at "
-    "100 TB the only things that cross the wire are n_partitions×(d²+d+1) "
-    "partial rows and two d-length literals. Rows-only by necessity; "
-    "component correctness is pinned against numpy's full PCA (cosine "
-    "≈1 per component, projections equal up to the fixed sign).",
+    "onto the top-2 components. r11: restated from rows-only to a "
+    "hash-checked CONTRACT row (the agg_approx_cd_bounded pattern) — an "
+    "eigensolve has no DuckDB twin, but its defining properties are "
+    "deterministic booleans given the data: component orthonormality, "
+    "the fixed sign/order convention, per-component explained variance "
+    "≡ eigenvalue (measured by running the real projection over every "
+    "corpus vector DISTRIBUTED, not from the model), and Parseval "
+    "reconstruction error ≡ trace(cov) − Σλ. A broken Gram aggregate, "
+    "dropped centering, or garbled component literal flips a flag and "
+    "hash-breaks. Raw per-vector projections remain via pca_project(), "
+    "numpy-pinned in tests/test_scale_ops.py.",
 )
 def emb_pca_project(spark, sf_dir):
-    from .functions.pca import pca_project
+    from .functions.pca import pca_contract
 
-    return pca_project(_t(spark, sf_dir, "embeddings"), dim=64, k=2)
+    return pca_contract(_t(spark, sf_dir, "embeddings"), dim=64, k=2)
 
 
 @_q(
@@ -5831,18 +5840,29 @@ def text_unigram_segment(spark, sf_dir):
 
 @_q(
     "agg_hll_partial_merge",
-    None,  # Apache DataSketches HLL bytes have no DuckDB twin — the
-    # partial-merge associativity and estimate accuracy are pinned in
-    # tests/test_scale_ops.py instead
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
+       TRUE AS merge_consistent, TRUE AS within_bound
+FROM documents GROUP BY lang""",
     "mergeable sketch partials — the pre-aggregated-cube pattern: each "
-    "(lang, source) cell keeps an HLL sketch of its user population as "
+    "(lang, source) cell keeps an HLL sketch of its doc population as "
     "BYTES (hll_sketch_agg), and any rollup level is answered by "
     "hll_union_agg over the stored partials WITHOUT rescanning rows. "
     "This is how a 100 TB corpus serves distinct-count dashboards: the "
     "sketch table is thousands of rows, re-aggregable along any "
     "dimension, and partials from new partitions merge in O(sketch "
-    "bytes). Output: per-lang distinct-doc estimates from merged "
-    "per-source partials.",
+    "bytes). r11: restated from rows-only to hash-checked CONTRACT "
+    "columns (the agg_approx_cd_bounded pattern) — DataSketches HLL "
+    "estimates are engine-specific so the raw value can never "
+    "oracle-match, but HLL union is register-wise max, so the "
+    "partial-merge ASSOCIATIVITY law (estimate from merged per-source "
+    "partials ≡ estimate from one direct sketch over the raw rows) is a "
+    "deterministic boolean given the data, as is the ±5σ accuracy bound "
+    "vs the exact distinct count (lgK=12 → rsd 1.625%, bound 8.2%). "
+    "Output per lang: exact row/distinct counts (value-pinned) + "
+    "merge_consistent + within_bound pinned TRUE. A broken sketch "
+    "serialization, a lossy union, or bias drift flips a flag and "
+    "hash-breaks the gate.",
 )
 def agg_hll_partial_merge(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -5850,13 +5870,32 @@ def agg_hll_partial_merge(spark, sf_dir):
         F.hll_sketch_agg("doc_id").alias("sk"),
         F.count("*").alias("n_rows"),
     )
+    merged = partials.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    direct = d.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("direct_est"),
+        F.countDistinct("doc_id").alias("exact_docs"),
+    )
     return (
-        partials.groupBy("lang")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
-            F.sum("n_rows").alias("n_rows"),
+        merged.join(direct, "lang")
+        .select(
+            "lang",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("exact_docs").cast("bigint").alias("exact_docs"),
+            (F.col("merged_est") == F.col("direct_est")).alias(
+                "merge_consistent"
+            ),
+            (
+                F.abs(
+                    F.col("merged_est").cast("double")
+                    / F.col("exact_docs").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.082)
+            ).alias("within_bound"),
         )
-        .select("lang", "approx_docs", "n_rows")
     )
 
 

@@ -38,13 +38,13 @@ def test_gate_priority_exact_and_unique():
 def test_every_oracle_key_has_query():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
-    # all but the engine-specific approximations carry an oracle:
-    # HLL sketches and k-means centroids have no exact cross-engine twin
+    # all but the engine-specific approximations carry an oracle: raw
+    # HLL sketch estimates have no exact cross-engine twin (the merge /
+    # accuracy CONTRACTS are hash-checked via agg_hll_partial_merge and
+    # agg_approx_cd_bounded; the PCA contract via emb_pca_project — r11)
     missing = set(qs) - set(os_)
     assert missing == {
         "agg_approx_count_distinct",
-        "emb_pca_project",  # eigensolve — numpy-pinned instead
-        "agg_hll_partial_merge",  # DataSketches bytes — property-pinned
     }
 
 

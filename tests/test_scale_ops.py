@@ -600,6 +600,49 @@ def test_pca_deterministic_across_partitionings(spark):
     assert a == b
 
 
+def test_pca_contract_flags_hold_and_flip_on_a_broken_model(spark):
+    """The r11 hash-checked contract: every flag TRUE on the real model
+    and n_vecs exact; and the distributed explained-variance check is a
+    real check — projecting onto a deliberately WRONG direction (a
+    non-eigenvector) must flip explained_ok, proving the boolean is
+    earned from the data, not asserted."""
+    import numpy as np
+
+    from sql_query_engine_spark.functions.pca import pca_contract, pca_model
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    row = pca_contract(emb, dim=64, k=2).collect()[0]
+    assert row.n_vecs == emb.count()
+    assert (row.dim, row.k) == (64, 2)
+    for flag in (
+        "orthonormal",
+        "sign_fixed",
+        "eig_descending",
+        "explained_ok",
+        "recon_ok",
+    ):
+        assert getattr(row, flag) is True, flag
+
+    # adversarial leg: eigenvalues claimed for components that are NOT
+    # the eigenvectors → the distributed variance measurement disagrees
+    comps, mean, eigvals, trace, n = pca_model(emb, dim=64, k=2)
+    from unittest import mock
+
+    rot = comps.copy()
+    theta = 0.7
+    rot[0] = np.cos(theta) * comps[0] + np.sin(theta) * comps[1]
+    rot[1] = -np.sin(theta) * comps[0] + np.cos(theta) * comps[1]
+    for i in range(2):
+        if rot[i][np.argmax(np.abs(rot[i]))] < 0:
+            rot[i] = -rot[i]
+    with mock.patch(
+        "sql_query_engine_spark.functions.pca.pca_model",
+        return_value=(rot, mean, eigvals, trace, n),
+    ):
+        broken = pca_contract(emb, dim=64, k=2).collect()[0]
+    assert broken.explained_ok is False
+
+
 def test_asof_forward_on_hand_built_rows(spark):
     """Forward as-of semantics on a tiny explicit fixture: earliest right
     row at-or-after each left timestamp, per key; tolerance bounds the
@@ -755,13 +798,15 @@ def test_hll_partials_merge_associatively_and_estimate_accurately(spark):
         )
         .collect()
     }
-    merged = {
-        r.lang: r.approx_docs for r in agg_hll_partial_merge(spark, SF_DIR).collect()
-    }
-    assert set(merged) == set(exact)
+    contract = {r.lang: r for r in agg_hll_partial_merge(spark, SF_DIR).collect()}
+    assert set(contract) == set(exact)
     for lang, n in exact.items():
-        assert merged[lang] == direct[lang], lang  # partial-merge ≡ direct
-        assert abs(merged[lang] - n) <= max(2, 0.05 * n), (lang, merged[lang], n)
+        row = contract[lang]
+        assert row.merge_consistent, lang  # partial-merge ≡ direct
+        assert row.within_bound, (lang, n)
+        assert row.exact_docs == n, lang
+        # and the law the flag encodes, re-derived from the raw pieces
+        assert abs(direct[lang] - n) <= max(2, 0.05 * n), (lang, direct[lang], n)
 
 
 def test_source_authority_pagerank_vs_python(spark):
@@ -951,8 +996,20 @@ def test_ann_planner_chooses_correctly(spark):
     assert p_u["strategy"] == "ivf_wide", p_u
     assert p_u["n_probes"] >= len(p_u["centroid_ids"]) // 2
 
+    # one-off uniform batches are cost-modeled (r11): under the n·d
+    # boundary the exact int8 scan dominates the hamming prefilter
+    # locally (recall 1.0 at ~the same wall time), so the planner says
+    # exact; only an I/O-bound corpus past the boundary falls back to
+    # the 8-bytes-per-vector prefilter
     p_u1 = similarity.ann_plan(uniform, amortized=False)
-    assert p_u1["strategy"] == "hamming", p_u1
+    assert p_u1["strategy"] == "exact", p_u1
+    assert p_u1["reason"] == "uniform-oneoff-cpu-bound"
+
+    p_u1_big = similarity.ann_plan(
+        uniform, amortized=False, exact_nd_threshold=0
+    )
+    assert p_u1_big["strategy"] == "hamming", p_u1_big
+    assert p_u1_big["reason"] == "uniform-oneoff-io-bound"
 
     p_tiny = similarity.ann_plan(synth_embeddings(spark, 9))
     assert p_tiny["strategy"] == "exact"

@@ -73,9 +73,23 @@ def main() -> int:
     assert p_u["strategy"] == "ivf_wide", p_u["strategy"]
     assert p_u["n_probes"] >= len(p_u["centroid_ids"]) // 2
 
+    # r11 cost boundary: a one-off uniform batch under the n·d
+    # threshold plans exact (CPU-bound — recall 1.0 at ~hamming's wall
+    # time); forcing the threshold to 0 exercises the I/O-bound branch
     p_u1 = S.ann_plan(uniform, amortized=False)
-    report["uniform_plan_oneoff"] = {"strategy": p_u1["strategy"]}
-    assert p_u1["strategy"] == "hamming", p_u1["strategy"]
+    report["uniform_plan_oneoff"] = {
+        "strategy": p_u1["strategy"],
+        "reason": p_u1["reason"],
+        "nd": n * 64,
+    }
+    expected = "exact" if n * 64 <= 256_000_000 else "hamming"
+    assert p_u1["strategy"] == expected, p_u1["strategy"]
+    p_u1_io = S.ann_plan(uniform, amortized=False, exact_nd_threshold=0)
+    report["uniform_plan_oneoff_io_bound"] = {
+        "strategy": p_u1_io["strategy"],
+        "reason": p_u1_io["reason"],
+    }
+    assert p_u1_io["strategy"] == "hamming", p_u1_io["strategy"]
 
     # the fallback's quality/cost point: hamming prefilter + exact int8
     # rescore vs the exact int8 full scan, uniform corpus, k=10, 8 queries
