@@ -1377,6 +1377,14 @@ WIN_DFCAP = 50    # inverted-index df cap (stopgram guard)
 # far beyond any real document); k-grams past the cap are dropped by an
 # explicit filter rather than silently borrowing from the hash bits.
 WIN_POSBITS = 8388608
+# fingerprint-shuffle sizing (r11): docs per post-shuffle partition.
+# ~40 fingerprints/doc at rehearsal token counts → ~2M slim (doc_id, h)
+# rows ≈ 32 MB per partition — comfortably inside a task's share of
+# executor memory. The r10 shape inherited the STATIC
+# spark.sql.shuffle.partitions (32 locally), so per-partition working
+# sets grew linearly with the corpus and the 4M-doc/4g rehearsal OOM'd
+# in the fingerprint sort — the textbook partition-count scale cliff.
+WIN_DOCS_PER_PARTITION = 12_500
 
 
 def winnowing_pairs(
@@ -1446,8 +1454,21 @@ def winnowing_pairs(
             ).alias("hs"),
         )
         .select("doc_id", F.explode("hs").alias("h"))
-        .repartition(F.col("h"))
     )
+    # partition count must SCALE with the corpus, not sit at the static
+    # shuffle default: every downstream consumer (df filter, both SMJ
+    # pair-join sides, their sorts) works per-partition, so a fixed
+    # count turns 100× data into 100× per-task memory (the 4M@4g OOM).
+    # docs.count() is metadata-cheap (parquet footers / range) and buys
+    # a partition count that holds per-task footprint flat at any scale.
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "8")),
+        spark.sparkContext.defaultParallelism,
+        -(-n_docs // WIN_DOCS_PER_PARTITION),
+    )
+    fp = fp.repartition(n_part, F.col("h"))
     if checkpoint_dir is not None:
         configure_checkpoint_dir(
             docs.sparkSession.sparkContext, checkpoint_dir

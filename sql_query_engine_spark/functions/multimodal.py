@@ -2065,6 +2065,394 @@ def mp3_metadata(with_media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MP3 Xing/VBR (r11, VERDICT r10 #7): real-world MP3 is mostly VBR, and
+# the ONLY honest duration for a VBR stream comes from the Xing/Info
+# header LAME writes into the first (silent) frame — byte layout public
+# via the Xing SDK header and the LAME source. The CBR walker above
+# deliberately rejects VBR; this pair owns it.
+# ---------------------------------------------------------------------------
+
+_XING_FRAME_BI = 1  # 32 kbps — the customary silent carrier frame
+
+
+def mp3_vbr_params(doc_id: int) -> tuple[int, int]:
+    """(n_audio_frames, samplerate_idx) — frame f's bitrate index is
+    (doc_id + f) % 14 + 1 and its padding bit (doc_id + f) % 2, all
+    restatable by the SQL oracle."""
+    return doc_id % 5 + 3, doc_id % 3
+
+
+def build_mp3_vbr(doc_id: int) -> bytes:
+    """A real-layout VBR MP3: ID3v2.3 tag, then a Xing header frame
+    (valid mono MPEG-1 Layer III frame at 32 kbps whose payload is the
+    'Xing' fourcc at the 21-byte mono side-info offset + flags 0x3 +
+    frame count + byte count), then n audio frames whose bitrate
+    indexes CYCLE through the table (true VBR) with alternating
+    padding bits."""
+    n, si = mp3_vbr_params(doc_id)
+    rate = _MP3_RATES[si]
+    tag_body = f"TAG-{doc_id}".encode().ljust(17, b"\x00")
+    sz = len(tag_body)
+    syncsafe = bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    )
+    out = bytearray(b"ID3\x03\x00\x00" + syncsafe + tag_body)
+
+    def frame_bytes(bi: int, pad: int, body: bytes = b"") -> bytes:
+        hdr = (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16) \
+            | (bi << 12) | (si << 10) | (pad << 9) | (0b11 << 6)
+        flen = (144000 * _MP3_BITRATES[bi]) // rate + pad
+        f = bytearray(hdr.to_bytes(4, "big"))
+        f += bytes(17)  # mono MPEG-1 side info (zeroed: silent frame)
+        f += body
+        if len(f) > flen:
+            raise ValueError("xing payload exceeds carrier frame")
+        f += bytes(flen - len(f))
+        return bytes(f)
+
+    audio = []
+    total_audio = 0
+    for f in range(n):
+        bi = (doc_id + f) % 14 + 1
+        pad = (doc_id + f) % 2
+        fb = frame_bytes(bi, pad)
+        audio.append(fb)
+        total_audio += len(fb)
+    xing_len = (144000 * _MP3_BITRATES[_XING_FRAME_BI]) // rate
+    total_bytes = xing_len + total_audio  # Xing 'bytes' = all frames
+    xing_body = (
+        b"Xing"
+        + (0x3).to_bytes(4, "big")       # flags: frames | bytes
+        + n.to_bytes(4, "big")           # audio frames after this one
+        + total_bytes.to_bytes(4, "big")
+    )
+    out += frame_bytes(_XING_FRAME_BI, 0, xing_body)
+    for fb in audio:
+        out += fb
+    return bytes(out)
+
+
+def decode_mp3_xing(payload: bytes):
+    """VBR MP3 walk → (n_frames, sample_rate, total_bytes, duration_ms,
+    avg_bitrate_kbps) or None.
+
+    Skips ID3v2, requires the first frame to carry a Xing/Info header
+    (fourcc at the channel-mode-dependent side-info offset), walks
+    every following frame ALLOWING the bitrate to vary per frame, and
+    cross-checks BOTH Xing claims against the walk: claimed frame
+    count == walked audio frames and claimed byte count == actual
+    frame bytes (Xing frame included). A VBR stream whose index lies —
+    the classic cause of wrong durations/seeks in players — rejects to
+    None, as do all the CBR walker's structural defects."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    pos = 0
+    if b[:3] == b"ID3":
+        if len(b) < 10 or any(x & 0x80 for x in b[6:10]):
+            return None
+        pos = 10 + ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9])
+    stream_start = pos
+
+    def parse_header(p: int):
+        if p + 4 > len(b):
+            return None
+        hdr = int.from_bytes(b[p : p + 4], "big")
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            return None
+        if (hdr >> 19) & 0b11 != 0b11 or (hdr >> 17) & 0b11 != 0b01:
+            return None
+        bi = (hdr >> 12) & 0x0F
+        si = (hdr >> 10) & 0b11
+        if bi in (0, 15) or si == 3:
+            return None
+        pad = (hdr >> 9) & 1
+        mode = (hdr >> 6) & 0b11
+        flen = (144000 * _MP3_BITRATES[bi]) // _MP3_RATES[si] + pad
+        return bi, si, pad, mode, flen
+
+    first = parse_header(pos)
+    if first is None:
+        return None
+    _, si, _, mode, flen = first
+    rate = _MP3_RATES[si]
+    side = 17 if mode == 0b11 else 32  # mono vs stereo side-info size
+    xoff = pos + 4 + side
+    if xoff + 16 > len(b) or pos + flen > len(b):
+        return None
+    if b[xoff : xoff + 4] not in (b"Xing", b"Info"):
+        return None
+    flags = int.from_bytes(b[xoff + 4 : xoff + 8], "big")
+    if flags & 0x3 != 0x3:
+        return None  # need both frame and byte counts for duration
+    claimed_frames = int.from_bytes(b[xoff + 8 : xoff + 12], "big")
+    claimed_bytes = int.from_bytes(b[xoff + 12 : xoff + 16], "big")
+    pos += flen
+    n = 0
+    while pos < len(b):
+        h = parse_header(pos)
+        if h is None:
+            return None
+        _, fsi, _, _, fl = h
+        if fsi != si:
+            return None  # sample rate cannot vary mid-stream
+        if pos + fl > len(b):
+            return None
+        pos += fl
+        n += 1
+    if n == 0 or pos != len(b):
+        return None
+    total_bytes = len(b) - stream_start
+    if n != claimed_frames or total_bytes != claimed_bytes:
+        return None  # lying VBR index
+    duration_ms = n * _MP3_SAMPLES_PER_FRAME * 1000.0 / rate
+    audio_bytes = total_bytes - flen
+    # exact-integer numerators/denominators, one double division each —
+    # the oracle replays this op order bit-for-bit
+    avg_kbps = audio_bytes * 8.0 * rate / (n * _MP3_SAMPLES_PER_FRAME) / 1000.0
+    return n, rate, total_bytes, duration_ms, avg_kbps
+
+
+MP3_XING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("total_bytes", LongType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("avg_bitrate_kbps", DoubleType(), True),
+    ]
+)
+
+
+def synthesize_mp3_vbr(docs: DataFrame) -> DataFrame:
+    """One real-layout VBR (Xing-indexed) MP3 per doc."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_mp3_vbr(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def mp3_xing_stats(with_media: DataFrame) -> DataFrame:
+    """payload → Xing-validated VBR metadata (map-only, NULL on
+    corruption or on a lying VBR index)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_frames", "sample_rate",
+                                    "total_bytes", "duration_ms",
+                                    "avg_bitrate_kbps")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_mp3_xing(payload)
+                if dec is None:
+                    for k in ("n_frames", "sample_rate", "total_bytes",
+                              "duration_ms", "avg_bitrate_kbps"):
+                        rows[k].append(None)
+                else:
+                    n, sr, tb, dur, kbps = dec
+                    rows["n_frames"].append(n)
+                    rows["sample_rate"].append(sr)
+                    rows["total_bytes"].append(tb)
+                    # UNROUNDED: both are divisions of exact integers in
+                    # a pinned op order, so the doubles are bit-identical
+                    # cross-engine — while round(x, 6) DIVERGES on exact
+                    # half-ties (Python rounds half-even, DuckDB half-away;
+                    # avg 61.9390625 was the observed case)
+                    rows["duration_ms"].append(dur)
+                    rows["avg_bitrate_kbps"].append(kbps)
+            out = pd.DataFrame(rows)
+            out["n_frames"] = out["n_frames"].astype("Int32")
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["total_bytes"] = out["total_bytes"].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, MP3_XING_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC SEEKTABLE block (r11, VERDICT r10 #7): the metadata block a real
+# streaming service needs before it can serve range requests — 18-byte
+# seek points (sample number, byte offset, frame sample count), spec
+# §"SEEKTABLE": points sorted by ascending sample number, placeholders
+# (sample number 2^64-1) only at the end. Format: FLAC spec (xiph.org).
+# ---------------------------------------------------------------------------
+
+_FLAC_PLACEHOLDER = (1 << 64) - 1
+
+
+def flac_seektable_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_real_points, n_placeholders, byte_step) — oracle-restatable.
+    Seek point i targets sample i*4096 at byte offset i*byte_step with
+    4096 frame samples; every 4th doc carries one trailing placeholder
+    (the pre-allocated-table pattern real encoders leave behind)."""
+    return doc_id % 6 + 2, 1 if doc_id % 4 == 0 else 0, doc_id % 1000 + 100
+
+
+def build_flac_seektable(doc_id: int) -> bytes:
+    """fLaC signature + STREAMINFO (not last) + SEEKTABLE (last) with
+    deterministic seek points and optional trailing placeholders."""
+    n_points, n_ph, step = flac_seektable_params(doc_id)
+    rate = AUDIO_RATES[doc_id % 5]
+    n_samples = (doc_id * 997) % 100_000 + 1_000
+    v = (rate << 44) | (0 << 41) | (15 << 36) | n_samples
+    streaminfo = (
+        (1024).to_bytes(2, "big")
+        + (4096).to_bytes(2, "big")
+        + (0).to_bytes(3, "big")
+        + (0).to_bytes(3, "big")
+        + v.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    table = bytearray()
+    for i in range(n_points):
+        table += (i * 4096).to_bytes(8, "big")
+        table += (i * step).to_bytes(8, "big")
+        table += (4096).to_bytes(2, "big")
+    for _ in range(n_ph):
+        table += _FLAC_PLACEHOLDER.to_bytes(8, "big") + bytes(10)
+    return (
+        b"fLaC"
+        + bytes([0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes([0x80 | 3]) + len(table).to_bytes(3, "big") + table
+    )
+
+
+def decode_flac_seektable(payload: bytes):
+    """FLAC metadata-block walk → (rate, n_samples, n_points,
+    n_placeholders, last_seek_sample, sum_byte_offsets) or None.
+
+    Walks ALL metadata blocks (not just the leading STREAMINFO like
+    _decode_flac): first block must be STREAMINFO, block lengths must
+    land exactly on the last-flagged block, the SEEKTABLE length must
+    be a multiple of 18, real seek points must be STRICTLY ascending in
+    sample number, and placeholders may only follow real points.
+    Violations — the spec's MUSTs — reject to None, never raise."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    first = True
+    rate = n_samples = None
+    seektable = None
+    while True:
+        if pos + 4 > len(b):
+            return None
+        hdr = b[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body_at = pos + 4
+        if body_at + size > len(b):
+            return None
+        if first:
+            if btype != 0 or size < 34:
+                return None
+            v = int.from_bytes(b[body_at + 10 : body_at + 18], "big")
+            rate = v >> 44
+            n_samples = v & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            first = False
+        elif btype == 3:
+            if seektable is not None or size % 18 != 0:
+                return None
+            seektable = b[body_at : body_at + size]
+        pos = body_at + size
+        if last:
+            break
+    if pos != len(b) or seektable is None:
+        return None
+    n_points = n_ph = 0
+    prev = -1
+    last_sample = 0
+    sum_off = 0
+    for i in range(0, len(seektable), 18):
+        sample = int.from_bytes(seektable[i : i + 8], "big")
+        off = int.from_bytes(seektable[i + 8 : i + 16], "big")
+        if sample == _FLAC_PLACEHOLDER:
+            n_ph += 1
+            continue
+        if n_ph:
+            return None  # real point after a placeholder: out of order
+        if sample <= prev:
+            return None  # spec: unique ascending sample numbers
+        prev = sample
+        last_sample = sample
+        sum_off += off
+        n_points += 1
+    if n_points == 0:
+        return None
+    return rate, n_samples, n_points, n_ph, last_sample, sum_off
+
+
+FLAC_SEEK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("n_points", IntegerType(), True),
+        StructField("n_placeholders", IntegerType(), True),
+        StructField("last_seek_sample", LongType(), True),
+        StructField("sum_byte_offsets", LongType(), True),
+    ]
+)
+
+
+def synthesize_flac_seektable(docs: DataFrame) -> DataFrame:
+    """One FLAC-with-SEEKTABLE per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_flac_seektable(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def flac_seektable_stats(with_media: DataFrame) -> DataFrame:
+    """payload → seektable census (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("sample_rate", "n_samples", "n_points", "n_placeholders",
+                "last_seek_sample", "sum_byte_offsets")
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id",) + cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_flac_seektable(payload)
+                if dec is None:
+                    for k in cols:
+                        rows[k].append(None)
+                else:
+                    for k, vv in zip(cols, dec):
+                        rows[k].append(vv)
+            out = pd.DataFrame(rows)
+            for c in ("sample_rate", "n_points", "n_placeholders"):
+                out[c] = out[c].astype("Int32")
+            for c in ("n_samples", "last_seek_sample", "sum_byte_offsets"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, FLAC_SEEK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Ogg container walk (RFC 3533 — public byte layout) + Vorbis id header
 # (Vorbis I spec §4.2.2). Header-metadata tier like the MP3/MP4 walks:
 # page structure + CRC verified, stream identity and duration extracted,
@@ -2291,6 +2679,221 @@ def ogg_metadata(with_media: DataFrame) -> DataFrame:
             yield out
 
     return with_media.mapInPandas(_dec, OGG_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Vorbis comment header (r11, VERDICT r10 #7): the SECOND Vorbis packet
+# — vendor string + length-prefixed KEY=value user comments (Vorbis I
+# spec §5, the metadata every tagger/player reads). The r10 stream head
+# carried junk data pages; this variant carries a REAL comment packet
+# so the tag-extraction path is decodable and oracled.
+# ---------------------------------------------------------------------------
+
+
+def ogg_comment_params(doc_id: int) -> tuple[int, str, str, int]:
+    """(n_comments, artist, title, track) — oracle-restatable. Comments
+    are ARTIST, TITLE, TRACKNUMBER plus (doc_id % 3) GENRE repeats."""
+    return (
+        3 + doc_id % 3,
+        f"artist-{doc_id % 97}",
+        f"track {doc_id}",
+        doc_id % 21 + 1,
+    )
+
+
+def build_ogg_vorbis_tagged(doc_id: int) -> bytes:
+    """A real-layout Ogg/Vorbis stream whose page 1 is a genuine Vorbis
+    COMMENT header packet (\\x03vorbis + vendor + user comment list +
+    framing bit); pages 0 and 2.. are the r10 stream head's BOS ident
+    and granule-monotone data pages. Total pages = ogg_params' count
+    + 1 (the comment page completes no audio, granule 0)."""
+    n_pages, channels, rate, last_granule = ogg_params(doc_id)
+    serial = (doc_id * 2654435761) % (1 << 32)
+    ident = (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")
+        + bytes([channels])
+        + rate.to_bytes(4, "little")
+        + bytes(12)
+        + bytes([0x66])
+        + b"\x01"
+    )
+    n_comments, artist, title, track = ogg_comment_params(doc_id)
+    vendor = b"sql-query-engine-spark r11"
+    comments = [
+        f"ARTIST={artist}".encode(),
+        f"TITLE={title}".encode(),
+        f"TRACKNUMBER={track}".encode(),
+    ] + [b"GENRE=synthetic"] * (n_comments - 3)
+    body = bytearray(b"\x03vorbis")
+    body += len(vendor).to_bytes(4, "little") + vendor
+    body += len(comments).to_bytes(4, "little")
+    for c in comments:
+        body += len(c).to_bytes(4, "little") + c
+    body += b"\x01"  # framing bit
+    out = bytearray(_ogg_page(serial, 0, 0, 0x02, ident))  # BOS
+    out += _ogg_page(serial, 1, 0, 0x00, bytes(body))      # comment page
+    for p in range(1, n_pages):
+        gran = last_granule * p // (n_pages - 1)
+        ln = (doc_id * 7 + p * 13) % 200 + 1
+        pbody = bytes((doc_id + p * 31 + i) % 256 for i in range(ln))
+        htype = 0x04 if p == n_pages - 1 else 0x00
+        out += _ogg_page(serial, p + 1, gran, htype, pbody)
+    return bytes(out)
+
+
+def _ogg_page_bodies(b: bytes, upto: int):
+    """Bodies of the first ``upto`` pages (structure assumed already
+    CRC-validated by decode_ogg_metadata — this is a boundary re-walk,
+    not a second validator)."""
+    bodies = []
+    pos = 0
+    for _ in range(upto):
+        if pos + 27 > len(b):
+            return None
+        nseg = b[pos + 26]
+        hend = pos + 27 + nseg
+        if hend > len(b):
+            return None
+        body_len = sum(b[pos + 27 : hend])
+        if hend + body_len > len(b):
+            return None
+        bodies.append(b[hend : hend + body_len])
+        pos = hend + body_len
+    return bodies
+
+
+def decode_ogg_comments(payload: bytes):
+    """Tagged Ogg/Vorbis → (n_pages, channels, sample_rate, n_comments,
+    vendor, artist, title, track, comment_bytes) or None.
+
+    The full r10 page walk first (capture/CRC/sequence/BOS/EOS/granule
+    laws — any structural damage rejects before a byte of tag parsing),
+    then page 1's packet must be a well-formed comment header: the
+    \\x03vorbis magic, length-prefixed vendor, a comment count whose
+    length-prefixed entries each contain '=' and land exactly on the
+    framing bit (which must be 1). ARTIST/TITLE/TRACKNUMBER extracted
+    case-insensitively per spec; comment_bytes = Σ entry lengths."""
+    meta = decode_ogg_metadata(payload)
+    if meta is None:
+        return None
+    n_pages, channels, rate, _gran, _dur = meta
+    b = bytes(payload)
+    bodies = _ogg_page_bodies(b, 2)
+    if bodies is None or len(bodies) < 2:
+        return None
+    pkt = bodies[1]
+    if len(pkt) < 15 or pkt[:7] != b"\x03vorbis":
+        return None
+    pos = 7
+    if pos + 4 > len(pkt):
+        return None
+    vlen = int.from_bytes(pkt[pos : pos + 4], "little")
+    pos += 4
+    if pos + vlen + 4 > len(pkt):
+        return None
+    try:
+        vendor = pkt[pos : pos + vlen].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    pos += vlen
+    n_comments = int.from_bytes(pkt[pos : pos + 4], "little")
+    pos += 4
+    if n_comments > len(pkt):  # cheap bound before the loop
+        return None
+    artist = title = None
+    track = None
+    comment_bytes = 0
+    for _ in range(n_comments):
+        if pos + 4 > len(pkt):
+            return None
+        clen = int.from_bytes(pkt[pos : pos + 4], "little")
+        pos += 4
+        if pos + clen > len(pkt):
+            return None
+        try:
+            entry = pkt[pos : pos + clen].decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        pos += clen
+        if "=" not in entry:
+            return None  # spec: field name, '=', value
+        comment_bytes += clen
+        key, _, val = entry.partition("=")
+        key = key.upper()
+        if key == "ARTIST" and artist is None:
+            artist = val
+        elif key == "TITLE" and title is None:
+            title = val
+        elif key == "TRACKNUMBER" and track is None:
+            try:
+                track = int(val)
+            except ValueError:
+                return None
+    if pos + 1 != len(pkt) or pkt[pos] & 1 != 1:
+        return None  # framing bit law
+    return (n_pages, channels, rate, n_comments, vendor, artist, title,
+            track, comment_bytes)
+
+
+OGG_COMMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_pages", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_comments", IntegerType(), True),
+        StructField("vendor", StringType(), True),
+        StructField("artist", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("track", IntegerType(), True),
+        StructField("comment_bytes", LongType(), True),
+    ]
+)
+
+
+def synthesize_ogg_tagged(docs: DataFrame) -> DataFrame:
+    """One tagged Ogg/Vorbis stream per doc (Arrow mapInPandas)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_ogg_vorbis_tagged(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+def ogg_comment_stats(with_media: DataFrame) -> DataFrame:
+    """payload → comment-header census (map-only, NULL on corruption)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_pages", "channels", "sample_rate", "n_comments",
+                "vendor", "artist", "title", "track", "comment_bytes")
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id",) + cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                dec = decode_ogg_comments(payload)
+                if dec is None:
+                    for k in cols:
+                        rows[k].append(None)
+                else:
+                    for k, vv in zip(cols, dec):
+                        rows[k].append(vv)
+            out = pd.DataFrame(rows)
+            for c in ("n_pages", "channels", "sample_rate", "n_comments",
+                      "track"):
+                out[c] = out[c].astype("Int32")
+            out["comment_bytes"] = out["comment_bytes"].astype("Int64")
+            yield out
+
+    return with_media.mapInPandas(_dec, OGG_COMMENT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3261,6 +3864,65 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes, max_out: int):
+    """TIFF 6.0 §9 PackBits (the Macintosh RLE every fax/scan pipeline
+    still emits): control byte n — 0..127 ⇒ copy the next n+1 literal
+    bytes, -127..-1 (129..255 two's complement) ⇒ repeat the next byte
+    1-n times, -128 (128) ⇒ no-op. Output capped at ``max_out`` (the
+    strip's declared decoded size) — oversized or truncated streams
+    reject (the bounded-inflate rule)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        pos += 1
+        if c == 128:
+            continue
+        if c < 128:
+            run = c + 1
+            if pos + run > n or len(out) + run > max_out:
+                return None
+            out += data[pos : pos + run]
+            pos += run
+        else:
+            run = 257 - c  # 1 - (c - 256)
+            if pos >= n or len(out) + run > max_out:
+                return None
+            out += bytes([data[pos]]) * run
+            pos += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits encoder mirroring _packbits_decode: runs of
+    ≥3 identical bytes become repeat packets (≤128 per packet), the
+    rest literal packets (≤128 per packet)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the run at i
+        j = i + 1
+        while j < n and data[j] == data[i] and j - i < 128:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: until the next ≥3-run or 128 bytes
+        lit = i
+        while lit < n and lit - i < 128:
+            if lit + 2 < n and data[lit] == data[lit + 1] == data[lit + 2]:
+                break
+            lit += 1
+        out.append(lit - i - 1)
+        out += data[i:lit]
+        i = lit
+    return bytes(out)
+
+
 def _tiff_ifd_values(b: bytes, end: str, pos: int, typ: int, cnt: int):
     """All values of a SHORT(3)/LONG(4) IFD entry (inline or offset)."""
     size = 2 if typ == 3 else 4
@@ -3284,8 +3946,12 @@ def decode_tiff_pixels(payload: bytes):
     or None.
 
     Subset: 8-bit samples, photometric 1 (gray, expanded to RGB like
-    the PNG gray path) or 2 (RGB, chunky), compression 1 (none) or 5
-    (TIFF-LZW), strips only (no tiles), PlanarConfiguration 1. Strip
+    the PNG gray path) or 2 (RGB), compression 1 (none), 5 (TIFF-LZW)
+    or 32773 (PackBits — r11), strips only (no tiles), either byte
+    order (II little / MM big — both real: Intel scanners write II,
+    classic Mac/Adobe tooling MM), and PlanarConfiguration 1 (chunky)
+    or 2 (r11, separate component planes: SamplesPerPixel × strips-per-
+    plane strip arrays, plane-major order per TIFF 6.0 §Planar). Strip
     sizes are validated against the declared geometry before any
     decompression (the bounded-inflate rule); structural damage, other
     photometrics/compressions/bit depths reject to None, never raise."""
@@ -3313,7 +3979,7 @@ def decode_tiff_pixels(payload: bytes):
         tag = int.from_bytes(b[pos : pos + 2], end)
         typ = int.from_bytes(b[pos + 2 : pos + 4], end)
         cnt = int.from_bytes(b[pos + 4 : pos + 8], end)
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279) \
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284) \
                 and typ in (3, 4):
             vals = _tiff_ifd_values(b, end, pos, typ, cnt)
             if vals is None:
@@ -3331,9 +3997,10 @@ def decode_tiff_pixels(payload: bytes):
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     rps = tags.get(278, [h])[0]
+    planar = tags.get(284, [1])[0]
     if w == 0 or h == 0 or rps == 0:
         return None
-    if comp not in (1, 5) or any(v != 8 for v in bits):
+    if comp not in (1, 5, 32773) or any(v != 8 for v in bits):
         return None
     if photo == 1 and spp == 1:
         ch = 1
@@ -3341,27 +4008,50 @@ def decode_tiff_pixels(payload: bytes):
         ch = 3
     else:
         return None
-    n_strips = (h + rps - 1) // rps
+    if planar not in (1, 2):
+        return None
+    if planar == 2 and ch == 1:
+        planar = 1  # spec: planar configuration is meaningless at spp=1
+    strips_per_plane = (h + rps - 1) // rps
+    n_planes = ch if planar == 2 else 1
+    n_strips = strips_per_plane * n_planes
     if len(offsets) != n_strips or len(counts) != n_strips:
         return None
-    stride = w * ch
-    raw = bytearray()
-    for si in range(n_strips):
-        rows_here = min(rps, h - si * rps)
-        want = rows_here * stride
+    samples_per_px = 1 if planar == 2 else ch
+
+    def _strip(si: int, want: int):
         so, sc = offsets[si], counts[si]
         if so + sc > len(b):
             return None
         strip = b[so : so + sc]
         if comp == 1:
-            if sc != want:
-                return None
-            raw += strip
-        else:
-            dec = _tiff_lzw_decode(strip, want)
-            if dec is None or len(dec) != want:
+            return strip if sc == want else None
+        dec = (
+            _tiff_lzw_decode(strip, want)
+            if comp == 5
+            else _packbits_decode(strip, want)
+        )
+        return dec if dec is not None and len(dec) == want else None
+
+    planes = []
+    for pl in range(n_planes):
+        raw = bytearray()
+        for sj in range(strips_per_plane):
+            rows_here = min(rps, h - sj * rps)
+            want = rows_here * w * samples_per_px
+            dec = _strip(pl * strips_per_plane + sj, want)
+            if dec is None:
                 return None
             raw += dec
+        planes.append(raw)
+    if planar == 2:
+        # interleave the three component planes back to chunky
+        raw = bytearray(w * h * 3)
+        for c in range(3):
+            raw[c::3] = planes[c]
+    else:
+        raw = planes[0]
+    stride = w * ch
     rows = []
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
@@ -3376,16 +4066,23 @@ def decode_tiff_pixels(payload: bytes):
 
 
 def build_tiff_pixels(
-    doc_id: int, compression: int = 1, rows_per_strip: int = 4
+    doc_id: int,
+    compression: int = 1,
+    rows_per_strip: int = 4,
+    endian: str = "little",
+    planar: int = 1,
 ) -> bytes:
-    """A REAL multi-strip chunky RGB TIFF of the shared pixel_value
-    grid (the same pattern the PNG/GIF/JPEG builders plant, so
-    cross-format consistency is checkable): little-endian, 8-bit,
-    photometric 2, StripOffsets/StripByteCounts LONG arrays, and the
-    strips either raw (compression 1) or TIFF-LZW (compression 5,
-    MSB-first early-change codes from the from-spec encoder)."""
+    """A REAL multi-strip RGB TIFF of the shared pixel_value grid (the
+    same pattern the PNG/GIF/JPEG builders plant, so cross-format
+    consistency is checkable): 8-bit, photometric 2, StripOffsets/
+    StripByteCounts LONG arrays. Dialect axes (r11 widened the zoo per
+    VERDICT r10 #7): ``endian`` 'little' (II, Intel) or 'big' (MM, the
+    classic Mac/Adobe order — every multi-byte IFD and value field byte-
+    swaps); ``compression`` 1 raw, 5 TIFF-LZW (MSB-first early-change),
+    32773 PackBits; ``planar`` 1 chunky RGBRGB strips or 2 separate
+    component planes (plane-major strip order, spp× the strip count)."""
     w, h = pixel_dims(doc_id)
-    end = "little"
+    end = endian
 
     def u16(v):
         return v.to_bytes(2, end)
@@ -3393,23 +4090,41 @@ def build_tiff_pixels(
     def u32(v):
         return v.to_bytes(4, end)
 
+    def pack(raw: bytes) -> bytes:
+        if compression == 1:
+            return raw
+        if compression == 5:
+            return _tiff_lzw_encode(raw)
+        return _packbits_encode(raw)
+
     strips = []
-    for y0 in range(0, h, rows_per_strip):
-        rows_here = min(rows_per_strip, h - y0)
-        raw = bytes(
-            v
-            for y in range(y0, y0 + rows_here)
-            for x in range(w)
-            for v in pixel_value(doc_id, x, y)
-        )
-        strips.append(raw if compression == 1 else _tiff_lzw_encode(raw))
+    if planar == 1:
+        for y0 in range(0, h, rows_per_strip):
+            rows_here = min(rows_per_strip, h - y0)
+            raw = bytes(
+                v
+                for y in range(y0, y0 + rows_here)
+                for x in range(w)
+                for v in pixel_value(doc_id, x, y)
+            )
+            strips.append(pack(raw))
+    else:
+        for c in range(3):  # plane-major: all strips of channel c first
+            for y0 in range(0, h, rows_per_strip):
+                rows_here = min(rows_per_strip, h - y0)
+                raw = bytes(
+                    pixel_value(doc_id, x, y)[c]
+                    for y in range(y0, y0 + rows_here)
+                    for x in range(w)
+                )
+                strips.append(pack(raw))
     n_strips = len(strips)
 
     def entry(tag, typ, cnt, val4):
         return u16(tag) + u16(typ) + u32(cnt) + val4
 
     # layout: header(8) + IFD + [bits array][offsets][counts] + strips
-    n_entries = 9
+    n_entries = 10
     ifd_size = 2 + 12 * n_entries + 4
     bits_off = 8 + ifd_size
     so_off = bits_off + 6
@@ -3436,9 +4151,10 @@ def build_tiff_pixels(
             279, 4, n_strips,
             u32(sc_off) if n_strips > 1 else u32(len(strips[0])),
         ),
+        entry(284, 3, 1, u16(planar) + u16(0)),
     ]
     out = bytearray()
-    out += b"II" + u16(42) + u32(8)
+    out += (b"II" if end == "little" else b"MM") + u16(42) + u32(8)
     out += u16(n_entries) + b"".join(entries) + u32(0)
     out += u16(8) * 3  # bits-per-sample array (8,8,8)
     if n_strips > 1:
@@ -3481,6 +4197,40 @@ def synthesize_tiff_pixels(docs: DataFrame, compression: int = 5) -> DataFrame:
                     ],
                 }
             )
+
+    return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
+
+
+_TIFF_VARIANTS = (
+    # (compression, endian, planar) — one dialect per doc_id % 6,
+    # jointly covering both byte orders × all three codecs × both
+    # planar configurations (r11, VERDICT r10 #7)
+    (5, "big", 1),        # MM byte order, LZW strips
+    (32773, "little", 1),  # PackBits
+    (1, "little", 2),      # planar component planes, raw
+    (32773, "big", 2),     # MM + PackBits + planar
+    (5, "little", 2),      # LZW + planar
+    (1, "big", 1),         # MM, raw
+)
+
+
+def synthesize_tiff_variants(docs: DataFrame) -> DataFrame:
+    """One real RGB TIFF per doc cycling through the dialect zoo
+    (_TIFF_VARIANTS by doc_id % 6): II/MM byte order, raw/LZW/PackBits
+    strips, chunky/planar layout. Same planted pixel grid as every
+    other image builder, so the decoded sums are dialect-invariant."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                comp, endv, planar = _TIFF_VARIANTS[int(d) % 6]
+                payloads.append(
+                    build_tiff_pixels(
+                        int(d), compression=comp, endian=endv, planar=planar
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return _doc_id_partitions(docs).mapInPandas(_make, _MEDIA_SCHEMA)
 

@@ -3270,3 +3270,196 @@ def test_unigram_viterbi_optimal_and_engine_parity(spark):
             p += wp
             f += wf
         assert got[row.doc_id] == (len(ws), p, c, f), row.doc_id
+
+
+def test_tiff_dialect_zoo_decodes_dialect_invariantly():
+    """r11 (VERDICT r10 #7): big-endian MM byte order, PackBits strips,
+    and PlanarConfiguration 2 must all decode to EXACTLY the rows the
+    little-endian chunky raw baseline yields — the planted grid is
+    dialect-invariant; truncation and strip corruption reject; the
+    from-spec PackBits codec round-trips adversarial byte strings."""
+    import os
+    import random
+
+    from sql_query_engine_spark.functions.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        build_tiff_pixels,
+        decode_tiff_pixels,
+        pixel_dims,
+        pixel_value,
+    )
+
+    for d in (0, 3, 17, 101):
+        w, h = pixel_dims(d)
+        exp = (w, h, [
+            bytes(v for x in range(w) for v in pixel_value(d, x, y))
+            for y in range(h)
+        ])
+        for comp in (1, 5, 32773):
+            for endian in ("little", "big"):
+                for planar in (1, 2):
+                    b = build_tiff_pixels(
+                        d, compression=comp, endian=endian, planar=planar
+                    )
+                    assert decode_tiff_pixels(b) == exp, (d, comp, endian,
+                                                          planar)
+                    assert decode_tiff_pixels(b[: len(b) // 2]) is None
+
+    # planar carries spp x strips-per-plane strip arrays — flipping one
+    # byte inside a PLANE strip must reject (count mismatch) or change
+    # a sum, never crash; here the raw planar strip count check:
+    b = build_tiff_pixels(3, compression=1, endian="big", planar=2)
+    rnd = random.Random(31)
+    for _ in range(300):
+        bb = bytearray(b)
+        bb[rnd.randrange(len(bb))] ^= 0xFF
+        decode_tiff_pixels(bytes(bb))  # decode-or-reject, never raise
+
+    rnd = random.Random(7)
+    for _ in range(300):
+        data = bytes(rnd.choices(range(4), k=rnd.randrange(300))) + os.urandom(
+            rnd.randrange(80)
+        )
+        enc = _packbits_encode(data)
+        assert _packbits_decode(enc, len(data)) == data
+        assert _packbits_decode(enc, max(0, len(data) - 1)) is None  # bound
+
+
+def test_mp3_xing_vbr_walk_validates_the_index():
+    """r11: the Xing walker must (a) reproduce the params arithmetic,
+    (b) reject a LYING index (frame count or byte count off by one) —
+    the defect that breaks durations/seeks in real players, (c) be
+    rejected by the CBR walker (dispatch boundary), and (d) never
+    crash on mutations."""
+    import random
+
+    from sql_query_engine_spark.functions.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        build_mp3_vbr,
+        decode_mp3_metadata,
+        decode_mp3_xing,
+        mp3_vbr_params,
+    )
+
+    for d in range(40):
+        b = build_mp3_vbr(d)
+        dec = decode_mp3_xing(b)
+        assert dec is not None, d
+        n, rate, tb, dur, kbps = dec
+        en, si = mp3_vbr_params(d)
+        assert (n, rate) == (en, _MP3_RATES[si])
+        flens = [
+            (144000 * _MP3_BITRATES[(d + f) % 14 + 1]) // rate + (d + f) % 2
+            for f in range(en)
+        ]
+        assert tb == (144000 * 32) // rate + sum(flens)
+        assert dur == en * 1152 * 1000.0 / rate
+        assert kbps == sum(flens) * 8.0 * rate / (en * 1152) / 1000.0
+        assert decode_mp3_metadata(b) is None  # CBR walker: VBR rejects
+
+    d = 7
+    b = bytearray(build_mp3_vbr(d))
+    xoff = 10 + 17 + 4 + 17  # ID3 header+body, frame header, mono side
+    assert bytes(b[xoff : xoff + 4]) == b"Xing"
+    lying_frames = bytearray(b)
+    lying_frames[xoff + 11] ^= 0x01
+    assert decode_mp3_xing(bytes(lying_frames)) is None
+    lying_bytes = bytearray(b)
+    lying_bytes[xoff + 15] ^= 0x01
+    assert decode_mp3_xing(bytes(lying_bytes)) is None
+
+    rnd = random.Random(11)
+    for _ in range(500):
+        bb = bytearray(b)
+        for _ in range(rnd.randint(1, 4)):
+            bb[rnd.randrange(len(bb))] = rnd.randrange(256)
+        decode_mp3_xing(bytes(bb))  # decode-or-reject, never raise
+
+
+def test_flac_seektable_walk_enforces_spec_musts():
+    """r11: full metadata-block walk — census matches the params
+    arithmetic; non-ascending seek points, a real point after a
+    placeholder, a length not divisible by 18, and truncation all
+    reject; mutations never crash."""
+    import random
+
+    from sql_query_engine_spark.functions.multimodal import (
+        build_flac_seektable,
+        decode_flac_seektable,
+        flac_seektable_params,
+    )
+
+    for d in range(40):
+        b = build_flac_seektable(d)
+        dec = decode_flac_seektable(b)
+        assert dec is not None, d
+        rate, ns, npts, nph, last, soff = dec
+        en, eph, step = flac_seektable_params(d)
+        assert (npts, nph) == (en, eph), d
+        assert last == (en - 1) * 4096
+        assert soff == step * en * (en - 1) // 2
+        assert decode_flac_seektable(b[:-3]) is None
+
+    d = 5  # n_points = 7, no placeholder
+    b = bytearray(build_flac_seektable(d))
+    st = 4 + 4 + 38 + 4  # sig, streaminfo hdr+body, seektable hdr
+    dup = bytearray(b)
+    dup[st + 18 : st + 26] = (0).to_bytes(8, "big")  # duplicate sample 0
+    assert decode_flac_seektable(bytes(dup)) is None
+    swapped = bytearray(b)
+    # make the FIRST point a placeholder: a real point now follows one
+    swapped[st : st + 8] = b"\xff" * 8
+    assert decode_flac_seektable(bytes(swapped)) is None
+
+    rnd = random.Random(13)
+    for _ in range(500):
+        bb = bytearray(b)
+        for _ in range(rnd.randint(1, 4)):
+            bb[rnd.randrange(len(bb))] = rnd.randrange(256)
+        decode_flac_seektable(bytes(bb))
+
+
+def test_vorbis_comment_packet_grammar_and_crc_gate():
+    """r11: tag extraction matches the params arithmetic; the packet
+    grammar is enforced (framing bit, '=' law, UTF-8); any bit flip
+    anywhere in the stream rejects via the page CRC before a byte of
+    tag parsing; mutations never crash."""
+    import random
+
+    from sql_query_engine_spark.functions.multimodal import (
+        build_ogg_vorbis_tagged,
+        decode_ogg_comments,
+        ogg_comment_params,
+        ogg_params,
+    )
+
+    for d in range(40):
+        b = build_ogg_vorbis_tagged(d)
+        dec = decode_ogg_comments(b)
+        assert dec is not None, d
+        n_pages, ch, rate, nc, vendor, artist, title, track, cb = dec
+        enp, ech, erate, _ = ogg_params(d)
+        enc, ea, et, etr = ogg_comment_params(d)
+        assert n_pages == enp + 1
+        assert (ch, rate) == (ech, erate)
+        assert (nc, artist, title, track) == (enc, ea, et, etr)
+        assert vendor == "sql-query-engine-spark r11"
+        assert cb == (
+            len(f"ARTIST={ea}") + len(f"TITLE={et}")
+            + len(f"TRACKNUMBER={etr}") + 15 * (enc - 3)
+        )
+
+    d = 9
+    b = build_ogg_vorbis_tagged(d)
+    rnd = random.Random(17)
+    for _ in range(60):
+        bb = bytearray(b)
+        bb[rnd.randrange(len(bb))] ^= 1 << rnd.randrange(8)
+        assert decode_ogg_comments(bytes(bb)) is None  # CRC gate
+    for _ in range(500):
+        bb = bytearray(b)
+        for _ in range(rnd.randint(1, 4)):
+            bb[rnd.randrange(len(bb))] = rnd.randrange(256)
+        decode_ogg_comments(bytes(bb))

@@ -8,7 +8,9 @@ for (uniform, no cluster structure, one-off batch):
 
 * plan(clustered @1M)            → must choose "ivf"
 * plan(uniform  @1M, amortized)  → must choose "ivf_wide" (≥50% probes)
-* plan(uniform  @1M, one-off)    → must choose "hamming"
+* plan(uniform  @1M, one-off)    → r11: cost-modeled — "exact" under
+  the n·d threshold (1M×64 is CPU-bound; exact dominates), "hamming"
+  past it; the forced-threshold leg exercises the I/O-bound branch
 * hamming_prefilter_topk vs int8_topk on uniform @1M: recall@10 +
   wall clock — the quality/cost point of the fallback.
 

@@ -32,6 +32,9 @@ DECODERS = [
     _mm.decode_mjpeg_mp4_pixels,
     _mm.decode_ogg_metadata, _mm.decode_mp4_tracks,  # r10
     _mm.decode_tiff_pixels,                             # r10
+    _mm.decode_mp3_xing,                                # r11
+    _mm.decode_flac_seektable,                          # r11
+    _mm.decode_ogg_comments,                            # r11
 ]
 
 def valid_corpus():
@@ -55,6 +58,13 @@ def valid_corpus():
             _mm.build_mp4_multitrack(d),           # r10
             _mm.build_tiff_pixels(d, compression=1),  # r10
             _mm.build_tiff_pixels(d, compression=5),  # r10
+            _mm.build_tiff_pixels(                     # r11: MM+PackBits
+                d, compression=32773, endian="big", planar=1),
+            _mm.build_tiff_pixels(                     # r11: planar LZW
+                d, compression=5, endian="little", planar=2),
+            _mm.build_mp3_vbr(d),                      # r11
+            _mm.build_flac_seektable(d),               # r11
+            _mm.build_ogg_vorbis_tagged(d),            # r11
         ]
     import os
     fdir = __import__('os').path.join(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))), 'tests', 'fixtures', 'foreign')
