@@ -398,6 +398,15 @@ def decode_media(with_media: DataFrame) -> DataFrame:
 
 AUDIO_RATES = [8000, 16000, 22050, 44100, 48000]
 
+# Decode-side allocation ceiling (r11): every pixel decoder sizes its
+# output from DECLARED header geometry, and several formats declare
+# 32-bit dims — a crafted header (w,h ≈ 2^31) must reject BEFORE any
+# allocation or inflation, not crash in the allocator (the fuzz-found
+# _png_idat ssize_t overflow) or chew gigabytes walking toward a huge
+# cap. 256 MiB of raw pixels is far above every synthetic/foreign
+# fixture and a sane per-document ceiling for a crawl decode stage.
+_MAX_DECODED_BYTES = 1 << 28
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -1542,6 +1551,13 @@ def _png_idat(payload: bytes, want_depth: int, want_colors: tuple[int, ...]):
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
                 bound += ph * ((pw * channels * depth + 7) // 8 + 1)
+    if bound > _MAX_DECODED_BYTES:
+        # r11 fuzz find: the bound itself is computed from DECLARED
+        # 32-bit dims, so a crafted IHDR (w,h ≈ 2^31) made bound+1
+        # overflow CPython's ssize_t inside zlib — the zip-bomb guard
+        # crashed instead of rejecting. Geometry past the decode cap is
+        # rejected before any inflation.
+        return None
     dec = zlib.decompressobj()
     try:
         raw = dec.decompress(bytes(idat), bound + 1)
@@ -3460,6 +3476,8 @@ def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
         return None
     w = int.from_bytes(b[6:8], "little")
     h = int.from_bytes(b[8:10], "little")
+    if w * h > _MAX_DECODED_BYTES:
+        return None  # declared-geometry allocation ceiling (r11)
     flags = b[10]
     if not flags & 0x80:
         return None  # need a global color table
@@ -3926,7 +3944,9 @@ def _packbits_encode(data: bytes) -> bytes:
 def _tiff_ifd_values(b: bytes, end: str, pos: int, typ: int, cnt: int):
     """All values of a SHORT(3)/LONG(4) IFD entry (inline or offset)."""
     size = 2 if typ == 3 else 4
-    if typ not in (3, 4):
+    if typ not in (3, 4) or cnt == 0:
+        # TIFF 6.0: Count ≥ 1 — a zero-count entry is structural damage
+        # (r11 fuzz find: an empty value list crashed the tag reads)
         return None
     total = size * cnt
     if total <= 4:
@@ -4012,6 +4032,12 @@ def decode_tiff_pixels(payload: bytes):
         return None
     if planar == 2 and ch == 1:
         planar = 1  # spec: planar configuration is meaningless at spp=1
+    if w * h * 3 > _MAX_DECODED_BYTES:
+        # declared-geometry allocation ceiling (r11): TIFF dims are LONG
+        # tags, and LZW's worst-case expansion (~4096× per code) means a
+        # huge declared strip lets a small crafted stream chew gigabytes
+        # before the per-strip want-cap trips — reject before decoding
+        return None
     strips_per_plane = (h + rps - 1) // rps
     n_planes = ch if planar == 2 else 1
     n_strips = strips_per_plane * n_planes
@@ -5695,6 +5721,8 @@ def _decode_jpeg_planes(payload: bytes):
         pos += 2 + ln
     if scan_start is None or w is None or w == 0 or h == 0:
         return None
+    if w * h * 3 > _MAX_DECODED_BYTES:
+        return None  # declared-geometry allocation ceiling (r11)
     tables = []
     for hi, vi, qid, dc_id, ac_id in scan_comps:
         q = qtables.get(qid)
@@ -6295,6 +6323,8 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
                 or (nf == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
             ):
                 return None  # other subsampling grids: boundary
+            if w == 0 or h == 0 or w * h * 3 > _MAX_DECODED_BYTES:
+                return None  # declared-geometry allocation ceiling (r11)
             hmax = max(s[0] for s in samplings)
             vmax = max(s[1] for s in samplings)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)

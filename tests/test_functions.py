@@ -3207,6 +3207,11 @@ def test_tiff_pixel_roundtrip_foreign_and_damage():
     g = sums("gray.tif")
     assert g[0] == g[1] == g[2] == exp["png_gray_sum"]
     assert sums("rgb.tif") == exp["png_rgb_sums"]
+    # r11: the JDK TIFF plugin's own PackBits encoder — foreign twin
+    # for the from-spec PackBits codec, exact pixel decode
+    gpb = sums("gray_packbits.tif")
+    assert gpb[0] == gpb[1] == gpb[2] == exp["png_gray_sum"]
+    assert sums("rgb_packbits.tif") == exp["png_rgb_sums"]
 
 
 def test_unigram_viterbi_optimal_and_engine_parity(spark):
@@ -3463,3 +3468,54 @@ def test_vorbis_comment_packet_grammar_and_crc_gate():
         for _ in range(rnd.randint(1, 4)):
             bb[rnd.randrange(len(bb))] = rnd.randrange(256)
         decode_ogg_comments(bytes(bb))
+
+
+def test_declared_geometry_bombs_reject_before_allocating():
+    """r11 fuzz finds: decoders size output from DECLARED header
+    geometry, so a crafted header (PNG/TIFF 32-bit dims ≈ 2^31, GIF
+    65535², JPEG 65535²) must reject BEFORE any allocation — the PNG
+    zip-bomb guard itself overflowed CPython's ssize_t computing
+    bound+1, and a zero-count IFD entry crashed the TIFF tag reads."""
+    from sql_query_engine_spark.functions.multimodal import (
+        build_gif_pixels,
+        build_jpeg_pixels,
+        build_png_pixels,
+        build_tiff_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_ahash,
+        decode_png_pixels,
+        decode_png_resize,
+        decode_tiff_pixels,
+    )
+
+    png = bytearray(build_png_pixels(3))
+    png[16:20] = (0x7FFFFFFF).to_bytes(4, "big")
+    png[20:24] = (0x7FFFFFFF).to_bytes(4, "big")
+    for dec in (decode_png_pixels, decode_png_resize, decode_png_ahash):
+        assert dec(bytes(png)) is None
+
+    gif = bytearray(build_gif_pixels(3))
+    gif[6:8] = (65535).to_bytes(2, "little")
+    gif[8:10] = (65535).to_bytes(2, "little")
+    assert decode_gif_pixels(bytes(gif)) is None
+
+    # JPEG: blow up the SOF0 height/width fields in place
+    jpg = bytearray(build_jpeg_pixels(3))
+    i = jpg.find(b"\xff\xc0")
+    assert i > 0
+    jpg[i + 5 : i + 7] = (65535).to_bytes(2, "big")
+    jpg[i + 7 : i + 9] = (65535).to_bytes(2, "big")
+    assert decode_jpeg_pixels(bytes(jpg)) is None
+
+    # TIFF: IFD entry count=0 (spec: Count >= 1) must reject, not crash
+    tif = bytearray(build_tiff_pixels(3))
+    # first IFD entry starts at offset 10; its count field at +4..+8
+    tif[10 + 4 : 10 + 8] = (0).to_bytes(4, "little")
+    assert decode_tiff_pixels(bytes(tif)) is None
+    # TIFF: LONG dims past the ceiling reject before strip decode
+    tif = bytearray(build_tiff_pixels(3))
+    # entry 0 = tag 256 (width), type SHORT, value at +8; make it LONG
+    tif[10 + 2 : 10 + 4] = (4).to_bytes(2, "little")
+    tif[10 + 8 : 10 + 12] = (0x7FFFFFFF).to_bytes(4, "little")
+    assert decode_tiff_pixels(bytes(tif)) is None

@@ -208,6 +208,35 @@ def main() -> int:
     set_gray_raster(img, gray_at)
     open(os.path.join(OUT, "gray.tif"), "wb").write(encode(img, "tif"))
 
+    # PackBits TIFFs (r11): the JDK TIFF plugin's own RLE encoder — a
+    # foreign twin for the from-spec PackBits codec; exact pixel decode
+    def encode_tiff_packbits(img) -> bytes:
+        it = ImageIO.getImageWritersByFormatName("tif")
+        writer = it.next()
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+        )
+        param.setCompressionType("PackBits")
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    img = BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    set_pixels(img, rgb_at)
+    open(os.path.join(OUT, "rgb_packbits.tif"), "wb").write(
+        encode_tiff_packbits(img)
+    )
+    img = BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+    set_gray_raster(img, gray_at)
+    open(os.path.join(OUT, "gray_packbits.tif"), "wb").write(
+        encode_tiff_packbits(img)
+    )
+
     # WAV 16-bit STEREO — interleaved L/R frames from javax.sound
     nf = 200
     pcm2 = bytearray()
