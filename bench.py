@@ -67,6 +67,12 @@ HEADLINE = [
     "mm_png16i_stats",
     "mm_ogg_metadata",
     "mm_mp4_tracks",
+    # round-11 additions: TIFF dialect zoo (MM/PackBits/planar), VBR MP3
+    # with Xing validation, FLAC seektable walk, Vorbis comment parse
+    "mm_tiff_variants_stats",
+    "mm_mp3_xing",
+    "mm_flac_seektable",
+    "mm_vorbis_comments",
 ]
 
 

@@ -1388,7 +1388,9 @@ WIN_DOCS_PER_PARTITION = 12_500
 
 
 def winnowing_pairs(
-    docs: DataFrame, checkpoint_dir: str | None = None
+    docs: DataFrame,
+    checkpoint_dir: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """MOSS winnowing fingerprints → shared-fingerprint pairs.
 
@@ -1459,14 +1461,22 @@ def winnowing_pairs(
     # shuffle default: every downstream consumer (df filter, both SMJ
     # pair-join sides, their sorts) works per-partition, so a fixed
     # count turns 100× data into 100× per-task memory (the 4M@4g OOM).
-    # docs.count() is metadata-cheap (parquet footers / range) and buys
-    # a partition count that holds per-task footprint flat at any scale.
+    # The count is metadata-cheap for parquet/range scans; callers whose
+    # docs is an expensive derived plan should pass ``n_docs`` to avoid
+    # re-executing the lineage for the count (review r11).
     spark = docs.sparkSession
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
+    try:
+        # e.g. Databricks auto-optimized shuffle sets this to "auto"
+        shuffle_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        shuffle_default = 0
     n_part = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "8")),
+        shuffle_default,
         spark.sparkContext.defaultParallelism,
         -(-n_docs // WIN_DOCS_PER_PARTITION),
+        1,
     )
     fp = fp.repartition(n_part, F.col("h"))
     if checkpoint_dir is not None:

@@ -2408,6 +2408,10 @@ def decode_flac_seektable(payload: bytes):
         n_points += 1
     if n_points == 0:
         return None
+    if last_sample >= (1 << 63) or sum_off >= (1 << 63):
+        # raw 8-byte fields can exceed int64 — structurally absurd for
+        # any real stream and would blow the output column cast
+        return None
     return rate, n_samples, n_points, n_ph, last_sample, sum_off
 
 
@@ -2530,14 +2534,11 @@ def _ogg_page(serial: int, seq: int, granule: int, htype: int,
     return head + payload
 
 
-def build_ogg_vorbis(doc_id: int) -> bytes:
-    """A real-layout Ogg/Vorbis stream head: BOS page carrying the
-    Vorbis identification header (channels + rate), data pages with
-    monotone granule positions, EOS on the last page, every page
-    CRC-correct."""
-    n_pages, channels, rate, last_granule = ogg_params(doc_id)
-    serial = (doc_id * 2654435761) % (1 << 32)
-    ident = (
+def _ogg_ident_packet(channels: int, rate: int) -> bytes:
+    """The Vorbis identification header packet (Vorbis I §4.2.2) —
+    shared by the plain and tagged stream builders so a future packet
+    fix cannot fork the two synthetic corpora (review r11)."""
+    return (
         b"\x01vorbis"
         + (0).to_bytes(4, "little")          # vorbis_version
         + bytes([channels])
@@ -2546,13 +2547,36 @@ def build_ogg_vorbis(doc_id: int) -> bytes:
         + bytes([0x66])                      # blocksizes 2^6 / 2^6
         + b"\x01"                            # framing bit
     )
-    out = bytearray(_ogg_page(serial, 0, 0, 0x02, ident))  # BOS
+
+
+def _ogg_data_pages(
+    doc_id: int, serial: int, n_pages: int, last_granule: int, seq0: int
+) -> bytes:
+    """The monotone-granule data pages shared by both stream builders;
+    ``seq0`` is the page sequence number of the FIRST data page (1 for
+    the plain head, 2 for the tagged stream whose page 1 is the comment
+    header)."""
+    out = bytearray()
     for p in range(1, n_pages):
         gran = last_granule * p // (n_pages - 1)
         ln = (doc_id * 7 + p * 13) % 200 + 1
         body = bytes((doc_id + p * 31 + i) % 256 for i in range(ln))
         htype = 0x04 if p == n_pages - 1 else 0x00  # EOS on last
-        out += _ogg_page(serial, p, gran, htype, body)
+        out += _ogg_page(serial, seq0 + p - 1, gran, htype, body)
+    return bytes(out)
+
+
+def build_ogg_vorbis(doc_id: int) -> bytes:
+    """A real-layout Ogg/Vorbis stream head: BOS page carrying the
+    Vorbis identification header (channels + rate), data pages with
+    monotone granule positions, EOS on the last page, every page
+    CRC-correct."""
+    n_pages, channels, rate, last_granule = ogg_params(doc_id)
+    serial = (doc_id * 2654435761) % (1 << 32)
+    out = bytearray(
+        _ogg_page(serial, 0, 0, 0x02, _ogg_ident_packet(channels, rate))
+    )
+    out += _ogg_data_pages(doc_id, serial, n_pages, last_granule, seq0=1)
     return bytes(out)
 
 
@@ -2725,15 +2749,6 @@ def build_ogg_vorbis_tagged(doc_id: int) -> bytes:
     + 1 (the comment page completes no audio, granule 0)."""
     n_pages, channels, rate, last_granule = ogg_params(doc_id)
     serial = (doc_id * 2654435761) % (1 << 32)
-    ident = (
-        b"\x01vorbis"
-        + (0).to_bytes(4, "little")
-        + bytes([channels])
-        + rate.to_bytes(4, "little")
-        + bytes(12)
-        + bytes([0x66])
-        + b"\x01"
-    )
     n_comments, artist, title, track = ogg_comment_params(doc_id)
     vendor = b"sql-query-engine-spark r11"
     comments = [
@@ -2747,14 +2762,11 @@ def build_ogg_vorbis_tagged(doc_id: int) -> bytes:
     for c in comments:
         body += len(c).to_bytes(4, "little") + c
     body += b"\x01"  # framing bit
-    out = bytearray(_ogg_page(serial, 0, 0, 0x02, ident))  # BOS
+    out = bytearray(
+        _ogg_page(serial, 0, 0, 0x02, _ogg_ident_packet(channels, rate))
+    )
     out += _ogg_page(serial, 1, 0, 0x00, bytes(body))      # comment page
-    for p in range(1, n_pages):
-        gran = last_granule * p // (n_pages - 1)
-        ln = (doc_id * 7 + p * 13) % 200 + 1
-        pbody = bytes((doc_id + p * 31 + i) % 256 for i in range(ln))
-        htype = 0x04 if p == n_pages - 1 else 0x00
-        out += _ogg_page(serial, p + 1, gran, htype, pbody)
+    out += _ogg_data_pages(doc_id, serial, n_pages, last_granule, seq0=2)
     return bytes(out)
 
 
@@ -2846,6 +2858,8 @@ def decode_ogg_comments(payload: bytes):
                 track = int(val)
             except ValueError:
                 return None
+            if not (-(1 << 31) <= track < (1 << 31)):
+                return None  # must fit the int32 output column
     if pos + 1 != len(pkt) or pkt[pos] & 1 != 1:
         return None  # framing bit law
     return (n_pages, channels, rate, n_comments, vendor, artist, title,
@@ -3476,8 +3490,12 @@ def _decode_gif_core(payload: bytes, allow_interlace: bool = False):
         return None
     w = int.from_bytes(b[6:8], "little")
     h = int.from_bytes(b[8:10], "little")
-    if w * h > _MAX_DECODED_BYTES:
-        return None  # declared-geometry allocation ceiling (r11)
+    if w * h * 3 > _MAX_DECODED_BYTES:
+        # declared-geometry allocation ceiling (r11) — ×3 like the RGB
+        # decoders: the interlaced path holds the index stream AND the
+        # row-major de-interlace copy at once, so the pixel-count cap
+        # alone would admit ~2× the ceiling in peak allocation
+        return None
     flags = b[10]
     if not flags & 0x80:
         return None  # need a global color table

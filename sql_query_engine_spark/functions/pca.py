@@ -167,15 +167,18 @@ def pca_contract(emb: DataFrame, dim: int, k: int = 2) -> DataFrame:
     - ``eig_descending``   — λ₁ ≥ λ₂ ≥ … ≥ -1e-12;
     - ``explained_ok``     — the DISTRIBUTED variance of each projected
       coordinate (computed by running the real zip_with projection over
-      every corpus vector) equals its eigenvalue to 1e-6 relative;
+      every corpus vector) equals its eigenvalue to 1e-6 relative to
+      THAT eigenvalue, with a 1e-12×trace absolute floor;
     - ``recon_ok``         — Parseval: mean ‖x−μ‖² − Σⱼ mean pⱼ² equals
-      trace(cov) − Σⱼ λⱼ (the k-component reconstruction error) to 1e-6.
+      trace(cov) − Σⱼ λⱼ (the k-component reconstruction error) to 1e-6
+      relative, same floor.
 
     The eigensolve tolerance is ~1e-12; cross-partition float-sum
-    reordering perturbs the distributed moments by ~1e-12 relative; the
-    1e-6 band therefore never flips on scheduling, while a broken Gram
-    aggregate, a wrong sign, a dropped centering term, or a garbled
-    component literal flips a flag and hash-breaks the gate. The raw
+    reordering perturbs the distributed moments by ~1e-12 relative of
+    trace scale (the floor); the 1e-6 relative band therefore never
+    flips on scheduling, while a broken Gram aggregate, a wrong sign, a
+    dropped centering term, or a garbled component literal flips a flag
+    and hash-breaks the gate. The raw
     per-vector projection stays available via :func:`pca_project` and is
     numpy-pinned in tests.
     """
@@ -218,21 +221,30 @@ def pca_contract(emb: DataFrame, dim: int, k: int = 2) -> DataFrame:
         ]
     m = proj.agg(*aggs)
 
-    scale = max(trace, 1e-300)
+    # per-component band: 1e-6 RELATIVE to that eigenvalue (what the
+    # contract documents), plus a 1e-12×trace absolute floor so a
+    # near-zero eigenvalue doesn't demand sub-float-jitter precision —
+    # cross-partition sum reordering perturbs trace-scale moments by
+    # ~1e-12 relative (review r11: the earlier 1e-6×trace band was
+    # ~dim× looser than documented for the trailing components)
+    floor = max(1e-12 * trace, 1e-300)
     explained = F.lit(True)
     recon = None
     for j in range(k):
         var_j = F.col(f"ss_{j}") / F.col("n") - (
             F.col(f"s_{j}") / F.col("n")
         ) ** 2
+        tol_j = 1e-6 * float(eigvals[j]) + floor
         explained = explained & (
-            F.abs(var_j - F.lit(float(eigvals[j]))) <= F.lit(1e-6 * scale)
+            F.abs(var_j - F.lit(float(eigvals[j]))) <= F.lit(tol_j)
         )
         mean_sq = F.col(f"ss_{j}") / F.col("n")
         recon = mean_sq if recon is None else recon + mean_sq
     resid = F.col("s_cn2") / F.col("n") - recon
     expected_resid = float(trace - eigvals.sum())
-    recon_ok = F.abs(resid - F.lit(expected_resid)) <= F.lit(1e-6 * scale)
+    recon_ok = F.abs(resid - F.lit(expected_resid)) <= F.lit(
+        1e-6 * expected_resid + floor
+    )
 
     return m.select(
         F.col("n").cast("bigint").alias("n_vecs"),

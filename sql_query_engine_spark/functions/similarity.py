@@ -1043,9 +1043,14 @@ def ann_plan(
             strategy, reason = "ivf_wide", "uniform-amortized"
             n_probes = max(n_probes, (len(centroid_ids) + 1) // 2)
         else:
-            row = emb.select(F.size("embedding").alias("d")).first()
-            dim = int(row["d"]) if row is not None else 0
-            if n * dim <= exact_nd_threshold:
+            row = (
+                emb.where(F.col("embedding").isNotNull())
+                .select(F.size("embedding").alias("d"))
+                .first()
+            )
+            dim = int(row["d"]) if row is not None and row["d"] else 0
+            if dim <= 0 or n * dim <= exact_nd_threshold:
+                # unknown/degenerate dim → exact is the safe plan
                 strategy, reason = "exact", "uniform-oneoff-cpu-bound"
             else:
                 strategy, reason = "hamming", "uniform-oneoff-io-bound"

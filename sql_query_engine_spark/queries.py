@@ -5854,15 +5854,23 @@ FROM documents GROUP BY lang""",
     "bytes). r11: restated from rows-only to hash-checked CONTRACT "
     "columns (the agg_approx_cd_bounded pattern) — DataSketches HLL "
     "estimates are engine-specific so the raw value can never "
-    "oracle-match, but HLL union is register-wise max, so the "
-    "partial-merge ASSOCIATIVITY law (estimate from merged per-source "
-    "partials ≡ estimate from one direct sketch over the raw rows) is a "
-    "deterministic boolean given the data, as is the ±5σ accuracy bound "
-    "vs the exact distinct count (lgK=12 → rsd 1.625%, bound 8.2%). "
-    "Output per lang: exact row/distinct counts (value-pinned) + "
-    "merge_consistent + within_bound pinned TRUE. A broken sketch "
-    "serialization, a lossy union, or bias drift flips a flag and "
-    "hash-breaks the gate.",
+    "oracle-match, but two laws ARE stable booleans given the data: "
+    "(1) GROUPING CONSISTENCY — the estimate from merged per-(lang, "
+    "source) partials agrees within ±2% with the estimate from merged "
+    "partials of a strictly FINER partitioning (lang, source, "
+    "doc_id%7) of the same rows; and (2) the ±5σ accuracy bound vs "
+    "the exact distinct count (lgK=12 → rsd 1.625%, bound 8.2%). "
+    "CALIBRATION HONESTY (what the sf0.1 standing sweep taught this "
+    "round): neither 'merged ≡ direct sketch' (DataSketches serves "
+    "direct sketches from the HIP estimator, unions from the "
+    "composite estimator — off by ~1-2% in dense mode) nor 'merged ≡ "
+    "differently-grouped merge' (HLL_4's offset/aux rebase makes "
+    "union states differ by ±1 count depending on promotion timing) "
+    "holds EXACTLY at dense-mode cardinalities, so the contract pins "
+    "bounded divergence, which a real merge bug (lossy union, wrong "
+    "hashing, dropped partial) still blows through. Output per lang: "
+    "exact row/distinct counts (value-pinned) + merge_consistent + "
+    "within_bound pinned TRUE.",
 )
 def agg_hll_partial_merge(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -5874,19 +5882,30 @@ def agg_hll_partial_merge(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
         F.sum("n_rows").alias("n_rows"),
     )
-    direct = d.groupBy("lang").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("direct_est"),
-        F.countDistinct("doc_id").alias("exact_docs"),
+    finer = (
+        d.groupBy("lang", "source", (F.col("doc_id") % 7).alias("__b"))
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"))
+        .groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("finer_est"))
+    )
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("exact_docs")
     )
     return (
-        merged.join(direct, "lang")
+        merged.join(finer, "lang")
+        .join(exact, "lang")
         .select(
             "lang",
             F.col("n_rows").cast("bigint").alias("n_rows"),
             F.col("exact_docs").cast("bigint").alias("exact_docs"),
-            (F.col("merged_est") == F.col("direct_est")).alias(
-                "merge_consistent"
-            ),
+            (
+                F.abs(
+                    F.col("merged_est").cast("double")
+                    / F.col("finer_est").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.02)
+            ).alias("merge_consistent"),
             (
                 F.abs(
                     F.col("merged_est").cast("double")
@@ -11561,280 +11580,284 @@ _GATE_PRIORITY = [
     "ref_jsonl_scan",
     "stream_late_data_accounting",
     "tpch_q12_late_priority",
-    "text_bpe_encode",
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
+    "agg_hll_partial_merge",
+    "emb_pca_project",
+    "mm_mp3_xing",
+    "mm_vorbis_comments",
+    "mm_tiff_variants_stats",
+    "mm_flac_seektable",
+    "dedup_winnowing",
     "sim_ann_topk",
-    "dedup_winnowing",  # r10: rewritten (spill cut) - re-certify
-    "mm_png16i_stats",
-    "mm_ogg_metadata",
-    "mm_mp4_tracks",
-    "agg_approx_cd_bounded",
-    "mm_tiff_lzw_stats",
-    "text_unigram_segment",
-    "sql_scalar_subquery",
-    "tpch_q5_local_supplier_volume",
-    "scalar_string",
-    "agg_udaf_median",
-    "text_pii_stats",
-    "text_quality",
-    "text_scrub",
-    "text_token_stats",
-    "dedup_exact_hash",
-    "pipeline_dataset_mixture",
-    "pipeline_global_shuffle",
-    "mm_binary_features",
-    "pipeline_train_val_split",
-    "emb_quantize_int8",
-    "text_idf",
-    "text_lang_id",
-    "mm_frame_samples",
-    "stream_tumbling_counts",
-    "sim_cosine_topk",
-    "text_fingerprint",
-    "text_char_entropy",
-    "stream_session_windows",
     "text_chunking",
-    "stream_funnel_conversion",
-    "dedup_embedding_lsh",
-    "sim_lsh_ann_topk",
-    "dedup_incremental_stateless",
     "stream_zscore_anomalies",
-    "text_pack_sequences",
-    "join_asof_tolerance",
+    "stream_session_windows",
     "join_asof",
-    "dedup_incremental",
     "stream_user_profile",
-    "sim_hybrid_rrf",
+    "stream_funnel_conversion",
+    "text_pack_sequences",
+    "sim_lsh_ann_topk",
+    "join_asof_tolerance",
+    "dedup_embedding_lsh",
     "dedup_simhash_fp",
-    "dedup_ngram_jaccard",
+    "sim_hybrid_rrf",
+    "dedup_incremental_stateless",
     "text_repetition",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_simhash_lsh",
     "dedup_clusters",
     "pipeline_training_data",
-    "scalar_array_ops",
     "scalar_fuzzy_match",
-    "scalar_date_arithmetic",
+    "scalar_array_ops",
     "scalar_regex",
-    "agg_string_agg",
     "sample_systematic",
-    "dedup_exact",
+    "scalar_date_arithmetic",
+    "agg_string_agg",
     "pipeline_length_histogram",
+    "dedup_exact",
     "text_word_freq",
     "setop_union_distinct",
     "dedup_normalized",
-    "agg_two_level",
-    "scalar_null_semantics",
-    "setop_except_all",
     "window_distribution",
-    "sql_in_subquery",
-    "sql_exists_subquery",
+    "agg_two_level",
+    "setop_except_all",
+    "scalar_null_semantics",
     "join_right_outer",
-    "catalog_profile_orders",
     "catalog_profile_documents",
     "sql_grouping_sets",
+    "sql_in_subquery",
+    "sql_exists_subquery",
+    "catalog_profile_orders",
     "setop_intersect_all",
     "window_range_running",
-    "join_argmax",
     "agg_unpivot",
-    "sql_correlated_subquery",
+    "join_argmax",
     "agg_native_pivot",
+    "sql_correlated_subquery",
     "sql_cte",
     "window_analytic_values",
-    "window_distribution_scale",
-    "window_ntile_scale",
-    "join_range_bands",
-    "dedup_repeated_ngrams",
-    "dedup_embedding_cosine",
-    "pipeline_decontaminate",
     "text_quality_filter",
+    "pipeline_decontaminate",
+    "dedup_repeated_ngrams",
+    "window_ntile_scale",
+    "window_distribution_scale",
+    "dedup_embedding_cosine",
     "dedup_simhash_pairs",
-    "scalar_url_functions",
+    "join_range_bands",
     "text_readability",
+    "scalar_url_functions",
     "text_domain_score",
     "pipeline_domain_cap",
     "pipeline_source_quota",
-    "tpch_q6_forecast_revenue",
     "scalar_try_arithmetic",
     "stream_first_event_dedup",
+    "tpch_q6_forecast_revenue",
     "text_tokenizer_fertility",
-    "catalog_table_checksum",
-    "pipeline_cdc_upsert",
-    "agg_bitmap_distinct",
-    "emb_matryoshka_truncate",
     "pipeline_token_budget_mixture",
-    "tpch_q4_order_priority",
+    "catalog_table_checksum",
+    "emb_matryoshka_truncate",
     "catalog_feed_freshness",
     "scalar_zorder_key",
+    "tpch_q4_order_priority",
+    "pipeline_cdc_upsert",
     "join_null_safe",
-    "emb_norm_histogram",
     "stream_window_topk",
     "catalog_distribution_drift",
+    "agg_bitmap_distinct",
+    "emb_norm_histogram",
     "agg_histogram_quantiles",
     "text_dup_ngrams",
-    "text_keywords",
     "catalog_constraint_check",
+    "text_keywords",
     "agg_countmin_topk",
-    "mm_audio_sample_stats",
-    "emb_centroid_drift",
     "mm_jpeg_pixel_stats",
+    "mm_audio_sample_stats",
     "mm_flac_sample_stats",
+    "emb_centroid_drift",
     "stream_countmin_users",
-    "pipeline_classifier_calibration",
     "pipeline_classifier_auc",
+    "pipeline_classifier_calibration",
     "dedup_substring_span",
     "src_tbl_scan",
     "sample_weighted_priority",
     "catalog_zonemap_pruning",
+    "mm_payload_dedup",
+    "tpch_q14_promo_effect",
+    "sql_lateral_topn",
+    "catalog_table_diff",
     "agg_twophase_distinct",
     "stream_hourly_active_users",
     "tpch_q13_customer_distribution",
-    "agg_exact_moments",
-    "mm_payload_dedup",
-    "tpch_q15_top_supplier",
-    "tpch_q14_promo_effect",
     "pipeline_contrastive_pairs",
-    "catalog_table_diff",
-    "sql_lateral_topn",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q20_part_promotion",
-    "pipeline_scd2",
+    "agg_exact_moments",
+    "tpch_q15_top_supplier",
     "stream_sliding_counts",
-    "join_salted_skew",
-    "tpch_q11_important_stock",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q9_product_type_profit",
-    "stream_retention_cohorts",
     "sample_stratified",
-    "agg_mode_and_argmax",
-    "stream_session_native",
+    "tpch_q20_part_promotion",
+    "tpch_q9_product_type_profit",
     "window_time_range_trailing",
-    "mm_wav_stereo_stats",
-    "mm_decode",
+    "agg_mode_and_argmax",
+    "tpch_q17_small_qty_revenue",
+    "stream_retention_cohorts",
+    "pipeline_scd2",
+    "join_salted_skew",
+    "tpch_q22_global_sales_opportunity",
+    "stream_session_native",
+    "tpch_q11_important_stock",
     "mm_video_decode",
-    "mm_modality_router",
+    "mm_decode",
     "mm_audio_decode",
+    "mm_wav_stereo_stats",
     "mm_audio_filter",
     "mm_decode_filter",
+    "mm_modality_router",
     "join_asof_nearest",
     "src_fixed_width_scan",
     "stream_attribution",
-    "emb_label_centroids",
-    "pipeline_group_advantage",
-    "catalog_key_skew_profile",
     "agg_heavy_hitters",
-    "tpch_q19_disjunctive_revenue",
+    "emb_label_centroids",
+    "catalog_key_skew_profile",
     "text_postings_delta",
+    "tpch_q19_disjunctive_revenue",
+    "pipeline_next_event_dataset",
+    "pipeline_preference_pairs",
     "pipeline_incremental_rollup",
+    "window_rolling_slope",
+    "pipeline_group_advantage",
+    "agg_ols_fit",
+    "stream_interval_coalesce",
+    "window_running_distinct",
+    "stream_gapfill_locf",
     "stream_interval_join",
     "stream_daily_ohlc",
     "text_feature_hashing",
-    "agg_ols_fit",
-    "window_rolling_slope",
-    "pipeline_next_event_dataset",
-    "pipeline_preference_pairs",
-    "window_running_distinct",
-    "stream_gapfill_locf",
     "sim_int8_topk",
-    "stream_interval_coalesce",
     "pipeline_span_corruption",
-    "mm_tiff_metadata",
-    "mm_png_interlaced_stats",
-    "mm_gif_interlaced_stats",
-    "mm_wav_24bit_stats",
     "mm_mp3_metadata",
-    "mm_format_sniffer",
+    "mm_tiff_metadata",
+    "mm_wav_24bit_stats",
     "mm_jpeg_progressive_420_stats",
-    "sql_recursive_cte",
+    "mm_format_sniffer",
+    "mm_gif_interlaced_stats",
     "mm_video_pixel_stats",
+    "mm_png_interlaced_stats",
+    "sql_recursive_cte",
     "join_fuzzy_qgram",
     "src_warc_scan",
     "stream_token_bucket",
     "pipeline_semantic_decontaminate",
-    "mm_flac_stereo_stats",
+    "join_spatial_grid",
+    "pipeline_temperature_mixture",
+    "join_asof_forward",
+    "scalar_hilbert_key",
+    "mm_jpeg_420_stats",
     "mm_jpeg_progressive_stats",
-    "mm_gif_pixel_stats",
-    "mm_image_ahash",
+    "mm_flac_stereo_stats",
     "mm_jpeg_color_stats",
     "mm_pixel_stats",
-    "mm_jpeg_420_stats",
     "emb_knn_label_transfer",
     "emb_standardize",
-    "pipeline_temperature_mixture",
-    "scalar_hilbert_key",
-    "join_asof_forward",
+    "mm_gif_pixel_stats",
+    "mm_image_ahash",
     "join_nearest_event",
     "text_lm_score",
     "agg_robust_outliers",
-    "dedup_embedding_clusters",
     "graph_triangle_count",
-    "join_spatial_grid",
     "dedup_containment",
+    "dedup_embedding_clusters",
     "sim_hamming_topk",
     "tpch_q2_min_cost_supplier",
     "emb_random_projection",
-    "tpch_q7_volume_shipping",
     "stream_sliding_distinct",
+    "tpch_q18_large_volume",
+    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "join_interval_overlap",
     "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume",
-    "text_cdc_chunks",
     "tpch_q21_suppliers_kept_waiting",
-    "mm_gif_frame_sample",
+    "text_cdc_chunks",
+    "mm_png_metadata",
+    "mm_image_resize",
     "mm_jpeg_progressive_color_stats",
-    "src_avro_scan",
-    "pipeline_classifier_train",
-    "text_bm25_topk",
-    "pipeline_dedup_keeper",
+    "mm_gif_frame_sample",
     "sim_ivf_int8_topk",
+    "pipeline_classifier_train",
+    "src_avro_scan",
+    "text_bm25_topk",
     "sim_lsh_multiprobe_topk",
     "join_bloom_semijoin",
-    "pipeline_cluster_safe_split",
     "sim_mmr_rerank",
-    "graph_pagerank",
     "pipeline_dedup_rate_by_source",
-    "mm_png_metadata",
+    "pipeline_cluster_safe_split",
+    "graph_pagerank",
+    "pipeline_dedup_keeper",
     "pipeline_source_authority",
-    "mm_image_resize",
-    "scalar_date",
+    "scalar_map_ops",
     "topk_orders",
+    "scalar_date",
     "setop_union_all",
     "scalar_math",
-    "scalar_conditional",
-    "scalar_map_ops",
     "join_anti",
     "join_semi",
+    "scalar_higher_order",
+    "agg_having",
+    "join_full_outer",
+    "setop_except",
     "window_rank_dense",
     "window_ntile",
-    "setop_except",
-    "agg_rollup_gid",
-    "scalar_json",
-    "agg_percentiles",
-    "join_left_outer",
-    "window_running_sum",
-    "agg_having",
+    "scalar_conditional",
     "setop_intersect",
-    "join_full_outer",
+    "agg_percentiles",
+    "agg_rollup_gid",
+    "join_left_outer",
+    "agg_rollup",
     "agg_count_distinct",
     "agg_conditional_pivot",
-    "scalar_higher_order",
+    "scalar_json",
     "topk_per_group",
-    "agg_cube",
-    "window_moving_avg",
-    "window_lag_lead",
-    "agg_rollup",
     "agg_pricing_summary",
-    "tpch_q10_returned_items",
+    "window_running_sum",
     "tpch_q3_shipping_priority",
+    "agg_cube",
+    "tpch_q10_returned_items",
     "agg_exact_corr",
+    "window_lag_lead",
+    "window_moving_avg",
     "mm_png16_stats",
     "mm_jpeg_cmyk_stats",
-    "agg_hll_partial_merge",
+    "text_pii_stats",
+    "text_scrub",
+    "text_token_stats",
+    "pipeline_dataset_mixture",
+    "scalar_string",
+    "text_quality",
+    "dedup_exact_hash",
+    "pipeline_global_shuffle",
+    "emb_quantize_int8",
+    "pipeline_train_val_split",
+    "mm_binary_features",
+    "mm_frame_samples",
+    "stream_tumbling_counts",
+    "text_idf",
+    "agg_udaf_median",
+    "text_fingerprint",
+    "sql_scalar_subquery",
+    "text_lang_id",
+    "text_unigram_segment",
+    "text_char_entropy",
+    "sim_cosine_topk",
+    "mm_mp4_tracks",
+    "tpch_q5_local_supplier_volume",
+    "mm_tiff_lzw_stats",
+    "mm_ogg_metadata",
+    "mm_png16i_stats",
+    "sim_pq_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "agg_approx_cd_bounded",
+    "text_bpe_encode",
     "agg_approx_count_distinct",
-    "emb_pca_project",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because
