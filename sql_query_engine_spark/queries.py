@@ -10040,6 +10040,52 @@ def src_warc_scan(spark, sf_dir):
     )
 
 
+@_q(
+    "src_warc_gz_scan",
+    """SELECT doc_id,
+       concat('http://example.com/doc/', cast(doc_id as varchar))
+           AS target_uri,
+       CAST(200 AS BIGINT) AS http_status,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+            ELSE least(doc_id % 4 + 1,
+                       octet_length(cast(text as blob))) END AS BIGINT)
+           AS n_chunks,
+       cast(octet_length(cast(text as blob)) as bigint) AS content_length,
+       md5(text) AS payload_md5
+    FROM documents""",
+    "Compressed crawl ingest — the EXACT layout Common Crawl ships "
+    "(.warc.gz, ONE RFC 1952 gzip member PER RECORD, payloads framed "
+    "as raw HTTP/1.1 responses): a 100 TB crawl read fans out on "
+    "member boundaries, so the member walk IS the split contract. "
+    "Three from-spec framing layers stack per record, each enforcing "
+    "its own MUSTs (sources/warc.py): gzip header flag parse "
+    "(FNAME on every 5th doc, verified header-CRC16 on every 7th), "
+    "raw-DEFLATE inflate with a 256 MiB pre-trust ceiling, per-member "
+    "CRC32 + ISIZE checks; the WARC record walk; then HTTP/1.1 with "
+    "BOTH real framings mixed — Content-Length on every 3rd doc, "
+    "chunked transfer coding (hex sizes, a chunk extension, an X-Len "
+    "trailer) on the rest. The oracle restates chunk counts from the "
+    "builder's arithmetic and pins the entity md5, so one swallowed "
+    "or duplicated byte in any layer hash-breaks. Map-only "
+    "binaryFile → mapInPandas; defects raise with the offending path.",
+)
+def src_warc_gz_scan(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_gz")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_gz_dataset(d, out, n_files=4)
+    back = warc.read_warc_gz(spark, f"{out}/*.warc.gz")
+    return back.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        "n_chunks",
+        "content_length",
+        F.md5("text").alias("payload_md5"),
+    )
+
+
 # ---- distributed triangle counting --------------------------------------
 _TRI_CAP = 20  # max distinct users per co-occurrence group (blocking cap)
 

@@ -43,6 +43,12 @@ __all__ = [
     "decode_warc_bytes",
     "write_warc_dataset",
     "read_warc",
+    "gzip_member",
+    "split_gzip_members",
+    "build_http_response",
+    "parse_http_response",
+    "write_warc_gz_dataset",
+    "read_warc_gz",
 ]
 
 _CRLF = b"\r\n"
@@ -126,6 +132,316 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>"):
             doc_id = int(tail)
         recs.append((doc_id, uri, n, body))
     return recs
+
+
+# -------------------------------------------------------------------------
+# Multi-member gzip (RFC 1952) — the .warc.gz layout the crawl corpora
+# actually ship: ONE gzip member PER RECORD, so a reader can split work
+# at member boundaries without inflating the whole file. The walker is
+# from-spec (header flag parse incl. FEXTRA/FNAME/FCOMMENT/FHCRC, raw
+# DEFLATE via zlib, per-member CRC32 + ISIZE verification) and bounds
+# inflation per member before trusting any length field.
+# -------------------------------------------------------------------------
+
+_GZ_MAGIC = b"\x1f\x8b"
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+_GZ_MAX_MEMBER_BYTES = 256 * 1024 * 1024  # inflation ceiling per member
+
+
+def gzip_member(payload: bytes, fname: bytes | None = None,
+                fhcrc: bool = False) -> bytes:
+    """One RFC 1952 member: fixed header (MTIME=0 for determinism),
+    optional FNAME / header-CRC16, raw DEFLATE body, CRC32 + ISIZE."""
+    import zlib
+
+    flg = (_FNAME if fname else 0) | (_FHCRC if fhcrc else 0)
+    hdr = _GZ_MAGIC + b"\x08" + bytes([flg]) + b"\x00\x00\x00\x00" \
+        + b"\x00\xff"
+    if fname:
+        if b"\x00" in fname:
+            raise ValueError("FNAME cannot contain NUL")
+        hdr += fname + b"\x00"
+    if fhcrc:
+        hdr += (zlib.crc32(hdr) & 0xFFFF).to_bytes(2, "little")
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = co.compress(payload) + co.flush()
+    return (
+        hdr + body
+        + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+        + (len(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+    )
+
+
+def split_gzip_members(b: bytes, path: str = "<bytes>") -> list[bytes]:
+    """Walk a multi-member gzip stream → one inflated payload per
+    member. Enforces the RFC 1952 MUSTs: magic + CM=8, reserved FLG
+    bits zero, FEXTRA/FNAME/FCOMMENT skipped by their own framing,
+    FHCRC verified against the header bytes, and the 8-byte trailer's
+    CRC32 and ISIZE checked against the inflated payload. Inflation is
+    capped per member BEFORE any declared length is trusted. Raises
+    ValueError with the path on any defect — attributable ingest
+    failures, same convention as the WARC walker above."""
+    import zlib
+
+    out: list[bytes] = []
+    pos = 0
+    if not b:
+        raise ValueError(f"{path}: empty gzip stream")
+    while pos < len(b):
+        start = pos
+        if b[pos : pos + 2] != _GZ_MAGIC:
+            raise ValueError(f"{path}: bad gzip magic at {pos}")
+        if pos + 10 > len(b):
+            raise ValueError(f"{path}: truncated gzip header at {pos}")
+        if b[pos + 2] != 8:
+            raise ValueError(f"{path}: unknown compression method "
+                             f"{b[pos + 2]} at {pos}")
+        flg = b[pos + 3]
+        if flg & 0xE0:
+            raise ValueError(f"{path}: reserved FLG bits set at {pos}")
+        pos += 10
+        if flg & _FEXTRA:
+            if pos + 2 > len(b):
+                raise ValueError(f"{path}: truncated FEXTRA length")
+            xlen = int.from_bytes(b[pos : pos + 2], "little")
+            pos += 2 + xlen
+            if pos > len(b):
+                raise ValueError(f"{path}: truncated FEXTRA field")
+        for bit, name in ((_FNAME, "FNAME"), (_FCOMMENT, "FCOMMENT")):
+            if flg & bit:
+                z = b.find(b"\x00", pos)
+                if z < 0:
+                    raise ValueError(f"{path}: unterminated {name}")
+                pos = z + 1
+        if flg & _FHCRC:
+            if pos + 2 > len(b):
+                raise ValueError(f"{path}: truncated header CRC16")
+            want = int.from_bytes(b[pos : pos + 2], "little")
+            got = zlib.crc32(b[start:pos]) & 0xFFFF
+            if want != got:
+                raise ValueError(f"{path}: header CRC16 mismatch "
+                                 f"({want:#06x} != {got:#06x})")
+            pos += 2
+        d = zlib.decompressobj(-15)
+        try:
+            payload = d.decompress(b[pos:], _GZ_MAX_MEMBER_BYTES + 1)
+        except zlib.error as e:
+            raise ValueError(f"{path}: bad DEFLATE stream at {pos}: {e}")
+        if len(payload) > _GZ_MAX_MEMBER_BYTES:
+            raise ValueError(f"{path}: member inflates past "
+                             f"{_GZ_MAX_MEMBER_BYTES} bytes")
+        if not d.eof:
+            raise ValueError(f"{path}: truncated DEFLATE stream at {pos}")
+        tail = d.unused_data
+        if len(tail) < 8:
+            raise ValueError(f"{path}: truncated gzip trailer")
+        want_crc = int.from_bytes(tail[:4], "little")
+        want_isize = int.from_bytes(tail[4:8], "little")
+        if want_crc != (zlib.crc32(payload) & 0xFFFFFFFF):
+            raise ValueError(f"{path}: gzip CRC32 mismatch")
+        if want_isize != (len(payload) & 0xFFFFFFFF):
+            raise ValueError(f"{path}: gzip ISIZE mismatch "
+                             f"({want_isize} != {len(payload)})")
+        out.append(payload)
+        pos = len(b) - len(tail) + 8
+    return out
+
+
+# -------------------------------------------------------------------------
+# HTTP/1.1 response framing (RFC 7230) — WARC response records carry the
+# raw HTTP message (Content-Type: application/http;msgtype=response in
+# real crawls), so the ingest must parse a status line, header block,
+# and EITHER Content-Length framing OR chunked transfer coding (hex
+# chunk sizes, optional extensions, trailer section) to recover the
+# entity body.
+# -------------------------------------------------------------------------
+
+
+def build_http_response(body: bytes, doc_id: int) -> bytes:
+    """Deterministic HTTP/1.1 200 response around ``body``. Every third
+    doc uses Content-Length framing; the rest are chunked with
+    ``min(doc_id % 4 + 1, len(body))`` data chunks, a chunk extension
+    on the first chunk, and an ``X-Len`` trailer — the framing variants
+    a real crawl's responses actually mix."""
+    head = [b"HTTP/1.1 200 OK",
+            b"Content-Type: text/html; charset=utf-8",
+            f"X-Doc-Id: {doc_id}".encode()]
+    if doc_id % 3 == 0:
+        head.append(f"Content-Length: {len(body)}".encode())
+        return _CRLF.join(head) + _CRLF + _CRLF + body
+    head.append(b"Transfer-Encoding: chunked")
+    k = min(doc_id % 4 + 1, len(body))
+    chunks = []
+    if k:
+        q, r = divmod(len(body), k)
+        off = 0
+        for i in range(k):
+            n = q + (1 if i < r else 0)
+            chunks.append(body[off : off + n])
+            off += n
+    out = _CRLF.join(head) + _CRLF + _CRLF
+    for i, c in enumerate(chunks):
+        ext = b";x=1" if i == 0 else b""
+        out += f"{len(c):x}".encode() + ext + _CRLF + c + _CRLF
+    out += b"0" + _CRLF + f"X-Len: {len(body)}".encode() + _CRLF + _CRLF
+    return out
+
+
+def parse_http_response(b: bytes, path: str = "<bytes>"):
+    """Parse one HTTP/1.1 response → (status, body, n_chunks).
+    ``n_chunks`` counts data chunks (0 under Content-Length framing).
+    Enforces the RFC 7230 framing MUSTs: CRLF line endings, a valid
+    status line, hex chunk sizes (extensions allowed after ``;``),
+    exact CRLF after each chunk's data, a last-chunk, and a
+    CRLF-terminated trailer section. Raises ValueError with the path
+    on any defect."""
+    eol = b.find(_CRLF)
+    if eol < 0:
+        raise ValueError(f"{path}: unterminated HTTP status line")
+    parts = b[:eol].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/1."):
+        raise ValueError(f"{path}: bad HTTP status line {b[:eol]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(f"{path}: non-numeric HTTP status {parts[1]!r}")
+    pos = eol + 2
+    headers: dict[bytes, bytes] = {}
+    while True:
+        eol = b.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"{path}: unterminated HTTP header block")
+        line = b[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        k, sep, v = line.partition(b":")
+        if not sep or not k:
+            raise ValueError(f"{path}: malformed HTTP header {line!r}")
+        headers[k.strip().lower()] = v.strip()
+    te = headers.get(b"transfer-encoding", b"").lower()
+    if te == b"chunked":
+        body = b""
+        n_chunks = 0
+        while True:
+            eol = b.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError(f"{path}: unterminated chunk-size line")
+            size_tok = b[pos:eol].split(b";", 1)[0].strip()
+            try:
+                n = int(size_tok, 16)
+            except ValueError:
+                raise ValueError(f"{path}: bad chunk size {size_tok!r}")
+            pos = eol + 2
+            if n == 0:
+                break
+            if pos + n + 2 > len(b):
+                raise ValueError(f"{path}: truncated chunk data")
+            body += b[pos : pos + n]
+            if b[pos + n : pos + n + 2] != _CRLF:
+                raise ValueError(f"{path}: chunk data not CRLF-terminated")
+            pos += n + 2
+            n_chunks += 1
+        # trailer section: header lines until the blank line
+        while True:
+            eol = b.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError(f"{path}: unterminated trailer section")
+            line = b[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if b":" not in line:
+                raise ValueError(f"{path}: malformed trailer {line!r}")
+        if pos != len(b):
+            raise ValueError(f"{path}: {len(b) - pos} bytes of garbage "
+                             "after the last chunk's trailer")
+        return status, body, n_chunks
+    if b"content-length" in headers:
+        try:
+            n = int(headers[b"content-length"])
+        except ValueError:
+            raise ValueError(f"{path}: non-numeric Content-Length")
+        if n < 0 or pos + n != len(b):
+            raise ValueError(f"{path}: Content-Length {n} does not match "
+                             f"remaining {len(b) - pos} bytes")
+        return status, b[pos : pos + n], 0
+    raise ValueError(f"{path}: response without Content-Length or "
+                     "chunked framing")
+
+
+def write_warc_gz_dataset(df: DataFrame, out_dir: str,
+                          n_files: int = 4) -> None:
+    """One ``.warc.gz`` file per partition, ONE GZIP MEMBER PER RECORD
+    (the Common Crawl layout — member boundaries are the split points a
+    distributed reader fans out on). Each record's payload is a full
+    HTTP/1.1 response (chunked or Content-Length framed) wrapping the
+    document text. ``df`` must carry (doc_id, text)."""
+    sel = df.select("doc_id", "text")
+
+    def _write(pid: int, it):
+        out = b""
+        for r in it:
+            doc_id, text = int(r[0]), r[1]
+            http = build_http_response(text.encode("utf-8"), doc_id)
+            rec = build_warc_record(doc_id, "")  # reuse header framing
+            # swap the placeholder payload for the HTTP message and fix
+            # the declared type + length
+            rec = rec.replace(b"Content-Type: text/plain",
+                              b"Content-Type: application/http;"
+                              b"msgtype=response")
+            rec = rec.replace(b"Content-Length: 0",
+                              b"Content-Length: " + str(len(http)).encode())
+            rec = rec[: -4] + http + _CRLF + _CRLF
+            fname = (f"rec-{doc_id}.warc".encode()
+                     if doc_id % 5 == 0 else None)
+            out += gzip_member(rec, fname=fname, fhcrc=doc_id % 7 == 0)
+        with open(os.path.join(out_dir, f"part-{pid:05d}.warc.gz"),
+                  "wb") as f:
+            f.write(out)
+        return iter(())
+
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    sel.repartition(n_files).rdd.mapPartitionsWithIndex(_write).count()
+
+
+def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
+    """binaryFile scan → gzip member split → WARC record walk → HTTP
+    response parse → one row per record: (doc_id, target_uri,
+    http_status, n_chunks, content_length, text). ``content_length`` is
+    the ENTITY byte count (after de-chunking), not the WARC block
+    length. Map-only: per-file independent, nothing driver-side."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("target_uri", StringType(), True),
+            StructField("http_status", LongType(), True),
+            StructField("n_chunks", LongType(), True),
+            StructField("content_length", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for member in split_gzip_members(bytes(content), path):
+                    for d, u, _n, block in decode_warc_bytes(member, path):
+                        st, body, k = parse_http_response(block, path)
+                        rows.append((d, u, st, k, len(body),
+                                     body.decode("utf-8")))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "target_uri", "http_status",
+                             "n_chunks", "content_length", "text"],
+                )
+
+    return files.select("path", "content").mapInPandas(_dec, schema)
 
 
 def write_warc_dataset(df: DataFrame, out_dir: str, n_files: int = 4) -> None:

@@ -702,6 +702,132 @@ def test_warc_roundtrip_and_framing_defects(spark, tmp_path):
     ]
 
 
+def test_gzip_member_walk_and_foreign_twins():
+    """Multi-member gzip: roundtrip across flag combinations, BOTH
+    foreign-twin directions against the stdlib writer/reader, and one
+    reject per RFC 1952 MUST (magic, CM, reserved FLG, header CRC16,
+    DEFLATE truncation, trailer CRC32/ISIZE, trailing garbage)."""
+    import gzip as stdgzip
+
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        gzip_member,
+        split_gzip_members,
+    )
+
+    p1, p2, p3 = b"hello world" * 10, b"", bytes(range(256)) * 5
+    stream = (gzip_member(p1) + gzip_member(p2, fname=b"a.txt")
+              + gzip_member(p3, fname=b"b", fhcrc=True))
+    assert split_gzip_members(stream) == [p1, p2, p3]
+    # foreign twins: stdlib-written member parses; our member inflates
+    # with the stdlib reader (which also concatenates multi-member)
+    assert split_gzip_members(stdgzip.compress(p1, mtime=0)) == [p1]
+    assert stdgzip.decompress(gzip_member(p3)) == p3
+    assert stdgzip.decompress(stream) == p1 + p2 + p3
+
+    m = gzip_member(p1)
+    cases = {
+        "empty": b"",
+        "bad magic": b"XX" + m[2:],
+        "bad CM": m[:2] + b"\x07" + m[3:],
+        "reserved FLG": m[:3] + bytes([m[3] | 0xE0]) + m[4:],
+        "truncated deflate": m[: len(m) // 2],
+        "truncated trailer": m[:-3],
+        "crc32 flip": m[:-6] + bytes([m[-6] ^ 0xFF]) + m[-5:],
+        "isize flip": m[:-1] + bytes([m[-1] ^ 0xFF]),
+        "trailing garbage": m + b"not a member",
+    }
+    fh = gzip_member(p1, fhcrc=True)
+    cases["header crc16 flip"] = fh[:10] + bytes([fh[10] ^ 1]) + fh[11:]
+    for tag, b in cases.items():
+        with _pytest.raises(ValueError):
+            split_gzip_members(b), tag
+
+
+def test_http_response_framing():
+    """HTTP/1.1 response parse: chunked and Content-Length framings
+    roundtrip for every builder branch; framing defects (bad status,
+    non-hex chunk size, truncated chunk, missing trailer terminator,
+    post-trailer garbage, Content-Length mismatch) reject."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        parse_http_response,
+    )
+
+    bodies = (b"", b"x", "héllo — ünïcode ☃".encode(),
+              b"The quick brown fox jumps over the lazy dog" * 7)
+    for doc_id in range(12):
+        for body in bodies:
+            st, got, k = parse_http_response(
+                build_http_response(body, doc_id))
+            assert (st, got) == (200, body)
+            assert k == (0 if doc_id % 3 == 0
+                         else min(doc_id % 4 + 1, len(body)))
+
+    h = build_http_response(b"abcdef", 1)          # chunked, 2 chunks
+    assert b"3;x=1\r\n" in h and b"X-Len: 6" in h  # extension + trailer
+    for bad in (
+        h[:-3],                                     # truncated trailer
+        h.replace(b"3;x=1", b"Z;x=1"),              # non-hex size
+        h.replace(b"HTTP/1.1 200 OK", b"ICY 200 OK"),
+        h + b"junk",                                # garbage after end
+        h.replace(b"abc\r\n", b"abcXX"),            # chunk not CRLF-ended
+    ):
+        with _pytest.raises(ValueError):
+            parse_http_response(bad)
+    cl = build_http_response(b"abcdef", 3)          # Content-Length leg
+    with _pytest.raises(ValueError):
+        parse_http_response(cl.replace(b"Content-Length: 6",
+                                       b"Content-Length: 9"))
+
+
+def test_warc_gz_end_to_end(spark, tmp_path):
+    """.warc.gz dataset: one gzip member per record, HTTP payloads with
+    both framings, multi-byte UTF-8 — write executor-side, read back
+    through all three framing layers; one corrupted member byte makes
+    the read raise with the offending path."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        read_warc_gz,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(0, "content-length leg"), (1, "héllo — ünïcode ☃"),
+            (5, "fname member"), (7, "fhcrc member"), (9, ""),
+            (2, "chunked three ways body")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_gz_ds")
+    write_warc_gz_dataset(df, out, n_files=2)
+    back = sorted(
+        (r.doc_id, r.target_uri, r.http_status, r.n_chunks,
+         r.content_length, r.text)
+        for r in read_warc_gz(spark, f"{out}/*.warc.gz").collect()
+    )
+    want = sorted(
+        (d, f"http://example.com/doc/{d}", 200,
+         0 if d % 3 == 0 else min(d % 4 + 1, len(t.encode())),
+         len(t.encode()), t)
+        for d, t in docs
+    )
+    assert back == want
+
+    # flip one byte inside the first member's deflate body → the read
+    # fails loudly with the path, never returns silently-wrong rows
+    import glob as _glob
+    import os as _os
+
+    victim = sorted(_glob.glob(_os.path.join(out, "*.warc.gz")))[0]
+    raw = bytearray(open(victim, "rb").read())
+    raw[14] ^= 0xFF
+    open(victim, "wb").write(bytes(raw))
+    with _pytest.raises(Exception):
+        read_warc_gz(spark, f"{out}/*.warc.gz").collect()
+
+
 def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
     """Fixed-width write→read preserves ints, strings (trailing-space
     stripped), and doubles via shortest repr; an overflowing value
