@@ -5839,6 +5839,46 @@ def text_unigram_segment(spark, sf_dir):
 
 
 @_q(
+    "text_html_extract",
+    """SELECT doc_id,
+       concat('doc & ', cast(doc_id as varchar)) AS title,
+       cast(doc_id % 7 as int) AS n_links,
+       cast(8 + doc_id % 7 as int) AS n_tags,
+       cast(1 as int) AS n_comments,
+       md5(text) AS text_md5,
+       cast(length(text) as bigint) AS text_len
+FROM documents""",
+    "HTML text extraction (functions/html.py) — the WARC→text step "
+    "every web-crawl training pipeline runs between the .warc.gz "
+    "record walk (src_warc_gz_scan) and the text-quality tier: a "
+    "from-scratch WHATWG-flavored tokenizer (attribute values "
+    "containing '>', comments containing '>', RAWTEXT script/style "
+    "whose bodies contain '<p>' and '1<2', stray '<' as literal text, "
+    "named + numeric character references with error recovery) "
+    "extracts the title, the entity-decoded <p> text, and "
+    "link/tag/comment censuses. Pages are synthesized JVM-side from "
+    "the documents table with pure codegen expressions (escape via "
+    "chained literal replace, nav links via transform over sequence) "
+    "— only the extractor is Python (Arrow mapInPandas, map-only). "
+    "The oracle pins the escape→tokenize→unescape roundtrip BYTE-"
+    "EXACT via md5(text) plus every census from doc_id arithmetic, so "
+    "one swallowed character anywhere in the tokenizer hash-breaks. "
+    "A test pins the Spark-expression builder byte-identical to the "
+    "Python twin builder so the fixture cannot drift from the fuzz "
+    "corpus.",
+)
+def text_html_extract(spark, sf_dir):
+    from .functions import html as H
+
+    d = _t(spark, sf_dir, "documents")
+    out = H.html_extract_stats(H.synthesize_html_pages(d))
+    return out.select(
+        "doc_id", "title", "n_links", "n_tags", "n_comments",
+        F.md5("text").alias("text_md5"), "text_len",
+    )
+
+
+@_q(
     "agg_hll_partial_merge",
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
@@ -11632,6 +11672,8 @@ _GATE_PRIORITY = [
     "mm_vorbis_comments",
     "mm_tiff_variants_stats",
     "mm_flac_seektable",
+    "src_warc_gz_scan",
+    "text_html_extract",
     "dedup_winnowing",
     "sim_ann_topk",
     "text_chunking",

@@ -370,6 +370,23 @@ def parse_http_response(b: bytes, path: str = "<bytes>"):
                      "chunked framing")
 
 
+def try_scan_warc_gz(payload: bytes):
+    """Fuzz-contract wrapper over the full three-layer scan (gzip
+    members → WARC records → HTTP responses): returns the framing
+    census rows, or None on any defect — never raises. The SOURCE path
+    (read_warc_gz) deliberately raises instead: an ingest failure must
+    be attributable, whereas the fuzz contract is reject-never-crash."""
+    try:
+        rows = []
+        for member in split_gzip_members(payload):
+            for d, u, _n, block in decode_warc_bytes(member):
+                st, body, k = parse_http_response(block)
+                rows.append((d, u, st, k, len(body)))
+        return rows
+    except ValueError:
+        return None
+
+
 def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                           n_files: int = 4) -> None:
     """One ``.warc.gz`` file per partition, ONE GZIP MEMBER PER RECORD

@@ -3519,3 +3519,65 @@ def test_declared_geometry_bombs_reject_before_allocating():
     tif[10 + 2 : 10 + 4] = (4).to_bytes(2, "little")
     tif[10 + 8 : 10 + 12] = (0x7FFFFFFF).to_bytes(4, "little")
     assert decode_tiff_pixels(bytes(tif)) is None
+
+
+def test_html_extract_tokenizer_laws(spark):
+    """HTML extraction: escape→tokenize→unescape roundtrip is exact
+    over adversarial texts; the Spark-expression page builder is
+    byte-identical to the Python twin; tokenizer traps (RAWTEXT,
+    attribute '>', comment '>', stray '<', references) all hold;
+    structural defects reject via the try_ wrapper, never crash."""
+    from sql_query_engine_spark.functions.html import (
+        _decode_refs,
+        build_html_page,
+        extract_html,
+        html_extract_stats,
+        synthesize_html_pages,
+        try_extract_html,
+    )
+
+    texts = ["plain", "a & b < c > d", "héllo ☃ &amp; pre-escaped",
+             "", "tags <p> & </script> inside", "&#x1F600;"]
+    for d, t in enumerate(texts):
+        r = extract_html(build_html_page(d, t))
+        assert r["title"] == f"doc & {d}"
+        assert r["text"] == t
+        assert (r["n_links"], r["n_tags"], r["n_comments"]) == (
+            d % 7, 8 + d % 7, 1)
+
+    # Spark-expression builder ≡ Python twin builder, byte for byte
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.html
+           for r in synthesize_html_pages(df).collect()}
+    assert got == {d: build_html_page(d, t) for d, t in enumerate(texts)}
+
+    # end-to-end Arrow extraction matches the row-level tokenizer
+    rows = {r.doc_id: r for r in
+            html_extract_stats(synthesize_html_pages(df)).collect()}
+    for d, t in enumerate(texts):
+        assert rows[d].text == t and rows[d].text_len == len(t)
+
+    # reference decoding edges: valid named/decimal/hex decode; the
+    # WHATWG recovery set (no ';', unknown name, surrogate / zero /
+    # out-of-range codepoints) passes through literally
+    assert _decode_refs("&#x1F600;x&#65;&bogus;&amp") == \
+        "\U0001F600xA&bogus;&amp"
+    assert _decode_refs("&#xD800;&#0;&#1114112;") == "&#xD800;&#0;&#1114112;"
+
+    # RAWTEXT: a partial close inside a string is NOT the end tag
+    r = extract_html('<script>var a = "</scriptx>" + 1;</script><p>hi</p>')
+    assert r["text"] == "hi" and r["n_tags"] == 2
+    # stray '<' not starting a tag is literal text
+    assert extract_html("<p>1 < 2 and <3</p>")["text"] == "1 < 2 and <3"
+    # attribute values may contain '>' when quoted
+    assert extract_html("<p data-x='a>b'>z</p>")["text"] == "z"
+
+    for bad in ("<!-- never closed", "<p", '<p a="unclosed>',
+                "<script>x", "</>", "<?php", "<style>y"):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            extract_html(bad)
+        assert try_extract_html(bad) is None
+    assert try_extract_html(b"\xff\xfe") is None  # not UTF-8
+    assert try_extract_html("<p>ok</p>")["text"] == "ok"

@@ -12,6 +12,13 @@ mutations x 25 decoders = 1.5M calls, 0 crashes (REHEARSAL_r09_fuzz.json).
 import random, sys, traceback
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
 from sql_query_engine_spark.functions import multimodal as _mm
+from sql_query_engine_spark.functions.html import try_extract_html as _html
+from sql_query_engine_spark.sources.warc import (
+    try_scan_warc_gz as _warcgz,
+    gzip_member as _gzm,
+    build_http_response as _bhttp,
+    build_warc_record as _bwarc,
+)
 
 DECODERS = [
     _mm.decode_png_pixels, _mm.decode_png16_gray_stats,
@@ -35,6 +42,8 @@ DECODERS = [
     _mm.decode_mp3_xing,                                # r11
     _mm.decode_flac_seektable,                          # r11
     _mm.decode_ogg_comments,                            # r11
+    _html,                                              # r11: HTML extract
+    _warcgz,                                            # r11: .warc.gz scan
 ]
 
 def valid_corpus():
@@ -66,6 +75,17 @@ def valid_corpus():
             _mm.build_flac_seektable(d),               # r11
             _mm.build_ogg_vorbis_tagged(d),            # r11
         ]
+        # r11 ingest chain: a 2-member .warc.gz (HTTP chunked + CL
+        # framings) and a standalone HTML page (UTF-8 bytes)
+        from sql_query_engine_spark.functions.html import build_html_page
+        _t = f"fuzz & <doc> {d} — ünïcode ☃"
+        _rec = lambda did: _bwarc(did, "").replace(
+            b"Content-Length: 0",
+            b"Content-Length: %d" % len(_bhttp(_t.encode(), did)))[
+            :-4] + _bhttp(_t.encode(), did) + b"\r\n\r\n"
+        outs.append(_gzm(_rec(d), fname=b"r.warc")
+                    + _gzm(_rec(d + 1), fhcrc=True))
+        outs.append(build_html_page(d, _t).encode())
     import os
     fdir = __import__('os').path.join(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))), 'tests', 'fixtures', 'foreign')
     for f in sorted(os.listdir(fdir)):
