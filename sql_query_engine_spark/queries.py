@@ -761,6 +761,59 @@ def agg_approx_cd_bounded(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_approx_quantile_bounded",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS is_group_member, TRUE AS within_rank_bound
+FROM lineitem GROUP BY l_returnflag""",
+    "the approx-quantile RANK-ERROR contract as a hash-checked oracle "
+    "(r11 — the agg_approx_cd_bounded pattern applied to the second "
+    "big approximate aggregate a 100 TB report actually swaps in): "
+    "percentile_approx(x, p, accuracy) is Greenwald-Khanna — a "
+    "combinable, single-pass summary whose published guarantee is a "
+    "RANK, not a value: the returned element's rank r satisfies "
+    "|r − p·n| ≤ n/accuracy. The value itself is engine-specific (GK "
+    "keeps a pruned sample), so it can never oracle-match — but the "
+    "guarantee is a deterministic boolean given the data (no "
+    "query-time randomness). Spark computes the p50 estimate per "
+    "group at accuracy=100, then a second pass (3-row broadcast back "
+    "onto lineitem) counts lo = rows strictly below and hi = rows ≤ "
+    "the estimate, and pins (1) is_group_member: hi > lo — GK must "
+    "return an ACTUAL element of the group, and (2) within_rank_bound:"
+    " the occupied rank interval [lo, hi] intersects "
+    "[p·n − n/acc, p·n + n/acc]. A summary regression (wrong merge, "
+    "off-by-one compression, interpolation sneaking in) flips a flag "
+    "and hash-breaks. Group counts are value-pinned alongside.",
+)
+def agg_approx_quantile_bounded(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 100
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("med"),
+        F.count("*").alias("n"),
+    )
+    r = (
+        li.join(F.broadcast(g), "l_returnflag")
+        .groupBy("l_returnflag", "n", "med")
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("med"))
+                  .cast("long")).alias("lo"),
+            F.sum((F.col("l_extendedprice") <= F.col("med"))
+                  .cast("long")).alias("hi"),
+        )
+    )
+    n, lo, hi = F.col("n"), F.col("lo"), F.col("hi")
+    slack = n.cast("double") / acc
+    target = 0.5 * n.cast("double")
+    return r.select(
+        "l_returnflag",
+        n.alias("n"),
+        (hi > lo).alias("is_group_member"),
+        ((lo.cast("double") <= target + slack)
+         & (hi.cast("double") >= target - slack)).alias("within_rank_bound"),
+    )
+
+
 # =========================================================================
 # Sort / limit / top-k
 # =========================================================================
@@ -11674,6 +11727,7 @@ _GATE_PRIORITY = [
     "mm_flac_seektable",
     "src_warc_gz_scan",
     "text_html_extract",
+    "agg_approx_quantile_bounded",
     "dedup_winnowing",
     "sim_ann_topk",
     "text_chunking",

@@ -1055,3 +1055,66 @@ def test_ann_topk_dispatch_contract_and_recall(spark):
         ["query_id", "neighbor_id"],
     )
     assert j.filter(F.col("h.dot") != F.col("e.dot")).count() == 0
+
+
+def test_approx_quantile_rank_contract_is_earned(spark):
+    """agg_approx_quantile_bounded: on real data every flag is TRUE and
+    n matches; adversarially substituting a wrong 'estimate' flips the
+    right flag — a value above the whole group breaks the rank bound,
+    and an interpolated non-member (the classic continuous-percentile
+    bug GK must never exhibit) breaks is_group_member while leaving the
+    rank bound intact. The booleans discriminate; they are not
+    tautologies."""
+    from sql_query_engine_spark.queries import agg_approx_quantile_bounded
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {r.l_returnflag: r.n
+             for r in li.groupBy("l_returnflag")
+             .agg(F.count("*").alias("n")).collect()}
+    rows = {r.l_returnflag: r
+            for r in agg_approx_quantile_bounded(spark, SF_DIR).collect()}
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        assert r.is_group_member and r.within_rank_bound, flag
+        assert r.n == exact[flag]
+
+    def contract(med_by_flag):
+        acc = 100
+        fake = spark.createDataFrame(
+            [(k, float(v)) for k, v in med_by_flag.items()],
+            "l_returnflag string, med double")
+        g = (li.join(F.broadcast(fake), "l_returnflag")
+             .groupBy("l_returnflag", "med")
+             .agg(F.count("*").alias("n"),
+                  F.sum((F.col("l_extendedprice") < F.col("med"))
+                        .cast("long")).alias("lo"),
+                  F.sum((F.col("l_extendedprice") <= F.col("med"))
+                        .cast("long")).alias("hi")))
+        n, lo, hi = F.col("n"), F.col("lo"), F.col("hi")
+        slack, target = n.cast("double") / acc, 0.5 * n.cast("double")
+        return {r.l_returnflag: r for r in g.select(
+            "l_returnflag", (hi > lo).alias("member"),
+            ((lo.cast("double") <= target + slack)
+             & (hi.cast("double") >= target - slack)).alias("bound"),
+        ).collect()}
+
+    # estimate above every group value: rank interval [n, n] misses
+    # the p50 window AND the value is no member
+    too_big = {k: 10_000_000.0 for k in exact}
+    bad = contract(too_big)
+    assert all(not r.member and not r.bound for r in bad.values())
+
+    # interpolated non-member midway between two adjacent distinct
+    # values at the true median: rank bound still holds, membership
+    # flips — exactly the defect the flag exists to catch
+    import bisect
+
+    vals = sorted(float(v[0]) for v in
+                  li.select("l_extendedprice").collect())
+    mid_i = len(vals) // 2
+    lo_v = vals[mid_i]
+    hi_v = next(v for v in vals[mid_i:] if v > lo_v)
+    fake_mid = {k: (lo_v + hi_v) / 2 for k in exact}
+    mixed = contract(fake_mid)
+    assert all(not r.member for r in mixed.values())
+    assert any(r.bound for r in mixed.values())
