@@ -73,6 +73,10 @@ HEADLINE = [
     "mm_mp3_xing",
     "mm_flac_seektable",
     "mm_vorbis_comments",
+    # round-11 additions (late): compressed crawl ingest (gzip members →
+    # WARC → HTTP) and HTML text extraction — the CommonCrawl front door
+    "src_warc_gz_scan",
+    "text_html_extract",
 ]
 
 

@@ -324,3 +324,56 @@ def test_decoders_never_raise_on_mutations(base, cut, flips):
     for dec in _DECODERS:
         out = dec(payload)
         assert out is None or isinstance(out, tuple)
+
+
+# r11 ingest-chain decoders: HTML tokenizer + three-layer .warc.gz scan
+from sql_query_engine_spark.functions.html import (  # noqa: E402
+    build_html_page,
+    try_extract_html,
+)
+from sql_query_engine_spark.sources.warc import (  # noqa: E402
+    build_http_response,
+    build_warc_record,
+    gzip_member,
+    try_scan_warc_gz,
+)
+
+
+def _ingest_payloads():
+    outs = []
+    for d in (0, 3, 7):
+        t = f"prop & <doc> {d} — ünïcode ☃"
+        outs.append(build_html_page(d, t).encode())
+        http = build_http_response(t.encode(), d)
+        rec = build_warc_record(d, "").replace(
+            b"Content-Length: 0",
+            b"Content-Length: %d" % len(http))[:-4] + http + b"\r\n\r\n"
+        outs.append(gzip_member(rec, fname=b"r.warc", fhcrc=d % 2 == 0))
+    return outs
+
+
+_INGEST_VALID = _ingest_payloads()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.sampled_from(range(len(_INGEST_VALID))),
+    cut=st.integers(min_value=0, max_value=600),
+    flips=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),
+                  st.integers(min_value=1, max_value=255)),
+        min_size=0, max_size=4,
+    ),
+)
+def test_ingest_decoders_never_raise_on_mutations(base, cut, flips):
+    """HTML tokenizer and the gzip→WARC→HTTP scan under the crawl
+    adversarial model (truncation + byte flips): reject-to-None or
+    decode, never raise."""
+    buf = bytearray(_INGEST_VALID[base][:cut] if cut else _INGEST_VALID[base])
+    for pos, xor in flips:
+        if buf:
+            buf[pos % len(buf)] ^= xor
+    payload = bytes(buf)
+    for dec in (try_extract_html, try_scan_warc_gz):
+        out = dec(payload)
+        assert out is None or isinstance(out, (list, dict))
