@@ -58,6 +58,7 @@ __all__ = [
     "build_html_page",
     "synthesize_html_pages",
     "html_extract_stats",
+    "html_link_stats",
 ]
 
 _NAMED_REFS = {
@@ -130,6 +131,7 @@ def extract_html(html: str, path: str = "<html>") -> dict:
     low = html.lower()
     title_parts: list[str] = []
     text_parts: list[str] = []
+    links: list[dict] = []
     n_links = n_tags = n_comments = 0
     stack: list[str] = []
 
@@ -140,6 +142,8 @@ def extract_html(html: str, path: str = "<html>") -> dict:
             title_parts.append(_decode_refs(raw))
         if "p" in stack:
             text_parts.append(_decode_refs(raw))
+        if links and "a" in stack:
+            links[-1]["text"] += _decode_refs(raw)
 
     i = 0
     while i < n:
@@ -192,6 +196,7 @@ def extract_html(html: str, path: str = "<html>") -> dict:
             j += 1
         name = low[st:j]
         selfclosing = False
+        attrs: dict[str, str] = {}
         while True:
             while j < n and html[j] in _WS:
                 j += 1
@@ -213,6 +218,8 @@ def extract_html(html: str, path: str = "<html>") -> dict:
             if j == st2:
                 raise ValueError(
                     f"{path}: malformed attribute in <{name} at {j}")
+            aname = low[st2:j]
+            aval = ""
             while j < n and html[j] in _WS:
                 j += 1
             if j < n and html[j] == "=":
@@ -226,14 +233,19 @@ def extract_html(html: str, path: str = "<html>") -> dict:
                         raise ValueError(
                             f"{path}: unterminated {q}-quoted attribute "
                             f"value in <{name} at {j}")
+                    aval = html[j + 1 : end]
                     j = end + 1
                 else:
+                    st3 = j
                     while j < n and html[j] not in _WS + ">":
                         j += 1
+                    aval = html[st3:j]
+            attrs.setdefault(aname, _decode_refs(aval))
         n_tags += 1
         i = j
         if name == "a":
             n_links += 1
+            links.append({"href": attrs.get("href", ""), "text": ""})
         if name in _RAWTEXT and not selfclosing:
             end = low.find("</" + name, i)
             while end >= 0:
@@ -258,6 +270,7 @@ def extract_html(html: str, path: str = "<html>") -> dict:
         "n_links": n_links,
         "n_tags": n_tags,
         "n_comments": n_comments,
+        "links": links,
     }
 
 
@@ -282,6 +295,12 @@ def _escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+def _href(i: int) -> str:
+    """Link targets alternate site-internal and external — the split a
+    link-graph census needs to discriminate."""
+    return f"/l/{i}" if i % 2 else f"http://ext-{i}.example.org/"
+
+
 def build_html_page(doc_id: int, text: str) -> str:
     """One page per doc: entity-escaped body text in a ``<p>`` (with an
     attribute whose value contains ``>``), a title with a named
@@ -290,7 +309,7 @@ def build_html_page(doc_id: int, text: str) -> str:
     — every trap the tokenizer must survive."""
     n = doc_id % 7
     links = "".join(
-        f'<a href="/l/{i}">link {i}</a>' for i in range(1, n + 1))
+        f'<a href="{_href(i)}">link {i}</a>' for i in range(1, n + 1))
     return (
         "<!DOCTYPE html><html><head>"
         f"<title>doc &amp; {doc_id}</title>"
@@ -314,7 +333,12 @@ def synthesize_html_pages(docs: DataFrame) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(1), nl.cast("int")),
                 lambda i: F.concat(
-                    F.lit('<a href="/l/'), i.cast("string"),
+                    F.lit('<a href="'),
+                    F.when(i % 2 == 1,
+                           F.concat(F.lit("/l/"), i.cast("string")))
+                    .otherwise(F.concat(F.lit("http://ext-"),
+                                        i.cast("string"),
+                                        F.lit(".example.org/"))),
                     F.lit('">link '), i.cast("string"), F.lit("</a>")),
             ),
             "",
@@ -370,6 +394,49 @@ def html_extract_stats(pages: DataFrame) -> DataFrame:
                 rows,
                 columns=["doc_id", "title", "n_links", "n_tags",
                          "n_comments", "text", "text_len"],
+            )
+
+    return pages.select("doc_id", "html").mapInPandas(_ext, schema)
+
+
+def html_link_stats(pages: DataFrame) -> DataFrame:
+    """Per-page link census — the HTML→link-graph step (feeds the same
+    edge shapes graph_pagerank / pipeline_source_authority consume):
+    (doc_id, n_internal, n_external, hrefs, anchor_len), where
+    ``hrefs`` is the '|'-joined targets in DOCUMENT ORDER (a census the
+    oracle can pin byte-exact) and internal = href starting with '/'.
+    Arrow mapInPandas, map-only."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_internal", IntegerType(), True),
+            StructField("n_external", IntegerType(), True),
+            StructField("hrefs", StringType(), True),
+            StructField("anchor_len", LongType(), True),
+        ]
+    )
+
+    def _ext(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                r = None if html is None else try_extract_html(html)
+                if r is None:
+                    rows.append((int(doc_id), None, None, None, None))
+                    continue
+                links = r["links"]
+                n_int = sum(1 for x in links if x["href"].startswith("/"))
+                rows.append((
+                    int(doc_id),
+                    n_int,
+                    len(links) - n_int,
+                    "|".join(x["href"] for x in links),
+                    sum(len(x["text"]) for x in links),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_internal", "n_external", "hrefs",
+                         "anchor_len"],
             )
 
     return pages.select("doc_id", "html").mapInPandas(_ext, schema)

@@ -5932,6 +5932,45 @@ def text_html_extract(spark, sf_dir):
 
 
 @_q(
+    "text_html_links",
+    """WITH l AS (
+    SELECT d.doc_id, g.i,
+           CASE WHEN g.i % 2 = 1 THEN concat('/l/', cast(g.i as varchar))
+                ELSE concat('http://ext-', cast(g.i as varchar),
+                            '.example.org/') END AS href
+    FROM documents d, unnest(generate_series(1, d.doc_id % 7)) AS g(i))
+SELECT d.doc_id,
+       cast(coalesce(sum(CASE WHEN l.i % 2 = 1 THEN 1 ELSE 0 END), 0)
+            as int) AS n_internal,
+       cast(coalesce(sum(CASE WHEN l.i % 2 = 0 THEN 1 ELSE 0 END), 0)
+            as int) AS n_external,
+       coalesce(string_agg(l.href, '|' ORDER BY l.i), '') AS hrefs,
+       cast(coalesce(sum(5 + length(cast(l.i as varchar))), 0)
+            as bigint) AS anchor_len
+FROM documents d LEFT JOIN l ON l.doc_id = d.doc_id
+GROUP BY d.doc_id""",
+    "HTML link census (functions/html.py) — the HTML→link-graph step "
+    "that completes the crawl chain: ingest (src_warc_gz_scan) → text "
+    "extraction (text_html_extract) → LINK EDGES → the existing graph "
+    "family (graph_pagerank / pipeline_source_authority consume "
+    "exactly these edge shapes at corpus scale). The tokenizer's "
+    "attribute parser captures href values (entity-decoded, quoted "
+    "values containing '>' intact) and per-link anchor text in "
+    "document order; the census splits site-internal (href starting "
+    "'/') from external targets. The oracle replays the builder's "
+    "alternating internal/external link arithmetic per doc and pins "
+    "the '|'-joined href sequence BYTE-EXACT plus anchor-text length, "
+    "so one swallowed character in attribute-value parsing "
+    "hash-breaks. Map-only Arrow mapInPandas.",
+)
+def text_html_links(spark, sf_dir):
+    from .functions import html as H
+
+    d = _t(spark, sf_dir, "documents")
+    return H.html_link_stats(H.synthesize_html_pages(d))
+
+
+@_q(
     "agg_hll_partial_merge",
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
@@ -11727,6 +11766,7 @@ _GATE_PRIORITY = [
     "mm_flac_seektable",
     "src_warc_gz_scan",
     "text_html_extract",
+    "text_html_links",
     "agg_approx_quantile_bounded",
     "dedup_winnowing",
     "sim_ann_topk",

@@ -3565,6 +3565,30 @@ def test_html_extract_tokenizer_laws(spark):
         "\U0001F600xA&bogus;&amp"
     assert _decode_refs("&#xD800;&#0;&#1114112;") == "&#xD800;&#0;&#1114112;"
 
+    # link capture: hrefs in document order, entity-decoded attribute
+    # values, anchor text accumulated per link
+    r = extract_html(build_html_page(5, "x"))
+    assert [x["href"] for x in r["links"]] == [
+        "/l/1", "http://ext-2.example.org/", "/l/3",
+        "http://ext-4.example.org/", "/l/5"]
+    assert [x["text"] for x in r["links"]] == [
+        f"link {i}" for i in range(1, 6)]
+    r = extract_html('<a href="/x?a=1&amp;b=2">t &gt; u</a>')
+    assert r["links"] == [{"href": "/x?a=1&b=2", "text": "t > u"}]
+    # first-occurrence wins on duplicate attributes (WHATWG)
+    r = extract_html('<a href="/one" href="/two">z</a>')
+    assert r["links"][0]["href"] == "/one"
+
+    from sql_query_engine_spark.functions.html import html_link_stats
+    lrows = {r.doc_id: r for r in
+             html_link_stats(synthesize_html_pages(df)).collect()}
+    for d in range(len(texts)):
+        nl = d % 7
+        assert lrows[d].n_internal == (nl + 1) // 2
+        assert lrows[d].n_external == nl // 2
+        assert lrows[d].anchor_len == sum(
+            len(f"link {i}") for i in range(1, nl + 1))
+
     # RAWTEXT: a partial close inside a string is NOT the end tag
     r = extract_html('<script>var a = "</scriptx>" + 1;</script><p>hi</p>')
     assert r["text"] == "hi" and r["n_tags"] == 2
