@@ -461,6 +461,51 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(_dec, schema)
 
 
+def read_warc_gz_stream(spark: SparkSession, path_glob: str,
+                        **source_options) -> DataFrame:
+    """Continuous-ingest twin of :func:`read_warc_gz`: a Structured
+    Streaming ``binaryFile`` tail over a landing directory — new
+    .warc.gz shards are picked up per micro-batch and flow through the
+    SAME three-layer record walk (one code path for batch backfill and
+    streaming tail, the lambda-architecture collapse Structured
+    Streaming exists for). Append-only, no state, exactly-once per
+    shard under checkpointing."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("target_uri", StringType(), True),
+            StructField("http_status", LongType(), True),
+            StructField("n_chunks", LongType(), True),
+            StructField("content_length", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .options(**source_options)
+        .load(path_glob)
+    )
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for member in split_gzip_members(bytes(content), path):
+                    for d, u, _n, block in decode_warc_bytes(member, path):
+                        st, body, k = parse_http_response(block, path)
+                        rows.append((d, u, st, k, len(body),
+                                     body.decode("utf-8")))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "target_uri", "http_status",
+                             "n_chunks", "content_length", "text"],
+                )
+
+    return files.select("path", "content").mapInPandas(_dec, schema)
+
+
 def write_warc_dataset(df: DataFrame, out_dir: str, n_files: int = 4) -> None:
     """One .warc file per partition, written executor-side.
     ``df`` must carry (doc_id, text)."""

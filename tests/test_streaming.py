@@ -1009,3 +1009,59 @@ def test_streaming_kill_restart_recovery(tmp_path):
     assert resumed["rows"] == clean["rows"], (
         resumed["n_rows"], clean["n_rows"],
     )
+
+
+def test_warc_gz_streaming_tail_equals_batch(spark, tmp_path):
+    """Continuous crawl ingest: .warc.gz shards landing over time are
+    tailed by read_warc_gz_stream (binaryFile streaming source +
+    the same three-layer record walk as batch) — each shard arrives in
+    its own micro-batch, and the union of all micro-batches equals the
+    batch read of the same directory."""
+    import time as _time
+
+    from sql_query_engine_spark.sources.warc import (
+        read_warc_gz,
+        read_warc_gz_stream,
+        write_warc_gz_dataset,
+    )
+
+    land = tmp_path / "warc_land"
+    land.mkdir()
+    docs = [(d, f"shard doc {d} — ünïcode ☃ & <tag>") for d in range(12)]
+    # three shards written with distinct mtimes => deterministic
+    # per-file trigger order under maxFilesPerTrigger=1
+    for i in range(3):
+        sub = tmp_path / f"stage{i}"
+        df = spark.createDataFrame(docs[i * 4 : (i + 1) * 4],
+                                   "doc_id long, text string")
+        write_warc_gz_dataset(df, str(sub), n_files=1)
+        import glob as _glob
+        import shutil as _shutil
+
+        src = _glob.glob(str(sub / "*.warc.gz"))[0]
+        _shutil.move(src, str(land / f"shard-{i}.warc.gz"))
+        _time.sleep(1.1)
+
+    stream = read_warc_gz_stream(spark, str(land) + "/*.warc.gz",
+                                 maxFilesPerTrigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_gz_tail_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    # one micro-batch per shard (maxFilesPerTrigger=1 on the SOURCE)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    got = sorted(
+        (r.doc_id, r.target_uri, r.n_chunks, r.content_length, r.text)
+        for r in spark.sql("SELECT * FROM warc_gz_tail_test").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.target_uri, r.n_chunks, r.content_length, r.text)
+        for r in read_warc_gz(spark, str(land) + "/*.warc.gz").collect()
+    )
+    assert got == want and len(got) == 12
