@@ -1,0 +1,226 @@
+"""From-spec robots.txt (RFC 9309) parsing and URL matching — crawl
+politeness as a corpus filter.
+
+A web-scale ingest must honor the Robots Exclusion Protocol: before a
+crawl response enters the training corpus, its URL is checked against
+the host's robots.txt. This module implements the RFC 9309 essentials
+from the public spec, sitting beside the other from-scratch format
+walkers (sources/warc.py, functions/html.py) in the crawl-ingest
+chain:
+
+* line grammar: ``key: value`` with case-insensitive keys, ``#``
+  comments, CRLF or LF line endings; unknown directives (Crawl-delay
+  etc.) and non-group lines (Sitemap) are ignored without breaking
+  group structure (§2.2.4),
+* groups: consecutive ``User-agent`` lines share the rule block that
+  follows; multiple groups naming the SAME agent merge (§2.2.1),
+* group selection: the crawler's product token matches a group
+  case-insensitively and EXACTLY (``graftbot-news`` is not
+  ``graftbot``); with no match, the ``*`` group applies; with neither,
+  everything is allowed (§2.2.1),
+* rule matching: ``Allow``/``Disallow`` path patterns support ``*``
+  (any character run) and ``$`` (end anchor); the MOST OCTETS pattern
+  wins; an allow/disallow tie resolves to ALLOW; an empty Disallow
+  value matches nothing (§2.2.2),
+* the selected group's rules are used EXCLUSIVELY — never merged with
+  ``*`` (§2.2.1).
+
+Scale shape: robots decisions are per-row string work behind Arrow
+``mapInPandas`` — map-only; at crawl scale the per-host robots.txt is
+a broadcast-sized side input keyed by host.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "parse_robots",
+    "select_rules",
+    "pattern_match",
+    "is_allowed",
+    "build_robots_txt",
+    "robots_filter",
+]
+
+Rule = tuple[bool, str]  # (is_allow, pattern)
+
+
+def parse_robots(text: str) -> list[tuple[list[str], list[Rule]]]:
+    """robots.txt → [(user_agent_tokens, rules)]. Tolerant per the RFC:
+    unknown directives and malformed lines are skipped; a rule line
+    before any User-agent line has no group and is dropped."""
+    groups: list[tuple[list[str], list[Rule]]] = []
+    collecting_agents = False
+    for raw in text.replace("\r\n", "\n").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if collecting_agents and groups:
+                groups[-1][0].append(val.lower())
+            else:
+                groups.append(([val.lower()], []))
+                collecting_agents = True
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if not groups:
+                continue  # rule outside any group
+            if not val:
+                continue  # empty pattern matches nothing (§2.2.2)
+            groups[-1][1].append((key == "allow", val))
+        else:
+            # unknown directive (Crawl-delay, Sitemap, …): ignored, and
+            # it ends an agent-collection run without ending the group
+            collecting_agents = False
+    return groups
+
+
+def select_rules(groups, ua: str) -> list[Rule]:
+    """The RFC group-selection law: exact case-insensitive product-
+    token match, merging all groups that name the token; else the
+    merged ``*`` groups; else no rules (allow everything). The selected
+    rules are exclusive — never combined with ``*``."""
+    ua = ua.lower()
+    exact = [r for agents, rules in groups if ua in agents for r in rules]
+    if exact:
+        return exact
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def pattern_match(pattern: str, path: str) -> bool:
+    """RFC 9309 path-pattern match: literal prefix with ``*`` matching
+    any character run and a trailing ``$`` anchoring the end."""
+    anchored = pattern.endswith("$")
+    pat = pattern[:-1] if anchored else pattern
+    parts = pat.split("*")
+    if not path.startswith(parts[0]):
+        return False
+    if len(parts) == 1:
+        return path == parts[0] if anchored else True
+    pos = len(parts[0])
+    for part in parts[1:-1]:
+        idx = path.find(part, pos)
+        if idx < 0:
+            return False
+        pos = idx + len(part)
+    last = parts[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
+
+
+def is_allowed(text: str, ua: str, path: str) -> tuple[bool, str]:
+    """Full decision for one (robots.txt, user-agent, path) →
+    (allowed, matched_pattern). Longest-octets pattern wins; an
+    allow/disallow tie resolves to allow; no matching rule allows."""
+    rules = select_rules(parse_robots(text), ua)
+    best_len = -1
+    best_allow = True
+    best_pat = ""
+    for is_allow, pat in rules:
+        if not pattern_match(pat, path):
+            continue
+        ln = len(pat)
+        if ln > best_len or (ln == best_len and is_allow and not best_allow):
+            best_len, best_allow, best_pat = ln, is_allow, pat
+    return (True, "") if best_len < 0 else (best_allow, best_pat)
+
+
+def try_robots_decide(payload) -> dict | None:
+    """Fuzz-contract wrapper (never raise): treat the payload as a
+    robots.txt body and decide a fixed probe path for a fixed agent.
+    The parser is tolerant by construction — any text yields a
+    decision; only non-UTF-8 bytes reject to None."""
+    try:
+        if isinstance(payload, (bytes, bytearray, memoryview)):
+            payload = bytes(payload).decode("utf-8", errors="strict")
+        allowed, pat = is_allowed(payload, "graftbot", "/private-ok-1")
+        return {"allowed": allowed, "matched": pat}
+    except UnicodeDecodeError:
+        return None
+
+
+def build_robots_txt(source: str) -> str:
+    """Deterministic per-host fixture: a ``*`` group with a
+    longest-match trap (/private- vs /private-ok-) and a host-varying
+    rule, plus — on even-numbered hosts only — a ``graftbot`` group
+    (selected EXCLUSIVELY, proving no merge with ``*``). Mixed-case
+    keys, comments, an unknown directive, and a Sitemap line exercise
+    the tolerant grammar."""
+    sid = int(source[3:])
+    lines = [
+        f"# robots for {source}",
+        "Sitemap: https://example.org/sitemap.xml",
+        "User-Agent: *",
+        "Disallow: /private-",
+        "Allow: /private-ok-",
+        f"disallow: /tmp-{sid % 3}/",
+        "",
+    ]
+    if sid % 2 == 0:
+        lines += [
+            "User-agent: graftbot",
+            "Crawl-delay: 2",  # unknown directive: ignored
+            "Disallow: /graft-",
+            "",
+        ]
+    return "\n".join(lines)
+
+
+def robots_filter(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
+    """Per-document robots decision: paths derived JVM-side from
+    doc_id, the host's robots.txt from its source; the RFC matcher
+    runs in Arrow batches. → (doc_id, path, allowed, matched_rule)."""
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/public/p"), d.cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/private-a"), d.cast("string")))
+        .when(d % 6 == 2, F.concat(F.lit("/private-ok-"), d.cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("/tmp-"), (d % 3).cast("string"),
+                                   F.lit("/f"), d.cast("string")))
+        .when(d % 6 == 4, F.concat(F.lit("/graft-"), d.cast("string")))
+        .otherwise(F.lit("/private-ok"))
+    )
+    src = docs.select("doc_id", "source", path.alias("path"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("path", StringType(), True),
+            StructField("allowed", BooleanType(), True),
+            StructField("matched_rule", StringType(), True),
+        ]
+    )
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, str] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, source, p in zip(pdf["doc_id"], pdf["source"],
+                                         pdf["path"]):
+                txt = cache.get(source)
+                if txt is None:
+                    txt = cache[source] = build_robots_txt(source)
+                allowed, pat = is_allowed(txt, ua, p)
+                rows.append((int(doc_id), p, allowed, pat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "path", "allowed", "matched_rule"])
+
+    return src.mapInPandas(_dec, schema)

@@ -5971,6 +5971,55 @@ def text_html_links(spark, sf_dir):
 
 
 @_q(
+    "text_robots_filter",
+    """WITH b AS (
+    SELECT doc_id, cast(substr(source, 4) as int) AS sid, doc_id % 6 AS p
+    FROM documents)
+SELECT doc_id,
+       CASE p WHEN 0 THEN concat('/public/p', cast(doc_id as varchar))
+              WHEN 1 THEN concat('/private-a', cast(doc_id as varchar))
+              WHEN 2 THEN concat('/private-ok-', cast(doc_id as varchar))
+              WHEN 3 THEN concat('/tmp-', cast(doc_id % 3 as varchar),
+                                 '/f', cast(doc_id as varchar))
+              WHEN 4 THEN concat('/graft-', cast(doc_id as varchar))
+              ELSE '/private-ok' END AS path,
+       CASE WHEN sid % 2 = 0 THEN p <> 4
+            ELSE p IN (0, 4) OR p = 2 OR (p = 3 AND sid % 3 <> 0)
+       END AS allowed,
+       CASE WHEN sid % 2 = 0
+            THEN (CASE WHEN p = 4 THEN '/graft-' ELSE '' END)
+            ELSE CASE p WHEN 1 THEN '/private-'
+                        WHEN 2 THEN '/private-ok-'
+                        WHEN 3 THEN (CASE WHEN sid % 3 = 0
+                                     THEN '/tmp-0/' ELSE '' END)
+                        WHEN 5 THEN '/private-'
+                        ELSE '' END
+       END AS matched_rule
+FROM b""",
+    "robots.txt politeness filter (RFC 9309, functions/robots.py) — "
+    "the admission check a crawl corpus runs before a response enters "
+    "training data: each document's request path is matched against "
+    "its host's robots.txt through the from-spec engine (group "
+    "selection by EXACT case-insensitive product token with NO merge "
+    "into '*', longest-octets rule precedence with allow winning "
+    "ties, '*'/'$' pattern wildcards, tolerant grammar for comments / "
+    "unknown directives / CRLF / empty Disallow). The per-host "
+    "fixture plants a longest-match trap (/private- vs /private-ok-), "
+    "a host-varying rule, and a bot-specific group on even hosts that "
+    "must ECLIPSE the '*' group entirely. The oracle replays the "
+    "whole decision table — path, allowed, and the exact matched "
+    "pattern — from doc_id/source arithmetic, so a precedence bug, a "
+    "wrong group pick, or an off-by-one octet comparison hash-breaks. "
+    "Map-only Arrow mapInPandas; per-host robots cached per batch "
+    "(broadcast-sized side input at crawl scale).",
+)
+def text_robots_filter(spark, sf_dir):
+    from .functions import robots
+
+    return robots.robots_filter(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "agg_hll_partial_merge",
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
@@ -11767,6 +11816,7 @@ _GATE_PRIORITY = [
     "src_warc_gz_scan",
     "text_html_extract",
     "text_html_links",
+    "text_robots_filter",
     "agg_approx_quantile_bounded",
     "dedup_winnowing",
     "sim_ann_topk",

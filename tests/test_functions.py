@@ -3605,3 +3605,82 @@ def test_html_extract_tokenizer_laws(spark):
         assert try_extract_html(bad) is None
     assert try_extract_html(b"\xff\xfe") is None  # not UTF-8
     assert try_extract_html("<p>ok</p>")["text"] == "ok"
+
+
+def test_robots_rfc9309_laws(spark):
+    """RFC 9309 semantics: pattern wildcards/anchors, longest-octets
+    precedence with allow winning ties, exact-token group selection
+    with no merge into '*', tolerant grammar (comments, unknown
+    directives, CRLF, empty Disallow), and the registry fixture's
+    decision table end-to-end."""
+    from sql_query_engine_spark.functions.robots import (
+        build_robots_txt,
+        is_allowed,
+        parse_robots,
+        pattern_match,
+        robots_filter,
+        select_rules,
+    )
+
+    # pattern matching: '*' runs, '$' anchor, prefix law
+    assert pattern_match("/p", "/page")
+    assert pattern_match("/*.php$", "/x.php")
+    assert not pattern_match("/*.php$", "/x.php?y=1")
+    assert pattern_match("/*.php", "/x.php?y=1")
+    assert pattern_match("/a*b*c$", "/aXbYc")
+    assert not pattern_match("/a*b*c$", "/aXbYcZ")
+    assert pattern_match("/fish*$", "/fishmonger")
+    assert not pattern_match("/x$", "/xy")
+    assert pattern_match("/", "/anything")
+    assert not pattern_match("/deep", "/shallow")
+
+    # longest-octets precedence; equal octets tie resolves to ALLOW
+    txt = "User-agent: *\nDisallow: /p\nAllow: /page\n"
+    assert is_allowed(txt, "bot", "/pagex") == (True, "/page")
+    txt = "User-agent: *\nDisallow: /page\nAllow: /pag*\n"
+    assert is_allowed(txt, "bot", "/pagex") == (True, "/pag*")  # 5 == 5
+    txt = "User-agent: *\nDisallow: /pagex\nAllow: /pag*\n"
+    assert is_allowed(txt, "bot", "/pagex") == (False, "/pagex")  # 6 > 5
+
+    # group selection: exact case-insensitive token, NOT substring;
+    # selected group is exclusive (never merged with '*')
+    txt = ("User-agent: *\nDisallow: /a\n\n"
+           "User-agent: GraftBot\nDisallow: /b\n")
+    assert is_allowed(txt, "graftbot", "/a/x") == (True, "")
+    assert is_allowed(txt, "graftbot", "/b/x") == (False, "/b")
+    assert is_allowed(txt, "graftbot-news", "/a/x") == (False, "/a")
+    # same-token groups merge; consecutive UA lines share one block
+    txt = ("User-agent: a\nUser-agent: b\nDisallow: /x\n\n"
+           "User-agent: a\nDisallow: /y\n")
+    assert select_rules(parse_robots(txt), "b") == [(False, "/x")]
+    assert sorted(select_rules(parse_robots(txt), "a")) == [
+        (False, "/x"), (False, "/y")]
+
+    # tolerant grammar: comments, CRLF, unknown directives, Sitemap,
+    # empty Disallow (matches nothing), rules before any group dropped
+    txt = ("Disallow: /orphan\r\n# hi\r\nSitemap: http://s/x.xml\r\n"
+           "User-Agent: *  # inline\r\nCrawl-delay: 7\r\n"
+           "DISALLOW: /q\r\nDisallow:\r\n")
+    assert is_allowed(txt, "bot", "/orphan") == (True, "")
+    assert is_allowed(txt, "bot", "/q/z") == (False, "/q")
+    assert is_allowed("", "bot", "/q") == (True, "")
+
+    # registry fixture decision table, via the Spark plumbing
+    docs = spark.createDataFrame(
+        [(i, f"src{s}") for i, s in
+         [(0, 2), (4, 2), (1, 3), (2, 3), (9, 3), (3, 1), (5, 3), (6, 0)]],
+        "doc_id long, source string")
+    rows = {r.doc_id: r for r in robots_filter(docs).collect()}
+    assert rows[0].allowed and rows[0].matched_rule == ""   # even: public
+    assert not rows[4].allowed                               # even: /graft-
+    assert rows[4].matched_rule == "/graft-"
+    assert not rows[1].allowed                               # odd: /private-
+    assert rows[2].allowed                                   # odd: allow wins
+    assert rows[2].matched_rule == "/private-ok-"
+    # p=3 paths are always /tmp-0/ (doc%6==3 → doc%3==0): disallowed
+    # exactly when the host rule is /tmp-0/ (sid%3==0)
+    assert not rows[9].allowed and rows[9].matched_rule == "/tmp-0/"
+    assert rows[3].allowed and rows[3].matched_rule == ""    # sid%3=1 rule
+    assert not rows[5].allowed                               # /private-ok trap
+    assert rows[5].matched_rule == "/private-"
+    assert rows[6].allowed                                   # even: public

@@ -13,6 +13,9 @@ import random, sys, traceback
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
 from sql_query_engine_spark.functions import multimodal as _mm
 from sql_query_engine_spark.functions.html import try_extract_html as _html
+from sql_query_engine_spark.functions.robots import (
+    try_robots_decide as _robots,
+)
 from sql_query_engine_spark.sources.warc import (
     try_scan_warc_gz as _warcgz,
     gzip_member as _gzm,
@@ -44,6 +47,7 @@ DECODERS = [
     _mm.decode_ogg_comments,                            # r11
     _html,                                              # r11: HTML extract
     _warcgz,                                            # r11: .warc.gz scan
+    _robots,                                            # r11: robots.txt
 ]
 
 def valid_corpus():
@@ -86,6 +90,8 @@ def valid_corpus():
         outs.append(_gzm(_rec(d), fname=b"r.warc")
                     + _gzm(_rec(d + 1), fhcrc=True))
         outs.append(build_html_page(d, _t).encode())
+        from sql_query_engine_spark.functions.robots import build_robots_txt
+        outs.append(build_robots_txt(f"src{d}").encode())
     import os
     fdir = __import__('os').path.join(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))), 'tests', 'fixtures', 'foreign')
     for f in sorted(os.listdir(fdir)):
