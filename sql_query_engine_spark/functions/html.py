@@ -322,10 +322,10 @@ def build_html_page(doc_id: int, text: str) -> str:
     )
 
 
-def synthesize_html_pages(docs: DataFrame) -> DataFrame:
-    """JVM-side page synthesis (pure codegen expressions — the builder
-    never leaves the executor JVM; only the extractor is Python). Adds
-    an ``html`` column to (doc_id, text)."""
+def page_expr() -> "F.Column":
+    """The page-synthesis COLUMN (pure codegen over doc_id/text) —
+    exported so composed pipelines can add the html column without a
+    re-join against the source table."""
     nl = F.col("doc_id") % 7
     links = F.when(
         nl > 0,
@@ -360,7 +360,14 @@ def synthesize_html_pages(docs: DataFrame) -> DataFrame:
         esc,
         F.lit("</p></body></html>"),
     )
-    return docs.select("doc_id", "text", page.alias("html"))
+    return page
+
+
+def synthesize_html_pages(docs: DataFrame) -> DataFrame:
+    """JVM-side page synthesis (pure codegen expressions — the builder
+    never leaves the executor JVM; only the extractor is Python). Adds
+    an ``html`` column to (doc_id, text)."""
+    return docs.select("doc_id", "text", page_expr().alias("html"))
 
 
 def html_extract_stats(pages: DataFrame) -> DataFrame:

@@ -53,6 +53,7 @@ __all__ = [
     "is_allowed",
     "build_robots_txt",
     "robots_filter",
+    "admission_stats",
 ]
 
 Rule = tuple[bool, str]  # (is_allow, pattern)
@@ -183,6 +184,62 @@ def build_robots_txt(source: str) -> str:
             "",
         ]
     return "\n".join(lines)
+
+
+def admission_stats(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
+    """The crawl-admission row: HTML extraction + link census + robots
+    decision FUSED into one Arrow stage (one pass over the corpus —
+    the composition is per-row, so running three separate extraction
+    stages and joining them back on doc_id would add three shuffles
+    for nothing). Emits (doc_id, source, text_len, n_external,
+    allowed); the caller aggregates."""
+    from .html import page_expr, try_extract_html
+
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/public/p"), d.cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/private-a"), d.cast("string")))
+        .when(d % 6 == 2, F.concat(F.lit("/private-ok-"), d.cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("/tmp-"), (d % 3).cast("string"),
+                                   F.lit("/f"), d.cast("string")))
+        .when(d % 6 == 4, F.concat(F.lit("/graft-"), d.cast("string")))
+        .otherwise(F.lit("/private-ok"))
+    )
+    src = docs.select("doc_id", "source", page_expr().alias("html"),
+                      path.alias("path"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("source", StringType(), True),
+            StructField("text_len", LongType(), True),
+            StructField("n_external", LongType(), True),
+            StructField("allowed", BooleanType(), True),
+        ]
+    )
+
+    def _row(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, str] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, source, html, p in zip(
+                    pdf["doc_id"], pdf["source"], pdf["html"], pdf["path"]):
+                r = None if html is None else try_extract_html(html)
+                txt = cache.get(source)
+                if txt is None:
+                    txt = cache[source] = build_robots_txt(source)
+                allowed, _pat = is_allowed(txt, ua, p)
+                if r is None:
+                    rows.append((int(doc_id), source, None, None, allowed))
+                else:
+                    n_ext = sum(1 for x in r["links"]
+                                if not x["href"].startswith("/"))
+                    rows.append((int(doc_id), source, len(r["text"]),
+                                 n_ext, allowed))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "text_len",
+                               "n_external", "allowed"])
+
+    return src.mapInPandas(_row, schema)
 
 
 def robots_filter(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:

@@ -6020,6 +6020,56 @@ def text_robots_filter(spark, sf_dir):
 
 
 @_q(
+    "pipeline_crawl_admission",
+    """WITH b AS (
+    SELECT doc_id, source, cast(substr(source, 4) as int) AS sid,
+           doc_id % 6 AS p, length(text) AS tl, doc_id % 7 AS nl
+    FROM documents),
+dec AS (
+    SELECT source, tl, nl,
+           CASE WHEN sid % 2 = 0 THEN p <> 4
+                ELSE p IN (0, 4) OR p = 2 OR (p = 3 AND sid % 3 <> 0)
+           END AS allowed
+    FROM b)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_admitted,
+       CAST(sum(CASE WHEN allowed THEN tl ELSE 0 END) AS BIGINT)
+           AS admitted_text_len,
+       CAST(sum(CASE WHEN allowed THEN nl // 2 ELSE 0 END) AS BIGINT)
+           AS admitted_ext_links
+FROM dec GROUP BY source""",
+    "the crawl-admission report — the round's new operators COMPOSED "
+    "the way a nightly curation pipeline actually runs them: page "
+    "synthesis → HTML text extraction (text roundtrip lengths) + link "
+    "census (external-link counts) + robots.txt politeness decision "
+    "FUSED into ONE Arrow stage (robots.admission_stats — the "
+    "composition is per-row, so separate extraction stages re-joined "
+    "on doc_id would add shuffles for nothing), rolled up per source "
+    "into an admission census (docs seen / admitted / admitted text "
+    "bytes / admitted external links). The ONLY shuffle is the final "
+    "20-group rollup: one pass over the corpus at any scale. The "
+    "oracle replays extraction lengths, link arithmetic, and the full "
+    "robots decision table relationally, so a defect in ANY composed "
+    "operator — or in the fusion itself — hash-breaks.",
+)
+def pipeline_crawl_admission(spark, sf_dir):
+    from .functions import robots
+
+    d = _t(spark, sf_dir, "documents")
+    rows = robots.admission_stats(d)
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0)).alias("n_admitted"),
+        F.sum(F.when(F.col("allowed"), F.col("text_len")).otherwise(0))
+        .alias("admitted_text_len"),
+        F.sum(F.when(F.col("allowed"), F.col("n_external")).otherwise(0))
+        .alias("admitted_ext_links"),
+    )
+
+
+@_q(
     "agg_hll_partial_merge",
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
@@ -11817,6 +11867,7 @@ _GATE_PRIORITY = [
     "text_html_extract",
     "text_html_links",
     "text_robots_filter",
+    "pipeline_crawl_admission",
     "agg_approx_quantile_bounded",
     "dedup_winnowing",
     "sim_ann_topk",
