@@ -150,6 +150,28 @@ def main() -> int:
     }
     print(json.dumps(report["html"]), flush=True)
 
+    # ---- fused admission leg (extract + links + robots, one stage) ------
+    from sql_query_engine_spark.functions import robots as R
+
+    docs_src = docs.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 20)
+                           .cast("string")))
+    t0 = time.time()
+    adm = R.admission_stats(docs_src).agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        F.sum(F.col("text_len").isNull().cast("long")).alias("nulls"),
+    ).collect()[0]
+    t_adm = time.time() - t0
+    assert adm.rows == N_DOCS and adm.nulls == 0, (adm.rows, adm.nulls)
+    assert 0 < adm.n_allowed < N_DOCS  # both decisions occur
+    report["admission"] = {
+        "t_s": round(t_adm, 2),
+        "docs_per_s": int(N_DOCS / t_adm),
+        "allowed_frac": round(adm.n_allowed / N_DOCS, 4),
+    }
+    print(json.dumps(report["admission"]), flush=True)
+
     # ---- corruption leg: one flipped byte fails attributably ------------
     victim = sorted(glob.glob(os.path.join(out_dir, "*.warc.gz")))[0]
     raw = bytearray(open(victim, "rb").read())
