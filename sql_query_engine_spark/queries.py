@@ -10276,7 +10276,8 @@ def src_warc_scan(spark, sf_dir):
     """SELECT doc_id,
        concat('http://example.com/doc/', cast(doc_id as varchar))
            AS target_uri,
-       CAST(200 AS BIGINT) AS http_status,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 0
             ELSE least(doc_id % 4 + 1,
                        octet_length(cast(text as blob))) END AS BIGINT)
@@ -10295,10 +10296,14 @@ def src_warc_scan(spark, sf_dir):
     "CRC32 + ISIZE checks; the WARC record walk; then HTTP/1.1 with "
     "BOTH real framings mixed — Content-Length on every 3rd doc, "
     "chunked transfer coding (hex sizes, a chunk extension, an X-Len "
-    "trailer) on the rest. The oracle restates chunk counts from the "
-    "builder's arithmetic and pins the entity md5, so one swallowed "
-    "or duplicated byte in any layer hash-breaks. Map-only "
-    "binaryFile → mapInPandas; defects raise with the offending path.",
+    "trailer) on the rest; every 11th doc is a 404 (non-200 records "
+    "still carry bodies — real error pages do — so status is DATA, "
+    "not a reject). Non-UTF-8 entities become NULL text rather than "
+    "killing the job (charset variety is a data property; framing/CRC "
+    "defects still raise with the offending path). The oracle "
+    "restates status and chunk counts from the builder's arithmetic "
+    "and pins the entity md5, so one swallowed or duplicated byte in "
+    "any layer hash-breaks. Map-only binaryFile → mapInPandas.",
 )
 def src_warc_gz_scan(spark, sf_dir):
     from .sources import warc

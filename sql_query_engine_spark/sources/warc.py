@@ -263,7 +263,9 @@ def build_http_response(body: bytes, doc_id: int) -> bytes:
     ``min(doc_id % 4 + 1, len(body))`` data chunks, a chunk extension
     on the first chunk, and an ``X-Len`` trailer — the framing variants
     a real crawl's responses actually mix."""
-    head = [b"HTTP/1.1 200 OK",
+    status = (b"HTTP/1.1 404 Not Found" if doc_id % 11 == 0
+              else b"HTTP/1.1 200 OK")
+    head = [status,
             b"Content-Type: text/html; charset=utf-8",
             f"X-Doc-Id: {doc_id}".encode()]
     if doc_id % 3 == 0:
@@ -425,6 +427,17 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
     sel.repartition(n_files).rdd.mapPartitionsWithIndex(_write).count()
 
 
+def _entity_text(body: bytes) -> str | None:
+    """Entity bytes → text, or None when the payload is not UTF-8 —
+    charset variety is a DATA property of a real crawl, not a framing
+    defect, so it must not kill the ingest (framing/CRC defects still
+    raise). Byte-level consumers key on content_length."""
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
 def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
     """binaryFile scan → gzip member split → WARC record walk → HTTP
     response parse → one row per record: (doc_id, target_uri,
@@ -451,7 +464,7 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
                     for d, u, _n, block in decode_warc_bytes(member, path):
                         st, body, k = parse_http_response(block, path)
                         rows.append((d, u, st, k, len(body),
-                                     body.decode("utf-8")))
+                                     _entity_text(body)))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "target_uri", "http_status",
@@ -496,7 +509,7 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
                     for d, u, _n, block in decode_warc_bytes(member, path):
                         st, body, k = parse_http_response(block, path)
                         rows.append((d, u, st, k, len(body),
-                                     body.decode("utf-8")))
+                                     _entity_text(body)))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "target_uri", "http_status",

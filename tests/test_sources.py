@@ -763,7 +763,7 @@ def test_http_response_framing():
         for body in bodies:
             st, got, k = parse_http_response(
                 build_http_response(body, doc_id))
-            assert (st, got) == (200, body)
+            assert (st, got) == (404 if doc_id % 11 == 0 else 200, body)
             assert k == (0 if doc_id % 3 == 0
                          else min(doc_id % 4 + 1, len(body)))
 
@@ -808,12 +808,31 @@ def test_warc_gz_end_to_end(spark, tmp_path):
         for r in read_warc_gz(spark, f"{out}/*.warc.gz").collect()
     )
     want = sorted(
-        (d, f"http://example.com/doc/{d}", 200,
+        (d, f"http://example.com/doc/{d}", 404 if d % 11 == 0 else 200,
          0 if d % 3 == 0 else min(d % 4 + 1, len(t.encode())),
          len(t.encode()), t)
         for d, t in docs
     )
     assert back == want
+
+    # non-UTF-8 entity bytes: charset variety is DATA, not a framing
+    # defect — text is NULL, content_length keeps the byte truth
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        gzip_member,
+    )
+
+    latin = "café".encode("latin-1")
+    http = build_http_response(latin, 2)
+    rec = build_warc_record(2, "").replace(
+        b"Content-Length: 0",
+        b"Content-Length: %d" % len(http))[:-4] + http + b"\r\n\r\n"
+    bad_dir = tmp_path / "warc_gz_latin"
+    bad_dir.mkdir()
+    (bad_dir / "l.warc.gz").write_bytes(gzip_member(rec))
+    row = read_warc_gz(spark, str(bad_dir) + "/*.warc.gz").collect()[0]
+    assert row.text is None and row.content_length == len(latin)
 
     # flip one byte inside the first member's deflate body → the read
     # fails loudly with the path, never returns silently-wrong rows

@@ -102,7 +102,8 @@ def main() -> int:
             (F.col("target_uri")
              == F.concat(F.lit("http://example.com/doc/"),
                          d.cast("string")))
-            & (F.col("http_status") == 200)
+            & (F.col("http_status")
+               == F.when(d % 11 == 0, 404).otherwise(200))
             & (F.col("n_chunks") == expected_chunks)
             & (F.col("content_length") == expected_len.cast("long"))
             & (F.md5("text") == F.md5(expected_text))
