@@ -10322,6 +10322,47 @@ def src_warc_gz_scan(spark, sf_dir):
     )
 
 
+@_q(
+    "src_warc_cdx_fetch",
+    """SELECT doc_id,
+       concat('http://example.com/doc/', cast(doc_id as varchar))
+           AS target_uri,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       cast(octet_length(cast(text as blob)) as bigint) AS content_length,
+       md5(text) AS payload_md5
+    FROM documents WHERE doc_id % 50 = 0""",
+    "CDX-indexed random access into .warc.gz — the OTHER read path the "
+    "crawl corpora support (sources/warc.py read_cdx + "
+    "fetch_warc_members): the writer emits a sidecar index row per "
+    "gzip member with its exact byte extent; a consumer resolves URIs "
+    "through the tiny index, then seeks and inflates ONLY the wanted "
+    "members (an HTTP Range request on object storage) instead of "
+    "scanning whole shards — at 100 TB this turns a point lookup from "
+    "a shard scan into sum(length) bytes of I/O. The query fetches a "
+    "2% URI subset through the index; the oracle pins the fetched "
+    "records' status/length/md5 from the source table, so a wrong "
+    "offset, an off-by-one extent, or a member boundary drift "
+    "hash-breaks. Extent defects raise with shard@offset+length.",
+)
+def src_warc_cdx_fetch(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_gz_cdx")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_gz_dataset(d, out, n_files=4)
+    idx = warc.read_cdx(spark, f"{out}/*.cdx")
+    picked = idx.filter(F.col("doc_id") % 50 == 0)
+    got = warc.fetch_warc_members(picked, out)
+    return got.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        "content_length",
+        F.md5("text").alias("payload_md5"),
+    )
+
+
 # ---- distributed triangle counting --------------------------------------
 _TRI_CAP = 20  # max distinct users per co-occurrence group (blocking cap)
 
@@ -11869,6 +11910,7 @@ _GATE_PRIORITY = [
     "mm_tiff_variants_stats",
     "mm_flac_seektable",
     "src_warc_gz_scan",
+    "src_warc_cdx_fetch",
     "text_html_extract",
     "text_html_links",
     "text_robots_filter",

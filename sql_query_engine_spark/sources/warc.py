@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -49,6 +50,10 @@ __all__ = [
     "parse_http_response",
     "write_warc_gz_dataset",
     "read_warc_gz",
+    "read_warc_gz_stream",
+    "read_cdx",
+    "fetch_warc_members",
+    "try_scan_warc_gz",
 ]
 
 _CRLF = b"\r\n"
@@ -399,7 +404,9 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
     sel = df.select("doc_id", "text")
 
     def _write(pid: int, it):
+        shard = f"part-{pid:05d}.warc.gz"
         out = b""
+        cdx_lines = []
         for r in it:
             doc_id, text = int(r[0]), r[1]
             http = build_http_response(text.encode("utf-8"), doc_id)
@@ -414,10 +421,18 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
             rec = rec[: -4] + http + _CRLF + _CRLF
             fname = (f"rec-{doc_id}.warc".encode()
                      if doc_id % 5 == 0 else None)
-            out += gzip_member(rec, fname=fname, fhcrc=doc_id % 7 == 0)
-        with open(os.path.join(out_dir, f"part-{pid:05d}.warc.gz"),
-                  "wb") as f:
+            member = gzip_member(rec, fname=fname, fhcrc=doc_id % 7 == 0)
+            # CDX sidecar line: one index row per member with its exact
+            # byte extent — the random-access contract
+            cdx_lines.append(
+                f"http://example.com/doc/{doc_id} {doc_id} {shard} "
+                f"{len(out)} {len(member)}")
+            out += member
+        with open(os.path.join(out_dir, shard), "wb") as f:
             f.write(out)
+        with open(os.path.join(out_dir, shard[: -len(".warc.gz")] + ".cdx"),
+                  "w") as f:
+            f.write("\n".join(cdx_lines) + ("\n" if cdx_lines else ""))
         return iter(())
 
     import shutil
@@ -425,6 +440,67 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     sel.repartition(n_files).rdd.mapPartitionsWithIndex(_write).count()
+
+
+def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
+    """The CDX sidecar index → (target_uri, doc_id, shard, offset,
+    length): one row per gzip member with its exact byte extent in its
+    shard. This is how the public crawl corpora support random access —
+    a consumer resolves URIs through the (tiny) index and range-reads
+    ONLY the members it wants instead of inflating whole shards."""
+    lines = spark.read.text(path_glob)
+    c = F.split(F.col("value"), " ")
+    return lines.select(
+        c.getItem(0).alias("target_uri"),
+        c.getItem(1).cast("long").alias("doc_id"),
+        c.getItem(2).alias("shard"),
+        c.getItem(3).cast("long").alias("offset"),
+        c.getItem(4).cast("long").alias("length"),
+    )
+
+
+def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
+    """Indexed random access: for each index row, seek to the member's
+    byte extent in its shard, inflate JUST that member, and decode the
+    record + HTTP response. Reads exactly sum(length) bytes of payload
+    data regardless of shard sizes — the point of the CDX layout (on
+    object storage this seek becomes an HTTP Range request). Extent
+    defects (member not ending exactly at offset+length, or any framing
+    violation inside it) raise with shard and offset."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("target_uri", StringType(), True),
+            StructField("http_status", LongType(), True),
+            StructField("content_length", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard, off, ln in zip(pdf["shard"], pdf["offset"],
+                                      pdf["length"]):
+                where = f"{shard}@{off}+{ln}"
+                with open(os.path.join(base_dir, shard), "rb") as f:
+                    f.seek(int(off))
+                    raw = f.read(int(ln))
+                if len(raw) != ln:
+                    raise ValueError(f"{where}: extent past end of shard")
+                members = split_gzip_members(raw, where)
+                if len(members) != 1:
+                    raise ValueError(
+                        f"{where}: extent holds {len(members)} members")
+                for d, u, _n, block in decode_warc_bytes(members[0], where):
+                    st, body, _k = parse_http_response(block, where)
+                    rows.append((d, u, st, len(body), _entity_text(body)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_uri", "http_status",
+                               "content_length", "text"])
+
+    return index.select("shard", "offset", "length").mapInPandas(
+        _fetch, schema)
 
 
 def _entity_text(body: bytes) -> str | None:

@@ -999,3 +999,48 @@ def test_hilbert_layout_skips_and_beats_nothing_lost(spark, tmp_path):
         h_spans = spans(h_path, col)
         assert sum(h_spans) / len(h_spans) < 0.75 * g, col
     assert spark.read.parquet(str(h_path)).count() == li.count()
+
+
+def test_warc_cdx_random_access(spark, tmp_path):
+    """CDX sidecar: one index row per member with the exact byte
+    extent; range-fetching through the index returns records identical
+    to the full scan, and a corrupted extent raises with
+    shard@offset+length."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        fetch_warc_members,
+        read_cdx,
+        read_warc_gz,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"cdx doc {d} — ünïcode ☃") for d in range(9)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_cdx")
+    write_warc_gz_dataset(df, out, n_files=3)
+
+    idx = read_cdx(spark, f"{out}/*.cdx")
+    assert idx.count() == 9
+    # extents tile each shard exactly: per shard, offsets sorted are
+    # cumulative sums of lengths
+    import os as _os
+
+    for r in idx.groupBy("shard").agg(
+            F.sum("length").alias("total")).collect():
+        assert _os.path.getsize(_os.path.join(out, r.shard)) == r.total
+
+    picked = idx.filter(F.col("doc_id") % 2 == 0)
+    got = sorted(
+        (r.doc_id, r.target_uri, r.http_status, r.content_length, r.text)
+        for r in fetch_warc_members(picked, out).collect())
+    full = sorted(
+        (r.doc_id, r.target_uri, r.http_status, r.content_length, r.text)
+        for r in read_warc_gz(spark, f"{out}/*.warc.gz").collect()
+        if r.doc_id % 2 == 0)
+    assert got == full and len(got) == 5
+
+    # off-by-one extent: the member walk fails attributably
+    shifted = picked.withColumn("offset", F.col("offset") + 1)
+    with _pytest.raises(Exception):
+        fetch_warc_members(shifted, out).collect()
