@@ -227,28 +227,50 @@ def split_gzip_members(b: bytes, path: str = "<bytes>") -> list[bytes]:
                 raise ValueError(f"{path}: header CRC16 mismatch "
                                  f"({want:#06x} != {got:#06x})")
             pos += 2
+        # feed the inflater in bounded chunks off a memoryview: slicing
+        # `b[pos:]` per member copies the whole remaining buffer, which
+        # is O(shard²) across tens of thousands of members (the 2M-doc
+        # rehearsal measured the cliff)
+        mv = memoryview(b)
+        chunk = 256 * 1024
         d = zlib.decompressobj(-15)
+        parts: list[bytes] = []
+        produced = 0
+        p = pos
         try:
-            payload = d.decompress(b[pos:], _GZ_MAX_MEMBER_BYTES + 1)
+            while not d.eof:
+                if d.unconsumed_tail:
+                    data = d.unconsumed_tail
+                elif p < len(b):
+                    data = mv[p : p + chunk]
+                    p += len(data)
+                else:
+                    raise ValueError(
+                        f"{path}: truncated DEFLATE stream at {pos}")
+                piece = d.decompress(
+                    data, _GZ_MAX_MEMBER_BYTES - produced + 1)
+                produced += len(piece)
+                parts.append(piece)
+                if produced > _GZ_MAX_MEMBER_BYTES:
+                    raise ValueError(f"{path}: member inflates past "
+                                     f"{_GZ_MAX_MEMBER_BYTES} bytes")
         except zlib.error as e:
             raise ValueError(f"{path}: bad DEFLATE stream at {pos}: {e}")
-        if len(payload) > _GZ_MAX_MEMBER_BYTES:
-            raise ValueError(f"{path}: member inflates past "
-                             f"{_GZ_MAX_MEMBER_BYTES} bytes")
-        if not d.eof:
-            raise ValueError(f"{path}: truncated DEFLATE stream at {pos}")
-        tail = d.unused_data
-        if len(tail) < 8:
+        payload = b"".join(parts)
+        # deflate end within the last fed chunk: unused_data is what
+        # remained of it (bounded by the chunk size, not the shard)
+        end = p - len(d.unused_data)
+        if end + 8 > len(b):
             raise ValueError(f"{path}: truncated gzip trailer")
-        want_crc = int.from_bytes(tail[:4], "little")
-        want_isize = int.from_bytes(tail[4:8], "little")
+        want_crc = int.from_bytes(b[end : end + 4], "little")
+        want_isize = int.from_bytes(b[end + 4 : end + 8], "little")
         if want_crc != (zlib.crc32(payload) & 0xFFFFFFFF):
             raise ValueError(f"{path}: gzip CRC32 mismatch")
         if want_isize != (len(payload) & 0xFFFFFFFF):
             raise ValueError(f"{path}: gzip ISIZE mismatch "
                              f"({want_isize} != {len(payload)})")
         out.append(payload)
-        pos = len(b) - len(tail) + 8
+        pos = end + 8
     return out
 
 
@@ -405,31 +427,36 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
 
     def _write(pid: int, it):
         shard = f"part-{pid:05d}.warc.gz"
-        out = b""
+        # append member-by-member: bytes `out += member` is O(shard²)
+        # across tens of thousands of members (the 2M-doc rehearsal
+        # measured the cliff) — stream to the file and track the offset
         cdx_lines = []
-        for r in it:
-            doc_id, text = int(r[0]), r[1]
-            http = build_http_response(text.encode("utf-8"), doc_id)
-            rec = build_warc_record(doc_id, "")  # reuse header framing
-            # swap the placeholder payload for the HTTP message and fix
-            # the declared type + length
-            rec = rec.replace(b"Content-Type: text/plain",
-                              b"Content-Type: application/http;"
-                              b"msgtype=response")
-            rec = rec.replace(b"Content-Length: 0",
-                              b"Content-Length: " + str(len(http)).encode())
-            rec = rec[: -4] + http + _CRLF + _CRLF
-            fname = (f"rec-{doc_id}.warc".encode()
-                     if doc_id % 5 == 0 else None)
-            member = gzip_member(rec, fname=fname, fhcrc=doc_id % 7 == 0)
-            # CDX sidecar line: one index row per member with its exact
-            # byte extent — the random-access contract
-            cdx_lines.append(
-                f"http://example.com/doc/{doc_id} {doc_id} {shard} "
-                f"{len(out)} {len(member)}")
-            out += member
+        offset = 0
         with open(os.path.join(out_dir, shard), "wb") as f:
-            f.write(out)
+            for r in it:
+                doc_id, text = int(r[0]), r[1]
+                http = build_http_response(text.encode("utf-8"), doc_id)
+                rec = build_warc_record(doc_id, "")  # reuse header framing
+                # swap the placeholder payload for the HTTP message and
+                # fix the declared type + length
+                rec = rec.replace(b"Content-Type: text/plain",
+                                  b"Content-Type: application/http;"
+                                  b"msgtype=response")
+                rec = rec.replace(
+                    b"Content-Length: 0",
+                    b"Content-Length: " + str(len(http)).encode())
+                rec = rec[: -4] + http + _CRLF + _CRLF
+                fname = (f"rec-{doc_id}.warc".encode()
+                         if doc_id % 5 == 0 else None)
+                member = gzip_member(rec, fname=fname,
+                                     fhcrc=doc_id % 7 == 0)
+                # CDX sidecar line: one index row per member with its
+                # exact byte extent — the random-access contract
+                cdx_lines.append(
+                    f"http://example.com/doc/{doc_id} {doc_id} {shard} "
+                    f"{offset} {len(member)}")
+                f.write(member)
+                offset += len(member)
         with open(os.path.join(out_dir, shard[: -len(".warc.gz")] + ".cdx"),
                   "w") as f:
             f.write("\n".join(cdx_lines) + ("\n" if cdx_lines else ""))
