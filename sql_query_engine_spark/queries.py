@@ -10296,9 +10296,11 @@ def src_warc_scan(spark, sf_dir):
     "CRC32 + ISIZE checks; the WARC record walk; then HTTP/1.1 with "
     "BOTH real framings mixed — Content-Length on every 3rd doc, "
     "chunked transfer coding (hex sizes, a chunk extension, an X-Len "
-    "trailer) on the rest; every 11th doc is a 404 (non-200 records "
-    "still carry bodies — real error pages do — so status is DATA, "
-    "not a reject). Non-UTF-8 entities become NULL text rather than "
+    "trailer) on the rest; half the CL branch additionally ships "
+    "Content-Encoding: gzip entities (RFC 7231) inflated through the "
+    "same verified member walk; every 11th doc is a 404 (non-200 "
+    "records still carry bodies — real error pages do — so status is "
+    "DATA, not a reject). Non-UTF-8 entities become NULL text rather "
     "killing the job (charset variety is a data property; framing/CRC "
     "defects still raise with the offending path). The oracle "
     "restates status and chunk counts from the builder's arithmetic "

@@ -296,6 +296,12 @@ def build_http_response(body: bytes, doc_id: int) -> bytes:
             b"Content-Type: text/html; charset=utf-8",
             f"X-Doc-Id: {doc_id}".encode()]
     if doc_id % 3 == 0:
+        # half of the Content-Length branch ships the entity
+        # gzip-compressed (Content-Encoding) — how real crawl responses
+        # arrive; the framing then counts COMPRESSED bytes
+        if doc_id % 6 == 3:
+            body = gzip_member(body)
+            head.append(b"Content-Encoding: gzip")
         head.append(f"Content-Length: {len(body)}".encode())
         return _CRLF.join(head) + _CRLF + _CRLF + body
     head.append(b"Transfer-Encoding: chunked")
@@ -385,7 +391,7 @@ def parse_http_response(b: bytes, path: str = "<bytes>"):
         if pos != len(b):
             raise ValueError(f"{path}: {len(b) - pos} bytes of garbage "
                              "after the last chunk's trailer")
-        return status, body, n_chunks
+        return status, _content_decode(body, headers, path), n_chunks
     if b"content-length" in headers:
         try:
             n = int(headers[b"content-length"])
@@ -394,9 +400,26 @@ def parse_http_response(b: bytes, path: str = "<bytes>"):
         if n < 0 or pos + n != len(b):
             raise ValueError(f"{path}: Content-Length {n} does not match "
                              f"remaining {len(b) - pos} bytes")
-        return status, b[pos : pos + n], 0
+        return status, _content_decode(b[pos : pos + n], headers, path), 0
     raise ValueError(f"{path}: response without Content-Length or "
                      "chunked framing")
+
+
+def _content_decode(body: bytes, headers: dict, path: str) -> bytes:
+    """Apply Content-Encoding to the de-framed bytes (RFC 7231 §3.1.2):
+    ``gzip`` inflates through the same verified member walk as the
+    .warc.gz container (single member required); ``identity``/absent
+    passes through; anything else is an attributable reject."""
+    ce = headers.get(b"content-encoding", b"identity").lower()
+    if ce in (b"identity", b""):
+        return body
+    if ce == b"gzip":
+        members = split_gzip_members(body, f"{path} (entity)")
+        if len(members) != 1:
+            raise ValueError(
+                f"{path}: gzip entity holds {len(members)} members")
+        return members[0]
+    raise ValueError(f"{path}: unsupported Content-Encoding {ce!r}")
 
 
 def try_scan_warc_gz(payload: bytes):

@@ -778,10 +778,34 @@ def test_http_response_framing():
     ):
         with _pytest.raises(ValueError):
             parse_http_response(bad)
-    cl = build_http_response(b"abcdef", 3)          # Content-Length leg
+    cl = build_http_response(b"abcdef", 6)          # plain CL leg
     with _pytest.raises(ValueError):
         parse_http_response(cl.replace(b"Content-Length: 6",
                                        b"Content-Length: 9"))
+
+    # Content-Encoding: gzip — half the CL branch ships compressed
+    # entities through the same verified member walk
+    import gzip as _stdgzip
+
+    enc = build_http_response(b"abcdef" * 40, 3)
+    assert b"Content-Encoding: gzip" in enc
+    st, got, k = parse_http_response(enc)
+    assert (st, got, k) == (200, b"abcdef" * 40, 0)
+    assert len(enc) < 240 + 120                     # actually compressed
+    # a foreign (stdlib) gzip entity decodes too
+    fb = _stdgzip.compress(b"foreign body", mtime=0)
+    foreign = (b"HTTP/1.1 200 OK\r\nContent-Encoding: GZIP\r\n"
+               b"Content-Length: " + str(len(fb)).encode()
+               + b"\r\n\r\n" + fb)
+    assert parse_http_response(foreign)[1] == b"foreign body"
+    # corrupted entity CRC and unsupported codings reject attributably
+    bad = bytearray(enc)
+    bad[-6] ^= 0xFF
+    with _pytest.raises(ValueError):
+        parse_http_response(bytes(bad))
+    with _pytest.raises(ValueError):
+        parse_http_response(enc.replace(b"Content-Encoding: gzip",
+                                        b"Content-Encoding: brr\x20"))
 
 
 def test_warc_gz_end_to_end(spark, tmp_path):
