@@ -73,10 +73,15 @@ HEADLINE = [
     "mm_mp3_xing",
     "mm_flac_seektable",
     "mm_vorbis_comments",
-    # round-11 additions (late): compressed crawl ingest (gzip members →
-    # WARC → HTTP) and HTML text extraction — the CommonCrawl front door
+    # round-11 additions (late): the crawl-ingest chain — compressed
+    # ingest (gzip members → WARC → HTTP incl. Content-Encoding),
+    # CDX-indexed random access, HTML text extraction, robots.txt
+    # politeness, and the fused admission report
     "src_warc_gz_scan",
+    "src_warc_cdx_fetch",
     "text_html_extract",
+    "text_robots_filter",
+    "pipeline_crawl_admission",
 ]
 
 
