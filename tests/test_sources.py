@@ -1068,3 +1068,68 @@ def test_warc_cdx_random_access(spark, tmp_path):
     shifted = picked.withColumn("offset", F.col("offset") + 1)
     with _pytest.raises(Exception):
         fetch_warc_members(shifted, out).collect()
+
+
+def test_warc_cdx_extent_fuzz(spark, tmp_path):
+    """Arbitrary (offset, length) extents against real shards: the
+    fetcher must either return correct rows (when the extent happens to
+    be exact) or raise ValueError carrying shard@offset+length — never
+    an unattributable IndexError/struct crash, and never silently-wrong
+    rows. Runs the extent walk row-level (no Spark job per case)."""
+    import random
+
+    from sql_query_engine_spark.sources.warc import (
+        decode_warc_bytes,
+        parse_http_response,
+        read_cdx,
+        split_gzip_members,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"extent doc {d}") for d in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_extent")
+    write_warc_gz_dataset(df, out, n_files=2)
+
+    idx = [(r.shard, r.offset, r.length)
+           for r in read_cdx(spark, f"{out}/*.cdx").collect()]
+    import os as _os
+
+    shards = {s: open(_os.path.join(out, s), "rb").read()
+              for s, _, _ in idx}
+    rng = random.Random(0xCD)
+    exact = {(s, o, ln) for s, o, ln in idx}
+
+    def fetch_one(shard, off, ln):
+        raw = shards[shard][off : off + ln]
+        if len(raw) != ln:
+            raise ValueError("extent past end of shard")
+        members = split_gzip_members(raw, "fuzz")
+        if len(members) != 1:
+            raise ValueError("extent holds != 1 member")
+        for _d, _u, _n, block in decode_warc_bytes(members[0], "fuzz"):
+            parse_http_response(block, "fuzz")
+        return True
+
+    ok = bad = 0
+    for _ in range(3000):
+        shard, off, ln = idx[rng.randrange(len(idx))]
+        mode = rng.random()
+        if mode < 0.3:
+            off += rng.randrange(-8, 9)
+        elif mode < 0.6:
+            ln += rng.randrange(-8, 9)
+        else:
+            off = rng.randrange(0, len(shards[shard]) + 8)
+            ln = rng.randrange(0, 4096)
+        if off < 0 or ln < 0:
+            continue
+        try:
+            fetch_one(shard, off, ln)
+            ok += 1
+            # a successful walk from a mutated extent must mean the
+            # mutation landed back on a true member boundary
+            assert (shard, off, ln) in exact, (shard, off, ln)
+        except ValueError:
+            bad += 1
+    assert ok + bad > 2500 and bad > 0
