@@ -75,6 +75,16 @@ _RAWTEXT = {"script", "style"}
 
 _WS = " \t\r\n\f"
 
+# Length-preserving ASCII-only lowercase. str.lower() can CHANGE the
+# string length for some non-ASCII code points ('İ' U+0130 lowercases
+# to 'i̇', common on Turkish crawl pages), which would desync the
+# lowered shadow string from the original and make every index-based
+# name/RAWTEXT scan below read shifted offsets. Tag and attribute names
+# are ASCII per the WHATWG spec, so translating only A-Z is both
+# sufficient and always 1:1 in length.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
 
 def _decode_refs(s: str) -> str:
     """Decode character references; invalid ones stay literal (WHATWG
@@ -128,7 +138,7 @@ def extract_html(html: str, path: str = "<html>") -> dict:
     tag / quoted attribute value / RAWTEXT element, or a bare ``</``
     with no tag name."""
     n = len(html)
-    low = html.lower()
+    low = html.translate(_ASCII_LOWER)
     title_parts: list[str] = []
     text_parts: list[str] = []
     links: list[dict] = []

@@ -452,12 +452,20 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
         shard = f"part-{pid:05d}.warc.gz"
         # append member-by-member: bytes `out += member` is O(shard²)
         # across tens of thousands of members (the 2M-doc rehearsal
-        # measured the cliff) — stream to the file and track the offset
+        # measured the cliff) — stream to the file and track the offset.
+        # The file is opened lazily on the FIRST record: an empty
+        # partition (rows < n_files) must not leave a 0-byte .warc.gz
+        # behind, because split_gzip_members rejects an empty stream —
+        # the writer's output stays readable by its own walker for any
+        # consumer, not just listings that skip zero-length files.
         cdx_lines = []
         offset = 0
-        with open(os.path.join(out_dir, shard), "wb") as f:
+        f = None
+        try:
             for r in it:
                 doc_id, text = int(r[0]), r[1]
+                if f is None:
+                    f = open(os.path.join(out_dir, shard), "wb")
                 http = build_http_response(text.encode("utf-8"), doc_id)
                 rec = build_warc_record(doc_id, "")  # reuse header framing
                 # swap the placeholder payload for the HTTP message and
@@ -480,9 +488,14 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                     f"{offset} {len(member)}")
                 f.write(member)
                 offset += len(member)
-        with open(os.path.join(out_dir, shard[: -len(".warc.gz")] + ".cdx"),
-                  "w") as f:
-            f.write("\n".join(cdx_lines) + ("\n" if cdx_lines else ""))
+        finally:
+            if f is not None:
+                f.close()
+        if cdx_lines:
+            with open(
+                    os.path.join(out_dir, shard[: -len(".warc.gz")] + ".cdx"),
+                    "w") as cf:
+                cf.write("\n".join(cdx_lines) + "\n")
         return iter(())
 
     import shutil
@@ -530,21 +543,36 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for shard, off, ln in zip(pdf["shard"], pdf["offset"],
-                                      pdf["length"]):
-                where = f"{shard}@{off}+{ln}"
-                with open(os.path.join(base_dir, shard), "rb") as f:
+            # one open handle per shard per Arrow batch (not per row):
+            # a large picked set against few shards would otherwise pay
+            # O(rows) opens — same batch-scoped cache pattern as the
+            # robots.txt fetcher
+            handles: dict = {}
+            try:
+                for shard, off, ln in zip(pdf["shard"], pdf["offset"],
+                                          pdf["length"]):
+                    where = f"{shard}@{off}+{ln}"
+                    f = handles.get(shard)
+                    if f is None:
+                        f = handles[shard] = open(
+                            os.path.join(base_dir, shard), "rb")
                     f.seek(int(off))
                     raw = f.read(int(ln))
-                if len(raw) != ln:
-                    raise ValueError(f"{where}: extent past end of shard")
-                members = split_gzip_members(raw, where)
-                if len(members) != 1:
-                    raise ValueError(
-                        f"{where}: extent holds {len(members)} members")
-                for d, u, _n, block in decode_warc_bytes(members[0], where):
-                    st, body, _k = parse_http_response(block, where)
-                    rows.append((d, u, st, len(body), _entity_text(body)))
+                    if len(raw) != ln:
+                        raise ValueError(
+                            f"{where}: extent past end of shard")
+                    members = split_gzip_members(raw, where)
+                    if len(members) != 1:
+                        raise ValueError(
+                            f"{where}: extent holds {len(members)} members")
+                    for d, u, _n, block in decode_warc_bytes(
+                            members[0], where):
+                        st, body, _k = parse_http_response(block, where)
+                        rows.append(
+                            (d, u, st, len(body), _entity_text(body)))
+            finally:
+                for f in handles.values():
+                    f.close()
             yield pd.DataFrame(
                 rows, columns=["doc_id", "target_uri", "http_status",
                                "content_length", "text"])

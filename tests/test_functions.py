@@ -3606,6 +3606,20 @@ def test_html_extract_tokenizer_laws(spark):
     assert try_extract_html(b"\xff\xfe") is None  # not UTF-8
     assert try_extract_html("<p>ok</p>")["text"] == "ok"
 
+    # length-changing lowercase mappings must not desync the lowered
+    # shadow string from the original: 'İ' (U+0130) str.lower()s to TWO
+    # code points, which used to shift every later index-based scan —
+    # leaking script bodies into text and losing later titles.
+    page = ('<p>İstanbul</p><script>var secret = 1;</script>'
+            '<title>Kept Title</title><P>İİİ after</P>')
+    r = extract_html(page)
+    assert r["title"] == "Kept Title"
+    assert "secret" not in r["text"]
+    assert r["text"] == "İstanbulİİİ after"
+    # uppercase tag/attr names still fold case-insensitively
+    r = extract_html('<SCRIPT>x="</sCrIpT of doom>";</SCRIPT><P HREF-İ="v">t</P>')
+    assert r["text"] == "t" and r["n_tags"] == 2
+
 
 def test_robots_rfc9309_laws(spark):
     """RFC 9309 semantics: pattern wildcards/anchors, longest-octets

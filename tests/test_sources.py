@@ -1070,6 +1070,40 @@ def test_warc_cdx_random_access(spark, tmp_path):
         fetch_warc_members(shifted, out).collect()
 
 
+def test_warc_writer_skips_empty_partitions(spark, tmp_path):
+    """rows < n_files: empty partitions must leave NO files behind —
+    split_gzip_members rejects an empty stream, so a 0-byte .warc.gz
+    would make the writer's own output unreadable for any consumer
+    that walks shards directly instead of relying on a listing that
+    skips zero-length files."""
+    import glob as _glob
+    import os as _os
+
+    from sql_query_engine_spark.sources.warc import (
+        read_warc_gz,
+        split_gzip_members,
+        write_warc_gz_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string")
+    out = str(tmp_path / "warc_sparse")
+    write_warc_gz_dataset(df, out, n_files=8)
+
+    shards = sorted(_glob.glob(f"{out}/*.warc.gz"))
+    cdxes = sorted(_glob.glob(f"{out}/*.cdx"))
+    assert 1 <= len(shards) <= 2 and len(cdxes) == len(shards)
+    # every emitted file is non-empty AND directly walkable
+    for p in shards:
+        assert _os.path.getsize(p) > 0
+        assert split_gzip_members(open(p, "rb").read(), p)
+    for p in cdxes:
+        assert _os.path.getsize(p) > 0
+    got = sorted(r.doc_id for r in
+                 read_warc_gz(spark, f"{out}/*.warc.gz").collect())
+    assert got == [1, 2]
+
+
 def test_warc_cdx_extent_fuzz(spark, tmp_path):
     """Arbitrary (offset, length) extents against real shards: the
     fetcher must either return correct rows (when the extent happens to
