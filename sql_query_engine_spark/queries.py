@@ -705,20 +705,6 @@ def agg_percentiles(spark, sf_dir):
 
 
 @_q(
-    "agg_approx_count_distinct",
-    None,  # HLL sketches are engine-specific — rows-only check by design
-    "approx_count_distinct (HyperLogLog++) — the 100 TB substitute for "
-    "exact distinct counts; no oracle because sketch estimates are "
-    "engine-specific",
-)
-def agg_approx_count_distinct(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
-    )
-
-
-@_q(
     "agg_approx_cd_bounded",
     """SELECT l_returnflag,
        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -734,9 +720,10 @@ FROM lineitem GROUP BY l_returnflag""",
     "emits within_bound = |approx/exact - 1| <= 5 x rsd(0.01); the "
     "oracle pins the exact counts by value and the flag to TRUE. A "
     "sketch regression (wrong hashing, broken merge, bias drift past "
-    "5 sigma) flips the flag and hash-breaks the gate — the sibling "
-    "agg_approx_count_distinct row stays rows-only for the raw "
-    "estimates.",
+    "5 sigma) flips the flag and hash-breaks the gate. r12: the "
+    "rows-only sibling that returned the raw estimates was retired as "
+    "redundant — this row runs the same sketch and is the stronger "
+    "check, leaving the registry 100% oracle-checkable.",
 )
 def agg_approx_cd_bounded(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -8137,7 +8124,7 @@ FROM chunks GROUP BY o_orderpriority""",
     "incremental refreshes), and popcount-summing the chunks gives the "
     "exact distinct count. Versus count(DISTINCT): no per-key rows "
     "survive the shuffle — 63 keys travel as 8 bytes. Versus HLL "
-    "(agg_approx_count_distinct): exact, at the cost of key-space/63 "
+    "(agg_approx_cd_bounded): exact, at the cost of key-space/63 "
     "bytes per group. Pure codegen (shiftleft, bit_or, bit_count); "
     "63-bit chunks keep every literal positive in both engines.",
 )
@@ -12189,7 +12176,6 @@ _GATE_PRIORITY = [
     "sim_ivfpq_topk",
     "agg_approx_cd_bounded",
     "text_bpe_encode",
-    "agg_approx_count_distinct",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

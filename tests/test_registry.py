@@ -38,14 +38,14 @@ def test_gate_priority_exact_and_unique():
 def test_every_oracle_key_has_query():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
-    # all but the engine-specific approximations carry an oracle: raw
-    # HLL sketch estimates have no exact cross-engine twin (the merge /
-    # accuracy CONTRACTS are hash-checked via agg_hll_partial_merge and
-    # agg_approx_cd_bounded; the PCA contract via emb_pca_project — r11)
+    # every registered query carries an oracle (r12: the last rows-only
+    # query — agg_approx_count_distinct's raw HLL estimates — was
+    # retired as redundant with agg_approx_cd_bounded, which runs the
+    # same sketch and hash-checks its accuracy CONTRACT; likewise
+    # agg_hll_partial_merge for merge consistency and emb_pca_project
+    # for the PCA contract)
     missing = set(qs) - set(os_)
-    assert missing == {
-        "agg_approx_count_distinct",
-    }
+    assert missing == set()
 
 
 def test_all_queries_run_and_columns_match_oracle_names(spark):
