@@ -10352,6 +10352,135 @@ def src_warc_cdx_fetch(spark, sf_dir):
     )
 
 
+@_q(
+    "src_warc_digest_verify",
+    """SELECT doc_id,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       sha256(text) AS payload_sha256,
+       TRUE AS digest_verified
+    FROM documents""",
+    "ISO 28500 labelled digests + RFC 7230 declared trailers (r12 "
+    "crawl-chain deepening; sources/warc.py): every record the writer "
+    "emits now DECLARES what it carries — WARC-Block-Digest (sha256 "
+    "over the block, verified in the record walk), WARC-Payload-Digest "
+    "(sha256 over the decoded entity, verified in this meta reader), "
+    "and on chunked responses an X-Len + X-Payload-SHA256 TRAILER "
+    "verified against the de-chunked message body — so one flipped "
+    "bit in ANY layer (deflate body, WARC block, a single chunk) is "
+    "an attributable reject at the layer that owns it, never silent "
+    "corruption. At 100 TB this is the integrity contract dedup keys "
+    "on: the payload digest IS the exact-dedup key, computed once at "
+    "ingest and certified end-to-end. The oracle recomputes the "
+    "declared entity digest independently (DuckDB sha256 over the "
+    "source text) and pins the verified flag TRUE, so a digest "
+    "computed over the wrong byte range — pre-decode, with framing, "
+    "off-by-one — hash-breaks. Map-only binaryFile → mapInPandas; "
+    "sha256 label chosen over the customary sha1 so BOTH engines can "
+    "recompute it (documented deviation).",
+)
+def src_warc_digest_verify(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_digests")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_gz_dataset(d, out, n_files=4)
+    got = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz")
+    return got.select(
+        "doc_id", "http_status", "payload_sha256", "digest_verified")
+
+
+@_q(
+    "src_warc_charset_decode",
+    """SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+            WHEN 2 THEN 'iso-8859-1' ELSE 'us-ascii' END AS charset,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       md5(CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN text
+           WHEN 1 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
+                       || ' €—™'
+           WHEN 2 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
+                       || ' café £±°'
+           ELSE regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') END)
+           AS text_md5
+    FROM documents""",
+    "charset decode beyond UTF-8 (r12 crawl-chain deepening): a real "
+    "crawl's Content-Type charset parameter varies per page, and a "
+    "100 TB ingest that assumes UTF-8 silently NULLs every legacy-"
+    "codepage site. The writer rotates the entity encoding per doc "
+    "(utf-8 / windows-1252 / iso-8859-1 / us-ascii, declared in the "
+    "header); the reader decodes STRICTLY by the declared label — no "
+    "guessing, no lossy replacement; a mislabeled or unknown-charset "
+    "page becomes NULL text (data, not a reject — the framing layers "
+    "still enforce their MUSTs). Non-UTF-8 docs are ASCII-folded then "
+    "decorated with codepage-DISTINCTIVE bytes (cp1252's 0x80-0x9F "
+    "euro/em-dash/TM, latin-1 high bytes) so every encoding "
+    "round-trips exactly and the oracle can restate the expected "
+    "decoded text in SQL: md5 pins the full decode path byte-exact — "
+    "a reader that falls back to latin-1 for cp1252 (the classic "
+    "mojibake bug) maps 0x80-0x9F to C1 controls and hash-breaks.",
+)
+def src_warc_charset_decode(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_charsets")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_gz_dataset(d, out, n_files=4, charsets=True)
+    got = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz")
+    return got.select(
+        "doc_id", "charset", "http_status",
+        F.md5("text").alias("text_md5"))
+
+
+@_q(
+    "src_warc_wat_sidecar",
+    """SELECT doc_id,
+       concat('http://example.com/doc/', cast(doc_id as varchar))
+           AS target_uri,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       concat('doc & ', cast(doc_id as varchar)) AS title,
+       cast(doc_id % 7 as bigint) AS n_links,
+       md5(text) AS text_md5
+    FROM documents""",
+    "WAT-style metadata sidecar emission (r12 crawl-chain deepening): "
+    "the companion-file layout the public crawl corpora ship — next "
+    "to each fat .warc.gz shard, a thin .wat.jsonl with one JSON "
+    "metadata record per WARC record (URI, status, entity bytes, "
+    "entity sha256, and for parseable HTML the extracted title / "
+    "link census / extracted-text md5). At 100 TB this split is the "
+    "whole point: dedup planning, link-graph builds, and quality "
+    "audits scan sidecars that are ~1% of the corpus bytes and never "
+    "inflate a shard. Emission is executor-side (the task that walks "
+    "a shard writes its sidecar — map-only, per-shard independent); "
+    "the scan is a plain schema'd JSON-lines read. The fixture wraps "
+    "each document in the deterministic HTML page builder "
+    "(functions/html.py, the Spark-expression twin pinned to the "
+    "Python builder), so the oracle restates title and link census "
+    "from doc_id arithmetic and pins the extracted-text md5 to the "
+    "SOURCE text via the escape→tokenize→unescape roundtrip law — "
+    "the sidecar content is certified against the original table, "
+    "not against the pipeline that wrote it.",
+)
+def src_warc_wat_sidecar(spark, sf_dir):
+    from .functions import html as H
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_wat")
+    d = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html_pages(d).select(
+        "doc_id", F.col("html").alias("text"))
+    warc.write_warc_gz_dataset(pages, out, n_files=4)
+    warc.write_wat_sidecar(spark, out)
+    got = warc.read_wat(spark, f"{out}/*.wat.jsonl")
+    return got.select(
+        "doc_id", "target_uri", "http_status", "title", "n_links",
+        "text_md5")
+
+
 # ---- distributed triangle counting --------------------------------------
 _TRI_CAP = 20  # max distinct users per co-occurrence group (blocking cap)
 

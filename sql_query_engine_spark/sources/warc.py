@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -48,12 +49,16 @@ __all__ = [
     "split_gzip_members",
     "build_http_response",
     "parse_http_response",
+    "parse_http_response_ex",
     "write_warc_gz_dataset",
     "read_warc_gz",
+    "read_warc_gz_meta",
     "read_warc_gz_stream",
     "read_cdx",
     "fetch_warc_members",
     "try_scan_warc_gz",
+    "write_wat_sidecar",
+    "read_wat",
 ]
 
 _CRLF = b"\r\n"
@@ -61,23 +66,41 @@ _VERSION = b"WARC/1.0"
 _WARC_DATE = "2024-01-01T00:00:00Z"  # fixture date: deterministic output
 
 
-def build_warc_record(doc_id: int, text: str) -> bytes:
+def build_warc_record(doc_id: int, text: str = "", *,
+                      payload: bytes | None = None,
+                      content_type: bytes = b"text/plain",
+                      payload_digest: str | None = None) -> bytes:
     """One WARC response record for a document: deterministic record id
-    and target URI derived from doc_id, UTF-8 payload."""
-    payload = text.encode("utf-8")
+    and target URI derived from doc_id. The block is either the UTF-8
+    encoding of ``text`` or the explicit ``payload`` bytes (the gz
+    writer passes a full HTTP message). Emits the ISO 28500 labelled
+    digests: ``WARC-Block-Digest`` (sha256 over the block, always) and
+    ``WARC-Payload-Digest`` when the caller supplies the entity digest
+    — labelled ``sha256:<hex>`` so any consumer can verify without
+    out-of-band knowledge (the spec's label scheme; sha256 instead of
+    the customary sha1 because it is what both this engine and the
+    oracle can recompute)."""
+    import hashlib
+
+    block = text.encode("utf-8") if payload is None else payload
     headers = [
         (b"WARC-Type", b"response"),
         (b"WARC-Record-ID",
          f"<urn:uuid:00000000-0000-0000-0000-{doc_id:012d}>".encode()),
         (b"WARC-Date", _WARC_DATE.encode()),
         (b"WARC-Target-URI", f"http://example.com/doc/{doc_id}".encode()),
-        (b"Content-Type", b"text/plain"),
-        (b"Content-Length", str(len(payload)).encode()),
+        (b"Content-Type", content_type),
+        (b"WARC-Block-Digest",
+         b"sha256:" + hashlib.sha256(block).hexdigest().encode()),
     ]
+    if payload_digest is not None:
+        headers.append(
+            (b"WARC-Payload-Digest", b"sha256:" + payload_digest.encode()))
+    headers.append((b"Content-Length", str(len(block)).encode()))
     out = _VERSION + _CRLF
     for k, v in headers:
         out += k + b": " + v + _CRLF
-    return out + _CRLF + payload + _CRLF + _CRLF
+    return out + _CRLF + block + _CRLF + _CRLF
 
 
 def write_warc_bytes(records: list[tuple[int, str]]) -> bytes:
@@ -85,11 +108,20 @@ def write_warc_bytes(records: list[tuple[int, str]]) -> bytes:
     return b"".join(build_warc_record(d, t) for d, t in records)
 
 
-def decode_warc_bytes(payload: bytes, path: str = "<bytes>"):
+def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
+                      with_headers: bool = False):
     """Walk one WARC file → [(doc_id, target_uri, content_length,
-    payload_bytes)]. Raises ValueError with the path on any framing
+    payload_bytes)] (plus the header dict per record when
+    ``with_headers``). Raises ValueError with the path on any framing
     defect: bad version line, missing Content-Length, truncated
-    payload, or missing record terminator."""
+    payload, or missing record terminator. When a record carries a
+    ``WARC-Block-Digest`` with a label this engine can recompute
+    (sha256 / sha1 / md5), the digest is VERIFIED against the block —
+    a bit flip between writer and reader is an attributable ingest
+    failure, not silent corruption; unknown labels pass through
+    unverified (the ISO 28500 labelled-digest scheme is open-ended)."""
+    import hashlib
+
     b = payload
     recs = []
     pos = 0
@@ -127,6 +159,15 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>"):
         if b[pos + n : pos + n + 4] != _CRLF + _CRLF:
             raise ValueError(f"{path}: missing record terminator")
         pos += n + 4
+        if b"WARC-Block-Digest" in headers:
+            alg, _, want = headers[b"WARC-Block-Digest"].partition(b":")
+            alg = alg.strip().lower().decode()
+            if alg in ("sha256", "sha1", "md5"):
+                got = hashlib.new(alg, body).hexdigest()
+                if got != want.strip().lower().decode():
+                    raise ValueError(
+                        f"{path}: WARC-Block-Digest mismatch at record "
+                        f"ending {pos} ({alg})")
         uri = headers.get(b"WARC-Target-URI", b"").decode()
         rid = headers.get(b"WARC-Record-ID", b"").decode()
         # fixture ids live in the uuid tail; external files may not
@@ -135,7 +176,10 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>"):
         tail = rid.rstrip(">").rsplit("-", 1)[-1]
         if tail.isdigit():
             doc_id = int(tail)
-        recs.append((doc_id, uri, n, body))
+        if with_headers:
+            recs.append((doc_id, uri, n, body, headers))
+        else:
+            recs.append((doc_id, uri, n, body))
     return recs
 
 
@@ -284,16 +328,23 @@ def split_gzip_members(b: bytes, path: str = "<bytes>") -> list[bytes]:
 # -------------------------------------------------------------------------
 
 
-def build_http_response(body: bytes, doc_id: int) -> bytes:
+def build_http_response(body: bytes, doc_id: int,
+                        charset: str = "utf-8") -> bytes:
     """Deterministic HTTP/1.1 200 response around ``body``. Every third
     doc uses Content-Length framing; the rest are chunked with
     ``min(doc_id % 4 + 1, len(body))`` data chunks, a chunk extension
-    on the first chunk, and an ``X-Len`` trailer — the framing variants
-    a real crawl's responses actually mix."""
+    on the first chunk, and a trailer section DECLARING the message
+    body (``X-Len``: its byte count, ``X-Payload-SHA256``: its digest)
+    — the RFC 7230 trailer mechanism real responses use for
+    checksums computed while streaming, and the framing variants a
+    real crawl's responses actually mix. ``charset`` lands in the
+    Content-Type parameter — the reader decodes the entity by it."""
+    import hashlib
+
     status = (b"HTTP/1.1 404 Not Found" if doc_id % 11 == 0
               else b"HTTP/1.1 200 OK")
     head = [status,
-            b"Content-Type: text/html; charset=utf-8",
+            f"Content-Type: text/html; charset={charset}".encode(),
             f"X-Doc-Id: {doc_id}".encode()]
     if doc_id % 3 == 0:
         # half of the Content-Length branch ships the entity
@@ -318,18 +369,36 @@ def build_http_response(body: bytes, doc_id: int) -> bytes:
     for i, c in enumerate(chunks):
         ext = b";x=1" if i == 0 else b""
         out += f"{len(c):x}".encode() + ext + _CRLF + c + _CRLF
-    out += b"0" + _CRLF + f"X-Len: {len(body)}".encode() + _CRLF + _CRLF
+    out += (b"0" + _CRLF
+            + f"X-Len: {len(body)}".encode() + _CRLF
+            + b"X-Payload-SHA256: "
+            + hashlib.sha256(body).hexdigest().encode() + _CRLF + _CRLF)
     return out
 
 
 def parse_http_response(b: bytes, path: str = "<bytes>"):
-    """Parse one HTTP/1.1 response → (status, body, n_chunks).
-    ``n_chunks`` counts data chunks (0 under Content-Length framing).
-    Enforces the RFC 7230 framing MUSTs: CRLF line endings, a valid
-    status line, hex chunk sizes (extensions allowed after ``;``),
-    exact CRLF after each chunk's data, a last-chunk, and a
-    CRLF-terminated trailer section. Raises ValueError with the path
-    on any defect."""
+    """Parse one HTTP/1.1 response → (status, body, n_chunks); see
+    :func:`parse_http_response_ex` for the header-exposing variant."""
+    status, _headers, body, n_chunks = parse_http_response_ex(b, path)
+    return status, body, n_chunks
+
+
+def parse_http_response_ex(b: bytes, path: str = "<bytes>"):
+    """Parse one HTTP/1.1 response → (status, headers, body, n_chunks).
+    ``n_chunks`` counts data chunks (0 under Content-Length framing);
+    ``headers`` is the lowercased name → value dict with trailer
+    fields merged in (RFC 7230 §4.1.3 — a trailer is a header the
+    sender could only compute after the body). Enforces the framing
+    MUSTs: CRLF line endings, a valid status line, hex chunk sizes
+    (extensions allowed after ``;``), exact CRLF after each chunk's
+    data, a last-chunk, and a CRLF-terminated trailer section —
+    AND the trailer-declared body checks when present: ``X-Len`` must
+    equal the de-chunked byte count and ``X-Payload-SHA256`` its
+    digest, so a chunk-boundary bug or a flipped bit inside any chunk
+    is an attributable reject, not silent corruption. Raises
+    ValueError with the path on any defect."""
+    import hashlib
+
     eol = b.find(_CRLF)
     if eol < 0:
         raise ValueError(f"{path}: unterminated HTTP status line")
@@ -377,7 +446,8 @@ def parse_http_response(b: bytes, path: str = "<bytes>"):
                 raise ValueError(f"{path}: chunk data not CRLF-terminated")
             pos += n + 2
             n_chunks += 1
-        # trailer section: header lines until the blank line
+        # trailer section: header lines until the blank line, merged
+        # into the header dict (without clobbering a proper header)
         while True:
             eol = b.find(_CRLF, pos)
             if eol < 0:
@@ -386,12 +456,32 @@ def parse_http_response(b: bytes, path: str = "<bytes>"):
             pos = eol + 2
             if not line:
                 break
-            if b":" not in line:
+            k, sep, v = line.partition(b":")
+            if not sep or not k:
                 raise ValueError(f"{path}: malformed trailer {line!r}")
+            headers.setdefault(k.strip().lower(), v.strip())
         if pos != len(b):
             raise ValueError(f"{path}: {len(b) - pos} bytes of garbage "
                              "after the last chunk's trailer")
-        return status, _content_decode(body, headers, path), n_chunks
+        # trailer-declared body checks: both are over the de-chunked
+        # message body (pre Content-Encoding — what was transferred)
+        if b"x-len" in headers:
+            try:
+                want_len = int(headers[b"x-len"])
+            except ValueError:
+                raise ValueError(f"{path}: non-numeric X-Len trailer")
+            if want_len != len(body):
+                raise ValueError(
+                    f"{path}: X-Len trailer {want_len} != de-chunked "
+                    f"body length {len(body)}")
+        if b"x-payload-sha256" in headers:
+            want = headers[b"x-payload-sha256"].strip().lower().decode()
+            got = hashlib.sha256(body).hexdigest()
+            if want != got:
+                raise ValueError(
+                    f"{path}: X-Payload-SHA256 trailer mismatch")
+        return status, headers, _content_decode(body, headers, path), \
+            n_chunks
     if b"content-length" in headers:
         try:
             n = int(headers[b"content-length"])
@@ -400,7 +490,8 @@ def parse_http_response(b: bytes, path: str = "<bytes>"):
         if n < 0 or pos + n != len(b):
             raise ValueError(f"{path}: Content-Length {n} does not match "
                              f"remaining {len(b) - pos} bytes")
-        return status, _content_decode(b[pos : pos + n], headers, path), 0
+        return (status, headers,
+                _content_decode(b[pos : pos + n], headers, path), 0)
     raise ValueError(f"{path}: response without Content-Length or "
                      "chunked framing")
 
@@ -439,13 +530,39 @@ def try_scan_warc_gz(payload: bytes):
         return None
 
 
+# per-doc charset rotation for charsets=True fixtures: label and the
+# decoration appended after ASCII-folding (each suffix exercises bytes
+# DISTINCTIVE to that codepage — €/—/™ live in cp1252's 0x80–0x9F
+# range that latin-1 maps to C1 controls; é/£/±/° are latin-1 high
+# bytes; us-ascii stays pure 7-bit)
+_CHARSET_ROTATION = [
+    ("utf-8", None),
+    ("windows-1252", " €—™"),   # euro, em-dash, TM
+    ("iso-8859-1", " caf\xe9 \xa3\xb1\xb0"),   # cafe-acute, pound...
+    ("us-ascii", ""),
+]
+
+
 def write_warc_gz_dataset(df: DataFrame, out_dir: str,
-                          n_files: int = 4) -> None:
+                          n_files: int = 4,
+                          charsets: bool = False) -> None:
     """One ``.warc.gz`` file per partition, ONE GZIP MEMBER PER RECORD
     (the Common Crawl layout — member boundaries are the split points a
     distributed reader fans out on). Each record's payload is a full
     HTTP/1.1 response (chunked or Content-Length framed) wrapping the
-    document text. ``df`` must carry (doc_id, text)."""
+    document text, and every record declares the ISO 28500 labelled
+    digests (sha256 block + entity) the read path verifies. ``df``
+    must carry (doc_id, text).
+
+    ``charsets=True`` rotates the entity encoding per doc (doc_id % 4:
+    utf-8 / windows-1252 / iso-8859-1 / us-ascii, declared in the
+    Content-Type charset parameter). Non-UTF-8 docs are ASCII-folded
+    (non-ASCII codepoints stripped) then decorated with a
+    codepage-distinctive suffix so every encoding round-trips exactly
+    and the oracle can restate the expected text in SQL."""
+    import hashlib
+    import re as _re
+
     sel = df.select("doc_id", "text")
 
     def _write(pid: int, it):
@@ -466,17 +583,18 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                 doc_id, text = int(r[0]), r[1]
                 if f is None:
                     f = open(os.path.join(out_dir, shard), "wb")
-                http = build_http_response(text.encode("utf-8"), doc_id)
-                rec = build_warc_record(doc_id, "")  # reuse header framing
-                # swap the placeholder payload for the HTTP message and
-                # fix the declared type + length
-                rec = rec.replace(b"Content-Type: text/plain",
-                                  b"Content-Type: application/http;"
-                                  b"msgtype=response")
-                rec = rec.replace(
-                    b"Content-Length: 0",
-                    b"Content-Length: " + str(len(http)).encode())
-                rec = rec[: -4] + http + _CRLF + _CRLF
+                cs = "utf-8"
+                if charsets:
+                    cs, suffix = _CHARSET_ROTATION[doc_id % 4]
+                    if suffix is not None:
+                        text = _re.sub(r"[^\x00-\x7f]", "", text) + suffix
+                entity = text.encode(_CHARSET_CODECS[cs])
+                http = build_http_response(entity, doc_id, charset=cs)
+                rec = build_warc_record(
+                    doc_id,
+                    payload=http,
+                    content_type=b"application/http;msgtype=response",
+                    payload_digest=hashlib.sha256(entity).hexdigest())
                 fname = (f"rec-{doc_id}.warc".encode()
                          if doc_id % 5 == 0 else None)
                 member = gzip_member(rec, fname=fname,
@@ -567,9 +685,11 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
                             f"{where}: extent holds {len(members)} members")
                     for d, u, _n, block in decode_warc_bytes(
                             members[0], where):
-                        st, body, _k = parse_http_response(block, where)
+                        st, hh, body, _k = parse_http_response_ex(
+                            block, where)
                         rows.append(
-                            (d, u, st, len(body), _entity_text(body)))
+                            (d, u, st, len(body),
+                             _entity_text(body, hh)))
             finally:
                 for f in handles.values():
                     f.close()
@@ -581,13 +701,53 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
         _fetch, schema)
 
 
-def _entity_text(body: bytes) -> str | None:
-    """Entity bytes → text, or None when the payload is not UTF-8 —
-    charset variety is a DATA property of a real crawl, not a framing
-    defect, so it must not kill the ingest (framing/CRC defects still
-    raise). Byte-level consumers key on content_length."""
+# Content-Type charset labels this ingest can decode (IANA preferred
+# names + common aliases → Python codec). Everything here is a strict
+# single-byte or UTF decode — no guessing, no lossy replacement: a
+# mislabeled page becomes NULL text, never silently wrong text.
+_CHARSET_CODECS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "us-ascii": "ascii",
+    "ascii": "ascii",
+}
+
+
+def _charset_of(headers: dict | None) -> str | None:
+    """The declared charset parameter of the Content-Type header
+    (lowercased, quotes stripped), or None when absent."""
+    if not headers:
+        return None
+    ct = headers.get(b"content-type", b"")
+    for part in ct.split(b";")[1:]:
+        k, sep, v = part.partition(b"=")
+        if sep and k.strip().lower() == b"charset":
+            try:
+                return v.strip().strip(b'"').lower().decode("ascii")
+            except UnicodeDecodeError:
+                return None
+    return None
+
+
+def _entity_text(body: bytes, headers: dict | None = None) -> str | None:
+    """Entity bytes → text by the DECLARED charset (Content-Type
+    parameter; absent → UTF-8), or None when the label is unknown or
+    the bytes don't strictly decode — charset variety is a DATA
+    property of a real crawl, not a framing defect, so it must not
+    kill the ingest (framing/CRC defects still raise; a mislabeled
+    page becomes NULL text, never silently wrong text). Byte-level
+    consumers key on content_length."""
+    label = _charset_of(headers)
+    codec = _CHARSET_CODECS.get(label or "utf-8")
+    if codec is None:
+        return None
     try:
-        return body.decode("utf-8")
+        return body.decode(codec)
     except UnicodeDecodeError:
         return None
 
@@ -616,9 +776,10 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
                 rows = []
                 for member in split_gzip_members(bytes(content), path):
                     for d, u, _n, block in decode_warc_bytes(member, path):
-                        st, body, k = parse_http_response(block, path)
+                        st, hh, body, k = parse_http_response_ex(
+                            block, path)
                         rows.append((d, u, st, k, len(body),
-                                     _entity_text(body)))
+                                     _entity_text(body, hh)))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "target_uri", "http_status",
@@ -626,6 +787,145 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
                 )
 
     return files.select("path", "content").mapInPandas(_dec, schema)
+
+
+def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Digest- and charset-exposing variant of :func:`read_warc_gz` —
+    the provenance columns a training-data pipeline keys dedup and
+    audit on: (doc_id, target_uri, http_status, content_length,
+    charset, text, payload_sha256, digest_verified).
+
+    ``payload_sha256`` is the record's labelled ``WARC-Payload-Digest``
+    (hex, NULL when the record carries none or a non-sha256 label);
+    ``digest_verified`` is TRUE when the digest was recomputed over the
+    decoded entity and matched — a MISMATCH raises with the path (an
+    attributable corrupt record, same contract as the block-digest and
+    trailer checks the lower layers already enforce). ``charset`` is
+    the declared Content-Type parameter; text is NULL when the label
+    is unknown or the bytes don't strictly decode. Map-only."""
+    import hashlib
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("target_uri", StringType(), True),
+            StructField("http_status", LongType(), True),
+            StructField("content_length", LongType(), True),
+            StructField("charset", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("payload_sha256", StringType(), True),
+            StructField("digest_verified", BooleanType(), True),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for member in split_gzip_members(bytes(content), path):
+                    for d, u, _n, block, wh in decode_warc_bytes(
+                            member, path, with_headers=True):
+                        st, hh, body, _k = parse_http_response_ex(
+                            block, path)
+                        digest = None
+                        verified = None
+                        decl = wh.get(b"WARC-Payload-Digest")
+                        if decl is not None:
+                            alg, _, hexd = decl.partition(b":")
+                            if alg.strip().lower() == b"sha256":
+                                digest = hexd.strip().lower().decode()
+                                got = hashlib.sha256(body).hexdigest()
+                                if got != digest:
+                                    raise ValueError(
+                                        f"{path}: WARC-Payload-Digest "
+                                        f"mismatch for doc {d}")
+                                verified = True
+                        rows.append(
+                            (d, u, st, len(body), _charset_of(hh),
+                             _entity_text(body, hh), digest, verified))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "target_uri", "http_status",
+                             "content_length", "charset", "text",
+                             "payload_sha256", "digest_verified"],
+                )
+
+    return files.select("path", "content").mapInPandas(_dec, schema)
+
+
+def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
+    """WAT-style metadata sidecar emission — the companion file layout
+    the public crawl corpora ship next to their WARCs: for each
+    ``part-*.warc.gz`` shard, one ``part-*.wat.jsonl`` with one JSON
+    metadata record per WARC record (URI, status, entity byte count,
+    entity sha256, and — when the entity is parseable HTML — the
+    extracted title / link census / extracted-text md5). At 100 TB the
+    point is exactly this split: metadata consumers (dedup planning,
+    link-graph builds, quality audits) scan the thin sidecars and
+    never touch the fat shards. Executor-side: each shard is walked
+    and its sidecar written by the task that read it — map-only, no
+    shuffle, per-shard independent."""
+    import hashlib
+    import json
+
+    from ..functions.html import try_extract_html
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(warc_dir, "*.warc.gz"))
+
+    def _emit(it):
+        for row in it:
+            path, content = row["path"], bytes(row["content"])
+            local = path[len("file:"):] if path.startswith("file:") else path
+            lines = []
+            for member in split_gzip_members(content, path):
+                for d, u, _n, block, _wh in decode_warc_bytes(
+                        member, path, with_headers=True):
+                    st, hh, body, _k = parse_http_response_ex(block, path)
+                    text = _entity_text(body, hh)
+                    meta = {
+                        "doc_id": d,
+                        "target_uri": u,
+                        "http_status": st,
+                        "content_length": len(body),
+                        "payload_sha256":
+                            hashlib.sha256(body).hexdigest(),
+                    }
+                    ext = try_extract_html(text) if text else None
+                    if ext is not None:
+                        meta["title"] = ext["title"]
+                        meta["n_links"] = ext["n_links"]
+                        meta["text_md5"] = hashlib.md5(
+                            ext["text"].encode("utf-8")).hexdigest()
+                    lines.append(json.dumps(meta, sort_keys=True))
+            out = local[: -len(".warc.gz")] + ".wat.jsonl"
+            with open(out, "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+            yield 0
+
+    files.select("path", "content").rdd.mapPartitions(_emit).count()
+
+
+_WAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("http_status", LongType(), True),
+        StructField("content_length", LongType(), True),
+        StructField("payload_sha256", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("n_links", LongType(), True),
+        StructField("text_md5", StringType(), True),
+    ]
+)
+
+
+def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan WAT sidecars (JSON-lines, one metadata record per WARC
+    record) with an explicit schema — the thin metadata path that
+    never inflates a shard."""
+    return spark.read.schema(_WAT_SCHEMA).json(path_glob)
 
 
 def read_warc_gz_stream(spark: SparkSession, path_glob: str,
@@ -661,9 +961,10 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
                 rows = []
                 for member in split_gzip_members(bytes(content), path):
                     for d, u, _n, block in decode_warc_bytes(member, path):
-                        st, body, k = parse_http_response(block, path)
+                        st, hh, body, k = parse_http_response_ex(
+                            block, path)
                         rows.append((d, u, st, k, len(body),
-                                     _entity_text(body)))
+                                     _entity_text(body, hh)))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "target_uri", "http_status",

@@ -848,10 +848,10 @@ def test_warc_gz_end_to_end(spark, tmp_path):
     )
 
     latin = "café".encode("latin-1")
-    http = build_http_response(latin, 2)
-    rec = build_warc_record(2, "").replace(
-        b"Content-Length: 0",
-        b"Content-Length: %d" % len(http))[:-4] + http + b"\r\n\r\n"
+    http = build_http_response(latin, 2)  # declares charset=utf-8
+    rec = build_warc_record(
+        2, payload=http,
+        content_type=b"application/http;msgtype=response")
     bad_dir = tmp_path / "warc_gz_latin"
     bad_dir.mkdir()
     (bad_dir / "l.warc.gz").write_bytes(gzip_member(rec))
@@ -869,6 +869,160 @@ def test_warc_gz_end_to_end(spark, tmp_path):
     open(victim, "wb").write(bytes(raw))
     with _pytest.raises(Exception):
         read_warc_gz(spark, f"{out}/*.warc.gz").collect()
+
+
+def test_warc_digests_and_trailers(spark, tmp_path):
+    """ISO 28500 labelled digests + RFC 7230 declared trailers: the
+    writer emits sha256 block/payload digests and an X-Payload-SHA256
+    trailer on chunked responses; every verification layer catches its
+    own corruption class attributably, and the meta reader surfaces
+    the verified payload digest."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        decode_warc_bytes,
+        gzip_member,
+        parse_http_response,
+        read_warc_gz_meta,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"digest doc {d} ☃") for d in range(1, 13)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_digests")
+    write_warc_gz_dataset(df, out, n_files=2)
+    rows = {r.doc_id: r for r in
+            read_warc_gz_meta(spark, f"{out}/*.warc.gz").collect()}
+    assert set(rows) == {d for d, _ in docs}
+    for d, t in docs:
+        r = rows[d]
+        assert r.payload_sha256 == hashlib.sha256(
+            t.encode("utf-8")).hexdigest()
+        assert r.digest_verified is True
+        assert r.charset == "utf-8" and r.text == t
+
+    # block-digest mismatch raises in the record walk
+    rec = build_warc_record(3, "hello")
+    assert decode_warc_bytes(rec)[0][3] == b"hello"
+    with _pytest.raises(ValueError, match="Block-Digest"):
+        decode_warc_bytes(rec.replace(b"hello", b"jello"))
+    # unknown digest label passes through unverified (open label set)
+    loose = build_warc_record(3, "hello").replace(
+        b"WARC-Block-Digest: sha256:",
+        b"WARC-Block-Digest: xxh3:00")
+    assert decode_warc_bytes(loose)[0][3] == b"hello"
+
+    # chunked trailer digest: flip a byte INSIDE a chunk — the gzip
+    # and WARC layers can't see it (digests recomputed over the new
+    # block), the HTTP trailer check must
+    body = b"trailer guarded body"
+    http = build_http_response(body, 1)  # doc 1 → chunked
+    assert b"X-Payload-SHA256" in http
+    assert parse_http_response(http)[1] == body
+    broken = http.replace(b"trailer g", b"trailEr g")  # inside chunk 1
+    assert broken != http
+    with _pytest.raises(ValueError, match="X-Payload-SHA256|X-Len"):
+        parse_http_response(broken)
+
+    # payload-digest mismatch: a record whose declared entity digest
+    # does not match the decoded entity raises in the meta reader
+    entity = b"declared wrong"
+    http = build_http_response(entity, 6)  # CL framing, no trailer
+    rec = build_warc_record(
+        6, payload=http,
+        content_type=b"application/http;msgtype=response",
+        payload_digest=hashlib.sha256(b"other bytes").hexdigest())
+    bad_dir = tmp_path / "warc_badpd"
+    bad_dir.mkdir()
+    (bad_dir / "b.warc.gz").write_bytes(gzip_member(rec))
+    with _pytest.raises(Exception, match="Payload-Digest"):
+        read_warc_gz_meta(spark, str(bad_dir) + "/*.warc.gz").collect()
+
+
+def test_warc_charset_rotation(spark, tmp_path):
+    """charsets=True writer: per-doc charset rotation declared in the
+    Content-Type parameter, strict decode by the label on read; an
+    unknown label or mislabeled bytes become NULL text (data, not a
+    reject)."""
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        gzip_member,
+        read_warc_gz_meta,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"chärsét doc {d} — ünïcode ☃") for d in range(1, 17)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_charsets")
+    write_warc_gz_dataset(df, out, n_files=2, charsets=True)
+    rows = {r.doc_id: r for r in
+            read_warc_gz_meta(spark, f"{out}/*.warc.gz").collect()}
+    import re as _re
+    labels = ["utf-8", "windows-1252", "iso-8859-1", "us-ascii"]
+    sufs = [None, " €—™", " caf\xe9 \xa3\xb1\xb0", ""]
+    for d, t in docs:
+        r = rows[d]
+        assert r.charset == labels[d % 4]
+        want = (t if d % 4 == 0
+                else _re.sub(r"[^\x00-\x7f]", "", t) + sufs[d % 4])
+        assert r.text == want, (d, r.text, want)
+        assert r.digest_verified is True
+
+    # unknown charset label → NULL text, content_length keeps bytes
+    ent = "σ".encode("utf-8")
+    http = build_http_response(ent, 2, charset="shift_jis")
+    rec = build_warc_record(
+        2, payload=http,
+        content_type=b"application/http;msgtype=response")
+    d2 = tmp_path / "warc_cs_unknown"
+    d2.mkdir()
+    (d2 / "u.warc.gz").write_bytes(gzip_member(rec))
+    row = read_warc_gz_meta(spark, str(d2) + "/*.warc.gz").collect()[0]
+    assert row.text is None and row.charset == "shift_jis"
+    assert row.content_length == len(ent)
+
+
+def test_wat_sidecar_emission(spark, tmp_path):
+    """WAT-style metadata sidecars: one .wat.jsonl per shard with one
+    JSON metadata record per WARC record; the thin scan reproduces the
+    censuses of a full extraction without inflating any shard."""
+    import hashlib
+
+    from sql_query_engine_spark.functions.html import synthesize_html_pages
+    from sql_query_engine_spark.sources.warc import (
+        read_wat,
+        write_warc_gz_dataset,
+        write_wat_sidecar,
+    )
+
+    docs = [(d, f"wat doc {d} & <tag> 'quoted'") for d in range(1, 15)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pages = synthesize_html_pages(df).select(
+        "doc_id", F.col("html").alias("text"))
+    out = str(tmp_path / "warc_wat")
+    write_warc_gz_dataset(pages, out, n_files=3)
+    write_wat_sidecar(spark, out)
+
+    import glob as _glob
+    shards = _glob.glob(f"{out}/*.warc.gz")
+    sidecars = _glob.glob(f"{out}/*.wat.jsonl")
+    assert len(sidecars) == len(shards) > 0
+
+    rows = {r.doc_id: r for r in
+            read_wat(spark, f"{out}/*.wat.jsonl").collect()}
+    assert set(rows) == {d for d, _ in docs}
+    for d, t in docs:
+        r = rows[d]
+        assert r.title == f"doc & {d}"
+        assert r.n_links == d % 7
+        # extracted text round-trips to the original document text
+        assert r.text_md5 == hashlib.md5(t.encode("utf-8")).hexdigest()
+        assert r.http_status == (404 if d % 11 == 0 else 200)
 
 
 def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
