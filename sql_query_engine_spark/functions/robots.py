@@ -52,6 +52,7 @@ __all__ = [
     "pattern_match",
     "is_allowed",
     "build_robots_txt",
+    "fixture_path_expr",
     "robots_filter",
     "admission_stats",
 ]
@@ -161,11 +162,14 @@ def try_robots_decide(payload) -> dict | None:
 
 def build_robots_txt(source: str) -> str:
     """Deterministic per-host fixture: a ``*`` group with a
-    longest-match trap (/private- vs /private-ok-) and a host-varying
-    rule, plus — on even-numbered hosts only — a ``graftbot`` group
-    (selected EXCLUSIVELY, proving no merge with ``*``). Mixed-case
-    keys, comments, an unknown directive, and a Sitemap line exercise
-    the tolerant grammar."""
+    longest-match trap (/private- vs /private-ok-), a host-varying
+    rule, and a ``*``-wildcard + ``$``-anchor pair (``/*.zip$``
+    disallowed globally, ``/dl/*.zip$`` allowed back by octet
+    precedence — the RFC 9309 pattern features, r12), plus — on
+    even-numbered hosts only — a ``graftbot`` group (selected
+    EXCLUSIVELY, proving no merge with ``*``). Mixed-case keys,
+    comments, an unknown directive, and a Sitemap line exercise the
+    tolerant grammar."""
     sid = int(source[3:])
     lines = [
         f"# robots for {source}",
@@ -174,6 +178,8 @@ def build_robots_txt(source: str) -> str:
         "Disallow: /private-",
         "Allow: /private-ok-",
         f"disallow: /tmp-{sid % 3}/",
+        "Disallow: /*.zip$",
+        "Allow: /dl/*.zip$",
         "",
     ]
     if sid % 2 == 0:
@@ -186,6 +192,29 @@ def build_robots_txt(source: str) -> str:
     return "\n".join(lines)
 
 
+def fixture_path_expr():
+    """The registry fixture's request-path derivation (pure codegen,
+    shared by robots_filter and admission_stats): doc_id % 8 picks the
+    shape — public page, the /private- longest-match traps, the
+    host-varying /tmp- rule, the bot-specific /graft- branch, and the
+    two ``*``-wildcard/``$``-anchor shapes (/dl/*.zip$ allowed back
+    over /*.zip$ by octet precedence)."""
+    d = F.col("doc_id")
+    return (
+        F.when(d % 8 == 0, F.concat(F.lit("/public/p"), d.cast("string")))
+        .when(d % 8 == 1, F.concat(F.lit("/private-a"), d.cast("string")))
+        .when(d % 8 == 2, F.concat(F.lit("/private-ok-"), d.cast("string")))
+        .when(d % 8 == 3, F.concat(F.lit("/tmp-"), (d % 3).cast("string"),
+                                   F.lit("/f"), d.cast("string")))
+        .when(d % 8 == 4, F.concat(F.lit("/graft-"), d.cast("string")))
+        .when(d % 8 == 5, F.lit("/private-ok"))
+        .when(d % 8 == 6, F.concat(F.lit("/dl/f"), d.cast("string"),
+                                   F.lit(".zip")))
+        .otherwise(F.concat(F.lit("/files/f"), d.cast("string"),
+                            F.lit(".zip")))
+    )
+
+
 def admission_stats(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
     """The crawl-admission row: HTML extraction + link census + robots
     decision FUSED into one Arrow stage (one pass over the corpus —
@@ -195,16 +224,7 @@ def admission_stats(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
     allowed); the caller aggregates."""
     from .html import page_expr, try_extract_html
 
-    d = F.col("doc_id")
-    path = (
-        F.when(d % 6 == 0, F.concat(F.lit("/public/p"), d.cast("string")))
-        .when(d % 6 == 1, F.concat(F.lit("/private-a"), d.cast("string")))
-        .when(d % 6 == 2, F.concat(F.lit("/private-ok-"), d.cast("string")))
-        .when(d % 6 == 3, F.concat(F.lit("/tmp-"), (d % 3).cast("string"),
-                                   F.lit("/f"), d.cast("string")))
-        .when(d % 6 == 4, F.concat(F.lit("/graft-"), d.cast("string")))
-        .otherwise(F.lit("/private-ok"))
-    )
+    path = fixture_path_expr()
     src = docs.select("doc_id", "source", page_expr().alias("html"),
                       path.alias("path"))
     schema = StructType(
@@ -246,16 +266,7 @@ def robots_filter(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
     """Per-document robots decision: paths derived JVM-side from
     doc_id, the host's robots.txt from its source; the RFC matcher
     runs in Arrow batches. → (doc_id, path, allowed, matched_rule)."""
-    d = F.col("doc_id")
-    path = (
-        F.when(d % 6 == 0, F.concat(F.lit("/public/p"), d.cast("string")))
-        .when(d % 6 == 1, F.concat(F.lit("/private-a"), d.cast("string")))
-        .when(d % 6 == 2, F.concat(F.lit("/private-ok-"), d.cast("string")))
-        .when(d % 6 == 3, F.concat(F.lit("/tmp-"), (d % 3).cast("string"),
-                                   F.lit("/f"), d.cast("string")))
-        .when(d % 6 == 4, F.concat(F.lit("/graft-"), d.cast("string")))
-        .otherwise(F.lit("/private-ok"))
-    )
+    path = fixture_path_expr()
     src = docs.select("doc_id", "source", path.alias("path"))
     schema = StructType(
         [

@@ -5960,29 +5960,51 @@ def text_html_links(spark, sf_dir):
 @_q(
     "text_robots_filter",
     """WITH b AS (
-    SELECT doc_id, cast(substr(source, 4) as int) AS sid, doc_id % 6 AS p
-    FROM documents)
-SELECT doc_id,
+    SELECT doc_id, cast(substr(source, 4) as int) AS sid, doc_id % 8 AS p
+    FROM documents),
+pth AS (
+    SELECT doc_id, sid,
        CASE p WHEN 0 THEN concat('/public/p', cast(doc_id as varchar))
               WHEN 1 THEN concat('/private-a', cast(doc_id as varchar))
               WHEN 2 THEN concat('/private-ok-', cast(doc_id as varchar))
               WHEN 3 THEN concat('/tmp-', cast(doc_id % 3 as varchar),
                                  '/f', cast(doc_id as varchar))
               WHEN 4 THEN concat('/graft-', cast(doc_id as varchar))
-              ELSE '/private-ok' END AS path,
-       CASE WHEN sid % 2 = 0 THEN p <> 4
-            ELSE p IN (0, 4) OR p = 2 OR (p = 3 AND sid % 3 <> 0)
+              WHEN 5 THEN '/private-ok'
+              WHEN 6 THEN concat('/dl/f', cast(doc_id as varchar), '.zip')
+              ELSE concat('/files/f', cast(doc_id as varchar), '.zip')
+       END AS path
+    FROM b)
+SELECT doc_id, path,
+       -- replay the rule table via LIKE, ordered by descending
+       -- pattern octets (the RFC precedence): even hosts select the
+       -- exclusive graftbot group; odd hosts the '*' group with the
+       -- wildcard/anchor pair replayed as suffix LIKEs
+       CASE WHEN sid % 2 = 0 THEN path NOT LIKE '/graft-%'
+            ELSE CASE
+                 WHEN path LIKE '/private-ok-%' THEN TRUE
+                 WHEN path LIKE '/dl/%' AND path LIKE '%.zip' THEN TRUE
+                 WHEN path LIKE '/private-%' THEN FALSE
+                 WHEN path LIKE '%.zip' THEN FALSE
+                 WHEN path LIKE concat('/tmp-', cast(sid % 3 as varchar),
+                                       '/%') THEN FALSE
+                 ELSE TRUE END
        END AS allowed,
        CASE WHEN sid % 2 = 0
-            THEN (CASE WHEN p = 4 THEN '/graft-' ELSE '' END)
-            ELSE CASE p WHEN 1 THEN '/private-'
-                        WHEN 2 THEN '/private-ok-'
-                        WHEN 3 THEN (CASE WHEN sid % 3 = 0
-                                     THEN '/tmp-0/' ELSE '' END)
-                        WHEN 5 THEN '/private-'
-                        ELSE '' END
+            THEN (CASE WHEN path LIKE '/graft-%' THEN '/graft-'
+                       ELSE '' END)
+            ELSE CASE
+                 WHEN path LIKE '/private-ok-%' THEN '/private-ok-'
+                 WHEN path LIKE '/dl/%' AND path LIKE '%.zip'
+                     THEN '/dl/*.zip$'
+                 WHEN path LIKE '/private-%' THEN '/private-'
+                 WHEN path LIKE '%.zip' THEN '/*.zip$'
+                 WHEN path LIKE concat('/tmp-', cast(sid % 3 as varchar),
+                                       '/%')
+                     THEN concat('/tmp-', cast(sid % 3 as varchar), '/')
+                 ELSE '' END
        END AS matched_rule
-FROM b""",
+FROM pth""",
     "robots.txt politeness filter (RFC 9309, functions/robots.py) — "
     "the admission check a crawl corpus runs before a response enters "
     "training data: each document's request path is matched against "
@@ -5992,13 +6014,17 @@ FROM b""",
     "ties, '*'/'$' pattern wildcards, tolerant grammar for comments / "
     "unknown directives / CRLF / empty Disallow). The per-host "
     "fixture plants a longest-match trap (/private- vs /private-ok-), "
-    "a host-varying rule, and a bot-specific group on even hosts that "
-    "must ECLIPSE the '*' group entirely. The oracle replays the "
-    "whole decision table — path, allowed, and the exact matched "
-    "pattern — from doc_id/source arithmetic, so a precedence bug, a "
-    "wrong group pick, or an off-by-one octet comparison hash-breaks. "
-    "Map-only Arrow mapInPandas; per-host robots cached per batch "
-    "(broadcast-sized side input at crawl scale).",
+    "a host-varying rule, a bot-specific group on even hosts that "
+    "must ECLIPSE the '*' group entirely, and (r12) the RFC's "
+    "'*'-wildcard + '$'-anchor pattern pair: /*.zip$ disallows every "
+    "zip path, /dl/*.zip$ allows the download tree back by octet "
+    "precedence (10 > 7). The oracle REPLAYS the rule table with "
+    "LIKE patterns in descending-octets order — not just the boolean "
+    "outcome but the exact matched pattern per path — so a "
+    "precedence bug, a wrong group pick, a broken wildcard run, or a "
+    "$-anchor that matches mid-path hash-breaks. Map-only Arrow "
+    "mapInPandas; per-host robots cached per batch (broadcast-sized "
+    "side input at crawl scale).",
 )
 def text_robots_filter(spark, sf_dir):
     from .functions import robots
@@ -6010,12 +6036,13 @@ def text_robots_filter(spark, sf_dir):
     "pipeline_crawl_admission",
     """WITH b AS (
     SELECT doc_id, source, cast(substr(source, 4) as int) AS sid,
-           doc_id % 6 AS p, length(text) AS tl, doc_id % 7 AS nl
+           doc_id % 8 AS p, length(text) AS tl, doc_id % 7 AS nl
     FROM documents),
 dec AS (
     SELECT source, tl, nl,
            CASE WHEN sid % 2 = 0 THEN p <> 4
-                ELSE p IN (0, 4) OR p = 2 OR (p = 3 AND sid % 3 <> 0)
+                ELSE p IN (0, 2, 4, 6)
+                     OR (p = 3 AND sid % 3 <> doc_id % 3)
            END AS allowed
     FROM b)
 SELECT source,

@@ -3680,21 +3680,30 @@ def test_robots_rfc9309_laws(spark):
     assert is_allowed("", "bot", "/q") == (True, "")
 
     # registry fixture decision table, via the Spark plumbing
+    # (doc_id % 8 picks the path shape)
     docs = spark.createDataFrame(
         [(i, f"src{s}") for i, s in
-         [(0, 2), (4, 2), (1, 3), (2, 3), (9, 3), (3, 1), (5, 3), (6, 0)]],
+         [(0, 2), (4, 2), (1, 3), (2, 3), (3, 3), (5, 3),
+          (14, 3), (15, 3), (22, 2)]],
         "doc_id long, source string")
-    rows = {r.doc_id: r for r in robots_filter(docs).collect()}
-    assert rows[0].allowed and rows[0].matched_rule == ""   # even: public
-    assert not rows[4].allowed                               # even: /graft-
-    assert rows[4].matched_rule == "/graft-"
-    assert not rows[1].allowed                               # odd: /private-
-    assert rows[2].allowed                                   # odd: allow wins
-    assert rows[2].matched_rule == "/private-ok-"
-    # p=3 paths are always /tmp-0/ (doc%6==3 → doc%3==0): disallowed
-    # exactly when the host rule is /tmp-0/ (sid%3==0)
-    assert not rows[9].allowed and rows[9].matched_rule == "/tmp-0/"
-    assert rows[3].allowed and rows[3].matched_rule == ""    # sid%3=1 rule
-    assert not rows[5].allowed                               # /private-ok trap
-    assert rows[5].matched_rule == "/private-"
-    assert rows[6].allowed                                   # even: public
+    got = {r.doc_id: r for r in robots_filter(docs).collect()}
+    assert got[0].allowed and got[0].matched_rule == ""   # even: public
+    assert not got[4].allowed                             # even: /graft-
+    assert got[4].matched_rule == "/graft-"
+    assert not got[1].allowed                             # odd: /private-
+    assert got[2].allowed                                 # odd: allow wins
+    assert got[2].matched_rule == "/private-ok-"
+    # p=3 on host src3: rule /tmp-0/, path /tmp-0/f3 → blocked
+    assert not got[3].allowed and got[3].matched_rule == "/tmp-0/"
+    assert not got[5].allowed                             # /private-ok trap
+    assert got[5].matched_rule == "/private-"
+    # wildcard + anchor pair on the '*' group (odd host):
+    # /dl/f14.zip allowed back by /dl/*.zip$ over /*.zip$
+    assert got[14].allowed and got[14].matched_rule == "/dl/*.zip$"
+    assert not got[15].allowed and got[15].matched_rule == "/*.zip$"
+    # even host: graftbot group is exclusive — zip rules don't apply
+    assert got[22].allowed and got[22].matched_rule == ""
+    # p=3 on host src1: rule /tmp-1/, path /tmp-0/f3 → allowed
+    one = robots_filter(spark.createDataFrame(
+        [(3, "src1")], "doc_id long, source string")).collect()[0]
+    assert one.allowed and one.matched_rule == ""
