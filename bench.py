@@ -82,6 +82,12 @@ HEADLINE = [
     "text_html_extract",
     "text_robots_filter",
     "pipeline_crawl_admission",
+    # round-12 additions: crawl-chain integrity + metadata legs —
+    # end-to-end digest verification, legacy-charset decode, and the
+    # WAT sidecar emission + thin scan
+    "src_warc_digest_verify",
+    "src_warc_charset_decode",
+    "src_warc_wat_sidecar",
 ]
 
 

@@ -12030,57 +12030,23 @@ def mm_wav_stereo_stats(spark, sf_dir):
 # Justified rows-only queries pin to the very tail. This list is
 # GENERATED — regenerate each round with:
 #     python tools/rotate_gate.py --emit
+#
+# r12 ONE-ROUND AMENDMENT (--no-ref-pin; see tools/rotate_gate.py):
+# the r11 verdict's burn-down bar (stale tail ≤ 30, r3 cleared) needs
+# ~43 refresh slots — impossible with the 15 ref pins in a 50-row
+# window — so the refs (all r11-green) sit out exactly this round's
+# window and re-pin in r13. Two fixture-changed queries
+# (text_robots_filter, pipeline_crawl_admission — robots wildcard
+# rules) re-certify up front because their old green rows certify the
+# old semantics.
 _GATE_PRIORITY = [
-    "ref_q1_point_select",
-    "ref_q2_cnr_join",
-    "ref_q3_col_join_filters",
-    "ref_q4_join_order_reversed",
-    "ref_filter_conjunction",
-    "ref_filter_range_in_like",
-    "ref_filter_or_not",
-    "ref_project_distinct",
-    "ref_rename_selfjoin",
-    "ref_cross_product",
-    "ref_theta_join",
-    "ref_theta_join_pure",
-    "ref_multikey_join",
-    "ref_csv_scan",
-    "ref_jsonl_scan",
     "stream_late_data_accounting",
     "tpch_q12_late_priority",
-    "agg_hll_partial_merge",
-    "emb_pca_project",
-    "mm_mp3_xing",
-    "mm_vorbis_comments",
-    "mm_tiff_variants_stats",
-    "mm_flac_seektable",
-    "src_warc_gz_scan",
-    "src_warc_cdx_fetch",
-    "text_html_extract",
-    "text_html_links",
     "text_robots_filter",
     "pipeline_crawl_admission",
-    "agg_approx_quantile_bounded",
-    "dedup_winnowing",
-    "sim_ann_topk",
-    "text_chunking",
-    "stream_zscore_anomalies",
-    "stream_session_windows",
-    "join_asof",
-    "stream_user_profile",
-    "stream_funnel_conversion",
-    "text_pack_sequences",
-    "sim_lsh_ann_topk",
-    "join_asof_tolerance",
-    "dedup_embedding_lsh",
-    "dedup_simhash_fp",
-    "sim_hybrid_rrf",
-    "dedup_incremental_stateless",
-    "text_repetition",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_simhash_lsh",
+    "src_warc_digest_verify",
+    "src_warc_charset_decode",
+    "src_warc_wat_sidecar",
     "dedup_clusters",
     "pipeline_training_data",
     "scalar_fuzzy_match",
@@ -12332,6 +12298,52 @@ _GATE_PRIORITY = [
     "sim_ivfpq_topk",
     "agg_approx_cd_bounded",
     "text_bpe_encode",
+    "ref_theta_join_pure",
+    "ref_cross_product",
+    "ref_filter_conjunction",
+    "ref_filter_or_not",
+    "ref_project_distinct",
+    "ref_filter_range_in_like",
+    "agg_hll_partial_merge",
+    "ref_theta_join",
+    "text_chunking",
+    "ref_rename_selfjoin",
+    "stream_zscore_anomalies",
+    "emb_pca_project",
+    "stream_session_windows",
+    "ref_csv_scan",
+    "mm_mp3_xing",
+    "mm_vorbis_comments",
+    "mm_tiff_variants_stats",
+    "mm_flac_seektable",
+    "join_asof",
+    "stream_user_profile",
+    "stream_funnel_conversion",
+    "ref_q4_join_order_reversed",
+    "ref_multikey_join",
+    "text_pack_sequences",
+    "sim_lsh_ann_topk",
+    "join_asof_tolerance",
+    "dedup_embedding_lsh",
+    "ref_q2_cnr_join",
+    "ref_jsonl_scan",
+    "dedup_simhash_fp",
+    "sim_hybrid_rrf",
+    "dedup_incremental_stateless",
+    "text_repetition",
+    "sim_ann_topk",
+    "ref_q3_col_join_filters",
+    "src_warc_cdx_fetch",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_simhash_lsh",
+    "dedup_winnowing",
+    "ref_q1_point_select",
+    "text_html_extract",
+    "agg_approx_quantile_bounded",
+    "text_html_links",
+    "src_warc_gz_scan",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

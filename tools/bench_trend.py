@@ -6,8 +6,9 @@ the newest recorded round) and prints a comparison table, flagging
 regressions. CI-fashion: exit 1 when any query regressed.
 
     python tools/bench_trend.py                 # newest two BENCH_r*.json
-    python tools/bench_trend.py --run           # run bench.py now, diff vs newest
+    python tools/bench_trend.py --run           # run bench.py now, diff vs baseline
     python tools/bench_trend.py --run --confirm 3   # n-of-3 regression confirm
+    python tools/bench_trend.py --rebaseline 3  # record the local baseline
     python tools/bench_trend.py NEW.json OLD.json
 
 A regression = ≥25% slower AND ≥0.3 s absolute (filters startup noise on
@@ -20,6 +21,21 @@ artifact: one contended driver run read +45% while four isolated runs
 sat flat; a gate without the confirm pass would have (and did) mislabel
 it. Local ``--run`` results are archived under ``bench_history/`` so
 intra-round progress is reconstructable.
+
+BASELINE POLICY (r12 — VERDICT r11 "What's wrong #1"): ``--run``
+compares against ``bench_history/BASELINE_LOCAL.json`` when present,
+falling back to the newest round artifact only when it isn't. Round
+artifacts are recorded on whatever machine state the driver happened
+to get, and the r11 cycle proved the environment itself drifts between
+rounds (a pristine-r10-tree twin ran 40% above the r10 artifact on
+identical code) — anchoring the gate to a cross-round artifact then
+flags unchanged code every cycle, an alarm that carries no
+information. The committed baseline is instead a quiet-machine
+per-query MINIMUM over N isolated runs recorded ON THE CURRENT BOX
+via ``--rebaseline N``; re-record it (keeping the archived runs for
+history) whenever a surviving min-of-N flag is proven environmental
+by a pristine-tree twin, and note the re-record in
+``bench_history/NOTES.md``.
 """
 
 from __future__ import annotations
@@ -117,25 +133,58 @@ def min_across(runs: list[dict]) -> dict:
     return {"value": sum(queries.values()), "queries": queries}
 
 
+BASELINE_PATH = os.path.join(REPO, "bench_history", "BASELINE_LOCAL.json")
+
+
+def rebaseline(n: int) -> int:
+    """Record the quiet-machine local baseline: per-query minimum over
+    ``n`` isolated bench runs, written to BASELINE_LOCAL.json with the
+    recording context. Run this on an otherwise-idle machine."""
+    runs = [run_bench() for _ in range(n)]
+    base = min_across(runs)
+    base["recorded"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    base["runs"] = n
+    base["sf"] = runs[0].get("sf")
+    base["note"] = ("quiet-machine per-query min of "
+                    f"{n} isolated runs; see NOTES.md for policy")
+    with open(BASELINE_PATH, "w") as fh:
+        json.dump(base, fh, indent=1)
+    print(f"baseline recorded: {len(base['queries'])} queries, "
+          f"total {base['value']:.2f}s → {BASELINE_PATH}")
+    return 0
+
+
+def gate_baseline():
+    """(data, label) the --run gate compares against: the committed
+    local baseline when present, else the newest round artifact."""
+    if os.path.exists(BASELINE_PATH):
+        return load_bench(BASELINE_PATH), "BASELINE_LOCAL.json"
+    rounds = newest_rounds()
+    if not rounds:
+        return None, ""
+    return load_bench(rounds[-1]), os.path.basename(rounds[-1])
+
+
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "--rebaseline":
+        return rebaseline(int(argv[1]) if len(argv) > 1 else 3)
     if argv and argv[0] == "--run":
         confirm = 1
         if "--confirm" in argv:
             confirm = int(argv[argv.index("--confirm") + 1])
         runs = [run_bench()]
-        rounds = newest_rounds()
-        if not rounds:
+        old, old_name = gate_baseline()
+        if old is None:
             print(json.dumps(runs[0]["queries"], indent=1))
             return 0
-        old = load_bench(rounds[-1])
-        rc = compare(runs[0], old, "local", os.path.basename(rounds[-1]))
+        rc = compare(runs[0], old, "local", old_name)
         while rc and len(runs) < confirm:
             print(f"\nregression flagged — confirm run {len(runs) + 1}/{confirm} "
                   "(min across runs must still regress)")
             runs.append(run_bench())
             rc = compare(
                 min_across(runs), old,
-                f"min-of-{len(runs)}", os.path.basename(rounds[-1]),
+                f"min-of-{len(runs)}", old_name,
             )
         return rc
     if len(argv) == 2:

@@ -9,8 +9,8 @@ round. This tool makes the rotation mechanical:
     python tools/rotate_gate.py --emit     # print the Python list body
 
 Policy (VERDICT r8 "Next round #2" — freshness rotation): the 15
-``ref_*`` parity rows stay pinned first every round (they must stay
-driver-green); then the two permanent regression sentinels
+``ref_*`` parity rows are pinned first (they must stay driver-green);
+then the two permanent regression sentinels
 (`stream_late_data_accounting`, `tpch_q12_late_priority` — the restated
 ex-red rows); then every certifiable oracled query ordered by the round
 of its LATEST driver-green row, oldest first (never-green first of
@@ -19,6 +19,16 @@ Within a staleness tier, cheapest-first when a timings profile exists
 (tools/gate_timings.json) so the time-budgeted gate certifies the
 maximum count. Justified rows-only queries pin to the very tail — they
 can only ever earn a `no_oracle` row and would burn a certifiable slot.
+
+r12 ONE-ROUND AMENDMENT (VERDICT r11 "Next round #1" — the burn-down
+bar "stale tail ≤ 30 with r3 fully cleared" needs ~43 refresh slots,
+which is arithmetically impossible inside a 50-row window with 15
+refs pinned): ``--no-ref-pin`` drops the ref pins into the staleness
+body for THIS round only — they are all r11-green, so they sort to
+the back and sit out exactly one window; r13 re-pins them. RECERT
+pins queries whose FIXTURE OR ORACLE changed this round (their old
+green rows certify the old semantics): r12 = the two robots-wildcard
+queries.
 """
 
 from __future__ import annotations
@@ -36,6 +46,11 @@ from sql_query_engine_spark.queries import oracle_sql, queries, registry  # noqa
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SENTINELS = ["stream_late_data_accounting", "tpch_q12_late_priority"]
+
+# queries whose fixture or oracle changed this round: their historical
+# green rows certify the OLD semantics, so they re-certify now even
+# though they aren't stale by round number (r12: robots wildcard rules)
+RECERT = ["text_robots_filter", "pipeline_crawl_admission"]
 
 
 def last_green() -> dict[str, int]:
@@ -79,27 +94,29 @@ def main() -> int:
         # committed profile from the latest round's measurement loop —
         # refresh with --timings FILE when queries change materially
         timings = json.load(open(default_timings))
+    no_ref_pin = "--no-ref-pin" in sys.argv
     latest = last_green()
     names = [q.name for q in registry()]
     pos = {n: i for i, n in enumerate(names)}
     rows_only = set(queries()) - set(oracle_sql())
-    refs = [n for n in names if n.startswith("ref_")]
+    refs = [] if no_ref_pin else [n for n in names if n.startswith("ref_")]
     sentinels = [n for n in SENTINELS if n in pos]
+    recert = [n for n in RECERT if n in pos]
+    head = set(refs) | set(sentinels) | set(recert)
     body = [n for n in names
-            if not n.startswith("ref_") and n not in sentinels
-            and n not in rows_only]
+            if n not in head and n not in rows_only]
     # staleness first (never-green = round 0), then cheap-first within a
     # tier, then declaration order for stability
     body.sort(key=lambda n: (latest.get(n, 0), timings.get(n, 999.0), pos[n]))
     tail = [n for n in names
-            if n in rows_only and not n.startswith("ref_")]
+            if n in rows_only and n not in head]
 
     print(f"declared: {len(names)}")
     print(f"driver-green somewhere: {sum(1 for n in names if n in latest)}")
     print(f"never driver-green (certifiable): "
           f"{sum(1 for n in body if n not in latest)}")
     print(f"rows-only pinned to tail: {len(tail)}")
-    rotation = refs + sentinels + body + tail
+    rotation = refs + sentinels + recert + body + tail
     assert len(rotation) == len(set(rotation)) == len(names)
     if emit:
         print("\n_GATE_PRIORITY = [")
