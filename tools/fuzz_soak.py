@@ -80,16 +80,39 @@ def valid_corpus():
             _mm.build_ogg_vorbis_tagged(d),            # r11
         ]
         # r11 ingest chain: a 2-member .warc.gz (HTTP chunked + CL
-        # framings) and a standalone HTML page (UTF-8 bytes)
+        # framings) and a standalone HTML page (UTF-8 bytes); r12: the
+        # records carry the labelled digests + trailers the writer now
+        # emits, and a charset-rotated member joins the corpus
+        import hashlib as _hl
         from sql_query_engine_spark.functions.html import build_html_page
         _t = f"fuzz & <doc> {d} — ünïcode ☃"
-        _rec = lambda did: _bwarc(did, "").replace(
-            b"Content-Length: 0",
-            b"Content-Length: %d" % len(_bhttp(_t.encode(), did)))[
-            :-4] + _bhttp(_t.encode(), did) + b"\r\n\r\n"
+
+        def _rec(did, ent=None, cs="utf-8"):
+            ent = _t.encode() if ent is None else ent
+            return _bwarc(
+                did, payload=_bhttp(ent, did, charset=cs),
+                content_type=b"application/http;msgtype=response",
+                payload_digest=_hl.sha256(ent).hexdigest())
         outs.append(_gzm(_rec(d), fname=b"r.warc")
                     + _gzm(_rec(d + 1), fhcrc=True))
+        outs.append(_gzm(_rec(d + 2, ent="ascii only".encode(),
+                              cs="us-ascii"))
+                    + _gzm(_rec(d + 5, ent=" €—™".encode("cp1252"),
+                                cs="windows-1252")))
         outs.append(build_html_page(d, _t).encode())
+        # r12: attribute-heavy page (quoted '>'s, duplicate/unquoted/
+        # İ-named attributes, stray solidi) and an entity-bomb page
+        # (dense named/decimal/hex/invalid references)
+        _attrs = " ".join(
+            f'a{i}-İ="v>{i}" b{i}=u{i} / c{i}' for i in range(40))
+        outs.append((
+            f'<p {_attrs}>x</p><a {_attrs} href="/y?a=1&amp;b=2">t</a>'
+            f'<script {_attrs}>if (1<2) {{ x="</scr"+"ipt>"; }}</script>'
+            f'<title {_attrs}>T</title>').encode())
+        outs.append((
+            "<p>" + "&amp;&lt;&gt;&quot;&#65;&#x1F600;&#xZZ;&unknown;"
+            * 400 + "&#" + "9" * 30 + ";&#x" + "F" * 30 + ";</p>"
+        ).encode())
         from sql_query_engine_spark.functions.robots import build_robots_txt
         outs.append(build_robots_txt(f"src{d}").encode())
     import os
@@ -135,5 +158,45 @@ for i in range(N):
                 sys.exit(1)
     if i % 20000 == 0:
         print(f"{i}/{N} mutations, {fails} crashes", flush=True)
-print(f"DONE {N} mutations x {len(DECODERS)} decoders, {fails} crashes")
+
+# r12: targeted gzip MEMBER-BOUNDARY fuzz — the generic mutator rarely
+# lands on the 8-byte trailer / next-header seam where the multi-member
+# walk hands off, so hammer exactly that window: every mutation flips
+# or truncates within ±12 bytes of a true member boundary of a valid
+# 3-member stream (the seam covers CRC32+ISIZE of member k and the
+# magic/FLG of member k+1).
+import hashlib as _hl2
+_ents = [b"seam one", "seam — tw☃".encode(), b"s3"]
+_members = [
+    _gzm(_bwarc(i + 1,
+                payload=_bhttp(e, i + 1),
+                content_type=b"application/http;msgtype=response",
+                payload_digest=_hl2.sha256(e).hexdigest()),
+         fname=b"m.warc" if i == 0 else None, fhcrc=i == 2)
+    for i, e in enumerate(_ents)
+]
+_stream = b"".join(_members)
+_bounds = [len(_members[0]), len(_members[0]) + len(_members[1])]
+NB = max(N // 10, 1000)
+for i in range(NB):
+    b0 = _bounds[rng.randrange(len(_bounds))]
+    off = max(0, min(len(_stream) - 1, b0 + rng.randrange(-12, 13)))
+    buf = bytearray(_stream)
+    if rng.random() < 0.3:
+        buf = buf[:off]                       # truncate at the seam
+    else:
+        buf[off] ^= rng.randrange(1, 256)     # flip in the seam window
+    try:
+        out = _warcgz(bytes(buf))
+        assert out is None or isinstance(out, (tuple, list, dict))
+    except Exception:
+        fails += 1
+        print(f"CRASH boundary-fuzz iter {i} off {off}")
+        traceback.print_exc(limit=3)
+        open(f'/tmp/fuzz_crash_boundary_{i}.bin', 'wb').write(bytes(buf))
+        if fails > 5:
+            sys.exit(1)
+print(f"boundary pass: {NB} seam mutations, {fails} total crashes")
+print(f"DONE {N} mutations x {len(DECODERS)} decoders "
+      f"+ {NB} gzip-seam mutations, {fails} crashes")
 sys.exit(1 if fails else 0)
