@@ -12044,90 +12044,89 @@ _GATE_PRIORITY = [
     "tpch_q12_late_priority",
     "text_robots_filter",
     "pipeline_crawl_admission",
-    "src_warc_digest_verify",
     "src_warc_charset_decode",
     "src_warc_wat_sidecar",
-    "dedup_clusters",
+    "src_warc_digest_verify",
     "pipeline_training_data",
+    "dedup_clusters",
     "scalar_fuzzy_match",
-    "scalar_array_ops",
     "scalar_regex",
     "sample_systematic",
     "scalar_date_arithmetic",
+    "scalar_array_ops",
     "agg_string_agg",
     "pipeline_length_histogram",
     "dedup_exact",
     "text_word_freq",
-    "setop_union_distinct",
     "dedup_normalized",
     "window_distribution",
+    "setop_union_distinct",
     "agg_two_level",
     "setop_except_all",
     "scalar_null_semantics",
     "join_right_outer",
-    "catalog_profile_documents",
-    "sql_grouping_sets",
-    "sql_in_subquery",
-    "sql_exists_subquery",
     "catalog_profile_orders",
     "setop_intersect_all",
+    "window_analytic_values",
+    "sql_in_subquery",
+    "sql_exists_subquery",
     "window_range_running",
     "agg_unpivot",
     "join_argmax",
-    "agg_native_pivot",
     "sql_correlated_subquery",
     "sql_cte",
-    "window_analytic_values",
+    "window_distribution_scale",
+    "catalog_profile_documents",
+    "agg_native_pivot",
+    "sql_grouping_sets",
+    "dedup_repeated_ngrams",
     "text_quality_filter",
     "pipeline_decontaminate",
-    "dedup_repeated_ngrams",
+    "join_range_bands",
     "window_ntile_scale",
-    "window_distribution_scale",
     "dedup_embedding_cosine",
     "dedup_simhash_pairs",
-    "join_range_bands",
     "text_readability",
     "scalar_url_functions",
     "text_domain_score",
-    "pipeline_domain_cap",
     "pipeline_source_quota",
     "scalar_try_arithmetic",
     "stream_first_event_dedup",
-    "tpch_q6_forecast_revenue",
     "text_tokenizer_fertility",
-    "pipeline_token_budget_mixture",
     "catalog_table_checksum",
     "emb_matryoshka_truncate",
-    "catalog_feed_freshness",
+    "pipeline_domain_cap",
+    "tpch_q6_forecast_revenue",
+    "pipeline_token_budget_mixture",
     "scalar_zorder_key",
     "tpch_q4_order_priority",
     "pipeline_cdc_upsert",
     "join_null_safe",
-    "stream_window_topk",
-    "catalog_distribution_drift",
     "agg_bitmap_distinct",
     "emb_norm_histogram",
+    "catalog_feed_freshness",
+    "stream_window_topk",
+    "catalog_distribution_drift",
     "agg_histogram_quantiles",
     "text_dup_ngrams",
     "catalog_constraint_check",
     "text_keywords",
+    "emb_centroid_drift",
     "agg_countmin_topk",
-    "mm_jpeg_pixel_stats",
+    "stream_countmin_users",
     "mm_audio_sample_stats",
     "mm_flac_sample_stats",
-    "emb_centroid_drift",
-    "stream_countmin_users",
     "pipeline_classifier_auc",
     "pipeline_classifier_calibration",
+    "mm_jpeg_pixel_stats",
     "dedup_substring_span",
     "src_tbl_scan",
     "sample_weighted_priority",
     "catalog_zonemap_pruning",
     "mm_payload_dedup",
-    "tpch_q14_promo_effect",
     "sql_lateral_topn",
-    "catalog_table_diff",
     "agg_twophase_distinct",
+    "tpch_q14_promo_effect",
     "stream_hourly_active_users",
     "tpch_q13_customer_distribution",
     "pipeline_contrastive_pairs",
@@ -12135,6 +12134,8 @@ _GATE_PRIORITY = [
     "tpch_q15_top_supplier",
     "stream_sliding_counts",
     "sample_stratified",
+    "join_salted_skew",
+    "catalog_table_diff",
     "tpch_q20_part_promotion",
     "tpch_q9_product_type_profit",
     "window_time_range_trailing",
@@ -12142,97 +12143,96 @@ _GATE_PRIORITY = [
     "tpch_q17_small_qty_revenue",
     "stream_retention_cohorts",
     "pipeline_scd2",
-    "join_salted_skew",
     "tpch_q22_global_sales_opportunity",
-    "stream_session_native",
     "tpch_q11_important_stock",
-    "mm_video_decode",
+    "stream_session_native",
     "mm_decode",
+    "mm_video_decode",
     "mm_audio_decode",
     "mm_wav_stereo_stats",
     "mm_audio_filter",
-    "mm_decode_filter",
     "mm_modality_router",
+    "mm_decode_filter",
     "join_asof_nearest",
+    "emb_label_centroids",
     "src_fixed_width_scan",
     "stream_attribution",
     "agg_heavy_hitters",
-    "emb_label_centroids",
     "catalog_key_skew_profile",
     "text_postings_delta",
-    "tpch_q19_disjunctive_revenue",
-    "pipeline_next_event_dataset",
-    "pipeline_preference_pairs",
     "pipeline_incremental_rollup",
-    "window_rolling_slope",
-    "pipeline_group_advantage",
-    "agg_ols_fit",
-    "stream_interval_coalesce",
-    "window_running_distinct",
-    "stream_gapfill_locf",
     "stream_interval_join",
     "stream_daily_ohlc",
     "text_feature_hashing",
-    "sim_int8_topk",
+    "tpch_q19_disjunctive_revenue",
+    "pipeline_next_event_dataset",
+    "agg_ols_fit",
+    "stream_interval_coalesce",
+    "window_running_distinct",
+    "pipeline_preference_pairs",
+    "pipeline_group_advantage",
+    "stream_gapfill_locf",
+    "window_rolling_slope",
+    "mm_wav_24bit_stats",
     "pipeline_span_corruption",
     "mm_mp3_metadata",
     "mm_tiff_metadata",
-    "mm_wav_24bit_stats",
     "mm_jpeg_progressive_420_stats",
-    "mm_format_sniffer",
     "mm_gif_interlaced_stats",
-    "mm_video_pixel_stats",
     "mm_png_interlaced_stats",
+    "sim_int8_topk",
+    "mm_format_sniffer",
+    "mm_video_pixel_stats",
     "sql_recursive_cte",
     "join_fuzzy_qgram",
     "src_warc_scan",
     "stream_token_bucket",
-    "pipeline_semantic_decontaminate",
     "join_spatial_grid",
-    "pipeline_temperature_mixture",
-    "join_asof_forward",
-    "scalar_hilbert_key",
-    "mm_jpeg_420_stats",
     "mm_jpeg_progressive_stats",
     "mm_flac_stereo_stats",
+    "mm_gif_pixel_stats",
+    "pipeline_semantic_decontaminate",
+    "pipeline_temperature_mixture",
+    "mm_jpeg_420_stats",
     "mm_jpeg_color_stats",
     "mm_pixel_stats",
     "emb_knn_label_transfer",
-    "emb_standardize",
-    "mm_gif_pixel_stats",
     "mm_image_ahash",
+    "join_asof_forward",
+    "emb_standardize",
     "join_nearest_event",
     "text_lm_score",
     "agg_robust_outliers",
+    "scalar_hilbert_key",
     "graph_triangle_count",
-    "dedup_containment",
     "dedup_embedding_clusters",
+    "dedup_containment",
     "sim_hamming_topk",
-    "tpch_q2_min_cost_supplier",
     "emb_random_projection",
-    "stream_sliding_distinct",
     "tpch_q18_large_volume",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
     "join_interval_overlap",
+    "tpch_q2_min_cost_supplier",
+    "stream_sliding_distinct",
+    "tpch_q8_market_share",
     "tpch_q16_supplier_part_counts",
     "tpch_q21_suppliers_kept_waiting",
     "text_cdc_chunks",
     "mm_png_metadata",
-    "mm_image_resize",
     "mm_jpeg_progressive_color_stats",
+    "mm_image_resize",
     "mm_gif_frame_sample",
     "sim_ivf_int8_topk",
-    "pipeline_classifier_train",
     "src_avro_scan",
+    "pipeline_classifier_train",
     "text_bm25_topk",
     "sim_lsh_multiprobe_topk",
+    "pipeline_cluster_safe_split",
     "join_bloom_semijoin",
     "sim_mmr_rerank",
-    "pipeline_dedup_rate_by_source",
-    "pipeline_cluster_safe_split",
-    "graph_pagerank",
     "pipeline_dedup_keeper",
+    "pipeline_dedup_rate_by_source",
+    "graph_pagerank",
     "pipeline_source_authority",
     "scalar_map_ops",
     "topk_orders",
@@ -12246,104 +12246,104 @@ _GATE_PRIORITY = [
     "join_full_outer",
     "setop_except",
     "window_rank_dense",
-    "window_ntile",
-    "scalar_conditional",
     "setop_intersect",
     "agg_percentiles",
     "agg_rollup_gid",
+    "scalar_json",
+    "window_ntile",
+    "scalar_conditional",
     "join_left_outer",
     "agg_rollup",
     "agg_count_distinct",
-    "agg_conditional_pivot",
-    "scalar_json",
     "topk_per_group",
     "agg_pricing_summary",
+    "agg_cube",
+    "agg_conditional_pivot",
     "window_running_sum",
     "tpch_q3_shipping_priority",
-    "agg_cube",
-    "tpch_q10_returned_items",
     "agg_exact_corr",
     "window_lag_lead",
-    "window_moving_avg",
+    "tpch_q10_returned_items",
     "mm_png16_stats",
     "mm_jpeg_cmyk_stats",
+    "window_moving_avg",
     "text_pii_stats",
+    "scalar_string",
+    "text_quality",
     "text_scrub",
     "text_token_stats",
     "pipeline_dataset_mixture",
-    "scalar_string",
-    "text_quality",
     "dedup_exact_hash",
     "pipeline_global_shuffle",
     "emb_quantize_int8",
     "pipeline_train_val_split",
     "mm_binary_features",
-    "mm_frame_samples",
     "stream_tumbling_counts",
     "text_idf",
+    "text_lang_id",
+    "mm_frame_samples",
     "agg_udaf_median",
     "text_fingerprint",
     "sql_scalar_subquery",
-    "text_lang_id",
     "text_unigram_segment",
     "text_char_entropy",
+    "text_bpe_encode",
     "sim_cosine_topk",
     "mm_mp4_tracks",
-    "tpch_q5_local_supplier_volume",
-    "mm_tiff_lzw_stats",
     "mm_ogg_metadata",
+    "tpch_q5_local_supplier_volume",
     "mm_png16i_stats",
-    "sim_pq_topk",
+    "mm_tiff_lzw_stats",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "sim_ivfpq_topk",
     "agg_approx_cd_bounded",
-    "text_bpe_encode",
-    "ref_theta_join_pure",
     "ref_cross_product",
-    "ref_filter_conjunction",
     "ref_filter_or_not",
     "ref_project_distinct",
     "ref_filter_range_in_like",
-    "agg_hll_partial_merge",
-    "ref_theta_join",
-    "text_chunking",
     "ref_rename_selfjoin",
+    "ref_theta_join_pure",
+    "ref_filter_conjunction",
+    "ref_theta_join",
+    "ref_q1_point_select",
     "stream_zscore_anomalies",
-    "emb_pca_project",
+    "ref_q2_cnr_join",
+    "text_html_links",
+    "agg_hll_partial_merge",
+    "text_chunking",
+    "text_html_extract",
     "stream_session_windows",
     "ref_csv_scan",
+    "ref_multikey_join",
+    "ref_jsonl_scan",
+    "ref_q3_col_join_filters",
+    "emb_pca_project",
+    "ref_q4_join_order_reversed",
+    "agg_approx_quantile_bounded",
+    "src_warc_gz_scan",
     "mm_mp3_xing",
     "mm_vorbis_comments",
-    "mm_tiff_variants_stats",
     "mm_flac_seektable",
     "join_asof",
     "stream_user_profile",
     "stream_funnel_conversion",
-    "ref_q4_join_order_reversed",
-    "ref_multikey_join",
     "text_pack_sequences",
-    "sim_lsh_ann_topk",
     "join_asof_tolerance",
     "dedup_embedding_lsh",
-    "ref_q2_cnr_join",
-    "ref_jsonl_scan",
-    "dedup_simhash_fp",
+    "mm_tiff_variants_stats",
+    "sim_lsh_ann_topk",
     "sim_hybrid_rrf",
     "dedup_incremental_stateless",
-    "text_repetition",
     "sim_ann_topk",
-    "ref_q3_col_join_filters",
+    "dedup_simhash_fp",
+    "text_repetition",
     "src_warc_cdx_fetch",
+    "dedup_winnowing",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_simhash_lsh",
-    "dedup_winnowing",
-    "ref_q1_point_select",
-    "text_html_extract",
-    "agg_approx_quantile_bounded",
-    "text_html_links",
-    "src_warc_gz_scan",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because
