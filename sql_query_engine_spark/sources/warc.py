@@ -715,6 +715,10 @@ _CHARSET_CODECS = {
     "latin1": "latin-1",
     "us-ascii": "ascii",
     "ascii": "ascii",
+    # BOM-detected labels (sniff_charset): utf-8-sig strips the BOM,
+    # utf-16 picks endianness from the BOM and consumes it
+    "utf-8-sig": "utf-8-sig",
+    "utf-16": "utf-16",
 }
 
 
@@ -734,15 +738,64 @@ def _charset_of(headers: dict | None) -> str | None:
     return None
 
 
+def sniff_charset(body: bytes) -> str | None:
+    """Charset detection for entities with NO declared charset — the
+    HTML5 prescan essentials (WHATWG "determining the character
+    encoding"): a Unicode BOM wins outright; else the first 1024 bytes
+    are scanned for ``<meta charset=...>`` or the ``http-equiv``
+    Content-Type form. Returns a lowercase label or None. This is
+    DETECTION of an in-band declaration, not statistical guessing —
+    a page that declares nothing anywhere stays at the UTF-8 default
+    and strict-decode rules."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+        return "utf-16"
+    head = body[:1024].lower()
+    pos = 0
+    while True:
+        i = head.find(b"<meta", pos)
+        if i < 0:
+            return None
+        j = head.find(b">", i)
+        tag = head[i:j if j > 0 else len(head)]
+        pos = i + 5
+        m = tag.find(b"charset=")
+        if m < 0:
+            continue
+        v = tag[m + len(b"charset="):].strip()
+        if v[:1] in (b'"', b"'"):
+            q = v[:1]
+            end = v.find(q, 1)
+            if end < 0:
+                continue
+            v = v[1:end]
+        else:
+            for stop in (b" ", b"\t", b";", b"/", b'"', b"'"):
+                cut = v.find(stop)
+                if cut >= 0:
+                    v = v[:cut]
+        v = v.strip()
+        if v:
+            try:
+                return v.decode("ascii").lower()
+            except UnicodeDecodeError:
+                return None
+
+
 def _entity_text(body: bytes, headers: dict | None = None) -> str | None:
     """Entity bytes → text by the DECLARED charset (Content-Type
-    parameter; absent → UTF-8), or None when the label is unknown or
-    the bytes don't strictly decode — charset variety is a DATA
-    property of a real crawl, not a framing defect, so it must not
-    kill the ingest (framing/CRC defects still raise; a mislabeled
-    page becomes NULL text, never silently wrong text). Byte-level
-    consumers key on content_length."""
+    parameter; absent → the in-band declaration found by
+    :func:`sniff_charset` (BOM / meta prescan); nothing declared
+    anywhere → UTF-8), or None when the label is unknown or the bytes
+    don't strictly decode — charset variety is a DATA property of a
+    real crawl, not a framing defect, so it must not kill the ingest
+    (framing/CRC defects still raise; a mislabeled page becomes NULL
+    text, never silently wrong text). Byte-level consumers key on
+    content_length."""
     label = _charset_of(headers)
+    if label is None:
+        label = sniff_charset(body)
     codec = _CHARSET_CODECS.get(label or "utf-8")
     if codec is None:
         return None

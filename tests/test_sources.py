@@ -973,6 +973,48 @@ def test_warc_charset_rotation(spark, tmp_path):
         assert r.text == want, (d, r.text, want)
         assert r.digest_verified is True
 
+    # NO declared charset → the HTML5 prescan essentials kick in:
+    # BOM wins outright; else <meta charset> within the first 1024
+    # bytes; else the strict UTF-8 default. Detection of in-band
+    # declarations only — never statistical guessing.
+    from sql_query_engine_spark.sources.warc import (
+        parse_http_response_ex,
+        sniff_charset,
+    )
+
+    assert sniff_charset(b"\xef\xbb\xbfplain") == "utf-8-sig"
+    assert sniff_charset("ünï".encode("utf-16-le")) is None  # no BOM
+    assert sniff_charset("ünï".encode("utf-16")) == "utf-16"  # BOM
+    assert sniff_charset(
+        b'<html><META CharSet="windows-1252"><p>x') == "windows-1252"
+    assert sniff_charset(
+        b'<meta http-equiv="content-type" '
+        b'content="text/html; charset=iso-8859-1">') == "iso-8859-1"
+    assert sniff_charset(b"<meta name=viewport>" + b"x" * 2000
+                         + b"<meta charset=utf-8>") is None  # past 1024
+    assert sniff_charset(b"no declarations here") is None
+
+    def _nocs(ent, meta=b""):
+        body = meta + ent
+        msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Content-Length: " + str(len(body)).encode()
+               + b"\r\n\r\n" + body)
+        return parse_http_response_ex(msg)
+
+    st, hh, body, _ = _nocs("snöw ☃".encode("utf-8"))
+    from sql_query_engine_spark.sources.warc import _entity_text
+    assert _entity_text(body, hh) == "snöw ☃"  # default utf-8
+    st, hh, body, _ = _nocs(
+        " caf\xe9".encode("cp1252"), meta=b"<meta charset=windows-1252>")
+    assert _entity_text(body, hh) == "<meta charset=windows-1252> caf\xe9"
+    st, hh, body, _ = _nocs(b"\xef\xbb\xbfbom text")
+    assert _entity_text(body, hh) == "bom text"  # BOM stripped
+    # declared header charset still wins over a conflicting meta tag
+    http = build_http_response(
+        b"<meta charset=windows-1252>ascii", 6, charset="us-ascii")
+    st, hh, body, _ = parse_http_response_ex(http)
+    assert _entity_text(body, hh) == "<meta charset=windows-1252>ascii"
+
     # unknown charset label → NULL text, content_length keeps bytes
     ent = "σ".encode("utf-8")
     http = build_http_response(ent, 2, charset="shift_jis")
