@@ -140,17 +140,22 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
             if not line:
                 break  # blank line: payload follows
             # ISO 28500 allows zero whitespace after the colon — split
-            # on the bare colon and strip optional LWS from the value
+            # on the bare colon and strip optional LWS from the value;
+            # field names are case-insensitive (§5), so the dict is
+            # keyed LOWERCASED — otherwise a legally-cased external
+            # record ('Warc-Block-Digest:') would silently skip digest
+            # verification and 'content-length:' would reject
             k, sep, v = line.partition(b":")
             if not sep or not k:
                 raise ValueError(f"{path}: malformed header {line!r}")
+            k = k.strip().lower()
             if k in headers:
                 raise ValueError(f"{path}: duplicate header {k!r}")
             headers[k] = v.lstrip(b" \t")
-        if b"Content-Length" not in headers:
+        if b"content-length" not in headers:
             raise ValueError(f"{path}: record without Content-Length")
         try:
-            n = int(headers[b"Content-Length"])
+            n = int(headers[b"content-length"])
         except ValueError:
             raise ValueError(f"{path}: non-numeric Content-Length")
         if n < 0 or pos + n + 4 > len(b):
@@ -159,8 +164,8 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
         if b[pos + n : pos + n + 4] != _CRLF + _CRLF:
             raise ValueError(f"{path}: missing record terminator")
         pos += n + 4
-        if b"WARC-Block-Digest" in headers:
-            alg, _, want = headers[b"WARC-Block-Digest"].partition(b":")
+        if b"warc-block-digest" in headers:
+            alg, _, want = headers[b"warc-block-digest"].partition(b":")
             alg = alg.strip().lower().decode()
             if alg in ("sha256", "sha1", "md5"):
                 got = hashlib.new(alg, body).hexdigest()
@@ -168,8 +173,8 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
                     raise ValueError(
                         f"{path}: WARC-Block-Digest mismatch at record "
                         f"ending {pos} ({alg})")
-        uri = headers.get(b"WARC-Target-URI", b"").decode()
-        rid = headers.get(b"WARC-Record-ID", b"").decode()
+        uri = headers.get(b"warc-target-uri", b"").decode()
+        rid = headers.get(b"warc-record-id", b"").decode()
         # fixture ids live in the uuid tail; external files may not
         # carry one — doc_id is then -1 and the caller keys on the URI
         doc_id = -1
@@ -883,7 +888,7 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
                             block, path)
                         digest = None
                         verified = None
-                        decl = wh.get(b"WARC-Payload-Digest")
+                        decl = wh.get(b"warc-payload-digest")
                         if decl is not None:
                             alg, _, hexd = decl.partition(b":")
                             if alg.strip().lower() == b"sha256":

@@ -340,19 +340,28 @@ from sql_query_engine_spark.sources.warc import (  # noqa: E402
 
 
 def _ingest_payloads():
+    import hashlib
+
     outs = []
     for d in (0, 3, 7):
         t = f"prop & <doc> {d} — ünïcode ☃"
         outs.append(build_html_page(d, t).encode())
-        http = build_http_response(t.encode(), d)
-        rec = build_warc_record(d, "").replace(
-            b"Content-Length: 0",
-            b"Content-Length: %d" % len(http))[:-4] + http + b"\r\n\r\n"
+        ent = t.encode()
+        rec = build_warc_record(
+            d, payload=build_http_response(ent, d),
+            content_type=b"application/http;msgtype=response",
+            payload_digest=hashlib.sha256(ent).hexdigest())
         outs.append(gzip_member(rec, fname=b"r.warc", fhcrc=d % 2 == 0))
     return outs
 
 
 _INGEST_VALID = _ingest_payloads()
+# the seeds themselves must exercise the SUCCESS path (r12: the old
+# placeholder-splice seeds failed the new block-digest check, so the
+# property test silently stopped covering successful decodes)
+assert all(
+    try_scan_warc_gz(p) for p in _INGEST_VALID[1::2]
+), "unmutated WARC seeds must decode"
 
 
 @settings(max_examples=200, deadline=None)

@@ -915,6 +915,14 @@ def test_warc_digests_and_trailers(spark, tmp_path):
         b"WARC-Block-Digest: sha256:",
         b"WARC-Block-Digest: xxh3:00")
     assert decode_warc_bytes(loose)[0][3] == b"hello"
+    # ISO 28500 field names are case-insensitive: a legally-cased
+    # external record must still VERIFY (and still catch corruption)
+    cased = build_warc_record(3, "hello") \
+        .replace(b"WARC-Block-Digest:", b"wArC-bLoCk-DiGeSt:") \
+        .replace(b"Content-Length:", b"CONTENT-LENGTH:")
+    assert decode_warc_bytes(cased)[0][3] == b"hello"
+    with _pytest.raises(ValueError, match="Block-Digest"):
+        decode_warc_bytes(cased.replace(b"hello", b"jello"))
 
     # chunked trailer digest: flip a byte INSIDE a chunk — the gzip
     # and WARC layers can't see it (digests recomputed over the new

@@ -150,15 +150,18 @@ def main() -> int:
     raw = bytearray(open(victim, "rb").read())
     raw[len(raw) // 2] ^= 0xFF
     open(victim, "wb").write(bytes(raw))
+    survived = False
     try:
         warc.read_warc_gz_meta(spark, f"{out_dir}/*.warc.gz") \
             .agg(F.count("*")).collect()
-        report["corruption"] = {"attributable": False}
-        raise AssertionError("corrupted shard read did not fail")
+        survived = True
     except Exception as e:  # noqa: BLE001 - py4j wraps the ValueError
         attributable = os.path.basename(victim) in str(e)
         report["corruption"] = {"attributable": attributable}
         assert attributable, f"exception lacks shard path: {e}"
+    if survived:
+        report["corruption"] = {"attributable": False}
+        raise AssertionError("corrupted shard read did not fail")
     print(json.dumps(report["corruption"]), flush=True)
 
     import shutil
