@@ -69,7 +69,8 @@ _WARC_DATE = "2024-01-01T00:00:00Z"  # fixture date: deterministic output
 def build_warc_record(doc_id: int, text: str = "", *,
                       payload: bytes | None = None,
                       content_type: bytes = b"text/plain",
-                      payload_digest: str | None = None) -> bytes:
+                      payload_digest: str | None = None,
+                      warc_type: bytes = b"response") -> bytes:
     """One WARC response record for a document: deterministic record id
     and target URI derived from doc_id. The block is either the UTF-8
     encoding of ``text`` or the explicit ``payload`` bytes (the gz
@@ -84,7 +85,7 @@ def build_warc_record(doc_id: int, text: str = "", *,
 
     block = text.encode("utf-8") if payload is None else payload
     headers = [
-        (b"WARC-Type", b"response"),
+        (b"WARC-Type", warc_type),
         (b"WARC-Record-ID",
          f"<urn:uuid:00000000-0000-0000-0000-{doc_id:012d}>".encode()),
         (b"WARC-Date", _WARC_DATE.encode()),
@@ -200,6 +201,16 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
 _GZ_MAGIC = b"\x1f\x8b"
 _FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
 _GZ_MAX_MEMBER_BYTES = 256 * 1024 * 1024  # inflation ceiling per member
+
+
+def _is_response(headers: dict) -> bool:
+    """True when a record's WARC-Type is ``response`` (or absent — the
+    permissive default for minimal files). Real crawl WARCs interleave
+    warcinfo / request / metadata records with the responses; only
+    responses carry an HTTP message, so every reader that parses
+    blocks as HTTP must skip the rest instead of rejecting the file."""
+    return headers.get(
+        b"warc-type", b"response").strip().lower() == b"response"
 
 
 def gzip_member(payload: bytes, fname: bytes | None = None,
@@ -527,7 +538,10 @@ def try_scan_warc_gz(payload: bytes):
     try:
         rows = []
         for member in split_gzip_members(payload):
-            for d, u, _n, block in decode_warc_bytes(member):
+            for d, u, _n, block, wh in decode_warc_bytes(
+                    member, with_headers=True):
+                if not _is_response(wh):
+                    continue
                 st, body, k = parse_http_response(block)
                 rows.append((d, u, st, k, len(body)))
         return rows
@@ -688,8 +702,10 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
                     if len(members) != 1:
                         raise ValueError(
                             f"{where}: extent holds {len(members)} members")
-                    for d, u, _n, block in decode_warc_bytes(
-                            members[0], where):
+                    for d, u, _n, block, wh in decode_warc_bytes(
+                            members[0], where, with_headers=True):
+                        if not _is_response(wh):
+                            continue
                         st, hh, body, _k = parse_http_response_ex(
                             block, where)
                         rows.append(
@@ -833,7 +849,10 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block in decode_warc_bytes(member, path):
+                    for d, u, _n, block, wh in decode_warc_bytes(
+                            member, path, with_headers=True):
+                        if not _is_response(wh):
+                            continue
                         st, hh, body, k = parse_http_response_ex(
                             block, path)
                         rows.append((d, u, st, k, len(body),
@@ -884,6 +903,8 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
                 for member in split_gzip_members(bytes(content), path):
                     for d, u, _n, block, wh in decode_warc_bytes(
                             member, path, with_headers=True):
+                        if not _is_response(wh):
+                            continue
                         st, hh, body, _k = parse_http_response_ex(
                             block, path)
                         digest = None
@@ -938,8 +959,10 @@ def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
             local = path[len("file:"):] if path.startswith("file:") else path
             lines = []
             for member in split_gzip_members(content, path):
-                for d, u, _n, block, _wh in decode_warc_bytes(
+                for d, u, _n, block, wh in decode_warc_bytes(
                         member, path, with_headers=True):
+                    if not _is_response(wh):
+                        continue
                     st, hh, body, _k = parse_http_response_ex(block, path)
                     text = _entity_text(body, hh)
                     meta = {
@@ -1018,7 +1041,10 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block in decode_warc_bytes(member, path):
+                    for d, u, _n, block, wh in decode_warc_bytes(
+                            member, path, with_headers=True):
+                        if not _is_response(wh):
+                            continue
                         st, hh, body, k = parse_http_response_ex(
                             block, path)
                         rows.append((d, u, st, k, len(body),

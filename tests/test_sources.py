@@ -1037,6 +1037,58 @@ def test_warc_charset_rotation(spark, tmp_path):
     assert row.content_length == len(ent)
 
 
+def test_warc_mixed_record_types(spark, tmp_path):
+    """Real crawl WARCs interleave warcinfo / request / metadata
+    records with the responses; only responses carry an HTTP message,
+    so every HTTP-parsing reader must SKIP the rest (case-insensitive
+    WARC-Type) instead of rejecting the whole file."""
+    import hashlib
+
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        gzip_member,
+        read_warc_gz,
+        read_warc_gz_meta,
+        try_scan_warc_gz,
+    )
+
+    def resp(d, t):
+        ent = t.encode()
+        return build_warc_record(
+            d, payload=build_http_response(ent, d),
+            content_type=b"application/http;msgtype=response",
+            payload_digest=hashlib.sha256(ent).hexdigest())
+
+    members = [
+        gzip_member(build_warc_record(
+            900, "software: graft-fixture/1.0",
+            content_type=b"application/warc-fields",
+            warc_type=b"warcinfo")),
+        gzip_member(resp(1, "first page")),
+        gzip_member(build_warc_record(
+            901, "GET /doc/1 HTTP/1.1\r\nHost: example.com\r\n\r\n",
+            content_type=b"application/http;msgtype=request",
+            warc_type=b"request")),
+        # case-insensitive type value on a metadata record
+        gzip_member(build_warc_record(
+            902, "fetchTimeMs: 12", warc_type=b"Metadata")),
+        gzip_member(resp(2, "second — pägé ☃")),
+    ]
+    d = tmp_path / "warc_mixed"
+    d.mkdir()
+    (d / "m.warc.gz").write_bytes(b"".join(members))
+
+    rows = sorted((r.doc_id, r.text) for r in
+                  read_warc_gz(spark, str(d) + "/*.warc.gz").collect())
+    assert rows == [(1, "first page"), (2, "second — pägé ☃")]
+    meta = sorted((r.doc_id, r.digest_verified) for r in
+                  read_warc_gz_meta(spark, str(d) + "/*.warc.gz").collect())
+    assert meta == [(1, True), (2, True)]
+    scan = try_scan_warc_gz(b"".join(members))
+    assert scan is not None and sorted(r[0] for r in scan) == [1, 2]
+
+
 def test_wat_sidecar_emission(spark, tmp_path):
     """WAT-style metadata sidecars: one .wat.jsonl per shard with one
     JSON metadata record per WARC record; the thin scan reproduces the

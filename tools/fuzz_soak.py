@@ -99,6 +99,18 @@ def valid_corpus():
                               cs="us-ascii"))
                     + _gzm(_rec(d + 5, ent=" €—™".encode("cp1252"),
                                 cs="windows-1252")))
+        # r12: mixed record types — warcinfo + request interleave the
+        # responses like a real crawl file (readers must skip, and
+        # mutations of the non-response records must still reject
+        # cleanly)
+        outs.append(
+            _gzm(_bwarc(900 + d, "software: fuzz/1.0",
+                        content_type=b"application/warc-fields",
+                        warc_type=b"warcinfo"))
+            + _gzm(_rec(d))
+            + _gzm(_bwarc(903 + d,
+                          "GET /doc HTTP/1.1\r\nHost: x\r\n\r\n",
+                          warc_type=b"request")))
         outs.append(build_html_page(d, _t).encode())
         # r12: attribute-heavy page (quoted '>'s, duplicate/unquoted/
         # İ-named attributes, stray solidi) and an entity-bomb page
