@@ -953,39 +953,49 @@ def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
     files = spark.read.format("binaryFile").load(
         os.path.join(warc_dir, "*.warc.gz"))
 
-    def _emit(it):
-        for row in it:
-            path, content = row["path"], bytes(row["content"])
-            local = path[len("file:"):] if path.startswith("file:") else path
-            lines = []
-            for member in split_gzip_members(content, path):
-                for d, u, _n, block, wh in decode_warc_bytes(
-                        member, path, with_headers=True):
-                    if not _is_response(wh):
-                        continue
-                    st, hh, body, _k = parse_http_response_ex(block, path)
-                    text = _entity_text(body, hh)
-                    meta = {
-                        "doc_id": d,
-                        "target_uri": u,
-                        "http_status": st,
-                        "content_length": len(body),
-                        "payload_sha256":
-                            hashlib.sha256(body).hexdigest(),
-                    }
-                    ext = try_extract_html(text) if text else None
-                    if ext is not None:
-                        meta["title"] = ext["title"]
-                        meta["n_links"] = ext["n_links"]
-                        meta["text_md5"] = hashlib.md5(
-                            ext["text"].encode("utf-8")).hexdigest()
-                    lines.append(json.dumps(meta, sort_keys=True))
-            out = local[: -len(".warc.gz")] + ".wat.jsonl"
-            with open(out, "w") as f:
-                f.write("\n".join(lines) + ("\n" if lines else ""))
-            yield 0
+    # Arrow mapInPandas, NOT .rdd.mapPartitions: the RDD bridge pickles
+    # every row (a whole multi-MB shard as the binary column) through
+    # JavaToPython with several live copies per task — at 4M docs the
+    # 2M-passing RDD form OOM'd the JVM heap in exactly this stage,
+    # while the Arrow path (the same one the readers use) is fine.
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = (path[len("file:"):]
+                         if path.startswith("file:") else path)
+                lines = []
+                for member in split_gzip_members(bytes(content), path):
+                    for d, u, _n, block, wh in decode_warc_bytes(
+                            member, path, with_headers=True):
+                        if not _is_response(wh):
+                            continue
+                        st, hh, body, _k = parse_http_response_ex(
+                            block, path)
+                        text = _entity_text(body, hh)
+                        meta = {
+                            "doc_id": d,
+                            "target_uri": u,
+                            "http_status": st,
+                            "content_length": len(body),
+                            "payload_sha256":
+                                hashlib.sha256(body).hexdigest(),
+                        }
+                        ext = try_extract_html(text) if text else None
+                        if ext is not None:
+                            meta["title"] = ext["title"]
+                            meta["n_links"] = ext["n_links"]
+                            meta["text_md5"] = hashlib.md5(
+                                ext["text"].encode("utf-8")).hexdigest()
+                        lines.append(json.dumps(meta, sort_keys=True))
+                out = local[: -len(".warc.gz")] + ".wat.jsonl"
+                with open(out, "w") as f:
+                    f.write("\n".join(lines) + ("\n" if lines else ""))
+                ns.append(len(lines))
+            yield pd.DataFrame({"n_records": pd.Series(ns, dtype="int64")})
 
-    files.select("path", "content").rdd.mapPartitions(_emit).count()
+    files.select("path", "content").mapInPandas(
+        _emit, "n_records long").agg(F.sum("n_records")).collect()
 
 
 _WAT_SCHEMA = StructType(
