@@ -10476,7 +10476,7 @@ def src_warc_charset_decode(spark, sf_dir):
     "WAT-style metadata sidecar emission (r12 crawl-chain deepening): "
     "the companion-file layout the public crawl corpora ship — next "
     "to each fat .warc.gz shard, a thin .wat.jsonl with one JSON "
-    "metadata record per WARC record (URI, status, entity bytes, "
+    "metadata record per WARC RESPONSE record (URI, status, entity bytes, "
     "entity sha256, and for parseable HTML the extracted title / "
     "link census / extracted-text md5). At 100 TB this split is the "
     "whole point: dedup planning, link-graph builds, and quality "

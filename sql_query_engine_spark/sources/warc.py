@@ -213,6 +213,19 @@ def _is_response(headers: dict) -> bool:
         b"warc-type", b"response").strip().lower() == b"response"
 
 
+def _iter_response_records(member: bytes, path: str):
+    """The decode-then-skip loop every HTTP-parsing reader shares:
+    walk one WARC byte stream and yield (doc_id, uri, content_length,
+    block, headers) for RESPONSE records only — warcinfo / request /
+    metadata records are data to skip, not defects. One definition so
+    the next record-type rule (revisit, WARC-Segment continuations)
+    changes every reader at once."""
+    for d, u, n, block, wh in decode_warc_bytes(
+            member, path, with_headers=True):
+        if _is_response(wh):
+            yield d, u, n, block, wh
+
+
 def gzip_member(payload: bytes, fname: bytes | None = None,
                 fhcrc: bool = False) -> bytes:
     """One RFC 1952 member: fixed header (MTIME=0 for determinism),
@@ -538,10 +551,8 @@ def try_scan_warc_gz(payload: bytes):
     try:
         rows = []
         for member in split_gzip_members(payload):
-            for d, u, _n, block, wh in decode_warc_bytes(
-                    member, with_headers=True):
-                if not _is_response(wh):
-                    continue
+            for d, u, _n, block, _wh in _iter_response_records(
+                    member, "<bytes>"):
                 st, body, k = parse_http_response(block)
                 rows.append((d, u, st, k, len(body)))
         return rows
@@ -705,7 +716,10 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
                     for d, u, _n, block, wh in decode_warc_bytes(
                             members[0], where, with_headers=True):
                         if not _is_response(wh):
-                            continue
+                            raise ValueError(
+                                f"{where}: indexed extent holds a "
+                                f"non-response record (WARC-Type="
+                                f"{wh.get(b'warc-type', b'?').decode()})")
                         st, hh, body, _k = parse_http_response_ex(
                             block, where)
                         rows.append(
@@ -849,10 +863,8 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block, wh in decode_warc_bytes(
-                            member, path, with_headers=True):
-                        if not _is_response(wh):
-                            continue
+                    for d, u, _n, block, _wh in _iter_response_records(
+                            member, path):
                         st, hh, body, k = parse_http_response_ex(
                             block, path)
                         rows.append((d, u, st, k, len(body),
@@ -901,10 +913,8 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block, wh in decode_warc_bytes(
-                            member, path, with_headers=True):
-                        if not _is_response(wh):
-                            continue
+                    for d, u, _n, block, wh in _iter_response_records(
+                            member, path):
                         st, hh, body, _k = parse_http_response_ex(
                             block, path)
                         digest = None
@@ -1014,7 +1024,7 @@ _WAT_SCHEMA = StructType(
 
 def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
     """Scan WAT sidecars (JSON-lines, one metadata record per WARC
-    record) with an explicit schema — the thin metadata path that
+    response record) with an explicit schema — the thin metadata path that
     never inflates a shard."""
     return spark.read.schema(_WAT_SCHEMA).json(path_glob)
 
@@ -1051,10 +1061,8 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block, wh in decode_warc_bytes(
-                            member, path, with_headers=True):
-                        if not _is_response(wh):
-                            continue
+                    for d, u, _n, block, _wh in _iter_response_records(
+                            member, path):
                         st, hh, body, k = parse_http_response_ex(
                             block, path)
                         rows.append((d, u, st, k, len(body),
@@ -1102,10 +1110,10 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                recs = decode_warc_bytes(bytes(content), path)
+                recs = _iter_response_records(bytes(content), path)
                 yield pd.DataFrame(
                     [(d, u, n, body.decode("utf-8"))
-                     for d, u, n, body in recs],
+                     for d, u, n, body, _wh in recs],
                     columns=["doc_id", "target_uri", "content_length",
                              "text"],
                 )

@@ -1088,6 +1088,49 @@ def test_warc_mixed_record_types(spark, tmp_path):
     scan = try_scan_warc_gz(b"".join(members))
     assert scan is not None and sorted(r[0] for r in scan) == [1, 2]
 
+    # the plain .warc reader skips non-responses the same way
+    from sql_query_engine_spark.sources.warc import read_warc
+    plain = tmp_path / "warc_mixed_plain"
+    plain.mkdir()
+    (plain / "m.warc").write_bytes(
+        build_warc_record(903, "software: x/1.0", warc_type=b"warcinfo")
+        + build_warc_record(3, "plain doc"))
+    prow = read_warc(spark, str(plain) + "/*.warc").collect()
+    assert [(r.doc_id, r.text) for r in prow] == [(3, "plain doc")]
+
+    # WAT emission writes one line per RESPONSE record only
+    from sql_query_engine_spark.sources.warc import read_wat, write_wat_sidecar
+    write_wat_sidecar(spark, str(d))
+    wat = sorted(r.doc_id for r in
+                 read_wat(spark, str(d) + "/*.wat.jsonl").collect())
+    assert wat == [1, 2]
+
+    # the streaming tail shares the skip (same decode loop, one batch)
+    from sql_query_engine_spark.sources.warc import read_warc_gz_stream
+    stream = read_warc_gz_stream(spark, str(d) + "/*.warc.gz")
+    q = (stream.writeStream.format("memory")
+         .queryName("mixed_types_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    srows = sorted(r.doc_id for r in
+                   spark.sql("select * from mixed_types_stream").collect())
+    assert srows == [1, 2]
+
+    # indexed random access PROMISES the record: a CDX row pointing at
+    # a non-response member is an attributable contract violation
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import fetch_warc_members
+    req_member = members[2]  # the request record's member
+    off = len(members[0]) + len(members[1])
+    idx = spark.createDataFrame(
+        [("http://example.com/doc/1", 901, "m.warc.gz", off,
+          len(req_member))],
+        "target_uri string, doc_id long, shard string, offset long, "
+        "length long")
+    with _pytest.raises(Exception, match="non-response"):
+        fetch_warc_members(idx, str(d)).collect()
+
 
 def test_wat_sidecar_emission(spark, tmp_path):
     """WAT-style metadata sidecars: one .wat.jsonl per shard with one
