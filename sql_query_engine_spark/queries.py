@@ -10390,13 +10390,18 @@ def src_warc_cdx_fetch(spark, sf_dir):
     "ISO 28500 labelled digests + RFC 7230 declared trailers (r12 "
     "crawl-chain deepening; sources/warc.py): every record the writer "
     "emits now DECLARES what it carries — WARC-Block-Digest (sha256 "
-    "over the block, verified in the record walk), WARC-Payload-Digest "
-    "(sha256 over the decoded entity, verified in this meta reader), "
-    "and on chunked responses an X-Len + X-Payload-SHA256 TRAILER "
-    "verified against the de-chunked message body — so one flipped "
-    "bit in ANY layer (deflate body, WARC block, a single chunk) is "
-    "an attributable reject at the layer that owns it, never silent "
-    "corruption. At 100 TB this is the integrity contract dedup keys "
+    "over the block, verified in the record walk; hex OR the Base32 "
+    "encoding Common Crawl uses), WARC-Payload-Digest (sha256 over "
+    "the decoded entity, verified in this meta reader into the "
+    "three-state digest_verified VERDICT column — TRUE/FALSE/NULL, so "
+    "a bad provenance claim is filterable at 100 TB instead of "
+    "killing the scan), and on chunked responses an X-Len + "
+    "X-Payload-SHA256 TRAILER verified against the de-chunked message "
+    "body — so one flipped bit in ANY container layer (deflate body, "
+    "WARC block, a single chunk) is an attributable reject at the "
+    "layer that owns it, never silent corruption, and a flipped "
+    "payload CLAIM is a visible FALSE verdict. At 100 TB this is the "
+    "integrity contract dedup keys "
     "on: the payload digest IS the exact-dedup key, computed once at "
     "ingest and certified end-to-end. The oracle recomputes the "
     "declared entity digest independently (DuckDB sha256 over the "

@@ -65,6 +65,43 @@ _CRLF = b"\r\n"
 _VERSION = b"WARC/1.0"
 _WARC_DATE = "2024-01-01T00:00:00Z"  # fixture date: deterministic output
 
+# digest sizes (bytes) of the labelled-digest algorithms this engine
+# can recompute (ISO 28500 §5.8's label scheme is open-ended; anything
+# else passes through unverified)
+_DIGEST_SIZES = {"sha256": 32, "sha1": 20, "md5": 16}
+
+
+def _decode_labelled_digest(alg: str, value: bytes) -> bytes | None:
+    """Declared digest value → raw bytes. ISO 28500 does not mandate an
+    encoding for the digest value, and the two in the wild are hex and
+    RFC 4648 Base32 — Common Crawl and the spec's own examples encode
+    sha1 digests in Base32 (``sha1:3EF5...`` style), so a hex-only
+    comparison would reject every authentic external WARC as corrupt.
+    Detection is by shape: the exact hex length for the algorithm wins,
+    else the exact unpadded-Base32 length (case-insensitive, optional
+    ``=`` padding). Returns None when the value parses as NEITHER —
+    the caller treats that as a malformed digest for a known algorithm
+    (an attributable defect, not a silent pass)."""
+    import base64
+    import binascii
+
+    n = _DIGEST_SIZES[alg]
+    v = value.strip()
+    if len(v) == 2 * n:
+        try:
+            return bytes.fromhex(v.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+    # unpadded Base32 length of n bytes, with or without '=' padding
+    b32_len = (n * 8 + 4) // 5
+    if len(v.rstrip(b"=")) == b32_len:
+        try:
+            s = v.rstrip(b"=").decode("ascii").upper()
+            return base64.b32decode(s + "=" * ((-len(s)) % 8))
+        except (binascii.Error, UnicodeDecodeError):
+            return None
+    return None
+
 
 def build_warc_record(doc_id: int, text: str = "", *,
                       payload: bytes | None = None,
@@ -118,9 +155,13 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
     payload, or missing record terminator. When a record carries a
     ``WARC-Block-Digest`` with a label this engine can recompute
     (sha256 / sha1 / md5), the digest is VERIFIED against the block —
-    a bit flip between writer and reader is an attributable ingest
-    failure, not silent corruption; unknown labels pass through
-    unverified (the ISO 28500 labelled-digest scheme is open-ended)."""
+    in EITHER value encoding the wild uses, hex or RFC 4648 Base32
+    (Common Crawl's sha1 digests are Base32) — so a bit flip between
+    writer and reader is an attributable ingest failure, not silent
+    corruption. A known-algorithm value that parses as neither
+    encoding ALSO raises (a garbled digest is a defect, not license to
+    skip the check); unknown labels pass through unverified (the ISO
+    28500 labelled-digest scheme is open-ended)."""
     import hashlib
 
     b = payload
@@ -168,9 +209,14 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
         if b"warc-block-digest" in headers:
             alg, _, want = headers[b"warc-block-digest"].partition(b":")
             alg = alg.strip().lower().decode()
-            if alg in ("sha256", "sha1", "md5"):
-                got = hashlib.new(alg, body).hexdigest()
-                if got != want.strip().lower().decode():
+            if alg in _DIGEST_SIZES:
+                raw = _decode_labelled_digest(alg, want)
+                if raw is None:
+                    raise ValueError(
+                        f"{path}: malformed WARC-Block-Digest value for "
+                        f"{alg} at record ending {pos} (neither hex nor "
+                        f"Base32 of the right length)")
+                if hashlib.new(alg, body).digest() != raw:
                     raise ValueError(
                         f"{path}: WARC-Block-Digest mismatch at record "
                         f"ending {pos} ({alg})")
@@ -885,13 +931,24 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
     charset, text, payload_sha256, digest_verified).
 
     ``payload_sha256`` is the record's labelled ``WARC-Payload-Digest``
-    (hex, NULL when the record carries none or a non-sha256 label);
-    ``digest_verified`` is TRUE when the digest was recomputed over the
-    decoded entity and matched — a MISMATCH raises with the path (an
-    attributable corrupt record, same contract as the block-digest and
-    trailer checks the lower layers already enforce). ``charset`` is
-    the declared Content-Type parameter; text is NULL when the label
-    is unknown or the bytes don't strictly decode. Map-only."""
+    normalized to hex (NULL when the record carries none or a
+    non-sha256 label — sha1/md5 labels are still VERIFIED, their value
+    just isn't surfaced in a column named sha256); ``digest_verified``
+    is the three-state verdict the column name promises: TRUE when the
+    declared digest (hex or Base32 value, sha256/sha1/md5 label) was
+    recomputed over the decoded entity and matched, FALSE when it did
+    NOT match, NULL when the record declares nothing this engine can
+    recompute. A mismatch is a row-level DATA verdict, not a scan
+    abort: the payload digest is a provenance CLAIM by whoever wrote
+    the record, and at 100 TB one bad claim must be filterable
+    (``digest_verified = false`` → quarantine) without killing the
+    ingest — unlike the block digest / gzip CRC / trailer checks
+    below this layer, which certify the CONTAINER this engine is
+    reading and still raise attributably. A known-label digest value
+    that parses as neither hex nor Base32 raises (malformed, not
+    merely mismatched). ``charset`` is the declared Content-Type
+    parameter; text is NULL when the label is unknown or the bytes
+    don't strictly decode. Map-only."""
     import hashlib
 
     schema = StructType(
@@ -921,15 +978,19 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
                         verified = None
                         decl = wh.get(b"warc-payload-digest")
                         if decl is not None:
-                            alg, _, hexd = decl.partition(b":")
-                            if alg.strip().lower() == b"sha256":
-                                digest = hexd.strip().lower().decode()
-                                got = hashlib.sha256(body).hexdigest()
-                                if got != digest:
+                            alg, _, val = decl.partition(b":")
+                            alg = alg.strip().lower().decode()
+                            if alg in _DIGEST_SIZES:
+                                raw = _decode_labelled_digest(alg, val)
+                                if raw is None:
                                     raise ValueError(
-                                        f"{path}: WARC-Payload-Digest "
-                                        f"mismatch for doc {d}")
-                                verified = True
+                                        f"{path}: malformed WARC-Payload-"
+                                        f"Digest value for {alg} "
+                                        f"(doc {d})")
+                                if alg == "sha256":
+                                    digest = raw.hex()
+                                verified = (
+                                    hashlib.new(alg, body).digest() == raw)
                         rows.append(
                             (d, u, st, len(body), _charset_of(hh),
                              _entity_text(body, hh), digest, verified))
@@ -941,6 +1002,24 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
                 )
 
     return files.select("path", "content").mapInPandas(_dec, schema)
+
+
+def _local_path_of(uri: str) -> str:
+    """binaryFile's ``path`` column is a URI, not a filesystem path —
+    a shard directory with spaces or other reserved characters arrives
+    percent-encoded (``%20``), so naive prefix-stripping would write
+    the sidecar to a wrong literal-``%20`` path. Parse the URI properly
+    (scheme + unquoted path component); a non-file scheme is an
+    attributable error here — the sidecar emitter writes with local
+    ``open()`` and must not silently treat ``s3://bucket/x`` as a
+    relative path."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return unquote(p.path) if p.scheme == "file" else uri
+    raise ValueError(
+        f"WAT sidecar emission requires a local file: URI, got {uri!r}")
 
 
 def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
@@ -972,8 +1051,7 @@ def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
         for pdf in batches:
             ns = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                local = (path[len("file:"):]
-                         if path.startswith("file:") else path)
+                local = _local_path_of(path)
                 lines = []
                 for member in split_gzip_members(bytes(content), path):
                     for d, u, _n, block, wh in decode_warc_bytes(

@@ -936,8 +936,10 @@ def test_warc_digests_and_trailers(spark, tmp_path):
     with _pytest.raises(ValueError, match="X-Payload-SHA256|X-Len"):
         parse_http_response(broken)
 
-    # payload-digest mismatch: a record whose declared entity digest
-    # does not match the decoded entity raises in the meta reader
+    # payload-digest mismatch: the digest is a provenance CLAIM, so a
+    # mismatching record becomes a digest_verified=FALSE row (a
+    # filterable data verdict), not a scan abort — the column carries
+    # the verdict its name advertises (TRUE/FALSE/NULL)
     entity = b"declared wrong"
     http = build_http_response(entity, 6)  # CL framing, no trailer
     rec = build_warc_record(
@@ -947,8 +949,110 @@ def test_warc_digests_and_trailers(spark, tmp_path):
     bad_dir = tmp_path / "warc_badpd"
     bad_dir.mkdir()
     (bad_dir / "b.warc.gz").write_bytes(gzip_member(rec))
-    with _pytest.raises(Exception, match="Payload-Digest"):
-        read_warc_gz_meta(spark, str(bad_dir) + "/*.warc.gz").collect()
+    (bad,) = read_warc_gz_meta(spark, str(bad_dir) + "/*.warc.gz").collect()
+    assert bad.digest_verified is False
+    assert bad.payload_sha256 == hashlib.sha256(b"other bytes").hexdigest()
+    assert bad.text == entity.decode()  # row data intact, only the verdict
+
+    # a MALFORMED digest value for a known algorithm still raises —
+    # garbled is a defect, not license to skip the check
+    garbled = build_warc_record(
+        7, payload=build_http_response(b"x", 6),
+        content_type=b"application/http;msgtype=response")
+    garbled = garbled.replace(
+        b"Content-Length:",
+        b"WARC-Payload-Digest: sha256:zz-not-a-digest\r\nContent-Length:", 1)
+    mal_dir = tmp_path / "warc_malpd"
+    mal_dir.mkdir()
+    (mal_dir / "m.warc.gz").write_bytes(gzip_member(garbled))
+    with _pytest.raises(Exception, match="malformed WARC-Payload-Digest"):
+        read_warc_gz_meta(spark, str(mal_dir) + "/*.warc.gz").collect()
+
+
+def test_warc_base32_digests(spark, tmp_path):
+    """Digest-value encoding detection (ISO 28500 leaves it open):
+    Common Crawl and the spec's own examples encode sha1 digests in
+    RFC 4648 Base32, so the verifier must accept BOTH encodings — and
+    still catch corruption in either — instead of rejecting every
+    authentic external WARC as corrupt."""
+    import base64
+    import hashlib
+
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        decode_warc_bytes,
+        gzip_member,
+        read_warc_gz_meta,
+    )
+
+    # hand-build a record with a Common-Crawl-style Base32 sha1 block
+    # digest (the builder emits sha256 hex; externals differ)
+    block = b"external crawl payload"
+    b32 = base64.b32encode(hashlib.sha1(block).digest()).decode()
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-"
+           b"000000000005>\r\n"
+           b"WARC-Target-URI: http://example.org/x\r\n"
+           b"WARC-Block-Digest: sha1:" + b32.encode() + b"\r\n"
+           b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+           b"\r\n" + block + b"\r\n\r\n")
+    assert decode_warc_bytes(rec)[0][3] == block
+    # flip a bit inside the block: the Base32 sha1 check must catch it
+    with _pytest.raises(ValueError, match="Block-Digest"):
+        decode_warc_bytes(rec.replace(b"external", b"externaL"))
+    # hex sha1 also verifies (both encodings of the same label)
+    hexd = hashlib.sha1(block).hexdigest().encode()
+    rec_hex = rec.replace(b"sha1:" + b32.encode(), b"sha1:" + hexd)
+    assert decode_warc_bytes(rec_hex)[0][3] == block
+    # malformed value for a known algorithm raises
+    with _pytest.raises(ValueError, match="malformed WARC-Block-Digest"):
+        decode_warc_bytes(rec.replace(
+            b"sha1:" + b32.encode(), b"sha1:tooshort"))
+
+    # meta reader: a Base32 sha1 PAYLOAD digest verifies (TRUE verdict)
+    # while payload_sha256 stays NULL — the column surfaces only the
+    # sha256 value its name promises
+    entity = b"sha1-attested entity"
+    http = build_http_response(entity, 6)  # CL framing
+    rec2 = build_warc_record(
+        6, payload=http, content_type=b"application/http;msgtype=response")
+    pd32 = base64.b32encode(hashlib.sha1(entity).digest())
+    rec2 = rec2.replace(
+        b"Content-Length:",
+        b"WARC-Payload-Digest: sha1:" + pd32 + b"\r\nContent-Length:", 1)
+    d = tmp_path / "warc_b32pd"
+    d.mkdir()
+    (d / "p.warc.gz").write_bytes(gzip_member(rec2))
+    (row,) = read_warc_gz_meta(spark, str(d) + "/*.warc.gz").collect()
+    assert row.digest_verified is True
+    assert row.payload_sha256 is None
+
+
+def test_wat_sidecar_percent_encoded_dir(spark, tmp_path):
+    """binaryFile paths are URIs: a shard directory containing a space
+    arrives percent-encoded, and the sidecar must land next to the
+    shard (decoded path), not at a literal-%20 path."""
+    from sql_query_engine_spark.sources.warc import (
+        read_wat,
+        write_warc_gz_dataset,
+        write_wat_sidecar,
+    )
+
+    out = str(tmp_path / "with space")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    write_warc_gz_dataset(df, out, n_files=1)
+    write_wat_sidecar(spark, out)
+    import os
+
+    wats = [f for f in os.listdir(out) if f.endswith(".wat.jsonl")]
+    assert len(wats) == 1
+    got = read_wat(spark, f"{out}/*.wat.jsonl")
+    assert {r.doc_id for r in got.collect()} == {1, 2}
 
 
 def test_warc_charset_rotation(spark, tmp_path):
