@@ -10513,6 +10513,148 @@ def src_warc_wat_sidecar(spark, sf_dir):
         "text_md5")
 
 
+@_q(
+    "src_warc_revisit_dedup",
+    """SELECT doc_id,
+       concat('http://mirror.example.com/doc/', cast(doc_id as varchar))
+           AS target_uri,
+       concat('http://example.com/doc/', cast(doc_id as varchar))
+           AS refers_to_uri,
+       sha256(text) AS payload_sha256,
+       TRUE AS digest_matches
+    FROM documents WHERE doc_id % 10 = 0""",
+    "revisit records — dedup's WIRE format in the public crawl corpora "
+    "(ISO 28500 §6.7.2 identical-payload-digest profile; r13 response-"
+    "walk extension, sources/warc.py read_warc_revisits): a re-crawl "
+    "whose payload matched an earlier capture ships BODY-LESS, carrying "
+    "only the original's URI/record-id/date references and the shared "
+    "payload digest — at 100 TB the revisit plane is how a crawl avoids "
+    "storing the same page twice, and an ingest that drops it silently "
+    "loses every re-crawl observation. The fixture appends a revisit "
+    "member (mirror-host URI) after every 10th doc's response; the "
+    "query scans the revisit plane and RESOLVES each reference back to "
+    "its stored original by joining on the referred-to URI (revisits "
+    "broadcast — the reference plane is a sliver of the response "
+    "plane), pinning that the revisit's declared digest equals the "
+    "original's verified payload digest. The response readers skip "
+    "revisit records, so the two scans partition the record stream "
+    "cleanly; the oracle restates URI arithmetic and recomputes the "
+    "shared digest from the source table.",
+)
+def src_warc_revisit_dedup(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_revisits")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_gz_dataset(d, out, n_files=4, revisits=True)
+    revs = warc.read_warc_revisits(spark, f"{out}/*.warc.gz").select(
+        "doc_id", "target_uri", "refers_to_uri",
+        F.col("payload_sha256").alias("rev_sha256"))
+    resp = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz").select(
+        F.col("target_uri").alias("orig_uri"),
+        F.col("payload_sha256").alias("orig_sha256"))
+    return resp.join(
+        F.broadcast(revs), resp["orig_uri"] == revs["refers_to_uri"]
+    ).select(
+        "doc_id",
+        "target_uri",
+        "refers_to_uri",
+        F.col("rev_sha256").alias("payload_sha256"),
+        (F.col("rev_sha256") == F.col("orig_sha256"))
+        .alias("digest_matches"),
+    )
+
+
+@_q(
+    "src_warc_segment_reassembly",
+    """SELECT doc_id,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+            ELSE least(doc_id % 4 + 1,
+                       octet_length(cast(text as blob))) END AS BIGINT)
+           AS n_chunks,
+       cast(octet_length(cast(text as blob)) as bigint) AS content_length,
+       md5(text) AS payload_md5
+    FROM documents""",
+    "WARC-Segment continuation reassembly (ISO 28500 §5.18-5.20; r13 "
+    "response-walk extension, sources/warc.py _walk_response_records): "
+    "records over a crawl writer's size ceiling ship SPLIT across a "
+    "first record carrying WARC-Segment-Number: 1 and consecutive "
+    "continuation records citing it via WARC-Segment-Origin-ID, the "
+    "last declaring WARC-Segment-Total-Length — a reader that rejects "
+    "them drops exactly the LARGEST documents in the corpus, the worst "
+    "possible ingest bias. The fixture writes every 4th doc segmented "
+    "into a 3-member chain; the shared file-scope walk reassembles "
+    "chains in stream order (consecutive numbering, origin-id match, "
+    "declared-total-length equality, no interleaving, per-segment "
+    "block digests — every violation an attributable raise) and hands "
+    "the assembled HTTP message to the SAME parse the unsegmented "
+    "path uses. The oracle is byte-for-byte the unsegmented scan's "
+    "oracle: status/chunk arithmetic + entity md5 — reassembly must "
+    "be invisible in the result, provable only in the fixture layout.",
+)
+def src_warc_segment_reassembly(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_segments")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_gz_dataset(d, out, n_files=4, segments=4)
+    back = warc.read_warc_gz(spark, f"{out}/*.warc.gz")
+    return back.select(
+        "doc_id",
+        "http_status",
+        "n_chunks",
+        "content_length",
+        F.md5("text").alias("payload_md5"),
+    )
+
+
+@_q(
+    "src_warc_charset_mislabel",
+    """SELECT doc_id,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       (doc_id % 2 = 0) AS decoded,
+       CASE WHEN doc_id % 2 = 0 THEN md5(text) END AS text_md5,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN
+                octet_length(cast(regexp_replace(text, '[^\\x00-\\x7f]',
+                                                 '', 'g') as blob)) + 7
+            ELSE octet_length(cast(text as blob)) END AS BIGINT)
+           AS content_length
+    FROM documents""",
+    "mislabeled-charset NEGATIVE row (r13; the r12 charset query pins "
+    "the positive decode path, this one pins the strict decoder's "
+    "FAILURE contract): a real crawl is full of pages whose declared "
+    "Content-Type charset does not match the bytes, and the reader "
+    "must neither guess nor lossily replace — a mislabeled page "
+    "becomes NULL text while every framing and integrity column stays "
+    "intact (content_length counts the BYTES, the payload digest is "
+    "over the BYTES so digest_verified stays TRUE, status is "
+    "untouched). The fixture declares utf-8 for every odd doc while "
+    "appending bytes that can never decode as it (a truncated 3-byte "
+    "sequence + 0xff); even docs are honest utf-8. The oracle pins "
+    "text_md5 NULL exactly on the mislabeled rows and intact md5 on "
+    "the honest rows, plus the byte-count arithmetic of the folded "
+    "entity — so a reader that silently latin-1-decodes the bad rows "
+    "(mojibake instead of NULL) or drops them outright hash-breaks.",
+)
+def src_warc_charset_mislabel(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_mislabels")
+    d = _t(spark, sf_dir, "documents")
+    warc.write_warc_gz_dataset(d, out, n_files=4, mislabel=True)
+    got = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz")
+    return got.select(
+        "doc_id",
+        "http_status",
+        F.col("text").isNotNull().alias("decoded"),
+        F.md5("text").alias("text_md5"),
+        "content_length",
+    )
+
+
 # ---- distributed triangle counting --------------------------------------
 _TRI_CAP = 20  # max distinct users per co-occurrence group (blocking cap)
 

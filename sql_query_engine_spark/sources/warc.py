@@ -54,6 +54,7 @@ __all__ = [
     "read_warc_gz",
     "read_warc_gz_meta",
     "read_warc_gz_stream",
+    "read_warc_revisits",
     "read_cdx",
     "fetch_warc_members",
     "try_scan_warc_gz",
@@ -107,7 +108,11 @@ def build_warc_record(doc_id: int, text: str = "", *,
                       payload: bytes | None = None,
                       content_type: bytes = b"text/plain",
                       payload_digest: str | None = None,
-                      warc_type: bytes = b"response") -> bytes:
+                      warc_type: bytes = b"response",
+                      record_id: bytes | None = None,
+                      target_uri: bytes | None = None,
+                      extra_headers: list[tuple[bytes, bytes]] | None = None,
+                      ) -> bytes:
     """One WARC response record for a document: deterministic record id
     and target URI derived from doc_id. The block is either the UTF-8
     encoding of ``text`` or the explicit ``payload`` bytes (the gz
@@ -117,16 +122,21 @@ def build_warc_record(doc_id: int, text: str = "", *,
     — labelled ``sha256:<hex>`` so any consumer can verify without
     out-of-band knowledge (the spec's label scheme; sha256 instead of
     the customary sha1 because it is what both this engine and the
-    oracle can recompute)."""
+    oracle can recompute). ``record_id`` / ``target_uri`` override the
+    doc_id-derived defaults; ``extra_headers`` appends named fields
+    (revisit / segmentation headers) before Content-Length."""
     import hashlib
 
     block = text.encode("utf-8") if payload is None else payload
     headers = [
         (b"WARC-Type", warc_type),
         (b"WARC-Record-ID",
+         record_id if record_id is not None else
          f"<urn:uuid:00000000-0000-0000-0000-{doc_id:012d}>".encode()),
         (b"WARC-Date", _WARC_DATE.encode()),
-        (b"WARC-Target-URI", f"http://example.com/doc/{doc_id}".encode()),
+        (b"WARC-Target-URI",
+         target_uri if target_uri is not None else
+         f"http://example.com/doc/{doc_id}".encode()),
         (b"Content-Type", content_type),
         (b"WARC-Block-Digest",
          b"sha256:" + hashlib.sha256(block).hexdigest().encode()),
@@ -134,6 +144,7 @@ def build_warc_record(doc_id: int, text: str = "", *,
     if payload_digest is not None:
         headers.append(
             (b"WARC-Payload-Digest", b"sha256:" + payload_digest.encode()))
+    headers.extend(extra_headers or [])
     headers.append((b"Content-Length", str(len(block)).encode()))
     out = _VERSION + _CRLF
     for k, v in headers:
@@ -259,17 +270,123 @@ def _is_response(headers: dict) -> bool:
         b"warc-type", b"response").strip().lower() == b"response"
 
 
-def _iter_response_records(member: bytes, path: str):
-    """The decode-then-skip loop every HTTP-parsing reader shares:
-    walk one WARC byte stream and yield (doc_id, uri, content_length,
-    block, headers) for RESPONSE records only — warcinfo / request /
-    metadata records are data to skip, not defects. One definition so
-    the next record-type rule (revisit, WARC-Segment continuations)
-    changes every reader at once."""
-    for d, u, n, block, wh in decode_warc_bytes(
-            member, path, with_headers=True):
+def _walk_response_records(records, path: str):
+    """The decode-then-skip loop every HTTP-parsing reader shares, over
+    an already-decoded record stream: yield (doc_id, uri,
+    content_length, block, headers) for RESPONSE records — warcinfo /
+    request / metadata / revisit records are data to skip, not defects
+    — with SEGMENTED records (ISO 28500 §5.18-5.20: WARC-Segment-Number
+    on the first record, ``continuation`` records carrying
+    WARC-Segment-Origin-ID, the last one WARC-Segment-Total-Length)
+    REASSEMBLED in stream order. Records over the writer's record-size
+    ceiling ship segmented in real corpora, so a reader that rejects
+    them drops exactly the largest documents. Reassembly rules, each
+    violation an attributable raise, never a silent drop: the first
+    segment is number 1; continuations must follow consecutively,
+    cite the origin record id, and not interleave with other records;
+    the declared total length must equal the assembled byte count; a
+    stream ending mid-segment is truncated. A segmented NON-response
+    record (e.g. a huge metadata record) is skipped as a whole chain.
+    Per-segment block digests were already verified record-by-record
+    in :func:`decode_warc_bytes`."""
+    seg = None  # open segmented record: dict, or None
+    for d, u, n, block, wh in records:
+        wtype = wh.get(b"warc-type", b"response").strip().lower()
+        segno_raw = wh.get(b"warc-segment-number")
+        if wtype == b"continuation":
+            if seg is None:
+                raise ValueError(
+                    f"{path}: continuation record without an open "
+                    f"segmented record (doc {d})")
+            origin = wh.get(b"warc-segment-origin-id", b"").strip()
+            if origin != seg["origin"]:
+                raise ValueError(
+                    f"{path}: continuation cites origin {origin!r} but "
+                    f"the open segmented record is {seg['origin']!r}")
+            try:
+                segno = int(segno_raw)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"{path}: continuation without a numeric "
+                    f"WARC-Segment-Number (doc {d})")
+            if segno != seg["next"]:
+                raise ValueError(
+                    f"{path}: segment {segno} out of order (expected "
+                    f"{seg['next']}) for {seg['origin']!r}")
+            seg["next"] += 1
+            if not seg["skip"]:
+                seg["parts"].append(block)
+            total_raw = wh.get(b"warc-segment-total-length")
+            if total_raw is None:
+                continue
+            # the record carrying Total-Length is the last segment
+            try:
+                total = int(total_raw)
+            except ValueError:
+                raise ValueError(
+                    f"{path}: non-numeric WARC-Segment-Total-Length")
+            done, seg = seg, None
+            if done["skip"]:
+                continue
+            assembled = b"".join(done["parts"])
+            if len(assembled) != total:
+                raise ValueError(
+                    f"{path}: WARC-Segment-Total-Length {total} != "
+                    f"assembled {len(assembled)} bytes for "
+                    f"{done['origin']!r}")
+            yield done["d"], done["u"], len(assembled), assembled, \
+                done["headers"]
+            continue
+        if seg is not None:
+            raise ValueError(
+                f"{path}: record interleaves an open segmented record "
+                f"({seg['origin']!r} still unterminated)")
+        if segno_raw is not None:
+            try:
+                segno = int(segno_raw)
+            except ValueError:
+                raise ValueError(
+                    f"{path}: non-numeric WARC-Segment-Number (doc {d})")
+            if segno != 1:
+                raise ValueError(
+                    f"{path}: first record of a segmented chain has "
+                    f"WARC-Segment-Number {segno}, expected 1 (doc {d})")
+            origin = wh.get(b"warc-record-id", b"").strip()
+            if not origin:
+                raise ValueError(
+                    f"{path}: segmented record without a WARC-Record-ID "
+                    f"(continuations could never cite it; doc {d})")
+            seg = {"d": d, "u": u, "parts": [block], "next": 2,
+                   "origin": origin, "headers": wh,
+                   "skip": not _is_response(wh)}
+            continue
         if _is_response(wh):
             yield d, u, n, block, wh
+    if seg is not None:
+        raise ValueError(
+            f"{path}: stream ends inside segmented record "
+            f"{seg['origin']!r} (expected segment {seg['next']})")
+
+
+def _iter_response_records(member: bytes, path: str):
+    """Single-stream wrapper over :func:`_walk_response_records` — one
+    .warc file or one gzip member's bytes in, assembled response
+    records out."""
+    yield from _walk_response_records(
+        decode_warc_bytes(member, path, with_headers=True), path)
+
+
+def _iter_gz_responses(content: bytes, path: str):
+    """File-scope response walk for .warc.gz: records are one-per-gzip-
+    member, but a SEGMENTED logical record spans consecutive members,
+    so the segment state must live at file scope — decode all members
+    into one record stream, then run the shared response walk over
+    it."""
+    def _records():
+        for member in split_gzip_members(content, path):
+            yield from decode_warc_bytes(member, path, with_headers=True)
+
+    yield from _walk_response_records(_records(), path)
 
 
 def gzip_member(payload: bytes, fname: bytes | None = None,
@@ -596,14 +713,61 @@ def try_scan_warc_gz(payload: bytes):
     be attributable, whereas the fuzz contract is reject-never-crash."""
     try:
         rows = []
-        for member in split_gzip_members(payload):
-            for d, u, _n, block, _wh in _iter_response_records(
-                    member, "<bytes>"):
-                st, body, k = parse_http_response(block)
-                rows.append((d, u, st, k, len(body)))
+        for d, u, _n, block, _wh in _iter_gz_responses(payload, "<bytes>"):
+            st, body, k = parse_http_response(block)
+            rows.append((d, u, st, k, len(body)))
         return rows
     except ValueError:
         return None
+
+
+# ISO 28500 §6.7.2: the revisit profile URI declaring "same payload as
+# the referred-to capture" — the only revisit profile the public
+# corpora use in practice
+_REVISIT_PROFILE = \
+    b"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def _segment_members(doc_id: int, http: bytes, orig_id: bytes,
+                     entity_digest: str) -> list[tuple[bytes, bool]]:
+    """Split one record's HTTP message across a 3-record segmented
+    chain (ISO 28500 §5.18-5.20), one gzip member each: the first
+    record keeps the response headers + ``WARC-Segment-Number: 1``,
+    continuations cite it via ``WARC-Segment-Origin-ID``, and the last
+    declares ``WARC-Segment-Total-Length``. Returns (member_bytes,
+    cdx_indexed) pairs — segmented members are never CDX-indexed (a
+    single extent cannot serve the whole logical record)."""
+    k = 3
+    q, rem = divmod(len(http), k)
+    parts, off = [], 0
+    for i in range(k):
+        n = q + (1 if i < rem else 0)
+        parts.append(http[off: off + n])
+        off += n
+    out: list[tuple[bytes, bool]] = []
+    rec1 = build_warc_record(
+        doc_id,
+        payload=parts[0],
+        content_type=b"application/http;msgtype=response",
+        payload_digest=entity_digest,
+        extra_headers=[(b"WARC-Segment-Number", b"1")])
+    out.append((gzip_member(rec1), False))
+    for i, part in enumerate(parts[1:], start=2):
+        extra = [(b"WARC-Segment-Origin-ID", orig_id),
+                 (b"WARC-Segment-Number", str(i).encode())]
+        if i == k:
+            extra.append(
+                (b"WARC-Segment-Total-Length", str(len(http)).encode()))
+        cont = build_warc_record(
+            doc_id,
+            payload=part,
+            warc_type=b"continuation",
+            content_type=b"application/octet-stream",
+            record_id=(f"<urn:uuid:00000000-0000-0001-{i:04d}-"
+                       f"{doc_id:012d}>".encode()),
+            extra_headers=extra)
+        out.append((gzip_member(cont), False))
+    return out
 
 
 # per-doc charset rotation for charsets=True fixtures: label and the
@@ -621,7 +785,10 @@ _CHARSET_ROTATION = [
 
 def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                           n_files: int = 4,
-                          charsets: bool = False) -> None:
+                          charsets: bool = False,
+                          revisits: bool = False,
+                          segments: int | None = None,
+                          mislabel: bool = False) -> None:
     """One ``.warc.gz`` file per partition, ONE GZIP MEMBER PER RECORD
     (the Common Crawl layout — member boundaries are the split points a
     distributed reader fans out on). Each record's payload is a full
@@ -635,7 +802,32 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
     Content-Type charset parameter). Non-UTF-8 docs are ASCII-folded
     (non-ASCII codepoints stripped) then decorated with a
     codepage-distinctive suffix so every encoding round-trips exactly
-    and the oracle can restate the expected text in SQL."""
+    and the oracle can restate the expected text in SQL.
+
+    ``revisits=True`` appends, after every 10th doc's response, a
+    ``revisit`` record (ISO 28500 §6.7.2 identical-payload-digest
+    profile) — dedup's wire format in the public corpora: a re-crawl
+    whose payload matched an earlier capture ships as a body-less
+    record carrying the original's URI/record-id/date references and
+    the shared payload digest, so consumers resolve content through
+    the reference instead of storing the body twice. The revisit's
+    block is the re-crawl's HTTP header section (what real crawlers
+    store); its target URI is a mirror host to make the revisit→
+    original resolution a real join, not an identity.
+
+    ``segments=k`` writes every k-th doc's record SEGMENTED (ISO 28500
+    §5.18-5.20): the HTTP message splits across a first record with
+    ``WARC-Segment-Number: 1`` and two ``continuation`` records (the
+    last carrying ``WARC-Segment-Total-Length``), each its own gzip
+    member — how records over a writer's size ceiling actually ship.
+    Segmented and revisit members get NO CDX line: the CDX contract is
+    one extent = one whole fetchable response, and a partial logical
+    record or a body-less reference is not that.
+
+    ``mislabel=True`` declares ``utf-8`` for every odd doc while the
+    entity bytes end in an invalid UTF-8 sequence — the mislabeled-page
+    case a real crawl is full of; the strict reader must surface NULL
+    text with framing columns intact."""
     import hashlib
     import re as _re
 
@@ -664,24 +856,64 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                     cs, suffix = _CHARSET_ROTATION[doc_id % 4]
                     if suffix is not None:
                         text = _re.sub(r"[^\x00-\x7f]", "", text) + suffix
-                entity = text.encode(_CHARSET_CODECS[cs])
+                if mislabel and doc_id % 2 == 1:
+                    # declared utf-8, bytes that can never decode as it
+                    # (0xe9 0xa0 is a truncated 3-byte sequence, 0xff is
+                    # never valid) — payload digest still matches the
+                    # BYTES, so only the text column goes NULL
+                    entity = (_re.sub(r"[^\x00-\x7f]", "", text)
+                              .encode("ascii") + b" caf\xe9\xa0\xff")
+                else:
+                    entity = text.encode(_CHARSET_CODECS[cs])
                 http = build_http_response(entity, doc_id, charset=cs)
-                rec = build_warc_record(
-                    doc_id,
-                    payload=http,
-                    content_type=b"application/http;msgtype=response",
-                    payload_digest=hashlib.sha256(entity).hexdigest())
-                fname = (f"rec-{doc_id}.warc".encode()
-                         if doc_id % 5 == 0 else None)
-                member = gzip_member(rec, fname=fname,
-                                     fhcrc=doc_id % 7 == 0)
-                # CDX sidecar line: one index row per member with its
-                # exact byte extent — the random-access contract
-                cdx_lines.append(
-                    f"http://example.com/doc/{doc_id} {doc_id} {shard} "
-                    f"{offset} {len(member)}")
-                f.write(member)
-                offset += len(member)
+                orig_id = (f"<urn:uuid:00000000-0000-0000-0000-"
+                           f"{doc_id:012d}>".encode())
+                orig_uri = f"http://example.com/doc/{doc_id}".encode()
+                entity_digest = hashlib.sha256(entity).hexdigest()
+                if segments and doc_id % segments == 0 and len(http) >= 3:
+                    members = _segment_members(
+                        doc_id, http, orig_id, entity_digest)
+                else:
+                    rec = build_warc_record(
+                        doc_id,
+                        payload=http,
+                        content_type=b"application/http;msgtype=response",
+                        payload_digest=entity_digest)
+                    fname = (f"rec-{doc_id}.warc".encode()
+                             if doc_id % 5 == 0 else None)
+                    members = [(gzip_member(rec, fname=fname,
+                                            fhcrc=doc_id % 7 == 0), True)]
+                for member, indexed in members:
+                    if indexed:
+                        # CDX sidecar line: one index row per whole-
+                        # response member with its exact byte extent —
+                        # the random-access contract
+                        cdx_lines.append(
+                            f"http://example.com/doc/{doc_id} {doc_id} "
+                            f"{shard} {offset} {len(member)}")
+                    f.write(member)
+                    offset += len(member)
+                if revisits and doc_id % 10 == 0:
+                    http_head = http[: http.find(_CRLF + _CRLF) + 4]
+                    rev = build_warc_record(
+                        doc_id,
+                        payload=http_head,
+                        warc_type=b"revisit",
+                        content_type=b"application/http;msgtype=response",
+                        payload_digest=entity_digest,
+                        record_id=(f"<urn:uuid:00000000-0000-0002-0000-"
+                                   f"{doc_id:012d}>".encode()),
+                        target_uri=(f"http://mirror.example.com/doc/"
+                                    f"{doc_id}".encode()),
+                        extra_headers=[
+                            (b"WARC-Profile", _REVISIT_PROFILE),
+                            (b"WARC-Refers-To", orig_id),
+                            (b"WARC-Refers-To-Target-URI", orig_uri),
+                            (b"WARC-Refers-To-Date", _WARC_DATE.encode()),
+                        ])
+                    member = gzip_member(rev)
+                    f.write(member)
+                    offset += len(member)
         finally:
             if f is not None:
                 f.close()
@@ -766,6 +998,15 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
                                 f"{where}: indexed extent holds a "
                                 f"non-response record (WARC-Type="
                                 f"{wh.get(b'warc-type', b'?').decode()})")
+                        if b"warc-segment-number" in wh:
+                            # a single-member extent can never hold the
+                            # whole logical record — reassembly needs
+                            # the sibling continuation members
+                            raise ValueError(
+                                f"{where}: indexed extent holds segment "
+                                f"{wh[b'warc-segment-number'].decode()} "
+                                f"of a segmented record; fetch the "
+                                f"whole chain via the shard scan")
                         st, hh, body, _k = parse_http_response_ex(
                             block, where)
                         rows.append(
@@ -908,13 +1149,12 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
-                for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block, _wh in _iter_response_records(
-                            member, path):
-                        st, hh, body, k = parse_http_response_ex(
-                            block, path)
-                        rows.append((d, u, st, k, len(body),
-                                     _entity_text(body, hh)))
+                for d, u, _n, block, _wh in _iter_gz_responses(
+                        bytes(content), path):
+                    st, hh, body, k = parse_http_response_ex(
+                        block, path)
+                    rows.append((d, u, st, k, len(body),
+                                 _entity_text(body, hh)))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "target_uri", "http_status",
@@ -969,36 +1209,96 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
-                for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block, wh in _iter_response_records(
-                            member, path):
-                        st, hh, body, _k = parse_http_response_ex(
-                            block, path)
-                        digest = None
-                        verified = None
-                        decl = wh.get(b"warc-payload-digest")
-                        if decl is not None:
-                            alg, _, val = decl.partition(b":")
-                            alg = alg.strip().lower().decode()
-                            if alg in _DIGEST_SIZES:
-                                raw = _decode_labelled_digest(alg, val)
-                                if raw is None:
-                                    raise ValueError(
-                                        f"{path}: malformed WARC-Payload-"
-                                        f"Digest value for {alg} "
-                                        f"(doc {d})")
-                                if alg == "sha256":
-                                    digest = raw.hex()
-                                verified = (
-                                    hashlib.new(alg, body).digest() == raw)
-                        rows.append(
-                            (d, u, st, len(body), _charset_of(hh),
-                             _entity_text(body, hh), digest, verified))
+                for d, u, _n, block, wh in _iter_gz_responses(
+                        bytes(content), path):
+                    st, hh, body, _k = parse_http_response_ex(
+                        block, path)
+                    digest = None
+                    verified = None
+                    decl = wh.get(b"warc-payload-digest")
+                    if decl is not None:
+                        alg, _, val = decl.partition(b":")
+                        alg = alg.strip().lower().decode()
+                        if alg in _DIGEST_SIZES:
+                            raw = _decode_labelled_digest(alg, val)
+                            if raw is None:
+                                raise ValueError(
+                                    f"{path}: malformed WARC-Payload-"
+                                    f"Digest value for {alg} "
+                                    f"(doc {d})")
+                            if alg == "sha256":
+                                digest = raw.hex()
+                            verified = (
+                                hashlib.new(alg, body).digest() == raw)
+                    rows.append(
+                        (d, u, st, len(body), _charset_of(hh),
+                         _entity_text(body, hh), digest, verified))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "target_uri", "http_status",
                              "content_length", "charset", "text",
                              "payload_sha256", "digest_verified"],
+                )
+
+    return files.select("path", "content").mapInPandas(_dec, schema)
+
+
+def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan .warc.gz shards for ``revisit`` records — dedup's wire
+    format in the public crawl corpora (ISO 28500 §6.7.2): a re-crawl
+    whose payload matched an earlier capture ships body-less, carrying
+    only the original's references and the shared payload digest.
+    Surfaces one row per revisit: (doc_id, target_uri, refers_to_uri,
+    refers_to_id, payload_sha256, profile) — everything a dedup
+    resolver needs to rejoin the re-crawl to its stored original
+    without inflating any body bytes. The digest value decodes from
+    hex or Base32 (normalized to hex; non-sha256 labels surface NULL).
+    Map-only binaryFile → mapInPandas, per-shard independent; the
+    response readers SKIP revisit records, so the two scans partition
+    the record stream cleanly."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("target_uri", StringType(), True),
+            StructField("refers_to_uri", StringType(), True),
+            StructField("refers_to_id", StringType(), True),
+            StructField("payload_sha256", StringType(), True),
+            StructField("profile", StringType(), True),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for member in split_gzip_members(bytes(content), path):
+                    for d, u, _n, _block, wh in decode_warc_bytes(
+                            member, path, with_headers=True):
+                        wtype = wh.get(b"warc-type", b"").strip().lower()
+                        if wtype != b"revisit":
+                            continue
+                        digest = None
+                        decl = wh.get(b"warc-payload-digest")
+                        if decl is not None:
+                            alg, _, val = decl.partition(b":")
+                            alg = alg.strip().lower().decode()
+                            if alg == "sha256":
+                                raw = _decode_labelled_digest(alg, val)
+                                digest = raw.hex() if raw else None
+                        rows.append((
+                            d, u,
+                            wh.get(b"warc-refers-to-target-uri",
+                                   b"").decode() or None,
+                            wh.get(b"warc-refers-to", b"").decode()
+                            or None,
+                            digest,
+                            wh.get(b"warc-profile", b"").decode() or None,
+                        ))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "target_uri", "refers_to_uri",
+                             "refers_to_id", "payload_sha256", "profile"],
                 )
 
     return files.select("path", "content").mapInPandas(_dec, schema)
@@ -1053,29 +1353,26 @@ def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
             for path, content in zip(pdf["path"], pdf["content"]):
                 local = _local_path_of(path)
                 lines = []
-                for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block, wh in decode_warc_bytes(
-                            member, path, with_headers=True):
-                        if not _is_response(wh):
-                            continue
-                        st, hh, body, _k = parse_http_response_ex(
-                            block, path)
-                        text = _entity_text(body, hh)
-                        meta = {
-                            "doc_id": d,
-                            "target_uri": u,
-                            "http_status": st,
-                            "content_length": len(body),
-                            "payload_sha256":
-                                hashlib.sha256(body).hexdigest(),
-                        }
-                        ext = try_extract_html(text) if text else None
-                        if ext is not None:
-                            meta["title"] = ext["title"]
-                            meta["n_links"] = ext["n_links"]
-                            meta["text_md5"] = hashlib.md5(
-                                ext["text"].encode("utf-8")).hexdigest()
-                        lines.append(json.dumps(meta, sort_keys=True))
+                for d, u, _n, block, _wh in _iter_gz_responses(
+                        bytes(content), path):
+                    st, hh, body, _k = parse_http_response_ex(
+                        block, path)
+                    text = _entity_text(body, hh)
+                    meta = {
+                        "doc_id": d,
+                        "target_uri": u,
+                        "http_status": st,
+                        "content_length": len(body),
+                        "payload_sha256":
+                            hashlib.sha256(body).hexdigest(),
+                    }
+                    ext = try_extract_html(text) if text else None
+                    if ext is not None:
+                        meta["title"] = ext["title"]
+                        meta["n_links"] = ext["n_links"]
+                        meta["text_md5"] = hashlib.md5(
+                            ext["text"].encode("utf-8")).hexdigest()
+                    lines.append(json.dumps(meta, sort_keys=True))
                 out = local[: -len(".warc.gz")] + ".wat.jsonl"
                 with open(out, "w") as f:
                     f.write("\n".join(lines) + ("\n" if lines else ""))
@@ -1138,13 +1435,12 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
-                for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, block, _wh in _iter_response_records(
-                            member, path):
-                        st, hh, body, k = parse_http_response_ex(
-                            block, path)
-                        rows.append((d, u, st, k, len(body),
-                                     _entity_text(body, hh)))
+                for d, u, _n, block, _wh in _iter_gz_responses(
+                        bytes(content), path):
+                    st, hh, body, k = parse_http_response_ex(
+                        block, path)
+                    rows.append((d, u, st, k, len(body),
+                                 _entity_text(body, hh)))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "target_uri", "http_status",

@@ -1032,6 +1032,162 @@ def test_warc_base32_digests(spark, tmp_path):
     assert row.payload_sha256 is None
 
 
+def test_warc_revisit_records(spark, tmp_path):
+    """revisits=True: every 10th doc's response is followed by a
+    body-less revisit record (identical-payload-digest profile). The
+    revisit reader surfaces the reference triplet; the response
+    readers skip revisits entirely; CDX offsets stay exact with the
+    un-indexed revisit members interleaved."""
+    import hashlib
+
+    from sql_query_engine_spark.sources.warc import (
+        fetch_warc_members,
+        read_cdx,
+        read_warc_gz,
+        read_warc_revisits,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"revisit doc {d} ☃") for d in range(1, 21)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_revisits")
+    write_warc_gz_dataset(df, out, n_files=2, revisits=True)
+
+    revs = {r.doc_id: r for r in
+            read_warc_revisits(spark, f"{out}/*.warc.gz").collect()}
+    assert set(revs) == {10, 20}
+    for d, t in docs:
+        if d not in revs:
+            continue
+        r = revs[d]
+        assert r.target_uri == f"http://mirror.example.com/doc/{d}"
+        assert r.refers_to_uri == f"http://example.com/doc/{d}"
+        assert r.refers_to_id.endswith(f"{d:012d}>")
+        assert r.payload_sha256 == hashlib.sha256(
+            t.encode("utf-8")).hexdigest()
+        assert r.profile.endswith("identical-payload-digest")
+
+    # the response walk sees exactly the 20 responses, no revisits
+    got = read_warc_gz(spark, f"{out}/*.warc.gz")
+    assert sorted(r.doc_id for r in got.collect()) == list(range(1, 21))
+
+    # CDX extents remain exact around the un-indexed revisit members
+    idx = read_cdx(spark, f"{out}/*.cdx")
+    assert idx.count() == 20
+    fetched = fetch_warc_members(idx, out)
+    assert sorted(r.doc_id for r in fetched.collect()) == list(range(1, 21))
+
+
+def test_warc_segment_reassembly(spark, tmp_path):
+    """segments=k: every k-th doc ships as a 3-record segmented chain
+    (ISO 28500 §5.18-5.20), one gzip member per record. The shared
+    response walk reassembles the chain back into one logical record —
+    text, framing counts, and payload-digest verdicts identical to the
+    unsegmented write — and every reassembly defect raises
+    attributably."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        read_cdx,
+        read_warc_gz,
+        read_warc_gz_meta,
+        split_gzip_members,
+        write_warc_gz_dataset,
+        gzip_member,
+        _iter_gz_responses,
+    )
+
+    docs = [(d, f"segmented doc {d} — body {'x' * d}") for d in range(1, 13)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_segs")
+    write_warc_gz_dataset(df, out, n_files=2, segments=4)
+
+    rows = {r.doc_id: r for r in
+            read_warc_gz(spark, f"{out}/*.warc.gz").collect()}
+    assert set(rows) == {d for d, _ in docs}
+    for d, t in docs:
+        assert rows[d].text == t, f"doc {d} text mangled by reassembly"
+    meta = {r.doc_id: r for r in
+            read_warc_gz_meta(spark, f"{out}/*.warc.gz").collect()}
+    for d in (4, 8, 12):
+        assert meta[d].digest_verified is True
+
+    # segmented docs are excluded from the CDX index by contract
+    idx = read_cdx(spark, f"{out}/*.cdx")
+    assert sorted(r.doc_id for r in idx.collect()) == [
+        d for d, _ in docs if d % 4 != 0]
+
+    # --- defect drills over a hand-assembled single-doc chain -------
+    from sql_query_engine_spark.sources.warc import (
+        _segment_members,
+        build_http_response,
+    )
+    import hashlib
+
+    ent = b"defect drill entity"
+    http = build_http_response(ent, 6)  # CL framing
+    orig = b"<urn:uuid:00000000-0000-0000-0000-000000000006>"
+    chain = _segment_members(6, http, orig, hashlib.sha256(ent).hexdigest())
+    members = [m for m, _ in chain]
+    ok = b"".join(members)
+    got = list(_iter_gz_responses(ok, "<ok>"))
+    assert len(got) == 1 and got[0][3] == http
+
+    # stream ends mid-chain → truncated
+    with _pytest.raises(ValueError, match="ends inside segmented"):
+        list(_iter_gz_responses(b"".join(members[:2]), "<trunc>"))
+    # a continuation with no open segment
+    with _pytest.raises(ValueError, match="without an open"):
+        list(_iter_gz_responses(members[1] + members[2], "<orphan>"))
+    # out-of-order: segments 1,3 (2 missing)
+    with _pytest.raises(ValueError, match="out of order"):
+        list(_iter_gz_responses(members[0] + members[2], "<gap>"))
+    # interleaving record inside an open chain
+    from sql_query_engine_spark.sources.warc import build_warc_record
+
+    plain = gzip_member(build_warc_record(7, "interloper"))
+    with _pytest.raises(ValueError, match="interleaves"):
+        list(_iter_gz_responses(
+            members[0] + plain + members[1] + members[2], "<mix>"))
+    # total-length lie: shave a byte off the last segment's declaration
+    bad_last = split_gzip_members(members[2], "<m>")[0]
+    lied = bad_last.replace(
+        b"WARC-Segment-Total-Length: " + str(len(http)).encode(),
+        b"WARC-Segment-Total-Length: " + str(len(http) - 1).encode())
+    assert lied != bad_last
+    with _pytest.raises(ValueError, match="Total-Length"):
+        list(_iter_gz_responses(
+            members[0] + members[1] + gzip_member(lied), "<lie>"))
+
+
+def test_warc_charset_mislabel(spark, tmp_path):
+    """mislabel=True: odd docs declare utf-8 over bytes that cannot
+    decode as it — the strict reader surfaces NULL text while every
+    framing/integrity column stays intact (the mislabeled page is
+    data to quarantine, not a scan abort)."""
+    from sql_query_engine_spark.sources.warc import (
+        read_warc_gz_meta,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"mislabel doc {d}") for d in range(1, 7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_mislabels")
+    write_warc_gz_dataset(df, out, n_files=1, mislabel=True)
+    rows = {r.doc_id: r for r in
+            read_warc_gz_meta(spark, f"{out}/*.warc.gz").collect()}
+    assert set(rows) == {d for d, _ in docs}
+    for d, t in docs:
+        r = rows[d]
+        assert r.digest_verified is True  # digest is over the BYTES
+        assert r.charset == "utf-8"
+        if d % 2 == 1:
+            assert r.text is None, f"doc {d} should not decode"
+            assert r.content_length == len(t) + 7  # ' caf' + 3 bad bytes
+        else:
+            assert r.text == t
+
+
 def test_wat_sidecar_percent_encoded_dir(spark, tmp_path):
     """binaryFile paths are URIs: a shard directory containing a space
     arrives percent-encoded, and the sidecar must land next to the
