@@ -359,6 +359,70 @@ def _legacy_fixture_dir(sf_dir: str, leaf: str) -> str:
     return os.path.join(tempfile.gettempdir(), "sqes_legacy_fixtures", sf, leaf)
 
 
+# Bump whenever ANY fixture writer's byte output changes (same
+# discipline as a RECERT pin: a cached fixture certifies the bytes of
+# the version that built it). r13a = revisit/segment/mislabel writer
+# options added.
+_FIXTURE_VERSION = "r13a"
+
+
+def _cached_fixture(out_dir: str, build) -> None:
+    """Build a deterministic on-disk fixture ONCE per (dir, version);
+    subsequent runs re-digest the files and assert byte-identity
+    instead of rebuilding.
+
+    The oracle sweep runs every registered query, and the expensive
+    warc fixtures (per-record HTTP build + gzip) were rebuilt on every
+    sweep — pure repeated work, since the writers are deterministic by
+    design. Caching keys on a sentinel file recording
+    ``_FIXTURE_VERSION`` plus the sha256 of every file; on reuse the
+    digests are RECOMPUTED and compared, so the determinism claim is
+    asserted on every sweep, not assumed — drift (a nondeterministic
+    writer, an un-bumped version after a writer change, external /tmp
+    mutation) raises attributably rather than silently certifying
+    stale bytes. ``SQES_FIXTURE_REBUILD=1`` forces a rebuild; the
+    writers themselves stay exercised by the unit tests and by every
+    cold (first-after-clear) sweep."""
+    import hashlib
+    import json
+    import os
+
+    sentinel = os.path.join(out_dir, "_FIXTURE_OK.json")
+
+    def _digests() -> dict:
+        out = {}
+        for name in sorted(os.listdir(out_dir)):
+            if name == "_FIXTURE_OK.json":
+                continue
+            p = os.path.join(out_dir, name)
+            if os.path.isfile(p):
+                h = hashlib.sha256()
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                out[name] = h.hexdigest()
+        return out
+
+    if (os.environ.get("SQES_FIXTURE_REBUILD") != "1"
+            and os.path.exists(sentinel)):
+        try:
+            meta = json.load(open(sentinel))
+        except (OSError, ValueError):
+            meta = None
+        if meta and meta.get("version") == _FIXTURE_VERSION:
+            got = _digests()
+            if got == meta.get("sha256"):
+                return
+            raise RuntimeError(
+                f"cached fixture {out_dir} drifted from its sentinel "
+                f"(writer nondeterminism, an un-bumped _FIXTURE_VERSION "
+                f"after a writer change, or external mutation) — clear "
+                f"the dir or set SQES_FIXTURE_REBUILD=1")
+    build()
+    with open(sentinel, "w") as f:
+        json.dump({"version": _FIXTURE_VERSION, "sha256": _digests()}, f)
+
+
 @_q(
     "ref_csv_scan",
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -9945,8 +10009,8 @@ def src_avro_scan(spark, sf_dir):
     from .sources import avro
 
     out = _legacy_fixture_dir(sf_dir, "orders_avro")
-    o = _t(spark, sf_dir, "orders")
-    avro.write_avro_dataset(o, out, "order", _AVRO_FIELDS, n_files=4)
+    _cached_fixture(out, lambda: avro.write_avro_dataset(
+        _t(spark, sf_dir, "orders"), out, "order", _AVRO_FIELDS, n_files=4))
     back = avro.read_avro(spark, f"{out}/*.avro", _AVRO_FIELDS)
     return back.filter(F.col("o_totalprice") > 150000)
 
@@ -10274,8 +10338,8 @@ def src_warc_scan(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_dataset(d, out, n_files=4)
+    _cached_fixture(out, lambda: warc.write_warc_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4))
     back = warc.read_warc(spark, f"{out}/*.warc")
     return back.select(
         "doc_id",
@@ -10325,8 +10389,8 @@ def src_warc_gz_scan(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_gz")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_gz_dataset(d, out, n_files=4)
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4))
     back = warc.read_warc_gz(spark, f"{out}/*.warc.gz")
     return back.select(
         "doc_id",
@@ -10365,8 +10429,8 @@ def src_warc_cdx_fetch(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_gz_cdx")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_gz_dataset(d, out, n_files=4)
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4))
     idx = warc.read_cdx(spark, f"{out}/*.cdx")
     picked = idx.filter(F.col("doc_id") % 50 == 0)
     got = warc.fetch_warc_members(picked, out)
@@ -10415,8 +10479,8 @@ def src_warc_digest_verify(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_digests")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_gz_dataset(d, out, n_files=4)
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4))
     got = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz")
     return got.select(
         "doc_id", "http_status", "payload_sha256", "digest_verified")
@@ -10459,8 +10523,8 @@ def src_warc_charset_decode(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_charsets")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_gz_dataset(d, out, n_files=4, charsets=True)
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4, charsets=True))
     got = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz")
     return got.select(
         "doc_id", "charset", "http_status",
@@ -10502,11 +10566,15 @@ def src_warc_wat_sidecar(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_wat")
-    d = _t(spark, sf_dir, "documents")
-    pages = H.synthesize_html_pages(d).select(
-        "doc_id", F.col("html").alias("text"))
-    warc.write_warc_gz_dataset(pages, out, n_files=4)
-    warc.write_wat_sidecar(spark, out)
+
+    def _build():
+        pages = H.synthesize_html_pages(
+            _t(spark, sf_dir, "documents")
+        ).select("doc_id", F.col("html").alias("text"))
+        warc.write_warc_gz_dataset(pages, out, n_files=4)
+        warc.write_wat_sidecar(spark, out)
+
+    _cached_fixture(out, _build)
     got = warc.read_wat(spark, f"{out}/*.wat.jsonl")
     return got.select(
         "doc_id", "target_uri", "http_status", "title", "n_links",
@@ -10545,8 +10613,8 @@ def src_warc_revisit_dedup(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_revisits")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_gz_dataset(d, out, n_files=4, revisits=True)
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4, revisits=True))
     revs = warc.read_warc_revisits(spark, f"{out}/*.warc.gz").select(
         "doc_id", "target_uri", "refers_to_uri",
         F.col("payload_sha256").alias("rev_sha256"))
@@ -10598,8 +10666,8 @@ def src_warc_segment_reassembly(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_segments")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_gz_dataset(d, out, n_files=4, segments=4)
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4, segments=4))
     back = warc.read_warc_gz(spark, f"{out}/*.warc.gz")
     return back.select(
         "doc_id",
@@ -10643,8 +10711,8 @@ def src_warc_charset_mislabel(spark, sf_dir):
     from .sources import warc
 
     out = _legacy_fixture_dir(sf_dir, "documents_warc_mislabels")
-    d = _t(spark, sf_dir, "documents")
-    warc.write_warc_gz_dataset(d, out, n_files=4, mislabel=True)
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4, mislabel=True))
     got = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz")
     return got.select(
         "doc_id",
@@ -12178,65 +12246,16 @@ def mm_wav_stereo_stats(spark, sf_dir):
 # GENERATED — regenerate each round with:
 #     python tools/rotate_gate.py --emit
 #
-# r12 ONE-ROUND AMENDMENT (--no-ref-pin; see tools/rotate_gate.py):
-# the r11 verdict's burn-down bar (stale tail ≤ 30, r3 cleared) needs
-# ~43 refresh slots — impossible with the 15 ref pins in a 50-row
-# window — so the refs (all r11-green) sit out exactly this round's
-# window and re-pin in r13. Two fixture-changed queries
-# (text_robots_filter, pipeline_crawl_admission — robots wildcard
-# rules) re-certify up front because their old green rows certify the
-# old semantics.
+# r13 ONE-ROUND AMENDMENT (--pure-refresh; see tools/rotate_gate.py):
+# the r12 verdict's final burn-down bar ("r4 band empty, tail <= 14
+# all-r5") needs 30 r4 + 20 r5 = EXACTLY 50 slots, so EVERY pin (the
+# 15 refs, the 2 sentinels, recerts) sits out this one window and the
+# three r13-new queries (src_warc_revisit_dedup /
+# src_warc_segment_reassembly / src_warc_charset_mislabel) sort LAST
+# instead of first -- they are already hash-checked by the independent
+# 304-query oracle sweep and enter the driver window in r14 as the
+# stalest rows, when the refs also re-pin.
 _GATE_PRIORITY = [
-    "stream_late_data_accounting",
-    "tpch_q12_late_priority",
-    "text_robots_filter",
-    "pipeline_crawl_admission",
-    "src_warc_charset_decode",
-    "src_warc_wat_sidecar",
-    "src_warc_digest_verify",
-    "pipeline_training_data",
-    "dedup_clusters",
-    "scalar_fuzzy_match",
-    "scalar_regex",
-    "sample_systematic",
-    "scalar_date_arithmetic",
-    "scalar_array_ops",
-    "agg_string_agg",
-    "pipeline_length_histogram",
-    "dedup_exact",
-    "text_word_freq",
-    "dedup_normalized",
-    "window_distribution",
-    "setop_union_distinct",
-    "agg_two_level",
-    "setop_except_all",
-    "scalar_null_semantics",
-    "join_right_outer",
-    "catalog_profile_orders",
-    "setop_intersect_all",
-    "window_analytic_values",
-    "sql_in_subquery",
-    "sql_exists_subquery",
-    "window_range_running",
-    "agg_unpivot",
-    "join_argmax",
-    "sql_correlated_subquery",
-    "sql_cte",
-    "window_distribution_scale",
-    "catalog_profile_documents",
-    "agg_native_pivot",
-    "sql_grouping_sets",
-    "dedup_repeated_ngrams",
-    "text_quality_filter",
-    "pipeline_decontaminate",
-    "join_range_bands",
-    "window_ntile_scale",
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
-    "text_readability",
-    "scalar_url_functions",
-    "text_domain_score",
-    "pipeline_source_quota",
     "scalar_try_arithmetic",
     "stream_first_event_dedup",
     "text_tokenizer_fertility",
@@ -12491,6 +12510,59 @@ _GATE_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_simhash_lsh",
+    "scalar_fuzzy_match",
+    "scalar_regex",
+    "sample_systematic",
+    "scalar_date_arithmetic",
+    "text_readability",
+    "scalar_url_functions",
+    "text_domain_score",
+    "scalar_array_ops",
+    "agg_string_agg",
+    "pipeline_length_histogram",
+    "dedup_exact",
+    "text_word_freq",
+    "dedup_normalized",
+    "window_distribution",
+    "pipeline_source_quota",
+    "setop_union_distinct",
+    "agg_two_level",
+    "setop_except_all",
+    "scalar_null_semantics",
+    "join_right_outer",
+    "catalog_profile_orders",
+    "setop_intersect_all",
+    "window_analytic_values",
+    "sql_in_subquery",
+    "sql_exists_subquery",
+    "window_range_running",
+    "agg_unpivot",
+    "join_argmax",
+    "sql_correlated_subquery",
+    "sql_cte",
+    "window_distribution_scale",
+    "catalog_profile_documents",
+    "agg_native_pivot",
+    "sql_grouping_sets",
+    "dedup_repeated_ngrams",
+    "src_warc_charset_decode",
+    "text_quality_filter",
+    "pipeline_decontaminate",
+    "join_range_bands",
+    "window_ntile_scale",
+    "src_warc_wat_sidecar",
+    "dedup_embedding_cosine",
+    "pipeline_crawl_admission",
+    "tpch_q12_late_priority",
+    "dedup_simhash_pairs",
+    "text_robots_filter",
+    "src_warc_digest_verify",
+    "pipeline_training_data",
+    "stream_late_data_accounting",
+    "dedup_clusters",
+    "src_warc_revisit_dedup",
+    "src_warc_segment_reassembly",
+    "src_warc_charset_mislabel",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

