@@ -58,6 +58,8 @@ __all__ = [
     "read_cdx",
     "fetch_warc_members",
     "try_scan_warc_gz",
+    "try_scan_warc_gz_meta",
+    "try_scan_warc_revisits",
     "write_wat_sidecar",
     "read_wat",
 ]
@@ -705,6 +707,33 @@ def _content_decode(body: bytes, headers: dict, path: str) -> bytes:
     raise ValueError(f"{path}: unsupported Content-Encoding {ce!r}")
 
 
+def _payload_digest_verdict(wh: dict, body: bytes, path: str,
+                            doc_id: int) -> tuple[str | None, bool | None]:
+    """The labelled WARC-Payload-Digest verdict shared by the meta
+    reader and its fuzz wrapper: → (sha256_hex_or_None,
+    verified_True/False/None). A known-label value that parses as
+    neither hex nor Base32 raises (malformed ≠ mismatched)."""
+    import hashlib
+
+    decl = wh.get(b"warc-payload-digest")
+    if decl is None:
+        return None, None
+    alg, _, val = decl.partition(b":")
+    try:
+        alg = alg.strip().lower().decode("ascii")
+    except UnicodeDecodeError:
+        return None, None
+    if alg not in _DIGEST_SIZES:
+        return None, None
+    raw = _decode_labelled_digest(alg, val)
+    if raw is None:
+        raise ValueError(
+            f"{path}: malformed WARC-Payload-Digest value for {alg} "
+            f"(doc {doc_id})")
+    digest = raw.hex() if alg == "sha256" else None
+    return digest, hashlib.new(alg, body).digest() == raw
+
+
 def try_scan_warc_gz(payload: bytes):
     """Fuzz-contract wrapper over the full three-layer scan (gzip
     members → WARC records → HTTP responses): returns the framing
@@ -716,6 +745,56 @@ def try_scan_warc_gz(payload: bytes):
         for d, u, _n, block, _wh in _iter_gz_responses(payload, "<bytes>"):
             st, body, k = parse_http_response(block)
             rows.append((d, u, st, k, len(body)))
+        return rows
+    except ValueError:
+        return None
+
+
+def try_scan_warc_gz_meta(payload: bytes):
+    """Fuzz-contract wrapper over the metadata plane (the digest-
+    verdict path of :func:`read_warc_gz_meta`): returns [(doc_id,
+    status, payload_sha256, digest_verified)], or None on any framing
+    defect — never raises. The key contract under digest-value
+    mutation: a flipped declared digest must surface as None
+    (malformed) or a ``digest_verified is False`` row — NEVER as a
+    silently-True verdict."""
+    try:
+        rows = []
+        for d, _u, _n, block, wh in _iter_gz_responses(payload, "<bytes>"):
+            st, hh, body, _k = parse_http_response_ex(block, "<bytes>")
+            digest, verified = _payload_digest_verdict(
+                wh, body, "<bytes>", d)
+            rows.append((d, st, digest, verified))
+        return rows
+    except ValueError:
+        return None
+
+
+def try_scan_warc_revisits(payload: bytes):
+    """Fuzz-contract wrapper over the revisit plane: returns [(doc_id,
+    target_uri, refers_to_uri, payload_sha256)] for revisit records,
+    or None on any framing defect — never raises."""
+    try:
+        rows = []
+        for member in split_gzip_members(payload, "<bytes>"):
+            for d, u, _n, _block, wh in decode_warc_bytes(
+                    member, "<bytes>", with_headers=True):
+                if wh.get(b"warc-type", b"").strip().lower() != b"revisit":
+                    continue
+                digest = None
+                decl = wh.get(b"warc-payload-digest")
+                if decl is not None:
+                    alg, _, val = decl.partition(b":")
+                    if alg.strip().lower() == b"sha256":
+                        raw = _decode_labelled_digest("sha256", val)
+                        digest = raw.hex() if raw else None
+                try:
+                    rows.append((
+                        d, u,
+                        wh.get(b"warc-refers-to-target-uri", b"").decode(),
+                        digest))
+                except UnicodeDecodeError:
+                    return None
         return rows
     except ValueError:
         return None
@@ -1189,8 +1268,6 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
     merely mismatched). ``charset`` is the declared Content-Type
     parameter; text is NULL when the label is unknown or the bytes
     don't strictly decode. Map-only."""
-    import hashlib
-
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1213,23 +1290,8 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
                         bytes(content), path):
                     st, hh, body, _k = parse_http_response_ex(
                         block, path)
-                    digest = None
-                    verified = None
-                    decl = wh.get(b"warc-payload-digest")
-                    if decl is not None:
-                        alg, _, val = decl.partition(b":")
-                        alg = alg.strip().lower().decode()
-                        if alg in _DIGEST_SIZES:
-                            raw = _decode_labelled_digest(alg, val)
-                            if raw is None:
-                                raise ValueError(
-                                    f"{path}: malformed WARC-Payload-"
-                                    f"Digest value for {alg} "
-                                    f"(doc {d})")
-                            if alg == "sha256":
-                                digest = raw.hex()
-                            verified = (
-                                hashlib.new(alg, body).digest() == raw)
+                    digest, verified = _payload_digest_verdict(
+                        wh, body, path, d)
                     rows.append(
                         (d, u, st, len(body), _charset_of(hh),
                          _entity_text(body, hh), digest, verified))

@@ -18,9 +18,13 @@ from sql_query_engine_spark.functions.robots import (
 )
 from sql_query_engine_spark.sources.warc import (
     try_scan_warc_gz as _warcgz,
+    try_scan_warc_gz_meta as _warcmeta,
+    try_scan_warc_revisits as _warcrev,
     gzip_member as _gzm,
     build_http_response as _bhttp,
     build_warc_record as _bwarc,
+    _segment_members as _segm,
+    _decode_labelled_digest as _decdig,
 )
 
 DECODERS = [
@@ -48,6 +52,8 @@ DECODERS = [
     _html,                                              # r11: HTML extract
     _warcgz,                                            # r11: .warc.gz scan
     _robots,                                            # r11: robots.txt
+    _warcmeta,                                          # r13: digest plane
+    _warcrev,                                           # r13: revisit plane
 ]
 
 def valid_corpus():
@@ -111,6 +117,41 @@ def valid_corpus():
             + _gzm(_bwarc(903 + d,
                           "GET /doc HTTP/1.1\r\nHost: x\r\n\r\n",
                           warc_type=b"request")))
+        # r13: a response+revisit pair (the dedup wire format) and a
+        # 3-member segmented chain — mutations must hit the revisit
+        # header walk and every reassembly rule (origin-id, numbering,
+        # total-length, truncation) and still reject cleanly
+        _ent13 = _t.encode()
+        _h13 = _bhttp(_ent13, d + 3)
+        outs.append(
+            _gzm(_rec(d + 3))
+            + _gzm(_bwarc(
+                d + 3,
+                payload=_h13[:_h13.find(b"\r\n\r\n") + 4],
+                warc_type=b"revisit",
+                content_type=b"application/http;msgtype=response",
+                payload_digest=_hl.sha256(_ent13).hexdigest(),
+                record_id=(f"<urn:uuid:00000000-0000-0002-0000-"
+                           f"{d + 3:012d}>".encode()),
+                target_uri=(f"http://mirror.example.com/doc/"
+                            f"{d + 3}".encode()),
+                extra_headers=[
+                    (b"WARC-Profile",
+                     b"http://netpreserve.org/warc/1.0/revisit/"
+                     b"identical-payload-digest"),
+                    (b"WARC-Refers-To",
+                     f"<urn:uuid:00000000-0000-0000-0000-"
+                     f"{d + 3:012d}>".encode()),
+                    (b"WARC-Refers-To-Target-URI",
+                     f"http://example.com/doc/{d + 3}".encode()),
+                ])))
+        _orig_id = (f"<urn:uuid:00000000-0000-0000-0000-"
+                    f"{d + 4:012d}>".encode())
+        _h14 = _bhttp(_ent13, d + 4)
+        outs.append(b"".join(
+            m for m, _ in _segm(
+                d + 4, _h14, _orig_id,
+                _hl.sha256(_ent13).hexdigest())))
         outs.append(build_html_page(d, _t).encode())
         # r12: attribute-heavy page (quoted '>'s, duplicate/unquoted/
         # İ-named attributes, stray solidi) and an entity-bomb page
@@ -209,6 +250,84 @@ for i in range(NB):
         if fails > 5:
             sys.exit(1)
 print(f"boundary pass: {NB} seam mutations, {fails} total crashes")
+
+# r13: targeted DIGEST/TRAILER bit-flips — the generic mutator mostly
+# breaks gzip CRCs before a mutation ever reaches the digest layer, so
+# flip bits INSIDE declared digest values (pre-gzip, then re-wrap) and
+# assert the acceptance contract, not just no-crash:
+#   * block-digest value flip  → scan rejects (None) — unless the flip
+#     is a hex case-flip that decodes to the SAME raw digest (benign)
+#   * payload-digest value flip → None (malformed) or a
+#     digest_verified-False row — NEVER a silently-True verdict
+#   * trailer-hex flip (block digest recomputed, i.e. an origin-side
+#     corruption the container can't see) → scan rejects (None)
+import hashlib as _hl3
+_ent = "digest target — ☃ body".encode()
+_httpCL = _bhttp(_ent, 6)     # Content-Length framing
+_httpCH = _bhttp(_ent, 1)     # chunked + X-Payload-SHA256 trailer
+NT = max(N // 10, 1000)
+tfails = 0
+for i in range(NT):
+    kind = rng.randrange(3)
+    if kind == 0:
+        rec = _bwarc(6, payload=_httpCL,
+                     content_type=b"application/http;msgtype=response")
+        tag = b"WARC-Block-Digest: sha256:"
+        start = rec.index(tag) + len(tag)
+        span = (start, start + 64)
+        orig_val = rec[span[0]:span[1]]
+        pos = rng.randrange(*span)
+        buf = bytearray(rec)
+        buf[pos] ^= 1 << rng.randrange(8)
+        new_val = bytes(buf[span[0]:span[1]])
+        out = _warcgz(_gzm(bytes(buf)))
+        same = (_decdig("sha256", new_val) == _decdig("sha256", orig_val)
+                and _decdig("sha256", new_val) is not None)
+        ok = (out is None) or same
+    elif kind == 1:
+        rec = _bwarc(6, payload=_httpCL,
+                     content_type=b"application/http;msgtype=response",
+                     payload_digest=_hl3.sha256(_ent).hexdigest())
+        tag = b"WARC-Payload-Digest: sha256:"
+        start = rec.index(tag) + len(tag)
+        span = (start, start + 64)
+        orig_val = rec[span[0]:span[1]]
+        pos = rng.randrange(*span)
+        buf = bytearray(rec)
+        buf[pos] ^= 1 << rng.randrange(8)
+        new_val = bytes(buf[span[0]:span[1]])
+        out = _warcmeta(_gzm(bytes(buf)))
+        same = (_decdig("sha256", new_val) == _decdig("sha256", orig_val)
+                and _decdig("sha256", new_val) is not None)
+        if same:
+            ok = out is not None and all(r[3] is True for r in out)
+        else:
+            ok = (out is None
+                  or any(r[3] is False for r in out))
+    else:
+        tag = b"X-Payload-SHA256: "
+        start = _httpCH.index(tag) + len(tag)
+        span = (start, start + 64)
+        orig_val = _httpCH[span[0]:span[1]]
+        pos = rng.randrange(*span)
+        hbuf = bytearray(_httpCH)
+        hbuf[pos] ^= 1 << rng.randrange(8)
+        new_val = bytes(hbuf[span[0]:span[1]])
+        # block digest recomputed over the mutated message: only the
+        # TRAILER check can catch this one
+        rec = _bwarc(1, payload=bytes(hbuf),
+                     content_type=b"application/http;msgtype=response")
+        out = _warcgz(_gzm(rec))
+        same = new_val.lower() == orig_val.lower()
+        ok = (out is None) or same
+    if not ok:
+        tfails += 1
+        fails += 1
+        print(f"SILENT-ACCEPT digest-fuzz kind {kind} iter {i}: {out!r}")
+        if fails > 5:
+            sys.exit(1)
+print(f"digest pass: {NT} targeted flips "
+      f"(block/payload/trailer), {tfails} silent-accepts")
 print(f"DONE {N} mutations x {len(DECODERS)} decoders "
-      f"+ {NB} gzip-seam mutations, {fails} crashes")
+      f"+ {NB} gzip-seam + {NT} digest-flip mutations, {fails} crashes")
 sys.exit(1 if fails else 0)
