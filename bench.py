@@ -88,6 +88,12 @@ HEADLINE = [
     "src_warc_digest_verify",
     "src_warc_charset_decode",
     "src_warc_wat_sidecar",
+    # round-13 additions: the remaining public record planes — revisit
+    # resolution (dedup's wire format), segmented-record reassembly,
+    # and the strict decoder's mislabeled-charset negative path
+    "src_warc_revisit_dedup",
+    "src_warc_segment_reassembly",
+    "src_warc_charset_mislabel",
 ]
 
 
