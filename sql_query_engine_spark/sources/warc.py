@@ -47,6 +47,7 @@ __all__ = [
     "read_warc",
     "gzip_member",
     "split_gzip_members",
+    "iter_gzip_members_stream",
     "build_http_response",
     "parse_http_response",
     "parse_http_response_ex",
@@ -413,6 +414,116 @@ def gzip_member(payload: bytes, fname: bytes | None = None,
         + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
         + (len(payload) & 0xFFFFFFFF).to_bytes(4, "little")
     )
+
+
+def iter_gzip_members_stream(f, path: str = "<stream>",
+                             chunk: int = 256 * 1024):
+    """Walk a multi-member gzip STREAM from a file object, yielding one
+    inflated payload per member — the same RFC 1952 MUSTs as
+    :func:`split_gzip_members` (magic + CM=8, reserved FLG bits,
+    FEXTRA/FNAME/FCOMMENT framing, FHCRC, per-member CRC32 + ISIZE,
+    bounded inflation) without EVER materializing the whole file:
+    memory is O(one inflated member + one read chunk), independent of
+    shard size. This is the 100 TB read contract — a reader whose
+    per-task footprint scales with shard bytes OOMs the moment someone
+    doubles the corpus at fixed shard count (the r13 8M-doc rehearsal
+    measured exactly that cliff against the whole-shard binaryFile
+    scan). Raises ValueError with the path on any defect."""
+    import zlib
+
+    buf = bytearray()
+    eof = False
+
+    def _fill(n: int) -> bool:
+        """Ensure ≥n bytes buffered; False when the stream can't."""
+        nonlocal eof
+        while len(buf) < n and not eof:
+            piece = f.read(max(chunk, n - len(buf)))
+            if not piece:
+                eof = True
+                break
+            buf.extend(piece)
+        return len(buf) >= n
+
+    first = True
+    while True:
+        if not _fill(1):
+            if first:
+                raise ValueError(f"{path}: empty gzip stream")
+            return
+        first = False
+        if not _fill(10):
+            raise ValueError(f"{path}: truncated gzip header")
+        if bytes(buf[:2]) != _GZ_MAGIC:
+            raise ValueError(f"{path}: bad gzip magic")
+        if buf[2] != 8:
+            raise ValueError(f"{path}: unknown compression method {buf[2]}")
+        flg = buf[3]
+        if flg & 0xE0:
+            raise ValueError(f"{path}: reserved FLG bits set")
+        pos = 10
+        if flg & _FEXTRA:
+            if not _fill(pos + 2):
+                raise ValueError(f"{path}: truncated FEXTRA length")
+            xlen = int.from_bytes(buf[pos : pos + 2], "little")
+            pos += 2 + xlen
+            if not _fill(pos):
+                raise ValueError(f"{path}: truncated FEXTRA field")
+        for bit, name in ((_FNAME, "FNAME"), (_FCOMMENT, "FCOMMENT")):
+            if flg & bit:
+                while True:
+                    z = buf.find(b"\x00", pos)
+                    if z >= 0:
+                        pos = z + 1
+                        break
+                    if eof:
+                        raise ValueError(f"{path}: unterminated {name}")
+                    _fill(len(buf) + chunk)
+        if flg & _FHCRC:
+            if not _fill(pos + 2):
+                raise ValueError(f"{path}: truncated header CRC16")
+            want = int.from_bytes(buf[pos : pos + 2], "little")
+            got = zlib.crc32(bytes(buf[:pos])) & 0xFFFF
+            if want != got:
+                raise ValueError(f"{path}: header CRC16 mismatch "
+                                 f"({want:#06x} != {got:#06x})")
+            pos += 2
+        del buf[:pos]
+        d = zlib.decompressobj(-15)
+        parts: list[bytes] = []
+        produced = 0
+        try:
+            while not d.eof:
+                if d.unconsumed_tail:
+                    data = d.unconsumed_tail
+                else:
+                    if not buf and not _fill(1):
+                        raise ValueError(
+                            f"{path}: truncated DEFLATE stream")
+                    data = bytes(buf)
+                    del buf[:]
+                piece = d.decompress(
+                    data, _GZ_MAX_MEMBER_BYTES - produced + 1)
+                produced += len(piece)
+                parts.append(piece)
+                if produced > _GZ_MAX_MEMBER_BYTES:
+                    raise ValueError(f"{path}: member inflates past "
+                                     f"{_GZ_MAX_MEMBER_BYTES} bytes")
+        except zlib.error as e:
+            raise ValueError(f"{path}: bad DEFLATE stream: {e}")
+        payload = b"".join(parts)
+        buf[:0] = d.unused_data  # what the inflater didn't consume
+        if not _fill(8):
+            raise ValueError(f"{path}: truncated gzip trailer")
+        want_crc = int.from_bytes(buf[:4], "little")
+        want_isize = int.from_bytes(buf[4:8], "little")
+        del buf[:8]
+        if want_crc != (zlib.crc32(payload) & 0xFFFFFFFF):
+            raise ValueError(f"{path}: gzip CRC32 mismatch")
+        if want_isize != (len(payload) & 0xFFFFFFFF):
+            raise ValueError(f"{path}: gzip ISIZE mismatch "
+                             f"({want_isize} != {len(payload)})")
+        yield payload
 
 
 def split_gzip_members(b: bytes, path: str = "<bytes>") -> list[bytes]:
@@ -1206,12 +1317,56 @@ def _entity_text(body: bytes, headers: dict | None = None) -> str | None:
         return None
 
 
+# rows per emitted Arrow batch in the streaming scans: bounds the
+# pandas/Arrow high-water mark per task regardless of shard row count
+_SCAN_BATCH_ROWS = 8192
+
+
+def _shard_paths_df(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Driver-side shard listing → one (path) row per shard, exactly
+    one partition per shard. The batch .warc.gz readers deliberately do
+    NOT use the binaryFile source: binaryFile ships every shard's BYTES
+    through the JVM as a whole-file binary row (file buffer + Arrow
+    copy, × concurrent tasks), so per-task heap scales with shard size
+    and the scan OOMs the moment the corpus doubles at fixed shard
+    count — the r13 8M-doc rehearsal hit exactly that cliff at 8 GiB.
+    Listing paths is the trivial part (the CDX/catalog plane already
+    lists every shard); the Python workers then open and STREAM each
+    shard themselves with O(member) memory, and the JVM never holds a
+    single content byte. On object storage the open() becomes a ranged
+    GET stream — same contract."""
+    import glob as _glob
+
+    local = _local_path_of(path_glob)
+    paths = sorted(_glob.glob(local))
+    if not paths:
+        raise FileNotFoundError(f"no shards match {path_glob}")
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    return df.repartition(len(paths))
+
+
+def _iter_file_responses(path: str):
+    """Open one shard and yield its assembled response records via the
+    streaming member walk — memory O(member + chunk), never O(shard)."""
+    with open(path, "rb") as f:
+
+        def _records():
+            for member in iter_gzip_members_stream(f, path):
+                yield from decode_warc_bytes(member, path,
+                                             with_headers=True)
+
+        yield from _walk_response_records(_records(), path)
+
+
 def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
-    """binaryFile scan → gzip member split → WARC record walk → HTTP
-    response parse → one row per record: (doc_id, target_uri,
-    http_status, n_chunks, content_length, text). ``content_length`` is
-    the ENTITY byte count (after de-chunking), not the WARC block
-    length. Map-only: per-file independent, nothing driver-side."""
+    """Shard-path scan → STREAMING gzip member walk → WARC record walk
+    (segment reassembly included) → HTTP response parse → one row per
+    record: (doc_id, target_uri, http_status, n_chunks, content_length,
+    text). ``content_length`` is the ENTITY byte count (after
+    de-chunking), not the WARC block length. Map-only, one task per
+    shard, per-task memory O(member), shard-size-INDEPENDENT (see
+    :func:`_shard_paths_df` for why binaryFile is not used); rows flow
+    out in bounded Arrow batches."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1222,25 +1377,26 @@ def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
             StructField("text", StringType(), True),
         ]
     )
-    files = spark.read.format("binaryFile").load(path_glob)
+    files = _shard_paths_df(spark, path_glob)
+    cols = ["doc_id", "target_uri", "http_status",
+            "n_chunks", "content_length", "text"]
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 rows = []
-                for d, u, _n, block, _wh in _iter_gz_responses(
-                        bytes(content), path):
+                for d, u, _n, block, _wh in _iter_file_responses(path):
                     st, hh, body, k = parse_http_response_ex(
                         block, path)
                     rows.append((d, u, st, k, len(body),
                                  _entity_text(body, hh)))
-                yield pd.DataFrame(
-                    rows,
-                    columns=["doc_id", "target_uri", "http_status",
-                             "n_chunks", "content_length", "text"],
-                )
+                    if len(rows) >= _SCAN_BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(_dec, schema)
+    return files.mapInPandas(_dec, schema)
 
 
 def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -1267,7 +1423,8 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
     that parses as neither hex nor Base32 raises (malformed, not
     merely mismatched). ``charset`` is the declared Content-Type
     parameter; text is NULL when the label is unknown or the bytes
-    don't strictly decode. Map-only."""
+    don't strictly decode. Map-only, one task per shard, streaming
+    member walk — per-task memory O(member), shard-size-independent."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1280,14 +1437,15 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
             StructField("digest_verified", BooleanType(), True),
         ]
     )
-    files = spark.read.format("binaryFile").load(path_glob)
+    files = _shard_paths_df(spark, path_glob)
+    cols = ["doc_id", "target_uri", "http_status", "content_length",
+            "charset", "text", "payload_sha256", "digest_verified"]
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 rows = []
-                for d, u, _n, block, wh in _iter_gz_responses(
-                        bytes(content), path):
+                for d, u, _n, block, wh in _iter_file_responses(path):
                     st, hh, body, _k = parse_http_response_ex(
                         block, path)
                     digest, verified = _payload_digest_verdict(
@@ -1295,14 +1453,13 @@ def read_warc_gz_meta(spark: SparkSession, path_glob: str) -> DataFrame:
                     rows.append(
                         (d, u, st, len(body), _charset_of(hh),
                          _entity_text(body, hh), digest, verified))
-                yield pd.DataFrame(
-                    rows,
-                    columns=["doc_id", "target_uri", "http_status",
-                             "content_length", "charset", "text",
-                             "payload_sha256", "digest_verified"],
-                )
+                    if len(rows) >= _SCAN_BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(_dec, schema)
+    return files.mapInPandas(_dec, schema)
 
 
 def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -1315,9 +1472,9 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
     resolver needs to rejoin the re-crawl to its stored original
     without inflating any body bytes. The digest value decodes from
     hex or Base32 (normalized to hex; non-sha256 labels surface NULL).
-    Map-only binaryFile → mapInPandas, per-shard independent; the
-    response readers SKIP revisit records, so the two scans partition
-    the record stream cleanly."""
+    Map-only, one task per shard, streaming member walk (per-task
+    memory O(member)); the response readers SKIP revisit records, so
+    the two scans partition the record stream cleanly."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1328,42 +1485,48 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
             StructField("profile", StringType(), True),
         ]
     )
-    files = spark.read.format("binaryFile").load(path_glob)
+    files = _shard_paths_df(spark, path_glob)
+    cols = ["doc_id", "target_uri", "refers_to_uri",
+            "refers_to_id", "payload_sha256", "profile"]
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 rows = []
-                for member in split_gzip_members(bytes(content), path):
-                    for d, u, _n, _block, wh in decode_warc_bytes(
-                            member, path, with_headers=True):
-                        wtype = wh.get(b"warc-type", b"").strip().lower()
-                        if wtype != b"revisit":
-                            continue
-                        digest = None
-                        decl = wh.get(b"warc-payload-digest")
-                        if decl is not None:
-                            alg, _, val = decl.partition(b":")
-                            alg = alg.strip().lower().decode()
-                            if alg == "sha256":
-                                raw = _decode_labelled_digest(alg, val)
-                                digest = raw.hex() if raw else None
-                        rows.append((
-                            d, u,
-                            wh.get(b"warc-refers-to-target-uri",
-                                   b"").decode() or None,
-                            wh.get(b"warc-refers-to", b"").decode()
-                            or None,
-                            digest,
-                            wh.get(b"warc-profile", b"").decode() or None,
-                        ))
-                yield pd.DataFrame(
-                    rows,
-                    columns=["doc_id", "target_uri", "refers_to_uri",
-                             "refers_to_id", "payload_sha256", "profile"],
-                )
+                with open(path, "rb") as f:
+                    for member in iter_gzip_members_stream(f, path):
+                        for d, u, _n, _block, wh in decode_warc_bytes(
+                                member, path, with_headers=True):
+                            wtype = wh.get(
+                                b"warc-type", b"").strip().lower()
+                            if wtype != b"revisit":
+                                continue
+                            digest = None
+                            decl = wh.get(b"warc-payload-digest")
+                            if decl is not None:
+                                alg, _, val = decl.partition(b":")
+                                alg = alg.strip().lower().decode()
+                                if alg == "sha256":
+                                    raw = _decode_labelled_digest(
+                                        alg, val)
+                                    digest = raw.hex() if raw else None
+                            rows.append((
+                                d, u,
+                                wh.get(b"warc-refers-to-target-uri",
+                                       b"").decode() or None,
+                                wh.get(b"warc-refers-to", b"").decode()
+                                or None,
+                                digest,
+                                wh.get(b"warc-profile", b"").decode()
+                                or None,
+                            ))
+                            if len(rows) >= _SCAN_BATCH_ROWS:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(_dec, schema)
+    return files.mapInPandas(_dec, schema)
 
 
 def _local_path_of(uri: str) -> str:
@@ -1395,53 +1558,56 @@ def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
     link-graph builds, quality audits) scan the thin sidecars and
     never touch the fat shards. Executor-side: each shard is walked
     and its sidecar written by the task that read it — map-only, no
-    shuffle, per-shard independent."""
+    shuffle, per-shard independent.
+
+    Memory-contract history of this stage: the r11 ``.rdd
+    .mapPartitions`` form pickled whole shard rows through the
+    JavaToPython bridge and OOM'd at 4M docs; the r12 Arrow binaryFile
+    form fixed that but still materialized whole shards JVM-side and
+    hit the next cliff at 8M; since r13 the walk STREAMS each shard
+    from its path (O(member) memory, shard-size-independent) and the
+    sidecar lines stream straight to disk."""
     import hashlib
     import json
 
     from ..functions.html import try_extract_html
 
-    files = spark.read.format("binaryFile").load(
-        os.path.join(warc_dir, "*.warc.gz"))
+    files = _shard_paths_df(spark, os.path.join(warc_dir, "*.warc.gz"))
 
-    # Arrow mapInPandas, NOT .rdd.mapPartitions: the RDD bridge pickles
-    # every row (a whole multi-MB shard as the binary column) through
-    # JavaToPython with several live copies per task — at 4M docs the
-    # 2M-passing RDD form OOM'd the JVM heap in exactly this stage,
-    # while the Arrow path (the same one the readers use) is fine.
     def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ns = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 local = _local_path_of(path)
-                lines = []
-                for d, u, _n, block, _wh in _iter_gz_responses(
-                        bytes(content), path):
-                    st, hh, body, _k = parse_http_response_ex(
-                        block, path)
-                    text = _entity_text(body, hh)
-                    meta = {
-                        "doc_id": d,
-                        "target_uri": u,
-                        "http_status": st,
-                        "content_length": len(body),
-                        "payload_sha256":
-                            hashlib.sha256(body).hexdigest(),
-                    }
-                    ext = try_extract_html(text) if text else None
-                    if ext is not None:
-                        meta["title"] = ext["title"]
-                        meta["n_links"] = ext["n_links"]
-                        meta["text_md5"] = hashlib.md5(
-                            ext["text"].encode("utf-8")).hexdigest()
-                    lines.append(json.dumps(meta, sort_keys=True))
                 out = local[: -len(".warc.gz")] + ".wat.jsonl"
-                with open(out, "w") as f:
-                    f.write("\n".join(lines) + ("\n" if lines else ""))
-                ns.append(len(lines))
+                n = 0
+                with open(out, "w") as sink:
+                    for d, u, _n, block, _wh in _iter_file_responses(
+                            path):
+                        st, hh, body, _k = parse_http_response_ex(
+                            block, path)
+                        text = _entity_text(body, hh)
+                        meta = {
+                            "doc_id": d,
+                            "target_uri": u,
+                            "http_status": st,
+                            "content_length": len(body),
+                            "payload_sha256":
+                                hashlib.sha256(body).hexdigest(),
+                        }
+                        ext = try_extract_html(text) if text else None
+                        if ext is not None:
+                            meta["title"] = ext["title"]
+                            meta["n_links"] = ext["n_links"]
+                            meta["text_md5"] = hashlib.md5(
+                                ext["text"].encode("utf-8")).hexdigest()
+                        sink.write(json.dumps(meta, sort_keys=True))
+                        sink.write("\n")
+                        n += 1
+                ns.append(n)
             yield pd.DataFrame({"n_records": pd.Series(ns, dtype="int64")})
 
-    files.select("path", "content").mapInPandas(
+    files.mapInPandas(
         _emit, "n_records long").agg(F.sum("n_records")).collect()
 
 

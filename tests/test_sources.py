@@ -1188,6 +1188,54 @@ def test_warc_charset_mislabel(spark, tmp_path):
             assert r.text == t
 
 
+def test_gzip_member_stream_walk_equivalence(tmp_path):
+    """iter_gzip_members_stream must produce byte-identical members to
+    the whole-buffer walker at ANY read-chunk size (including sizes
+    that split every header field, the DEFLATE body, and the trailer
+    across reads), and reject the same defect classes — it is the
+    memory contract of the 100 TB scan path, not a second decoder."""
+    import io
+
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        gzip_member,
+        iter_gzip_members_stream,
+        split_gzip_members,
+    )
+
+    payloads = [b"alpha", "strö☃m two".encode(), b"x" * 70000, b""]
+    stream = (
+        gzip_member(payloads[0], fname=b"a.warc")
+        + gzip_member(payloads[1], fhcrc=True)
+        + gzip_member(payloads[2], fname=b"c.warc", fhcrc=True)
+        + gzip_member(payloads[3])
+    )
+    want = split_gzip_members(stream, "<twin>")
+    assert want == payloads
+    for chunk in (1, 2, 7, 64, 1 << 20):
+        got = list(iter_gzip_members_stream(
+            io.BytesIO(stream), "<s>", chunk=chunk))
+        assert got == want, f"chunk={chunk}"
+
+    # defect parity with the buffer walker
+    for mutate, msg in [
+        (lambda b: b[:-4], "truncated gzip trailer"),
+        (lambda b: b[:len(b) // 2], "DEFLATE|trailer|truncated"),
+        (lambda b: b"\x1f\x8c" + b[2:], "bad gzip magic"),
+        (lambda b: b"", "empty gzip stream"),
+    ]:
+        bad = mutate(stream)
+        with _pytest.raises(ValueError, match=msg):
+            list(iter_gzip_members_stream(io.BytesIO(bad), "<s>", chunk=3))
+    # CRC32 flip in the first member's trailer
+    m0 = gzip_member(b"crc target")
+    bad = bytearray(m0)
+    bad[-6] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC32|DEFLATE"):
+        list(iter_gzip_members_stream(io.BytesIO(bytes(bad)), "<s>"))
+
+
 def test_cached_fixture_reuse_and_drift(tmp_path):
     """_cached_fixture builds once per (dir, version), skips the build
     on reuse after re-asserting byte-identity, and raises attributably
