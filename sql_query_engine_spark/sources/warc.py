@@ -1640,7 +1640,15 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
     SAME three-layer record walk (one code path for batch backfill and
     streaming tail, the lambda-architecture collapse Structured
     Streaming exists for). Append-only, no state, exactly-once per
-    shard under checkpointing."""
+    shard under checkpointing.
+
+    Memory contract: this tail keeps the binaryFile source (Structured
+    Streaming owns the incremental file tracking), so unlike the batch
+    readers — which stream shards from a path listing with O(member)
+    memory since r13 — a micro-batch holds whole-shard bytes JVM-side.
+    That is the right trade for a LANDING tail (arrival-sized shards,
+    a few per trigger); backfilling a 100 TB corpus goes through the
+    batch readers, not this."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1698,7 +1706,11 @@ def write_warc_dataset(df: DataFrame, out_dir: str, n_files: int = 4) -> None:
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """binaryFile scan → Arrow mapInPandas record walk → one row per
-    WARC record (doc_id, target_uri, content_length, text)."""
+    WARC record (doc_id, target_uri, content_length, text). Plain
+    uncompressed .warc is the LEGACY interchange shape (the public
+    corpora ship .warc.gz); this reader keeps the simple whole-file
+    walk — the scale path with the O(member) streaming contract is
+    :func:`read_warc_gz`."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
