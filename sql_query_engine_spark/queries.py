@@ -362,8 +362,8 @@ def _legacy_fixture_dir(sf_dir: str, leaf: str) -> str:
 # Bump whenever ANY fixture writer's byte output changes (same
 # discipline as a RECERT pin: a cached fixture certifies the bytes of
 # the version that built it). r13a = revisit/segment/mislabel writer
-# options added.
-_FIXTURE_VERSION = "r13a"
+# options added; r13b = segmented chains CDX-indexed as one extent.
+_FIXTURE_VERSION = "r13b"
 
 
 def _cached_fixture(out_dir: str, build) -> None:
@@ -10723,6 +10723,49 @@ def src_warc_charset_mislabel(spark, sf_dir):
     )
 
 
+@_q(
+    "src_warc_cdx_segment_fetch",
+    """SELECT doc_id,
+       concat('http://example.com/doc/', cast(doc_id as varchar))
+           AS target_uri,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       cast(octet_length(cast(text as blob)) as bigint) AS content_length,
+       md5(text) AS payload_md5
+    FROM documents WHERE doc_id % 4 = 0""",
+    "CDX random access to SEGMENTED records (r13): the documents big "
+    "enough to ship as WARC-Segment chains are exactly the ones a "
+    "point lookup most wants, so the writer indexes each chain as ONE "
+    "extent (offset of the first member, summed length) and "
+    "fetch_warc_members reassembles the chain IN-EXTENT — an indexed "
+    "fetch reads sum(length) bytes (one Range request on object "
+    "storage), walks first-record + continuations through the same "
+    "reassembly rules as the shard scan, and requires exactly one "
+    "logical response per extent (a partial chain or an interloping "
+    "record raises with shard@offset+length). The query fetches every "
+    "segmented doc (doc_id %% 4 = 0 in this fixture) through the "
+    "index; the oracle pins status/byte-length/md5 from the source "
+    "table, so a chain extent off by one member, a mis-summed length, "
+    "or a reassembly drift hash-breaks.",
+)
+def src_warc_cdx_segment_fetch(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_segments")
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4, segments=4))
+    idx = warc.read_cdx(spark, f"{out}/*.cdx")
+    picked = idx.filter(F.col("doc_id") % 4 == 0)
+    got = warc.fetch_warc_members(picked, out)
+    return got.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        "content_length",
+        F.md5("text").alias("payload_md5"),
+    )
+
+
 # ---- distributed triangle counting --------------------------------------
 _TRI_CAP = 20  # max distinct users per co-occurrence group (blocking cap)
 
@@ -12563,6 +12606,7 @@ _GATE_PRIORITY = [
     "src_warc_revisit_dedup",
     "src_warc_segment_reassembly",
     "src_warc_charset_mislabel",
+    "src_warc_cdx_segment_fetch",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

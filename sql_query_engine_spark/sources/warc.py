@@ -919,14 +919,15 @@ _REVISIT_PROFILE = \
 
 
 def _segment_members(doc_id: int, http: bytes, orig_id: bytes,
-                     entity_digest: str) -> list[tuple[bytes, bool]]:
+                     entity_digest: str) -> list[bytes]:
     """Split one record's HTTP message across a 3-record segmented
     chain (ISO 28500 §5.18-5.20), one gzip member each: the first
     record keeps the response headers + ``WARC-Segment-Number: 1``,
     continuations cite it via ``WARC-Segment-Origin-ID``, and the last
-    declares ``WARC-Segment-Total-Length``. Returns (member_bytes,
-    cdx_indexed) pairs — segmented members are never CDX-indexed (a
-    single extent cannot serve the whole logical record)."""
+    declares ``WARC-Segment-Total-Length``. The writer CDX-indexes the
+    chain as ONE extent (offset of the first member, summed length) —
+    random access to a segmented record means fetching the whole
+    chain, and the biggest documents are exactly the ones segmented."""
     k = 3
     q, rem = divmod(len(http), k)
     parts, off = [], 0
@@ -934,14 +935,14 @@ def _segment_members(doc_id: int, http: bytes, orig_id: bytes,
         n = q + (1 if i < rem else 0)
         parts.append(http[off: off + n])
         off += n
-    out: list[tuple[bytes, bool]] = []
+    out: list[bytes] = []
     rec1 = build_warc_record(
         doc_id,
         payload=parts[0],
         content_type=b"application/http;msgtype=response",
         payload_digest=entity_digest,
         extra_headers=[(b"WARC-Segment-Number", b"1")])
-    out.append((gzip_member(rec1), False))
+    out.append(gzip_member(rec1))
     for i, part in enumerate(parts[1:], start=2):
         extra = [(b"WARC-Segment-Origin-ID", orig_id),
                  (b"WARC-Segment-Number", str(i).encode())]
@@ -956,7 +957,7 @@ def _segment_members(doc_id: int, http: bytes, orig_id: bytes,
             record_id=(f"<urn:uuid:00000000-0000-0001-{i:04d}-"
                        f"{doc_id:012d}>".encode()),
             extra_headers=extra)
-        out.append((gzip_member(cont), False))
+        out.append(gzip_member(cont))
     return out
 
 
@@ -1010,9 +1011,10 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
     ``WARC-Segment-Number: 1`` and two ``continuation`` records (the
     last carrying ``WARC-Segment-Total-Length``), each its own gzip
     member — how records over a writer's size ceiling actually ship.
-    Segmented and revisit members get NO CDX line: the CDX contract is
-    one extent = one whole fetchable response, and a partial logical
-    record or a body-less reference is not that.
+    The CDX contract is one extent = one whole fetchable LOGICAL
+    response: a segmented chain is indexed as a single extent spanning
+    all its members (the largest docs are exactly the ones needing
+    random access), while body-less revisit references get no line.
 
     ``mislabel=True`` declares ``utf-8`` for every odd doc while the
     entity bytes end in an invalid UTF-8 sequence — the mislabeled-page
@@ -1071,16 +1073,16 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                         payload_digest=entity_digest)
                     fname = (f"rec-{doc_id}.warc".encode()
                              if doc_id % 5 == 0 else None)
-                    members = [(gzip_member(rec, fname=fname,
-                                            fhcrc=doc_id % 7 == 0), True)]
-                for member, indexed in members:
-                    if indexed:
-                        # CDX sidecar line: one index row per whole-
-                        # response member with its exact byte extent —
-                        # the random-access contract
-                        cdx_lines.append(
-                            f"http://example.com/doc/{doc_id} {doc_id} "
-                            f"{shard} {offset} {len(member)}")
+                    members = [gzip_member(rec, fname=fname,
+                                           fhcrc=doc_id % 7 == 0)]
+                # CDX sidecar line: one index row per LOGICAL response
+                # with its exact byte extent — a segmented chain is
+                # indexed as one extent spanning all its members, so
+                # random access serves the largest (segmented) docs too
+                cdx_lines.append(
+                    f"http://example.com/doc/{doc_id} {doc_id} "
+                    f"{shard} {offset} {sum(len(m) for m in members)}")
+                for member in members:
                     f.write(member)
                     offset += len(member)
                 if revisits and doc_id % 10 == 0:
@@ -1140,12 +1142,16 @@ def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
 
 def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
     """Indexed random access: for each index row, seek to the member's
-    byte extent in its shard, inflate JUST that member, and decode the
-    record + HTTP response. Reads exactly sum(length) bytes of payload
-    data regardless of shard sizes — the point of the CDX layout (on
-    object storage this seek becomes an HTTP Range request). Extent
-    defects (member not ending exactly at offset+length, or any framing
-    violation inside it) raise with shard and offset."""
+    byte extent in its shard, inflate JUST that extent, and decode the
+    record + HTTP response. An extent is one LOGICAL response: a single
+    gzip member for a plain record, or a whole segmented chain (first
+    record + continuations, reassembled in-extent) — so random access
+    serves the largest documents too. Reads exactly sum(length) bytes
+    of payload data regardless of shard sizes — the point of the CDX
+    layout (on object storage this seek becomes an HTTP Range
+    request). Extent defects (members not ending exactly at
+    offset+length, non-response records, partial chains, or any
+    framing violation inside) raise with shard and offset."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1178,30 +1184,36 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
                         raise ValueError(
                             f"{where}: extent past end of shard")
                     members = split_gzip_members(raw, where)
-                    if len(members) != 1:
-                        raise ValueError(
-                            f"{where}: extent holds {len(members)} members")
-                    for d, u, _n, block, wh in decode_warc_bytes(
-                            members[0], where, with_headers=True):
-                        if not _is_response(wh):
+                    # an extent is ONE logical response: a single
+                    # member for a plain record, or a whole segmented
+                    # chain (first + continuations) — the writer
+                    # indexes chains as one extent. Anything else in
+                    # the extent is an attributable index defect, and
+                    # a PARTIAL chain fails the reassembly walk
+                    # (truncation / orphan-continuation raises).
+                    recs = [r for m in members
+                            for r in decode_warc_bytes(
+                                m, where, with_headers=True)]
+                    for _d, _u, _n2, _b, wh in recs:
+                        wtype = wh.get(b"warc-type",
+                                       b"response").strip().lower()
+                        if wtype not in (b"response", b"continuation"):
                             raise ValueError(
                                 f"{where}: indexed extent holds a "
                                 f"non-response record (WARC-Type="
-                                f"{wh.get(b'warc-type', b'?').decode()})")
-                        if b"warc-segment-number" in wh:
-                            # a single-member extent can never hold the
-                            # whole logical record — reassembly needs
-                            # the sibling continuation members
-                            raise ValueError(
-                                f"{where}: indexed extent holds segment "
-                                f"{wh[b'warc-segment-number'].decode()} "
-                                f"of a segmented record; fetch the "
-                                f"whole chain via the shard scan")
-                        st, hh, body, _k = parse_http_response_ex(
-                            block, where)
-                        rows.append(
-                            (d, u, st, len(body),
-                             _entity_text(body, hh)))
+                                f"{wtype.decode()})")
+                    resp = list(_walk_response_records(iter(recs), where))
+                    if len(resp) != 1:
+                        raise ValueError(
+                            f"{where}: indexed extent yields "
+                            f"{len(resp)} logical responses (the CDX "
+                            f"contract is exactly one)")
+                    d, u, _n, block, wh = resp[0]
+                    st, hh, body, _k = parse_http_response_ex(
+                        block, where)
+                    rows.append(
+                        (d, u, st, len(body),
+                         _entity_text(body, hh)))
             finally:
                 for f in handles.values():
                     f.close()

@@ -1112,10 +1112,18 @@ def test_warc_segment_reassembly(spark, tmp_path):
     for d in (4, 8, 12):
         assert meta[d].digest_verified is True
 
-    # segmented docs are excluded from the CDX index by contract
+    # EVERY doc is CDX-indexed — segmented chains as one extent — and
+    # indexed fetch reassembles chains in-extent, so random access
+    # serves the largest (segmented) docs too
+    from sql_query_engine_spark.sources.warc import fetch_warc_members
+
     idx = read_cdx(spark, f"{out}/*.cdx")
-    assert sorted(r.doc_id for r in idx.collect()) == [
-        d for d, _ in docs if d % 4 != 0]
+    assert sorted(r.doc_id for r in idx.collect()) == [d for d, _ in docs]
+    fetched = {r.doc_id: r for r in
+               fetch_warc_members(idx, out).collect()}
+    assert set(fetched) == {d for d, _ in docs}
+    for d, t in docs:
+        assert fetched[d].text == t
 
     # --- defect drills over a hand-assembled single-doc chain -------
     from sql_query_engine_spark.sources.warc import (
@@ -1127,8 +1135,8 @@ def test_warc_segment_reassembly(spark, tmp_path):
     ent = b"defect drill entity"
     http = build_http_response(ent, 6)  # CL framing
     orig = b"<urn:uuid:00000000-0000-0000-0000-000000000006>"
-    chain = _segment_members(6, http, orig, hashlib.sha256(ent).hexdigest())
-    members = [m for m, _ in chain]
+    members = _segment_members(
+        6, http, orig, hashlib.sha256(ent).hexdigest())
     ok = b"".join(members)
     got = list(_iter_gz_responses(ok, "<ok>"))
     assert len(got) == 1 and got[0][3] == http

@@ -148,10 +148,9 @@ def valid_corpus():
         _orig_id = (f"<urn:uuid:00000000-0000-0000-0000-"
                     f"{d + 4:012d}>".encode())
         _h14 = _bhttp(_ent13, d + 4)
-        outs.append(b"".join(
-            m for m, _ in _segm(
-                d + 4, _h14, _orig_id,
-                _hl.sha256(_ent13).hexdigest())))
+        outs.append(b"".join(_segm(
+            d + 4, _h14, _orig_id,
+            _hl.sha256(_ent13).hexdigest())))
         outs.append(build_html_page(d, _t).encode())
         # r12: attribute-heavy page (quoted '>'s, duplicate/unquoted/
         # İ-named attributes, stray solidi) and an entity-bomb page
