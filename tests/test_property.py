@@ -386,3 +386,36 @@ def test_ingest_decoders_never_raise_on_mutations(base, cut, flips):
     for dec in (try_extract_html, try_scan_warc_gz):
         out = dec(payload)
         assert out is None or isinstance(out, (list, dict))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=5000),
+                      min_size=1, max_size=6),
+    flags=st.lists(st.tuples(st.booleans(), st.booleans()),
+                   min_size=6, max_size=6),
+    chunk=st.sampled_from([1, 3, 17, 256, 1 << 16]),
+)
+def test_gzip_stream_walker_equals_buffer_walker(payloads, flags, chunk):
+    """The streaming multi-member walker (the O(member)-memory 100 TB
+    scan path) must be a pure refactoring of the buffer walker: for
+    ANY member payloads, FNAME/FHCRC flag combination, and read-chunk
+    size, both produce identical member lists — and stdlib gzip agrees
+    on the concatenated inflate (RFC 1952 multi-member semantics)."""
+    import gzip
+    import io
+
+    from sql_query_engine_spark.sources.warc import (
+        gzip_member,
+        iter_gzip_members_stream,
+        split_gzip_members,
+    )
+
+    stream = b"".join(
+        gzip_member(p, fname=b"f.warc" if fn else None, fhcrc=fh)
+        for p, (fn, fh) in zip(payloads, flags))
+    want = split_gzip_members(stream, "<buf>")
+    got = list(iter_gzip_members_stream(io.BytesIO(stream), "<s>",
+                                        chunk=chunk))
+    assert got == want == payloads
+    assert gzip.decompress(stream) == b"".join(payloads)
