@@ -94,6 +94,8 @@ HEADLINE = [
     "src_warc_revisit_dedup",
     "src_warc_segment_reassembly",
     "src_warc_charset_mislabel",
+    "src_warc_cdx_segment_fetch",
+    "src_warc_charset_east_asian",
 ]
 
 

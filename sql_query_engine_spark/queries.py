@@ -10724,6 +10724,51 @@ def src_warc_charset_mislabel(spark, sf_dir):
 
 
 @_q(
+    "src_warc_charset_east_asian",
+    """SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+            WHEN 2 THEN 'gbk' ELSE 'euc-kr' END AS charset,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS http_status,
+       md5(CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN text
+           WHEN 1 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
+                       || ' テスト'
+           WHEN 2 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
+                       || ' 中文测试'
+           ELSE regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
+                       || ' 한글' END)
+           AS text_md5
+    FROM documents""",
+    "east-asian multi-byte charset decode (r13; the r12 rotation "
+    "covered the single-byte western codepages): a real crawl's "
+    "JP/CN/KR long tail declares shift_jis / gbk / euc-kr, all "
+    "MULTI-BYTE codepages where naive single-byte fallback produces "
+    "mojibake, not an error. The writer rotates the entity encoding "
+    "per doc with suffixes NATIVE to each codepage (JIS X 0208 "
+    "katakana, GBK hanzi, KS X 1001 hangul) declared in the "
+    "Content-Type parameter; the reader decodes STRICTLY by the "
+    "declared label through the stdlib codecs. The oracle restates "
+    "the expected decoded text in SQL (ASCII-fold + the literal "
+    "suffix) and pins its md5 — a reader that latin-1s the shift_jis "
+    "bytes (the classic CJK mojibake) or lossily replaces hash-breaks "
+    "on every non-utf-8 row.",
+)
+def src_warc_charset_east_asian(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_charsets_ea")
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4,
+        charsets="east-asian"))
+    got = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz")
+    return got.select(
+        "doc_id", "charset", "http_status",
+        F.md5("text").alias("text_md5"))
+
+
+@_q(
     "src_warc_cdx_segment_fetch",
     """SELECT doc_id,
        concat('http://example.com/doc/', cast(doc_id as varchar))
@@ -12607,6 +12652,7 @@ _GATE_PRIORITY = [
     "src_warc_segment_reassembly",
     "src_warc_charset_mislabel",
     "src_warc_cdx_segment_fetch",
+    "src_warc_charset_east_asian",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

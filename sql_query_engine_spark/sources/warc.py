@@ -973,10 +973,23 @@ _CHARSET_ROTATION = [
     ("us-ascii", ""),
 ]
 
+# east-asian rotation (charsets="east-asian"): the multi-byte legacy
+# codepages a real crawl's JP/CN/KR long tail actually declares. Each
+# suffix uses characters NATIVE to that codepage (JIS X 0208 katakana,
+# GBK hanzi, KS X 1001 hangul) so the decode is provably by-the-label:
+# a reader that falls back to any single-byte codec produces mojibake
+# and hash-breaks the oracle's restatement.
+_CHARSET_ROTATION_EA = [
+    ("utf-8", None),
+    ("shift_jis", " テスト"),
+    ("gbk", " 中文测试"),
+    ("euc-kr", " 한글"),
+]
+
 
 def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                           n_files: int = 4,
-                          charsets: bool = False,
+                          charsets: bool | str = False,
                           revisits: bool = False,
                           segments: int | None = None,
                           mislabel: bool = False) -> None:
@@ -990,10 +1003,12 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
 
     ``charsets=True`` rotates the entity encoding per doc (doc_id % 4:
     utf-8 / windows-1252 / iso-8859-1 / us-ascii, declared in the
-    Content-Type charset parameter). Non-UTF-8 docs are ASCII-folded
-    (non-ASCII codepoints stripped) then decorated with a
-    codepage-distinctive suffix so every encoding round-trips exactly
-    and the oracle can restate the expected text in SQL.
+    Content-Type charset parameter); ``charsets="east-asian"`` rotates
+    the multi-byte legacy codepages instead (utf-8 / shift_jis / gbk /
+    euc-kr). Non-UTF-8 docs are ASCII-folded (non-ASCII codepoints
+    stripped) then decorated with a codepage-distinctive suffix so
+    every encoding round-trips exactly and the oracle can restate the
+    expected text in SQL.
 
     ``revisits=True`` appends, after every 10th doc's response, a
     ``revisit`` record (ISO 28500 §6.7.2 identical-payload-digest
@@ -1045,7 +1060,10 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                     f = open(os.path.join(out_dir, shard), "wb")
                 cs = "utf-8"
                 if charsets:
-                    cs, suffix = _CHARSET_ROTATION[doc_id % 4]
+                    rotation = (_CHARSET_ROTATION_EA
+                                if charsets == "east-asian"
+                                else _CHARSET_ROTATION)
+                    cs, suffix = rotation[doc_id % 4]
                     if suffix is not None:
                         text = _re.sub(r"[^\x00-\x7f]", "", text) + suffix
                 if mislabel and doc_id % 2 == 1:
@@ -1239,6 +1257,17 @@ _CHARSET_CODECS = {
     "latin1": "latin-1",
     "us-ascii": "ascii",
     "ascii": "ascii",
+    # east-asian multi-byte codepages (IANA labels the wild declares);
+    # strict stdlib codecs — a byte sequence outside the codepage NULLs
+    # the text, same contract as the single-byte map above
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "gbk": "gbk",
+    "gb2312": "gb2312",
+    "euc-kr": "euc_kr",
+    "euc_kr": "euc_kr",
+    "big5": "big5",
     # BOM-detected labels (sniff_charset): utf-8-sig strips the BOM,
     # utf-16 picks endianness from the BOM and consumes it
     "utf-8-sig": "utf-8-sig",

@@ -1168,6 +1168,46 @@ def test_warc_segment_reassembly(spark, tmp_path):
             members[0] + members[1] + gzip_member(lied), "<lie>"))
 
 
+def test_warc_charset_east_asian(spark, tmp_path):
+    """charsets='east-asian' writer: shift_jis / gbk / euc-kr entities
+    declared in the Content-Type parameter, each suffix NATIVE to its
+    codepage — strict decode by the label round-trips exactly, and the
+    bytes genuinely differ from UTF-8 (multi-byte legacy encodings,
+    not relabeled ASCII)."""
+    from sql_query_engine_spark.sources.warc import (
+        read_warc_gz_meta,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"east asian doc {d} ünïcode") for d in range(1, 9)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_ea")
+    write_warc_gz_dataset(df, out, n_files=1, charsets="east-asian")
+    rows = {r.doc_id: r for r in
+            read_warc_gz_meta(spark, f"{out}/*.warc.gz").collect()}
+    assert set(rows) == {d for d, _ in docs}
+    import re
+
+    suffix = {0: None, 1: " テスト", 2: " 中文测试", 3: " 한글"}
+    label = {0: "utf-8", 1: "shift_jis", 2: "gbk", 3: "euc-kr"}
+    for d, t in docs:
+        r = rows[d]
+        assert r.charset == label[d % 4]
+        assert r.digest_verified is True
+        if suffix[d % 4] is None:
+            assert r.text == t
+        else:
+            folded = re.sub(r"[^\x00-\x7f]", "", t) + suffix[d % 4]
+            assert r.text == folded, f"doc {d} ({label[d % 4]})"
+            # the wire bytes are NOT the UTF-8 encoding: a reader that
+            # ignores the label and assumes UTF-8 would not see this
+            # text (multi-byte legacy codepages, the mojibake class)
+            codec = {"shift_jis": "shift_jis", "gbk": "gbk",
+                     "euc-kr": "euc_kr"}[label[d % 4]]
+            assert folded.encode(codec) != folded.encode("utf-8")
+            assert r.content_length == len(folded.encode(codec))
+
+
 def test_warc_charset_mislabel(spark, tmp_path):
     """mislabel=True: odd docs declare utf-8 over bytes that cannot
     decode as it — the strict reader surfaces NULL text while every

@@ -105,6 +105,14 @@ def valid_corpus():
                               cs="us-ascii"))
                     + _gzm(_rec(d + 5, ent=" €—™".encode("cp1252"),
                                 cs="windows-1252")))
+        # r13: east-asian multi-byte members — mutations inside a
+        # shift_jis/gbk lead byte must reject or NULL, never mojibake
+        outs.append(_gzm(_rec(d + 6, ent=" テスト".encode("shift_jis"),
+                              cs="shift_jis"))
+                    + _gzm(_rec(d + 7, ent=" 中文测试".encode("gbk"),
+                                cs="gbk"))
+                    + _gzm(_rec(d + 8, ent=" 한글".encode("euc_kr"),
+                                cs="euc-kr")))
         # r12: mixed record types — warcinfo + request interleave the
         # responses like a real crawl file (readers must skip, and
         # mutations of the non-response records must still reject
