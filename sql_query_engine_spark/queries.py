@@ -362,8 +362,10 @@ def _legacy_fixture_dir(sf_dir: str, leaf: str) -> str:
 # Bump whenever ANY fixture writer's byte output changes (same
 # discipline as a RECERT pin: a cached fixture certifies the bytes of
 # the version that built it). r13a = revisit/segment/mislabel writer
-# options added; r13b = segmented chains CDX-indexed as one extent.
-_FIXTURE_VERSION = "r13b"
+# options added; r13b = segmented chains CDX-indexed as one extent;
+# r13c = deterministic shard layout (hash-partition by doc_id +
+# within-shard sort), making the digest assert environment-proof.
+_FIXTURE_VERSION = "r13c"
 
 
 def _cached_fixture(out_dir: str, build) -> None:
@@ -377,7 +379,10 @@ def _cached_fixture(out_dir: str, build) -> None:
     design. Caching keys on a sentinel file recording
     ``_FIXTURE_VERSION`` plus the sha256 of every file; on reuse the
     digests are RECOMPUTED and compared, so the determinism claim is
-    asserted on every sweep, not assumed — drift (a nondeterministic
+    asserted on every sweep, not assumed (and the writers make it
+    hold BY CONSTRUCTION: shards are hash-partitioned on doc_id and
+    sorted within, a pure function of the data, independent of the
+    upstream scan's split layout) — drift (a nondeterministic
     writer, an un-bumped version after a writer change, external /tmp
     mutation) raises attributably rather than silently certifying
     stale bytes. ``SQES_FIXTURE_REBUILD=1`` forces a rebuild; the
@@ -12338,11 +12343,12 @@ def mm_wav_stereo_stats(spark, sf_dir):
 # the r12 verdict's final burn-down bar ("r4 band empty, tail <= 14
 # all-r5") needs 30 r4 + 20 r5 = EXACTLY 50 slots, so EVERY pin (the
 # 15 refs, the 2 sentinels, recerts) sits out this one window and the
-# three r13-new queries (src_warc_revisit_dedup /
-# src_warc_segment_reassembly / src_warc_charset_mislabel) sort LAST
+# five r13-new queries (src_warc_revisit_dedup /
+# src_warc_segment_reassembly / src_warc_charset_mislabel /
+# src_warc_cdx_segment_fetch / src_warc_charset_east_asian) sort LAST
 # instead of first -- they are already hash-checked by the independent
-# 304-query oracle sweep and enter the driver window in r14 as the
-# stalest rows, when the refs also re-pin.
+# full-registry oracle sweep and enter the driver window in r14 as the
+# stalest (never-green) rows, when the refs also re-pin.
 _GATE_PRIORITY = [
     "scalar_try_arithmetic",
     "stream_first_event_dedup",

@@ -261,6 +261,7 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
 _GZ_MAGIC = b"\x1f\x8b"
 _FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
 _GZ_MAX_MEMBER_BYTES = 256 * 1024 * 1024  # inflation ceiling per member
+_GZ_MAX_HEADER_FIELD = 64 * 1024  # FNAME/FCOMMENT ceiling (stream walk)
 
 
 def _is_response(headers: dict) -> bool:
@@ -471,11 +472,23 @@ def iter_gzip_members_stream(f, path: str = "<stream>",
                 raise ValueError(f"{path}: truncated FEXTRA field")
         for bit, name in ((_FNAME, "FNAME"), (_FCOMMENT, "FCOMMENT")):
             if flg & bit:
+                # scan for the NUL terminator WITHOUT rescanning from
+                # pos each refill (O(n²)) and with a hard field-size
+                # ceiling — an adversarial NUL-free run must not grow
+                # the buffer toward shard size (the O(member) memory
+                # contract covers the header side too; DEFLATE already
+                # has its own inflation ceiling)
+                search_from = pos
                 while True:
-                    z = buf.find(b"\x00", pos)
+                    z = buf.find(b"\x00", search_from)
                     if z >= 0:
                         pos = z + 1
                         break
+                    search_from = len(buf)
+                    if search_from - pos > _GZ_MAX_HEADER_FIELD:
+                        raise ValueError(
+                            f"{path}: {name} field exceeds "
+                            f"{_GZ_MAX_HEADER_FIELD} bytes")
                     if eof:
                         raise ValueError(f"{path}: unterminated {name}")
                     _fill(len(buf) + chunk)
@@ -881,10 +894,45 @@ def try_scan_warc_gz_meta(payload: bytes):
         return None
 
 
+def _revisit_row(wh: dict, path: str, doc_id: int):
+    """One revisit record's reference columns, shared by the Spark
+    reader and its fuzz wrapper (so the soak exercises the exact code
+    the reader runs): → (refers_to_uri, refers_to_id, sha256_hex,
+    profile). A malformed known-label digest value RAISES — same
+    'garbled is a defect, not license to skip' contract as the block
+    and response-payload digest checks; the digest is dedup's join
+    key, and a silently-NULL garbled key would drop the re-crawl
+    observation without a trace."""
+    digest = None
+    decl = wh.get(b"warc-payload-digest")
+    if decl is not None:
+        alg, _, val = decl.partition(b":")
+        try:
+            alg_s = alg.strip().lower().decode("ascii")
+        except UnicodeDecodeError:
+            alg_s = None
+        if alg_s in _DIGEST_SIZES:
+            raw = _decode_labelled_digest(alg_s, val)
+            if raw is None:
+                raise ValueError(
+                    f"{path}: malformed WARC-Payload-Digest value for "
+                    f"{alg_s} on revisit record (doc {doc_id})")
+            if alg_s == "sha256":
+                digest = raw.hex()
+    return (
+        wh.get(b"warc-refers-to-target-uri", b"").decode() or None,
+        wh.get(b"warc-refers-to", b"").decode() or None,
+        digest,
+        wh.get(b"warc-profile", b"").decode() or None,
+    )
+
+
 def try_scan_warc_revisits(payload: bytes):
-    """Fuzz-contract wrapper over the revisit plane: returns [(doc_id,
-    target_uri, refers_to_uri, payload_sha256)] for revisit records,
-    or None on any framing defect — never raises."""
+    """Fuzz-contract wrapper over the revisit plane (the same
+    :func:`_revisit_row` extraction the Spark reader runs): returns
+    [(doc_id, target_uri, refers_to_uri, refers_to_id, payload_sha256,
+    profile)] for revisit records, or None on any framing defect —
+    never raises (UnicodeDecodeError subclasses ValueError)."""
     try:
         rows = []
         for member in split_gzip_members(payload, "<bytes>"):
@@ -892,20 +940,7 @@ def try_scan_warc_revisits(payload: bytes):
                     member, "<bytes>", with_headers=True):
                 if wh.get(b"warc-type", b"").strip().lower() != b"revisit":
                     continue
-                digest = None
-                decl = wh.get(b"warc-payload-digest")
-                if decl is not None:
-                    alg, _, val = decl.partition(b":")
-                    if alg.strip().lower() == b"sha256":
-                        raw = _decode_labelled_digest("sha256", val)
-                        digest = raw.hex() if raw else None
-                try:
-                    rows.append((
-                        d, u,
-                        wh.get(b"warc-refers-to-target-uri", b"").decode(),
-                        digest))
-                except UnicodeDecodeError:
-                    return None
+                rows.append((d, u) + _revisit_row(wh, "<bytes>", d))
         return rows
     except ValueError:
         return None
@@ -1138,7 +1173,17 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    sel.repartition(n_files).rdd.mapPartitionsWithIndex(_write).count()
+    # deterministic layout BY CONSTRUCTION: hash-partition on doc_id
+    # (stable doc→shard mapping regardless of the upstream scan's
+    # split layout) and sort within each shard — so the written bytes
+    # are a pure function of the data, reproducible across sessions,
+    # environments, and input split counts. Round-robin repartition
+    # would make shard contents depend on the source's partition
+    # boundaries, which is exactly the kind of hidden environment
+    # coupling a provenance-bearing corpus writer must not have.
+    (sel.repartition(n_files, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .rdd.mapPartitionsWithIndex(_write).count())
 
 
 def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -1512,7 +1557,9 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
     refers_to_id, payload_sha256, profile) — everything a dedup
     resolver needs to rejoin the re-crawl to its stored original
     without inflating any body bytes. The digest value decodes from
-    hex or Base32 (normalized to hex; non-sha256 labels surface NULL).
+    hex or Base32 (normalized to hex; non-sha256 labels surface NULL;
+    a malformed known-label value raises — the digest is dedup's join
+    key, and a silently-NULL garbled key would drop the re-crawl).
     Map-only, one task per shard, streaming member walk (per-task
     memory O(member)); the response readers SKIP revisit records, so
     the two scans partition the record stream cleanly."""
@@ -1542,25 +1589,8 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
                                 b"warc-type", b"").strip().lower()
                             if wtype != b"revisit":
                                 continue
-                            digest = None
-                            decl = wh.get(b"warc-payload-digest")
-                            if decl is not None:
-                                alg, _, val = decl.partition(b":")
-                                alg = alg.strip().lower().decode()
-                                if alg == "sha256":
-                                    raw = _decode_labelled_digest(
-                                        alg, val)
-                                    digest = raw.hex() if raw else None
-                            rows.append((
-                                d, u,
-                                wh.get(b"warc-refers-to-target-uri",
-                                       b"").decode() or None,
-                                wh.get(b"warc-refers-to", b"").decode()
-                                or None,
-                                digest,
-                                wh.get(b"warc-profile", b"").decode()
-                                or None,
-                            ))
+                            rows.append(
+                                (d, u) + _revisit_row(wh, path, d))
                             if len(rows) >= _SCAN_BATCH_ROWS:
                                 yield pd.DataFrame(rows, columns=cols)
                                 rows = []
@@ -1742,7 +1772,10 @@ def write_warc_dataset(df: DataFrame, out_dir: str, n_files: int = 4) -> None:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    sel.repartition(n_files).rdd.mapPartitionsWithIndex(_write).count()
+    # same deterministic layout as the gz writer (see there)
+    (sel.repartition(n_files, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .rdd.mapPartitionsWithIndex(_write).count())
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:

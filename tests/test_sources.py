@@ -1284,6 +1284,87 @@ def test_gzip_member_stream_walk_equivalence(tmp_path):
         list(iter_gzip_members_stream(io.BytesIO(bytes(bad)), "<s>"))
 
 
+def test_gzip_stream_walk_header_field_ceiling():
+    """The O(member) memory contract covers the HEADER side too: an
+    adversarial FNAME with a NUL-free run must raise at the 64 KiB
+    field ceiling instead of buffering toward shard size."""
+    import io
+
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        iter_gzip_members_stream,
+    )
+
+    # gzip header with FNAME flag set, then 1 MiB with no NUL
+    hdr = b"\x1f\x8b\x08\x08" + b"\x00" * 6
+    evil = hdr + b"A" * (1 << 20)
+    with _pytest.raises(ValueError, match="FNAME field exceeds"):
+        list(iter_gzip_members_stream(io.BytesIO(evil), "<evil>"))
+
+
+def test_warc_revisit_malformed_digest_raises(spark, tmp_path):
+    """A revisit record with a garbled known-label digest value must
+    raise — the digest is dedup's JOIN KEY, and a silently-NULL
+    garbled key would drop the re-crawl observation without a trace
+    (same contract as the block/response-payload digest layers)."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        build_warc_record,
+        gzip_member,
+        read_warc_revisits,
+        try_scan_warc_revisits,
+    )
+
+    rev = build_warc_record(
+        5, payload=b"HTTP/1.1 200 OK\r\n\r\n",
+        warc_type=b"revisit",
+        payload_digest="zz-not-a-digest",
+        extra_headers=[(b"WARC-Refers-To-Target-URI",
+                        b"http://example.com/doc/5")])
+    d = tmp_path / "warc_badrev"
+    d.mkdir()
+    (d / "r.warc.gz").write_bytes(gzip_member(rev))
+    with _pytest.raises(Exception, match="malformed WARC-Payload-Digest"):
+        read_warc_revisits(spark, str(d) + "/*.warc.gz").collect()
+    # the fuzz wrapper rejects (None), never a silently-NULL row
+    assert try_scan_warc_revisits(gzip_member(rev)) is None
+
+
+def test_warc_gz_writer_layout_deterministic(spark, tmp_path):
+    """Shard bytes are a pure function of the data: hash-partitioned
+    by doc_id + sorted within shard, so two writes — even from
+    differently-partitioned inputs — produce byte-identical shards.
+    This is what makes the cached-fixture digest assert meaningful
+    across sessions and environments."""
+    import hashlib
+    import os
+
+    from sql_query_engine_spark.sources.warc import write_warc_gz_dataset
+
+    docs = [(d, f"det doc {d} ☃") for d in range(1, 40)]
+
+    def digests(out):
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(out, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(out))
+        }
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_warc_gz_dataset(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        a, n_files=3)
+    # same rows, different input partitioning and arrival order
+    write_warc_gz_dataset(
+        spark.createDataFrame(list(reversed(docs)),
+                              "doc_id long, text string").repartition(7),
+        b, n_files=3)
+    assert digests(a) == digests(b)
+
+
 def test_cached_fixture_reuse_and_drift(tmp_path):
     """_cached_fixture builds once per (dir, version), skips the build
     on reuse after re-asserting byte-identity, and raises attributably
