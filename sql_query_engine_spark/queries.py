@@ -364,8 +364,9 @@ def _legacy_fixture_dir(sf_dir: str, leaf: str) -> str:
 # the version that built it). r13a = revisit/segment/mislabel writer
 # options added; r13b = segmented chains CDX-indexed as one extent;
 # r13c = deterministic shard layout (hash-partition by doc_id +
-# within-shard sort), making the digest assert environment-proof.
-_FIXTURE_VERSION = "r13c"
+# within-shard sort), making the digest assert environment-proof;
+# r13d = east-asian rotation widened to %6 (big5 + gb2312).
+_FIXTURE_VERSION = "r13d"
 
 
 def _cached_fixture(out_dir: str, build) -> None:
@@ -10731,28 +10732,34 @@ def src_warc_charset_mislabel(spark, sf_dir):
 @_q(
     "src_warc_charset_east_asian",
     """SELECT doc_id,
-       CASE CAST(doc_id % 4 AS INT)
+       CASE CAST(doc_id % 6 AS INT)
             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
-            WHEN 2 THEN 'gbk' ELSE 'euc-kr' END AS charset,
+            WHEN 2 THEN 'gbk' WHEN 3 THEN 'euc-kr'
+            WHEN 4 THEN 'big5' ELSE 'gb2312' END AS charset,
        CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
            AS http_status,
-       md5(CASE CAST(doc_id % 4 AS INT)
+       md5(CASE CAST(doc_id % 6 AS INT)
            WHEN 0 THEN text
            WHEN 1 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
                        || ' テスト'
            WHEN 2 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
                        || ' 中文测试'
+           WHEN 3 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
+                       || ' 한글'
+           WHEN 4 THEN regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
+                       || ' 繁體中文'
            ELSE regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')
-                       || ' 한글' END)
+                       || ' 简体文本' END)
            AS text_md5
     FROM documents""",
     "east-asian multi-byte charset decode (r13; the r12 rotation "
     "covered the single-byte western codepages): a real crawl's "
-    "JP/CN/KR long tail declares shift_jis / gbk / euc-kr, all "
-    "MULTI-BYTE codepages where naive single-byte fallback produces "
-    "mojibake, not an error. The writer rotates the entity encoding "
-    "per doc with suffixes NATIVE to each codepage (JIS X 0208 "
-    "katakana, GBK hanzi, KS X 1001 hangul) declared in the "
+    "JP/CN/TW/KR long tail declares shift_jis / gbk / euc-kr / big5 / "
+    "gb2312, all MULTI-BYTE codepages where naive single-byte "
+    "fallback produces mojibake, not an error. The writer rotates the "
+    "entity encoding per doc (doc_id %% 6) with suffixes NATIVE to "
+    "each codepage (JIS X 0208 katakana, GBK hanzi, KS X 1001 hangul, "
+    "Big5 traditional forms, GB2312 level-1 simplified) declared in the "
     "Content-Type parameter; the reader decodes STRICTLY by the "
     "declared label through the stdlib codecs. The oracle restates "
     "the expected decoded text in SQL (ASCII-fold + the literal "

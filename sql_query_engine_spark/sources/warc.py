@@ -1009,9 +1009,10 @@ _CHARSET_ROTATION = [
 ]
 
 # east-asian rotation (charsets="east-asian"): the multi-byte legacy
-# codepages a real crawl's JP/CN/KR long tail actually declares. Each
-# suffix uses characters NATIVE to that codepage (JIS X 0208 katakana,
-# GBK hanzi, KS X 1001 hangul) so the decode is provably by-the-label:
+# codepages a real crawl's JP/CN/TW/KR long tail actually declares.
+# Each suffix uses characters NATIVE to that codepage (JIS X 0208
+# katakana, GBK hanzi, KS X 1001 hangul, Big5 traditional forms,
+# GB2312 level-1 simplified) so the decode is provably by-the-label:
 # a reader that falls back to any single-byte codec produces mojibake
 # and hash-breaks the oracle's restatement.
 _CHARSET_ROTATION_EA = [
@@ -1019,6 +1020,8 @@ _CHARSET_ROTATION_EA = [
     ("shift_jis", " テスト"),
     ("gbk", " 中文测试"),
     ("euc-kr", " 한글"),
+    ("big5", " 繁體中文"),
+    ("gb2312", " 简体文本"),
 ]
 
 
@@ -1039,8 +1042,8 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
     ``charsets=True`` rotates the entity encoding per doc (doc_id % 4:
     utf-8 / windows-1252 / iso-8859-1 / us-ascii, declared in the
     Content-Type charset parameter); ``charsets="east-asian"`` rotates
-    the multi-byte legacy codepages instead (utf-8 / shift_jis / gbk /
-    euc-kr). Non-UTF-8 docs are ASCII-folded (non-ASCII codepoints
+    the multi-byte legacy codepages instead (doc_id % 6: utf-8 /
+    shift_jis / gbk / euc-kr / big5 / gb2312). Non-UTF-8 docs are ASCII-folded (non-ASCII codepoints
     stripped) then decorated with a codepage-distinctive suffix so
     every encoding round-trips exactly and the oracle can restate the
     expected text in SQL.
@@ -1098,7 +1101,7 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                     rotation = (_CHARSET_ROTATION_EA
                                 if charsets == "east-asian"
                                 else _CHARSET_ROTATION)
-                    cs, suffix = rotation[doc_id % 4]
+                    cs, suffix = rotation[doc_id % len(rotation)]
                     if suffix is not None:
                         text = _re.sub(r"[^\x00-\x7f]", "", text) + suffix
                 if mislabel and doc_id % 2 == 1:

@@ -1179,7 +1179,7 @@ def test_warc_charset_east_asian(spark, tmp_path):
         write_warc_gz_dataset,
     )
 
-    docs = [(d, f"east asian doc {d} ünïcode") for d in range(1, 9)]
+    docs = [(d, f"east asian doc {d} ünïcode") for d in range(1, 14)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = str(tmp_path / "warc_ea")
     write_warc_gz_dataset(df, out, n_files=1, charsets="east-asian")
@@ -1188,22 +1188,25 @@ def test_warc_charset_east_asian(spark, tmp_path):
     assert set(rows) == {d for d, _ in docs}
     import re
 
-    suffix = {0: None, 1: " テスト", 2: " 中文测试", 3: " 한글"}
-    label = {0: "utf-8", 1: "shift_jis", 2: "gbk", 3: "euc-kr"}
+    suffix = {0: None, 1: " テスト", 2: " 中文测试", 3: " 한글",
+              4: " 繁體中文", 5: " 简体文本"}
+    label = {0: "utf-8", 1: "shift_jis", 2: "gbk", 3: "euc-kr",
+             4: "big5", 5: "gb2312"}
     for d, t in docs:
         r = rows[d]
-        assert r.charset == label[d % 4]
+        assert r.charset == label[d % 6]
         assert r.digest_verified is True
-        if suffix[d % 4] is None:
+        if suffix[d % 6] is None:
             assert r.text == t
         else:
-            folded = re.sub(r"[^\x00-\x7f]", "", t) + suffix[d % 4]
-            assert r.text == folded, f"doc {d} ({label[d % 4]})"
+            folded = re.sub(r"[^\x00-\x7f]", "", t) + suffix[d % 6]
+            assert r.text == folded, f"doc {d} ({label[d % 6]})"
             # the wire bytes are NOT the UTF-8 encoding: a reader that
             # ignores the label and assumes UTF-8 would not see this
             # text (multi-byte legacy codepages, the mojibake class)
             codec = {"shift_jis": "shift_jis", "gbk": "gbk",
-                     "euc-kr": "euc_kr"}[label[d % 4]]
+                     "euc-kr": "euc_kr", "big5": "big5",
+                     "gb2312": "gb2312"}[label[d % 6]]
             assert folded.encode(codec) != folded.encode("utf-8")
             assert r.content_length == len(folded.encode(codec))
 

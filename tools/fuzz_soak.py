@@ -113,6 +113,10 @@ def valid_corpus():
                                 cs="gbk"))
                     + _gzm(_rec(d + 8, ent=" 한글".encode("euc_kr"),
                                 cs="euc-kr")))
+        outs.append(_gzm(_rec(d + 9, ent=" 繁體中文".encode("big5"),
+                              cs="big5"))
+                    + _gzm(_rec(d + 10, ent=" 简体文本".encode("gb2312"),
+                                cs="gb2312")))
         # r12: mixed record types — warcinfo + request interleave the
         # responses like a real crawl file (readers must skip, and
         # mutations of the non-response records must still reject
