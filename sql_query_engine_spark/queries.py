@@ -12346,211 +12346,181 @@ def mm_wav_stereo_stats(spark, sf_dir):
 # GENERATED — regenerate each round with:
 #     python tools/rotate_gate.py --emit
 #
-# r13 ONE-ROUND AMENDMENT (--pure-refresh; see tools/rotate_gate.py):
-# the r12 verdict's final burn-down bar ("r4 band empty, tail <= 14
-# all-r5") needs 30 r4 + 20 r5 = EXACTLY 50 slots, so EVERY pin (the
-# 15 refs, the 2 sentinels, recerts) sits out this one window and the
-# five r13-new queries (src_warc_revisit_dedup /
-# src_warc_segment_reassembly / src_warc_charset_mislabel /
-# src_warc_cdx_segment_fetch / src_warc_charset_east_asian) sort LAST
-# instead of first -- they are already hash-checked by the independent
-# full-registry oracle sweep and enter the driver window in r14 as the
-# stalest (never-green) rows, when the refs also re-pin.
+# r14: the r12/r13 one-round amendments (--no-ref-pin / --pure-refresh)
+# are DELETED from the tool — tools/rotate_gate.py now asserts, with no
+# flag to relax it, that every emitted window holds >=3 ref_* parity
+# canaries, both sentinels, and every never-driver-green certifiable
+# query (tests/test_registry.py re-checks the committed list each run).
+# This r14 window re-pins all 15 refs (no driver cert since r11), both
+# sentinels, the five never-green r13 warc rows, the full 14-query
+# r5-stale tail, and 14 r6 rows.
 _GATE_PRIORITY = [
-    "scalar_try_arithmetic",
-    "stream_first_event_dedup",
-    "text_tokenizer_fertility",
-    "catalog_table_checksum",
-    "emb_matryoshka_truncate",
-    "pipeline_domain_cap",
-    "tpch_q6_forecast_revenue",
-    "pipeline_token_budget_mixture",
-    "scalar_zorder_key",
-    "tpch_q4_order_priority",
-    "pipeline_cdc_upsert",
-    "join_null_safe",
-    "agg_bitmap_distinct",
-    "emb_norm_histogram",
-    "catalog_feed_freshness",
-    "stream_window_topk",
-    "catalog_distribution_drift",
-    "agg_histogram_quantiles",
-    "text_dup_ngrams",
-    "catalog_constraint_check",
-    "text_keywords",
-    "emb_centroid_drift",
-    "agg_countmin_topk",
-    "stream_countmin_users",
-    "mm_audio_sample_stats",
-    "mm_flac_sample_stats",
-    "pipeline_classifier_auc",
-    "pipeline_classifier_calibration",
-    "mm_jpeg_pixel_stats",
-    "dedup_substring_span",
-    "src_tbl_scan",
-    "sample_weighted_priority",
-    "catalog_zonemap_pruning",
-    "mm_payload_dedup",
-    "sql_lateral_topn",
-    "agg_twophase_distinct",
-    "tpch_q14_promo_effect",
-    "stream_hourly_active_users",
-    "tpch_q13_customer_distribution",
-    "pipeline_contrastive_pairs",
-    "agg_exact_moments",
-    "tpch_q15_top_supplier",
-    "stream_sliding_counts",
-    "sample_stratified",
-    "join_salted_skew",
-    "catalog_table_diff",
-    "tpch_q20_part_promotion",
-    "tpch_q9_product_type_profit",
-    "window_time_range_trailing",
-    "agg_mode_and_argmax",
-    "tpch_q17_small_qty_revenue",
+    "ref_filter_range_in_like",
+    "ref_cross_product",
+    "ref_project_distinct",
+    "ref_rename_selfjoin",
+    "ref_theta_join_pure",
+    "ref_filter_conjunction",
+    "ref_filter_or_not",
+    "ref_theta_join",
+    "ref_q1_point_select",
+    "ref_q2_cnr_join",
+    "ref_csv_scan",
+    "ref_q4_join_order_reversed",
+    "ref_q3_col_join_filters",
+    "ref_jsonl_scan",
+    "ref_multikey_join",
+    "stream_late_data_accounting",
+    "tpch_q12_late_priority",
+    "src_warc_cdx_segment_fetch",
+    "src_warc_segment_reassembly",
+    "src_warc_charset_mislabel",
+    "src_warc_revisit_dedup",
+    "src_warc_charset_east_asian",
     "stream_retention_cohorts",
-    "pipeline_scd2",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q11_important_stock",
+    "tpch_q17_small_qty_revenue",
     "stream_session_native",
-    "mm_decode",
+    "tpch_q11_important_stock",
+    "tpch_q22_global_sales_opportunity",
     "mm_video_decode",
+    "pipeline_scd2",
+    "mm_decode",
     "mm_audio_decode",
     "mm_wav_stereo_stats",
-    "mm_audio_filter",
     "mm_modality_router",
+    "mm_audio_filter",
     "mm_decode_filter",
     "join_asof_nearest",
-    "emb_label_centroids",
     "src_fixed_width_scan",
-    "stream_attribution",
-    "agg_heavy_hitters",
-    "catalog_key_skew_profile",
-    "text_postings_delta",
-    "pipeline_incremental_rollup",
-    "stream_interval_join",
-    "stream_daily_ohlc",
-    "text_feature_hashing",
-    "tpch_q19_disjunctive_revenue",
-    "pipeline_next_event_dataset",
-    "agg_ols_fit",
-    "stream_interval_coalesce",
-    "window_running_distinct",
-    "pipeline_preference_pairs",
+    "src_warc_scan",
     "pipeline_group_advantage",
-    "stream_gapfill_locf",
+    "agg_heavy_hitters",
+    "stream_attribution",
+    "stream_interval_join",
+    "tpch_q19_disjunctive_revenue",
+    "emb_label_centroids",
+    "text_feature_hashing",
     "window_rolling_slope",
-    "mm_wav_24bit_stats",
-    "pipeline_span_corruption",
-    "mm_mp3_metadata",
+    "agg_ols_fit",
+    "catalog_key_skew_profile",
+    "pipeline_incremental_rollup",
+    "pipeline_preference_pairs",
+    "text_postings_delta",
+    "pipeline_next_event_dataset",
+    "stream_interval_coalesce",
+    "stream_gapfill_locf",
+    "stream_daily_ohlc",
+    "window_running_distinct",
     "mm_tiff_metadata",
+    "mm_mp3_metadata",
+    "mm_wav_24bit_stats",
     "mm_jpeg_progressive_420_stats",
+    "pipeline_span_corruption",
     "mm_gif_interlaced_stats",
+    "mm_video_pixel_stats",
     "mm_png_interlaced_stats",
     "sim_int8_topk",
     "mm_format_sniffer",
-    "mm_video_pixel_stats",
-    "sql_recursive_cte",
     "join_fuzzy_qgram",
-    "src_warc_scan",
+    "sql_recursive_cte",
     "stream_token_bucket",
-    "join_spatial_grid",
-    "mm_jpeg_progressive_stats",
-    "mm_flac_stereo_stats",
-    "mm_gif_pixel_stats",
-    "pipeline_semantic_decontaminate",
-    "pipeline_temperature_mixture",
-    "mm_jpeg_420_stats",
-    "mm_jpeg_color_stats",
-    "mm_pixel_stats",
-    "emb_knn_label_transfer",
-    "mm_image_ahash",
     "join_asof_forward",
+    "join_spatial_grid",
     "emb_standardize",
-    "join_nearest_event",
-    "text_lm_score",
-    "agg_robust_outliers",
+    "pipeline_temperature_mixture",
+    "pipeline_semantic_decontaminate",
+    "mm_pixel_stats",
+    "mm_jpeg_progressive_stats",
+    "mm_jpeg_420_stats",
+    "mm_flac_stereo_stats",
+    "mm_image_ahash",
+    "mm_jpeg_color_stats",
     "scalar_hilbert_key",
+    "mm_gif_pixel_stats",
+    "emb_knn_label_transfer",
+    "text_lm_score",
+    "join_nearest_event",
+    "agg_robust_outliers",
     "graph_triangle_count",
     "dedup_embedding_clusters",
     "dedup_containment",
     "sim_hamming_topk",
     "emb_random_projection",
-    "tpch_q18_large_volume",
+    "src_avro_scan",
     "tpch_q7_volume_shipping",
     "join_interval_overlap",
+    "tpch_q18_large_volume",
     "tpch_q2_min_cost_supplier",
-    "stream_sliding_distinct",
     "tpch_q8_market_share",
+    "stream_sliding_distinct",
     "tpch_q16_supplier_part_counts",
-    "tpch_q21_suppliers_kept_waiting",
-    "text_cdc_chunks",
     "mm_png_metadata",
+    "text_cdc_chunks",
     "mm_jpeg_progressive_color_stats",
     "mm_image_resize",
+    "tpch_q21_suppliers_kept_waiting",
     "mm_gif_frame_sample",
     "sim_ivf_int8_topk",
-    "src_avro_scan",
-    "pipeline_classifier_train",
     "text_bm25_topk",
-    "sim_lsh_multiprobe_topk",
-    "pipeline_cluster_safe_split",
     "join_bloom_semijoin",
+    "pipeline_classifier_train",
+    "sim_lsh_multiprobe_topk",
+    "pipeline_dedup_rate_by_source",
     "sim_mmr_rerank",
     "pipeline_dedup_keeper",
-    "pipeline_dedup_rate_by_source",
     "graph_pagerank",
+    "pipeline_cluster_safe_split",
     "pipeline_source_authority",
-    "scalar_map_ops",
     "topk_orders",
-    "scalar_date",
     "setop_union_all",
-    "scalar_math",
-    "join_anti",
-    "join_semi",
     "scalar_higher_order",
+    "scalar_map_ops",
+    "scalar_date",
+    "scalar_math",
+    "join_semi",
+    "join_anti",
     "agg_having",
     "join_full_outer",
-    "setop_except",
+    "scalar_conditional",
     "window_rank_dense",
-    "setop_intersect",
-    "agg_percentiles",
+    "window_ntile",
+    "setop_except",
     "agg_rollup_gid",
     "scalar_json",
-    "window_ntile",
-    "scalar_conditional",
     "join_left_outer",
+    "agg_percentiles",
+    "agg_conditional_pivot",
+    "setop_intersect",
     "agg_rollup",
     "agg_count_distinct",
     "topk_per_group",
-    "agg_pricing_summary",
     "agg_cube",
-    "agg_conditional_pivot",
-    "window_running_sum",
     "tpch_q3_shipping_priority",
+    "window_moving_avg",
+    "agg_pricing_summary",
     "agg_exact_corr",
+    "window_running_sum",
     "window_lag_lead",
     "tpch_q10_returned_items",
     "mm_png16_stats",
     "mm_jpeg_cmyk_stats",
-    "window_moving_avg",
-    "text_pii_stats",
+    "pipeline_dataset_mixture",
     "scalar_string",
-    "text_quality",
     "text_scrub",
     "text_token_stats",
-    "pipeline_dataset_mixture",
     "dedup_exact_hash",
-    "pipeline_global_shuffle",
     "emb_quantize_int8",
+    "text_quality",
+    "pipeline_global_shuffle",
+    "mm_frame_samples",
     "pipeline_train_val_split",
-    "mm_binary_features",
+    "text_pii_stats",
     "stream_tumbling_counts",
+    "text_fingerprint",
+    "mm_binary_features",
+    "agg_udaf_median",
     "text_idf",
     "text_lang_id",
-    "mm_frame_samples",
-    "agg_udaf_median",
-    "text_fingerprint",
     "sql_scalar_subquery",
     "text_unigram_segment",
     "text_char_entropy",
@@ -12565,107 +12535,135 @@ _GATE_PRIORITY = [
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "agg_approx_cd_bounded",
-    "ref_cross_product",
-    "ref_filter_or_not",
-    "ref_project_distinct",
-    "ref_filter_range_in_like",
-    "ref_rename_selfjoin",
-    "ref_theta_join_pure",
-    "ref_filter_conjunction",
-    "ref_theta_join",
-    "ref_q1_point_select",
     "stream_zscore_anomalies",
-    "ref_q2_cnr_join",
-    "text_html_links",
-    "agg_hll_partial_merge",
     "text_chunking",
+    "src_warc_cdx_fetch",
+    "text_html_links",
     "text_html_extract",
-    "stream_session_windows",
-    "ref_csv_scan",
-    "ref_multikey_join",
-    "ref_jsonl_scan",
-    "ref_q3_col_join_filters",
-    "emb_pca_project",
-    "ref_q4_join_order_reversed",
+    "agg_hll_partial_merge",
     "agg_approx_quantile_bounded",
+    "stream_session_windows",
+    "emb_pca_project",
     "src_warc_gz_scan",
-    "mm_mp3_xing",
+    "stream_funnel_conversion",
     "mm_vorbis_comments",
     "mm_flac_seektable",
-    "join_asof",
-    "stream_user_profile",
-    "stream_funnel_conversion",
-    "text_pack_sequences",
+    "mm_mp3_xing",
     "join_asof_tolerance",
+    "text_pack_sequences",
     "dedup_embedding_lsh",
     "mm_tiff_variants_stats",
+    "stream_user_profile",
+    "join_asof",
+    "dedup_incremental_stateless",
     "sim_lsh_ann_topk",
     "sim_hybrid_rrf",
-    "dedup_incremental_stateless",
     "sim_ann_topk",
-    "dedup_simhash_fp",
     "text_repetition",
-    "src_warc_cdx_fetch",
+    "dedup_simhash_fp",
     "dedup_winnowing",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_incremental",
+    "dedup_minhash_lsh",
     "dedup_simhash_lsh",
     "scalar_fuzzy_match",
     "scalar_regex",
     "sample_systematic",
+    "scalar_array_ops",
+    "src_warc_wat_sidecar",
     "scalar_date_arithmetic",
     "text_readability",
     "scalar_url_functions",
-    "text_domain_score",
-    "scalar_array_ops",
     "agg_string_agg",
-    "pipeline_length_histogram",
-    "dedup_exact",
-    "text_word_freq",
-    "dedup_normalized",
     "window_distribution",
-    "pipeline_source_quota",
+    "text_domain_score",
+    "pipeline_length_histogram",
     "setop_union_distinct",
+    "dedup_normalized",
     "agg_two_level",
-    "setop_except_all",
+    "dedup_exact",
     "scalar_null_semantics",
-    "join_right_outer",
-    "catalog_profile_orders",
+    "pipeline_source_quota",
     "setop_intersect_all",
-    "window_analytic_values",
-    "sql_in_subquery",
-    "sql_exists_subquery",
-    "window_range_running",
-    "agg_unpivot",
-    "join_argmax",
-    "sql_correlated_subquery",
-    "sql_cte",
-    "window_distribution_scale",
     "catalog_profile_documents",
+    "join_right_outer",
+    "setop_except_all",
+    "sql_exists_subquery",
+    "text_robots_filter",
     "agg_native_pivot",
     "sql_grouping_sets",
-    "dedup_repeated_ngrams",
+    "text_word_freq",
+    "agg_unpivot",
+    "sql_in_subquery",
+    "window_analytic_values",
+    "join_argmax",
+    "catalog_profile_orders",
+    "window_range_running",
+    "sql_cte",
+    "sql_correlated_subquery",
     "src_warc_charset_decode",
     "text_quality_filter",
-    "pipeline_decontaminate",
-    "join_range_bands",
-    "window_ntile_scale",
-    "src_warc_wat_sidecar",
-    "dedup_embedding_cosine",
-    "pipeline_crawl_admission",
-    "tpch_q12_late_priority",
-    "dedup_simhash_pairs",
-    "text_robots_filter",
     "src_warc_digest_verify",
-    "pipeline_training_data",
-    "stream_late_data_accounting",
+    "dedup_repeated_ngrams",
+    "join_range_bands",
+    "pipeline_crawl_admission",
+    "window_distribution_scale",
+    "pipeline_decontaminate",
+    "window_ntile_scale",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
     "dedup_clusters",
-    "src_warc_revisit_dedup",
-    "src_warc_segment_reassembly",
-    "src_warc_charset_mislabel",
-    "src_warc_cdx_segment_fetch",
-    "src_warc_charset_east_asian",
+    "pipeline_training_data",
+    "sample_weighted_priority",
+    "mm_payload_dedup",
+    "agg_twophase_distinct",
+    "catalog_zonemap_pruning",
+    "src_tbl_scan",
+    "agg_exact_moments",
+    "tpch_q13_customer_distribution",
+    "stream_hourly_active_users",
+    "tpch_q14_promo_effect",
+    "window_time_range_trailing",
+    "stream_sliding_counts",
+    "pipeline_contrastive_pairs",
+    "join_salted_skew",
+    "catalog_table_diff",
+    "sql_lateral_topn",
+    "tpch_q9_product_type_profit",
+    "tpch_q15_top_supplier",
+    "agg_mode_and_argmax",
+    "tpch_q20_part_promotion",
+    "mm_jpeg_pixel_stats",
+    "mm_flac_sample_stats",
+    "text_keywords",
+    "stream_window_topk",
+    "emb_centroid_drift",
+    "agg_bitmap_distinct",
+    "agg_histogram_quantiles",
+    "agg_countmin_topk",
+    "stream_countmin_users",
+    "scalar_zorder_key",
+    "emb_norm_histogram",
+    "catalog_distribution_drift",
+    "tpch_q6_forecast_revenue",
+    "catalog_feed_freshness",
+    "pipeline_token_budget_mixture",
+    "text_dup_ngrams",
+    "catalog_table_checksum",
+    "pipeline_classifier_calibration",
+    "pipeline_classifier_auc",
+    "sample_stratified",
+    "pipeline_domain_cap",
+    "catalog_constraint_check",
+    "pipeline_cdc_upsert",
+    "dedup_substring_span",
+    "tpch_q4_order_priority",
+    "join_null_safe",
+    "emb_matryoshka_truncate",
+    "mm_audio_sample_stats",
+    "stream_first_event_dedup",
+    "text_tokenizer_fertility",
+    "scalar_try_arithmetic",
 ]
 # first-occurrence-wins: a duplicated name must rank at its FIRST (most
 # prioritized) position — round 8's backfill was silently inert because

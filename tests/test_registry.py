@@ -35,6 +35,47 @@ def test_gate_priority_exact_and_unique():
     }
 
 
+def test_rotation_structural_invariants():
+    """The gate rotation can never again ship a window with zero parity
+    canaries or with a never-driver-green query deferred (VERDICT r13
+    "Next round #2": r12/r13 ran one-round amendments that did exactly
+    that; the flags are deleted and the constraints are now assertions
+    in tools/rotate_gate.py — this test re-runs them against the live
+    CORRECTNESS artifacts on every pytest run AND holds the COMMITTED
+    ``_GATE_PRIORITY`` to the same window bars, so a stale or
+    hand-edited committed list fails here before the driver sees it."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import rotate_gate
+
+    names = [q.name for q in registry()]
+    # the tool's own invariants (raises AssertionError on violation)
+    rotation = rotate_gate.compute_rotation()
+    assert sorted(rotation) == sorted(names)
+
+    # the committed list must satisfy the same window constraints
+    window = set(_GATE_PRIORITY[: rotate_gate.WINDOW])
+    assert (sum(1 for n in window if n.startswith("ref_"))
+            >= rotate_gate.MIN_REF_CANARIES), (
+        "committed _GATE_PRIORITY window has fewer ref_* parity "
+        "canaries than the policy floor")
+    for s in rotate_gate.SENTINELS:
+        assert s in window, f"sentinel {s} outside the committed window"
+    latest = rotate_gate.last_green()
+    certifiable = set(oracle_sql())
+    never_green = [n for n in names
+                   if n in certifiable and n not in latest]
+    deferred = [n for n in never_green if n not in window]
+    assert not deferred, (
+        f"never-driver-green queries outside the committed window: "
+        f"{deferred} — regenerate with `python tools/rotate_gate.py "
+        f"--emit`")
+
+
 def test_every_oracle_key_has_query():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
