@@ -15,11 +15,16 @@ Format essentials implemented here (ISO 28500 / WARC 1.0):
 * A blank line (``\\r\\n``) separates headers from the payload block.
 * Two CRLFs terminate the record; the next record follows immediately.
 
-Scale shape: one ``.warc`` file per partition is written executor-side;
-the read is a ``binaryFile`` scan + Arrow ``mapInPandas`` record walk —
-per-file independent, nothing driver-side, exactly the Avro source's
-plan. Malformed records raise with the offending path (attributable
-ingest failures), matching the Avro convention.
+Scale shape: one ``.warc``/``.warc.gz`` file per partition is written
+executor-side. The legacy ``.warc`` read is a ``binaryFile`` scan +
+Arrow ``mapInPandas`` record walk; the ``.warc.gz`` scale paths (batch
+readers since r13, the Structured Streaming landing tail since r14)
+never hold shard bytes JVM-side — workers STREAM each shard through
+the O(member)-memory gzip walker (:func:`iter_gzip_members_stream`),
+so per-task footprint is shard-size-independent. Per-file independent,
+nothing driver-side, exactly the Avro source's plan. Malformed records
+raise with the offending path (attributable ingest failures), matching
+the Avro convention.
 """
 
 from __future__ import annotations
@@ -61,6 +66,7 @@ __all__ = [
     "try_scan_warc_gz",
     "try_scan_warc_gz_meta",
     "try_scan_warc_revisits",
+    "try_fetch_extent",
     "write_wat_sidecar",
     "read_wat",
 ]
@@ -261,7 +267,14 @@ def decode_warc_bytes(payload: bytes, path: str = "<bytes>",
 _GZ_MAGIC = b"\x1f\x8b"
 _FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
 _GZ_MAX_MEMBER_BYTES = 256 * 1024 * 1024  # inflation ceiling per member
-_GZ_MAX_HEADER_FIELD = 64 * 1024  # FNAME/FCOMMENT ceiling (stream walk)
+# FNAME/FCOMMENT size ceiling, enforced identically by BOTH walkers
+# (stream and in-memory) and on BOTH paths (terminator found / not yet
+# found) — r14: the stream walker used to apply it only while the NUL
+# was absent from the buffered data, so acceptance of an oversized
+# field depended on the caller's chunk size, and the in-memory walker
+# imposed no ceiling at all: the two walkers could disagree on what a
+# legal RFC 1952 member is.
+_GZ_MAX_HEADER_FIELD = 64 * 1024
 
 
 def _is_response(headers: dict) -> bool:
@@ -289,8 +302,12 @@ def _walk_response_records(records, path: str):
     segment is number 1; continuations must follow consecutively,
     cite the origin record id, and not interleave with other records;
     the declared total length must equal the assembled byte count; a
-    stream ending mid-segment is truncated. A segmented NON-response
-    record (e.g. a huge metadata record) is skipped as a whole chain.
+    stream ending mid-segment is truncated. A FIRST segment that itself
+    declares WARC-Segment-Total-Length is a complete single-segment
+    chain (an edge shape for external files — ISO 28500 implies >=2
+    segments) and closes immediately, validated against its own block
+    length. A segmented NON-response record (e.g. a huge metadata
+    record) is skipped as a whole chain.
     Per-segment block digests were already verified record-by-record
     in :func:`decode_warc_bytes`."""
     seg = None  # open segmented record: dict, or None
@@ -363,6 +380,29 @@ def _walk_response_records(records, path: str):
             seg = {"d": d, "u": u, "parts": [block], "next": 2,
                    "origin": origin, "headers": wh,
                    "skip": not _is_response(wh)}
+            total_raw = wh.get(b"warc-segment-total-length")
+            if total_raw is not None:
+                # single-segment chain: the FIRST record also declares
+                # Total-Length, so the chain is complete here (ISO
+                # 28500 implies >=2 segments, but an external writer
+                # that emits this shape is describing a whole record —
+                # without this close, the next unrelated record would
+                # raise "interleaves an open segmented record",
+                # blaming the wrong record for the defect)
+                try:
+                    total = int(total_raw)
+                except ValueError:
+                    raise ValueError(
+                        f"{path}: non-numeric WARC-Segment-Total-Length")
+                done, seg = seg, None
+                if done["skip"]:
+                    continue
+                if len(block) != total:
+                    raise ValueError(
+                        f"{path}: WARC-Segment-Total-Length {total} != "
+                        f"assembled {len(block)} bytes for "
+                        f"{done['origin']!r}")
+                yield d, u, len(block), block, wh
             continue
         if _is_response(wh):
             yield d, u, n, block, wh
@@ -482,6 +522,13 @@ def iter_gzip_members_stream(f, path: str = "<stream>",
                 while True:
                     z = buf.find(b"\x00", search_from)
                     if z >= 0:
+                        if z - pos > _GZ_MAX_HEADER_FIELD:
+                            # deterministic regardless of chunk size: a
+                            # terminated-but-oversized field must fail
+                            # the same way an unterminated one does
+                            raise ValueError(
+                                f"{path}: {name} field exceeds "
+                                f"{_GZ_MAX_HEADER_FIELD} bytes")
                         pos = z + 1
                         break
                     search_from = len(buf)
@@ -579,6 +626,12 @@ def split_gzip_members(b: bytes, path: str = "<bytes>") -> list[bytes]:
                 z = b.find(b"\x00", pos)
                 if z < 0:
                     raise ValueError(f"{path}: unterminated {name}")
+                if z - pos > _GZ_MAX_HEADER_FIELD:
+                    # same ceiling as the stream walker — the two MUST
+                    # agree on what a legal member is (walker parity)
+                    raise ValueError(
+                        f"{path}: {name} field exceeds "
+                        f"{_GZ_MAX_HEADER_FIELD} bytes")
                 pos = z + 1
         if flg & _FHCRC:
             if pos + 2 > len(b):
@@ -1206,6 +1259,48 @@ def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def _fetch_extent_row(raw: bytes, where: str):
+    """Decode ONE indexed extent's bytes into its single logical
+    response row (doc_id, uri, status, entity_len, text) — shared by
+    the Spark fetcher and the fuzz wrapper so the soak exercises the
+    exact code the fetcher runs. An extent is ONE logical response: a
+    single member for a plain record, or a whole segmented chain
+    (first + continuations) — the writer indexes chains as one extent.
+    Anything else in the extent is an attributable index defect, and a
+    PARTIAL chain fails the reassembly walk (truncation /
+    orphan-continuation raises) — never a silently-short row."""
+    members = split_gzip_members(raw, where)
+    recs = [r for m in members
+            for r in decode_warc_bytes(m, where, with_headers=True)]
+    for _d, _u, _n2, _b, wh in recs:
+        wtype = wh.get(b"warc-type", b"response").strip().lower()
+        if wtype not in (b"response", b"continuation"):
+            raise ValueError(
+                f"{where}: indexed extent holds a non-response record "
+                f"(WARC-Type={wtype.decode()})")
+    resp = list(_walk_response_records(iter(recs), where))
+    if len(resp) != 1:
+        raise ValueError(
+            f"{where}: indexed extent yields {len(resp)} logical "
+            f"responses (the CDX contract is exactly one)")
+    d, u, _n, block, wh = resp[0]
+    st, hh, body, _k = parse_http_response_ex(block, where)
+    return (d, u, st, len(body), _entity_text(body, hh))
+
+
+def try_fetch_extent(raw: bytes):
+    """Fuzz-contract wrapper over the CDX extent fetch decode: the row
+    tuple, or None on any defect — never raises, and (the contract the
+    r14 soak asserts) never a SHORT row: a mutated extent either
+    rejects or yields exactly the control row, because every partial /
+    over-long / corrupted extent fails a framing, digest, reassembly,
+    or one-logical-response check."""
+    try:
+        return _fetch_extent_row(raw, "<bytes>")
+    except ValueError:
+        return None
+
+
 def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
     """Indexed random access: for each index row, seek to the member's
     byte extent in its shard, inflate JUST that extent, and decode the
@@ -1249,37 +1344,7 @@ def fetch_warc_members(index: DataFrame, base_dir: str) -> DataFrame:
                     if len(raw) != ln:
                         raise ValueError(
                             f"{where}: extent past end of shard")
-                    members = split_gzip_members(raw, where)
-                    # an extent is ONE logical response: a single
-                    # member for a plain record, or a whole segmented
-                    # chain (first + continuations) — the writer
-                    # indexes chains as one extent. Anything else in
-                    # the extent is an attributable index defect, and
-                    # a PARTIAL chain fails the reassembly walk
-                    # (truncation / orphan-continuation raises).
-                    recs = [r for m in members
-                            for r in decode_warc_bytes(
-                                m, where, with_headers=True)]
-                    for _d, _u, _n2, _b, wh in recs:
-                        wtype = wh.get(b"warc-type",
-                                       b"response").strip().lower()
-                        if wtype not in (b"response", b"continuation"):
-                            raise ValueError(
-                                f"{where}: indexed extent holds a "
-                                f"non-response record (WARC-Type="
-                                f"{wtype.decode()})")
-                    resp = list(_walk_response_records(iter(recs), where))
-                    if len(resp) != 1:
-                        raise ValueError(
-                            f"{where}: indexed extent yields "
-                            f"{len(resp)} logical responses (the CDX "
-                            f"contract is exactly one)")
-                    d, u, _n, block, wh = resp[0]
-                    st, hh, body, _k = parse_http_response_ex(
-                        block, where)
-                    rows.append(
-                        (d, u, st, len(body),
-                         _entity_text(body, hh)))
+                    rows.append(_fetch_extent_row(raw, where))
             finally:
                 for f in handles.values():
                     f.close()
@@ -1422,8 +1487,16 @@ def _shard_paths_df(spark: SparkSession, path_glob: str) -> DataFrame:
     Listing paths is the trivial part (the CDX/catalog plane already
     lists every shard); the Python workers then open and STREAM each
     shard themselves with O(member) memory, and the JVM never holds a
-    single content byte. On object storage the open() becomes a ranged
-    GET stream — same contract."""
+    single content byte.
+
+    Filesystem contract: LOCAL ONLY (``glob.glob`` + ``open``) — shared
+    POSIX mounts included, which is what local-mode and the test rig
+    use. An object-store URI (``s3://…``) is an attributable error via
+    :func:`_local_path_of`, never silently treated as a relative path.
+    TODO(object storage): the walker itself is transport-agnostic (it
+    consumes any ``.read()``-able), so extending this means swapping
+    the listing for the store's list API and ``open`` for a ranged GET
+    stream; nothing implements that today."""
     import glob as _glob
 
     local = _local_path_of(path_glob)
@@ -1609,16 +1682,20 @@ def _local_path_of(uri: str) -> str:
     percent-encoded (``%20``), so naive prefix-stripping would write
     the sidecar to a wrong literal-``%20`` path. Parse the URI properly
     (scheme + unquoted path component); a non-file scheme is an
-    attributable error here — the sidecar emitter writes with local
-    ``open()`` and must not silently treat ``s3://bucket/x`` as a
-    relative path."""
+    attributable error here — every caller (the shard-path scans, the
+    streaming-tail walker, the sidecar emitter) operates with local
+    ``glob``/``open`` and must not silently treat ``s3://bucket/x`` as
+    a relative path. The message is caller-neutral: this helper serves
+    readers and writers alike (local-filesystem contract, see
+    :func:`_shard_paths_df`)."""
     from urllib.parse import unquote, urlparse
 
     p = urlparse(uri)
     if p.scheme in ("", "file"):
         return unquote(p.path) if p.scheme == "file" else uri
     raise ValueError(
-        f"WAT sidecar emission requires a local file: URI, got {uri!r}")
+        f"this scan requires a local file: URI (local-filesystem "
+        f"contract, see _shard_paths_df), got {uri!r}")
 
 
 def write_wat_sidecar(spark: SparkSession, warc_dir: str) -> None:
@@ -1716,13 +1793,19 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
     Streaming exists for). Append-only, no state, exactly-once per
     shard under checkpointing.
 
-    Memory contract: this tail keeps the binaryFile source (Structured
-    Streaming owns the incremental file tracking), so unlike the batch
-    readers — which stream shards from a path listing with O(member)
-    memory since r13 — a micro-batch holds whole-shard bytes JVM-side.
-    That is the right trade for a LANDING tail (arrival-sized shards,
-    a few per trigger); backfilling a 100 TB corpus goes through the
-    batch readers, not this."""
+    Memory contract (r14): the binaryFile SOURCE stays — Structured
+    Streaming owns the incremental file tracking (discovered-files log,
+    exactly-once per shard) — but only its ``path`` column is
+    projected, so column pruning keeps shard CONTENT out of the JVM
+    entirely (binaryFile reads the bytes only when ``content`` is in
+    the required schema); the Python workers then stream each landed
+    shard through :func:`_iter_file_responses`, the same O(member +
+    chunk) walker the batch readers use. Before r14 this tail
+    materialized whole shards JVM-side via the ``content`` column —
+    the exact form the r13 8M-doc rehearsal proved OOMs an 8 GiB heap
+    at 452 MB shards; a fat shard arriving on the LANDING path was the
+    same OOM waiting. Per-task memory is now shard-size-independent on
+    both paths. Local-filesystem contract as :func:`_shard_paths_df`."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1740,24 +1823,26 @@ def read_warc_gz_stream(spark: SparkSession, path_glob: str,
         .options(**source_options)
         .load(path_glob)
     )
+    cols = ["doc_id", "target_uri", "http_status",
+            "n_chunks", "content_length", "text"]
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for uri in pdf["path"]:
+                local = _local_path_of(uri)
                 rows = []
-                for d, u, _n, block, _wh in _iter_gz_responses(
-                        bytes(content), path):
+                for d, u, _n, block, _wh in _iter_file_responses(local):
                     st, hh, body, k = parse_http_response_ex(
-                        block, path)
+                        block, local)
                     rows.append((d, u, st, k, len(body),
                                  _entity_text(body, hh)))
-                yield pd.DataFrame(
-                    rows,
-                    columns=["doc_id", "target_uri", "http_status",
-                             "n_chunks", "content_length", "text"],
-                )
+                    if len(rows) >= _SCAN_BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(_dec, schema)
+    return files.select("path").mapInPandas(_dec, schema)
 
 
 def write_warc_dataset(df: DataFrame, out_dir: str, n_files: int = 4) -> None:

@@ -1937,3 +1937,153 @@ def test_warc_cdx_extent_fuzz(spark, tmp_path):
         except ValueError:
             bad += 1
     assert ok + bad > 2500 and bad > 0
+
+
+def test_gzip_header_field_ceiling_walker_parity():
+    """The FNAME/FCOMMENT ceiling is deterministic and walker-uniform
+    (ADVICE r13): a TERMINATED 100 KiB FNAME must be rejected by the
+    stream walker regardless of the caller's chunk size (before r14,
+    chunk=256 KiB accepted what chunk=1 KiB rejected — acceptance
+    depended on whether the NUL was already buffered), and by the
+    in-memory walker too (which had no ceiling at all, so the two
+    walkers disagreed on what a legal RFC 1952 member is)."""
+    import io
+
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        gzip_member,
+        iter_gzip_members_stream,
+        split_gzip_members,
+    )
+
+    fat = gzip_member(b"payload", fname=b"A" * 100_000)
+    for chunk in (1024, 1 << 20):
+        with _pytest.raises(ValueError, match="FNAME field exceeds"):
+            list(iter_gzip_members_stream(io.BytesIO(fat), "<fat>",
+                                          chunk=chunk))
+    with _pytest.raises(ValueError, match="FNAME field exceeds"):
+        split_gzip_members(fat, "<fat>")
+    # a legal FNAME passes both walkers identically
+    ok = gzip_member(b"payload", fname=b"n" * 1024)
+    assert split_gzip_members(ok, "<ok>") == [b"payload"]
+    assert list(iter_gzip_members_stream(
+        io.BytesIO(ok), "<ok>", chunk=7)) == [b"payload"]
+
+
+def test_warc_single_segment_chain_closes(spark):
+    """A FIRST segment that itself declares WARC-Segment-Total-Length
+    is a complete single-segment chain (ADVICE r13): it must close and
+    yield immediately — before r14 the chain could never close, and
+    the NEXT unrelated record raised 'interleaves an open segmented
+    record', blaming the wrong record. A total that disagrees with the
+    block still raises, on the RIGHT record."""
+    import pytest as _pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        gzip_member,
+        _iter_gz_responses,
+    )
+
+    ent = "single-segment body — ☃".encode()
+    http = build_http_response(ent, 7)
+    single = build_warc_record(
+        7, payload=http,
+        content_type=b"application/http;msgtype=response",
+        extra_headers=[
+            (b"WARC-Segment-Number", b"1"),
+            (b"WARC-Segment-Total-Length", str(len(http)).encode()),
+        ])
+    plain = build_warc_record(
+        8, payload=build_http_response(b"plain follower", 8),
+        content_type=b"application/http;msgtype=response")
+    stream = gzip_member(single) + gzip_member(plain)
+    got = {d: block for d, _u, _n, block, _wh in
+           _iter_gz_responses(stream, "<single-seg>")}
+    assert set(got) == {7, 8}, "follower must not be blamed for a chain"
+    assert got[7] == http
+
+    bad = build_warc_record(
+        7, payload=http,
+        content_type=b"application/http;msgtype=response",
+        extra_headers=[
+            (b"WARC-Segment-Number", b"1"),
+            (b"WARC-Segment-Total-Length",
+             str(len(http) + 3).encode()),
+        ])
+    with _pytest.raises(ValueError,
+                        match="WARC-Segment-Total-Length"):
+        list(_iter_gz_responses(gzip_member(bad), "<single-seg>"))
+
+
+def test_cached_fixture_writer_edit_rebuilds(tmp_path):
+    """A sentinel recorded by a DIFFERENT writer-module fingerprint
+    must REBUILD on reuse, not silently certify (ADVICE r13 medium:
+    before r14 the sentinel's digests came from the old writer's
+    bytes, so recomputation still matched and a writer change under an
+    un-bumped _FIXTURE_VERSION was undetectable)."""
+    import json
+    import os
+
+    from sql_query_engine_spark.queries import (
+        _cached_fixture,
+        _writer_fingerprint,
+    )
+
+    d = str(tmp_path / "fx")
+    calls = []
+
+    def build():
+        os.makedirs(d, exist_ok=True)
+        (tmp_path / "fx" / "a.bin").write_bytes(b"deterministic")
+        calls.append(1)
+
+    _cached_fixture(d, build)
+    sentinel = os.path.join(d, "_FIXTURE_OK.json")
+    meta = json.load(open(sentinel))
+    assert meta["writer_sha"] == _writer_fingerprint()
+    # simulate "writer edited, version not bumped": stale fingerprint
+    meta["writer_sha"] = "0" * 16
+    json.dump(meta, open(sentinel, "w"))
+    _cached_fixture(d, build)
+    assert len(calls) == 2, "stale writer fingerprint must rebuild"
+    assert (json.load(open(sentinel))["writer_sha"]
+            == _writer_fingerprint())
+    _cached_fixture(d, build)
+    assert len(calls) == 2, "fresh sentinel must reuse again"
+
+
+def test_fetch_extent_contract(spark, tmp_path):
+    """try_fetch_extent (the CDX fetch decode the r14 soak hammers):
+    an exact chain extent yields exactly the control row; a truncated
+    extent (partial chain) and an over-long extent (two logical
+    responses) reject — NEVER a short row silently serving a prefix of
+    a segmented document."""
+    import hashlib
+
+    from sql_query_engine_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        gzip_member,
+        try_fetch_extent,
+        _segment_members,
+    )
+
+    ent = "chain-extent body — ünïcode ☃ ".encode() * 40
+    http = build_http_response(ent, 5)
+    orig = b"<urn:uuid:00000000-0000-0000-0000-000000000005>"
+    chain = b"".join(_segment_members(
+        5, http, orig, hashlib.sha256(ent).hexdigest()))
+    plain = gzip_member(build_warc_record(
+        9, payload=build_http_response(b"next", 9),
+        content_type=b"application/http;msgtype=response"))
+
+    control = try_fetch_extent(chain)
+    assert control is not None and control[0] == 5
+    assert control[3] == len(ent), "entity length must be the FULL chain"
+    assert try_fetch_extent(chain[: len(chain) - len(plain) // 2]) is None
+    assert try_fetch_extent(chain[:100]) is None
+    assert try_fetch_extent(chain + plain) is None, \
+        "two logical responses in one extent must reject"
