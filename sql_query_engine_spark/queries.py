@@ -359,14 +359,44 @@ def _legacy_fixture_dir(sf_dir: str, leaf: str) -> str:
     return os.path.join(tempfile.gettempdir(), "sqes_legacy_fixtures", sf, leaf)
 
 
-# Bump whenever ANY fixture writer's byte output changes (same
-# discipline as a RECERT pin: a cached fixture certifies the bytes of
-# the version that built it). r13a = revisit/segment/mislabel writer
-# options added; r13b = segmented chains CDX-indexed as one extent;
-# r13c = deterministic shard layout (hash-partition by doc_id +
-# within-shard sort), making the digest assert environment-proof;
-# r13d = east-asian rotation widened to %6 (big5 + gb2312).
+# Bump whenever a fixture's SEMANTICS change without the writer
+# modules changing (e.g. different build PARAMETERS in this file —
+# the sentinel also keys on a content hash of the writer modules, so
+# any edit to sources/warc.py or sources/avro.py forces a rebuild
+# automatically; the version string covers what that hash cannot see).
+# r13a = revisit/segment/mislabel writer options added; r13b =
+# segmented chains CDX-indexed as one extent; r13c = deterministic
+# shard layout (hash-partition by doc_id + within-shard sort), making
+# the digest assert environment-proof; r13d = east-asian rotation
+# widened to %6 (big5 + gb2312).
 _FIXTURE_VERSION = "r13d"
+
+_WRITER_FINGERPRINT: list[str] = []  # lazily-computed singleton
+
+
+def _writer_fingerprint() -> str:
+    """sha256 over the SOURCE BYTES of the fixture-writer modules
+    (sources/warc.py, sources/avro.py). Folded into every fixture
+    sentinel: before r14, a writer edit under an un-bumped
+    ``_FIXTURE_VERSION`` was UNDETECTABLE on the reuse path — the
+    sentinel's digests were computed from the old writer's bytes, so
+    recomputing them over the old files still matched and the sweep
+    silently certified stale fixtures (the drift raise was unreachable
+    for that failure mode; ADVICE r13). A code-only edit that doesn't
+    change output bytes costs one spurious rebuild — cheap and safe."""
+    if not _WRITER_FINGERPRINT:
+        import hashlib
+        import os
+
+        from . import sources
+
+        h = hashlib.sha256()
+        base = os.path.dirname(os.path.abspath(sources.__file__))
+        for mod in ("warc.py", "avro.py"):
+            with open(os.path.join(base, mod), "rb") as f:
+                h.update(f.read())
+        _WRITER_FINGERPRINT.append(h.hexdigest()[:16])
+    return _WRITER_FINGERPRINT[0]
 
 
 def _cached_fixture(out_dir: str, build) -> None:
@@ -383,12 +413,15 @@ def _cached_fixture(out_dir: str, build) -> None:
     asserted on every sweep, not assumed (and the writers make it
     hold BY CONSTRUCTION: shards are hash-partitioned on doc_id and
     sorted within, a pure function of the data, independent of the
-    upstream scan's split layout) — drift (a nondeterministic
-    writer, an un-bumped version after a writer change, external /tmp
-    mutation) raises attributably rather than silently certifying
-    stale bytes. ``SQES_FIXTURE_REBUILD=1`` forces a rebuild; the
-    writers themselves stay exercised by the unit tests and by every
-    cold (first-after-clear) sweep."""
+    upstream scan's split layout) — drift (a nondeterministic writer
+    or external /tmp mutation) raises attributably rather than
+    silently certifying stale bytes, and a WRITER EDIT invalidates the
+    sentinel automatically because :func:`_writer_fingerprint` (a
+    content hash of the writer modules) is part of the reuse key, so
+    the "un-bumped version after a writer change" hole ADVICE r13
+    flagged cannot occur. ``SQES_FIXTURE_REBUILD=1`` forces a rebuild;
+    the writers themselves stay exercised by the unit tests and by
+    every cold (first-after-clear) sweep."""
     import hashlib
     import json
     import os
@@ -415,18 +448,22 @@ def _cached_fixture(out_dir: str, build) -> None:
             meta = json.load(open(sentinel))
         except (OSError, ValueError):
             meta = None
-        if meta and meta.get("version") == _FIXTURE_VERSION:
+        if (meta and meta.get("version") == _FIXTURE_VERSION
+                and meta.get("writer_sha") == _writer_fingerprint()):
             got = _digests()
             if got == meta.get("sha256"):
                 return
             raise RuntimeError(
                 f"cached fixture {out_dir} drifted from its sentinel "
-                f"(writer nondeterminism, an un-bumped _FIXTURE_VERSION "
-                f"after a writer change, or external mutation) — clear "
-                f"the dir or set SQES_FIXTURE_REBUILD=1")
+                f"(writer nondeterminism or external mutation — a "
+                f"writer EDIT would have missed the writer_sha key and "
+                f"rebuilt instead) — clear the dir or set "
+                f"SQES_FIXTURE_REBUILD=1")
     build()
     with open(sentinel, "w") as f:
-        json.dump({"version": _FIXTURE_VERSION, "sha256": _digests()}, f)
+        json.dump({"version": _FIXTURE_VERSION,
+                   "writer_sha": _writer_fingerprint(),
+                   "sha256": _digests()}, f)
 
 
 @_q(
