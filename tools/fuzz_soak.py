@@ -339,6 +339,79 @@ for i in range(NT):
             sys.exit(1)
 print(f"digest pass: {NT} targeted flips "
       f"(block/payload/trailer), {tfails} silent-accepts")
+
+# r14: targeted CHAIN-EXTENT CDX fetch mutations — the random-access
+# contract is "one extent = one WHOLE fetchable logical response", and
+# for a segmented chain the nightmare failure is a SHORT row: a
+# corrupted extent or a broken mid-chain member silently serving a
+# PREFIX of the document as if complete. Hammer exactly that: corrupt
+# the extent length, the extent offset, and bytes of the MID-CHAIN
+# member, and assert every mutated fetch either rejects (None — the
+# Spark fetcher raises attributably) or returns byte-exactly the
+# control row. try_fetch_extent wraps the same _fetch_extent_row the
+# Spark fetcher runs.
+from sql_query_engine_spark.sources.warc import (
+    try_fetch_extent as _tfetch,
+)
+
+_ent14 = "chain-extent fuzz body — ünïcode ☃ ".encode() * 64
+_httpX = _bhttp(_ent14, 5)
+_oid14 = b"<urn:uuid:00000000-0000-0000-0000-000000000005>"
+_chain_members = _segm(5, _httpX, _oid14,
+                       _hl3.sha256(_ent14).hexdigest())
+_chain = b"".join(_chain_members)
+_plainm = _gzm(_bwarc(9, payload=_bhttp(b"follower", 9),
+                      content_type=b"application/http;msgtype=response",
+                      payload_digest=_hl3.sha256(b"follower").hexdigest()))
+_shard14 = _chain + _plainm
+_extents = [(0, len(_chain)), (len(_chain), len(_plainm))]
+_controls = [_tfetch(_shard14[o:o + l]) for o, l in _extents]
+assert _controls[0] is not None and _controls[0][0] == 5
+assert _controls[0][3] == len(_ent14), "control must be the FULL chain"
+assert _controls[1] is not None and _controls[1][0] == 9
+# the mid-chain member's byte span inside the shard (continuation 1)
+_mid_lo = len(_chain_members[0])
+_mid_hi = _mid_lo + len(_chain_members[1])
+NC = max(N // 10, 1000)
+cfails = 0
+for i in range(NC):
+    kind = rng.randrange(3)
+    eidx = rng.randrange(2)
+    off, ln = _extents[eidx]
+    buf = _shard14
+    if kind == 0:     # corrupt the extent LENGTH
+        delta = 0
+        while delta == 0:
+            delta = rng.randrange(-min(ln - 1, 64), 65)
+        ln = ln + delta
+        if off + ln > len(_shard14):
+            ln = len(_shard14) - off    # clamp: stays a mutation
+    elif kind == 1:   # corrupt the extent OFFSET
+        delta = 0
+        while delta == 0:
+            delta = rng.randrange(-min(off, 64), 65)
+        off = off + delta
+        if off + ln > len(_shard14):
+            off = len(_shard14) - ln
+        if (off, ln) == _extents[eidx]:
+            continue  # clamping landed back on the true extent
+    else:             # flip a byte INSIDE the mid-chain member
+        eidx, (off, ln) = 0, _extents[0]
+        pos = rng.randrange(_mid_lo, _mid_hi)
+        b14 = bytearray(_shard14)
+        b14[pos] ^= rng.randrange(1, 256)
+        buf = bytes(b14)
+    out = _tfetch(buf[off:off + ln])
+    # reject, or byte-exact control — NEVER a short/partial row
+    if not (out is None or out == _controls[eidx]):
+        cfails += 1
+        fails += 1
+        print(f"SHORT-ROW extent-fuzz kind {kind} iter {i}: {out!r}")
+        if fails > 5:
+            sys.exit(1)
+print(f"chain-extent pass: {NC} extent/offset/mid-member mutations, "
+      f"{cfails} short rows")
 print(f"DONE {N} mutations x {len(DECODERS)} decoders "
-      f"+ {NB} gzip-seam + {NT} digest-flip mutations, {fails} crashes")
+      f"+ {NB} gzip-seam + {NT} digest-flip + {NC} chain-extent "
+      f"mutations, {fails} crashes")
 sys.exit(1 if fails else 0)

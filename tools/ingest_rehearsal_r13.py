@@ -45,7 +45,11 @@ N_PLANES = 2_000_000
 N_FILES = 64
 
 
-def planes_leg(spark, report: dict) -> None:
+def planes_leg(spark, report: dict, n_docs: int = N_PLANES,
+               leg_name: str = "planes_2m") -> None:
+    """Parametrized since r14 (the r14 rehearsal re-runs this same leg
+    at 8M docs / 500k chains — VERDICT r13 ask #6)."""
+    N_PLANES = n_docs  # noqa: N806 — shadow the module default locally
     docs = synth_docs(spark, N_PLANES)
     d = F.col("doc_id")
     expected_text = F.concat(
@@ -53,7 +57,8 @@ def planes_leg(spark, report: dict) -> None:
                  (d % 19 + 1).cast("int")),
         F.lit("доc ☃ "), d.cast("string"))
 
-    out_dir = os.path.join(tempfile.gettempdir(), "ingest_rehearsal_r13")
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"ingest_rehearsal_planes_{leg_name}")
     t0 = time.time()
     warc.write_warc_gz_dataset(docs, out_dir, n_files=N_FILES,
                                revisits=True, segments=16)
@@ -108,7 +113,7 @@ def planes_leg(spark, report: dict) -> None:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    report["legs"]["planes_2m"] = leg
+    report["legs"][leg_name] = leg
 
 
 def main() -> int:
