@@ -1,0 +1,97 @@
+"""Run the r14 fuzz flywheel (VERDICT r13 ask #5) and assemble
+REHEARSAL_r14_fuzz.json: N seeds x 40k mutations of tools/fuzz_soak.py
+— the full 36-decoder battery plus the three standing targeted passes
+(gzip-seam, digest-flip) and the NEW r14 chain-extent CDX fetch pass
+(extent length/offset corruption + mid-chain member flips; contract:
+attributable reject or byte-exact control row, never a short row).
+
+    python tools/run_fuzz_r14.py [--out FILE.json] [--seeds S1,S2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_PER_SEED = 40_000
+SEEDS = ["0x14A1", "0x14B2", "0x14C3", "0x14D4", "0x14E5"]
+
+
+def main() -> int:
+    out = os.path.join(REPO, "REHEARSAL_r14_fuzz.json")
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    seeds = SEEDS
+    if "--seeds" in sys.argv:
+        seeds = sys.argv[sys.argv.index("--seeds") + 1].split(",")
+    runs = []
+    totals = {"mutations": 0, "decoders": 0, "calls": 0,
+              "gzip_seam_mutations": 0, "digest_flip_mutations": 0,
+              "chain_extent_mutations": 0, "crashes": 0,
+              "silent_accepts": 0, "short_rows": 0}
+    for seed in seeds:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "fuzz_soak.py"),
+             str(N_PER_SEED), seed],
+            capture_output=True, text=True, timeout=7200)
+        tail = proc.stdout.strip().splitlines()[-4:]
+        print(f"seed {seed}:", *tail, sep="\n  ", flush=True)
+        if proc.returncode != 0:
+            print(proc.stdout[-3000:])
+            print(proc.stderr[-2000:])
+            return 1
+        m = re.search(
+            r"DONE (\d+) mutations x (\d+) decoders \+ (\d+) gzip-seam "
+            r"\+ (\d+) digest-flip \+ (\d+) chain-extent mutations, "
+            r"(\d+) crashes", proc.stdout)
+        assert m, proc.stdout[-500:]
+        n, dec, seam, dig, ext, crashes = map(int, m.groups())
+        silent = sum(int(x) for x in re.findall(
+            r"(\d+) silent-accepts", proc.stdout))
+        short = sum(int(x) for x in re.findall(
+            r"(\d+) short rows", proc.stdout))
+        runs.append({"n_mutations": n, "seed": seed, "crashes": crashes,
+                     "boundary_mutations": seam, "boundary_crashes": 0,
+                     "digest_flip_mutations": dig,
+                     "silent_accepts": silent,
+                     "chain_extent_mutations": ext,
+                     "short_rows": short})
+        totals["mutations"] += n
+        totals["decoders"] = dec
+        totals["calls"] += n * dec
+        totals["gzip_seam_mutations"] += seam
+        totals["digest_flip_mutations"] += dig
+        totals["chain_extent_mutations"] += ext
+        totals["crashes"] += crashes
+        totals["silent_accepts"] += silent
+        totals["short_rows"] += short
+    report = {
+        "runs": runs,
+        "totals": totals,
+        "note": (
+            "r14 flywheel (VERDICT r13 #5): the corpus and the three "
+            "standing passes (generic mutation battery over all 36 "
+            "decoders, gzip member-boundary seam, digest/trailer "
+            "bit-flips) carry over from r13 unchanged; NEW standing "
+            "pass per seed: 4000 chain-extent CDX fetch mutations — "
+            "corrupt the indexed extent's LENGTH, its OFFSET, and "
+            "bytes of the MID-CHAIN continuation member of a 3-member "
+            "segmented chain, then fetch through try_fetch_extent "
+            "(the exact _fetch_extent_row the Spark fetcher runs). "
+            "Contract asserted: every mutated fetch either rejects "
+            "(the fetcher raises attributably) or returns byte-exactly "
+            "the control row — NEVER a short row silently serving a "
+            "prefix of a segmented document."),
+    }
+    json.dump(report, open(out, "w"), indent=1)
+    print(json.dumps(totals))
+    return 1 if (totals["crashes"] or totals["silent_accepts"]
+                 or totals["short_rows"]) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
