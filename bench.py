@@ -96,6 +96,9 @@ HEADLINE = [
     "src_warc_charset_mislabel",
     "src_warc_cdx_segment_fetch",
     "src_warc_charset_east_asian",
+    # round-14 addition: the request plane — the client half of each
+    # capture (strict request-side HTTP parse, WARC-Concurrent-To)
+    "src_warc_request_log",
 ]
 
 

@@ -10860,6 +10860,68 @@ def src_warc_cdx_segment_fetch(spark, sf_dir):
     )
 
 
+@_q(
+    "src_warc_request_log",
+    """SELECT doc_id,
+       concat('http://example.com/doc/', cast(doc_id as varchar))
+           AS target_uri,
+       CASE WHEN doc_id % 5 = 0 THEN 'POST' ELSE 'GET' END AS method,
+       concat('/doc/', cast(doc_id as varchar)) AS request_target,
+       'HTTP/1.1' AS http_version,
+       concat('sqes-crawler/', cast(doc_id % 3 as varchar)) AS user_agent,
+       CAST(CASE WHEN doc_id % 5 = 0
+            THEN octet_length(cast(concat('q=', cast(doc_id as varchar),
+                 '&page=', cast(doc_id % 7 as varchar)) as blob))
+            ELSE 0 END AS BIGINT) AS body_len,
+       CAST(CASE WHEN doc_id % 10 = 0
+            THEN least(doc_id % 3 + 1,
+                 octet_length(cast(concat('q=', cast(doc_id as varchar),
+                 '&page=', cast(doc_id % 7 as varchar)) as blob)))
+            ELSE 0 END AS BIGINT) AS n_chunks,
+       concat('<urn:uuid:00000000-0000-0000-0000-',
+              lpad(cast(doc_id as varchar), 12, '0'), '>') AS concurrent_to
+    FROM documents""",
+    "REQUEST-side crawl ingest (r14 — closes the last unimplemented "
+    "half of the crawl chain): real captures store the client message "
+    "too (ISO 28500 §6.4 request records, WARC-Concurrent-To linking "
+    "each to its response), and the politeness/forensics plane reads "
+    "exactly that — what was asked for, by which agent, with which "
+    "method and body. The writer pairs every response with a request "
+    "member (GET majority; every 5th doc a POST — every 10th framing "
+    "its body CHUNKED with verified X-Len/X-Payload-SHA256 trailers, "
+    "the rest Content-Length); read_warc_requests walks shards with "
+    "the same O(member) streaming scan and parses each block with the "
+    "strict request-side parser (sources/warc.py "
+    "parse_http_request_ex): request-line token checks, both body "
+    "framings, and RFC 7230 §3.3.3's request/response ASYMMETRY — no "
+    "framing header on a request means an EMPTY body, where the same "
+    "absence on a response is a reject. The oracle restates every "
+    "column from the builder's arithmetic (method/target/agent "
+    "rotation, body length, chunk count, the lpad'd concurrent-to "
+    "id), so a swallowed body byte, a mis-parsed request line, or a "
+    "broken request→response link hash-breaks. Map-only, one task "
+    "per shard; the response readers skip request records, so the "
+    "two scans partition the record stream cleanly.",
+)
+def src_warc_request_log(spark, sf_dir):
+    from .sources import warc
+
+    out = _legacy_fixture_dir(sf_dir, "documents_warc_gz_req")
+    _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
+        _t(spark, sf_dir, "documents"), out, n_files=4, requests=True))
+    return warc.read_warc_requests(spark, f"{out}/*.warc.gz").select(
+        "doc_id",
+        "target_uri",
+        "method",
+        "request_target",
+        "http_version",
+        "user_agent",
+        "body_len",
+        "n_chunks",
+        "concurrent_to",
+    )
+
+
 # ---- distributed triangle counting --------------------------------------
 _TRI_CAP = 20  # max distinct users per co-occurrence group (blocking cap)
 
@@ -12389,8 +12451,10 @@ def mm_wav_stereo_stats(spark, sf_dir):
 # canaries, both sentinels, and every never-driver-green certifiable
 # query (tests/test_registry.py re-checks the committed list each run).
 # This r14 window re-pins all 15 refs (no driver cert since r11), both
-# sentinels, the five never-green r13 warc rows, the full 14-query
-# r5-stale tail, and 14 r6 rows.
+# sentinels, the six never-green rows (the five r13 warc rows + the
+# r14-new src_warc_request_log, which the invariant routes into the
+# window on its FIRST post-registration round), the full 14-query
+# r5-stale tail, and 13 r6 rows — leaving a 20-row all-r6 stale tail.
 _GATE_PRIORITY = [
     "ref_filter_range_in_like",
     "ref_cross_product",
@@ -12412,8 +12476,9 @@ _GATE_PRIORITY = [
     "src_warc_cdx_segment_fetch",
     "src_warc_segment_reassembly",
     "src_warc_charset_mislabel",
-    "src_warc_revisit_dedup",
     "src_warc_charset_east_asian",
+    "src_warc_revisit_dedup",
+    "src_warc_request_log",
     "stream_retention_cohorts",
     "tpch_q17_small_qty_revenue",
     "stream_session_native",

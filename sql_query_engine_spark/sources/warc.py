@@ -54,18 +54,22 @@ __all__ = [
     "split_gzip_members",
     "iter_gzip_members_stream",
     "build_http_response",
+    "build_http_request",
     "parse_http_response",
     "parse_http_response_ex",
+    "parse_http_request_ex",
     "write_warc_gz_dataset",
     "read_warc_gz",
     "read_warc_gz_meta",
     "read_warc_gz_stream",
     "read_warc_revisits",
+    "read_warc_requests",
     "read_cdx",
     "fetch_warc_members",
     "try_scan_warc_gz",
     "try_scan_warc_gz_meta",
     "try_scan_warc_revisits",
+    "try_scan_warc_requests",
     "try_fetch_extent",
     "write_wat_sidecar",
     "read_wat",
@@ -727,7 +731,19 @@ def build_http_response(body: bytes, doc_id: int,
         head.append(f"Content-Length: {len(body)}".encode())
         return _CRLF.join(head) + _CRLF + _CRLF + body
     head.append(b"Transfer-Encoding: chunked")
-    k = min(doc_id % 4 + 1, len(body))
+    return (_CRLF.join(head) + _CRLF + _CRLF
+            + _chunked_body(body, min(doc_id % 4 + 1, len(body))))
+
+
+def _chunked_body(body: bytes, k: int) -> bytes:
+    """RFC 7230 §4.1 chunked transfer coding of ``body`` in ``k`` data
+    chunks — the wire form both the response and the request builders
+    emit: hex sizes, a chunk extension on the first chunk, and a
+    trailer section DECLARING the message body (``X-Len`` byte count +
+    ``X-Payload-SHA256`` digest — the checksum-while-streaming use
+    trailers exist for; the parsers VERIFY both)."""
+    import hashlib
+
     chunks = []
     if k:
         q, r = divmod(len(body), k)
@@ -736,7 +752,7 @@ def build_http_response(body: bytes, doc_id: int,
             n = q + (1 if i < r else 0)
             chunks.append(body[off : off + n])
             off += n
-    out = _CRLF.join(head) + _CRLF + _CRLF
+    out = b""
     for i, c in enumerate(chunks):
         ext = b";x=1" if i == 0 else b""
         out += f"{len(c):x}".encode() + ext + _CRLF + c + _CRLF
@@ -745,6 +761,44 @@ def build_http_response(body: bytes, doc_id: int,
             + b"X-Payload-SHA256: "
             + hashlib.sha256(body).hexdigest().encode() + _CRLF + _CRLF)
     return out
+
+
+def _request_body(doc_id: int) -> bytes:
+    """The deterministic request entity: empty for the GET majority,
+    a small form payload for every 5th doc's POST."""
+    if doc_id % 5 != 0:
+        return b""
+    return f"q={doc_id}&page={doc_id % 7}".encode()
+
+
+def build_http_request(doc_id: int) -> bytes:
+    """Deterministic HTTP/1.1 REQUEST for a doc — the client half of
+    the crawl exchange (WARC ``request`` records store exactly this).
+    Every 5th doc is a POST carrying :func:`_request_body`; of those,
+    every 10th frames the body CHUNKED (hex sizes, extension on the
+    first chunk, verified X-Len / X-Payload-SHA256 trailers — request
+    trailers are legal RFC 7230 and exercise the request-side chunked
+    parse), the rest use Content-Length. All other docs are bodyless
+    GETs — NO framing header at all, the request/response asymmetry
+    RFC 7230 §3.3.3 pins: an absent length on a request means an
+    EMPTY body, where the same absence on a response is a defect."""
+    target = f"/doc/{doc_id}".encode()
+    head = [b"Host: example.com",
+            f"User-Agent: sqes-crawler/{doc_id % 3}".encode(),
+            b"Accept: text/html"]
+    body = _request_body(doc_id)
+    if doc_id % 5 != 0:
+        return (b"GET " + target + b" HTTP/1.1" + _CRLF
+                + _CRLF.join(head) + _CRLF + _CRLF)
+    if doc_id % 10 == 0:
+        head.append(b"Transfer-Encoding: chunked")
+        return (b"POST " + target + b" HTTP/1.1" + _CRLF
+                + _CRLF.join(head) + _CRLF + _CRLF
+                + _chunked_body(body, min(doc_id % 3 + 1, len(body))))
+    head.append(b"Content-Type: application/x-www-form-urlencoded")
+    head.append(f"Content-Length: {len(body)}".encode())
+    return (b"POST " + target + b" HTTP/1.1" + _CRLF
+            + _CRLF.join(head) + _CRLF + _CRLF + body)
 
 
 def parse_http_response(b: bytes, path: str = "<bytes>"):
@@ -768,8 +822,6 @@ def parse_http_response_ex(b: bytes, path: str = "<bytes>"):
     digest, so a chunk-boundary bug or a flipped bit inside any chunk
     is an attributable reject, not silent corruption. Raises
     ValueError with the path on any defect."""
-    import hashlib
-
     eol = b.find(_CRLF)
     if eol < 0:
         raise ValueError(f"{path}: unterminated HTTP status line")
@@ -780,7 +832,25 @@ def parse_http_response_ex(b: bytes, path: str = "<bytes>"):
         status = int(parts[1])
     except ValueError:
         raise ValueError(f"{path}: non-numeric HTTP status {parts[1]!r}")
-    pos = eol + 2
+    headers, pos = _read_http_headers(b, eol + 2, path)
+    te = headers.get(b"transfer-encoding", b"").lower()
+    if te == b"chunked":
+        body, n_chunks = _dechunk_and_verify(b, pos, headers, path)
+        return status, headers, _content_decode(body, headers, path), \
+            n_chunks
+    if b"content-length" in headers:
+        body = _framed_by_content_length(b, pos, headers, path)
+        return (status, headers,
+                _content_decode(body, headers, path), 0)
+    raise ValueError(f"{path}: response without Content-Length or "
+                     "chunked framing")
+
+
+def _read_http_headers(b: bytes, pos: int, path: str):
+    """The header-field loop both message parsers share: lowercased
+    name → stripped value until the blank line → (headers, pos past
+    the blank line). Raises on an unterminated block or a colonless
+    line."""
     headers: dict[bytes, bytes] = {}
     while True:
         eol = b.find(_CRLF, pos)
@@ -794,77 +864,143 @@ def parse_http_response_ex(b: bytes, path: str = "<bytes>"):
         if not sep or not k:
             raise ValueError(f"{path}: malformed HTTP header {line!r}")
         headers[k.strip().lower()] = v.strip()
+    return headers, pos
+
+
+def _framed_by_content_length(b: bytes, pos: int, headers: dict,
+                              path: str) -> bytes:
+    """Content-Length framing shared by both message parsers: the
+    declared count must be numeric, non-negative, and consume the
+    REST of the block exactly (a WARC block holds one whole message,
+    so trailing garbage is a defect, not pipelined data)."""
+    try:
+        n = int(headers[b"content-length"])
+    except ValueError:
+        raise ValueError(f"{path}: non-numeric Content-Length")
+    if n < 0 or pos + n != len(b):
+        raise ValueError(f"{path}: Content-Length {n} does not match "
+                         f"remaining {len(b) - pos} bytes")
+    return b[pos : pos + n]
+
+
+def _dechunk_and_verify(b: bytes, pos: int, headers: dict,
+                        path: str) -> tuple[bytes, int]:
+    """RFC 7230 §4.1 chunked decoding shared by both message parsers
+    → (de-chunked body, data-chunk count). Enforces the framing MUSTs
+    (hex sizes with extensions allowed after ``;``, exact CRLF after
+    each chunk's data, a last-chunk, a CRLF-terminated trailer
+    section, nothing after it) and the trailer-declared body checks
+    when present (``X-Len`` byte count, ``X-Payload-SHA256`` digest —
+    both over the de-chunked body, pre Content-Encoding). Trailer
+    fields merge into ``headers`` without clobbering proper headers."""
+    import hashlib
+
+    body = b""
+    n_chunks = 0
+    while True:
+        eol = b.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"{path}: unterminated chunk-size line")
+        size_tok = b[pos:eol].split(b";", 1)[0].strip()
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"{path}: bad chunk size {size_tok!r}")
+        pos = eol + 2
+        if n == 0:
+            break
+        if pos + n + 2 > len(b):
+            raise ValueError(f"{path}: truncated chunk data")
+        body += b[pos : pos + n]
+        if b[pos + n : pos + n + 2] != _CRLF:
+            raise ValueError(f"{path}: chunk data not CRLF-terminated")
+        pos += n + 2
+        n_chunks += 1
+    # trailer section: header lines until the blank line, merged
+    # into the header dict (without clobbering a proper header)
+    while True:
+        eol = b.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"{path}: unterminated trailer section")
+        line = b[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        k, sep, v = line.partition(b":")
+        if not sep or not k:
+            raise ValueError(f"{path}: malformed trailer {line!r}")
+        headers.setdefault(k.strip().lower(), v.strip())
+    if pos != len(b):
+        raise ValueError(f"{path}: {len(b) - pos} bytes of garbage "
+                         "after the last chunk's trailer")
+    # trailer-declared body checks: both are over the de-chunked
+    # message body (pre Content-Encoding — what was transferred)
+    if b"x-len" in headers:
+        try:
+            want_len = int(headers[b"x-len"])
+        except ValueError:
+            raise ValueError(f"{path}: non-numeric X-Len trailer")
+        if want_len != len(body):
+            raise ValueError(
+                f"{path}: X-Len trailer {want_len} != de-chunked "
+                f"body length {len(body)}")
+    if b"x-payload-sha256" in headers:
+        want = headers[b"x-payload-sha256"].strip().lower().decode()
+        got = hashlib.sha256(body).hexdigest()
+        if want != got:
+            raise ValueError(
+                f"{path}: X-Payload-SHA256 trailer mismatch")
+    return body, n_chunks
+
+
+_REQ_METHOD_OK = frozenset(
+    b"!#$%&'*+-.^_`|~0123456789"
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+
+
+def parse_http_request_ex(b: bytes, path: str = "<bytes>"):
+    """Parse one HTTP/1.1 REQUEST → (method, target, version, headers,
+    body, n_chunks) — the client half a WARC ``request`` record
+    stores. Request-line MUSTs (RFC 7230 §3.1.1): exactly
+    ``method SP request-target SP HTTP-version``, the method a
+    non-empty token (tchar only), the target non-empty and space-free,
+    the version ``HTTP/1.0`` or ``HTTP/1.1``. Body framing reuses the
+    response machinery (shared :func:`_dechunk_and_verify` /
+    :func:`_framed_by_content_length`) with the ONE request-side
+    difference RFC 7230 §3.3.3 pins: NO framing header means an EMPTY
+    body (where a response without framing is a defect) — and then
+    nothing may follow the header block. Raises ValueError with the
+    path on any defect."""
+    eol = b.find(_CRLF)
+    if eol < 0:
+        raise ValueError(f"{path}: unterminated HTTP request line")
+    parts = b[:eol].split(b" ")
+    if len(parts) != 3:
+        raise ValueError(f"{path}: bad HTTP request line {b[:eol]!r}")
+    method, target, version = parts
+    if not method or any(c not in _REQ_METHOD_OK for c in method):
+        # iterating bytes yields ints; _REQ_METHOD_OK holds ints too
+        raise ValueError(f"{path}: bad HTTP method {method!r}")
+    if not target:
+        raise ValueError(f"{path}: empty HTTP request-target")
+    if version not in (b"HTTP/1.1", b"HTTP/1.0"):
+        raise ValueError(f"{path}: bad HTTP version {version!r}")
+    headers, pos = _read_http_headers(b, eol + 2, path)
     te = headers.get(b"transfer-encoding", b"").lower()
     if te == b"chunked":
-        body = b""
-        n_chunks = 0
-        while True:
-            eol = b.find(_CRLF, pos)
-            if eol < 0:
-                raise ValueError(f"{path}: unterminated chunk-size line")
-            size_tok = b[pos:eol].split(b";", 1)[0].strip()
-            try:
-                n = int(size_tok, 16)
-            except ValueError:
-                raise ValueError(f"{path}: bad chunk size {size_tok!r}")
-            pos = eol + 2
-            if n == 0:
-                break
-            if pos + n + 2 > len(b):
-                raise ValueError(f"{path}: truncated chunk data")
-            body += b[pos : pos + n]
-            if b[pos + n : pos + n + 2] != _CRLF:
-                raise ValueError(f"{path}: chunk data not CRLF-terminated")
-            pos += n + 2
-            n_chunks += 1
-        # trailer section: header lines until the blank line, merged
-        # into the header dict (without clobbering a proper header)
-        while True:
-            eol = b.find(_CRLF, pos)
-            if eol < 0:
-                raise ValueError(f"{path}: unterminated trailer section")
-            line = b[pos:eol]
-            pos = eol + 2
-            if not line:
-                break
-            k, sep, v = line.partition(b":")
-            if not sep or not k:
-                raise ValueError(f"{path}: malformed trailer {line!r}")
-            headers.setdefault(k.strip().lower(), v.strip())
+        body, n_chunks = _dechunk_and_verify(b, pos, headers, path)
+    elif b"content-length" in headers:
+        body, n_chunks = _framed_by_content_length(
+            b, pos, headers, path), 0
+    else:
         if pos != len(b):
-            raise ValueError(f"{path}: {len(b) - pos} bytes of garbage "
-                             "after the last chunk's trailer")
-        # trailer-declared body checks: both are over the de-chunked
-        # message body (pre Content-Encoding — what was transferred)
-        if b"x-len" in headers:
-            try:
-                want_len = int(headers[b"x-len"])
-            except ValueError:
-                raise ValueError(f"{path}: non-numeric X-Len trailer")
-            if want_len != len(body):
-                raise ValueError(
-                    f"{path}: X-Len trailer {want_len} != de-chunked "
-                    f"body length {len(body)}")
-        if b"x-payload-sha256" in headers:
-            want = headers[b"x-payload-sha256"].strip().lower().decode()
-            got = hashlib.sha256(body).hexdigest()
-            if want != got:
-                raise ValueError(
-                    f"{path}: X-Payload-SHA256 trailer mismatch")
-        return status, headers, _content_decode(body, headers, path), \
-            n_chunks
-    if b"content-length" in headers:
-        try:
-            n = int(headers[b"content-length"])
-        except ValueError:
-            raise ValueError(f"{path}: non-numeric Content-Length")
-        if n < 0 or pos + n != len(b):
-            raise ValueError(f"{path}: Content-Length {n} does not match "
-                             f"remaining {len(b) - pos} bytes")
-        return (status, headers,
-                _content_decode(b[pos : pos + n], headers, path), 0)
-    raise ValueError(f"{path}: response without Content-Length or "
-                     "chunked framing")
+            raise ValueError(
+                f"{path}: request without framing carries "
+                f"{len(b) - pos} bytes of body")
+        body, n_chunks = b"", 0
+    return (method.decode("ascii"), target.decode("ascii", "replace"),
+            version.decode("ascii"), headers,
+            _content_decode(body, headers, path), n_chunks)
 
 
 def _content_decode(body: bytes, headers: dict, path: str) -> bytes:
@@ -999,6 +1135,43 @@ def try_scan_warc_revisits(payload: bytes):
         return None
 
 
+def _request_record_row(d: int, u: str, block: bytes, wh: dict,
+                        path: str):
+    """One reader row from a decoded ``request`` record — shared by
+    the Spark scan and its fuzz wrapper: (doc_id, target_uri, method,
+    request_target, http_version, user_agent, body_len, n_chunks,
+    concurrent_to). A malformed client message is a framing defect
+    (raise), not data — the request plane is provenance, and a
+    silently-dropped or half-parsed request would misattribute what
+    the crawler actually sent."""
+    method, target, version, hh, body, k = parse_http_request_ex(
+        block, path)
+    ua = hh.get(b"user-agent")
+    return (d, u, method, target, version,
+            ua.decode("utf-8", "replace") if ua is not None else None,
+            len(body), k,
+            wh.get(b"warc-concurrent-to", b"").decode() or None)
+
+
+def try_scan_warc_requests(payload: bytes):
+    """Fuzz-contract wrapper over the request plane (the same
+    :func:`_request_record_row` extraction the Spark reader runs):
+    returns [(doc_id, target_uri, method, request_target,
+    http_version, user_agent, body_len, n_chunks, concurrent_to)] for
+    request records, or None on any framing defect — never raises."""
+    try:
+        rows = []
+        for member in split_gzip_members(payload, "<bytes>"):
+            for d, u, _n, block, wh in decode_warc_bytes(
+                    member, "<bytes>", with_headers=True):
+                if wh.get(b"warc-type", b"").strip().lower() != b"request":
+                    continue
+                rows.append(_request_record_row(d, u, block, wh, "<bytes>"))
+        return rows
+    except ValueError:
+        return None
+
+
 # ISO 28500 §6.7.2: the revisit profile URI declaring "same payload as
 # the referred-to capture" — the only revisit profile the public
 # corpora use in practice
@@ -1083,7 +1256,8 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                           charsets: bool | str = False,
                           revisits: bool = False,
                           segments: int | None = None,
-                          mislabel: bool = False) -> None:
+                          mislabel: bool = False,
+                          requests: bool = False) -> None:
     """One ``.warc.gz`` file per partition, ONE GZIP MEMBER PER RECORD
     (the Common Crawl layout — member boundaries are the split points a
     distributed reader fans out on). Each record's payload is a full
@@ -1125,7 +1299,17 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
     ``mislabel=True`` declares ``utf-8`` for every odd doc while the
     entity bytes end in an invalid UTF-8 sequence — the mislabeled-page
     case a real crawl is full of; the strict reader must surface NULL
-    text with framing columns intact."""
+    text with framing columns intact.
+
+    ``requests=True`` writes, BEFORE each doc's response member(s),
+    the ``request`` record real crawlers pair with every capture
+    (ISO 28500 §6.4): the client HTTP message from
+    :func:`build_http_request` (GET majority; every 5th doc a POST,
+    chunked framing with verified trailers on every 10th), linked to
+    its response via ``WARC-Concurrent-To``. Request members sit
+    OUTSIDE the CDX extents (the index serves fetchable responses),
+    and the response/revisit/meta readers skip them — the record
+    stream partitions cleanly across the four scans."""
     import hashlib
     import re as _re
 
@@ -1171,6 +1355,24 @@ def write_warc_gz_dataset(df: DataFrame, out_dir: str,
                            f"{doc_id:012d}>".encode())
                 orig_uri = f"http://example.com/doc/{doc_id}".encode()
                 entity_digest = hashlib.sha256(entity).hexdigest()
+                if requests:
+                    # the capture's request record precedes its
+                    # response (crawler write order); its own member,
+                    # outside the response's CDX extent
+                    req_body = _request_body(doc_id)
+                    req = build_warc_record(
+                        doc_id,
+                        payload=build_http_request(doc_id),
+                        warc_type=b"request",
+                        content_type=b"application/http;msgtype=request",
+                        payload_digest=hashlib.sha256(
+                            req_body).hexdigest(),
+                        record_id=(f"<urn:uuid:00000000-0000-0001-0000-"
+                                   f"{doc_id:012d}>".encode()),
+                        extra_headers=[(b"WARC-Concurrent-To", orig_id)])
+                    member = gzip_member(req)
+                    f.write(member)
+                    offset += len(member)
                 if segments and doc_id % segments == 0 and len(http) >= 3:
                     members = _segment_members(
                         doc_id, http, orig_id, entity_digest)
@@ -1667,6 +1869,62 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
                                 continue
                             rows.append(
                                 (d, u) + _revisit_row(wh, path, d))
+                            if len(rows) >= _SCAN_BATCH_ROWS:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_dec, schema)
+
+
+def read_warc_requests(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan .warc.gz shards for ``request`` records — the client half
+    of each capture (ISO 28500 §6.4), the plane crawl forensics and
+    politeness audits read: what was ASKED for, by which agent, with
+    which method and body. One row per request: (doc_id, target_uri,
+    method, request_target, http_version, user_agent, body_len,
+    n_chunks, concurrent_to) via the strict request-side parse
+    (:func:`parse_http_request_ex` — request-line token checks, both
+    body framings plus the bodyless no-framing form, verified chunked
+    trailers); ``concurrent_to`` is the stored response's record id,
+    so joining the two planes is id-exact, not URI-heuristic.
+    Malformed client messages raise with the shard path. Map-only,
+    one task per shard, streaming member walk (per-task memory
+    O(member)); the response/revisit/meta readers SKIP request
+    records, so the scans partition the record stream cleanly."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("target_uri", StringType(), True),
+            StructField("method", StringType(), True),
+            StructField("request_target", StringType(), True),
+            StructField("http_version", StringType(), True),
+            StructField("user_agent", StringType(), True),
+            StructField("body_len", LongType(), True),
+            StructField("n_chunks", LongType(), True),
+            StructField("concurrent_to", StringType(), True),
+        ]
+    )
+    files = _shard_paths_df(spark, path_glob)
+    cols = ["doc_id", "target_uri", "method", "request_target",
+            "http_version", "user_agent", "body_len", "n_chunks",
+            "concurrent_to"]
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = []
+                with open(path, "rb") as f:
+                    for member in iter_gzip_members_stream(f, path):
+                        for d, u, _n, block, wh in decode_warc_bytes(
+                                member, path, with_headers=True):
+                            wtype = wh.get(
+                                b"warc-type", b"").strip().lower()
+                            if wtype != b"request":
+                                continue
+                            rows.append(_request_record_row(
+                                d, u, block, wh, path))
                             if len(rows) >= _SCAN_BATCH_ROWS:
                                 yield pd.DataFrame(rows, columns=cols)
                                 rows = []

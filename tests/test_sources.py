@@ -2087,3 +2087,133 @@ def test_fetch_extent_contract(spark, tmp_path):
     assert try_fetch_extent(chain[:100]) is None
     assert try_fetch_extent(chain + plain) is None, \
         "two logical responses in one extent must reject"
+
+
+def test_http_request_roundtrip_all_framings():
+    """build_http_request/parse_http_request_ex: the GET majority is
+    bodyless with NO framing header (RFC 7230 §3.3.3's request-side
+    rule), every 5th doc POSTs with Content-Length, every 10th POSTs
+    CHUNKED with verified X-Len / X-Payload-SHA256 trailers."""
+    from sql_query_engine_spark.sources.warc import (
+        _request_body,
+        build_http_request,
+        parse_http_request_ex,
+    )
+
+    for d in [0, 1, 3, 5, 7, 10, 15, 20, 25, 30, 97, 100, 1234567]:
+        m, t, v, hh, body, k = parse_http_request_ex(
+            build_http_request(d), f"doc{d}")
+        assert body == _request_body(d)
+        assert m == ("POST" if d % 5 == 0 else "GET")
+        assert t == f"/doc/{d}" and v == "HTTP/1.1"
+        assert hh[b"user-agent"] == f"sqes-crawler/{d % 3}".encode()
+        exp_k = min(d % 3 + 1, len(body)) if d % 10 == 0 else 0
+        assert k == exp_k
+        if d % 10 == 0:
+            # the trailer section actually rode the wire and merged
+            assert int(hh[b"x-len"]) == len(body)
+
+
+def test_http_request_defects_reject():
+    """Request-line and framing MUSTs: every defect is an attributable
+    ValueError, never a silently-empty or truncated parse."""
+    import pytest
+
+    from sql_query_engine_spark.sources.warc import parse_http_request_ex
+
+    bads = [
+        b"GET /x HTTP/1.1",                    # unterminated line
+        b"GET /x\r\n\r\n",                     # two-part request line
+        b"GET a b HTTP/1.1\r\n\r\n",           # four parts
+        b"GET /x HTTP/2.0\r\n\r\n",            # unknown version
+        b"g{}t /x HTTP/1.1\r\n\r\n",           # non-tchar method
+        b"GET  HTTP/1.1\r\n\r\n",              # empty target
+        b"GET /x HTTP/1.1\r\nHost example\r\n\r\n",   # colonless header
+        b"GET /x HTTP/1.1\r\n\r\ngarbage",     # no-framing body bytes
+        b"POST /x HTTP/1.1\r\nContent-Length: 5\r\n\r\nabc",  # short CL
+        b"POST /x HTTP/1.1\r\nContent-Length: 3\r\n\r\nabcd",  # long CL
+        (b"POST /x HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+         b"3\r\nabc\r\n"),                     # missing last-chunk
+        (b"POST /x HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+         b"3\r\nabc\r\n0\r\nX-Len: 4\r\n\r\n"),  # lying X-Len trailer
+    ]
+    for b in bads:
+        with pytest.raises(ValueError):
+            parse_http_request_ex(b)
+
+
+def test_warc_request_records(spark, tmp_path):
+    """requests=True: every capture's request record precedes its
+    response (WARC-Concurrent-To linking them id-exactly). The request
+    reader surfaces method/target/agent/body columns; the response,
+    revisit, and CDX planes are unperturbed by the interleaved request
+    members (extents stay exact)."""
+    from sql_query_engine_spark.sources.warc import (
+        fetch_warc_members,
+        read_cdx,
+        read_warc_gz,
+        read_warc_requests,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"request-plane doc {d} ☃") for d in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_requests")
+    write_warc_gz_dataset(df, out, n_files=2, requests=True, segments=8)
+
+    reqs = {r.doc_id: r for r in
+            read_warc_requests(spark, f"{out}/*.warc.gz").collect()}
+    assert set(reqs) == set(range(40))
+    for d in range(40):
+        r = reqs[d]
+        assert r.target_uri == f"http://example.com/doc/{d}"
+        assert r.request_target == f"/doc/{d}"
+        assert r.http_version == "HTTP/1.1"
+        assert r.user_agent == f"sqes-crawler/{d % 3}"
+        assert r.concurrent_to == (
+            f"<urn:uuid:00000000-0000-0000-0000-{d:012d}>")
+        if d % 5 == 0:
+            assert r.method == "POST"
+            assert r.body_len == len(f"q={d}&page={d % 7}")
+            assert r.n_chunks == (min(d % 3 + 1, r.body_len)
+                                  if d % 10 == 0 else 0)
+        else:
+            assert r.method == "GET"
+            assert r.body_len == 0 and r.n_chunks == 0
+
+    # the response walk (incl. segment reassembly) skips requests
+    got = read_warc_gz(spark, f"{out}/*.warc.gz")
+    assert sorted(r.doc_id for r in got.collect()) == list(range(40))
+
+    # CDX extents stay exact around the un-indexed request members
+    idx = read_cdx(spark, f"{out}/*.cdx")
+    assert idx.count() == 40
+    fetched = {r.doc_id: r for r in fetch_warc_members(idx, out).collect()}
+    assert set(fetched) == set(range(40))
+    for d, t in docs:
+        assert fetched[d].content_length == len(t.encode("utf-8"))
+
+
+def test_warc_request_malformed_raises(spark, tmp_path):
+    """A request record whose block is not a legal HTTP request must
+    raise with the shard path (provenance, not droppable data), and
+    the fuzz wrapper must reject it — never a half-parsed row."""
+    import pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        build_warc_record,
+        gzip_member,
+        read_warc_requests,
+        try_scan_warc_requests,
+    )
+
+    bad = build_warc_record(
+        3, payload=b"GET /x\r\nHost: x\r\n\r\n",  # two-part request line
+        warc_type=b"request",
+        content_type=b"application/http;msgtype=request")
+    d = tmp_path / "warc_badreq"
+    d.mkdir()
+    (d / "part-00000.warc.gz").write_bytes(gzip_member(bad))
+    with pytest.raises(Exception, match="request line"):
+        read_warc_requests(spark, str(d) + "/*.warc.gz").collect()
+    assert try_scan_warc_requests(gzip_member(bad)) is None

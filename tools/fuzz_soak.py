@@ -20,10 +20,13 @@ from sql_query_engine_spark.sources.warc import (
     try_scan_warc_gz as _warcgz,
     try_scan_warc_gz_meta as _warcmeta,
     try_scan_warc_revisits as _warcrev,
+    try_scan_warc_requests as _warcreq,
     gzip_member as _gzm,
     build_http_response as _bhttp,
+    build_http_request as _bhttpreq,
     build_warc_record as _bwarc,
     _segment_members as _segm,
+    _request_body as _reqbody,
     _decode_labelled_digest as _decdig,
 )
 
@@ -54,6 +57,7 @@ DECODERS = [
     _robots,                                            # r11: robots.txt
     _warcmeta,                                          # r13: digest plane
     _warcrev,                                           # r13: revisit plane
+    _warcreq,                                           # r14: request plane
 ]
 
 def valid_corpus():
@@ -163,6 +167,26 @@ def valid_corpus():
         outs.append(b"".join(_segm(
             d + 4, _h14, _orig_id,
             _hl.sha256(_ent13).hexdigest())))
+        # r14: writer-shaped request+response pair — a chunked POST
+        # (verified X-Len/X-Payload-SHA256 trailers) linked by
+        # WARC-Concurrent-To; mutations must hit the request-line
+        # tokens, the request-side chunk walk, and the trailer checks,
+        # and still reject cleanly (d*10 makes it the chunked branch)
+        _rd = (d + 1) * 10
+        outs.append(
+            _gzm(_bwarc(
+                _rd,
+                payload=_bhttpreq(_rd),
+                warc_type=b"request",
+                content_type=b"application/http;msgtype=request",
+                payload_digest=_hl.sha256(_reqbody(_rd)).hexdigest(),
+                record_id=(f"<urn:uuid:00000000-0000-0001-0000-"
+                           f"{_rd:012d}>".encode()),
+                extra_headers=[
+                    (b"WARC-Concurrent-To",
+                     f"<urn:uuid:00000000-0000-0000-0000-"
+                     f"{_rd:012d}>".encode())]))
+            + _gzm(_rec(_rd)))
         outs.append(build_html_page(d, _t).encode())
         # r12: attribute-heavy page (quoted '>'s, duplicate/unquoted/
         # İ-named attributes, stray solidi) and an entity-bomb page
