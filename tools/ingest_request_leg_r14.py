@@ -37,10 +37,18 @@ N_FILES = 16
 
 def request_leg(spark, report: dict, n_docs: int = N_DOCS) -> None:
     docs = synth_docs(spark, n_docs)
-    d = F.col("doc_id")
-
     out_dir = os.path.join(tempfile.gettempdir(),
                            "ingest_rehearsal_requests_r14")
+    try:
+        _request_leg_body(spark, report, n_docs, docs, out_dir)
+    finally:
+        # the ~GB corpus must not survive a FAILED verification either
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _request_leg_body(spark, report, n_docs, docs, out_dir) -> None:
+    d = F.col("doc_id")
     t0 = time.time()
     warc.write_warc_gz_dataset(docs, out_dir, n_files=N_FILES,
                                requests=True)
@@ -93,10 +101,7 @@ def request_leg(spark, report: dict, n_docs: int = N_DOCS) -> None:
         "t_s": round(t_resp, 2), "rows": int(n_resp)}
     print(json.dumps(leg["response_scan_unperturbed"]), flush=True)
 
-    report["legs"]["request_plane_2m"] = leg
-
-    import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
+    report.setdefault("legs", {})["request_plane_2m"] = leg
 
 
 def main() -> int:
@@ -104,7 +109,12 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "REHEARSAL_r14_ingest.json")
     if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
+        i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            print("usage: ingest_request_leg_r14.py [--out FILE.json]",
+                  file=sys.stderr)
+            return 2
+        out = sys.argv[i + 1]
     spark = get_spark("ingest-request-leg-r14")
     spark.sparkContext.setLogLevel("ERROR")
     report = json.load(open(out)) if os.path.exists(out) else {"legs": {}}

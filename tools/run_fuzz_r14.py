@@ -18,13 +18,23 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PER_SEED = 40_000
-SEEDS = ["0x14A1", "0x14B2", "0x14C3", "0x14D4", "0x14E5"]
+# All seven r14 seeds. The COMMITTED artifact is a two-phase record the
+# default invocation can no longer byte-reproduce: the first five seeds
+# ran BEFORE the request plane landed (36 decoders), the 0x14F6/0x14F7
+# reseed after it (37 decoders, request members in the corpus), so its
+# totals mix the two battery sizes (calls = 200k*36 + 80k*37). A fresh
+# default run regenerates a clean 7-seed record at the CURRENT battery;
+# use --merge to APPEND runs to an existing artifact (summing totals)
+# instead of overwriting it.
+SEEDS = ["0x14A1", "0x14B2", "0x14C3", "0x14D4", "0x14E5",
+         "0x14F6", "0x14F7"]
 
 
 def main() -> int:
     out = os.path.join(REPO, "REHEARSAL_r14_fuzz.json")
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
+    merge = "--merge" in sys.argv
     seeds = SEEDS
     if "--seeds" in sys.argv:
         seeds = sys.argv[sys.argv.index("--seeds") + 1].split(",")
@@ -69,14 +79,23 @@ def main() -> int:
         totals["crashes"] += crashes
         totals["silent_accepts"] += silent
         totals["short_rows"] += short
+    if merge and os.path.exists(out):
+        prior = json.load(open(out))
+        runs = prior["runs"] + runs
+        for k, v in totals.items():
+            if k == "decoders":
+                continue
+            totals[k] = prior["totals"].get(k, 0) + v
+        totals["decoders"] = max(totals["decoders"],
+                                 prior["totals"].get("decoders", 0))
     report = {
         "runs": runs,
         "totals": totals,
         "note": (
             "r14 flywheel (VERDICT r13 #5): the corpus and the three "
-            "standing passes (generic mutation battery over all 36 "
-            "decoders, gzip member-boundary seam, digest/trailer "
-            "bit-flips) carry over from r13 unchanged; NEW standing "
+            "standing passes (generic mutation battery over the full "
+            "decoder battery, gzip member-boundary seam, digest/"
+            "trailer bit-flips) carry over from r13; NEW standing "
             "pass per seed: 4000 chain-extent CDX fetch mutations — "
             "corrupt the indexed extent's LENGTH, its OFFSET, and "
             "bytes of the MID-CHAIN continuation member of a 3-member "
