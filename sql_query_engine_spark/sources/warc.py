@@ -714,8 +714,6 @@ def build_http_response(body: bytes, doc_id: int,
     checksums computed while streaming, and the framing variants a
     real crawl's responses actually mix. ``charset`` lands in the
     Content-Type parameter — the reader decodes the entity by it."""
-    import hashlib
-
     status = (b"HTTP/1.1 404 Not Found" if doc_id % 11 == 0
               else b"HTTP/1.1 200 OK")
     head = [status,
@@ -849,8 +847,12 @@ def parse_http_response_ex(b: bytes, path: str = "<bytes>"):
 def _read_http_headers(b: bytes, pos: int, path: str):
     """The header-field loop both message parsers share: lowercased
     name → stripped value until the blank line → (headers, pos past
-    the blank line). Raises on an unterminated block or a colonless
-    line."""
+    the blank line). Raises on an unterminated block, a colonless
+    line, or a REPEATED framing field (RFC 7230 §3.3.3: duplicate
+    Content-Length / Transfer-Encoding is the request-smuggling
+    ambiguity class — a dict that silently let the last one win would
+    parse one arbitrary interpretation of an ambiguous message
+    instead of rejecting it attributably)."""
     headers: dict[bytes, bytes] = {}
     while True:
         eol = b.find(_CRLF, pos)
@@ -863,7 +865,19 @@ def _read_http_headers(b: bytes, pos: int, path: str):
         k, sep, v = line.partition(b":")
         if not sep or not k:
             raise ValueError(f"{path}: malformed HTTP header {line!r}")
-        headers[k.strip().lower()] = v.strip()
+        k = k.strip().lower()
+        if k in (b"content-length", b"transfer-encoding") and k in headers:
+            raise ValueError(
+                f"{path}: repeated {k.decode()} header (framing "
+                f"ambiguity)")
+        headers[k] = v.strip()
+    if (headers.get(b"transfer-encoding", b"").lower() == b"chunked"
+            and b"content-length" in headers):
+        # both framings declared: RFC 7230 §3.3.3 says treat as an
+        # error (the smuggling vector); never pick one silently
+        raise ValueError(
+            f"{path}: both Content-Length and chunked Transfer-"
+            f"Encoding declared (framing ambiguity)")
     return headers, pos
 
 
@@ -1116,6 +1130,25 @@ def _revisit_row(wh: dict, path: str, doc_id: int):
     )
 
 
+def _typed_member_rows(payload: bytes, wtype: bytes, row_fn):
+    """Decode every member of ``payload`` and extract ``row_fn`` rows
+    from the records of one WARC-Type — the loop both typed-plane
+    fuzz wrappers share (the Spark readers run the same filter+extract
+    over the streaming walk via :func:`_scan_typed_records`)."""
+    rows = []
+    for member in split_gzip_members(payload, "<bytes>"):
+        for d, u, _n, block, wh in decode_warc_bytes(
+                member, "<bytes>", with_headers=True):
+            if wh.get(b"warc-type", b"").strip().lower() != wtype:
+                continue
+            rows.append(row_fn(d, u, block, wh, "<bytes>"))
+    return rows
+
+
+def _revisit_plane_row(d, u, _block, wh, path):
+    return (d, u) + _revisit_row(wh, path, d)
+
+
 def try_scan_warc_revisits(payload: bytes):
     """Fuzz-contract wrapper over the revisit plane (the same
     :func:`_revisit_row` extraction the Spark reader runs): returns
@@ -1123,14 +1156,7 @@ def try_scan_warc_revisits(payload: bytes):
     profile)] for revisit records, or None on any framing defect —
     never raises (UnicodeDecodeError subclasses ValueError)."""
     try:
-        rows = []
-        for member in split_gzip_members(payload, "<bytes>"):
-            for d, u, _n, _block, wh in decode_warc_bytes(
-                    member, "<bytes>", with_headers=True):
-                if wh.get(b"warc-type", b"").strip().lower() != b"revisit":
-                    continue
-                rows.append((d, u) + _revisit_row(wh, "<bytes>", d))
-        return rows
+        return _typed_member_rows(payload, b"revisit", _revisit_plane_row)
     except ValueError:
         return None
 
@@ -1160,14 +1186,7 @@ def try_scan_warc_requests(payload: bytes):
     http_version, user_agent, body_len, n_chunks, concurrent_to)] for
     request records, or None on any framing defect — never raises."""
     try:
-        rows = []
-        for member in split_gzip_members(payload, "<bytes>"):
-            for d, u, _n, block, wh in decode_warc_bytes(
-                    member, "<bytes>", with_headers=True):
-                if wh.get(b"warc-type", b"").strip().lower() != b"request":
-                    continue
-                rows.append(_request_record_row(d, u, block, wh, "<bytes>"))
-        return rows
+        return _typed_member_rows(payload, b"request", _request_record_row)
     except ValueError:
         return None
 
@@ -1851,9 +1870,22 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
             StructField("profile", StringType(), True),
         ]
     )
-    files = _shard_paths_df(spark, path_glob)
     cols = ["doc_id", "target_uri", "refers_to_uri",
             "refers_to_id", "payload_sha256", "profile"]
+    return _scan_typed_records(spark, path_glob, b"revisit",
+                               _revisit_plane_row, schema, cols)
+
+
+def _scan_typed_records(spark: SparkSession, path_glob: str,
+                        wtype: bytes, row_fn, schema, cols) -> DataFrame:
+    """The typed-plane scan both the revisit and the request readers
+    are: shard-path listing → streaming member walk (O(member) memory,
+    shard-size-independent) → keep records of ONE WARC-Type → one
+    ``row_fn`` row each, flowing out in bounded Arrow batches. Factored
+    so a fix to the shared walk (batching, path handling) lands in one
+    place — the same same-side-drift argument as the HTTP framing
+    helpers."""
+    files = _shard_paths_df(spark, path_glob)
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1861,14 +1893,12 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
                 rows = []
                 with open(path, "rb") as f:
                     for member in iter_gzip_members_stream(f, path):
-                        for d, u, _n, _block, wh in decode_warc_bytes(
+                        for d, u, _n, block, wh in decode_warc_bytes(
                                 member, path, with_headers=True):
-                            wtype = wh.get(
-                                b"warc-type", b"").strip().lower()
-                            if wtype != b"revisit":
+                            if (wh.get(b"warc-type", b"")
+                                    .strip().lower() != wtype):
                                 continue
-                            rows.append(
-                                (d, u) + _revisit_row(wh, path, d))
+                            rows.append(row_fn(d, u, block, wh, path))
                             if len(rows) >= _SCAN_BATCH_ROWS:
                                 yield pd.DataFrame(rows, columns=cols)
                                 rows = []
@@ -1906,32 +1936,11 @@ def read_warc_requests(spark: SparkSession, path_glob: str) -> DataFrame:
             StructField("concurrent_to", StringType(), True),
         ]
     )
-    files = _shard_paths_df(spark, path_glob)
     cols = ["doc_id", "target_uri", "method", "request_target",
             "http_version", "user_agent", "body_len", "n_chunks",
             "concurrent_to"]
-
-    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for path in pdf["path"]:
-                rows = []
-                with open(path, "rb") as f:
-                    for member in iter_gzip_members_stream(f, path):
-                        for d, u, _n, block, wh in decode_warc_bytes(
-                                member, path, with_headers=True):
-                            wtype = wh.get(
-                                b"warc-type", b"").strip().lower()
-                            if wtype != b"request":
-                                continue
-                            rows.append(_request_record_row(
-                                d, u, block, wh, path))
-                            if len(rows) >= _SCAN_BATCH_ROWS:
-                                yield pd.DataFrame(rows, columns=cols)
-                                rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(_dec, schema)
+    return _scan_typed_records(spark, path_glob, b"request",
+                               _request_record_row, schema, cols)
 
 
 def _local_path_of(uri: str) -> str:

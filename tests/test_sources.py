@@ -2217,3 +2217,39 @@ def test_warc_request_malformed_raises(spark, tmp_path):
     with pytest.raises(Exception, match="request line"):
         read_warc_requests(spark, str(d) + "/*.warc.gz").collect()
     assert try_scan_warc_requests(gzip_member(bad)) is None
+
+
+def test_http_framing_ambiguity_rejects():
+    """RFC 7230 §3.3.3's request-smuggling ambiguity class rejects on
+    BOTH message sides: duplicate Content-Length / Transfer-Encoding
+    fields, and Content-Length combined with chunked Transfer-Encoding
+    — a parser that silently picks one interpretation misattributes
+    what was actually transferred."""
+    import pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        parse_http_request_ex,
+        parse_http_response_ex,
+    )
+
+    req_bads = [
+        (b"POST /x HTTP/1.1\r\nContent-Length: 3\r\n"
+         b"Content-Length: 4\r\n\r\nabcd"),          # duplicate CL
+        (b"POST /x HTTP/1.1\r\nTransfer-Encoding: chunked\r\n"
+         b"Transfer-Encoding: chunked\r\n\r\n0\r\n\r\n"),  # duplicate TE
+        (b"POST /x HTTP/1.1\r\nContent-Length: 999\r\n"
+         b"Transfer-Encoding: chunked\r\n\r\n0\r\n\r\n"),  # CL + chunked
+    ]
+    for b in req_bads:
+        with pytest.raises(ValueError, match="ambiguity"):
+            parse_http_request_ex(b)
+
+    resp_bads = [
+        (b"HTTP/1.1 200 OK\r\nContent-Length: 3\r\n"
+         b"Content-Length: 4\r\n\r\nabcd"),
+        (b"HTTP/1.1 200 OK\r\nContent-Length: 999\r\n"
+         b"Transfer-Encoding: chunked\r\n\r\n0\r\n\r\n"),
+    ]
+    for b in resp_bads:
+        with pytest.raises(ValueError, match="ambiguity"):
+            parse_http_response_ex(b)
