@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df as _local_df
 from .partitioning import sized_for_python_stage
 
 __all__ = ["adaptive_params", "train_centroids", "ivf_topk"]
@@ -219,7 +220,7 @@ def ivf_topk(
         for cell in np.argsort(d)[:n_probe]:
             probe_rows.append((r.vec_id, int(cell)))
     probes = F.broadcast(
-        spark.createDataFrame(probe_rows, "query_id long, cell int")
+        _local_df(spark, probe_rows, "query_id long, cell int")
     )
 
     q = corpus.filter(F.col("vec_id") < n_queries).select(

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df as _local_df
 from .partitioning import sized_for_python_stage
 
 __all__ = [
@@ -235,8 +236,8 @@ def pq_topk(
             [cb[si] @ q[si * subdim : (si + 1) * subdim] for si in range(m)]
         )
         q_data.append((int(r.vec_id), qn, [[float(x) for x in row] for row in lut]))
-    queries = spark.createDataFrame(
-        q_data, "query_id long, qn double, lut array<array<double>>"
+    queries = _local_df(
+        spark, q_data, "query_id long, qn double, lut array<array<double>>"
     )
     # per-cell reconstruction norms are query-independent: one literal
     norm_lit = (
@@ -425,7 +426,8 @@ def ivfpq_topk(
                 )
             )
     spark = emb.sparkSession
-    queries = spark.createDataFrame(
+    queries = _local_df(
+        spark,
         q_data,
         "query_id long, cell int, qn double, qdotc double, cnorm2 double,"
         " lut array<array<double>>, ccdot array<array<double>>",

@@ -38,6 +38,7 @@ from .functions.pq import pq_pinned_topk_oracle as _pq_pinned_oracle
 _PQ_PINNED_ORACLE = _pq_pinned_oracle()
 _IVFPQ_PINNED_ORACLE = _ivfpq_pinned_oracle()
 from .operators import relational as R
+from .session import local_df as _local_df
 from .streaming import events as EV
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -3396,7 +3397,7 @@ _BANDS_SQL_ROWS = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
 def join_range_bands(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     bands = F.broadcast(
-        spark.createDataFrame(_BANDS, "band string, lo long, hi long")
+        _local_df(spark, _BANDS, "band string, lo long, hi long")
     )
     return (
         o.join(
@@ -3952,7 +3953,8 @@ def sample_systematic(spark, sf_dir):
 )
 def sample_stratified(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
+    rates = _local_df(
+        spark,
         [("en", 60), ("zh", 30), ("es", 30), ("de", 30), ("fr", 30)],
         "lang string, pct int",
     )
@@ -4245,8 +4247,22 @@ def pipeline_training_data(spark, sf_dir):
     )
     ntok = F.expr(text.ORACLE_EXPRS["n_tokens"][0])
     qual = F.expr(text.ORACLE_EXPRS["quality"][0])
-    lang = F.expr(text.ORACLE_EXPRS["lang_id"][0])
-    keep = (ntok >= 20) & (ntok <= 1000) & (qual > 0.3) & (lang != "und")
+    # Gate-equivalent rewrite of `lang_id != 'und'` (r15): the lang_id CASE
+    # returns 'und' iff EVERY marker count is zero (each branch requires its
+    # language's count > 0, and the argmax branch fires whenever any count is
+    # positive — counts are non-negative). So the boolean gate reduces to
+    # "padded text contains ANY marker": one rlike pass instead of the CASE's
+    # ~50 un-CSE'd replace()+length() evaluations inside the pushed-down
+    # filter (guide §1.2 per-task work; measured 1.52s -> 0.52s at sf0.1,
+    # row-identical on the full corpus). Queries that need the VALUE of
+    # lang_id (not just the gate) keep the full CASE.
+    _any_marker = "|".join(
+        "(?:%s)" % m for ms in text.LANG_MARKERS.values() for m in ms
+    )
+    lang_known = F.expr(
+        f"concat(' ', lower(text), ' ') rlike '{_any_marker}'"
+    )
+    keep = (ntok >= 20) & (ntok <= 1000) & (qual > 0.3) & lang_known
     kept = (
         docs.join(clusters, "doc_id")
         .filter((F.col("cluster_id") == F.col("doc_id")) & keep)
@@ -9913,7 +9929,8 @@ def join_spatial_grid(spark, sf_dir):
         "cy", F.expr(f"y div {c}")
     )
     boxes = F.broadcast(
-        pts.sparkSession.createDataFrame(
+        _local_df(
+            pts.sparkSession,
             _SPATIAL_BOXES, "box_id int, x0 int, x1 int, y0 int, y1 int"
         ).select(
             "*",

@@ -28,7 +28,29 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "default_parallelism"]
+__all__ = ["get_spark", "default_parallelism", "local_df"]
+
+
+def local_df(spark: SparkSession, rows, schema: str):
+    """Literal rows as an Arrow-backed LocalRelation.
+
+    ``createDataFrame(list_of_tuples)`` parallelizes the rows into a
+    Python RDD, so EVERY action that executes the plan re-runs a pickled
+    Python scan (+ a round-robin exchange where repartitioned) — measured
+    ~0.28 s of fixed overhead per action on a 32-core local session, paid
+    by every query that joins a tiny literal table. Routing the same rows
+    through pandas + Arrow yields a LocalRelation: embedded in the plan,
+    ~free at execution, and eligible for broadcast without a job.
+
+    Columns are matched to ``schema`` POSITIONALLY; rows must be
+    NULL-free in numeric columns (pandas would coerce int+None to
+    float). Use plain ``createDataFrame`` for anything data-sized.
+    """
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(rows), schema)
 
 
 def default_parallelism() -> int:
