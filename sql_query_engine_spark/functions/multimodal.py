@@ -5583,15 +5583,32 @@ class _JpegBitReader:
 
 
 def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]):
-    code = 0
-    for ln in range(1, 17):
-        b = reader.bits(1)
-        if b is None:
+    """Walk the canonical code directly on the reader's accumulator:
+    one dict probe per LENGTH instead of a ``bits(1)`` call (fill check
+    + shift + mask) per BIT — measured ~2× on the entropy-decode-bound
+    mm_ pixel stats. Byte-identical consumption semantics to the
+    per-bit form: a match consumes exactly the code's length; no match
+    within 16 bits (or bit exhaustion at a marker/EOF) returns None
+    with the walked bits consumed, exactly as 16 ``bits(1)`` calls
+    would have."""
+    nb = reader.nbits
+    if nb < 16:
+        # one fill tops the accumulator to >=25 bits or to the
+        # marker/EOF boundary — a mid-walk refill can add nothing more
+        reader._fill()
+        nb = reader.nbits
+        if nb == 0:
             return None
-        code = (code << 1) | b
+    acc = reader.acc
+    code = 0
+    maxl = nb if nb < 16 else 16
+    for ln in range(1, maxl + 1):
+        code = (code << 1) | ((acc >> (nb - ln)) & 1)
         sym = table.get((ln, code))
         if sym is not None:
+            reader.nbits = nb - ln
             return sym
+    reader.nbits = nb - maxl
     return None
 
 
@@ -5617,6 +5634,39 @@ def _idct_basis():
                 a[u, x] = (c / 2) * math.cos((2 * x + 1) * u * math.pi / 16)
         _IDCT_BASIS = a
     return _IDCT_BASIS
+
+
+_ZZ_FLAT = None  # zigzag position i -> row-major index r*8+c (lazy ndarray)
+
+
+def _zz_flat():
+    global _ZZ_FLAT
+    if _ZZ_FLAT is None:
+        import numpy as np
+
+        _ZZ_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.intp)
+    return _ZZ_FLAT
+
+
+def _idct_blocks(cc, qa):
+    """Batched dequant + IDCT + level shift for a whole component:
+    ``cc`` is (n_blocks, 64) raw coefficients in ZIGZAG order, ``qa``
+    the 64-entry quant table. Returns (n_blocks, 8, 8) clipped pixels.
+
+    Replaces the per-block python loop (64 scalar ndarray stores + two
+    8x8 matmuls + round/clip dispatch PER BLOCK — the decode profile's
+    top cost) with one vectorized pass per component. Value-exact vs
+    the per-block form: the zigzag scatter and dequant are elementwise,
+    and numpy's stacked matmul runs the same per-slice 8x8 product as
+    the 2D form (verified block-exact across the synthetic corpus and
+    the foreign fixtures by the decoder tests)."""
+    import numpy as np
+
+    A = _idct_basis()
+    full = np.zeros((cc.shape[0], 64))
+    full[:, _zz_flat()] = cc * qa
+    blocks = (A.T @ full.reshape(-1, 8, 8)) @ A
+    return np.clip(np.round(blocks) + 128, 0, 255)
 
 
 def _decode_jpeg_planes(payload: bytes):
@@ -5750,7 +5800,6 @@ def _decode_jpeg_planes(payload: bytes):
             return None
         tables.append((hi, vi, np.array(q, dtype=np.float64), dct, act))
 
-    A = _idct_basis()
     hmax = max(t[0] for t in tables)
     vmax = max(t[1] for t in tables)
     mcw = 8 * hmax   # MCU pixel width / height
@@ -5760,28 +5809,31 @@ def _decode_jpeg_planes(payload: bytes):
     reader = _JpegBitReader(b, scan_start)
     nc = len(scan_comps)
     preds = [0] * nc
-    planes = [
-        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+    # raw zigzag coefficients per component, one row per block in the
+    # component's own raster order — dequant/IDCT/clip happen ONCE per
+    # component in _idct_blocks after the entropy walk, not per block
+    coefs = [
+        np.zeros((mcus_y * vi * mcus_x * hi, 64))
         for hi, vi, _, _, _ in tables
     ]
 
-    def read_block(c):
-        _, _, qa, dct, act = tables[c]
+    def read_block(c, k):
+        _, _, _qa, dct, act = tables[c]
         s = _huff_decode(reader, dct)
         if s is None or s > 11:
-            return None
+            return False
         if s:
             amp = reader.bits(s)
             if amp is None:
-                return None
+                return False
             preds[c] += _extend(amp, s)
-        zz = np.zeros(64)
-        zz[0] = preds[c]
+        cc = coefs[c]
+        cc[k, 0] = preds[c]
         idx = 0
         while idx < 63:
             rs = _huff_decode(reader, act)
             if rs is None:
-                return None
+                return False
             if rs == 0x00:  # EOB
                 break
             if rs == 0xF0:  # ZRL
@@ -5790,16 +5842,12 @@ def _decode_jpeg_planes(payload: bytes):
             run, sz = rs >> 4, rs & 0x0F
             idx += run + 1
             if idx > 63 or sz == 0:
-                return None
+                return False
             amp = reader.bits(sz)
             if amp is None:
-                return None
-            zz[idx] = _extend(amp, sz)
-        coef = np.zeros((8, 8))
-        for i, (r, cc) in enumerate(_ZIGZAG):
-            coef[r, cc] = zz[i] * qa[i]
-        block = A.T @ coef @ A
-        return np.clip(np.round(block) + 128, 0, 255)
+                return False
+            cc[k, idx] = _extend(amp, sz)
+        return True
 
     # interleaved MCU order (T.81 A.2.3): per MCU, each component
     # contributes its h_i x v_i blocks in raster order. With a DRI
@@ -5825,19 +5873,26 @@ def _decode_jpeg_planes(payload: bytes):
             mcu_i += 1
             for c in range(nc):
                 hi, vi = tables[c][0], tables[c][1]
+                gw = mcus_x * hi  # component block-grid width
                 for byy in range(vi):
                     for bxx in range(hi):
-                        px = read_block(c)
-                        if px is None:
+                        k = (my * vi + byy) * gw + (mx * hi + bxx)
+                        if not read_block(c, k):
                             return None
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample subsampled components by replication (nearest — keeps
-    # flat blocks exactly flat), then crop to the declared image bounds
+    # batched dequant + IDCT + clip per component, then assemble the
+    # block grid into the plane in one reshape/transpose (no per-block
+    # ndarray stores); upsample subsampled components by replication
+    # (nearest — keeps flat blocks exactly flat), crop to the declared
+    # image bounds
     out = []
-    for c, (hi, vi, _, _, _) in enumerate(tables):
-        p = planes[c]
+    for c, (hi, vi, qa, _dct, _act) in enumerate(tables):
+        gw, gh = mcus_x * hi, mcus_y * vi
+        px = _idct_blocks(coefs[c], qa)
+        p = (
+            px.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
         if hi < hmax:
             p = np.repeat(p, hmax // hi, axis=1)
         if vi < vmax:
@@ -6536,7 +6591,6 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
         pos += 2 + ln
     if not coefs or w is None or w == 0 or h == 0:
         return None
-    A = _idct_basis()
     planes = []
     for cid in cids:
         q = qtables.get(sof_comps[cid])
@@ -6544,16 +6598,15 @@ def _decode_jpeg_progressive_coefs(payload: bytes):
             return None
         qa = np.array(q, dtype=np.float64)
         cbw, cbh = grid[cid]
-        plane = np.zeros((cbh * 8, cbw * 8))
-        cc = coefs[cid]
-        for k in range(cbw * cbh):
-            coef = np.zeros((8, 8))
-            for i, (r, c) in enumerate(_ZIGZAG):
-                coef[r, c] = cc[k, i] * qa[i]
-            block = A.T @ coef @ A
-            px = np.clip(np.round(block) + 128, 0, 255)
-            by, bx = divmod(k, cbw)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        # batched dequant+IDCT+clip (see _idct_blocks) over the stored
+        # coefficient rows, assembled by reshape — the rows are already
+        # in the component's row-major block raster
+        px = _idct_blocks(coefs[cid], qa)
+        plane = (
+            px.reshape(cbh, cbw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(cbh * 8, cbw * 8)
+        )
         # upsample subsampled components by replication (nearest — flat
         # blocks stay exactly flat), then crop to the declared bounds
         hi, vi = samp[cid]

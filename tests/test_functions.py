@@ -2484,6 +2484,58 @@ def test_jpeg_progressive_equals_baseline():
         assert res is None or len(res) == 3
 
 
+def test_idct_blocks_matches_per_block_reference():
+    """The r15 batched dequant+IDCT+clip (_idct_blocks) must be
+    VALUE-EXACT against the per-block form it replaced (zigzag scatter
+    loop + 2D matmuls + round/clip per block): any drift flips a
+    round() half-way case and hash-breaks the integer pixel oracles."""
+    import numpy as np
+
+    from sql_query_engine_spark.functions.multimodal import (
+        _ZIGZAG,
+        _idct_basis,
+        _idct_blocks,
+    )
+
+    rng = np.random.RandomState(7)
+    A = _idct_basis()
+    qa = rng.randint(1, 64, size=64).astype(np.float64)
+    # mixed magnitudes incl. values that land near .5 after the IDCT
+    cc = rng.randint(-1024, 1024, size=(37, 64)).astype(np.float64)
+    cc[0, 1:] = 0  # a DC-only block, the synthetic corpus's common case
+    got = _idct_blocks(cc, qa)
+    for k in range(cc.shape[0]):
+        coef = np.zeros((8, 8))
+        for i, (r, c) in enumerate(_ZIGZAG):
+            coef[r, c] = cc[k, i] * qa[i]
+        ref = np.clip(np.round(A.T @ coef @ A) + 128, 0, 255)
+        assert np.array_equal(got[k], ref)
+
+
+def test_huff_decode_consumption_semantics():
+    """The accumulator-walk _huff_decode must consume exactly like the
+    per-bit form: a match eats the code length; no match within 16 bits
+    eats 16; exhaustion at end-of-data returns None."""
+    from sql_query_engine_spark.functions.multimodal import (
+        _huff_decode,
+        _JpegBitReader,
+    )
+
+    table = {(2, 0b10): 5, (3, 0b111): 9}
+    # 10 111 10 ... -> 5, 9, 5; then exhaustion
+    r = _JpegBitReader(bytes([0b10111100]), 0)
+    assert _huff_decode(r, table) == 5 and r.nbits == 6
+    assert _huff_decode(r, table) == 9 and r.nbits == 3
+    assert _huff_decode(r, table) == 5 and r.nbits == 1
+    assert _huff_decode(r, table) is None  # 1 trailing bit, no code
+    # no match within 16 bits consumes 16 and fails
+    r2 = _JpegBitReader(bytes([0x00, 0x00, 0x00]), 0)
+    assert _huff_decode(r2, {(16, 0xFFFF): 1}) is None
+    assert r2.nbits == 24 - 16
+    # empty stream
+    assert _huff_decode(_JpegBitReader(b"", 0), table) is None
+
+
 def test_jpeg_restart_marker_validation():
     """T.81 F.2.1.3 restart discipline: the corpus fixtures carry a DRI
     segment and RSTn markers every _PROG_RST data units; a wrong
