@@ -871,13 +871,23 @@ def _read_http_headers(b: bytes, pos: int, path: str):
                 f"{path}: repeated {k.decode()} header (framing "
                 f"ambiguity)")
         headers[k] = v.strip()
-    if (headers.get(b"transfer-encoding", b"").lower() == b"chunked"
-            and b"content-length" in headers):
-        # both framings declared: RFC 7230 §3.3.3 says treat as an
-        # error (the smuggling vector); never pick one silently
-        raise ValueError(
-            f"{path}: both Content-Length and chunked Transfer-"
-            f"Encoding declared (framing ambiguity)")
+    te = headers.get(b"transfer-encoding")
+    if te is not None:
+        if b"content-length" in headers:
+            # both framings declared: RFC 7230 §3.3.3 says treat as an
+            # error (the smuggling vector); never pick one silently.
+            # ANY Transfer-Encoding value counts — 'gzip, chunked' plus
+            # Content-Length used to slip past an exact-'chunked' check
+            # and silently frame by Content-Length (ADVICE r14).
+            raise ValueError(
+                f"{path}: both Content-Length and Transfer-Encoding "
+                f"declared (framing ambiguity)")
+        if te.lower() != b"chunked":
+            # the one transfer coding this ingest decodes; anything
+            # else (multi-coding lists included) must reject rather
+            # than fall through to a framing the sender didn't declare
+            raise ValueError(
+                f"{path}: unsupported Transfer-Encoding {te!r}")
     return headers, pos
 
 
@@ -887,10 +897,12 @@ def _framed_by_content_length(b: bytes, pos: int, headers: dict,
     declared count must be numeric, non-negative, and consume the
     REST of the block exactly (a WARC block holds one whole message,
     so trailing garbage is a defect, not pipelined data)."""
-    try:
-        n = int(headers[b"content-length"])
-    except ValueError:
-        raise ValueError(f"{path}: non-numeric Content-Length")
+    cl = headers[b"content-length"]
+    # strict DIGIT-only token (RFC 7230 §3.3.2): python's int() also
+    # accepts '+5', surrounding whitespace, and '5_0' (ADVICE r14)
+    if not cl or cl.strip(b"0123456789"):
+        raise ValueError(f"{path}: non-numeric Content-Length {cl!r}")
+    n = int(cl)
     if n < 0 or pos + n != len(b):
         raise ValueError(f"{path}: Content-Length {n} does not match "
                          f"remaining {len(b) - pos} bytes")
@@ -916,10 +928,13 @@ def _dechunk_and_verify(b: bytes, pos: int, headers: dict,
         if eol < 0:
             raise ValueError(f"{path}: unterminated chunk-size line")
         size_tok = b[pos:eol].split(b";", 1)[0].strip()
-        try:
-            n = int(size_tok, 16)
-        except ValueError:
+        # strict HEXDIG-only token (RFC 7230 §4.1): int(tok, 16) also
+        # accepts '0x2', '+2', '1_0' and negatives — a '-2' size line
+        # would re-match its own terminator and plant a phantom chunk
+        # (ADVICE r14)
+        if not size_tok or size_tok.strip(b"0123456789abcdefABCDEF"):
             raise ValueError(f"{path}: bad chunk size {size_tok!r}")
+        n = int(size_tok, 16)
         pos = eol + 2
         if n == 0:
             break
@@ -950,10 +965,10 @@ def _dechunk_and_verify(b: bytes, pos: int, headers: dict,
     # trailer-declared body checks: both are over the de-chunked
     # message body (pre Content-Encoding — what was transferred)
     if b"x-len" in headers:
-        try:
-            want_len = int(headers[b"x-len"])
-        except ValueError:
+        xl = headers[b"x-len"]
+        if not xl or xl.strip(b"0123456789"):  # same strictness as CL
             raise ValueError(f"{path}: non-numeric X-Len trailer")
+        want_len = int(xl)
         if want_len != len(body):
             raise ValueError(
                 f"{path}: X-Len trailer {want_len} != de-chunked "

@@ -2249,7 +2249,65 @@ def test_http_framing_ambiguity_rejects():
          b"Content-Length: 4\r\n\r\nabcd"),
         (b"HTTP/1.1 200 OK\r\nContent-Length: 999\r\n"
          b"Transfer-Encoding: chunked\r\n\r\n0\r\n\r\n"),
+        # ADVICE r14: a TE value that is NOT exactly 'chunked' plus CL
+        # must still be the ambiguity error, never CL framing
+        (b"HTTP/1.1 200 OK\r\nContent-Length: 3\r\n"
+         b"Transfer-Encoding: gzip, chunked\r\n\r\nabc"),
     ]
     for b in resp_bads:
         with pytest.raises(ValueError, match="ambiguity"):
             parse_http_response_ex(b)
+    with pytest.raises(ValueError, match="ambiguity"):
+        parse_http_request_ex(
+            b"POST /x HTTP/1.1\r\nContent-Length: 3\r\n"
+            b"Transfer-Encoding: gzip, chunked\r\n\r\nabc")
+
+    # an unsupported transfer coding WITHOUT Content-Length rejects
+    # outright (this decoder only dechunks 'chunked')
+    for msg, parse in (
+        (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nabc",
+         parse_http_response_ex),
+        (b"POST /x HTTP/1.1\r\nTransfer-Encoding: gzip, chunked\r\n"
+         b"\r\n0\r\n\r\n", parse_http_request_ex),
+    ):
+        with pytest.raises(ValueError, match="unsupported Transfer-Encoding"):
+            parse(msg)
+
+
+def test_http_framing_token_strictness():
+    """ADVICE r14: chunk sizes must be HEXDIG-only and Content-Length /
+    X-Len DIGIT-only — python's int() laxities ('0x2', '+2', '1_0',
+    whitespace, negatives) are framing defects, not alternate
+    spellings. A '-2' size line would otherwise re-match its own CRLF
+    and plant a phantom empty chunk."""
+    import pytest
+
+    from sql_query_engine_spark.sources.warc import (
+        parse_http_request_ex,
+        parse_http_response_ex,
+    )
+
+    def chunked(size_line: bytes) -> bytes:
+        return (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                + size_line + b"\r\nab\r\n0\r\n\r\n")
+
+    # (surrounding whitespace is normalized by the long-standing
+    # token strip — the laxities below are VALUE spellings int() would
+    # otherwise accept)
+    for tok in (b"0x2", b"+2", b"-2", b"1_0", b""):
+        with pytest.raises(ValueError, match="chunk size|chunk-size"):
+            parse_http_response_ex(chunked(tok))
+    # the valid spelling still parses (regression guard)
+    st, _hh, body, k = parse_http_response_ex(chunked(b"2"))
+    assert (st, body, k) == (200, b"ab", 1)
+    # extensions after ';' stay legal
+    st, _hh, body, k = parse_http_response_ex(chunked(b"2;ext=1"))
+    assert (st, body, k) == (200, b"ab", 1)
+
+    for cl in (b"+3", b"3_", b"", b"0x3"):
+        with pytest.raises(ValueError, match="Content-Length"):
+            parse_http_response_ex(
+                b"HTTP/1.1 200 OK\r\nContent-Length: " + cl + b"\r\n\r\nabc")
+        with pytest.raises(ValueError, match="Content-Length"):
+            parse_http_request_ex(
+                b"POST /x HTTP/1.1\r\nContent-Length: " + cl + b"\r\n\r\nabc")
