@@ -376,8 +376,22 @@ def page_expr() -> "F.Column":
 def synthesize_html_pages(docs: DataFrame) -> DataFrame:
     """JVM-side page synthesis (pure codegen expressions — the builder
     never leaves the executor JVM; only the extractor is Python). Adds
-    an ``html`` column to (doc_id, text)."""
-    return docs.select("doc_id", "text", page_expr().alias("html"))
+    an ``html`` column to (doc_id, text).
+
+    The NARROW (doc_id, text) projection is repartitioned to the
+    session's parallelism first: a small compact parquet arrives as ONE
+    split, and without the spread the downstream Python extractor runs
+    an entire corpus on a single core (measured 82 µs/page — 0.4 s
+    serial at sf0.1). Shuffling the raw text BEFORE synthesis keeps the
+    exchange narrow; the synthesized html never crosses a shuffle
+    (same pattern as dedup.shingled_docs / multimodal._doc_id_partitions)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select("doc_id", "text")
+    if src.rdd.getNumPartitions() < par:
+        # one-file local fixtures scan as a single split; many-split
+        # cluster tables skip the rebalance (the bpe/unigram guard)
+        src = src.repartition(par)
+    return src.select("doc_id", "text", page_expr().alias("html"))
 
 
 def html_extract_stats(pages: DataFrame) -> DataFrame:

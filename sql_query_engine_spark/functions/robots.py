@@ -225,8 +225,16 @@ def admission_stats(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
     from .html import page_expr, try_extract_html
 
     path = fixture_path_expr()
-    src = docs.select("doc_id", "source", page_expr().alias("html"),
-                      path.alias("path"))
+    # repartition the narrow base first: one compact parquet split would
+    # otherwise run the whole fused Python stage on a single core (see
+    # html.synthesize_html_pages); the synthesized html stays out of
+    # the exchange
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select("doc_id", "source", "text")
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    src = src.select("doc_id", "source", page_expr().alias("html"),
+                     path.alias("path"))
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -267,7 +275,11 @@ def robots_filter(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
     doc_id, the host's robots.txt from its source; the RFC matcher
     runs in Arrow batches. → (doc_id, path, allowed, matched_rule)."""
     path = fixture_path_expr()
-    src = docs.select("doc_id", "source", path.alias("path"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select("doc_id", "source")
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)  # spread the matcher off one split
+    src = src.select("doc_id", "source", path.alias("path"))
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
