@@ -164,6 +164,12 @@ EXPECTED = {
     "aggregate crossJoin (text_idf shape) against the per-key counts",
     "catalog_feed_freshness": "BNLJ is the broadcast 1-row corpus-max "
     "aggregate against the tiny per-feed table (text_idf shape)",
+    "graph_pagerank": "BNLJs are the lazy 1-row n_nodes aggregate "
+    "crossJoined into the init row and each iteration's teleport term "
+    "(text_idf shape — never data-sized). The r15 rewrite made the "
+    "whole iteration DAG visible to this audit (the old per-round "
+    "localCheckpoint hid it behind ExistingRDD); every edge/rank join "
+    "is a shuffled-hash join on the node key.",
 }
 
 # queries whose physical plan legitimately contains a Window with no
