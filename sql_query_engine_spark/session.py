@@ -89,23 +89,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.default.parallelism", str(max(cores, 8)))
-        # dims like region/nation/supplier/customer/part must broadcast,
-        # never shuffle — every dim here is <1 MB on disk, so 8 MB keeps
-        # them all broadcasting with wide margin. The previous 64 MB also
-        # swept the FACT tables (lineitem ~11 MB) into driver-built
-        # broadcasts: measured 1.5-2x slower than a shuffled join locally
-        # AND the wrong plan shape for 100 TB, where a fact side can never
-        # broadcast (r15; guide §3.1 — pick the strategy deliberately).
-        # AQE still upgrades a genuinely small runtime side to broadcast.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
-        # fact⋈fact equi-joins then plan as SHUFFLED-HASH rather than
-        # sort-merge (guide §3.1/§9): both sides are co-partitioned by the
-        # key either way, but SHJ skips the per-partition sorts and
-        # measured ~1.5x faster on the lineitem joins; the build side must
-        # fit a partition's memory, which AQE partition sizing + skew
-        # splitting keeps bounded at scale (SMJ still plans for sides
-        # above the per-partition threshold)
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # dims like region/nation/supplier must broadcast, never shuffle.
+        # r15 A/B'd 8 MB + preferSortMergeJoin=false (the "facts never
+        # broadcast" shape) in-process against this config: the global
+        # switch LOST locally (sim_lsh_ann_topk 0.8 -> 1.4 s,
+        # stream_session_windows +0.15 s, TPC-H joins ~wash) because at
+        # sf0.1 even fact-side broadcasts are cheap, while at real scale
+        # TB-sized facts exceed ANY threshold and shuffle regardless —
+        # so the 64 MB local default costs nothing at 100 TB. Joins where
+        # a shuffle strategy measurably wins locally AND is the only
+        # scale-viable shape carry explicit shuffle_hash hints instead
+        # (ref_multikey_join's fact self-join, graph_pagerank's
+        # degree/rank joins) — guide §3.1, deliberate per-join choice.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- Python boundary: always Arrow ------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # let registered Python data sources (sources/pyds.py) receive
