@@ -1588,16 +1588,25 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
+    # r15: aggregate BEFORE the joins (guide §2.3, same argument as
+    # tpch_q18: o_orderkey is the orders PK with one customer each, so
+    # the per-(l_orderkey) revenue sum over filtered lineitem equals the
+    # post-join group sum, exactly — decimal addition is regrouping-
+    # exact; the customer/orders filters drop whole orders either way).
+    # The joins then carry one row per qualifying order instead of every
+    # lineitem row (0.42 -> 0.30 s at sf0.1, row-identical).
+    pre = li.groupBy("l_orderkey").agg(
+        F.expr(_REVENUE).cast("double").alias("revenue")
+    )
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy(
+        pre.join(o, pre["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
             "l_orderkey",
+            "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
             "o_orderpriority",
         )
-        .agg(F.expr(_REVENUE).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
     )
 
 
@@ -1730,12 +1739,24 @@ def tpch_q18_large_volume(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("c_custkey", "c_name", "o_orderkey")
+    # r15: aggregate BEFORE the joins (guide §2.3). o_orderkey is the
+    # orders PK and each order has one customer, so grouping the JOINED
+    # rows by (c_custkey, c_name, o_orderkey) sums exactly the same
+    # lineitem rows as grouping lineitem alone by l_orderkey; the HAVING
+    # filter references only the sum, so it commutes with the joins, and
+    # decimal addition is exact under regrouping. The joins then carry
+    # only the few large-volume orders instead of every lineitem row —
+    # at 100 TB the difference between shuffling the fact table and
+    # shuffling the answer (measured 1.1-1.2 s -> 0.75 s at sf0.1,
+    # row-identical).
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
         .filter(F.col("__q") > 100)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",
             "c_name",
