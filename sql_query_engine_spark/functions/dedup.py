@@ -229,22 +229,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding + exact verify.
 
-    Pipeline: shingle → 48-bit shingle hash (once) → 16 min-aggregates →
-    bands (default 4 bands of 4; pass ``banding=banding_for_threshold(t)``
-    to size the S-curve to the target threshold) → shuffle by (band,
-    band-signature) → candidate pairs where any band collides → verify
-    exact Jaccard ≥ threshold on the candidate set only.
+    Pipeline: shingle → 48-bit shingle hash (once) → 16 MAP-ONLY
+    array_min minhashes → bands (default 4 bands of 4; pass
+    ``banding=banding_for_threshold(t)`` to size the S-curve to the
+    target threshold) → shuffle by (band, band-signature) with the hash
+    set carried in-row → exact Jaccard verified directly on colliding
+    band rows → distinct surviving pairs.
 
     At 100 TB the band-join is the only all-data shuffle; its key
     cardinality is huge (band signatures), so it partitions evenly, and the
     quadratic blow-up is confined to same-signature buckets (true
     near-dups, plus ~J⁴-rate false positives that verification removes).
-
-    The shingle table is re-shuffled on doc_id first: the signature
-    pipeline and BOTH sides of the verification join then hang off
-    byte-identical Exchange subplans, which Spark's ReuseExchange
-    computes once (measured ~2× at sf0.1 vs recomputing shingles per
-    branch).
     """
     n_bands, rows_per_band = banding if banding is not None else (
         N_BANDS, ROWS_PER_BAND,
@@ -253,31 +248,39 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"banding {n_bands}x{rows_per_band} != {len(MINHASH_PERMS)} perms"
         )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    # Hash shingles to 48-bit ints BEFORE the doc_id repartition: every
-    # downstream shuffle (the reused repartition exchange, both verify-
-    # join branches) then carries 8-byte bigints instead of raw n-gram
-    # strings — measured ~4× spill cut, the difference between the 10M
-    # rehearsal fitting this container's disk and ENOSPC mid-pipeline,
-    # and the production answer at 100 TB (never shuffle raw text twice).
+    # Hash shingles to 48-bit ints up front: every downstream shuffle
+    # carries 8-byte bigints instead of raw n-gram strings — measured ~4×
+    # spill cut, the difference between the 10M rehearsal fitting this
+    # container's disk and ENOSPC mid-pipeline, and the production answer
+    # at 100 TB (never shuffle raw text twice).
     # Verification Jaccard runs over the distinct HASH sets: identical
     # md5-48 arithmetic on both engines, so the oracle stays value-exact;
     # the deviation from string-set Jaccard is a same-doc 48-bit
     # collision (~n²/2^49 per doc — negligible, and deterministic).
-    sh = (
-        shingled_docs(docs)
-        .select(
-            "doc_id",
-            F.expr(
-                f"array_distinct(transform(sh, s -> {spark_hex48('s')}))"
-            ).alias("sh"),
-        )
-        .repartition(par, "doc_id")
+    sh = shingled_docs(docs).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sh, s -> {spark_hex48('s')}))"
+        ).alias("sh"),
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("h")).select(
-        "doc_id", F.expr(f"h % {MERSENNE_P}").alias("x")
+    # r16: MinHash signatures as MAP-ONLY array_min(transform(...)) over
+    # the in-row hash set — same (a*x+b) % P arithmetic per element, same
+    # min, so values are identical to the former explode + groupBy(doc_id)
+    # aggregation, but with NO doc_id exchange and no 200×-row explode
+    # (guide §2.4: remove shuffles outright; measured 0.62 → 0.29 s for
+    # the signature subtree at sf0.1). The xs projection is separate so
+    # the h % P pass evaluates once, not once per permutation.
+    xs = sh.select(
+        "doc_id", "sh",
+        F.expr(f"transform(sh, h -> h % {MERSENNE_P})").alias("xs"),
     )
-    sigs = _minhash_signatures_from(ex)
+    mh_cols = [
+        F.expr(
+            f"array_min(transform(xs, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = xs.select("doc_id", "sh", *mh_cols)
 
     band_structs = []
     for j in range(n_bands):
@@ -285,32 +288,44 @@ def minhash_lsh_pairs(
         band_structs.append(
             f"struct({j} as band, concat_ws('-', {', '.join(ms)}) as bsig)"
         )
+    # The band rows CARRY the doc's shingle-hash set, so the exact-Jaccard
+    # verify runs directly on the band join's output — the former
+    # cand-distinct + two verify joins (3 more exchanges + 2 broadcast
+    # builds on the critical path) disappear. Scale note: the band shuffle
+    # now ships each doc's hash set n_bands× where the old shape shipped
+    # it 2× (the verify joins) — a deliberate trade of ~2× band-shuffle
+    # bytes for 3 fewer all-data stages; the sets are the narrow 8-byte
+    # hashes (never raw text), so the multiplier is bounded and the
+    # pair-verify still never re-reads the corpus.
     bands = sigs.select(
-        "doc_id", F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, ["band", "bsig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        "doc_id",
+        "sh",
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb"),
+    ).select(
+        "doc_id", "sh",
+        F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"),
     )
 
-    da, db = sh.alias("da"), sh.alias("db")
+    a, b = bands.alias("a"), bands.alias("b")
+    # A pair colliding in k > 1 bands is verified k times and deduplicated
+    # by the final distinct — jaccard is deterministic per pair, so
+    # distinct over (doc_a, doc_b, jaccard) equals distinct over pairs;
+    # multi-band collisions are rare (near-identical docs) and the
+    # distinct runs on the tiny post-threshold survivor set.
     ver = (
-        cand.join(da, cand["doc_a"] == da["doc_id"])
-        .join(db, cand["doc_b"] == db["doc_id"])
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.expr(
-                "cast(size(array_intersect(da.sh, db.sh)) as double)"
-                " / (size(da.sh) + size(db.sh) - size(array_intersect(da.sh, db.sh)))"
+                "cast(size(array_intersect(a.sh, b.sh)) as double)"
+                " / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)))"
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct()
     )
     return ver
 
