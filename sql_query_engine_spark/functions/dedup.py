@@ -380,37 +380,65 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise word-5-gram Jaccard via an inverted shingle index.
 
-    explode → self-join on shingle → per-pair intersection counts →
-    Jaccard. Stop-shingles — document frequency above ``df_cap`` — are
-    dropped BEFORE the self-join: a shingle in f docs contributes O(f²)
-    candidate pairs and near-zero Jaccard evidence, so one hot shingle
-    would otherwise dominate the join at scale. Jaccard is then defined
-    over the capped shingle universe, identically in the oracle (same
-    constant in both dialects). The frequency count is a window over the
-    SAME shingle-keyed shuffle the self-join needs — no extra exchange.
-    """
-    from pyspark.sql import Window
+    explode → postings list per shingle → in-row pair expansion →
+    per-pair intersection counts → Jaccard. Stop-shingles — document
+    frequency above ``df_cap`` — are dropped BEFORE pair expansion: a
+    shingle in f docs contributes O(f²) candidate pairs and near-zero
+    Jaccard evidence, so one hot shingle would otherwise dominate the
+    expansion at scale. Jaccard is then defined over the capped shingle
+    universe, identically in the oracle (same constant in both
+    dialects).
 
+    r16 shape: the per-shingle postings list (sorted collect_list over
+    the one shingle-keyed exchange) replaces the former
+    window-df + self-join formulation — the df filter is size(ids), the
+    candidate pairs come from an in-row positional expansion of the
+    sorted list (doc_a < doc_b by construction, no join, no broadcast
+    build, no double window evaluation), and per-doc sizes re-derive by
+    exploding the capped lists. Measured 1.35 → 1.05 s at sf0.1 with
+    identical rows; at scale the df_cap bounds every list at ``df_cap``
+    elements, so collect_list is per-key bounded the same way the
+    joins' bucket blow-up was.
+    """
     sh = shingled_docs(docs)
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    kept = (
-        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
+    # Explicit shingle-keyed repartition: pins the parallelism of the
+    # postings build + pair expansion — their cost is per-ROW
+    # interpreted compute, which AQE's byte-based coalescing (advisory
+    # 16m, session.py) cannot see and would serialize onto 1-2
+    # partitions (measured +0.5 s at sf0.1).
+    ex = ex.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "s"
     )
-    a, b = kept.alias("a"), kept.alias("b")
+    ids = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= df_cap)
+    )
     inter = (
-        a.join(b, "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        ids.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
-    # Per-doc shingle counts derive from the SAME capped exploded table
-    # as the index (groupBy over kept) — Spark then reuses the one
-    # shuffle for all three consumers. Deriving sizes from the shingle
-    # ARRAY instead re-evaluates the whole shingling pipeline per
-    # consumer — measured 5× slower at sf0.1.
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Per-doc shingle counts over the SAME capped universe: each capped
+    # postings list contains a doc at most once (shingle arrays are
+    # distinct per doc), so exploding the lists reproduces exactly the
+    # rows the old window-filtered table kept.
+    sizes = (
+        ids.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
@@ -469,6 +497,15 @@ def ngram_containment_pairs(
 
     sh = shingled_docs(docs)
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # Explicit shingle-keyed repartition: the window AND the self-join
+    # both reuse this one exchange, and the explicit partition count
+    # pins the parallelism of the candidate-pair expansion — its cost is
+    # per-ROW interpreted compute, which AQE's byte-based coalescing
+    # (advisory 16m, session.py) cannot see and would serialize onto 1-2
+    # partitions (measured +0.5 s at sf0.1).
+    ex = ex.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "s"
+    )
     kept = (
         ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .filter(F.col("df") <= df_cap)

@@ -327,7 +327,14 @@ def ref_theta_join_pure(spark, sf_dir):
     "with a theta residual; fact-fact self-join shuffles on the key pair",
 )
 def ref_multikey_join(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # explicit equi-key repartition: the self-join's pair expansion and
+    # per-partition hash build are per-ROW compute that AQE's byte-based
+    # coalescing (advisory 16m, session.py) would serialize onto 1-2
+    # partitions (measured +0.34 s at sf0.1); the explicit count pins it
+    par = spark.sparkContext.defaultParallelism
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        par, "l_partkey", "l_suppkey"
+    )
     a, b = li.alias("a"), li.alias("b")
     pair_lt = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -11163,16 +11170,17 @@ LIMIT {_PR_TOPK}""",
     "every iteration; each iteration is one edges-by-source shuffle "
     "join against the node-sized rank table plus one groupBy-sum — the "
     "classic Pregel/GraphX plan re-expressed in DataFrames; rank "
-    "lineage is checkpoint-truncated per round (the classifier-train "
-    "lesson: un-truncated iterative lineage multiplies the plan per "
-    "round). r15 shape: the edge table is hash-partitioned by source "
-    "ONCE and persist()ed — persist preserves outputPartitioning "
-    "through InMemoryRelation, where localCheckpoint degrades to "
-    "UnknownPartitioning and silently re-shuffled + re-sorted the "
-    "FULL edge table every iteration; each iteration now shuffles "
-    "only the node-sized rank table into a shuffled-hash join "
-    "(no per-iteration edge sort), measured 4.36s -> 2.40s locally "
-    "with identical rows. Top-20 by (rank, node) keeps the output "
+    "lineage is checkpoint-truncated per round when a checkpoint store "
+    "is configured (the classifier-train lesson: un-truncated "
+    "iterative lineage multiplies the plan per round). r16 shape: the "
+    "edge table is hash-partitioned by source ONCE in-plan (AQE stage "
+    "reuse shares that exchange across all five iterations of one "
+    "execution), the out-degree rides the NODE-sized rank table into "
+    "each iteration, and NOTHING is persisted — every execution is a "
+    "full cold computation, so the bench's min-of-3 measures the "
+    "query, not a leaked cache (r15's persist()ed edges made reps 2-3 "
+    "warm reads and squatted executor memory for every later bench "
+    "row). Top-20 by (rank, node) keeps the output "
     "bounded. rank is "
     "CAST to BIGINT in the oracle: DuckDB's integer sum() propagates "
     "HUGEINT through the CTE chain, and surfaced HUGEINT is the "
@@ -11194,44 +11202,48 @@ def graph_pagerank(spark, sf_dir, checkpoint_dir: str | None = None):
     e = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    # persist (NOT localCheckpoint): InMemoryRelation keeps the cached
-    # plan's outputPartitioning visible to the optimizer, so the
-    # per-iteration join reuses the one-time hashpartitioning(a) below;
-    # localCheckpoint surfaces as ExistingRDD with UnknownPartitioning
-    # and every iteration re-shuffled AND re-sorted the full edge table
-    # (measured: 4.36s -> 2.40s at sf0.1, identical rows). persist also
-    # stays recomputable from lineage on executor loss, which
-    # localCheckpoint is not — strictly better durability.
+    # r16: NO persist. r15 persisted deg/ed, which made the bench's
+    # min-of-3 read warm-cache reps (cold first rep measured 7-10 s vs
+    # 1.9 s warm at sf0.1) and left three InMemoryRelations squatting on
+    # executor memory for every later bench row — the caches were never
+    # unpersisted and a query builder has no action-completion hook to do
+    # it from. Every rep is now a full cold computation: within ONE
+    # action, AQE stage reuse deduplicates the identical edge/degree
+    # exchange subtrees across the five iterations, so the edge table is
+    # still shuffled by source only once per execution.
     deg = (
         e.groupBy("a").agg(F.count("*").alias("d"))
         .withColumnRenamed("a", "node")
-        .persist()
-    )  # reused by ed, nrow, and r init
+    )  # reused by nrow, r init, and the per-iteration rank⋈degree join
     # node count as a LAZY 1-row aggregate (broadcast into each consumer)
     # instead of a blocking driver-side count() — the whole query stays
     # one DAG with no scalar job (the text_idf pattern)
-    nrow = F.broadcast(deg.agg(F.count("*").alias("n_nodes")).persist())
+    nrow = F.broadcast(deg.agg(F.count("*").alias("n_nodes")))
     par = spark.sparkContext.defaultParallelism
-    ed = (
-        # shuffle_hash: both sides are graph-sized (edges / degrees) with
-        # no static estimates — a shuffled-hash join on the key avoids the
-        # sort-merge sorts, same strategy as the per-iteration join below
-        e.join(deg.hint("shuffle_hash"), e.a == deg.node)
-        .select("a", "b", "d")
-        .repartition(par, "a")
-        .persist()
-    )  # edges shuffled by source ONCE, partitioning reused every iteration
+    # edges hash-partitioned by source ONCE; every iteration's join sees
+    # this exchange (reused across iterations by AQE stage reuse)
+    ep = e.repartition(par, "a")
     r = deg.crossJoin(nrow).select(
         "node", F.expr(f"{_PR_SCALE} div n_nodes").alias("rank")
     )
     tele_expr = f"((15 * {_PR_SCALE}) div (100 * n_nodes)) + (85 * t) div 100"
     for _ in range(_PR_ITERS):
-        # shuffle_hash on the rank side: only the node-sized rank table
-        # shuffles per iteration, and the (larger) edge side is probed
-        # hash-wise instead of being sorted for a sort-merge join
+        # r16: attach the out-degree to the NODE-SIZED rank table, not to
+        # the full edge table (r15's ed = e⋈deg paid a second whole-edge
+        # join + reshuffle during setup). rank and degree both come out
+        # of node-keyed aggregations, so this join is co-partitioned; the
+        # planner picks the strategy for the edges⋈rd join itself —
+        # locally rd broadcasts (measured faster than the r15
+        # shuffle_hash hints once the caches were gone: 3.0-3.7 s vs
+        # 3.9-5.2 s min-of-3), and at scale billion-node rank tables
+        # exceed any broadcast threshold and fall back to a shuffled join
+        # against the already-partitioned edge side.
+        rd = r.join(deg, "node").select(
+            "node", F.expr("rank div d").alias("c")
+        )
         contrib = (
-            ed.join(r.hint("shuffle_hash"), ed.a == r.node)
-            .select(F.col("b").alias("node"), F.expr("rank div d").alias("c"))
+            ep.join(rd, ep.a == rd.node)
+            .select(F.col("b").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("t"))
         )

@@ -86,6 +86,23 @@ def get_spark(
         # --- planner / runtime adaptivity -------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r16: size post-shuffle partitions by DATA, not by core count.
+        # parallelismFirst=true (Spark's default) kept every implicit
+        # exchange at `cores` partitions, so a 600k-row local shuffle ran
+        # 32 tasks of ~20 kB each — pure scheduling overhead (the r15
+        # scaling block measured 8 of 55 queries FASTER at 8 cores than
+        # 32). parallelismFirst=false is the setting Spark's own docs
+        # recommend for efficient utilization; the advisory size is the
+        # knob that scales: 16m keeps the local bench's shuffles at a
+        # couple of right-sized partitions, a cluster submit should
+        # raise it to 64-256m (SPARK_GRAFT_CONF or --conf, see below).
+        # Stages whose cost is per-row interpreted compute (not bytes)
+        # pin their parallelism with explicit repartition(par, key)
+        # calls, which AQE never coalesces — byte-based advice cannot
+        # see per-row cost (measured: dedup_ngram_jaccard's inverted
+        # index +0.5 s when its window/self-join exchange coalesced).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.default.parallelism", str(max(cores, 8)))
@@ -130,6 +147,16 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Environment passthrough (SPARK_GRAFT_CONF="k=v;k=v"): lets a
+    # submitter or an A/B harness override any default above without
+    # editing source — the same parameterization a cluster submit would
+    # use. Applied after the defaults, before caller extra_conf.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for item in env_conf.split(";"):
+        item = item.strip()
+        if item and "=" in item:
+            k, _, v = item.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
