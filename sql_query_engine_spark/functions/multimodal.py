@@ -6307,6 +6307,14 @@ def _jpeg_ac_refine_scan(reader, act, cc, blocks, ss, se, al,
             if r:
                 eobrun = 0  # RSTn resets the EOB run and bit alignment
         idx = ss
+        # work on a plain-Python list view of the block's band: the
+        # per-coefficient walk below touches every position up to se,
+        # and numpy SCALAR reads/writes (cc[k, idx]) cost ~5× a list
+        # index — same values, written back once per block (r16; the
+        # batched-IDCT rewrite covered the baseline path, this covers
+        # the per-scan refinement walk)
+        row = cc[k].tolist()
+        dirty = False
         if eobrun == 0:
             while idx <= se:
                 rs = _huff_decode(reader, act)
@@ -6332,13 +6340,14 @@ def _jpeg_ac_refine_scan(reader, act, cc, blocks, ss, se, al,
                 # advance over r zero-history positions, emitting a
                 # correction to every nonzero-history coefficient passed
                 while idx <= se:
-                    coef = int(cc[k, idx])
+                    coef = row[idx]
                     if coef != 0:
                         bit = reader.bits(1)
                         if bit is None:
                             return False
                         if bit and (coef & p1) == 0:
-                            cc[k, idx] = coef + (p1 if coef > 0 else m1)
+                            row[idx] = coef + (p1 if coef > 0 else m1)
+                            dirty = True
                     else:
                         if r == 0:
                             break
@@ -6347,20 +6356,24 @@ def _jpeg_ac_refine_scan(reader, act, cc, blocks, ss, se, al,
                 if val:
                     if idx > se:
                         return False  # run overran the band
-                    cc[k, idx] = val
+                    row[idx] = val
+                    dirty = True
                 idx += 1
         if eobrun:
             # the EOB-covered remainder still refines nonzero history
             while idx <= se:
-                coef = int(cc[k, idx])
+                coef = row[idx]
                 if coef != 0:
                     bit = reader.bits(1)
                     if bit is None:
                         return False
                     if bit and (coef & p1) == 0:
-                        cc[k, idx] = coef + (p1 if coef > 0 else m1)
+                        row[idx] = coef + (p1 if coef > 0 else m1)
+                        dirty = True
                 idx += 1
             eobrun -= 1
+        if dirty:
+            cc[k] = row
     return True
 
 

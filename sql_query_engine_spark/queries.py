@@ -10741,10 +10741,19 @@ def src_warc_revisit_dedup(spark, sf_dir):
     out = _legacy_fixture_dir(sf_dir, "documents_warc_revisits")
     _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
         _t(spark, sf_dir, "documents"), out, n_files=4, revisits=True))
-    revs = warc.read_warc_revisits(spark, f"{out}/*.warc.gz").select(
+    # r16: ONE fused walk emits both planes (r15 ran read_warc_revisits
+    # AND read_warc_gz_meta — two full gzip+WARC walks of every shard);
+    # the narrow repartition materializes the walk once and both filter
+    # branches read the same exchange (ReuseExchange), so the corpus is
+    # inflated exactly once per execution.
+    par = spark.sparkContext.defaultParallelism
+    ex = warc.read_warc_revisit_resolution(
+        spark, f"{out}/*.warc.gz"
+    ).repartition(par, "doc_id")
+    revs = ex.filter(F.col("wtype") == "revisit").select(
         "doc_id", "target_uri", "refers_to_uri",
         F.col("payload_sha256").alias("rev_sha256"))
-    resp = warc.read_warc_gz_meta(spark, f"{out}/*.warc.gz").select(
+    resp = ex.filter(F.col("wtype") == "response").select(
         F.col("target_uri").alias("orig_uri"),
         F.col("payload_sha256").alias("orig_sha256"))
     return resp.join(

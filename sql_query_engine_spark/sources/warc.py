@@ -1913,6 +1913,74 @@ def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
                                _revisit_plane_row, schema, cols)
 
 
+def read_warc_revisit_resolution(spark: SparkSession,
+                                 path_glob: str) -> DataFrame:
+    """BOTH planes of revisit resolution from ONE streaming walk:
+    (doc_id, wtype, target_uri, refers_to_uri, payload_sha256) where
+    ``wtype`` is 'response' or 'revisit'. r15's revisit-dedup query ran
+    :func:`read_warc_revisits` AND :func:`read_warc_gz_meta` — two full
+    gzip+WARC walks of every shard per execution — to partition a
+    record stream one walk already sees whole (guide §4: collapse
+    chained/parallel Python stages). Semantics are the exact union of
+    the two readers: response rows pass through the same segment-
+    reassembly walk, strict HTTP parse and labelled-digest verdict the
+    metadata reader runs (any framing defect raises identically), and
+    revisit rows run the same :func:`_revisit_row` extraction off the
+    raw record stream (malformed known-label digests raise). Map-only,
+    one task per shard, O(member) memory."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("wtype", StringType(), True),
+            StructField("target_uri", StringType(), True),
+            StructField("refers_to_uri", StringType(), True),
+            StructField("payload_sha256", StringType(), True),
+        ]
+    )
+    files = _shard_paths_df(spark, path_glob)
+    cols = ["doc_id", "wtype", "target_uri", "refers_to_uri",
+            "payload_sha256"]
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = []
+                # revisit rows captured OFF the raw record stream (the
+                # response walk skips them), exactly as
+                # _scan_typed_records would extract them; bounded — the
+                # reference plane is a sliver of the response plane
+                side: list[tuple] = []
+
+                def _records(path=path, side=side):
+                    with open(path, "rb") as f:
+                        for member in iter_gzip_members_stream(f, path):
+                            for rec in decode_warc_bytes(
+                                    member, path, with_headers=True):
+                                wh = rec[4]
+                                if (wh.get(b"warc-type", b"")
+                                        .strip().lower() == b"revisit"):
+                                    ref_uri, _rid, dig, _prof = \
+                                        _revisit_row(wh, path, rec[0])
+                                    side.append((rec[0], "revisit",
+                                                 rec[1], ref_uri, dig))
+                                yield rec
+
+                for d, u, _n, block, wh in _walk_response_records(
+                        _records(), path):
+                    st, hh, body, _k = parse_http_response_ex(block, path)
+                    digest, _verified = _payload_digest_verdict(
+                        wh, body, path, d)
+                    rows.append((d, "response", u, None, digest))
+                    if len(rows) >= _SCAN_BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                rows.extend(side)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_dec, schema)
+
+
 def _scan_typed_records(spark: SparkSession, path_glob: str,
                         wtype: bytes, row_fn, schema, cols) -> DataFrame:
     """The typed-plane scan both the revisit and the request readers
