@@ -387,9 +387,14 @@ def synthesize_html_pages(docs: DataFrame) -> DataFrame:
     (same pattern as dedup.shingled_docs / multimodal._doc_id_partitions)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     src = docs.select("doc_id", "text")
-    if src.rdd.getNumPartitions() < par:
-        # one-file local fixtures scan as a single split; many-split
-        # cluster tables skip the rebalance (the bpe/unigram guard)
+    # one-file local fixtures scan as a single split; many-split cluster
+    # tables skip the rebalance (the bpe/unigram guard). Probing via
+    # inputFiles() stays a driver-side catalog lookup — the former
+    # .rdd.getNumPartitions() forced eager analysis + DataFrame→RDD
+    # conversion on every query build (and .rdd is unavailable under
+    # Spark Connect). Non-file-backed inputs ([] files) take the
+    # rebalance, which is the safe side.
+    if len(src.inputFiles()) < par:
         src = src.repartition(par)
     return src.select("doc_id", "text", page_expr().alias("html"))
 

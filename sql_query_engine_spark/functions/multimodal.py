@@ -231,7 +231,13 @@ def _synth_df(docs: DataFrame, make) -> DataFrame:
     (see _decode_df). The recipe rides as a plain Python attribute on
     the DataFrame wrapper: any other composition (a filter, a join, a
     corruption splice, a foreign fixture) produces a new wrapper
-    without it and takes the general two-stage path unchanged."""
+    without it and takes the general two-stage path unchanged.
+
+    CONTRACT: ``make`` must be a pure function of the input doc_ids —
+    the fused path re-runs it inside the decode stage, so a stateful or
+    randomized builder would diverge from what other consumers of this
+    DataFrame see. (_decode_df also refuses to fuse a cached synth
+    output for the same reason.)"""
     df = _doc_id_partitions(docs).mapInPandas(make, _MEDIA_SCHEMA)
     df._sqes_synth_recipe = (docs, make)
     return df
@@ -249,6 +255,13 @@ def _decode_df(with_media: DataFrame, dec, schema) -> DataFrame:
     synth output, fixture-backed media, foreign files — decodes the
     general way."""
     recipe = getattr(with_media, "_sqes_synth_recipe", None)
+    # A cached synth output must NOT take the fused path: fusing would
+    # silently bypass the cache and re-run `make` inside the decode
+    # stage. Builders are pure functions of doc_id today so the rows
+    # would match, but a caller who cached the synth df asked for the
+    # materialized bytes to be the ones every consumer sees — honor it.
+    if recipe is not None and with_media.is_cached:
+        recipe = None
     if recipe is not None:
         docs, make = recipe
 
@@ -3422,17 +3435,21 @@ def _lzw_encode(indices: bytes) -> bytes:
     bw = _BitWriter()
     width = _GIF_MIN_CODE + 1
     bw.write(_GIF_CLEAR, width)
-    table = _LZW_DICT_BASE.copy()
+    # (prefix_code, byte) int keys — same bit-identical bijection as the
+    # TIFF encoder (_tiff_lzw_encode): no O(match) key concatenation
+    table: dict[tuple[int, int], int] = {}
     next_code = _GIF_END + 1
-    w = b""
-    lits = _LZW_TABLE_BASE
+    w = -1
     for ch in indices:
-        wk = w + lits[ch]
-        if wk in table:
-            w = wk
+        if w < 0:
+            w = ch
             continue
-        bw.write(table[w], width)
-        table[wk] = next_code
+        cur = table.get((w, ch))
+        if cur is not None:
+            w = cur
+            continue
+        bw.write(w, width)
+        table[(w, ch)] = next_code
         next_code += 1
         if next_code == (1 << width) + 1 and width < 12:
             # GIF encoders bump the width when the NEXT emitted code
@@ -3441,12 +3458,12 @@ def _lzw_encode(indices: bytes) -> bytes:
             width += 1
         if next_code >= 4096:
             bw.write(_GIF_CLEAR, width)
-            table = _LZW_DICT_BASE.copy()
+            table = {}
             next_code = _GIF_END + 1
             width = _GIF_MIN_CODE + 1
-        w = lits[ch]
-    if w:
-        bw.write(table[w], width)
+        w = ch
+    if w >= 0:
+        bw.write(w, width)
     bw.write(_GIF_END, width)
     return bw.flush()
 
@@ -3939,19 +3956,28 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
             out.append((bitbuf >> (bitlen - 8)) & 0xFF)
             bitlen -= 8
 
-    table: dict[bytes, int] = _LZW_DICT_BASE.copy()
+    # (prefix_code, byte) int keys instead of byte-string keys: every
+    # table entry's string is its prefix entry plus one byte, so the
+    # mapping is a bijection and the emitted code sequence is
+    # BIT-IDENTICAL (verified against the string form across raster,
+    # random, constant and table-clearing inputs) — but the encoder no
+    # longer concatenates an O(match) key per input byte, which is the
+    # r16 cost cut on long-match (well-compressing) data.
+    table: dict[tuple[int, int], int] = {}
     next_code = 258
     width = 9
     put(_TIFF_CLEAR, width)
-    prev = b""
-    lits = _LZW_TABLE_BASE
+    prev = -1  # current match, as the code that represents it
     for byte in data:
-        cur = prev + lits[byte]
-        if cur in table:
+        if prev < 0:
+            prev = byte  # literal codes are the byte values
+            continue
+        cur = table.get((prev, byte))
+        if cur is not None:
             prev = cur
             continue
-        put(table[prev], width)
-        table[cur] = next_code
+        put(prev, width)
+        table[(prev, byte)] = next_code
         next_code += 1
         # the encoder bumps width when the NEXT code to emit could be
         # next_code - 1; early change = bump at 511/1023/2047
@@ -3959,12 +3985,12 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
             width += 1
         if next_code >= 4094:  # table nearly full: clear (spec practice)
             put(_TIFF_CLEAR, width)
-            table = _LZW_DICT_BASE.copy()
+            table = {}
             next_code = 258
             width = 9
-        prev = lits[byte]
-    if prev:
-        put(table[prev], width)
+        prev = byte
+    if prev >= 0:
+        put(prev, width)
     put(_TIFF_EOI, width)
     if bitlen:
         out.append((bitbuf << (8 - bitlen)) & 0xFF)

@@ -240,7 +240,9 @@ def admission_stats(docs: DataFrame, ua: str = "GraftBot") -> DataFrame:
     # the exchange
     par = docs.sparkSession.sparkContext.defaultParallelism
     src = docs.select("doc_id", "source", "text")
-    if src.rdd.getNumPartitions() < par:
+    # driver-side catalog probe — see html.synthesize_html_pages for why
+    # this is inputFiles(), not .rdd.getNumPartitions()
+    if len(src.inputFiles()) < par:
         src = src.repartition(par)
     src = src.select("doc_id", "source", page_expr().alias("html"),
                      path.alias("path"))

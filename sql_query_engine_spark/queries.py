@@ -4289,6 +4289,17 @@ def pipeline_training_data(spark, sf_dir):
     # filter (guide §1.2 per-task work; measured 1.52s -> 0.52s at sf0.1,
     # row-identical on the full corpus). Queries that need the VALUE of
     # lang_id (not just the gate) keep the full CASE.
+    # the markers interpolate verbatim into a SQL string literal AND a
+    # Java regex: pin that they stay plain lowercase-letters+spaces so
+    # neither layer can reinterpret one (a quote/backslash/metachar
+    # would silently change the gate the CASE-equivalence proof covers)
+    import re as _re
+
+    assert all(
+        _re.fullmatch(r"[a-z ]+", m)
+        for ms in text.LANG_MARKERS.values()
+        for m in ms
+    ), "LANG_MARKERS must be lowercase letters+spaces only"
     _any_marker = "|".join(
         "(?:%s)" % m for ms in text.LANG_MARKERS.values() for m in ms
     )
@@ -11130,6 +11141,11 @@ def _iter_checkpoint(df: DataFrame, checkpoint_dir: str | None, *, eager: bool =
 
 # ---- PageRank over the customer-supplier purchase graph ------------------
 _PR_SCALE = 10**15  # integer rank scale: 85*SCALE = 8.5e16 << 2^63
+# MUST stay small on the default (checkpoint_dir=None) path: each
+# iteration embeds the previous rounds' plan, so analysis cost grows
+# superlinearly with the count (the classifier-train lesson); raise it
+# only together with a checkpoint_dir (reliable per-round truncation)
+# or a periodic localCheckpoint every ~5-8 rounds.
 _PR_ITERS = 5
 _PR_TOPK = 20
 

@@ -50,7 +50,17 @@ def local_df(spark: SparkSession, rows, schema: str):
 
     if not rows:
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(pd.DataFrame(rows), schema)
+    pdf = pd.DataFrame(rows)
+    # cheap guard against silent positional/type coercion (pandas would
+    # turn an int column with a None into float NaN, and numpy scalars
+    # or out-of-range ints would coerce without the row-by-row
+    # validation plain createDataFrame performs): literal tables are
+    # small, so the full check costs microseconds
+    assert not pdf.isna().any().any(), (
+        "local_df rows must be NULL-free (pandas coerces int+None to "
+        "float); use plain createDataFrame for nullable literals"
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def default_parallelism() -> int:

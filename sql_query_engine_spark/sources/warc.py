@@ -70,6 +70,8 @@ __all__ = [
     "try_scan_warc_gz_meta",
     "try_scan_warc_revisits",
     "try_scan_warc_requests",
+    "read_warc_revisit_resolution",
+    "try_scan_warc_revisit_resolution",
     "try_fetch_extent",
     "write_wat_sidecar",
     "read_wat",
@@ -1979,6 +1981,40 @@ def read_warc_revisit_resolution(spark: SparkSession,
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(_dec, schema)
+
+
+def _revisit_resolution_rows(payload: bytes, where: str):
+    """The fused walk of :func:`read_warc_revisit_resolution` over ONE
+    shard's bytes — shared by the Spark reader's task body and the fuzz
+    wrapper so the soak exercises the exact code the reader runs."""
+    side: list[tuple] = []
+
+    def _records():
+        for member in split_gzip_members(payload, where):
+            for rec in decode_warc_bytes(member, where, with_headers=True):
+                wh = rec[4]
+                if (wh.get(b"warc-type", b"")
+                        .strip().lower() == b"revisit"):
+                    ref_uri, _rid, dig, _prof = _revisit_row(
+                        wh, where, rec[0])
+                    side.append((rec[0], "revisit", rec[1], ref_uri, dig))
+                yield rec
+
+    rows = []
+    for d, u, _n, block, wh in _walk_response_records(_records(), where):
+        st, hh, body, _k = parse_http_response_ex(block, where)
+        digest, _verified = _payload_digest_verdict(wh, body, where, d)
+        rows.append((d, "response", u, None, digest))
+    return rows + side
+
+
+def try_scan_warc_revisit_resolution(payload: bytes):
+    """Fuzz-contract wrapper over the fused revisit-resolution walk:
+    the union rows, or None on any framing defect — never raises."""
+    try:
+        return _revisit_resolution_rows(payload, "<bytes>")
+    except ValueError:
+        return None
 
 
 def _scan_typed_records(spark: SparkSession, path_glob: str,

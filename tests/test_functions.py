@@ -38,6 +38,105 @@ def test_minhash_lsh_finds_exact_jaccard_dups(spark, docs):
     assert len(exact) > 0  # the corpus has planted near-dups
 
 
+def test_minhash_arraymin_sigs_match_aggregate_form(spark, docs):
+    """The r16 map-only array_min signatures must equal the former
+    explode + groupBy(doc_id) aggregation exactly — same (a*x+b) % P
+    arithmetic, same min, per permutation."""
+    from sql_query_engine_spark.functions.dedup import (
+        _minhash_signatures_from,
+        exploded_shingle_hashes,
+        shingled_docs,
+    )
+    from sql_query_engine_spark.functions.hashing import (
+        MERSENNE_P,
+        MINHASH_PERMS,
+        spark_hex48,
+    )
+
+    ref = {
+        r.doc_id: tuple(r)[1:]
+        for r in _minhash_signatures_from(
+            exploded_shingle_hashes(docs)
+        ).collect()
+    }
+    sh = shingled_docs(docs).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sh, s -> {spark_hex48('s')}))"
+        ).alias("sh"),
+    )
+    xs = sh.select(
+        "doc_id", F.expr(f"transform(sh, h -> h % {MERSENNE_P})").alias("xs")
+    )
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in xs.select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"array_min(transform(xs, x -> ({a} * x + {b})"
+                    f" % {MERSENNE_P}))"
+                ).alias(f"mh{k}")
+                for k, (a, b) in enumerate(MINHASH_PERMS)
+            ],
+        ).collect()
+    }
+    assert got == ref and len(got) > 0
+
+
+def test_ngram_postings_expansion_matches_self_join(spark, docs):
+    """The r16 sorted-postings in-row pair expansion must produce the
+    same (pair, intersection-count) multiset as the inverted-index
+    self-join it replaced."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_spark.functions.dedup import (
+        NGRAM_DF_CAP,
+        shingled_docs,
+    )
+
+    ex = shingled_docs(docs).select("doc_id", F.explode("sh").alias("s"))
+    kept = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    ref = {
+        (r.doc_a, r.doc_b): r.i
+        for r in a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+        .collect()
+    }
+    ids = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= NGRAM_DF_CAP)
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.i
+        for r in ids.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+
+
 def test_exact_dedup_partitions_corpus(spark, docs):
     total = docs.count()
     dd = dedup.exact_dedup(docs)

@@ -1078,6 +1078,45 @@ def test_warc_revisit_records(spark, tmp_path):
     assert sorted(r.doc_id for r in fetched.collect()) == list(range(1, 21))
 
 
+def test_warc_revisit_resolution_fused_walk(spark, tmp_path):
+    """The r16 fused revisit-resolution reader must emit exactly the
+    union of what read_warc_revisits and read_warc_gz_meta's digest
+    plane see: same revisit rows, same response (uri, declared-digest)
+    rows, from ONE walk."""
+    from sql_query_engine_spark.sources.warc import (
+        read_warc_gz_meta,
+        read_warc_revisit_resolution,
+        read_warc_revisits,
+        write_warc_gz_dataset,
+    )
+
+    docs = [(d, f"fused revisit doc {d} ☃") for d in range(1, 31)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "warc_fused_revisits")
+    write_warc_gz_dataset(df, out, n_files=2, revisits=True)
+
+    fused = read_warc_revisit_resolution(spark, f"{out}/*.warc.gz")
+    got_rev = sorted(
+        (r.doc_id, r.target_uri, r.refers_to_uri, r.payload_sha256)
+        for r in fused.filter("wtype = 'revisit'").collect()
+    )
+    want_rev = sorted(
+        (r.doc_id, r.target_uri, r.refers_to_uri, r.payload_sha256)
+        for r in read_warc_revisits(spark, f"{out}/*.warc.gz").collect()
+    )
+    assert got_rev == want_rev and len(got_rev) == 3
+
+    got_resp = sorted(
+        (r.doc_id, r.target_uri, r.payload_sha256)
+        for r in fused.filter("wtype = 'response'").collect()
+    )
+    want_resp = sorted(
+        (r.doc_id, r.target_uri, r.payload_sha256)
+        for r in read_warc_gz_meta(spark, f"{out}/*.warc.gz").collect()
+    )
+    assert got_resp == want_resp and len(got_resp) == 30
+
+
 def test_warc_segment_reassembly(spark, tmp_path):
     """segments=k: every k-th doc ships as a 3-record segmented chain
     (ISO 28500 §5.18-5.20), one gzip member per record. The shared

@@ -21,6 +21,7 @@ from sql_query_engine_spark.sources.warc import (
     try_scan_warc_gz_meta as _warcmeta,
     try_scan_warc_revisits as _warcrev,
     try_scan_warc_requests as _warcreq,
+    try_scan_warc_revisit_resolution as _warcrr,
     gzip_member as _gzm,
     build_http_response as _bhttp,
     build_http_request as _bhttpreq,
