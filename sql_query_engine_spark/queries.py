@@ -10753,29 +10753,56 @@ def src_warc_revisit_dedup(spark, sf_dir):
     _cached_fixture(out, lambda: warc.write_warc_gz_dataset(
         _t(spark, sf_dir, "documents"), out, n_files=4, revisits=True))
     # r16: ONE fused walk emits both planes (r15 ran read_warc_revisits
-    # AND read_warc_gz_meta — two full gzip+WARC walks of every shard);
-    # the narrow repartition materializes the walk once and both filter
-    # branches read the same exchange (ReuseExchange), so the corpus is
-    # inflated exactly once per execution.
-    par = spark.sparkContext.defaultParallelism
-    ex = warc.read_warc_revisit_resolution(
-        spark, f"{out}/*.warc.gz"
-    ).repartition(par, "doc_id")
-    revs = ex.filter(F.col("wtype") == "revisit").select(
-        "doc_id", "target_uri", "refers_to_uri",
-        F.col("payload_sha256").alias("rev_sha256"))
-    resp = ex.filter(F.col("wtype") == "response").select(
-        F.col("target_uri").alias("orig_uri"),
-        F.col("payload_sha256").alias("orig_sha256"))
-    return resp.join(
-        F.broadcast(revs), resp["orig_uri"] == revs["refers_to_uri"]
-    ).select(
-        "doc_id",
-        "target_uri",
-        "refers_to_uri",
-        F.col("rev_sha256").alias("payload_sha256"),
-        (F.col("rev_sha256") == F.col("orig_sha256"))
-        .alias("digest_matches"),
+    # AND read_warc_gz_meta — two full gzip+WARC walks of every shard),
+    # and the resolution join is restated as a grouped per-key cross
+    # product so the plan has exactly ONE subtree over the walk (a
+    # two-branch filter split would get each filter pushed below any
+    # exchange and re-run the walk per branch — observed in the plan).
+    # Join equivalence: an inner equi-join equals, per key, the cross
+    # product of the two sides' rows — collect both sides' rows under
+    # the shared key (a response keys by its own target_uri, a revisit
+    # by the uri it refers to), then explode both lists; a key missing
+    # either side explodes to nothing, exactly the inner join. Structs
+    # keep NULL digests as present-but-NULL, matching the join's
+    # null-comparison semantics in digest_matches.
+    ex = warc.read_warc_revisit_resolution(spark, f"{out}/*.warc.gz")
+    key = F.when(
+        F.col("wtype") == "revisit", F.col("refers_to_uri")
+    ).otherwise(F.col("target_uri"))
+    grouped = (
+        ex.withColumn("k", key)
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.collect_list(
+                F.when(
+                    F.col("wtype") == "response",
+                    F.struct(F.col("payload_sha256").alias("orig_sha256")),
+                )
+            ).alias("resp"),
+            F.collect_list(
+                F.when(
+                    F.col("wtype") == "revisit",
+                    F.struct(
+                        F.col("doc_id"),
+                        F.col("target_uri"),
+                        F.col("payload_sha256").alias("rev_sha256"),
+                    ),
+                )
+            ).alias("revs"),
+        )
+    )
+    return (
+        grouped.select("k", F.explode("revs").alias("rv"), "resp")
+        .select("k", "rv", F.explode("resp").alias("rp"))
+        .select(
+            F.col("rv.doc_id").alias("doc_id"),
+            F.col("rv.target_uri").alias("target_uri"),
+            F.col("k").alias("refers_to_uri"),
+            F.col("rv.rev_sha256").alias("payload_sha256"),
+            (F.col("rv.rev_sha256") == F.col("rp.orig_sha256"))
+            .alias("digest_matches"),
+        )
     )
 
 

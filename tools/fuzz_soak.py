@@ -59,6 +59,7 @@ DECODERS = [
     _warcmeta,                                          # r13: digest plane
     _warcrev,                                           # r13: revisit plane
     _warcreq,                                           # r14: request plane
+    _warcrr,                                            # r16: fused revisit resolution
 ]
 
 def valid_corpus():
