@@ -392,29 +392,39 @@ def ivf_sampled_recall(
     if len(centroid_ids) < 2:
         return 1.0  # degenerate grid — IVF prunes nothing, moot
     base = _ivf_base(emb)
-    cent = sorted(
-        base.filter(F.col("vec_id").isin(*centroid_ids))
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    c_mat = np.asarray([r.embedding for r in cent], dtype=np.float64)
-    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-K,
-    # no full sort): the sample is DETERMINISTIC across partition
-    # layouts/parallelism, unlike a bare limit() which takes whichever
-    # partitions materialize first (review r9). Ordering by the hash —
-    # not vec_id — keeps the kept rows a pseudo-random spread of the
-    # corpus even when sample_mod=1 passes everything.
-    sample = (
+    # ONE bounded job for centroids + sample (r16; was two separate
+    # collects — each a full scan job, and the diagnostic runs per
+    # query build). Sort key ranks every centroid row ahead of the
+    # hash-ordered candidate sample, so TakeOrderedAndProject
+    # (per-partition top-K, no full sort — the sample stays
+    # DETERMINISTIC across partition layouts/parallelism, unlike a bare
+    # limit(); review r9) returns all centroids followed by at least
+    # the top ``max_sample`` non-centroids by (hash, vec_id) — exactly
+    # the rows the two collects returned; the driver-side slice below
+    # re-caps the sample in case some centroid ids are absent from
+    # base. Ordering the sample by the hash — not vec_id — keeps the
+    # kept rows a pseudo-random spread of the corpus even when
+    # sample_mod=1 passes everything.
+    is_cent = F.col("vec_id").isin(*centroid_ids)
+    fetched = (
         base.filter(
             (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0)
-            & ~F.col("vec_id").isin(*centroid_ids)
+            | is_cent
         )
-        .select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
-        .limit(max_sample)
+        .select(
+            "vec_id", "embedding",
+            is_cent.cast("int").alias("__c"),
+            F.xxhash64(F.col("vec_id")).alias("__h"),
+        )
+        .orderBy(F.desc("__c"), "__h", "vec_id")
+        .limit(max_sample + len(centroid_ids))
         .collect()
     )
+    cent = sorted(
+        (r for r in fetched if r["__c"] == 1), key=lambda r: r.vec_id
+    )
+    c_mat = np.asarray([r.embedding for r in cent], dtype=np.float64)
+    sample = [r for r in fetched if r["__c"] == 0][:max_sample]
     if len(sample) < 2 * k or len(c_mat) < 2:
         return 1.0  # sample too small to prune anything — IVF is moot
     x = np.asarray([r.embedding for r in sample], dtype=np.float64)
